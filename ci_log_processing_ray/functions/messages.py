@@ -1,0 +1,40 @@
+"""Vectorized message extraction and severity extraction.
+
+* ``extract_messages`` -- the split-once-on-'|' of get_message
+  (logsender.py:368-372): pipe present -> remainder, newline-stripped,
+  lstripped; no pipe -> whole line newline-stripped (NOT lstripped --
+  the reference's asymmetry is preserved).
+* ``extract_severity`` -- the grok loglevel capture
+  (openstack-filters.conf:48) modeled as first occurrence of the
+  loglevel vocabulary anywhere in the line, default NONE.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import SEVERITIES, SEVERITY_NONE
+
+_SEVERITY_PATTERN = r"\b(?P<severity>%s)\b" % "|".join(SEVERITIES)
+
+
+def extract_messages(lines: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """get_message (logsender.py:368-372), vectorized with Arrow kernels."""
+    has_pipe = pc.greater_equal(pc.find_substring(lines, "|"), 0)
+    # drop everything through the first '|' (no-op when '|' absent)
+    after = pc.replace_substring_regex(
+        lines, pattern=r"^[^|]*\|", replacement="", max_replacements=1
+    )
+    after = pc.replace_substring(after, "\n", "")
+    whole = pc.replace_substring(lines, "\n", "")
+    return pc.if_else(has_pipe, pc.utf8_ltrim_whitespace(after), whole)
+
+
+def extract_severity(lines: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """First severity keyword in the line, else 'NONE'."""
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    hit = pc.extract_regex(lines, pattern=_SEVERITY_PATTERN)
+    sev = pc.struct_field(hit, "severity")
+    return pc.fill_null(sev, SEVERITY_NONE)

@@ -1,0 +1,108 @@
+"""Golden tests for the vectorized kernels vs the row-wise reference
+semantics (reference goldens re-expressed from
+logscraper/tests/test_logsender.py)."""
+
+import datetime
+
+import pyarrow as pa
+import pytest
+
+from ci_log_processing_ray import reference_impl as ref
+from ci_log_processing_ray.functions.detok import tokens_to_text
+from ci_log_processing_ray.functions.messages import extract_messages, extract_severity
+from ci_log_processing_ray.functions.timestamps import extract_timestamps
+from ci_log_processing_ray.sources.synth import _encode_tokens
+
+YEAR = 2022
+
+# Goldens from tests/test_logsender.py:1177-1194 (today.year pinned to 2022).
+GOLDEN_TS = [
+    ("2022-02-28 09:44:58.839036 | Other message",
+     datetime.datetime(2022, 2, 28, 9, 44, 58, 839036)),
+    ("2022-03-21T08:39:18.220547Z | Last metadata expiration",
+     datetime.datetime(2022, 3, 21, 8, 39, 18, 220547)),
+    ("Mar 31 04:50:23.795709 nested-virt some log",
+     datetime.datetime(YEAR, 3, 31, 4, 50, 23, 795700)),
+    ("Mar 21 09:33:23 fedora-rax-dfw-0028920567 sudo[2786]: zuul ",
+     datetime.datetime(YEAR, 3, 21, 9, 33, 23)),
+    ("2022-03-23T13:09:08.644Z|00040|connmgr|INFO|br-int: added",
+     datetime.datetime(2022, 3, 23, 13, 9, 8)),
+    ("Friday 25 February 2022  09:27:51 +0000 (0:00:00.056)",
+     datetime.datetime(2022, 2, 25, 9, 27, 51)),
+    ("no timestamp here", None),
+    ("-- Logs begin at Fri 2022-03-25 17:40:37 UTC.", None),
+]
+
+
+def test_reference_get_timestamp_goldens():
+    for line, expected in GOLDEN_TS:
+        assert ref.get_timestamp(line, YEAR) == expected, line
+
+
+def test_vectorized_timestamps_match_reference():
+    lines = [line for line, _ in GOLDEN_TS]
+    got = extract_timestamps(pa.array(lines), YEAR).to_pylist()
+    want = [ref.get_timestamp(line, YEAR) for line in lines]
+    assert got == want
+
+
+def test_vectorized_timestamps_match_reference_on_corpus(corpus_dir):
+    import pyarrow.parquet as pq
+
+    _, info = corpus_dir
+    table = pq.read_table(info["paths"]["token_sequences"])
+    lines = tokens_to_text(table["tokens"])
+    got = extract_timestamps(lines, YEAR).to_pylist()
+    text = lines.to_pylist()
+    want = [ref.get_timestamp(line, YEAR) for line in text]
+    mismatches = [
+        (text[i], got[i], want[i]) for i in range(len(text)) if got[i] != want[i]
+    ]
+    assert not mismatches, mismatches[:5]
+
+
+def test_get_message_goldens():
+    # tests/test_logsender.py:1170-1175
+    assert ref.get_message("28-02-2022 09:44:58.839036 | Some message") == "Some message"
+    assert (ref.get_message("2022-02-28 09:44:58.839036 | Other message | other log info")
+            == "Other message | other log info")
+    # fallback branch does NOT lstrip
+    assert ref.get_message("  raw line no pipe\n") == "  raw line no pipe"
+    assert ref.get_message("2022-02-28 09:39:09.596 | ") == ""
+
+
+def test_vectorized_messages_match_reference(corpus_dir):
+    import pyarrow.parquet as pq
+
+    _, info = corpus_dir
+    table = pq.read_table(info["paths"]["token_sequences"])
+    lines = tokens_to_text(table["tokens"])
+    got = extract_messages(lines).to_pylist()
+    want = [ref.get_message(line) for line in lines.to_pylist()]
+    assert got == want
+
+
+def test_vectorized_severity_match_reference(corpus_dir):
+    import pyarrow.parquet as pq
+
+    _, info = corpus_dir
+    table = pq.read_table(info["paths"]["token_sequences"])
+    lines = tokens_to_text(table["tokens"])
+    got = extract_severity(lines).to_pylist()
+    want = [ref.get_severity(line) for line in lines.to_pylist()]
+    assert got == want
+
+
+def test_detok_roundtrip():
+    lines = ["hello world", "", "unicode: é© ok", "| pipe", "a" * 500]
+    toks = _encode_tokens(lines)
+    assert tokens_to_text(toks).to_pylist() == lines
+    # sliced input path
+    sliced = toks.slice(1, 3)
+    assert tokens_to_text(sliced).to_pylist() == lines[1:4]
+
+
+def test_detok_rejects_non_byte_tokens():
+    arr = pa.array([[72, 105], [999]], type=pa.list_(pa.int32()))
+    with pytest.raises(Exception):
+        tokens_to_text(arr)
