@@ -68,6 +68,10 @@ class PipelineConfig:
     #  - "grouped": exact regardless of physical layout -- shuffles only the
     #               files that actually contain timestamp-less rows.
     fill_mode: str = "batch"
+    # In batch mode, raise if a block boundary makes the carry-forward
+    # ambiguous (a block starts mid-file with unanchored leading rows) --
+    # i.e. the layout contract was violated.  Escape hatch: fill_mode="grouped".
+    strict_layout: bool = True
 
     # Salt buckets for the per-(sink, severity) count aggregate; defuses hot
     # CI-job skew (SURVEY.md section 4 "Skew").

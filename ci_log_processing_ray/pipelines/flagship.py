@@ -1,0 +1,224 @@
+"""Flagship pipeline: read -> parse -> enrich -> route -> write + aggregate.
+
+The Ray-Data-native equivalent of logscraper+logsender end to end
+(SURVEY.md section 3 "Rebuild lifecycle"):
+
+    1. plan: anti-join pending input files vs committed manifests (J4/ST1)
+    2. ds = read_parquet(pending, include_paths=True)          [source]
+    3. parse (stateless map_batches over whole Arrow blocks)   [M1-M8, 2.9]
+    4. enrich (actor pool, broadcast build_meta + file config) [J1/J2]
+    5. route (sink column = dated index name)                  [S12/S13]
+    6. write per-sink partitioned Parquet into a staged batch
+       dir, renamed into place (idempotent commit)
+    7. re-read the written columns -> per-(partition, sink, severity)
+       counts (A2); commit one lineage manifest per input file
+    8. metrics manifest for the batch                          [ST5/A1]
+
+Consuming the pipeline exactly once (the write) keeps it fully
+streaming; the conformance aggregate reads back only 4 narrow columns
+of the columnar output instead of re-running the pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..config import DEFAULT_FILE_CONFIG, FileConfigEntry, PipelineConfig
+from ..sources.readers import load_build_meta
+from ..stages.enrich import apply_enrich
+from ..stages.parse import apply_parse
+from ..stages.route import apply_route
+from ..state.manifest import Manifest, ManifestStore, partition_id, pending_inputs
+
+
+def _attach_partition_ids(ds: ray.data.Dataset, paths: Sequence[str]) -> ray.data.Dataset:
+    """Replace the per-row 'path' string with a compact int32 partition id."""
+    lut = {p: i for i, p in enumerate(paths)}
+
+    def to_pid(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        enc = batch["path"].combine_chunks().dictionary_encode()
+        mapped = np.array([lut[p] for p in enc.dictionary.to_pylist()],
+                          dtype=np.int32)
+        pid = pa.array(mapped[enc.indices.to_numpy(zero_copy_only=False)])
+        batch = batch.drop_columns("path")
+        return batch.append_column("_partition", pid)
+
+    return ds.map_batches(to_pid, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+
+
+def build_routed(
+    input_paths: Sequence[str],
+    meta: pa.Table,
+    cfg: PipelineConfig,
+    file_config: tuple[FileConfigEntry, ...] = DEFAULT_FILE_CONFIG,
+    *,
+    enrich_concurrency: int | tuple[int, int] = (1, 8),
+    track_partitions: bool = True,
+) -> ray.data.Dataset:
+    """Assemble the lazy routed Dataset (no execution happens here).
+
+    One read task per input parquet file (``override_num_blocks``):
+    Ray then never splits a file into arbitrary row ranges, so parse
+    blocks stay row-group-aligned -- the layout contract of the
+    batch-local carry-forward.  At corpus scale the file count (not
+    intra-file splitting) supplies the read parallelism.
+    """
+    ds = ray.data.read_parquet(
+        list(input_paths),
+        include_paths=track_partitions,
+        override_num_blocks=len(list(input_paths)),
+    )
+    if track_partitions:
+        ds = _attach_partition_ids(ds, list(input_paths))
+    ds = apply_parse(ds, cfg)
+    ds = apply_enrich(ds, meta, file_config, concurrency=enrich_concurrency)
+    ds = apply_route(ds, cfg)
+    # duplicate the sink as a data column: "sink" becomes the hive
+    # partition key at write time (stripped from the files), "sink_name"
+    # stays in the data for cheap read-back aggregation.
+    ds = ds.map_batches(
+        lambda t: t.append_column("sink_name", t["sink"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    return ds
+
+
+@dataclass
+class RunResult:
+    routed_dir: Optional[str]
+    counts: pa.Table  # (sink, severity, doc_count, tok_sum)
+    manifests: list[Manifest]
+    n_pending: int
+    n_skipped: int
+
+
+def _batch_digest(paths: Sequence[str]) -> str:
+    return hashlib.sha256("\n".join(sorted(paths)).encode()).hexdigest()[:16]
+
+
+def aggregate_counts_from_dir(routed_dir: str) -> ray.data.Dataset:
+    """Per-(partition, sink, severity) counts from the written output,
+    reading only 4 narrow columns (columnar pruning at the read)."""
+    ds = ray.data.read_parquet(
+        routed_dir, columns=["_partition", "sink_name", "severity", "n_tok"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["_partition", "sink_name", "severity"]).aggregate(
+            [("n_tok", "count"), ("n_tok", "sum")])
+        return pa.table({
+            "_partition": g["_partition"],
+            "sink": g["sink_name"],
+            "severity": g["severity"],
+            "doc_count": g["n_tok_count"],
+            "tok_sum": g["n_tok_sum"],
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return partials.groupby(["_partition", "sink", "severity"]).aggregate(
+        Sum("doc_count", alias_name="doc_count"),
+        Sum("tok_sum", alias_name="tok_sum"))
+
+
+def run_pipeline(
+    input_paths: Sequence[str],
+    meta: pa.Table | str,
+    out_dir: str,
+    cfg: PipelineConfig = PipelineConfig(),
+    file_config: tuple[FileConfigEntry, ...] = DEFAULT_FILE_CONFIG,
+    *,
+    resume: bool = True,
+    clock_now: float = 0.0,
+) -> RunResult:
+    """One pipeline tick: process pending partitions, commit manifests.
+
+    Idempotent: output lands in ``routed/batch-<digest-of-pending>/``
+    (replaced wholesale on retry); manifests commit only after the batch
+    dir is renamed into place -- the reference's commit-after-pool
+    ordering (logscraper.py:724-729) made exactly-once by determinism.
+    """
+    if isinstance(meta, str):
+        meta = load_build_meta(meta)
+    store = ManifestStore(os.path.join(out_dir, "manifests"))
+    paths = sorted(input_paths)
+    pending = pending_inputs(paths, store) if resume else paths
+    if not pending:
+        return RunResult(None, _counts_from_manifests(store), [], 0, len(paths))
+
+    routed = build_routed(pending, meta, cfg, file_config)
+    digest = _batch_digest(pending)
+    final_dir = os.path.join(out_dir, "routed", f"batch-{digest}")
+    staging_dir = final_dir + ".staging"
+    shutil.rmtree(staging_dir, ignore_errors=True)
+    routed.write_parquet(staging_dir, partition_cols=["sink"])
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(staging_dir, final_dir)
+
+    counts_tbl = aggregate_counts_from_dir(final_dir).to_pandas()
+
+    manifests: list[Manifest] = []
+    for i, path in enumerate(pending):
+        sub = counts_tbl[counts_tbl["_partition"] == i]
+        per_sink = (
+            sub.groupby("sink")["doc_count"].sum().astype(int).to_dict())
+        checksum = hashlib.sha256(
+            json.dumps(sorted(
+                (r.sink, r.severity, int(r.doc_count), int(r.tok_sum))
+                for r in sub.itertuples()), default=str).encode()
+        ).hexdigest()[:16]
+        m = Manifest(
+            partition_id=partition_id(path),
+            input_path=path,
+            row_count=int(sub["doc_count"].sum()),
+            per_sink_counts=per_sink,
+            token_checksum=checksum,
+            committed_at=clock_now,
+        )
+        store.commit(m)
+        manifests.append(m)
+
+    agg = (
+        counts_tbl.groupby(["sink", "severity"], as_index=False)[
+            ["doc_count", "tok_sum"]].sum())
+    counts = pa.Table.from_pandas(
+        agg.sort_values(["sink", "severity"]).reset_index(drop=True),
+        preserve_index=False)
+
+    metrics = {
+        "batch": digest,
+        "n_partitions": len(pending),
+        "total_docs": int(agg["doc_count"].sum()),
+        "per_sink": {
+            s: int(c) for s, c in
+            agg.groupby("sink")["doc_count"].sum().items()},
+    }
+    metrics_dir = os.path.join(out_dir, "metrics")
+    os.makedirs(metrics_dir, exist_ok=True)
+    with open(os.path.join(metrics_dir, f"batch-{digest}.json"), "w") as f:
+        json.dump(metrics, f, sort_keys=True)
+
+    return RunResult(final_dir, counts, manifests, len(pending),
+                     len(paths) - len(pending))
+
+
+def _counts_from_manifests(store: ManifestStore) -> pa.Table:
+    rows: dict[str, int] = {}
+    for m in store.all():
+        for sink, c in m.per_sink_counts.items():
+            rows[sink] = rows.get(sink, 0) + c
+    return pa.table({
+        "sink": list(rows.keys()),
+        "doc_count": list(rows.values()),
+    })

@@ -281,6 +281,78 @@ def make_fields(build_inventory: dict, buildinfo: dict) -> dict:
     return fields
 
 
+def expected_routed_rows(token_table, cfg) -> list[dict]:
+    """Run the WHOLE reference pipeline row-at-a-time over a
+    (doc_id, tokens, n_tok, source) Arrow table: the end-to-end oracle
+    for routed-row set equality and per-sink count equality.
+
+    Returns one dict per surviving document:
+    {doc_id, sink, severity, ts, message}.
+    """
+    from .config import LOGLINE_SOURCES
+
+    # group rows per (build, file) preserving line order
+    files: dict[tuple[str, str], list[tuple[int, str, str]]] = {}
+    order: list[tuple[str, str]] = []
+    doc_ids = token_table["doc_id"].to_pylist()
+    sources = token_table["source"].to_pylist()
+    tokens = token_table["tokens"].to_pylist()
+    for doc_id, source, toks in zip(doc_ids, sources, tokens):
+        build, rest = doc_id.split("/", 1)
+        fname, line_no = rest.rsplit("/", 1)
+        key = (build, fname)
+        if key not in files:
+            files[key] = []
+            order.append(key)
+        files[key].append((int(line_no), source, bytes(toks).decode("utf-8")))
+
+    index = cfg.index_name()
+    perf_index = cfg.perf_index_name()
+    subunit_index = cfg.subunit_index_name()
+    out: list[dict] = []
+    for build, fname in order:
+        rows = sorted(files[(build, fname)])
+        source = rows[0][1]
+        sink = route_sink(fname, index, perf_index, subunit_index)
+        if sink is None:
+            continue
+        if source in LOGLINE_SOURCES:
+            lines = [line for _, _, line in rows]
+            for i, ts, severity, message in process_logfile(
+                lines, source,
+                skip_debug=cfg.skip_debug,
+                drop_debug_severity=cfg.drop_debug_severity,
+                fallback_now=cfg.fallback_now,
+                today_year=cfg.today_year,
+            ):
+                out.append({
+                    "doc_id": f"{build}/{fname}/{rows[i][0]:06d}",
+                    "sink": sink, "severity": severity,
+                    "ts": ts, "message": message})
+        elif source == "performance":
+            for line_no, _, line in rows:
+                ts = perf_timestamp(line, cfg.today_year, cfg.fallback_now)
+                message = get_message(line)
+                if not message:
+                    continue
+                out.append({
+                    "doc_id": f"{build}/{fname}/{line_no:06d}",
+                    "sink": sink, "severity": "NONE",
+                    "ts": ts, "message": message})
+        elif source == "subunit":
+            import json as _json
+
+            for line_no, _, line in rows:
+                rec = _json.loads(line)
+                start = datetime.datetime.fromisoformat(rec["start"])
+                out.append({
+                    "doc_id": f"{build}/{fname}/{line_no:06d}",
+                    "sink": sink, "severity": "NONE",
+                    "ts": start.replace(microsecond=0),
+                    "message": None})
+    return out
+
+
 def get_file_info(
     file_config: list[dict], build_file: str
 ) -> tuple[str, list[str]]:

@@ -70,6 +70,7 @@ class CorpusSpec:
     hot_build_factor: int = 1         # hot build gets factor x lines (skew knob)
     seed: int = 42
     base_date: str = "2022-03"        # month anchor for in-line timestamps
+    n_shards: int = 1                 # parquet files (builds round-robin)
 
 
 def _phrase(rng) -> str:
@@ -259,15 +260,25 @@ def generate_corpus(out_dir: str, spec: CorpusSpec = CorpusSpec()) -> dict:
     """
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(spec.seed)
-    seq_path = os.path.join(out_dir, "token_sequences.parquet")
     meta_path = os.path.join(out_dir, "build_meta.parquet")
+    if spec.n_shards > 1:
+        seq_dir = os.path.join(out_dir, "token_sequences")
+        os.makedirs(seq_dir, exist_ok=True)
+        shard_paths = [
+            os.path.join(seq_dir, f"part-{i:05d}.parquet")
+            for i in range(spec.n_shards)
+        ]
+    else:
+        shard_paths = [os.path.join(out_dir, "token_sequences.parquet")]
+    seq_path = shard_paths[0] if spec.n_shards == 1 else os.path.dirname(shard_paths[0])
 
     metas: list[dict] = []
     uuids: list[str] = []
     n_rows = 0
-    writer = pq.ParquetWriter(seq_path, TOKEN_SCHEMA)
+    writers = [pq.ParquetWriter(p, TOKEN_SCHEMA) for p in shard_paths]
     try:
         for b in range(spec.n_builds):
+            writer = writers[b % len(writers)]
             uuid = "".join(rng.choice(list("0123456789abcdef"), size=32))
             uuids.append(uuid)
             aborted = rng.random() < 0.08
@@ -323,13 +334,15 @@ def generate_corpus(out_dir: str, spec: CorpusSpec = CorpusSpec()) -> dict:
             writer.write_table(table, row_group_size=max(1, len(table)))
             n_rows += len(table)
     finally:
-        writer.close()
+        for w in writers:
+            w.close()
 
     meta_table = pa.Table.from_pylist([_meta_to_row(m) for m in metas],
                                       schema=BUILD_META_SCHEMA)
     pq.write_table(meta_table, meta_path)
     return {"n_rows": n_rows, "builds": uuids,
-            "paths": {"token_sequences": seq_path, "build_meta": meta_path}}
+            "paths": {"token_sequences": seq_path, "build_meta": meta_path,
+                      "shards": shard_paths}}
 
 
 BUILD_META_SCHEMA = pa.schema([

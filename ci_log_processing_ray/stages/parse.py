@@ -1,0 +1,385 @@
+"""Parse stage: tokens -> (ts, severity, message | test fields | perf fields).
+
+One ``map_batches`` transform over zero-copy Arrow blocks that re-expresses
+the reference's per-line generator chain (logline_iter + doc_iter,
+logsender.py:394-428), the grok drop rules (openstack-filters.conf:5-11,
+81-83), the performance.json branch (json_iter + makeJsonFields,
+logsender.py:288-329, 384-391) and the subunit branch (subunit_iter,
+logsender.py:447-464), dispatched on the ``source`` column.
+
+Timestamp carry-forward (the stateful per-file scan of logsender.py:394-413)
+runs vectorized inside the batch via segment-aware forward fill.
+
+PARTITIONING ASSUMPTION (fill_mode="batch", the 100 TB path): one log
+file's rows are contiguous within a single Arrow block, in line order.
+This holds when the upstream writer emits parquet row groups that do not
+split files (our corpus writer emits one row group per build) because Ray
+Data never splits parquet row groups across blocks.  The parse stage must
+then be applied with ``batch_size=None`` (whole blocks).  For arbitrary
+layouts use fill_mode="grouped" (exact; shuffles by file_id).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..config import (
+    LOGLINE_SOURCES,
+    PipelineConfig,
+    SEVERITY_NONE,
+    SOURCE_TAGS,
+)
+from ..functions.detok import tokens_to_text
+from ..functions.messages import extract_messages, extract_severity
+from ..functions.timestamps import extract_timestamps
+from ..reference_impl import INT64_MAX
+
+_DOC_ID_RE = r"^(?P<build_uuid>[^/]+)/(?P<filename>.+)/(?P<line_no>[0-9]+)$"
+_BANNER = "-- Logs begin at "
+
+PARSED_FIELDS = [
+    ("doc_id", pa.string()),
+    ("tokens", pa.list_(pa.int32())),
+    ("n_tok", pa.int32()),
+    ("source", pa.string()),
+    ("build_uuid", pa.string()),
+    ("filename", pa.string()),
+    ("line_no", pa.int32()),
+    ("ts", pa.timestamp("us")),
+    ("severity", pa.string()),
+    ("message", pa.string()),
+    ("test_name", pa.string()),
+    ("test_status", pa.string()),
+    ("test_duration", pa.float64()),
+    ("perf_fields", pa.string()),  # JSON-encoded flat dict (makeJsonFields)
+]
+PARSED_SCHEMA = pa.schema(PARSED_FIELDS)
+
+
+def _split_doc_id(tbl: pa.Table) -> tuple[pa.Array, pa.Array, pa.Array]:
+    parts = pc.extract_regex(tbl["doc_id"].combine_chunks(), pattern=_DOC_ID_RE)
+    build = pc.struct_field(parts, "build_uuid")
+    fname = pc.struct_field(parts, "filename")
+    line_no = pc.cast(pc.struct_field(parts, "line_no"), pa.int32())
+    return build, fname, line_no
+
+
+def _nulls(n: int, typ) -> pa.Array:
+    return pa.nulls(n, type=typ)
+
+
+def _finalize(tbl: pa.Table, cols: dict[str, pa.Array]) -> pa.Table:
+    """Assemble the unified PARSED_SCHEMA table.
+
+    Input columns whose name starts with ``_`` (e.g. the lineage
+    partition id) are passed through unchanged after the schema columns.
+    """
+    n = len(tbl)
+    out = {}
+    for name, typ in PARSED_FIELDS:
+        if name in cols:
+            arr = cols[name]
+        elif name in tbl.column_names:
+            arr = tbl[name]
+        else:
+            arr = _nulls(n, typ)
+        out[name] = arr
+    schema = PARSED_SCHEMA
+    for name in tbl.column_names:
+        if name.startswith("_") and name not in out:
+            out[name] = tbl[name]
+            schema = schema.append(pa.field(name, tbl.schema.field(name).type))
+    return pa.table(out, schema=schema)
+
+
+def _segment_ids(file_ids: np.ndarray) -> np.ndarray:
+    """Contiguous-run segment ids (files are block-contiguous)."""
+    if len(file_ids) == 0:
+        return np.zeros(0, dtype=np.int64)
+    change = np.empty(len(file_ids), dtype=bool)
+    change[0] = True
+    change[1:] = file_ids[1:] != file_ids[:-1]
+    return np.cumsum(change) - 1
+
+
+def _parse_loglines(
+    tbl: pa.Table, lines: pa.Array, cfg: PipelineConfig, fill: bool
+) -> pa.Table:
+    """The logline_iter + doc_iter + grok-drop path, vectorized."""
+    src = tbl["source"].combine_chunks()
+    # --- drop rules that do not depend on scan state ---------------------
+    keep = np.ones(len(tbl), dtype=bool)
+    if cfg.skip_debug:  # substring filter (logsender.py:400-402)
+        keep &= ~pc.match_substring(lines, "DEBUG").to_numpy(zero_copy_only=False)
+    screen_srcs = [s for s, t in SOURCE_TAGS.items() if "screen" in t]
+    console_srcs = [
+        s for s, t in SOURCE_TAGS.items() if "console" in t or "console.html" in t
+    ]
+    if screen_srcs:  # '^+ ' screen drop (openstack-filters.conf:5-7)
+        m = pc.and_(pc.is_in(src, value_set=pa.array(screen_srcs)),
+                    pc.starts_with(lines, "+ "))
+        keep &= ~m.to_numpy(zero_copy_only=False)
+    if console_srcs:  # <pre> markers (openstack-filters.conf:8-11)
+        stripped = pc.utf8_rtrim(lines, "\n")
+        m = pc.and_(pc.is_in(src, value_set=pa.array(console_srcs)),
+                    pc.is_in(stripped, value_set=pa.array(["<pre>", "</pre>"])))
+        keep &= ~m.to_numpy(zero_copy_only=False)
+
+    keep_idx = np.nonzero(keep)[0]
+    tbl = tbl.take(keep_idx)
+    lines = lines.take(pa.array(keep_idx))
+
+    build, fname, line_no = _split_doc_id(tbl)
+    file_id = pc.binary_join_element_wise(build, fname, "/")
+
+    ts_ex = extract_timestamps(lines, cfg.today_year)
+
+    banner = pc.starts_with(lines, _BANNER).to_numpy(zero_copy_only=False)
+    seg = _segment_ids(np.asarray(file_id))
+    has_ts = pc.is_valid(ts_ex).to_numpy(zero_copy_only=False)
+
+    if fill:
+        if cfg.strict_layout and len(tbl):
+            # Ambiguity check: if this block starts MID-FILE (first row's
+            # line_no > 0), the scan state of the earlier rows lives in a
+            # different block.  That is only a problem when it would change
+            # the output: a leading unanchored (no prior-ts) run needing
+            # carry-forward, or a banner candidate at the block head.
+            first_seg = seg == seg[0]
+            n0 = int(first_seg.sum())
+            if line_no[0].as_py() > 0:
+                lead_has = has_ts[:n0]
+                anchored = lead_has.cumsum() > 0
+                needs_fill = (~lead_has) & (~anchored)
+                if needs_fill.any() or banner[:n0][~anchored].any():
+                    raise ValueError(
+                        "carry-forward ambiguity: block starts mid-file at "
+                        f"doc_id={tbl['doc_id'][0].as_py()!r} with unanchored "
+                        "leading rows; the input layout violates the "
+                        "one-log-file-per-block contract. Re-write the input "
+                        "with file-aligned row groups and one read task per "
+                        "parquet file, or use fill_mode='grouped'.")
+        ts_ser = pd.Series(ts_ex.to_pandas().values)
+        seg_ser = pd.Series(seg)
+        # banner dropped only while no earlier kept line in the file had a
+        # timestamp (logsender.py:399-400)
+        prior_has = (
+            pd.Series(has_ts).groupby(seg_ser).cummax().groupby(seg_ser)
+            .shift(1, fill_value=False).to_numpy()
+        )
+        drop_banner = banner & ~prior_has
+        # carry-forward (logsender.py:404-410)
+        filled = ts_ser.groupby(seg_ser).ffill()
+        filled = filled.fillna(pd.Timestamp(cfg.fallback_now))
+        ts = pa.Array.from_pandas(filled, type=pa.timestamp("us"))
+        sel = np.nonzero(~drop_banner)[0]
+    else:
+        ts = ts_ex  # grouped mode fills later; keep banner rows flagged
+        sel = np.arange(len(tbl))
+
+    severity = extract_severity(lines)
+    message = extract_messages(lines)
+
+    cols = {
+        "build_uuid": build, "filename": fname, "line_no": line_no,
+        "ts": ts, "severity": severity, "message": message,
+    }
+    out = _finalize(tbl, cols)
+    if fill:
+        out = out.take(pa.array(sel))
+        # empty-message drop (logsender.py:421-424)
+        nonempty = pc.not_equal(out["message"].combine_chunks(), "")
+        out = out.filter(nonempty)
+        if cfg.drop_debug_severity:  # openstack-filters.conf:81-83
+            out = out.filter(pc.not_equal(out["severity"].combine_chunks(), "DEBUG"))
+    else:
+        out = out.append_column("_banner", pa.array(banner))
+    return out
+
+
+def _flatten_perf(content: str) -> dict:
+    """makeJsonFields (logsender.py:288-329), one JSON payload -> flat dict."""
+    data = json.loads(content)
+    fields: dict = {"hostname": data["report"]["hostname"]}
+    for service in data.get("services", []):
+        mem = service.get("MemoryCurrent", 0)
+        if not isinstance(mem, int) or mem > INT64_MAX:
+            mem = 0
+        fields["service_%s_memorycurrent" % service.get("service")] = mem
+    for db in data.get("db", []):
+        count = db.get("count", 0)
+        if not isinstance(count, int):
+            continue
+        fields["db_%s_%s" % (db.get("db"), db.get("op").lower())] = count
+    for api_call in data.get("api", []):
+        name = api_call.get("service")
+        for api_type, count in api_call.items():
+            if api_type in ("service", "log") or not isinstance(count, int):
+                continue
+            fields["api_%s_%s" % (name, api_type.lower())] = count
+    return fields
+
+
+def _parse_performance(tbl: pa.Table, lines: pa.Array, cfg: PipelineConfig) -> pa.Table:
+    """json_iter + makeJsonFields branch (one row per performance.json).
+
+    Row-at-a-time Python is fine here: performance rows are O(#builds),
+    a vanishing fraction of the corpus.
+    """
+    build, fname, line_no = _split_doc_id(tbl)
+    ts_list, perf_json = [], []
+    for line in lines.to_pylist():
+        data = json.loads(line)
+        ts = None
+        if "report" in data and "timestamp" in data["report"]:
+            ts_arr = extract_timestamps(
+                pa.array([data["report"]["timestamp"]]), cfg.today_year)
+            ts = ts_arr[0].as_py()
+        ts_list.append(ts if ts is not None else cfg.fallback_now)
+        perf_json.append(json.dumps(_flatten_perf(line), sort_keys=True))
+    message = extract_messages(lines)  # doc_iter also runs for perf docs
+    out = _finalize(tbl, {
+        "build_uuid": build, "filename": fname, "line_no": line_no,
+        "ts": pa.array(ts_list, type=pa.timestamp("us")),
+        "severity": pa.array([SEVERITY_NONE] * len(tbl)),
+        "message": message,
+        "perf_fields": pa.array(perf_json, type=pa.string()),
+    })
+    return out.filter(pc.not_equal(out["message"].combine_chunks(), ""))
+
+
+def _parse_subunit(tbl: pa.Table, lines: pa.Array, cfg: PipelineConfig) -> pa.Table:
+    """subunit_iter branch (logsender.py:447-464) over pre-parsed test rows.
+
+    Binary subunit stream decoding needs subunit2sql (not available);
+    rows arrive pre-split one-per-test as JSON
+    {test_name, status, start, end}.  The quirky duration
+    ``float(f"{seconds}.{microseconds}")`` and the second-precision
+    @timestamp are preserved exactly.
+    """
+    build, fname, line_no = _split_doc_id(tbl)
+    names, statuses, durations, ts_list = [], [], [], []
+    for line in lines.to_pylist():
+        rec = json.loads(line)
+        start = pd.Timestamp(rec["start"]).to_pydatetime()
+        end = pd.Timestamp(rec["end"]).to_pydatetime()
+        delta = end - start
+        durations.append(float("%d.%d" % (delta.seconds, delta.microseconds)))
+        names.append(rec["test_name"])
+        statuses.append(rec["status"])
+        ts_list.append(start.replace(microsecond=0))  # strftime %S precision
+    return _finalize(tbl, {
+        "build_uuid": build, "filename": fname, "line_no": line_no,
+        "ts": pa.array(ts_list, type=pa.timestamp("us")),
+        "severity": pa.array([SEVERITY_NONE] * len(tbl)),
+        "test_name": pa.array(names, type=pa.string()),
+        "test_status": pa.array(statuses, type=pa.string()),
+        "test_duration": pa.array(durations, type=pa.float64()),
+    })
+
+
+def make_parse_fn(cfg: PipelineConfig, fill: bool | None = None):
+    """Build the parse map_batches callable (stateless task; the compiled
+    regex tables are module-level constants, mirroring ST4)."""
+    do_fill = cfg.fill_mode == "batch" if fill is None else fill
+
+    def parse(batch: pa.Table) -> pa.Table:
+        lines = tokens_to_text(batch["tokens"])
+        src = batch["source"].combine_chunks()
+        pieces = []
+        log_mask = pc.is_in(src, value_set=pa.array(LOGLINE_SOURCES))
+        perf_mask = pc.equal(src, "performance")
+        sub_mask = pc.equal(src, "subunit")
+        for mask, fn, extra in (
+            (log_mask, _parse_loglines, (cfg, do_fill)),
+            (perf_mask, _parse_performance, (cfg,)),
+            (sub_mask, _parse_subunit, (cfg,)),
+        ):
+            idx = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
+            if len(idx):
+                piece = fn(batch.take(idx), lines.take(pa.array(idx)), *extra)
+                pieces.append(piece)
+        if not pieces:
+            schema = PARSED_SCHEMA
+            for name in batch.column_names:
+                if name.startswith("_"):
+                    schema = schema.append(
+                        pa.field(name, batch.schema.field(name).type))
+            if not do_fill:
+                schema = schema.append(pa.field("_banner", pa.bool_()))
+            return schema.empty_table()
+        if not do_fill:
+            # unify: non-logline pieces get _banner=False
+            pieces = [
+                p if "_banner" in p.column_names
+                else p.append_column("_banner", pa.array([False] * len(p)))
+                for p in pieces
+            ]
+        return pa.concat_tables(pieces)
+
+    return parse
+
+
+def _grouped_fill_fn(cfg: PipelineConfig):
+    """Exact carry-forward per file via groupby(file-key).map_groups.
+
+    Used by fill_mode="grouped": correct for ANY physical layout at the
+    cost of shuffling the parsed rows by (build_uuid, filename).
+    """
+
+    def fill_group(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by("line_no")
+        is_log = tbl["source"][0].as_py() in LOGLINE_SOURCES
+        if not is_log:
+            return tbl.drop_columns("_banner")
+        ts = pd.Series(tbl["ts"].to_pandas().values)
+        has = ts.notna().to_numpy()
+        banner = tbl["_banner"].to_numpy(zero_copy_only=False)
+        if len(tbl):
+            prior_has = np.concatenate(([False], np.maximum.accumulate(has)[:-1]))
+        else:
+            prior_has = np.zeros(0, dtype=bool)
+        drop_banner = banner & ~prior_has
+        filled = ts.ffill().fillna(pd.Timestamp(cfg.fallback_now))
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"), "ts",
+            pa.Array.from_pandas(filled, type=pa.timestamp("us")))
+        tbl = tbl.take(pa.array(np.nonzero(~drop_banner)[0]))
+        nonempty = pc.not_equal(tbl["message"].combine_chunks(), "")
+        tbl = tbl.filter(nonempty)
+        if cfg.drop_debug_severity:
+            tbl = tbl.filter(pc.not_equal(tbl["severity"].combine_chunks(), "DEBUG"))
+        return tbl.drop_columns("_banner")
+
+    return fill_group
+
+
+def apply_parse(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
+    """Attach the parse stage to a token-sequence Dataset."""
+    if cfg.fill_mode == "batch":
+        # batch_size=None => whole blocks; required by the contiguity
+        # assumption of the in-batch carry-forward.
+        return ds.map_batches(
+            make_parse_fn(cfg), batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True)
+    if cfg.fill_mode != "grouped":
+        raise ValueError(cfg.fill_mode)
+    parsed = ds.map_batches(
+        make_parse_fn(cfg, fill=False), batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+    parsed = parsed.add_column(
+        "_file_key",
+        lambda t: pc.binary_join_element_wise(
+            t["build_uuid"].combine_chunks(), t["filename"].combine_chunks(), "/"),
+        batch_format="pyarrow")
+    fill = _grouped_fill_fn(cfg)
+    out = parsed.groupby("_file_key").map_groups(
+        lambda t: fill(t.drop_columns("_file_key")), batch_format="pyarrow")
+    return out

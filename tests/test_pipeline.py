@@ -1,0 +1,133 @@
+"""End-to-end conformance: Ray pipeline output vs the row-at-a-time
+reference oracle on the synthetic corpus (north-rule gates: per-sink
+count equality, routed-row set equality, token-array equality)."""
+
+import collections
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ci_log_processing_ray import reference_impl as ref
+from ci_log_processing_ray.config import DEFAULT_FILE_CONFIG, PipelineConfig
+from ci_log_processing_ray.pipelines.flagship import build_routed, run_pipeline
+from ci_log_processing_ray.sources.readers import load_build_meta
+
+CFG = PipelineConfig(skip_debug=True)
+
+
+@pytest.fixture(scope="module")
+def expected(corpus_dir):
+    _, info = corpus_dir
+    table = pq.read_table(info["paths"]["token_sequences"])
+    return table, ref.expected_routed_rows(table, CFG)
+
+
+def _routed_rows(ray_session, corpus_dir, cfg):
+    _, info = corpus_dir
+    meta = load_build_meta(info["paths"]["build_meta"])
+    ds = build_routed([info["paths"]["token_sequences"]], meta, cfg,
+                      track_partitions=False)
+    return ds.take_all()
+
+
+def test_routed_row_set_equality(ray_session, corpus_dir, expected):
+    table, want = expected
+    got = _routed_rows(ray_session, corpus_dir, CFG)
+    got_set = {(r["sink"], r["doc_id"]) for r in got}
+    want_set = {(r["sink"], r["doc_id"]) for r in want}
+    assert got_set == want_set, (
+        f"missing={list(want_set - got_set)[:5]} extra={list(got_set - want_set)[:5]}")
+
+
+def test_per_sink_severity_counts(ray_session, corpus_dir, expected):
+    _, want = expected
+    got = _routed_rows(ray_session, corpus_dir, CFG)
+    got_counts = collections.Counter((r["sink"], r["severity"]) for r in got)
+    want_counts = collections.Counter((r["sink"], r["severity"]) for r in want)
+    assert got_counts == want_counts
+
+
+def test_timestamps_and_messages_match(ray_session, corpus_dir, expected):
+    _, want = expected
+    got = _routed_rows(ray_session, corpus_dir, CFG)
+    got_by_id = {r["doc_id"]: r for r in got}
+    for w in want:
+        g = got_by_id[w["doc_id"]]
+        assert g["ts"] == w["ts"], (w["doc_id"], g["ts"], w["ts"])
+        assert g["message"] == w["message"], w["doc_id"]
+        assert g["severity"] == w["severity"], w["doc_id"]
+
+
+def test_token_array_equality(ray_session, corpus_dir, expected):
+    table, _ = expected
+    got = _routed_rows(ray_session, corpus_dir, CFG)
+    orig = dict(zip(table["doc_id"].to_pylist(), table["tokens"].to_pylist()))
+    for r in got:
+        assert list(r["tokens"]) == orig[r["doc_id"]], r["doc_id"]
+
+
+def test_batch_fill_equals_grouped_fill(ray_session, corpus_dir):
+    batch_rows = _routed_rows(ray_session, corpus_dir, CFG)
+    grouped_cfg = PipelineConfig(skip_debug=True, fill_mode="grouped")
+    grouped_rows = _routed_rows(ray_session, corpus_dir, grouped_cfg)
+
+    def key(rows):
+        return sorted((r["doc_id"], r["sink"], r["ts"], r["severity"],
+                       r["message"]) for r in rows)
+
+    assert key(batch_rows) == key(grouped_rows)
+
+
+def test_enrichment_fields(ray_session, corpus_dir):
+    _, info = corpus_dir
+    meta_tbl = load_build_meta(info["paths"]["build_meta"])
+    metas = {m["build_uuid"]: m for m in meta_tbl.to_pylist()}
+    got = _routed_rows(ray_session, corpus_dir, CFG)
+    assert got, "pipeline produced no rows"
+    for r in got[:500]:
+        m = metas[r["build_uuid"]]
+        assert r["build_name"] == m["build_name"]
+        assert r["build_status"] == m["build_status"]
+        assert r["project"] == m["project"]
+        assert r["tenant"] == m["tenant"]
+        assert list(r["hosts_region"] or []) == list(m["hosts_region"] or [])
+        # per-file decoration (logsender.py:540-545)
+        file_name, file_tags = ref.get_file_info(
+            [{"name": e.name, "tags": list(e.tags)} for e in DEFAULT_FILE_CONFIG],
+            r["filename"])
+        assert list(r["tags"]) == file_tags, r["filename"]
+        base = m["log_url"] or ""
+        assert r["log_url"] == base + file_name
+
+
+def test_run_pipeline_and_resume(ray_session, corpus_dir, tmp_path, expected):
+    _, info = corpus_dir
+    _, want = expected
+    out = str(tmp_path / "out")
+    res = run_pipeline([info["paths"]["token_sequences"]],
+                       info["paths"]["build_meta"], out, CFG, clock_now=100.0)
+    assert res.n_pending == 1 and res.n_skipped == 0
+    want_counts = collections.Counter((r["sink"], r["severity"]) for r in want)
+    got = {(r["sink"], r["severity"]): r["doc_count"]
+           for r in res.counts.to_pylist()}
+    assert got == dict(want_counts)
+    # written parquet preserves the token arrays byte-identically
+    routed_tbl = pq.read_table(res.routed_dir)
+    table, _ = expected
+    orig = dict(zip(table["doc_id"].to_pylist(), table["tokens"].to_pylist()))
+    for doc_id, toks in zip(routed_tbl["doc_id"].to_pylist()[:1000],
+                            routed_tbl["tokens"].to_pylist()[:1000]):
+        assert toks == orig[doc_id]
+    # resume: everything committed -> nothing pending
+    res2 = run_pipeline([info["paths"]["token_sequences"]],
+                        info["paths"]["build_meta"], out, CFG, clock_now=101.0)
+    assert res2.n_pending == 0 and res2.n_skipped == 1
+    # manifest GC by TTL
+    from ci_log_processing_ray.state.manifest import ManifestStore
+
+    store = ManifestStore(f"{out}/manifests")
+    assert store.gc(now=100.0 + 90000, ttl_seconds=86400.0)
+    res3 = run_pipeline([info["paths"]["token_sequences"]],
+                        info["paths"]["build_meta"], out, CFG, clock_now=102.0)
+    assert res3.n_pending == 1
