@@ -1,44 +1,670 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship parse->enrich->route->aggregate pipeline
+over a deterministic token-sequence corpus sized from sf0.001;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md section 2 plus the training-data operators (dedup, similarity
+search, text analysis, multimodal); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible query.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver initialises Ray BEFORE importing this module -- nothing here
+calls ray.init()/ray.shutdown().
+
+Float determinism policy: every money/value aggregate is computed as
+integer cents via ``floor(x * 100 + 0.5)`` per row on BOTH sides (same
+IEEE-754 evaluation order), so value hashes compare exactly; SQL sums
+are wrapped in CAST(... AS BIGINT) because DuckDB widens integer sums
+to INT128.
 """
 
 from __future__ import annotations
 
+import datetime
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ci_log_processing_ray.config import PipelineConfig
+from ci_log_processing_ray.functions.messages import extract_messages, extract_severity
+from ci_log_processing_ray.functions.timestamps import extract_timestamps
+from ci_log_processing_ray.ops.dedup import (
+    embedding_dedup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_clusters,
+)
+from ci_log_processing_ray.ops.multimodal import decode_images, encode_fake_image
+from ci_log_processing_ray.ops.similarity import knn_bruteforce, knn_lsh
+from ci_log_processing_ray.ops.textstats import add_text_stats, fingerprint, language_id
+from ci_log_processing_ray.ops.window import forward_fill_by_group, sessionize
+from ci_log_processing_ray.pipelines.flagship import run_pipeline
+from ci_log_processing_ray.sources.synth import CorpusSpec, generate_corpus
+
+WORD_VOCAB = ("join", "merge", "sort", "window")
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _cents(col) -> pa.Array:
+    """floor(x*100 + 0.5) as int64 -- deterministic money/cents conversion
+    (identical IEEE evaluation order to the oracle SQL)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship pipeline over a deterministic corpus sized from sf0.001
+# ---------------------------------------------------------------------------
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    sf_dir = "/root/testdata/sf0.001"
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    spec = CorpusSpec(
+        n_builds=max(8, min(24, n_docs // 40)),
+        lines_per_file=40, seed=1234, n_shards=2, hot_build_factor=4)
+    corpus_dir = f"/tmp/ci_log_corpus_entry_{spec.n_builds}_{spec.seed}"
+    marker = os.path.join(corpus_dir, ".done")
+    if not os.path.exists(marker):
+        info = generate_corpus(corpus_dir, spec)
+        with open(marker, "w") as f:
+            f.write(str(info["n_rows"]))
+    import glob
+    import shutil
+
+    shards = sorted(glob.glob(os.path.join(corpus_dir, "token_sequences", "*.parquet")))
+    out_dir = "/tmp/ci_log_entry_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    res = run_pipeline(
+        shards, os.path.join(corpus_dir, "build_meta.parquet"),
+        out_dir, PipelineConfig(skip_debug=True))
+    return res.counts.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+def q_route_daily_counts(sf_dir: str):
+    """S13 daily index naming + A2 per-sink counts: salted two-phase
+    aggregate (per-batch combiner, then a tiny global groupby)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"].combine_chunks(), format="%Y.%m.%d")
+        sink = pc.binary_join_element_wise(
+            pa.array(["logstash-"] * len(t)), day, "")
+        tt = pa.table({
+            "sink": sink,
+            "doc_count": pa.array(np.ones(len(t), dtype=np.int64)),
+            "value_cents": _cents(t["value"]),
+        })
+        g = tt.group_by("sink").aggregate(
+            [("doc_count", "sum"), ("value_cents", "sum")])
+        return pa.table({"sink": g["sink"], "doc_count": g["doc_count_sum"],
+                         "value_cents": g["value_cents_sum"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("sink").aggregate(
+        Sum("doc_count", alias_name="doc_count"),
+        Sum("value_cents", alias_name="value_cents"))
+
+
+def q_severity_histogram(sf_dir: str):
+    """M1/section-2.9 grok keyword extraction (first match wins) + count."""
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sev = extract_severity(t["text"], vocabulary=WORD_VOCAB)
+        tt = pa.table({"source": t["source"].combine_chunks(), "severity": sev,
+                       "n": pa.array(np.ones(len(t), dtype=np.int64))})
+        g = tt.group_by(["source", "severity"]).aggregate([("n", "sum")])
+        return pa.table({"source": g["source"], "severity": g["severity"],
+                         "n": g["n_sum"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["source", "severity"]).aggregate(Sum("n", alias_name="n"))
+
+
+def q_message_extract(sf_dir: str):
+    """M4 split-once-on-pipe message extraction."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        line = pc.binary_join_element_wise(
+            t["lang"].combine_chunks(), t["text"].combine_chunks(),
+            pa.array(["tail"] * len(t)), " | ")
+        return pa.table({"doc_id": t["doc_id"],
+                         "message": extract_messages(line)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_timestamp_roundtrip(sf_dir: str):
+    """M1 six-pattern timestamp extraction, validated by round-trip."""
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ser = t["ts"].to_pandas()
+        eid = t["event_id"].to_pandas()
+        m = (eid % 3).to_numpy()
+        s = pd.Series(index=ser.index, dtype=object)
+        s[m == 0] = ser[m == 0].dt.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+        s[m == 1] = ser[m == 1].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        s[m == 2] = ser[m == 2].dt.strftime("%Y-%m-%dT%H:%M:%S")
+        parsed = extract_timestamps(pa.array(s, type=pa.string()), 2024)
+        return pa.table({"event_id": t["event_id"], "ts_parsed": parsed})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_debug_filter(sf_dir: str):
+    """M3 substring drop filter + per-source counts."""
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.match_substring(t["text"].combine_chunks(), "slow"))
+        t = t.filter(keep)
+        g = t.group_by("source").aggregate([("text", "count")])
+        return pa.table({"source": g["source"], "n": g["text_count"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "source").aggregate(Sum("n", alias_name="n"))
+
+
+class _SegmentEnricher:
+    """J1-style broadcast lookup: customer dim held per actor."""
+
+    def __init__(self, lut_ref):
+        self.lut = ray.get(lut_ref)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["c_mktsegment"] = batch["o_custkey"].map(self.lut)
+        return batch
+
+
+def q_enrich_broadcast(sf_dir: str):
+    """J1 broadcast hash join: orders enriched from the small customer
+    dim (ray.put once, dict gather per batch; no shuffle)."""
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    lut_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                               cust["c_mktsegment"].to_pylist())))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    enriched = ds.map_batches(
+        _SegmentEnricher, fn_constructor_args=(lut_ref,),
+        batch_format="pandas", batch_size=65536, concurrency=(1, 4))
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "c_mktsegment": t["c_mktsegment"].combine_chunks(),
+            "n_orders": pa.array(np.ones(len(t), dtype=np.int64)),
+            "total_cents": _cents(t["o_totalprice"]),
+        })
+        g = tt.group_by("c_mktsegment").aggregate(
+            [("n_orders", "sum"), ("total_cents", "sum")])
+        return pa.table({"c_mktsegment": g["c_mktsegment"],
+                         "n_orders": g["n_orders_sum"],
+                         "total_cents": g["total_cents_sum"]})
+
+    return enriched.map_batches(partial, batch_format="pyarrow").groupby(
+        "c_mktsegment").aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_cents", alias_name="total_cents"))
+
+
+def q_carry_forward(sf_dir: str):
+    """M2/ST3 carry-forward as a grouped ordered forward fill."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def mask(t: pa.Table) -> pa.Table:
+        known = pc.if_else(
+            pc.greater_equal(t["value"].combine_chunks(), 50.0),
+            t["ts"].combine_chunks(), pa.nulls(len(t), pa.timestamp("us")))
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts_known": known})
+
+    masked = ds.map_batches(mask, batch_format="pyarrow")
+    filled = forward_fill_by_group(
+        masked, "user_id", "event_id", "ts_known",
+        fill_leading=pd.Timestamp("2024-01-01"), out_col="ts_filled")
+    return filled.select_columns(["event_id", "ts_filled"])
+
+
+def q_pricing_summary(sf_dir: str):
+    """A2-style grouped aggregate (TPC-H q1 shape), partial+final."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(datetime.datetime(1998, 9, 2), type=pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"].combine_chunks(), cutoff))
+        ep = t["l_extendedprice"].combine_chunks()
+        disc = t["l_discount"].combine_chunks()
+        disc_price = pc.multiply(ep, pc.subtract(1.0, disc))
+        tt = pa.table({
+            "l_returnflag": t["l_returnflag"].combine_chunks(),
+            "l_linestatus": t["l_linestatus"].combine_chunks(),
+            "sum_qty": pc.cast(pc.floor(
+                pc.add(t["l_quantity"].combine_chunks(), 0.5)), pa.int64()),
+            "sum_base_cents": _cents(ep),
+            "sum_disc_cents": _cents(disc_price),
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+        g = tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_base_cents", "sum"),
+             ("sum_disc_cents", "sum"), ("n", "sum")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"], "l_linestatus": g["l_linestatus"],
+            "sum_qty": g["sum_qty_sum"], "sum_base_cents": g["sum_base_cents_sum"],
+            "sum_disc_cents": g["sum_disc_cents_sum"], "n": g["n_sum"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("n", alias_name="n"))
+
+
+def q_topk_orders(sf_dir: str):
+    """Global sort + limit (top-k with deterministic tie-break)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    top = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(10)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderpriority": t["o_orderpriority"],
+            "total_cents": _cents(t["o_totalprice"]),
+        })
+
+    return top.map_batches(fn, batch_format="pyarrow")
+
+
+def q_distinct_users(sf_dir: str):
+    """Distinct aggregation via two-level groupby."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).count()
+    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+def q_sessionize(sf_dir: str):
+    """Streaming-window op: 30-minute-gap sessions per user."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    sess = sessionize(ds, "user_id", "ts",
+                      gap=datetime.timedelta(minutes=30),
+                      tiebreak_cols=["event_id"])
+    agg = sess.groupby("user_id").aggregate(
+        Max("session_id", alias_name="max_sid"),
+        Count(alias_name="n_events"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "n_events": pc.cast(t["n_events"].combine_chunks(), pa.int64()),
+            "n_sessions": pc.add(t["max_sid"].combine_chunks(),
+                                 pa.scalar(1, pa.int64())),
+        })
+
+    return agg.map_batches(fn, batch_format="pyarrow")
+
+
+def q_join_large(sf_dir: str):
+    """Large-large hash-partitioned join (Dataset.join) + aggregate."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, "inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t["l_extendedprice"].combine_chunks(),
+            pc.subtract(1.0, t["l_discount"].combine_chunks()))
+        tt = pa.table({
+            "o_orderpriority": t["o_orderpriority"].combine_chunks(),
+            "n_items": pa.array(np.ones(len(t), dtype=np.int64)),
+            "disc_cents": _cents(disc_price),
+        })
+        g = tt.group_by("o_orderpriority").aggregate(
+            [("n_items", "sum"), ("disc_cents", "sum")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "n_items": g["n_items_sum"],
+                         "disc_cents": g["disc_cents_sum"]})
+
+    return joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_orderpriority").aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("disc_cents", alias_name="disc_cents"))
+
+
+def q_dedup_exact_events(sf_dir: str):
+    """Exact dedup by key: first event per (user, type) + multiplicity."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    return ds.groupby(["user_id", "event_type"]).aggregate(
+        Min("event_id", alias_name="first_event_id"),
+        Count(alias_name="dup_count"))
+
+
+def q_dedup_text(sf_dir: str):
+    """Exact content dedup: hash-combine then group (ops/dedup.py)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, "text", "doc_id")
+
+
+def q_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return fingerprint(ds, "text", "doc_id")
+
+
+def q_token_counts(sf_dir: str):
+    """Token counting + quality stats, aggregated per source."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    stats = add_text_stats(ds, "text")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [("n_words", "sum"), ("n_uniq_words", "sum"),
+             ("n_punct", "sum"), ("n_words", "count")])
+        return pa.table({
+            "source": g["source"], "total_words": g["n_words_sum"],
+            "total_uniq_words": g["n_uniq_words_sum"],
+            "total_punct": g["n_punct_sum"], "n_docs": g["n_words_count"]})
+
+    return stats.map_batches(partial, batch_format="pyarrow").groupby(
+        "source").aggregate(
+            Sum("total_words", alias_name="total_words"),
+            Sum("total_uniq_words", alias_name="total_uniq_words"),
+            Sum("total_punct", alias_name="total_punct"),
+            Sum("n_docs", alias_name="n_docs"))
+
+
+def q_perf_props_sum(sf_dir: str):
+    """M7-style nested-payload flatten (vectorized regex field extract)."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(t["props"].combine_chunks(),
+                               pattern=r"\"k\": (?P<k>[0-9]+)")
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64())
+        tt = pa.table({"event_type": t["event_type"].combine_chunks(),
+                       "k_total": k,
+                       "n": pa.array(np.ones(len(t), dtype=np.int64))})
+        g = tt.group_by("event_type").aggregate([("k_total", "sum"), ("n", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "k_total": g["k_total_sum"], "n": g["n_sum"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type").aggregate(Sum("k_total", alias_name="k_total"),
+                                Sum("n", alias_name="n"))
+
+
+def q_hot_key_salted(sf_dir: str):
+    """Skew-safe per-key counts: per-batch combiner collapses the hot key
+    before the exchange (the salt is the block id)."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"user_id": t["user_id"].combine_chunks(),
+                       "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                       "value_cents": _cents(t["value"])})
+        g = tt.group_by("user_id").aggregate([("n", "sum"), ("value_cents", "sum")])
+        return pa.table({"user_id": g["user_id"], "n": g["n_sum"],
+                         "value_cents": g["value_cents_sum"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "user_id").aggregate(Sum("n", alias_name="n"),
+                             Sum("value_cents", alias_name="value_cents"))
+
+
+def _query_vectors(sf_dir: str, ids=(0, 1, 2)):
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    mask = pc.is_in(tbl["vec_id"], value_set=pa.array(list(ids)))
+    sub = tbl.filter(mask).sort_by("vec_id")
+    q = np.vstack(sub["embedding"].to_numpy(zero_copy_only=False))
+    return q, sub["vec_id"].to_pylist()
+
+
+def q_knn_bruteforce(sf_dir: str):
+    """Exact cosine top-10 per query (broadcast query matrix, per-batch
+    local top-k combiner)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q, qids = _query_vectors(sf_dir)
+    df = knn_bruteforce(ds, "embedding", "vec_id", q, qids, k=10)
+    return df[["query_id", "vec_id"]]
+
+
+def q_knn_lsh(sf_dir: str):
+    """Approximate top-10 via hyperplane LSH multi-probe (rows-only)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q, qids = _query_vectors(sf_dir)
+    return knn_lsh(ds, "embedding", "vec_id", q, qids, k=10)
+
+
+def q_minhash_dedup(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_dedup(ds, "text", "doc_id", jaccard_threshold=0.7)
+
+
+def q_simhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_clusters(ds, "text", "doc_id")
+
+
+def q_embedding_dedup(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dedup(ds, "embedding", "vec_id", cosine_threshold=0.92)
+
+
+def q_lang_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = language_id(ds, "text")
+    return pred.groupby(["lang", "lang_pred"]).count()
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing: deterministic binary payloads -> actor-pool
+    decode -> typed metadata (rows-only; no codec libs available)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def make_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = [encode_fake_image(i, 16 + (i % 16), 16) for i in ids]
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    media = ds.map_batches(make_payload, batch_format="pyarrow", batch_size=256)
+    return decode_images(media)
+
+
+def q_flagship_counts(sf_dir: str):
+    """The flagship log pipeline itself (rows-only: per-sink counts over
+    the deterministic token-sequence corpus derived from this sf)."""
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    spec = CorpusSpec(n_builds=max(8, min(48, n_docs // 40)),
+                      lines_per_file=40, seed=1234, n_shards=4,
+                      hot_build_factor=4)
+    corpus_dir = f"/tmp/ci_log_corpus_q_{spec.n_builds}_{spec.seed}"
+    marker = os.path.join(corpus_dir, ".done")
+    if not os.path.exists(marker):
+        generate_corpus(corpus_dir, spec)
+        with open(marker, "w") as f:
+            f.write("ok")
+    import glob
+    import shutil
+
+    shards = sorted(glob.glob(os.path.join(corpus_dir, "token_sequences", "*.parquet")))
+    out_dir = f"/tmp/ci_log_q_out_{spec.n_builds}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    res = run_pipeline(shards, os.path.join(corpus_dir, "build_meta.parquet"),
+                       out_dir, PipelineConfig(skip_debug=True))
+    return res.counts.to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "route_daily_counts": q_route_daily_counts,
+        "severity_histogram": q_severity_histogram,
+        "message_extract": q_message_extract,
+        "timestamp_roundtrip": q_timestamp_roundtrip,
+        "debug_filter": q_debug_filter,
+        "enrich_broadcast": q_enrich_broadcast,
+        "carry_forward": q_carry_forward,
+        "pricing_summary": q_pricing_summary,
+        "topk_orders": q_topk_orders,
+        "distinct_users": q_distinct_users,
+        "sessionize": q_sessionize,
+        "join_large": q_join_large,
+        "dedup_exact_events": q_dedup_exact_events,
+        "dedup_text": q_dedup_text,
+        "fingerprint": q_fingerprint,
+        "token_counts": q_token_counts,
+        "perf_props_sum": q_perf_props_sum,
+        "hot_key_salted": q_hot_key_salted,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "embedding_dedup": q_embedding_dedup,
+        "lang_id": q_lang_id,
+        "multimodal_decode": q_multimodal_decode,
+        "flagship_counts": q_flagship_counts,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+WORD_RE_SQL = "[A-Za-z0-9_]+"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    vocab = "|".join(WORD_VOCAB)
+    return {
+        "route_daily_counts": """
+            SELECT 'logstash-' || strftime(ts, '%Y.%m.%d') AS sink,
+                   count(*) AS doc_count,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM events GROUP BY 1""",
+        "severity_histogram": f"""
+            SELECT source,
+                   coalesce(nullif(regexp_extract(text, '\\b({vocab})\\b', 1), ''),
+                            'NONE') AS severity,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2""",
+        "message_extract": """
+            SELECT doc_id, text || ' | tail' AS message FROM documents""",
+        "timestamp_roundtrip": """
+            SELECT event_id,
+                   CASE WHEN event_id % 3 IN (0, 1) THEN ts
+                        ELSE date_trunc('second', ts) END AS ts_parsed
+            FROM events""",
+        "debug_filter": """
+            SELECT source, count(*) AS n FROM documents
+            WHERE NOT contains(text, 'slow') GROUP BY source""",
+        "enrich_broadcast": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "carry_forward": """
+            SELECT event_id,
+                   coalesce(last_value(CASE WHEN value >= 50 THEN ts END
+                                       IGNORE NULLS)
+                            OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW),
+                            TIMESTAMP '2024-01-01') AS ts_filled
+            FROM events""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_disc_cents,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "topk_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type""",
+        "sessionize": """
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(is_new) + 1 AS BIGINT) AS n_sessions
+            FROM (SELECT user_id,
+                         CASE WHEN ts - lag(ts) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id)
+                              > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+                  FROM events)
+            GROUP BY user_id""",
+        "join_large": """
+            SELECT o_orderpriority, count(*) AS n_items,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                       AS disc_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
+        "dedup_exact_events": """
+            SELECT user_id, event_type, min(event_id) AS first_event_id,
+                   count(*) AS dup_count
+            FROM events GROUP BY user_id, event_type""",
+        "dedup_text": """
+            SELECT min(doc_id) AS doc_id, text, count(*) AS dup_count
+            FROM documents GROUP BY text""",
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents""",
+        "token_counts": f"""
+            SELECT source,
+                   CAST(sum(len(regexp_extract_all(text, '{WORD_RE_SQL}')))
+                        AS BIGINT) AS total_words,
+                   CAST(sum(len(list_distinct(
+                        regexp_extract_all(text, '{WORD_RE_SQL}'))))
+                        AS BIGINT) AS total_uniq_words,
+                   CAST(sum(len(regexp_extract_all(text, '[^\\w\\s]')))
+                        AS BIGINT) AS total_punct,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source""",
+        "perf_props_sum": """
+            SELECT event_type,
+                   CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                                 AS BIGINT)) AS BIGINT) AS k_total,
+                   count(*) AS n
+            FROM events GROUP BY event_type""",
+        "hot_key_salted": """
+            SELECT user_id, count(*) AS n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM events GROUP BY user_id""",
+        "knn_bruteforce": """
+            SELECT q.query_id, e.vec_id
+            FROM embeddings e CROSS JOIN
+                 (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id IN (0, 1, 2)) q
+            QUALIFY row_number() OVER
+                (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                          e.vec_id) <= 10""",
+    }

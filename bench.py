@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: wall time of the flagship parse->enrich->route->write+aggregate
+pipeline over a deterministic token-sequence corpus sized to the sf of
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), reported as ONE JSON
+line.  ``queries`` times a representative subset of the __ray_entry__
+operators over the sf tables.
+
+``--scaling``: runs the plain bench twice in fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the SAME corpus (page cache pre-warmed) and
+reports both throughputs + scaling efficiency (the sandbox stand-in for
+the N vs 4N node criterion of BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "route_daily_counts",
+    "pricing_summary",
+    "join_large",
+    "token_counts",
+    "dedup_text",
+    "sessionize",
+    "knn_bruteforce",
+    "hot_key_salted",
+]
+
+
+def _sf_factor(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _corpus(sf: float):
+    """Deterministic bench corpus, cached under /tmp (content keyed)."""
+    from ci_log_processing_ray.sources.synth import CorpusSpec, generate_corpus
+
+    spec = CorpusSpec(
+        n_builds=max(16, int(2560 * sf)),
+        lines_per_file=400,
+        hot_build_factor=32,  # ~10% of rows in one hot build (skew knob)
+        seed=4242,
+        n_shards=32,
+    )
+    corpus_dir = (f"/tmp/ci_log_bench_corpus_b{spec.n_builds}"
+                  f"_l{spec.lines_per_file}_s{spec.seed}")
+    marker = os.path.join(corpus_dir, ".done")
+    if not os.path.exists(marker):
+        info = generate_corpus(corpus_dir, spec)
+        with open(marker, "w") as f:
+            json.dump({"n_rows": info["n_rows"]}, f)
+    with open(marker) as f:
+        n_rows = json.load(f)["n_rows"]
+    shards = sorted(glob.glob(
+        os.path.join(corpus_dir, "token_sequences", "*.parquet")))
+    return corpus_dir, shards, n_rows
+
+
+def _warm(paths: list[str]) -> None:
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+
+def run_bench() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    sf = _sf_factor(SF_DIR)
+    corpus_dir, shards, n_rows = _corpus(sf)
+    _warm(shards)
+    _warm(glob.glob(os.path.join(SF_DIR, "*.parquet")))
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    try:
+        from ci_log_processing_ray.config import PipelineConfig
+        from ci_log_processing_ray.pipelines.flagship import run_pipeline
+
+        out_dir = "/tmp/ci_log_bench_out"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = run_pipeline(shards, os.path.join(corpus_dir, "build_meta.parquet"),
+                           out_dir, PipelineConfig(skip_debug=True),
+                           enrich_concurrency=(1, max(2, NCPU // 2)))
+        headline = time.perf_counter() - t0
+        assert res.counts.num_rows > 0
+
+        import __ray_entry__ as entrymod
+
+        qtimes = {}
+        qs = entrymod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            out = qs[name](SF_DIR)
+            if hasattr(out, "to_pandas"):
+                out = out.to_pandas()
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+
+        return {
+            "metric": "flagship parse->enrich->route->aggregate wall time "
+                      f"({n_rows} sequences)",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "sequences_per_sec": round(n_rows / headline, 1),
+            "n_sequences": n_rows,
+            "queries": qtimes,
+            "sf": sf,
+            "num_cpus": NCPU,
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling() -> None:
+    lo, hi = 8, 32
+    results = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    thr_lo = results[lo]["sequences_per_sec"]
+    thr_hi = results[hi]["sequences_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(json.dumps({
+        f"sec_{lo}": results[lo]["value"],
+        f"sec_{hi}": results[hi]["value"],
+        f"throughput_{lo}": thr_lo,
+        f"throughput_{hi}": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": results[hi]["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

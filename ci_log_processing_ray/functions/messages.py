@@ -31,10 +31,19 @@ def extract_messages(lines: pa.Array | pa.ChunkedArray) -> pa.Array | pa.Chunked
     return pc.if_else(has_pipe, pc.utf8_ltrim_whitespace(after), whole)
 
 
-def extract_severity(lines: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
-    """First severity keyword in the line, else 'NONE'."""
+def extract_severity(
+    lines: pa.Array | pa.ChunkedArray,
+    vocabulary: tuple[str, ...] | None = None,
+    default: str = SEVERITY_NONE,
+) -> pa.Array | pa.ChunkedArray:
+    """First keyword of ``vocabulary`` found in the line, else ``default``
+    (the grok loglevel capture generalized to any keyword set)."""
     if isinstance(lines, pa.ChunkedArray):
         lines = lines.combine_chunks()
-    hit = pc.extract_regex(lines, pattern=_SEVERITY_PATTERN)
+    pattern = (
+        _SEVERITY_PATTERN if vocabulary is None
+        else r"\b(?P<severity>%s)\b" % "|".join(vocabulary)
+    )
+    hit = pc.extract_regex(lines, pattern=pattern)
     sev = pc.struct_field(hit, "severity")
-    return pc.fill_null(sev, SEVERITY_NONE)
+    return pc.fill_null(sev, default)

@@ -1,0 +1,23 @@
+"""Large-scale training-data operators (beyond the reference's surface).
+
+Components a 100 TB training-data pipeline needs on top of the log
+engine: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding cosine), approximate similarity search, text analysis
+(language id, quality scoring, token counting, fingerprinting), and
+multimodal column plumbing.  All are Dataset->Dataset operators built
+on map_batches / groupby with explicit shuffle-minimizing structure.
+"""
+
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_clusters,
+    embedding_dedup,
+)
+from .similarity import knn_bruteforce, knn_lsh  # noqa: F401
+from .textstats import (  # noqa: F401
+    add_text_stats,
+    language_id,
+    fingerprint,
+)
+from .window import sessionize, forward_fill_by_group  # noqa: F401

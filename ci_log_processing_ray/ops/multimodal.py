@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with sidecar
+metadata columns; decode / feature-extract stages are actor pools sized
+for large rows (small batch_size so batch x concurrency fits worker
+heaps).  The actual codec libraries (PIL / torchaudio / av) are NOT
+available in this environment, so the decode kernel is gated behind an
+import-try with a clearly-marked deterministic fallback -- the Ray-side
+plumbing (schema, actor signature, batching, output layout) is real and
+tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+IMAGE_META_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("n_bytes", pa.int64()),
+    ("mean_intensity", pa.float64()),
+])
+
+
+def encode_fake_image(media_id: int, width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic stand-in payload: 8-byte header (width, height) +
+    pseudo-pixel bytes.  Lets the decode plumbing be exercised without
+    codec libraries."""
+    rng = np.random.default_rng(seed + media_id)
+    pixels = rng.integers(0, 256, size=width * height, dtype=np.uint8)
+    return struct.pack("<ii", width, height) + pixels.tobytes()
+
+
+class ImageDecoder:
+    """Actor-pool decode stage: binary column -> metadata + features.
+
+    Loads the codec ONCE per actor in __init__ (the stateful-stage rule);
+    falls back to the deterministic header parser when PIL is absent.
+    """
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        try:
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None  # deterministic fallback decoder
+
+    def _decode(self, raw: bytes) -> tuple[int, int, float]:
+        if self._pil is not None:
+            import io
+
+            img = self._pil.open(io.BytesIO(raw)).convert("L")
+            arr = np.asarray(img)
+            return img.width, img.height, float(arr.mean())
+        width, height = struct.unpack_from("<ii", raw, 0)
+        pixels = np.frombuffer(raw, dtype=np.uint8, offset=8)
+        return width, height, float(pixels.mean())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, widths, heights, nbytes, means = [], [], [], [], []
+        for media_id, raw in zip(batch[self.id_col].to_pylist(),
+                                 batch[self.payload_col].to_pylist()):
+            w, h, m = self._decode(raw)
+            ids.append(media_id)
+            widths.append(w)
+            heights.append(h)
+            nbytes.append(len(raw))
+            means.append(m)
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+            "n_bytes": pa.array(nbytes, type=pa.int64()),
+            "mean_intensity": pa.array(means, type=pa.float64()),
+        }, schema=IMAGE_META_SCHEMA)
+
+
+def decode_images(
+    ds: ray.data.Dataset,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    concurrency=(1, 4),
+    batch_size: int = 64,  # small: payload rows are large
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageDecoder, fn_constructor_args=(payload_col, id_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+class AudioFrameSampler:
+    """Frame-sampling stub for audio/video payloads: every k-th frame's
+    digest -- real sampling plumbing, fake decode (no codec libs)."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id",
+                 frame_bytes: int = 1024, stride: int = 4):
+        self.payload_col, self.id_col = payload_col, id_col
+        self.frame_bytes, self.stride = frame_bytes, stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_nos, digests = [], [], []
+        for media_id, raw in zip(batch[self.id_col].to_pylist(),
+                                 batch[self.payload_col].to_pylist()):
+            n_frames = max(1, len(raw) // self.frame_bytes)
+            for f in range(0, n_frames, self.stride):
+                chunk = raw[f * self.frame_bytes:(f + 1) * self.frame_bytes]
+                ids.append(media_id)
+                frame_nos.append(f)
+                digests.append(hashlib.sha1(chunk).hexdigest()[:16])
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "frame_no": pa.array(frame_nos, type=pa.int32()),
+            "frame_digest": pa.array(digests, type=pa.string()),
+        })

@@ -1,0 +1,168 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* ``knn_bruteforce`` -- the exact baseline: the query matrix is
+  broadcast once (``ray.put``), every batch computes one numpy matmul
+  and keeps only its local top-k (combiner!), the final reduce merges
+  tiny per-batch partials.  Scales linearly in corpus size with no
+  shuffle of the vectors themselves.
+* ``knn_lsh`` -- the scale path: random-hyperplane buckets with
+  multi-probe (query probes its own bucket + Hamming-1 neighbors);
+  only bucket-colliding vectors are scored.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.vstack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def knn_bruteforce(
+    ds: ray.data.Dataset,
+    vec_col: str,
+    id_col: str,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+) -> pd.DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    Ties broken by ascending id (deterministic).  Returns
+    (query_id, id_col, rank) sorted by (query_id, rank).
+    """
+    qn = queries.astype(np.float64)
+    qn = qn / (np.linalg.norm(qn, axis=1, keepdims=True) + 1e-12)
+    q_ref = ray.put(qn)
+
+    class Scorer:
+        def __init__(self, q_ref, k):
+            self.q = ray.get(q_ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = _to_matrix(t[vec_col])
+            v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-12
+            sims = v @ self.q.T  # (batch, nq)
+            ids = np.asarray(t[id_col].to_pylist())
+            out_q, out_id, out_s = [], [], []
+            for qi in range(sims.shape[1]):
+                col = sims[:, qi]
+                take = min(self.k, len(col))
+                # local top-k with (score desc, id asc) determinism
+                order = np.lexsort((ids, -col))[:take]
+                out_q.extend([qi] * take)
+                out_id.extend(ids[order])
+                out_s.extend(col[order])
+            return pa.table({
+                "qi": pa.array(out_q, type=pa.int32()),
+                id_col: pa.array(out_id),
+                "score": pa.array(out_s, type=pa.float64()),
+            })
+
+    partials = ds.map_batches(
+        Scorer, fn_constructor_args=(q_ref, k),
+        batch_format="pyarrow", batch_size=8192, concurrency=(1, 8)
+    ).to_pandas()
+
+    rows = []
+    for qi, sub in partials.groupby("qi"):
+        best = heapq.nsmallest(
+            k, sub.itertuples(index=False), key=lambda r: (-r.score, getattr(r, id_col)))
+        for rank, r in enumerate(best):
+            rows.append((query_ids[qi], getattr(r, id_col), rank + 1))
+    return (
+        pd.DataFrame(rows, columns=["query_id", id_col, "rank"])
+        .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def knn_lsh(
+    ds: ray.data.Dataset,
+    vec_col: str,
+    id_col: str,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    *,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 41,
+) -> pd.DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane bucket is
+    within Hamming distance 1 of the query's bucket (multi-probe)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    qn = queries.astype(np.float64)
+    qn = qn / (np.linalg.norm(qn, axis=1, keepdims=True) + 1e-12)
+    q_bits = (qn @ planes) > 0
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    q_buckets = q_bits @ weights
+    probe_sets = []
+    for b in q_buckets:
+        probes = {int(b)}
+        for j in range(n_planes):
+            probes.add(int(b) ^ (1 << j))
+        probe_sets.append(probes)
+    wanted: set[int] = set().union(*probe_sets)
+
+    state = ray.put((planes, qn, wanted))
+
+    class Scorer:
+        def __init__(self, state_ref, k):
+            self.planes, self.q, self.wanted = ray.get(state_ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = _to_matrix(t[vec_col])
+            v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-12
+            bucket = ((v @ self.planes) > 0) @ weights
+            mask = np.isin(bucket, list(self.wanted))
+            if not mask.any():
+                return pa.table({
+                    "qi": pa.array([], type=pa.int32()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                })
+            v, bucket = v[mask], bucket[mask]
+            ids = np.asarray(t[id_col].to_pylist())[mask]
+            sims = v @ self.q.T
+            out_q, out_id, out_s, out_b = [], [], [], []
+            for qi in range(sims.shape[1]):
+                col = sims[:, qi]
+                take = min(self.k, len(col))
+                order = np.lexsort((ids, -col))[:take]
+                out_q.extend([qi] * take)
+                out_id.extend(ids[order])
+                out_s.extend(col[order])
+                out_b.extend(bucket[order])
+            return pa.table({
+                "qi": pa.array(out_q, type=pa.int32()),
+                id_col: pa.array(out_id),
+                "score": pa.array(out_s, type=pa.float64()),
+                "bucket": pa.array(out_b, type=pa.int64()),
+            })
+
+    partials = ds.map_batches(
+        Scorer, fn_constructor_args=(state, k),
+        batch_format="pyarrow", batch_size=8192, concurrency=(1, 8)
+    ).to_pandas()
+
+    rows = []
+    for qi, sub in partials.groupby("qi"):
+        sub = sub[sub["bucket"].isin(probe_sets[qi])]
+        best = heapq.nsmallest(
+            k, sub.itertuples(index=False), key=lambda r: (-r.score, getattr(r, id_col)))
+        for rank, r in enumerate(best):
+            rows.append((query_ids[qi], getattr(r, id_col), rank + 1))
+    return (
+        pd.DataFrame(rows, columns=["query_id", id_col, "rank"])
+        .sort_values(["query_id", "rank"]).reset_index(drop=True))

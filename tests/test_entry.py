@@ -1,0 +1,73 @@
+"""Driver-contract checks: every queries() entry with an oracle must match
+DuckDB row-for-row (order-insensitive, columns sorted by name), mimicking
+the driver's CORRECTNESS comparison; rows-only entries must run and
+return a well-formed frame."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLE_NAMES = sorted(entrymod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLE_NAMES))
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLE_NAMES) <= set(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(ray_session, name):
+    got = _norm(_to_df(entrymod.queries()[name](SF)))
+    con = _con()
+    want = _norm(con.sql(entrymod.oracle_sql()[name]).df())
+    assert len(got) == len(want), (name, len(got), len(want))
+    assert list(got.columns) == list(want.columns), name
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(ray_session, name):
+    df = _to_df(entrymod.queries()[name](SF))
+    assert df is not None
+    assert len(df) >= 0
+
+
+def test_entry_smoke(ray_session):
+    df = entrymod.entry()
+    assert len(df) > 0
+    assert {"sink", "severity", "doc_count"} <= set(df.columns)
