@@ -327,7 +327,10 @@ def q_join_large(sf_dir: str):
     """Large-large hash-partitioned join (Dataset.join) + aggregate."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = li.join(orders, "inner", num_partitions=16,
+    # partition count sized to the cluster: each partition is one
+    # hash-aggregator actor; oversubscribing CPUs serializes the join
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    joined = li.join(orders, "inner", num_partitions=max(2, ncpu // 2),
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(t: pa.Table) -> pa.Table:

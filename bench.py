@@ -57,8 +57,9 @@ def _corpus(sf: float):
         seed=4242,
         n_shards=32,
     )
-    corpus_dir = (f"/tmp/ci_log_bench_corpus_b{spec.n_builds}"
-                  f"_l{spec.lines_per_file}_s{spec.seed}")
+    corpus_dir = (f"/tmp/ci_log_bench_corpus_v2_b{spec.n_builds}"
+                  f"_l{spec.lines_per_file}_s{spec.seed}"
+                  f"_h{spec.hot_build_factor}_n{spec.n_shards}")
     marker = os.path.join(corpus_dir, ".done")
     if not os.path.exists(marker):
         info = generate_corpus(corpus_dir, spec)
@@ -95,6 +96,10 @@ def run_bench() -> dict:
     try:
         from ci_log_processing_ray.config import PipelineConfig
         from ci_log_processing_ray.pipelines.flagship import run_pipeline
+
+        # untimed warmup: start worker processes before the clock runs
+        ray.data.range(NCPU * 2, override_num_blocks=NCPU * 2).map_batches(
+            lambda b: b).count()
 
         out_dir = "/tmp/ci_log_bench_out"
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -5,8 +5,10 @@ Re-expresses the reference's 6-pattern table scan
 logsender.py:332-365) as progressive narrowing over a string column:
 
   for each (regex, fmt) in priority order:
-      rows still unresolved -> regex prefix-capture -> strptime-parse
-      (vectorized pd.to_datetime) -> resolved rows leave the pending set
+      rows still unresolved -> anchored RE2 capture (pc.extract_regex)
+      -> whitespace-run collapse (CPython strptime treats format
+         whitespace as \\s+) -> vectorized strptime (pd.to_datetime,
+         exact full-string match) -> resolved rows leave the pending set
 
 Pattern order is semantic (the greedy syslog fallback at
 logsender.py:341 matches almost anything); most real lines resolve at
@@ -22,16 +24,17 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-# (anchored capture regex, strptime format, has_explicit_year)
+# (anchored RE2 capture, strptime format, has_explicit_year)
 # The pairs are the parse spec of logsender.py:332-346.
 PATTERNS: list[tuple[str, str, bool]] = [
-    (r"^(\S+)", "%Y-%m-%dT%H:%M:%S.%fZ", True),
-    (r"^(\S+ \S+)", "%Y-%m-%d %H:%M:%S.%f", True),
-    (r"^(\S+ [0-9]{2}\s[0-9:.]{14})", "%b %d %H:%M:%S.%f", False),
-    (r"^(\S+ \S+ \S+)", "%b %d %H:%M:%S", False),
-    (r"^([0-9-T:]{19})", "%Y-%m-%dT%H:%M:%S", True),
-    (r"^(\S+ [0-9]{2} \S+ [0-9: ]{14})", "%A %d %B %Y %H:%M:%S", False),
+    (r"^(?P<g>\S+)", "%Y-%m-%dT%H:%M:%S.%fZ", True),
+    (r"^(?P<g>\S+ \S+)", "%Y-%m-%d %H:%M:%S.%f", True),
+    (r"^(?P<g>\S+ [0-9]{2}\s[0-9:.]{14})", "%b %d %H:%M:%S.%f", False),
+    (r"^(?P<g>\S+ \S+ \S+)", "%b %d %H:%M:%S", False),
+    (r"^(?P<g>[0-9-T:]{19})", "%Y-%m-%dT%H:%M:%S", True),
+    (r"^(?P<g>\S+ [0-9]{2} \S+ [0-9: ]{14})", "%A %d %B %Y %H:%M:%S", False),
 ]
 
 
@@ -65,23 +68,29 @@ def extract_timestamps(lines: pa.Array | pa.ChunkedArray, today_year: int) -> pa
     Returns timestamp[us] (naive UTC, matching the reference's naive
     datetimes and DuckDB's default).
     """
-    ser = pd.Series(
-        lines.to_pandas() if isinstance(lines, (pa.Array, pa.ChunkedArray)) else lines
-    ).astype("object")
-    out = pd.Series(pd.NaT, index=ser.index, dtype="datetime64[ns]")
-    pending = ser.notna()
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    n = len(lines)
+    out = np.full(n, np.datetime64("NaT"), dtype="datetime64[ns]")
+    pending_idx = np.arange(n)
+    cur = lines
     for regex, fmt, has_year in PATTERNS:
-        if not pending.any():
+        if len(pending_idx) == 0:
             break
-        cap = ser[pending].str.extract(regex, expand=False)
-        # CPython strptime compiles whitespace in the format to \s+
-        # (so the double-space ansible lines still parse): collapse runs.
-        cap = cap.str.replace(r"\s+", " ", regex=True)
-        parsed = pd.to_datetime(cap, format=fmt, errors="coerce", exact=True)
+        hit = pc.extract_regex(cur, pattern=regex)  # RE2, vectorized
+        cap = pc.struct_field(hit, "g")
+        # CPython strptime compiles format whitespace to \s+; collapse
+        # runs so e.g. the double-space ansible lines still parse.
+        cap = pc.replace_substring_regex(cap, pattern=r"\s+", replacement=" ")
+        cap_pd = cap.to_pandas().astype(object)
+        parsed = pd.to_datetime(cap_pd, format=fmt, errors="coerce", exact=True)
         if not has_year:
             parsed = _replace_year(parsed, today_year)
-        hit = parsed.notna()
-        if hit.any():
-            out.loc[parsed.index[hit]] = parsed[hit]
-            pending.loc[parsed.index[hit]] = False
-    return pa.Array.from_pandas(out, type=pa.timestamp("us"))
+        hitmask = parsed.notna().to_numpy()
+        if hitmask.any():
+            out[pending_idx[hitmask]] = parsed.to_numpy()[hitmask]
+            keep = ~hitmask
+            pending_idx = pending_idx[keep]
+            cur = cur.filter(pa.array(keep))
+    return pa.Array.from_pandas(
+        pd.Series(out), type=pa.timestamp("us"))

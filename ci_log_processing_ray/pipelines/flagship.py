@@ -141,6 +141,7 @@ def run_pipeline(
     *,
     resume: bool = True,
     clock_now: float = 0.0,
+    enrich_concurrency: int | tuple[int, int] = (1, 8),
 ) -> RunResult:
     """One pipeline tick: process pending partitions, commit manifests.
 
@@ -157,7 +158,8 @@ def run_pipeline(
     if not pending:
         return RunResult(None, _counts_from_manifests(store), [], 0, len(paths))
 
-    routed = build_routed(pending, meta, cfg, file_config)
+    routed = build_routed(pending, meta, cfg, file_config,
+                          enrich_concurrency=enrich_concurrency)
     digest = _batch_digest(pending)
     final_dir = os.path.join(out_dir, "routed", f"batch-{digest}")
     staging_dir = final_dir + ".staging"

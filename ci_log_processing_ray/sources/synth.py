@@ -276,9 +276,12 @@ def generate_corpus(out_dir: str, spec: CorpusSpec = CorpusSpec()) -> dict:
     uuids: list[str] = []
     n_rows = 0
     writers = [pq.ParquetWriter(p, TOKEN_SCHEMA) for p in shard_paths]
+    shard_rows = [0] * len(writers)  # size-balanced assignment (hot builds
+    # would otherwise skew one shard == one read task)
     try:
         for b in range(spec.n_builds):
-            writer = writers[b % len(writers)]
+            widx = shard_rows.index(min(shard_rows))
+            writer = writers[widx]
             uuid = "".join(rng.choice(list("0123456789abcdef"), size=32))
             uuids.append(uuid)
             aborted = rng.random() < 0.08
@@ -332,6 +335,7 @@ def generate_corpus(out_dir: str, spec: CorpusSpec = CorpusSpec()) -> dict:
             }, schema=TOKEN_SCHEMA)
             # one row group per build: log files stay block-contiguous
             writer.write_table(table, row_group_size=max(1, len(table)))
+            shard_rows[widx] += len(table)
             n_rows += len(table)
     finally:
         for w in writers:

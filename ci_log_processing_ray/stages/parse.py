@@ -132,9 +132,10 @@ def _parse_loglines(
                     pc.is_in(stripped, value_set=pa.array(["<pre>", "</pre>"])))
         keep &= ~m.to_numpy(zero_copy_only=False)
 
-    keep_idx = np.nonzero(keep)[0]
-    tbl = tbl.take(keep_idx)
-    lines = lines.take(pa.array(keep_idx))
+    if not keep.all():
+        keep_idx = np.nonzero(keep)[0]
+        tbl = tbl.take(keep_idx)
+        lines = lines.take(pa.array(keep_idx))
 
     build, fname, line_no = _split_doc_id(tbl)
     file_id = pc.binary_join_element_wise(build, fname, "/")
@@ -193,12 +194,17 @@ def _parse_loglines(
     }
     out = _finalize(tbl, cols)
     if fill:
-        out = out.take(pa.array(sel))
-        # empty-message drop (logsender.py:421-424)
-        nonempty = pc.not_equal(out["message"].combine_chunks(), "")
-        out = out.filter(nonempty)
-        if cfg.drop_debug_severity:  # openstack-filters.conf:81-83
-            out = out.filter(pc.not_equal(out["severity"].combine_chunks(), "DEBUG"))
+        # one fused selection pass: banner drop + empty-message drop
+        # (logsender.py:421-424) + optional DEBUG-severity drop
+        # (openstack-filters.conf:81-83)
+        keep_mask = np.zeros(len(out), dtype=bool)
+        keep_mask[sel] = True
+        keep_mask &= pc.not_equal(message, "").to_numpy(zero_copy_only=False)
+        if cfg.drop_debug_severity:
+            keep_mask &= pc.not_equal(severity, "DEBUG").to_numpy(
+                zero_copy_only=False)
+        if not keep_mask.all():
+            out = out.filter(pa.array(keep_mask))
     else:
         out = out.append_column("_banner", pa.array(banner))
     return out
@@ -303,7 +309,9 @@ def make_parse_fn(cfg: PipelineConfig, fill: bool | None = None):
             (sub_mask, _parse_subunit, (cfg,)),
         ):
             idx = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
-            if len(idx):
+            if len(idx) == len(batch):
+                pieces.append(fn(batch, lines, *extra))
+            elif len(idx):
                 piece = fn(batch.take(idx), lines.take(pa.array(idx)), *extra)
                 pieces.append(piece)
         if not pieces:
