@@ -41,11 +41,27 @@ from ci_log_processing_ray.ops.dedup import (
     embedding_dedup,
     exact_dedup,
     minhash_lsh_dedup,
+    ngram_jaccard_pairs,
     simhash_clusters,
 )
-from ci_log_processing_ray.ops.multimodal import decode_images, encode_fake_image
-from ci_log_processing_ray.ops.similarity import knn_bruteforce, knn_lsh
-from ci_log_processing_ray.ops.textstats import add_text_stats, fingerprint, language_id
+from ci_log_processing_ray.ops.multimodal import (
+    decode_images,
+    encode_fake_image,
+    encode_fake_video,
+    resize_images,
+    sample_video_frames,
+)
+from ci_log_processing_ray.ops.relational import asof_join_grouped, window_topk
+from ci_log_processing_ray.ops.similarity import knn_bruteforce, knn_ivf, knn_lsh
+from ci_log_processing_ray.ops.textstats import (
+    BPE_RE,
+    QUALITY_STOPWORDS,
+    add_text_stats,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count_bpe,
+)
 from ci_log_processing_ray.ops.window import forward_fill_by_group, sessionize
 from ci_log_processing_ray.pipelines.flagship import run_pipeline
 from ci_log_processing_ray.sources.synth import CorpusSpec, generate_corpus
@@ -496,6 +512,239 @@ def q_multimodal_decode(sf_dir: str):
     return decode_images(media)
 
 
+def _collect(ds: ray.data.Dataset) -> pa.Table:
+    """Materialize a small result Dataset to an Arrow table, keeping the
+    schema even when the result is EMPTY (Dataset.to_pandas() returns a
+    column-less frame for zero-row datasets, which would break the
+    driver's column comparison)."""
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return ds.schema().base_schema.empty_table()
+    return pa.concat_tables(batches, promote_options="default")
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """n-gram Jaccard near-dup pairs -- exact, via distributed pair
+    counting (shared-gram blocking loses nothing at threshold > 0)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(ngram_jaccard_pairs(ds, "text", "doc_id",
+                                        n=3, threshold_pct=50))
+
+
+def q_quality_score(sf_dir: str):
+    """Text-quality scoring: all-integer features via RE2 kernels."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return quality_score(ds, "text", "doc_id")
+
+
+def q_token_count_bpe(sf_dir: str):
+    """BPE-ish (GPT-2 pretokenizer regex) token counting per source."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return token_count_bpe(ds, "text", "source")
+
+
+def q_anti_join(sf_dir: str):
+    """J4-style anti-join (Dataset.join left_anti): customers that never
+    produced an event, counted per market segment."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ev = _read(sf_dir, "events", ["user_id"])
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    missing = cust.join(ev, "left_anti", num_partitions=max(2, ncpu // 4),
+                        on=("c_custkey",), right_on=("user_id",))
+    return missing.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_customers"))
+
+
+def q_semi_join(sf_dir: str):
+    """Semi-join (Dataset.join left_semi): customers with >= 1 event,
+    per market segment."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ev = _read(sf_dir, "events", ["user_id"])
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    active = cust.join(ev, "left_semi", num_partitions=max(2, ncpu // 4),
+                       on=("c_custkey",), right_on=("user_id",))
+    return active.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_customers"))
+
+
+_MW_CUTOFF = datetime.datetime(1998, 6, 1)
+
+
+def q_multiway_join(sf_dir: str):
+    """TPC-H Q3 shape: broadcast semi-join on the small dim (customer
+    segment filter pushed into the orders scan -- no shuffle), ONE
+    large-large hash join, salted-safe partial+final aggregate, global
+    sort + limit."""
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keep = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+    keys_ref = ray.put(set(keep["c_custkey"].to_pylist()))
+    cutoff = pa.scalar(_MW_CUTOFF, type=pa.timestamp("us"))
+
+    class OrderFilter:
+        def __init__(self, keys_ref):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask_seg = pa.array(
+                [k in self.keys for k in t["o_custkey"].to_pylist()])
+            mask = pc.and_(mask_seg,
+                           pc.less(t["o_orderdate"].combine_chunks(), cutoff))
+            return t.filter(mask).select(["o_orderkey", "o_orderdate"])
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        OrderFilter, fn_constructor_args=(keys_ref,),
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def li_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["l_shipdate"].combine_chunks(), cutoff))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]).map_batches(li_filter, batch_format="pyarrow")
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    joined = li.join(orders, "inner", num_partitions=max(2, ncpu // 2),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t["l_extendedprice"].combine_chunks(),
+            pc.subtract(1.0, t["l_discount"].combine_chunks()))
+        tt = pa.table({
+            "l_orderkey": t["l_orderkey"].combine_chunks(),
+            "o_orderdate": t["o_orderdate"].combine_chunks(),
+            "revenue_cents": _cents(disc_price),
+        })
+        g = tt.group_by(["l_orderkey", "o_orderdate"]).aggregate(
+            [("revenue_cents", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "o_orderdate": g["o_orderdate"],
+                         "revenue_cents": g["revenue_cents_sum"]})
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_orderkey", "o_orderdate"]).aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"))
+    return agg.sort(["revenue_cents", "l_orderkey"],
+                    descending=[True, False]).limit(10)
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join (custom operator): each event matched to the latest
+    order of the same user at or before the event time -- one
+    co-partitioning shuffle, per-group sorted merge."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({"user_id": t["o_custkey"],
+                            "o_orderdate": t["o_orderdate"]}),
+        batch_format="pyarrow")
+    out = asof_join_grouped(
+        ev, orders, key="user_id", left_on="ts", right_on="o_orderdate",
+        left_cols=["event_id"], right_cols=[])
+    return out.map_batches(
+        lambda df: df.rename(columns={"o_orderdate_matched": "last_order_ts"}),
+        batch_format="pandas")
+
+
+def q_window_topk(sf_dir: str):
+    """row_number()-style window: top-2 orders per customer."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    top = window_topk(ds, "o_custkey", "o_totalprice", 2,
+                      descending=True, tiebreak_col="o_orderkey")
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"], "o_orderkey": t["o_orderkey"],
+            "total_cents": _cents(t["o_totalprice"])})
+
+    return top.map_batches(fn, batch_format="pyarrow")
+
+
+def q_tumbling_window(sf_dir: str):
+    """Tumbling 1-hour window aggregate per user (partial+final)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t["ts"].combine_chunks(), unit="hour")
+        tt = pa.table({
+            "user_id": t["user_id"].combine_chunks(),
+            "window_start": win,
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            "value_cents": _cents(t["value"]),
+        })
+        g = tt.group_by(["user_id", "window_start"]).aggregate(
+            [("n", "sum"), ("value_cents", "sum")])
+        return pa.table({"user_id": g["user_id"],
+                         "window_start": g["window_start"],
+                         "n": g["n_sum"], "value_cents": g["value_cents_sum"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["user_id", "window_start"]).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("value_cents", alias_name="value_cents"))
+
+
+def q_union_counts(sf_dir: str):
+    """Bag union (Dataset.union) of two filtered streams + count."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    errors = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"].combine_chunks(), "error"))
+        .select(["event_type"]),
+        batch_format="pyarrow")
+    big = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["value"].combine_chunks(), 150.0))
+        .select(["event_type"]),
+        batch_format="pyarrow")
+    return errors.union(big).groupby("event_type").aggregate(
+        Count(alias_name="n"))
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-10 (rows-only: approximate op)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q, qids = _query_vectors(sf_dir)
+    return knn_ivf(ds, "embedding", "vec_id", q, qids, k=10,
+                   n_centroids=8, n_probe=3)
+
+
+def q_multimodal_resize(sf_dir: str):
+    """Multimodal resize stage: binary payload -> downscaled payload +
+    typed metadata (rows-only; deterministic fake codec)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def make_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array([encode_fake_image(i, 16 + (i % 16), 16)
+                                 for i in ids], type=pa.binary()),
+        })
+
+    media = ds.map_batches(make_payload, batch_format="pyarrow", batch_size=256)
+    resized = resize_images(media, 8, 8)
+    return resized.map_batches(
+        lambda t: t.select(["media_id", "width", "height", "mean_intensity"]),
+        batch_format="pyarrow")
+
+
+def q_video_frame_sample(sf_dir: str):
+    """Video frame-sampling stage over fake containers (rows-only)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def make_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(
+                [encode_fake_video(i, 8 + (i % 8), 256) for i in ids],
+                type=pa.binary()),
+        })
+
+    media = ds.map_batches(make_payload, batch_format="pyarrow", batch_size=128)
+    return sample_video_frames(media, stride=4)
+
+
 def q_flagship_counts(sf_dir: str):
     """The flagship log pipeline itself (rows-only: per-sink counts over
     the deterministic token-sequence corpus derived from this sf)."""
@@ -540,8 +789,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "perf_props_sum": q_perf_props_sum,
         "hot_key_salted": q_hot_key_salted,
+        "ngram_jaccard": q_ngram_jaccard,
+        "quality_score": q_quality_score,
+        "token_count_bpe": q_token_count_bpe,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "multiway_join": q_multiway_join,
+        "asof_join": q_asof_join,
+        "window_topk": q_window_topk,
+        "tumbling_window": q_tumbling_window,
+        "union_counts": q_union_counts,
         "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
+        "multimodal_resize": q_multimodal_resize,
+        "video_frame_sample": q_video_frame_sample,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_dedup": q_embedding_dedup,
@@ -661,6 +923,98 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                        AS value_cents
             FROM events GROUP BY user_id""",
+        "ngram_jaccard": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                           AS grams
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                      FROM documents)
+                WHERE len(ws) >= 3)
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   len(list_intersect(a.grams, b.grams)) AS inter,
+                   len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams)) AS union_sz
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams)) > 0
+              AND 100 * len(list_intersect(a.grams, b.grams))
+                  >= 50 * (len(a.grams) + len(b.grams)
+                           - len(list_intersect(a.grams, b.grams)))""",
+        "quality_score": f"""
+            SELECT doc_id, n_words, stop_pct, punct_pct,
+                   CAST(CASE WHEN n_words >= 10 AND stop_pct <= 60
+                             AND punct_pct <= 20 THEN 1 ELSE 0 END AS BIGINT)
+                       AS quality
+            FROM (SELECT doc_id, n_words,
+                         (100 * n_stop) // greatest(n_words, 1) AS stop_pct,
+                         (100 * n_punct) // greatest(n_chars, 1) AS punct_pct
+                  FROM (SELECT doc_id,
+                               len(regexp_extract_all(text, '{WORD_RE_SQL}'))
+                                   AS n_words,
+                               len(regexp_extract_all(lower(text),
+                                   '\\b(?:{"|".join(QUALITY_STOPWORDS)})\\b'))
+                                   AS n_stop,
+                               len(regexp_extract_all(text, '[^\\w\\s]'))
+                                   AS n_punct,
+                               length(text) AS n_chars
+                        FROM documents))""",
+        "token_count_bpe": f"""
+            SELECT source,
+                   CAST(sum(len(regexp_extract_all(text,
+                        '{BPE_RE.replace("'", "''")}'))) AS BIGINT) AS n_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source""",
+        "anti_join": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)
+            GROUP BY c_mktsegment""",
+        "semi_join": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM events e
+                          WHERE e.user_id = c.c_custkey)
+            GROUP BY c_mktsegment""",
+        "multiway_join": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM customer, orders, lineitem
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+        "asof_join": """
+            SELECT e.event_id, o.o_orderdate AS last_order_ts
+            FROM events e ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+        "window_topk": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS total_cents
+            FROM orders
+            QUALIFY row_number() OVER
+                (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) <= 2""",
+        "tumbling_window": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM events GROUP BY 1, 2""",
+        "union_counts": """
+            SELECT event_type, count(*) AS n
+            FROM (SELECT event_type FROM events WHERE event_type = 'error'
+                  UNION ALL
+                  SELECT event_type FROM events WHERE value > 150)
+            GROUP BY event_type""",
         "knn_bruteforce": """
             SELECT q.query_id, e.vec_id
             FROM embeddings e CROSS JOIN

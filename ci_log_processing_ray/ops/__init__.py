@@ -11,13 +11,17 @@ on map_batches / groupby with explicit shuffle-minimizing structure.
 from .dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_dedup,
+    ngram_jaccard_pairs,
     simhash_clusters,
     embedding_dedup,
 )
-from .similarity import knn_bruteforce, knn_lsh  # noqa: F401
+from .relational import asof_join_grouped, window_topk  # noqa: F401
+from .similarity import knn_bruteforce, knn_ivf, knn_lsh  # noqa: F401
 from .textstats import (  # noqa: F401
     add_text_stats,
     language_id,
     fingerprint,
+    quality_score,
+    token_count_bpe,
 )
 from .window import sessionize, forward_fill_by_group  # noqa: F401

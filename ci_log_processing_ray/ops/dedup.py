@@ -222,6 +222,117 @@ def minhash_lsh_dedup(
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, distributed via pair counting)
+# ---------------------------------------------------------------------------
+_WORD_RE = None  # compiled lazily per worker (module import = once per proc)
+
+
+def _word_ngram_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct word-n-gram hashes of one document (lowercased words)."""
+    global _WORD_RE
+    if _WORD_RE is None:
+        import re
+
+        _WORD_RE = re.compile(r"[a-z0-9_]+")
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < n:
+        return np.empty(0, dtype=np.uint64)
+    grams = np.asarray(
+        [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)],
+        dtype=object)
+    return np.unique(pd.util.hash_array(grams, hash_key=_HASH_KEY))
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold_pct: int = 50,
+    max_df: int | None = None,
+) -> ray.data.Dataset:
+    """All document pairs with word-``n``-gram Jaccard >= threshold.
+
+    Exact and fully distributed -- no driver-side loop, no set shipping:
+
+    1. explode each doc to (gram_hash, doc_id, n_grams) rows, grams
+       DISTINCT per doc (map_batches);
+    2. groupby(gram_hash) -> emit candidate pair rows per bucket
+       (each shared gram contributes exactly ONE co-occurrence row);
+    3. groupby(left, right): ``count(*)`` IS the intersection size, so
+       jaccard = c / (na + nb - c) falls out of pure counting.
+
+    Any pair with jaccard >= t > 0 shares >= 1 gram, so blocking on
+    shared grams loses nothing -- the result is exact.  At 100 TB pass
+    ``max_df`` to drop grams appearing in more than max_df docs (the
+    classic DF cutoff): candidate generation cost drops from
+    sum(df^2) to sum(min(df, max_df)^2) at a bounded, documented recall
+    loss for pairs that ONLY share ultra-common grams.
+
+    Returns (left_id, right_id, inter, union_sz) with left_id < right_id,
+    threshold applied as ``100*inter >= threshold_pct*union`` (integer
+    math -- value-hash safe vs a SQL oracle).
+    """
+    from ray.data.aggregate import Count, Min
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids_out, hashes, counts = [], [], []
+        for doc_id, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            h = _word_ngram_hashes(text, n)
+            if len(h) == 0:
+                continue
+            ids_out.append(np.full(len(h), doc_id, dtype=np.int64))
+            hashes.append(h.astype(np.int64))
+            counts.append(np.full(len(h), len(h), dtype=np.int64))
+        if not ids_out:
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "doc": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64())})
+        return pa.table({
+            "gram": pa.array(np.concatenate(hashes)),
+            "doc": pa.array(np.concatenate(ids_out)),
+            "n_grams": pa.array(np.concatenate(counts)),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=4096)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or (max_df is not None and len(g) > max_df):
+            return pd.DataFrame({"left": pd.Series([], dtype=np.int64),
+                                 "right": pd.Series([], dtype=np.int64),
+                                 "na": pd.Series([], dtype=np.int64),
+                                 "nb": pd.Series([], dtype=np.int64)})
+        g = g.sort_values("doc")
+        docs = g["doc"].to_numpy()
+        sizes = g["n_grams"].to_numpy()
+        ii, jj = np.triu_indices(len(docs), k=1)
+        return pd.DataFrame({"left": docs[ii], "right": docs[jj],
+                             "na": sizes[ii], "nb": sizes[jj]})
+
+    pairs = exploded.groupby("gram").map_groups(
+        bucket_pairs, batch_format="pandas")
+
+    counted = pairs.groupby(["left", "right"]).aggregate(
+        Count(alias_name="inter"),
+        Min("na", alias_name="na"), Min("nb", alias_name="nb"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        inter = pc.cast(t["inter"].combine_chunks(), pa.int64())
+        union = pc.subtract(pc.add(t["na"], t["nb"]), inter)
+        keep = pc.greater_equal(pc.multiply(inter, pa.scalar(100, pa.int64())),
+                                pc.multiply(union, pa.scalar(threshold_pct,
+                                                             pa.int64())))
+        out = pa.table({"left_id": t["left"], "right_id": t["right"],
+                        "inter": inter, "union_sz": union})
+        return out.filter(keep)
+
+    return counted.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 def _simhash_batch(texts: list[str], seed: int) -> np.ndarray:

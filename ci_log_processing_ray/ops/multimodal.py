@@ -123,3 +123,103 @@ class AudioFrameSampler:
             "frame_no": pa.array(frame_nos, type=pa.int32()),
             "frame_digest": pa.array(digests, type=pa.string()),
         })
+
+
+class ImageResizer:
+    """Actor-pool resize stage: nearest-neighbor downscale of the raw
+    payload (numpy fancy-indexing -- the real resize math; a codec lib
+    would only change the decode step).  Output keeps the binary payload
+    layout (8-byte header + pixels) so stages compose."""
+
+    def __init__(self, out_w: int, out_h: int,
+                 payload_col: str = "payload", id_col: str = "media_id"):
+        self.out_w, self.out_h = out_w, out_h
+        self.payload_col, self.id_col = payload_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, payloads, means = [], [], []
+        for media_id, raw in zip(batch[self.id_col].to_pylist(),
+                                 batch[self.payload_col].to_pylist()):
+            w, h = struct.unpack_from("<ii", raw, 0)
+            px = np.frombuffer(raw, dtype=np.uint8, offset=8).reshape(h, w)
+            yi = (np.arange(self.out_h) * h) // self.out_h
+            xi = (np.arange(self.out_w) * w) // self.out_w
+            small = px[yi][:, xi]
+            ids.append(media_id)
+            payloads.append(struct.pack("<ii", self.out_w, self.out_h)
+                            + small.tobytes())
+            means.append(float(small.mean()))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array([self.out_w] * len(ids), type=pa.int32()),
+            "height": pa.array([self.out_h] * len(ids), type=pa.int32()),
+            "mean_intensity": pa.array(means, type=pa.float64()),
+        })
+
+
+def resize_images(
+    ds: ray.data.Dataset, out_w: int, out_h: int, *,
+    payload_col: str = "payload", id_col: str = "media_id",
+    concurrency=(1, 4), batch_size: int = 64,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageResizer, fn_constructor_args=(out_w, out_h, payload_col, id_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+def encode_fake_video(media_id: int, n_frames: int, frame_bytes: int = 256,
+                      seed: int = 0) -> bytes:
+    """Deterministic stand-in video container: 8-byte header
+    (n_frames, frame_bytes) + concatenated pseudo-frames."""
+    rng = np.random.default_rng(seed * 1_000_003 + media_id)
+    body = rng.integers(0, 256, size=n_frames * frame_bytes,
+                        dtype=np.uint8).tobytes()
+    return struct.pack("<ii", n_frames, frame_bytes) + body
+
+
+class VideoFrameSampler:
+    """Actor-pool frame sampler: every ``stride``-th frame's index +
+    digest + mean byte value.  The container parse is the deterministic
+    stand-in (real codecs are NOT available in this environment -- with
+    PyAV installed only ``_frames`` would change); the Ray plumbing
+    (binary column in, exploded frame rows out, small batches) is real.
+    """
+
+    def __init__(self, stride: int = 4,
+                 payload_col: str = "payload", id_col: str = "media_id"):
+        self.stride = stride
+        self.payload_col, self.id_col = payload_col, id_col
+
+    def _frames(self, raw: bytes):
+        n_frames, frame_bytes = struct.unpack_from("<ii", raw, 0)
+        for f in range(0, n_frames, self.stride):
+            yield f, raw[8 + f * frame_bytes: 8 + (f + 1) * frame_bytes]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_nos, digests, means = [], [], [], []
+        for media_id, raw in zip(batch[self.id_col].to_pylist(),
+                                 batch[self.payload_col].to_pylist()):
+            for f, chunk in self._frames(raw):
+                ids.append(media_id)
+                frame_nos.append(f)
+                digests.append(hashlib.sha1(chunk).hexdigest()[:16])
+                means.append(float(np.frombuffer(chunk, dtype=np.uint8).mean()))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "frame_no": pa.array(frame_nos, type=pa.int32()),
+            "frame_digest": pa.array(digests, type=pa.string()),
+            "frame_mean": pa.array(means, type=pa.float64()),
+        })
+
+
+def sample_video_frames(
+    ds: ray.data.Dataset, stride: int = 4, *,
+    payload_col: str = "payload", id_col: str = "media_id",
+    concurrency=(1, 4), batch_size: int = 32,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        VideoFrameSampler, fn_constructor_args=(stride, payload_col, id_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -1,0 +1,104 @@
+"""Relational operators Ray Data lacks natively, composed from
+groupby/map_groups + map_batches per SURVEY.md §2.4 guidance.
+
+* ``asof_join_grouped`` -- backward as-of join (each left row matched to
+  the latest right row with right_ts <= left_ts, same key).  Ray Data
+  has no as-of join; we co-partition BOTH sides in ONE shuffle by
+  tagging rows with a side marker, unioning, and grouping by key: the
+  per-group kernel is then a textbook sorted merge (pandas merge_asof).
+  Partitioning assumption: one join key's rows fit in one group (true
+  for per-user/per-host telemetry; salt by time range if a key is hot).
+* ``window_topk`` -- per-group top-k by an ordering column with
+  deterministic tie-break, via groupby().map_groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def asof_join_grouped(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key: str,
+    left_on: str,
+    right_on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    out_suffix: str = "_matched",
+) -> ray.data.Dataset:
+    """Backward as-of join; returns left_cols + [right_on + out_suffix]
+    + right_cols.  Left rows with no earlier right row get nulls."""
+
+    import pyarrow as pa
+
+    lschema, rschema = left.schema().base_schema, right.schema().base_schema
+    ltypes = {n: lschema.field(n).type for n in [key] + left_cols + [left_on]}
+    rtypes = {n: rschema.field(n).type for n in right_cols + [right_on]}
+    # one fixed Arrow schema for BOTH tagged sides -- union stays typed
+    unified = pa.schema(
+        [(key, ltypes[key])] + [(c, ltypes[c]) for c in left_cols]
+        + [("_ts", ltypes[left_on]), ("_side", pa.int8())]
+        + [(c, rtypes[c]) for c in right_cols])
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = ([t[key]] + [t[c] for c in left_cols]
+                + [t[left_on], pa.nulls(n, pa.int8()).fill_null(0)]
+                + [pa.nulls(n, rtypes[c]) for c in right_cols])
+        return pa.table(dict(zip(unified.names, cols)), schema=unified)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = ([t[key]] + [pa.nulls(n, ltypes[c]) for c in left_cols]
+                + [t[right_on], pa.nulls(n, pa.int8()).fill_null(1)]
+                + [t[c] for c in right_cols])
+        return pa.table(dict(zip(unified.names, cols)), schema=unified)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    both = lt.union(rt)
+
+    matched = right_on + out_suffix
+    empty = pa.table(
+        {**{c: pa.nulls(0, ltypes[c]) for c in left_cols},
+         matched: pa.nulls(0, rtypes[right_on]),
+         **{c: pa.nulls(0, rtypes[c]) for c in right_cols}}).to_pandas()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0].sort_values("_ts", kind="mergesort")
+        r = g[g["_side"] == 1].sort_values("_ts", kind="mergesort")
+        if len(l) == 0:
+            return empty.copy()
+        lf = l[left_cols + ["_ts"]]
+        rf = r[right_cols + ["_ts"]].copy()
+        rf[matched] = rf["_ts"]
+        merged = pd.merge_asof(lf, rf, on="_ts", direction="backward")
+        return merged[left_cols + [matched] + right_cols]
+
+    return both.groupby(key).map_groups(merge, batch_format="pandas")
+
+
+def window_topk(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> ray.data.Dataset:
+    """Top-k rows per group by order_col (row_number-style window):
+    groupby shuffle once, then a per-group sort of small groups.  The
+    deterministic tie-break makes results partition-invariant."""
+    by = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    asc = [not descending] + ([True] if tiebreak_col else [])
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    return ds.groupby(group_col).map_groups(head, batch_format="pandas")

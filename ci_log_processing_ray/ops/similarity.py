@@ -166,3 +166,107 @@ def knn_lsh(
     return (
         pd.DataFrame(rows, columns=["query_id", id_col, "rank"])
         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def _kmeans(sample: np.ndarray, n_centroids: int, seed: int, iters: int) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means on a driver-side sample (the
+    coarse quantizer training step of a classic IVF index)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                     replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / (np.linalg.norm(m) + 1e-12)
+    return cent
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    vec_col: str,
+    id_col: str,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    *,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 4096,
+    seed: int = 59,
+    iters: int = 5,
+) -> pd.DataFrame:
+    """IVF-style approximate top-k: train a coarse quantizer on a small
+    driver-side sample, broadcast the centroids, score ONLY vectors whose
+    nearest centroid is among each query's ``n_probe`` closest lists.
+
+    The scale path for ANN beyond LSH: per-batch work is one matmul for
+    the assignment plus one matmul over the probed subset; nothing but
+    tiny top-k partials leaves the workers.  Returns
+    (query_id, id_col, rank) like ``knn_bruteforce``.
+    """
+    sample = _to_matrix(
+        pa.concat_tables(
+            [b.select([vec_col]) for b in
+             ds.limit(sample_size).iter_batches(batch_format="pyarrow")]
+        )[vec_col])
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12
+    cent = _kmeans(sample, n_centroids, seed, iters)
+
+    qn = queries.astype(np.float64)
+    qn = qn / (np.linalg.norm(qn, axis=1, keepdims=True) + 1e-12)
+    probe_lists = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    # probed[c] = query indices probing centroid c
+    probed_by_cent = {c: np.where((probe_lists == c).any(axis=1))[0]
+                      for c in range(len(cent))}
+    state = ray.put((cent, qn, probed_by_cent))
+
+    class Scorer:
+        def __init__(self, state_ref, k):
+            self.cent, self.q, self.probed = ray.get(state_ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = _to_matrix(t[vec_col])
+            v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-12
+            assign = np.argmax(v @ self.cent.T, axis=1)
+            ids = np.asarray(t[id_col].to_pylist())
+            out_q, out_id, out_s = [], [], []
+            for c in np.unique(assign):
+                quers = self.probed.get(int(c))
+                if quers is None or len(quers) == 0:
+                    continue
+                sub = assign == c
+                sims = v[sub] @ self.q[quers].T
+                sub_ids = ids[sub]
+                for col_i, qi in enumerate(quers):
+                    col = sims[:, col_i]
+                    take = min(self.k, len(col))
+                    order = np.lexsort((sub_ids, -col))[:take]
+                    out_q.extend([int(qi)] * take)
+                    out_id.extend(sub_ids[order])
+                    out_s.extend(col[order])
+            return pa.table({
+                "qi": pa.array(out_q, type=pa.int32()),
+                id_col: pa.array(out_id, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            })
+
+    partials = ds.map_batches(
+        Scorer, fn_constructor_args=(state, k),
+        batch_format="pyarrow", batch_size=8192, concurrency=(1, 8)
+    ).to_pandas()
+
+    rows = []
+    for qi, sub in partials.groupby("qi"):
+        best = heapq.nsmallest(
+            k, sub.itertuples(index=False),
+            key=lambda r: (-r.score, getattr(r, id_col)))
+        for rank, r in enumerate(best):
+            rows.append((query_ids[qi], getattr(r, id_col), rank + 1))
+    return (
+        pd.DataFrame(rows, columns=["query_id", id_col, "rank"])
+        .sort_values(["query_id", "rank"]).reset_index(drop=True))

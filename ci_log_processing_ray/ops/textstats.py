@@ -95,3 +95,77 @@ def fingerprint(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.Da
         })
 
     return ds.map_batches(fp, batch_format="pyarrow", batch_size=None)
+
+
+# quality-score knobs: shared with the SQL oracle (same RE2 regex engine
+# on both sides -- pyarrow and DuckDB -- so counts agree exactly)
+QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it",
+                     "on", "for")
+STOPWORD_RE = r"\b(?:" + "|".join(QUALITY_STOPWORDS) + r")\b"
+# GPT-2-style pretokenizer, ASCII classes only (identical semantics in
+# Python re, RE2/pyarrow and RE2/DuckDB)
+BPE_RE = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def quality_score(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.Dataset:
+    """Heuristic document quality features + keep/drop flag.
+
+    All-integer outputs (value-hash safe): word count, stopword
+    percentage, punctuation percentage, and ``quality`` =
+    1 iff n_words >= 10 AND stop_pct <= 60 AND punct_pct <= 20.
+    Pure Arrow kernels -- one count_substring_regex per feature.
+    """
+
+    def score(t: pa.Table) -> pa.Table:
+        col = t[text_col].combine_chunks()
+        lower = pc.utf8_lower(col)
+        n_words = pc.cast(pc.count_substring_regex(col, pattern=WORD_RE),
+                          pa.int64())
+        n_stop = pc.cast(pc.count_substring_regex(lower, pattern=STOPWORD_RE),
+                         pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(col, pattern=r"[^\w\s]"),
+                          pa.int64())
+        n_chars = pc.cast(pc.utf8_length(col), pa.int64())
+        one = pa.scalar(1, pa.int64())
+        hundred = pa.scalar(100, pa.int64())
+        stop_pct = pc.divide(pc.multiply(n_stop, hundred),
+                             pc.max_element_wise(n_words, one))
+        punct_pct = pc.divide(pc.multiply(n_punct, hundred),
+                              pc.max_element_wise(n_chars, one))
+        quality = pc.cast(pc.and_(
+            pc.and_(pc.greater_equal(n_words, pa.scalar(10, pa.int64())),
+                    pc.less_equal(stop_pct, pa.scalar(60, pa.int64()))),
+            pc.less_equal(punct_pct, pa.scalar(20, pa.int64()))), pa.int64())
+        return pa.table({
+            id_col: t[id_col],
+            "n_words": n_words,
+            "stop_pct": stop_pct,
+            "punct_pct": punct_pct,
+            "quality": quality,
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def token_count_bpe(ds: ray.data.Dataset, text_col: str, group_col: str) -> ray.data.Dataset:
+    """Per-group total BPE-ish token counts (GPT-2-style pretokenizer
+    regex, counted vectorized with RE2 -- no per-row Python loop), using
+    the partial+final aggregate pattern."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[text_col].combine_chunks()
+        n_tok = pc.cast(pc.count_substring_regex(col, pattern=BPE_RE),
+                        pa.int64())
+        tt = pa.table({group_col: t[group_col].combine_chunks(),
+                       "n_tokens": n_tok,
+                       "n_docs": pa.array(np.ones(len(t), dtype=np.int64))})
+        g = tt.group_by(group_col).aggregate(
+            [("n_tokens", "sum"), ("n_docs", "sum")])
+        return pa.table({group_col: g[group_col],
+                         "n_tokens": g["n_tokens_sum"],
+                         "n_docs": g["n_docs_sum"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        group_col).aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                             Sum("n_docs", alias_name="n_docs"))

@@ -176,3 +176,129 @@ def test_audio_frame_sampler():
                       "payload": pa.array([raw], type=pa.binary())})
     out = sampler(batch).to_pylist()
     assert [r["frame_no"] for r in out] == [0, 2, 4, 6, 8]
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    from ci_log_processing_ray.ops.dedup import ngram_jaccard_pairs
+
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "the quick brown fox jumps over the lazy cat"},
+        {"doc_id": 3, "text": "completely different words entirely here now"},
+    ]
+    out = ngram_jaccard_pairs(
+        ray.data.from_items(rows), "text", "doc_id",
+        n=3, threshold_pct=50).to_pandas()
+    # docs 1/2: 9 words -> 7 trigrams each, 6 shared -> jacc 6/8 = 75%
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.left_id, r.right_id, r.inter, r.union_sz) == (1, 2, 6, 8)
+
+
+def test_quality_score(ray_session):
+    from ci_log_processing_ray.ops.textstats import quality_score
+
+    rows = [
+        {"doc_id": 1, "text": "the cat sat on the mat and it is a fine day"},
+        {"doc_id": 2, "text": "x!"},
+    ]
+    out = quality_score(ray.data.from_items(rows), "text", "doc_id"
+                        ).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_words"] == 12
+    assert out.loc[1, "quality"] == 1
+    assert out.loc[2, "n_words"] == 1
+    assert out.loc[2, "quality"] == 0
+    # "x!": 1 punct over 2 chars -> 50%
+    assert out.loc[2, "punct_pct"] == 50
+
+
+def test_token_count_bpe(ray_session):
+    from ci_log_processing_ray.ops.textstats import token_count_bpe
+
+    rows = [{"src": "a", "text": "it's here"}, {"src": "a", "text": "a b"}]
+    out = token_count_bpe(ray.data.from_items(rows), "text", "src").to_pandas()
+    # "it's here" -> [it][' s][ here] = 3 ; "a b" -> [a][ b] = 2
+    assert out.iloc[0].n_tokens == 5
+    assert out.iloc[0].n_docs == 2
+
+
+def test_asof_join_grouped(ray_session):
+    from ci_log_processing_ray.ops.relational import asof_join_grouped
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    left = ray.data.from_items([
+        {"k": 1, "eid": 10, "ts": at(5)},
+        {"k": 1, "eid": 11, "ts": at(20)},
+        {"k": 2, "eid": 20, "ts": at(1)},
+    ])
+    right = ray.data.from_items([
+        {"k": 1, "rts": at(0), "val": 100},
+        {"k": 1, "rts": at(10), "val": 200},
+        {"k": 2, "rts": at(3), "val": 300},  # after the only left event
+    ])
+    out = asof_join_grouped(
+        left, right, key="k", left_on="ts", right_on="rts",
+        left_cols=["eid"], right_cols=["val"]).to_pandas().set_index("eid")
+    assert out.loc[10, "val"] == 100
+    assert out.loc[11, "val"] == 200
+    assert pd.isna(out.loc[20, "val"])
+    assert out.loc[11, "rts_matched"] == at(10)
+
+
+def test_window_topk(ray_session):
+    from ci_log_processing_ray.ops.relational import window_topk
+
+    rows = [{"g": g, "v": v, "id": i}
+            for i, (g, v) in enumerate([(1, 5.0), (1, 9.0), (1, 9.0), (1, 1.0),
+                                        (2, 3.0)])]
+    out = window_topk(ray.data.from_items(rows), "g", "v", 2,
+                      descending=True, tiebreak_col="id").to_pandas()
+    g1 = out[out.g == 1].sort_values("id")
+    assert g1["id"].tolist() == [1, 2]  # both 9.0s, tie broken by id
+    assert len(out[out.g == 2]) == 1
+
+
+def test_knn_ivf_matches_bruteforce(ray_session):
+    from ci_log_processing_ray.ops.similarity import knn_ivf
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 64))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)]
+    ds = ray.data.from_items(rows)
+    q = vecs[:2]
+    exact = knn_bruteforce(ds, "embedding", "vec_id", q, [0, 1], k=5)
+    approx = knn_ivf(ds, "embedding", "vec_id", q, [0, 1], k=5,
+                     n_centroids=4, n_probe=4, sample_size=200)
+    # probing ALL lists makes IVF exact -> identical to brute force
+    pd.testing.assert_frame_equal(exact, approx)
+
+
+def test_video_frame_sampler():
+    from ci_log_processing_ray.ops.multimodal import (
+        VideoFrameSampler, encode_fake_video)
+
+    raw = encode_fake_video(7, n_frames=10, frame_bytes=64)
+    out = VideoFrameSampler(stride=3)(pa.table({
+        "media_id": pa.array([7], type=pa.int64()),
+        "payload": pa.array([raw], type=pa.binary())})).to_pylist()
+    assert [r["frame_no"] for r in out] == [0, 3, 6, 9]
+    assert len({r["frame_digest"] for r in out}) == 4
+
+
+def test_image_resizer():
+    from ci_log_processing_ray.ops.multimodal import ImageResizer
+
+    payload = encode_fake_image(3, 16, 12)
+    out = ImageResizer(8, 6)(pa.table({
+        "media_id": pa.array([3], type=pa.int64()),
+        "payload": pa.array([payload], type=pa.binary())})).to_pylist()[0]
+    assert (out["width"], out["height"]) == (8, 6)
+    import struct
+
+    w, h = struct.unpack_from("<ii", out["payload"], 0)
+    assert (w, h) == (8, 6)
+    assert len(out["payload"]) == 8 + 8 * 6
