@@ -30,6 +30,7 @@ from typing import Optional, Sequence
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data
 from ray.data.aggregate import Sum
@@ -66,7 +67,7 @@ def build_routed(
     cfg: PipelineConfig,
     file_config: tuple[FileConfigEntry, ...] = DEFAULT_FILE_CONFIG,
     *,
-    enrich_concurrency: int | tuple[int, int] = (1, 8),
+    enrich_concurrency: int | tuple[int, int] | None = None,
     track_partitions: bool = True,
 ) -> ray.data.Dataset:
     """Assemble the lazy routed Dataset (no execution happens here).
@@ -105,6 +106,64 @@ class RunResult:
     n_skipped: int
 
 
+_PARTIAL_SCHEMA = pa.schema([
+    ("_partition", pa.int32()),
+    ("sink", pa.string()),
+    ("severity", pa.string()),
+    ("doc_count", pa.int64()),
+    ("tok_sum", pa.int64()),
+])
+
+
+def make_fanout_writer(staging_dir: str):
+    """ONE-PASS per-sink writer + conformance-count combiner.
+
+    The Ray-Data shape of logsender's send_to_es (S12: per-index bulk
+    insert returning success counts, logsender.py:467-495): each task
+    writes its block's rows into one Parquet file per sink under
+    ``sink=<name>/`` (hive layout, temp-file + atomic os.replace,
+    DETERMINISTIC name derived from the partition id + block content --
+    task retries overwrite the same path, so sink counts stay exact),
+    and returns only the tiny per-(partition, sink, severity) count
+    partials as its output batch.  The downstream aggregate then runs
+    over bytes-sized partials instead of re-reading the written corpus:
+    the A2 conformance aggregate costs one streaming pass, total.
+    """
+
+    def write_and_count(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        pid_min = int(pc.min(t["_partition"]).as_py())
+        tag = hashlib.sha1(
+            f"{t['doc_id'][0].as_py()}|{len(t)}".encode()).hexdigest()[:8]
+        sink_enc = t["sink"].combine_chunks().dictionary_encode()
+        indices = sink_enc.indices
+        for i, sink_val in enumerate(sink_enc.dictionary.to_pylist()):
+            sub = t.filter(pc.equal(indices, i)).drop_columns("sink")
+            d = os.path.join(staging_dir, f"sink={sink_val}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"part-{pid_min:05d}-{tag}.parquet")
+            tmp = f"{path}.tmp-{os.getpid()}"
+            pq.write_table(sub, tmp)
+            os.replace(tmp, path)
+        g = pa.table({
+            "_partition": t["_partition"],
+            "sink": t["sink"],
+            "severity": t["severity"],
+            "n_tok": pc.cast(t["n_tok"].combine_chunks(), pa.int64()),
+        }).group_by(["_partition", "sink", "severity"]).aggregate(
+            [("n_tok", "count"), ("n_tok", "sum")])
+        return pa.table({
+            "_partition": g["_partition"],
+            "sink": g["sink"],
+            "severity": g["severity"],
+            "doc_count": pc.cast(g["n_tok_count"], pa.int64()),
+            "tok_sum": g["n_tok_sum"],
+        }, schema=_PARTIAL_SCHEMA)
+
+    return write_and_count
+
+
 def _batch_digest(paths: Sequence[str]) -> str:
     return hashlib.sha256("\n".join(sorted(paths)).encode()).hexdigest()[:16]
 
@@ -141,7 +200,7 @@ def run_pipeline(
     *,
     resume: bool = True,
     clock_now: float = 0.0,
-    enrich_concurrency: int | tuple[int, int] = (1, 8),
+    enrich_concurrency: int | tuple[int, int] | None = None,
 ) -> RunResult:
     """One pipeline tick: process pending partitions, commit manifests.
 
@@ -164,11 +223,18 @@ def run_pipeline(
     final_dir = os.path.join(out_dir, "routed", f"batch-{digest}")
     staging_dir = final_dir + ".staging"
     shutil.rmtree(staging_dir, ignore_errors=True)
-    routed.write_parquet(staging_dir, partition_cols=["sink"])
+    os.makedirs(staging_dir, exist_ok=True)
+    # single streaming pass: per-sink fan-out write + count partials out
+    counts_tbl = routed.map_batches(
+        make_fanout_writer(staging_dir), batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True).to_pandas()
     shutil.rmtree(final_dir, ignore_errors=True)
     os.rename(staging_dir, final_dir)
-
-    counts_tbl = aggregate_counts_from_dir(final_dir).to_pandas()
+    # collapse possible per-block splits of one partition so manifest
+    # checksums are independent of physical batching
+    counts_tbl = counts_tbl.groupby(
+        ["_partition", "sink", "severity"], as_index=False)[
+        ["doc_count", "tok_sum"]].sum()
 
     manifests: list[Manifest] = []
     for i, path in enumerate(pending):

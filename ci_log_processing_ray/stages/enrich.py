@@ -43,6 +43,9 @@ class EnrichStage:
         meta_ref,  # ray.ObjectRef of the build_meta pa.Table (broadcast)
         file_config: tuple[FileConfigEntry, ...],
     ):
+        from ..runtime import tune_worker_threads
+
+        tune_worker_threads()
         meta = ray.get(meta_ref) if isinstance(meta_ref, ray.ObjectRef) else meta_ref
         self.meta: pa.Table = meta.combine_chunks()
         uuids = self.meta["build_uuid"].to_pylist()
@@ -105,16 +108,57 @@ class EnrichStage:
         return batch
 
 
+# per-worker-process cache of built EnrichStage state, keyed by the
+# broadcast object ref: tasks get actor-like amortization (the dict and
+# file-config compile happen once per worker, not once per batch)
+# without paying actor-pool startup (fresh processes + imports) per run.
+_TASK_STATE: dict[str, EnrichStage] = {}
+
+
+def make_enrich_fn(meta_ref, file_config: tuple[FileConfigEntry, ...]):
+    def enrich(batch: pa.Table) -> pa.Table:
+        key = meta_ref.hex()
+        state = _TASK_STATE.get(key)
+        if state is None:
+            if len(_TASK_STATE) > 4:  # old broadcasts: let plasma GC them
+                _TASK_STATE.clear()
+            state = EnrichStage(meta_ref, file_config)
+            _TASK_STATE[key] = state
+        return state(batch)
+
+    return enrich
+
+
 def apply_enrich(
     ds: ray.data.Dataset,
     meta: pa.Table,
     file_config: tuple[FileConfigEntry, ...],
     *,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     num_cpus: float = 1.0,
     batch_size: int | None = None,
 ) -> ray.data.Dataset:
+    """Attach the enrich stage.
+
+    Default (``concurrency=None``): STATELESS TASKS over the broadcast
+    metadata ref with per-worker state caching -- fuses with read+parse
+    into one task operator at full cluster width and reuses Ray's warm
+    worker pool (an actor pool must cold-start its processes per run,
+    and upstream task stages fuse INTO it, capping read parallelism at
+    pool size).  Pass an int/tuple to force the actor-pool form -- the
+    right shape when per-worker init is heavy relative to the job (a
+    huge metadata dict, a model load) and you want gang-scheduled,
+    resource-isolated workers.
+    """
     meta_ref = ray.put(meta)
+    if concurrency is None:
+        return ds.map_batches(
+            make_enrich_fn(meta_ref, file_config),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            num_cpus=num_cpus,
+        )
     return ds.map_batches(
         EnrichStage,
         fn_constructor_args=(meta_ref, file_config),

@@ -297,6 +297,9 @@ def make_parse_fn(cfg: PipelineConfig, fill: bool | None = None):
     do_fill = cfg.fill_mode == "batch" if fill is None else fill
 
     def parse(batch: pa.Table) -> pa.Table:
+        from ..runtime import tune_worker_threads
+
+        tune_worker_threads()
         lines = tokens_to_text(batch["tokens"])
         src = batch["source"].combine_chunks()
         pieces = []
@@ -371,12 +374,15 @@ def _grouped_fill_fn(cfg: PipelineConfig):
 
 def apply_parse(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
     """Attach the parse stage to a token-sequence Dataset."""
+    from ..runtime import heavy_task_cpus
+
     if cfg.fill_mode == "batch":
         # batch_size=None => whole blocks; required by the contiguity
-        # assumption of the in-batch carry-forward.
+        # assumption of the in-batch carry-forward.  num_cpus caps the
+        # concurrency of this bandwidth-bound stage at the measured knee.
         return ds.map_batches(
             make_parse_fn(cfg), batch_format="pyarrow", batch_size=None,
-            zero_copy_batch=True)
+            zero_copy_batch=True, num_cpus=heavy_task_cpus())
     if cfg.fill_mode != "grouped":
         raise ValueError(cfg.fill_mode)
     parsed = ds.map_batches(
