@@ -43,7 +43,8 @@ from ..stages.route import apply_route
 from ..state.manifest import Manifest, ManifestStore, partition_id, pending_inputs
 
 
-def _attach_partition_ids(ds: ray.data.Dataset, paths: Sequence[str]) -> ray.data.Dataset:
+def _attach_partition_ids(ds: ray.data.Dataset, paths: Sequence[str],
+                          num_cpus: float = 1.0) -> ray.data.Dataset:
     """Replace the per-row 'path' string with a compact int32 partition id."""
     lut = {p: i for i, p in enumerate(paths)}
 
@@ -58,7 +59,7 @@ def _attach_partition_ids(ds: ray.data.Dataset, paths: Sequence[str]) -> ray.dat
         return batch.append_column("_partition", pid)
 
     return ds.map_batches(to_pid, batch_format="pyarrow", batch_size=None,
-                          zero_copy_batch=True)
+                          zero_copy_batch=True, num_cpus=num_cpus)
 
 
 def build_routed(
@@ -78,22 +79,37 @@ def build_routed(
     batch-local carry-forward.  At corpus scale the file count (not
     intra-file splitting) supplies the read parallelism.
     """
+    from ..runtime import heavy_task_cpus
+
+    # ONE num_cpus for every stage so the whole chain FUSES into a
+    # single task operator: read -> parse -> enrich -> route -> (write)
+    # streams block-by-block with no inter-operator object-store hop.
+    hcpu = heavy_task_cpus()
+    paths = list(input_paths)
+    # exactly one read task per parquet file: Ray then never splits a
+    # file into arbitrary row ranges, which is the layout contract of
+    # the batch-local carry-forward (a finer override_num_blocks makes
+    # Ray split blocks MID-FILE at row granularity).  Skew is handled
+    # at the LAYOUT level instead: the corpus writer spreads a hot
+    # build's files across shards, so no single file dominates.
     ds = ray.data.read_parquet(
-        list(input_paths),
+        paths,
         include_paths=track_partitions,
-        override_num_blocks=len(list(input_paths)),
+        override_num_blocks=len(paths),
     )
     if track_partitions:
-        ds = _attach_partition_ids(ds, list(input_paths))
-    ds = apply_parse(ds, cfg)
-    ds = apply_enrich(ds, meta, file_config, concurrency=enrich_concurrency)
-    ds = apply_route(ds, cfg)
+        ds = _attach_partition_ids(ds, list(input_paths), num_cpus=hcpu)
+    ds = apply_parse(ds, cfg, num_cpus=hcpu)
+    ds = apply_enrich(ds, meta, file_config, concurrency=enrich_concurrency,
+                      num_cpus=hcpu)
+    ds = apply_route(ds, cfg, num_cpus=hcpu)
     # duplicate the sink as a data column: "sink" becomes the hive
     # partition key at write time (stripped from the files), "sink_name"
     # stays in the data for cheap read-back aggregation.
     ds = ds.map_batches(
         lambda t: t.append_column("sink_name", t["sink"]),
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        num_cpus=hcpu)
     return ds
 
 
@@ -225,9 +241,12 @@ def run_pipeline(
     shutil.rmtree(staging_dir, ignore_errors=True)
     os.makedirs(staging_dir, exist_ok=True)
     # single streaming pass: per-sink fan-out write + count partials out
+    from ..runtime import heavy_task_cpus
+
     counts_tbl = routed.map_batches(
         make_fanout_writer(staging_dir), batch_format="pyarrow",
-        batch_size=None, zero_copy_batch=True).to_pandas()
+        batch_size=None, zero_copy_batch=True,
+        num_cpus=heavy_task_cpus()).to_pandas()
     shutil.rmtree(final_dir, ignore_errors=True)
     os.rename(staging_dir, final_dir)
     # collapse possible per-block splits of one partition so manifest

@@ -280,8 +280,6 @@ def generate_corpus(out_dir: str, spec: CorpusSpec = CorpusSpec()) -> dict:
     # would otherwise skew one shard == one read task)
     try:
         for b in range(spec.n_builds):
-            widx = shard_rows.index(min(shard_rows))
-            writer = writers[widx]
             uuid = "".join(rng.choice(list("0123456789abcdef"), size=32))
             uuids.append(uuid)
             aborted = rng.random() < 0.08
@@ -291,7 +289,10 @@ def generate_corpus(out_dir: str, spec: CorpusSpec = CorpusSpec()) -> dict:
             lines: list[str] = []
             sources: list[str] = []
 
+            file_breaks: list[int] = []  # start row of each log file
+
             def emit(fname: str, source: str, file_lines: list[str]):
+                file_breaks.append(len(doc_ids))
                 for i, line in enumerate(file_lines):
                     doc_ids.append(f"{uuid}/{fname}/{i:06d}")
                     lines.append(line)
@@ -333,9 +334,21 @@ def generate_corpus(out_dir: str, spec: CorpusSpec = CorpusSpec()) -> dict:
                 "n_tok": pc.list_value_length(tokens),
                 "source": pa.array(sources, type=pa.string()),
             }, schema=TOKEN_SCHEMA)
-            # one row group per build: log files stay block-contiguous
-            writer.write_table(table, row_group_size=max(1, len(table)))
-            shard_rows[widx] += len(table)
+            # FILE-aligned ~16k-row chunks, each routed to the currently
+            # least-loaded shard: files stay whole (the carry-forward
+            # layout contract) while a hot build's many files SPREAD
+            # across shards -- no shard becomes a straggler read task.
+            breaks = file_breaks + [len(table)]
+            start = 0
+            for bi in range(1, len(breaks)):
+                if breaks[bi] - start >= 16384 or bi == len(breaks) - 1:
+                    chunk = table.slice(start, breaks[bi] - start)
+                    if len(chunk):
+                        widx = shard_rows.index(min(shard_rows))
+                        writers[widx].write_table(
+                            chunk, row_group_size=max(1, len(chunk)))
+                        shard_rows[widx] += len(chunk)
+                    start = breaks[bi]
             n_rows += len(table)
     finally:
         for w in writers:

@@ -372,17 +372,20 @@ def _grouped_fill_fn(cfg: PipelineConfig):
     return fill_group
 
 
-def apply_parse(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
+def apply_parse(ds: ray.data.Dataset, cfg: PipelineConfig,
+                num_cpus: float | None = None) -> ray.data.Dataset:
     """Attach the parse stage to a token-sequence Dataset."""
     from ..runtime import heavy_task_cpus
 
+    if num_cpus is None:
+        num_cpus = heavy_task_cpus()
     if cfg.fill_mode == "batch":
         # batch_size=None => whole blocks; required by the contiguity
         # assumption of the in-batch carry-forward.  num_cpus caps the
         # concurrency of this bandwidth-bound stage at the measured knee.
         return ds.map_batches(
             make_parse_fn(cfg), batch_format="pyarrow", batch_size=None,
-            zero_copy_batch=True, num_cpus=heavy_task_cpus())
+            zero_copy_batch=True, num_cpus=num_cpus)
     if cfg.fill_mode != "grouped":
         raise ValueError(cfg.fill_mode)
     parsed = ds.map_batches(
