@@ -131,3 +131,38 @@ def test_run_pipeline_and_resume(ray_session, corpus_dir, tmp_path, expected):
     res3 = run_pipeline([info["paths"]["token_sequences"]],
                         info["paths"]["build_meta"], out, CFG, clock_now=102.0)
     assert res3.n_pending == 1
+
+
+def test_follow_mode_ticks(ray_session, corpus_dir, tmp_path):
+    """--follow loop: tick 1 processes what exists; tick 2 sees one new
+    input and processes ONLY it; a drain tick does nothing."""
+    import shutil
+
+    from ci_log_processing_ray.pipelines.follow import run_follow
+
+    _, info = corpus_dir
+    src = info["paths"]["token_sequences"]
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    shutil.copy(src, in_dir / "a.parquet")
+
+    sleeps = []
+
+    def list_inputs():
+        return sorted(str(p) for p in in_dir.glob("*.parquet"))
+
+    out = str(tmp_path / "out")
+    r1 = run_follow(list_inputs, info["paths"]["build_meta"], out, CFG,
+                    ticks=1, clock0=0.0)
+    assert r1[0].n_pending == 1
+
+    shutil.copy(src, in_dir / "b.parquet")  # same content, new partition
+    r2 = run_follow(list_inputs, info["paths"]["build_meta"], out, CFG,
+                    ticks=2, wait_seconds=60.0, sleep_fn=sleeps.append,
+                    clock0=100.0, stop_when_idle=True)
+    assert r2[0].n_pending == 1 and r2[0].n_skipped == 1
+    # second tick: drained (stop_when_idle ends the loop)
+    assert r2[1].n_pending == 0
+    assert sleeps == [60.0]
+    # identical content -> identical per-sink counts in both manifests
+    assert r1[0].manifests[0].per_sink_counts == r2[0].manifests[0].per_sink_counts
