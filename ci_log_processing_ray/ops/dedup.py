@@ -274,7 +274,11 @@ def ngram_jaccard_pairs(
     threshold applied as ``100*inter >= threshold_pct*union`` (integer
     math -- value-hash safe vs a SQL oracle).
     """
-    from ray.data.aggregate import Count, Min
+
+    n_buckets = 64  # coarse hash partitions: the ONE shuffle is over 64
+    # groups, not one group per distinct gram (per-group dispatch would
+    # dominate); within a bucket, pair generation is one vectorized
+    # self-merge.
 
     def explode(t: pa.Table) -> pa.Table:
         ids_out, hashes, counts = [], [], []
@@ -287,10 +291,13 @@ def ngram_jaccard_pairs(
             counts.append(np.full(len(h), len(h), dtype=np.int64))
         if not ids_out:
             return pa.table({"gram": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32()),
                              "doc": pa.array([], pa.int64()),
                              "n_grams": pa.array([], pa.int64())})
+        gram = np.concatenate(hashes)
         return pa.table({
-            "gram": pa.array(np.concatenate(hashes)),
+            "gram": pa.array(gram),
+            "bucket": pa.array((gram % n_buckets).astype(np.int32)),
             "doc": pa.array(np.concatenate(ids_out)),
             "n_grams": pa.array(np.concatenate(counts)),
         })
@@ -298,38 +305,52 @@ def ngram_jaccard_pairs(
     exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=4096)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or (max_df is not None and len(g) > max_df):
+        df = g.groupby("gram", sort=False)["doc"].transform("size")
+        keep = df >= 2
+        if max_df is not None:
+            keep &= df <= max_df
+        sub = g[keep][["gram", "doc", "n_grams"]]
+        if len(sub) == 0:
             return pd.DataFrame({"left": pd.Series([], dtype=np.int64),
                                  "right": pd.Series([], dtype=np.int64),
                                  "na": pd.Series([], dtype=np.int64),
-                                 "nb": pd.Series([], dtype=np.int64)})
-        g = g.sort_values("doc")
-        docs = g["doc"].to_numpy()
-        sizes = g["n_grams"].to_numpy()
-        ii, jj = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"left": docs[ii], "right": docs[jj],
-                             "na": sizes[ii], "nb": sizes[jj]})
+                                 "nb": pd.Series([], dtype=np.int64),
+                                 "pair_bucket": pd.Series([], dtype=np.int32)})
+        m = sub.merge(sub, on="gram", suffixes=("_a", "_b"))
+        m = m[m["doc_a"] < m["doc_b"]]
+        left = m["doc_a"].to_numpy()
+        return pd.DataFrame({"left": left,
+                             "right": m["doc_b"].to_numpy(),
+                             "na": m["n_grams_a"].to_numpy(),
+                             "nb": m["n_grams_b"].to_numpy(),
+                             "pair_bucket": (left % n_buckets).astype(np.int32)})
 
-    pairs = exploded.groupby("gram").map_groups(
+    pairs = exploded.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas")
 
-    counted = pairs.groupby(["left", "right"]).aggregate(
-        Count(alias_name="inter"),
-        Min("na", alias_name="na"), Min("nb", alias_name="nb"))
+    # second (and last) shuffle: co-locate each pair's co-occurrence
+    # rows by a coarse hash of the left id, then count locally --
+    # count(*) IS the intersection size.  (Coarse-bucket map_groups
+    # rides the fast sort-exchange with bounded group count;
+    # Dataset.groupby(...).aggregate() showed ~20s degenerate
+    # single-task sub-stages on the same data, and per-distinct-key
+    # map_groups pays per-group dispatch.)
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["left", "right"], as_index=False).agg(
+            inter=("na", "size"), na=("na", "min"), nb=("nb", "min"))
+        inter = agg["inter"].to_numpy(dtype=np.int64)
+        union = agg["na"].to_numpy(dtype=np.int64) + \
+            agg["nb"].to_numpy(dtype=np.int64) - inter
+        keep = 100 * inter >= threshold_pct * union
+        return pd.DataFrame({
+            "left_id": agg["left"].to_numpy()[keep],
+            "right_id": agg["right"].to_numpy()[keep],
+            "inter": inter[keep],
+            "union_sz": union[keep],
+        })
 
-    def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        inter = pc.cast(t["inter"].combine_chunks(), pa.int64())
-        union = pc.subtract(pc.add(t["na"], t["nb"]), inter)
-        keep = pc.greater_equal(pc.multiply(inter, pa.scalar(100, pa.int64())),
-                                pc.multiply(union, pa.scalar(threshold_pct,
-                                                             pa.int64())))
-        out = pa.table({"left_id": t["left"], "right_id": t["right"],
-                        "inter": inter, "union_sz": union})
-        return out.filter(keep)
-
-    return counted.map_batches(finish, batch_format="pyarrow", batch_size=None)
+    return pairs.groupby("pair_bucket").map_groups(
+        combine, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
