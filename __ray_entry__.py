@@ -700,6 +700,118 @@ def q_union_counts(sf_dir: str):
         Count(alias_name="n"))
 
 
+def q_profit_by_nation(sf_dir: str):
+    """Star-schema broadcast-join chain (TPC-H Q9 shape): three small
+    dims (part filter, supplier->nation, nation->name) broadcast once;
+    ONE pass over the fact table, zero shuffle before the tiny final
+    groupby."""
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    econ = set(part.filter(pc.equal(part["p_type"], "ECONOMY"))
+               ["p_partkey"].to_pylist())
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+    supp_nation = {s: n_name[k] for s, k in
+                   zip(supp["s_suppkey"].to_pylist(),
+                       supp["s_nationkey"].to_pylist())}
+    state_ref = ray.put((econ, supp_nation))
+
+    class Star:
+        def __init__(self, state_ref):
+            self.econ, self.supp_nation = ray.get(state_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = pa.array([p in self.econ
+                             for p in t["l_partkey"].to_pylist()])
+            t = t.filter(keep)
+            names = pa.array([self.supp_nation[s]
+                              for s in t["l_suppkey"].to_pylist()],
+                             type=pa.string())
+            disc = pc.multiply(
+                t["l_extendedprice"].combine_chunks(),
+                pc.subtract(1.0, t["l_discount"].combine_chunks()))
+            tt = pa.table({"n_name": names,
+                           "n_items": pa.array(np.ones(len(t), dtype=np.int64)),
+                           "revenue_cents": _cents(disc)})
+            g = tt.group_by("n_name").aggregate(
+                [("n_items", "sum"), ("revenue_cents", "sum")])
+            return pa.table({"n_name": g["n_name"],
+                             "n_items": g["n_items_sum"],
+                             "revenue_cents": g["revenue_cents_sum"]})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    return li.map_batches(Star, fn_constructor_args=(state_ref,),
+                          batch_format="pyarrow",
+                          concurrency=(1, 4)).groupby("n_name").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue_cents", alias_name="revenue_cents"))
+
+
+def q_region_rollup(sf_dir: str):
+    """Dimension rollup through two broadcast hops (customer -> nation
+    -> region), TPC-H Q5 shape without the fact-side shuffle."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    r_name = dict(zip(region["r_regionkey"].to_pylist(),
+                      region["r_name"].to_pylist()))
+    nat_region = {n: r_name[r] for n, r in
+                  zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_regionkey"].to_pylist())}
+    lut_ref = ray.put(nat_region)
+
+    class Roll:
+        def __init__(self, lut_ref):
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = pa.array([self.lut[n]
+                              for n in t["c_nationkey"].to_pylist()],
+                             type=pa.string())
+            tt = pa.table({
+                "r_name": names,
+                "n_customers": pa.array(np.ones(len(t), dtype=np.int64)),
+                "acctbal_cents": _cents(t["c_acctbal"]),
+            })
+            g = tt.group_by("r_name").aggregate(
+                [("n_customers", "sum"), ("acctbal_cents", "sum")])
+            return pa.table({"r_name": g["r_name"],
+                             "n_customers": g["n_customers_sum"],
+                             "acctbal_cents": g["acctbal_cents_sum"]})
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    return cust.map_batches(Roll, fn_constructor_args=(lut_ref,),
+                            batch_format="pyarrow",
+                            concurrency=(1, 4)).groupby("r_name").aggregate(
+        Sum("n_customers", alias_name="n_customers"),
+        Sum("acctbal_cents", alias_name="acctbal_cents"))
+
+
+def q_sample_hash(sf_dir: str):
+    """Deterministic content-hash sampling (the reproducible-subset
+    primitive of a training-data pipeline): keep docs whose
+    md5(doc_id) starts with 0 or 1 (a 12.5% expected sample), count
+    per source.  Identical hash on both engines -> exact oracle."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pa.array([
+            _hl.md5(str(d).encode()).hexdigest()[0] in ("0", "1")
+            for d in t["doc_id"].to_pylist()])
+        t = t.filter(keep)
+        g = t.group_by("source").aggregate([("doc_id", "count")])
+        return pa.table({"source": g["source"], "n": g["doc_id_count"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "source").aggregate(Sum("n", alias_name="n"))
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF-bucketed approximate top-10 (rows-only: approximate op)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -799,6 +911,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_topk": q_window_topk,
         "tumbling_window": q_tumbling_window,
         "union_counts": q_union_counts,
+        "profit_by_nation": q_profit_by_nation,
+        "region_rollup": q_region_rollup,
+        "sample_hash": q_sample_hash,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
@@ -1015,6 +1130,26 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL
                   SELECT event_type FROM events WHERE value > 150)
             GROUP BY event_type""",
+        "profit_by_nation": """
+            SELECT n_name, count(*) AS n_items,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem, supplier, nation, part
+            WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND l_partkey = p_partkey AND p_type = 'ECONOMY'
+            GROUP BY n_name""",
+        "region_rollup": """
+            SELECT r_name, count(*) AS n_customers,
+                   CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS acctbal_cents
+            FROM customer, nation, region
+            WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "sample_hash": """
+            SELECT source, count(*) AS n FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+            GROUP BY source""",
         "knn_bruteforce": """
             SELECT q.query_id, e.vec_id
             FROM embeddings e CROSS JOIN
