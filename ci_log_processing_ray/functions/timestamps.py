@@ -26,15 +26,38 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# (anchored RE2 capture, strptime format, has_explicit_year)
-# The pairs are the parse spec of logsender.py:332-346.
-PATTERNS: list[tuple[str, str, bool]] = [
-    (r"^(?P<g>\S+)", "%Y-%m-%dT%H:%M:%S.%fZ", True),
-    (r"^(?P<g>\S+ \S+)", "%Y-%m-%d %H:%M:%S.%f", True),
-    (r"^(?P<g>\S+ [0-9]{2}\s[0-9:.]{14})", "%b %d %H:%M:%S.%f", False),
-    (r"^(?P<g>\S+ \S+ \S+)", "%b %d %H:%M:%S", False),
-    (r"^(?P<g>[0-9-T:]{19})", "%Y-%m-%dT%H:%M:%S", True),
-    (r"^(?P<g>\S+ [0-9]{2} \S+ [0-9: ]{14})", "%A %d %B %Y %H:%M:%S", False),
+# CPython-TimeRE-equivalent component regexes: pandas' strptime is
+# LENIENT where CPython's is not (e.g. '%f' accepts an EMPTY fraction
+# after the dot), so each capture is validated with the exact grammar
+# datetime.strptime would accept before pandas parses it.  Seconds cap
+# at 59 because datetime.strptime (unlike time.strptime) rejects 60/61.
+_Y = r"\d{4}"
+_MO = r"(?:1[0-2]|0[1-9]|[1-9])"
+_D = r"(?:3[01]|[12]\d|0[1-9]|[1-9])"
+_H = r"(?:2[0-3]|[01]\d|\d)"
+_MS = r"(?:[0-5]\d|\d)"
+_F = r"[0-9]{1,6}"
+_B3 = r"(?i:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)"
+_BFULL = (r"(?i:january|february|march|april|may|june|july|august|"
+          r"september|october|november|december)")
+_AFULL = (r"(?i:monday|tuesday|wednesday|thursday|friday|saturday|sunday)")
+
+# (anchored RE2 capture, strptime format, has_explicit_year, validator)
+# The pairs are the parse spec of logsender.py:332-346; validators run
+# AFTER whitespace-run collapse, so single spaces stand for \s+.
+PATTERNS: list[tuple[str, str, bool, str]] = [
+    (r"^(?P<g>\S+)", "%Y-%m-%dT%H:%M:%S.%fZ", True,
+     rf"^{_Y}-{_MO}-{_D}T{_H}:{_MS}:{_MS}\.{_F}Z$"),
+    (r"^(?P<g>\S+ \S+)", "%Y-%m-%d %H:%M:%S.%f", True,
+     rf"^{_Y}-{_MO}-{_D} {_H}:{_MS}:{_MS}\.{_F}$"),
+    (r"^(?P<g>\S+ [0-9]{2}\s[0-9:.]{14})", "%b %d %H:%M:%S.%f", False,
+     rf"^{_B3} {_D} {_H}:{_MS}:{_MS}\.{_F}$"),
+    (r"^(?P<g>\S+ \S+ \S+)", "%b %d %H:%M:%S", False,
+     rf"^{_B3} {_D} {_H}:{_MS}:{_MS}$"),
+    (r"^(?P<g>[0-9-T:]{19})", "%Y-%m-%dT%H:%M:%S", True,
+     rf"^{_Y}-{_MO}-{_D}T{_H}:{_MS}:{_MS}$"),
+    (r"^(?P<g>\S+ [0-9]{2} \S+ [0-9: ]{14})", "%A %d %B %Y %H:%M:%S", False,
+     rf"^{_AFULL} {_D} {_BFULL} {_Y} {_H}:{_MS}:{_MS}$"),
 ]
 
 
@@ -74,7 +97,7 @@ def extract_timestamps(lines: pa.Array | pa.ChunkedArray, today_year: int) -> pa
     out = np.full(n, np.datetime64("NaT"), dtype="datetime64[ns]")
     pending_idx = np.arange(n)
     cur = lines
-    for regex, fmt, has_year in PATTERNS:
+    for regex, fmt, has_year, validator in PATTERNS:
         if len(pending_idx) == 0:
             break
         hit = pc.extract_regex(cur, pattern=regex)  # RE2, vectorized
@@ -82,6 +105,11 @@ def extract_timestamps(lines: pa.Array | pa.ChunkedArray, today_year: int) -> pa
         # CPython strptime compiles format whitespace to \s+; collapse
         # runs so e.g. the double-space ansible lines still parse.
         cap = pc.replace_substring_regex(cap, pattern=r"\s+", replacement=" ")
+        # null out captures CPython's strptime grammar would reject
+        # (pandas is more lenient -- empty %f fractions etc.)
+        valid = pc.match_substring_regex(cap, pattern=validator)
+        cap = pc.if_else(pc.fill_null(valid, False), cap,
+                         pa.nulls(len(cap), pa.string()))
         cap_pd = cap.to_pandas().astype(object)
         parsed = pd.to_datetime(cap_pd, format=fmt, errors="coerce", exact=True)
         if not has_year:
