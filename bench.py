@@ -30,11 +30,16 @@ BENCH_QUERIES = [
     "route_daily_counts",
     "pricing_summary",
     "join_large",
+    "multiway_join",
+    "asof_join",
     "token_counts",
+    "quality_score",
     "dedup_text",
+    "ngram_jaccard",
     "sessionize",
     "knn_bruteforce",
     "hot_key_salted",
+    "sample_hash",
 ]
 
 

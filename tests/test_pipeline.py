@@ -166,3 +166,44 @@ def test_follow_mode_ticks(ray_session, corpus_dir, tmp_path):
     assert sleeps == [60.0]
     # identical content -> identical per-sink counts in both manifests
     assert r1[0].manifests[0].per_sink_counts == r2[0].manifests[0].per_sink_counts
+
+
+def test_fanout_writer_idempotent(ray_session, corpus_dir, tmp_path):
+    """Task-retry semantics: running the SAME block through the fan-out
+    writer twice must produce the same files (overwritten, not
+    duplicated) and identical count partials -- exactly-once counts."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ci_log_processing_ray.pipelines.flagship import make_fanout_writer
+    from ci_log_processing_ray.sources.readers import load_build_meta
+    from ci_log_processing_ray.pipelines.flagship import build_routed
+
+    _, info = corpus_dir
+    meta = load_build_meta(info["paths"]["build_meta"])
+    routed = build_routed([info["paths"]["token_sequences"]], meta, CFG)
+    block = pa.concat_tables(
+        list(routed.iter_batches(batch_format="pyarrow")))
+
+    staging = str(tmp_path / "stage")
+    os.makedirs(staging)
+    writer = make_fanout_writer(staging)
+    p1 = writer(block)
+
+    def listing():
+        out = {}
+        for root, _, files in os.walk(staging):
+            for f in files:
+                path = os.path.join(root, f)
+                out[os.path.relpath(path, staging)] = pq.read_metadata(
+                    path).num_rows
+        return out
+
+    l1 = listing()
+    p2 = writer(block)  # the "retry"
+    l2 = listing()
+    assert l1 == l2, "retry must overwrite, not duplicate"
+    assert p1.equals(p2)
+    assert sum(l1.values()) == int(
+        pa.compute.sum(p1["doc_count"]).as_py())
