@@ -812,6 +812,32 @@ def q_sample_hash(sf_dir: str):
         "source").aggregate(Sum("n", alias_name="n"))
 
 
+def q_range_join(sf_dir: str):
+    """Range join (custom operator): per event, how many orders of the
+    same user fall within the 30 days up to the event time -- one
+    co-partitioning shuffle, searchsorted kernel per group."""
+    from ci_log_processing_ray.ops.relational import range_join_count
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({"user_id": t["o_custkey"],
+                            "o_orderdate": t["o_orderdate"]}),
+        batch_format="pyarrow")
+    return range_join_count(
+        ev, orders, key="user_id", left_on="ts", right_on="o_orderdate",
+        left_id="event_id", window=np.timedelta64(30, "D"))
+
+
+def q_rolling_window(sf_dir: str):
+    """SQL RANGE-frame rolling count per user (1-hour window, peers with
+    equal timestamps included -- searchsorted, not pandas rolling)."""
+    from ci_log_processing_ray.ops.window import rolling_count_by_group
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return rolling_count_by_group(ds, "user_id", "ts", "event_id",
+                                  np.timedelta64(1, "h"))
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF-bucketed approximate top-10 (rows-only: approximate op)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -914,6 +940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profit_by_nation": q_profit_by_nation,
         "region_rollup": q_region_rollup,
         "sample_hash": q_sample_hash,
+        "range_join": q_range_join,
+        "rolling_window": q_rolling_window,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
@@ -1150,6 +1178,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n FROM documents
             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
             GROUP BY source""",
+        "range_join": """
+            SELECT e.event_id,
+                   CAST(count(o.o_orderkey) AS BIGINT) AS n_in_window
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND o.o_orderdate BETWEEN e.ts - INTERVAL '30 days' AND e.ts
+            GROUP BY e.event_id""",
+        "rolling_window": """
+            SELECT event_id,
+                   CAST(count(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS n_in_window
+            FROM events""",
         "knn_bruteforce": """
             SELECT q.query_id, e.vec_id
             FROM embeddings e CROSS JOIN

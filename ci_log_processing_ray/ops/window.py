@@ -59,3 +59,31 @@ def sessionize(
         return g
 
     return ds.groupby(key_col).map_groups(assign, batch_format="pandas")
+
+
+def rolling_count_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+    window,
+) -> "ray.data.Dataset":
+    """SQL RANGE-frame rolling count: for each row, the number of rows
+    of the same group with ts in [row.ts - window, row.ts] (peers with
+    EQUAL timestamps all count, exactly like ``RANGE BETWEEN <window>
+    PRECEDING AND CURRENT ROW``).  One groupby shuffle; per-group
+    kernel is two vectorized searchsorted passes -- deliberately NOT
+    pandas ``rolling`` whose ROW-based tie handling diverges from SQL.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g[ts_col].to_numpy())
+        cur = g[ts_col].to_numpy()
+        hi = np.searchsorted(ts, cur, side="right")
+        lo = np.searchsorted(ts, cur - window, side="left")
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "n_in_window": (hi - lo).astype(np.int64)})
+
+    return ds.groupby(group_col).map_groups(roll, batch_format="pandas")

@@ -302,3 +302,51 @@ def test_image_resizer():
     w, h = struct.unpack_from("<ii", out["payload"], 0)
     assert (w, h) == (8, 6)
     assert len(out["payload"]) == 8 + 8 * 6
+
+
+def test_range_join_count(ray_session):
+    from ci_log_processing_ray.ops.relational import range_join_count
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    left = ray.data.from_items([
+        {"k": 1, "eid": 1, "ts": at(10)},
+        {"k": 1, "eid": 2, "ts": at(30)},
+        {"k": 2, "eid": 3, "ts": at(10)},
+    ])
+    right = ray.data.from_items([
+        {"k": 1, "rts": at(0)},
+        {"k": 1, "rts": at(10)},   # boundary: ts - window <= rts <= ts
+        {"k": 1, "rts": at(25)},
+        {"k": 2, "rts": at(50)},   # after the only left event
+    ])
+    out = range_join_count(
+        left, right, key="k", left_on="ts", right_on="rts", left_id="eid",
+        window=np.timedelta64(15, "m")).to_pandas().set_index("eid")
+    assert out.loc[1, "n_in_window"] == 2  # at(0) and at(10)
+    assert out.loc[2, "n_in_window"] == 1  # at(25); at(15) window start
+    assert out.loc[3, "n_in_window"] == 0
+
+
+def test_rolling_count_range_frame_ties(ray_session):
+    """Peers with EQUAL timestamps must all count (SQL RANGE frame),
+    which pandas.rolling would get wrong."""
+    from ci_log_processing_ray.ops.window import rolling_count_by_group
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        {"g": 1, "id": 1, "ts": t0},
+        {"g": 1, "id": 2, "ts": t0},  # tie with id 1
+        {"g": 1, "id": 3, "ts": t0 + datetime.timedelta(minutes=30)},
+        {"g": 1, "id": 4, "ts": t0 + datetime.timedelta(minutes=90)},
+    ]
+    out = rolling_count_by_group(
+        ray.data.from_items(rows), "g", "ts", "id",
+        np.timedelta64(1, "h")).to_pandas().set_index("id")
+    assert out.loc[1, "n_in_window"] == 2  # both ties count for BOTH rows
+    assert out.loc[2, "n_in_window"] == 2
+    assert out.loc[3, "n_in_window"] == 3
+    assert out.loc[4, "n_in_window"] == 2  # ties at t0 fell out
