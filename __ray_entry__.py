@@ -485,6 +485,10 @@ def q_simhash(sf_dir: str):
 
 
 def q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup clusters.  EXPECTED EMPTY on the
+    synthetic embeddings table (measured max pairwise cosine ~0.51 --
+    there are genuinely no near-duplicates to find); positive-path
+    correctness is covered by tests/test_ops.py with planted dups."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return embedding_dedup(ds, "embedding", "vec_id", cosine_threshold=0.92)
 

@@ -37,8 +37,11 @@ def heavy_task_cpus(knee: int = 20) -> float:
     cluster the same request simply reserves proportional headroom per
     node.  Returns 1.0 on small clusters (no cap needed).
     """
+    import os
+
     import ray
 
+    knee = int(os.environ.get("GRAFT_HEAVY_KNEE", knee))
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 0))
     except Exception:
