@@ -73,9 +73,12 @@ class PipelineConfig:
     # i.e. the layout contract was violated.  Escape hatch: fill_mode="grouped".
     strict_layout: bool = True
 
-    # Salt buckets for the per-(sink, severity) count aggregate; defuses hot
-    # CI-job skew (SURVEY.md section 4 "Skew").
-    agg_salt_buckets: int = 16
+    # Skew note: the count aggregate needs no explicit salt -- the
+    # per-block combiner (stages/aggregate.py, flagship fan-out writer)
+    # collapses every block to O(#sinks x #severities) partial rows
+    # before the exchange, so a hot sink ships the same few bytes as a
+    # cold one.  Fill-mode "grouped" shuffles by coarse hash buckets of
+    # the file key for the same reason.
 
     def index_name(self) -> str:
         return self.index_prefix + self.run_date.strftime("%Y.%m.%d")

@@ -339,37 +339,37 @@ def make_parse_fn(cfg: PipelineConfig, fill: bool | None = None):
 
 
 def _grouped_fill_fn(cfg: PipelineConfig):
-    """Exact carry-forward per file via groupby(file-key).map_groups.
+    """Exact carry-forward via COARSE-BUCKET map_groups.
 
     Used by fill_mode="grouped": correct for ANY physical layout at the
-    cost of shuffling the parsed rows by (build_uuid, filename).
+    cost of one shuffle.  Groups are hash buckets of the file key (not
+    one Ray group per file -- per-distinct-key map_groups pays per-group
+    dispatch that dominates at millions of files); within a bucket the
+    per-file scan state is computed VECTORIZED with pandas groupby over
+    the sorted (file_key, line_no) frame.
     """
 
-    def fill_group(tbl: pa.Table) -> pa.Table:
-        tbl = tbl.sort_by("line_no")
-        is_log = tbl["source"][0].as_py() in LOGLINE_SOURCES
-        if not is_log:
-            return tbl.drop_columns("_banner")
-        ts = pd.Series(tbl["ts"].to_pandas().values)
-        has = ts.notna().to_numpy()
-        banner = tbl["_banner"].to_numpy(zero_copy_only=False)
-        if len(tbl):
-            prior_has = np.concatenate(([False], np.maximum.accumulate(has)[:-1]))
-        else:
-            prior_has = np.zeros(0, dtype=bool)
-        drop_banner = banner & ~prior_has
-        filled = ts.ffill().fillna(pd.Timestamp(cfg.fallback_now))
-        tbl = tbl.set_column(
-            tbl.schema.get_field_index("ts"), "ts",
-            pa.Array.from_pandas(filled, type=pa.timestamp("us")))
-        tbl = tbl.take(pa.array(np.nonzero(~drop_banner)[0]))
-        nonempty = pc.not_equal(tbl["message"].combine_chunks(), "")
-        tbl = tbl.filter(nonempty)
-        if cfg.drop_debug_severity:
-            tbl = tbl.filter(pc.not_equal(tbl["severity"].combine_chunks(), "DEBUG"))
-        return tbl.drop_columns("_banner")
+    def fill_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_file_key", "line_no"], kind="mergesort")
+        is_log = df["source"].isin(LOGLINE_SOURCES).to_numpy()
+        log, other = df[is_log], df[~is_log]
+        if len(log):
+            seg = log["_file_key"]
+            has = log["ts"].notna()
+            prior_has = (has.groupby(seg, sort=False).cummax()
+                         .groupby(seg, sort=False)
+                         .shift(1, fill_value=False).to_numpy())
+            drop_banner = log["_banner"].to_numpy() & ~prior_has
+            filled = (log["ts"].groupby(seg, sort=False).ffill()
+                      .fillna(pd.Timestamp(cfg.fallback_now)))
+            log = log.assign(ts=filled)[~drop_banner]
+            log = log[log["message"] != ""]
+            if cfg.drop_debug_severity:
+                log = log[log["severity"] != "DEBUG"]
+        out = pd.concat([log, other]) if len(other) else log
+        return out.drop(columns=["_banner"])
 
-    return fill_group
+    return fill_bucket
 
 
 def apply_parse(ds: ray.data.Dataset, cfg: PipelineConfig,
@@ -391,12 +391,23 @@ def apply_parse(ds: ray.data.Dataset, cfg: PipelineConfig,
     parsed = ds.map_batches(
         make_parse_fn(cfg, fill=False), batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True)
-    parsed = parsed.add_column(
-        "_file_key",
-        lambda t: pc.binary_join_element_wise(
-            t["build_uuid"].combine_chunks(), t["filename"].combine_chunks(), "/"),
-        batch_format="pyarrow")
+    n_buckets = 64
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        fkey = pc.binary_join_element_wise(
+            t["build_uuid"].combine_chunks(),
+            t["filename"].combine_chunks(), "/")
+        bucket = pd.util.hash_array(
+            np.asarray(fkey.to_pylist(), dtype=object)) % n_buckets
+        t = t.append_column("_file_key", fkey)
+        return t.append_column(
+            "_fill_bucket", pa.array(bucket.astype(np.int32)))
+
+    parsed = parsed.map_batches(add_keys, batch_format="pyarrow",
+                                batch_size=None)
     fill = _grouped_fill_fn(cfg)
-    out = parsed.groupby("_file_key").map_groups(
-        lambda t: fill(t.drop_columns("_file_key")), batch_format="pyarrow")
-    return out
+    out = parsed.groupby("_fill_bucket").map_groups(
+        lambda df: fill(df.drop(columns=["_fill_bucket"])),
+        batch_format="pandas")
+    return out.map_batches(lambda t: t.drop_columns("_file_key"),
+                           batch_format="pyarrow", batch_size=None)
