@@ -207,3 +207,30 @@ def test_fanout_writer_idempotent(ray_session, corpus_dir, tmp_path):
     assert p1.equals(p2)
     assert sum(l1.values()) == int(
         pa.compute.sum(p1["doc_count"]).as_py())
+
+
+def test_cli_end_to_end(corpus_dir, tmp_path):
+    """The console entry point runs the full batch and resumes (the
+    reference's logsender CLI surface), in its own Ray session."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    _, info = corpus_dir
+    out = str(tmp_path / "cli_out")
+    cmd = [sys.executable, "-m", "ci_log_processing_ray",
+           "--inputs", info["paths"]["token_sequences"],
+           "--build-meta", info["paths"]["build_meta"],
+           "--out", out, "--skip-debug", "--num-cpus", "2"]
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    d1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert d1["n_pending"] == 1 and sum(
+        c["doc_count"] for c in d1["counts"]) > 0
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=300)
+    d2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert d2["n_pending"] == 0 and d2["n_skipped"] == 1
