@@ -338,38 +338,186 @@ def make_parse_fn(cfg: PipelineConfig, fill: bool | None = None):
     return parse
 
 
-def _grouped_fill_fn(cfg: PipelineConfig):
-    """Exact carry-forward via COARSE-BUCKET map_groups.
+_FILL_BUCKETS = 64
+_HELPER_COLS = ("_banner", "_kind", "_fid", "_fill_bucket")
 
-    Used by fill_mode="grouped": correct for ANY physical layout at the
-    cost of one shuffle.  Groups are hash buckets of the file key (not
-    one Ray group per file -- per-distinct-key map_groups pays per-group
-    dispatch that dominates at millions of files); within a bucket the
-    per-file scan state is computed VECTORIZED with pandas groupby over
-    the sorted (file_key, line_no) frame.
+
+def _sparse_split_fn(cfg: PipelineConfig):
+    """Stage A of the exact any-layout fill (fill_mode="grouped").
+
+    Resolves IN PLACE every row at-or-after its file's first in-block
+    timestamp (the overwhelming majority in any sane layout) and tags
+    the rest for a shuffle that moves only:
+
+      * the unresolved leading run of each (block x file) segment
+        (kind=1), and
+      * ONE summary row per segment -- (file, first_line, last_ts) --
+        so the reduce can reconstruct the cross-block scan state
+        (kind=2).
+
+    Banner lines can never carry their own timestamp (every timestamp
+    pattern is ^-anchored and "-- Logs begin at " matches none), so a
+    banner is resolved iff an earlier in-block line of its file had a
+    timestamp -- in which case it is always kept, exactly like the
+    reference scan.
     """
+    fallback = pd.Timestamp(cfg.fallback_now)
 
-    def fill_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["_file_key", "line_no"], kind="mergesort")
-        is_log = df["source"].isin(LOGLINE_SOURCES).to_numpy()
-        log, other = df[is_log], df[~is_log]
-        if len(log):
-            seg = log["_file_key"]
-            has = log["ts"].notna()
-            prior_has = (has.groupby(seg, sort=False).cummax()
-                         .groupby(seg, sort=False)
-                         .shift(1, fill_value=False).to_numpy())
-            drop_banner = log["_banner"].to_numpy() & ~prior_has
-            filled = (log["ts"].groupby(seg, sort=False).ffill()
-                      .fillna(pd.Timestamp(cfg.fallback_now)))
-            log = log.assign(ts=filled)[~drop_banner]
-            log = log[log["message"] != ""]
+    def split(t: pa.Table) -> pa.Table:
+        n = len(t)
+        base_cols = [c for c in t.column_names if c != "_banner"]
+        if n == 0:
+            sch = pa.schema(
+                [(c, t.schema.field(c).type) for c in base_cols]
+                + [("_banner", pa.bool_()), ("_kind", pa.int8()),
+                   ("_fid", pa.string()), ("_fill_bucket", pa.int32())])
+            return sch.empty_table()
+        build = t["build_uuid"].combine_chunks()
+        fname = t["filename"].combine_chunks()
+        fid = pc.binary_join_element_wise(build, fname, "/")
+        fid_np = np.asarray(fid)
+        seg = _segment_ids(fid_np)
+        src_np = np.asarray(t["source"].combine_chunks())
+        is_log = np.isin(src_np, np.asarray(LOGLINE_SOURCES, dtype=object))
+        ts_arr = t["ts"].combine_chunks()
+        has = pc.is_valid(ts_arr).to_numpy(zero_copy_only=False) & is_log
+        seg_ser = pd.Series(seg)
+        anchored = pd.Series(has).groupby(seg_ser).cummax().to_numpy()
+        ts_ser = pd.Series(ts_arr.to_pandas().values).where(pd.Series(has))
+        filled = ts_ser.groupby(seg_ser).ffill()
+        resolved_log = is_log & anchored
+        pending = is_log & ~anchored
+
+        ts_final = pd.Series(ts_arr.to_pandas().values)
+        ts_final[resolved_log] = filled[resolved_log]
+
+        msg = t["message"].combine_chunks()
+        empty_msg = pc.fill_null(pc.equal(msg, ""), False).to_numpy(
+            zero_copy_only=False)
+        keep_resolved = ~pending & ~(is_log & empty_msg)
+        if cfg.drop_debug_severity:
+            dbg = pc.fill_null(
+                pc.equal(t["severity"].combine_chunks(), "DEBUG"),
+                False).to_numpy(zero_copy_only=False)
+            keep_resolved &= ~(is_log & dbg)
+
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         pa.Array.from_pandas(ts_final,
+                                              type=pa.timestamp("us")))
+
+        def bucket_of(fids: np.ndarray) -> np.ndarray:
+            return (pd.util.hash_array(fids.astype(object))
+                    % _FILL_BUCKETS).astype(np.int32)
+
+        pieces = []
+        res_idx = np.nonzero(keep_resolved)[0]
+        if len(res_idx):
+            rt = t.take(pa.array(res_idx))
+            rt = rt.append_column("_kind", pa.array(
+                np.zeros(len(res_idx), np.int8)))
+            rt = rt.append_column("_fid", pa.nulls(len(res_idx), pa.string()))
+            rt = rt.append_column("_fill_bucket", pa.array(
+                np.zeros(len(res_idx), np.int32)))
+            pieces.append(rt)
+        pend_idx = np.nonzero(pending)[0]
+        if len(pend_idx):
+            pt = t.take(pa.array(pend_idx))
+            pt = pt.append_column("_kind", pa.array(
+                np.ones(len(pend_idx), np.int8)))
+            pt = pt.append_column("_fid", pa.array(fid_np[pend_idx],
+                                                   type=pa.string()))
+            pt = pt.append_column("_fill_bucket", pa.array(
+                bucket_of(fid_np[pend_idx])))
+            pieces.append(pt)
+        # one summary per LOG segment: (fid, first line, last known ts)
+        seg_starts = np.nonzero(np.concatenate(
+            ([True], seg[1:] != seg[:-1])))[0]
+        seg_ends = np.concatenate((seg_starts[1:] - 1, [n - 1]))
+        log_segs = is_log[seg_starts]
+        if log_segs.any():
+            starts = seg_starts[log_segs]
+            ends = seg_ends[log_segs]
+            line_no = t["line_no"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            sum_fid = fid_np[starts]
+            last_ts = filled.to_numpy()[ends]  # NaT if segment had no ts
+            sch = pieces[0].schema if pieces else None
+            cols = {}
+            m = len(starts)
+            for name in t.column_names:
+                if name == "build_uuid":
+                    cols[name] = pa.array([None] * m, pa.string())
+                elif name == "line_no":
+                    cols[name] = pa.array(line_no[starts].astype(np.int32))
+                elif name == "ts":
+                    cols[name] = pa.Array.from_pandas(
+                        pd.Series(last_ts), type=pa.timestamp("us"))
+                else:
+                    cols[name] = pa.nulls(m, t.schema.field(name).type)
+            st = pa.table(cols, schema=t.schema)
+            st = st.append_column("_kind", pa.array(np.full(m, 2, np.int8)))
+            st = st.append_column("_fid", pa.array(sum_fid, type=pa.string()))
+            st = st.append_column("_fill_bucket", pa.array(bucket_of(sum_fid)))
+            pieces.append(st)
+        return pa.concat_tables(pieces)
+
+    return split
+
+
+def _sparse_reduce_fn(cfg: PipelineConfig, out_schema: pa.Schema):
+    """Stage B: per-bucket reconstruction of the cross-block scan state.
+
+    For each pending row, the anchor timestamp is the last known ts of
+    any EARLIER segment of its file (summaries sorted by first line),
+    prior-has likewise -- exactly the reference scan's
+    last_known_timestamp at the row's position.  Output is built with
+    the explicit Arrow schema so it unions bit-exactly with the
+    in-block-resolved stream (tokens survive as list<int32>).
+    """
+    fallback = np.datetime64(pd.Timestamp(cfg.fallback_now))
+
+    def reduce(df: pd.DataFrame) -> pa.Table:
+        pend = df[df["_kind"] == 1]
+        summ = df[df["_kind"] == 2]
+        if len(pend) == 0:
+            return out_schema.empty_table()
+        sgroups = {k: g for k, g in summ.groupby("_fid", sort=False)}
+        kept = []
+        for fid, p in pend.groupby("_fid", sort=False):
+            s = sgroups.get(fid)
+            s = s.sort_values("line_no", kind="mergesort")
+            firsts = s["line_no"].to_numpy()
+            last_ts = s["ts"]
+            has = last_ts.notna().to_numpy()
+            carry = last_ts.ffill().shift(1).to_numpy()
+            prior_has = np.concatenate(([False], np.cumsum(has)[:-1] > 0))
+            idx = np.searchsorted(firsts, p["line_no"].to_numpy(),
+                                  side="right") - 1
+            anchor = carry[idx]
+            ph = prior_has[idx]
+            banner = p["_banner"].to_numpy(dtype=bool)
+            keep = ~(banner & ~ph)
+            ts_new = np.where(pd.isna(anchor), fallback,
+                              anchor.astype("datetime64[us]"))
+            p = p[keep].assign(ts=ts_new[keep])
+            p = p[p["message"].fillna("") != ""]
             if cfg.drop_debug_severity:
-                log = log[log["severity"] != "DEBUG"]
-        out = pd.concat([log, other]) if len(other) else log
-        return out.drop(columns=["_banner"])
+                p = p[p["severity"].fillna("") != "DEBUG"]
+            if len(p):
+                kept.append(p)
+        if not kept:
+            return out_schema.empty_table()
+        allp = pd.concat(kept)
+        cols = {}
+        for field in out_schema:
+            ser = allp[field.name]
+            if pa.types.is_list(field.type):
+                cols[field.name] = pa.array(list(ser), type=field.type)
+            else:
+                cols[field.name] = pa.Array.from_pandas(ser, type=field.type)
+        return pa.table(cols, schema=out_schema)
 
-    return fill_bucket
+    return reduce
 
 
 def apply_parse(ds: ray.data.Dataset, cfg: PipelineConfig,
@@ -388,26 +536,34 @@ def apply_parse(ds: ray.data.Dataset, cfg: PipelineConfig,
             zero_copy_batch=True, num_cpus=num_cpus)
     if cfg.fill_mode != "grouped":
         raise ValueError(cfg.fill_mode)
+    # exact any-layout fill with a SPARSE shuffle: resolve in-block,
+    # exchange only unresolved leading runs + one summary row per
+    # (block x file) segment.  The materialize() is the branch point --
+    # the parsed data is produced once and read by both streams.
     parsed = ds.map_batches(
-        make_parse_fn(cfg, fill=False), batch_format="pyarrow", batch_size=None,
-        zero_copy_batch=True)
-    n_buckets = 64
+        make_parse_fn(cfg, fill=False), batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True, num_cpus=num_cpus)
+    splitd = parsed.map_batches(
+        _sparse_split_fn(cfg), batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True, num_cpus=num_cpus).materialize()
+    out_schema = splitd.schema().base_schema
+    keep_names = [n for n in out_schema.names if n not in _HELPER_COLS]
+    out_schema = pa.schema([(n, out_schema.field(n).type)
+                            for n in keep_names])
 
-    def add_keys(t: pa.Table) -> pa.Table:
-        fkey = pc.binary_join_element_wise(
-            t["build_uuid"].combine_chunks(),
-            t["filename"].combine_chunks(), "/")
-        bucket = pd.util.hash_array(
-            np.asarray(fkey.to_pylist(), dtype=object)) % n_buckets
-        t = t.append_column("_file_key", fkey)
-        return t.append_column(
-            "_fill_bucket", pa.array(bucket.astype(np.int32)))
+    def take_resolved(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["_kind"].combine_chunks(), pa.scalar(0, pa.int8()))
+        return t.filter(mask).select(keep_names)
 
-    parsed = parsed.map_batches(add_keys, batch_format="pyarrow",
-                                batch_size=None)
-    fill = _grouped_fill_fn(cfg)
-    out = parsed.groupby("_fill_bucket").map_groups(
-        lambda df: fill(df.drop(columns=["_fill_bucket"])),
-        batch_format="pandas")
-    return out.map_batches(lambda t: t.drop_columns("_file_key"),
-                           batch_format="pyarrow", batch_size=None)
+    def take_pending(t: pa.Table) -> pa.Table:
+        mask = pc.not_equal(t["_kind"].combine_chunks(),
+                            pa.scalar(0, pa.int8()))
+        return t.filter(mask)
+
+    resolved = splitd.map_batches(take_resolved, batch_format="pyarrow",
+                                  batch_size=None)
+    filled = splitd.map_batches(
+        take_pending, batch_format="pyarrow", batch_size=None,
+    ).groupby("_fill_bucket").map_groups(
+        _sparse_reduce_fn(cfg, out_schema), batch_format="pandas")
+    return resolved.union(filled)

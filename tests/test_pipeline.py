@@ -77,6 +77,11 @@ def test_batch_fill_equals_grouped_fill(ray_session, corpus_dir):
                        r["message"]) for r in rows)
 
     assert key(batch_rows) == key(grouped_rows)
+    # token arrays survive the grouped path (incl. the pandas hop of
+    # the sparse reduce) byte-identically
+    btok = {r["doc_id"]: list(r["tokens"]) for r in batch_rows}
+    for r in grouped_rows:
+        assert list(r["tokens"]) == btok[r["doc_id"]], r["doc_id"]
 
 
 def test_enrichment_fields(ray_session, corpus_dir):
