@@ -345,48 +345,70 @@ _HELPER_COLS = ("_banner", "_kind", "_fid", "_fill_bucket")
 def _sparse_split_fn(cfg: PipelineConfig):
     """Stage A of the exact any-layout fill (fill_mode="grouped").
 
-    Resolves IN PLACE every row at-or-after its file's first in-block
-    timestamp (the overwhelming majority in any sane layout) and tags
-    the rest for a shuffle that moves only:
+    The block is sorted by (file, line_no) and divided into RUNS of
+    line-CONSECUTIVE rows per file.  Within a run the reference scan
+    state is fully determined, so:
 
-      * the unresolved leading run of each (block x file) segment
-        (kind=1), and
-      * ONE summary row per segment -- (file, first_line, last_ts) --
-        so the reduce can reconstruct the cross-block scan state
-        (kind=2).
+      * rows with their own timestamp are always resolved;
+      * timestamp-less rows (and banners) with an earlier timestamp in
+        the SAME run are resolved in place;
+      * everything else (kind=1) plus ONE summary row per run --
+        (file, first_line, last_known_ts) -- (kind=2) goes to the
+        sparse shuffle.
 
-    Banner lines can never carry their own timestamp (every timestamp
-    pattern is ^-anchored and "-- Logs begin at " matches none), so a
-    banner is resolved iff an earlier in-block line of its file had a
-    timestamp -- in which case it is always kept, exactly like the
+    Any line-number gap is treated conservatively as "state unknown"
+    (the missing lines may live in another block and carry timestamps);
+    gaps caused by skip_debug-dropped lines therefore ship a few extra
+    pending rows but never a wrong timestamp.  Banner lines can never
+    carry their own timestamp (every pattern is ^-anchored and
+    "-- Logs begin at " matches none), so a resolved banner always has
+    a prior in-run timestamp and is always kept -- exactly the
     reference scan.
     """
-    fallback = pd.Timestamp(cfg.fallback_now)
 
     def split(t: pa.Table) -> pa.Table:
         n = len(t)
-        base_cols = [c for c in t.column_names if c != "_banner"]
+        base_cols = list(t.column_names)
         if n == 0:
             sch = pa.schema(
                 [(c, t.schema.field(c).type) for c in base_cols]
-                + [("_banner", pa.bool_()), ("_kind", pa.int8()),
-                   ("_fid", pa.string()), ("_fill_bucket", pa.int32())])
+                + [("_kind", pa.int8()), ("_fid", pa.string()),
+                   ("_fill_bucket", pa.int32())])
             return sch.empty_table()
         build = t["build_uuid"].combine_chunks()
         fname = t["filename"].combine_chunks()
-        fid = pc.binary_join_element_wise(build, fname, "/")
-        fid_np = np.asarray(fid)
+        fid_col = pc.binary_join_element_wise(build, fname, "/")
+        t = t.append_column("_fid", fid_col)
+        order = pc.sort_indices(
+            t, sort_keys=[("_fid", "ascending"), ("line_no", "ascending")])
+        t = t.take(order)
+
+        fid_np = np.asarray(t["_fid"].combine_chunks())
+        line_no = t["line_no"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
         seg = _segment_ids(fid_np)
+        consec = np.empty(n, dtype=bool)
+        consec[0] = True
+        consec[1:] = (seg[1:] == seg[:-1]) & (np.diff(line_no) == 1)
+        run = np.cumsum(~consec) - 0  # new run wherever not consecutive
+        run_ser = pd.Series(run)
+
         src_np = np.asarray(t["source"].combine_chunks())
         is_log = np.isin(src_np, np.asarray(LOGLINE_SOURCES, dtype=object))
         ts_arr = t["ts"].combine_chunks()
         has = pc.is_valid(ts_arr).to_numpy(zero_copy_only=False) & is_log
-        seg_ser = pd.Series(seg)
-        anchored = pd.Series(has).groupby(seg_ser).cummax().to_numpy()
-        ts_ser = pd.Series(ts_arr.to_pandas().values).where(pd.Series(has))
-        filled = ts_ser.groupby(seg_ser).ffill()
-        resolved_log = is_log & anchored
-        pending = is_log & ~anchored
+        banner = t["_banner"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+
+        has_ser = pd.Series(has)
+        prior_or_self = has_ser.groupby(run_ser).cummax().to_numpy()
+        ts_ser = pd.Series(ts_arr.to_pandas().values).where(has_ser)
+        filled = ts_ser.groupby(run_ser).ffill()
+
+        # no-ts rows (banners included) resolve iff an earlier in-run
+        # row had a timestamp; has-rows always resolve with their own
+        resolved_log = is_log & prior_or_self
+        pending = is_log & ~prior_or_self
 
         ts_final = pd.Series(ts_arr.to_pandas().values)
         ts_final[resolved_log] = filled[resolved_log]
@@ -415,7 +437,6 @@ def _sparse_split_fn(cfg: PipelineConfig):
             rt = t.take(pa.array(res_idx))
             rt = rt.append_column("_kind", pa.array(
                 np.zeros(len(res_idx), np.int8)))
-            rt = rt.append_column("_fid", pa.nulls(len(res_idx), pa.string()))
             rt = rt.append_column("_fill_bucket", pa.array(
                 np.zeros(len(res_idx), np.int32)))
             pieces.append(rt)
@@ -424,39 +445,34 @@ def _sparse_split_fn(cfg: PipelineConfig):
             pt = t.take(pa.array(pend_idx))
             pt = pt.append_column("_kind", pa.array(
                 np.ones(len(pend_idx), np.int8)))
-            pt = pt.append_column("_fid", pa.array(fid_np[pend_idx],
-                                                   type=pa.string()))
             pt = pt.append_column("_fill_bucket", pa.array(
                 bucket_of(fid_np[pend_idx])))
             pieces.append(pt)
-        # one summary per LOG segment: (fid, first line, last known ts)
-        seg_starts = np.nonzero(np.concatenate(
-            ([True], seg[1:] != seg[:-1])))[0]
-        seg_ends = np.concatenate((seg_starts[1:] - 1, [n - 1]))
-        log_segs = is_log[seg_starts]
-        if log_segs.any():
-            starts = seg_starts[log_segs]
-            ends = seg_ends[log_segs]
-            line_no = t["line_no"].combine_chunks().to_numpy(
-                zero_copy_only=False)
+        # one summary per LOG run: (fid, first line, last known ts)
+        run_starts = np.nonzero(np.concatenate(
+            ([True], run[1:] != run[:-1])))[0]
+        run_ends = np.concatenate((run_starts[1:] - 1, [n - 1]))
+        log_runs = is_log[run_starts]
+        if log_runs.any():
+            starts = run_starts[log_runs]
+            ends = run_ends[log_runs]
             sum_fid = fid_np[starts]
-            last_ts = filled.to_numpy()[ends]  # NaT if segment had no ts
-            sch = pieces[0].schema if pieces else None
-            cols = {}
+            last_ts = filled.to_numpy()[ends]  # NaT if run had no ts
             m = len(starts)
+            cols = {}
             for name in t.column_names:
-                if name == "build_uuid":
-                    cols[name] = pa.array([None] * m, pa.string())
-                elif name == "line_no":
-                    cols[name] = pa.array(line_no[starts].astype(np.int32))
+                if name == "line_no":
+                    cols[name] = pa.array(
+                        line_no[starts].astype(np.int32), pa.int32())
                 elif name == "ts":
                     cols[name] = pa.Array.from_pandas(
                         pd.Series(last_ts), type=pa.timestamp("us"))
+                elif name == "_fid":
+                    cols[name] = pa.array(sum_fid, type=pa.string())
                 else:
                     cols[name] = pa.nulls(m, t.schema.field(name).type)
             st = pa.table(cols, schema=t.schema)
             st = st.append_column("_kind", pa.array(np.full(m, 2, np.int8)))
-            st = st.append_column("_fid", pa.array(sum_fid, type=pa.string()))
             st = st.append_column("_fill_bucket", pa.array(bucket_of(sum_fid)))
             pieces.append(st)
         return pa.concat_tables(pieces)

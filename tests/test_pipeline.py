@@ -239,3 +239,38 @@ def test_cli_end_to_end(corpus_dir, tmp_path):
                         timeout=300)
     d2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert d2["n_pending"] == 0 and d2["n_skipped"] == 1
+
+
+def test_grouped_fill_exact_on_scrambled_layout(ray_session, corpus_dir,
+                                                tmp_path, expected):
+    """The whole point of fill_mode='grouped': with rows RANDOMLY
+    PERMUTED across shards (files split mid-run, order destroyed), the
+    sparse fill must still reproduce the reference scan exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ci_log_processing_ray.sources.readers import load_build_meta
+
+    table, want = expected
+    rng = np.random.default_rng(31)
+    perm = rng.permutation(len(table))
+    scrambled = table.take(pa.array(perm))
+    shard_paths = []
+    for i in range(4):
+        sl = scrambled.slice(i * len(table) // 4,
+                             (i + 1) * len(table) // 4 - i * len(table) // 4)
+        p = str(tmp_path / f"scram-{i}.parquet")
+        pq.write_table(sl, p)
+        shard_paths.append(p)
+
+    _, info = corpus_dir
+    meta = load_build_meta(info["paths"]["build_meta"])
+    cfg = PipelineConfig(skip_debug=True, fill_mode="grouped")
+    from ci_log_processing_ray.pipelines.flagship import build_routed
+
+    got = build_routed(shard_paths, meta, cfg, track_partitions=False).take_all()
+    got_key = sorted((r["doc_id"], r["sink"], r["ts"], r["severity"],
+                      r["message"]) for r in got)
+    want_key = sorted((r["doc_id"], r["sink"], r["ts"], r["severity"],
+                       r["message"]) for r in want)
+    assert got_key == want_key
