@@ -842,6 +842,51 @@ def q_rolling_window(sf_dir: str):
                                   np.timedelta64(1, "h"))
 
 
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling: the 5 docs per source with the
+    smallest md5(doc_id) -- a reproducible per-stratum subset (window
+    top-k over a content hash; same hash both engines -> exact)."""
+    import hashlib as _hl
+
+    from ci_log_processing_ray.ops.relational import window_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = [_hl.md5(str(d).encode()).hexdigest()
+             for d in t["doc_id"].to_pylist()]
+        return t.append_column("h", pa.array(h, type=pa.string()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    top = window_topk(hashed, "source", "h", 5, descending=False,
+                      tiebreak_col="doc_id")
+    return top.map_batches(lambda t: t.select(["source", "doc_id"]),
+                           batch_format="pyarrow")
+
+
+def q_pivot_counts(sf_dir: str):
+    """Pivot-style conditional aggregate: per user, one column per event
+    type (count(*) FILTER shape) -- a single pass with a vectorized
+    comparison per output column, partial+final."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks()
+        cols = {"user_id": t["user_id"].combine_chunks()}
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(et, ty), pa.int64())
+        tt = pa.table(cols)
+        g = tt.group_by("user_id").aggregate(
+            [(f"n_{ty}", "sum") for ty in types])
+        return pa.table({"user_id": g["user_id"],
+                         **{f"n_{ty}": g[f"n_{ty}_sum"] for ty in types}})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "user_id").aggregate(
+            *[Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in types])
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF-bucketed approximate top-10 (rows-only: approximate op)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -946,6 +991,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": q_sample_hash,
         "range_join": q_range_join,
         "rolling_window": q_rolling_window,
+        "stratified_sample": q_stratified_sample,
+        "pivot_counts": q_pivot_counts,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
@@ -1196,6 +1243,24 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL '1 hour' PRECEDING
                        AND CURRENT ROW) AS BIGINT) AS n_in_window
             FROM events""",
+        "stratified_sample": """
+            SELECT source, doc_id FROM documents
+            QUALIFY row_number() OVER
+                (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5""",
+        "pivot_counts": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                       AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                       AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                       AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                       AS n_view
+            FROM events GROUP BY user_id""",
         "knn_bruteforce": """
             SELECT q.query_id, e.vec_id
             FROM embeddings e CROSS JOIN
