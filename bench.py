@@ -64,8 +64,10 @@ def _corpus(sf: float):
         # and tasks outnumber CPUs for load balance -- the realistic
         # shape of a 100 TB corpus (millions of files), not 32 monoliths
         n_shards=128,
+        workers=8,  # parallel deterministic generation (content is a
+        # pure function of (seed, build index))
     )
-    corpus_dir = (f"/tmp/ci_log_bench_corpus_v3_b{spec.n_builds}"
+    corpus_dir = (f"/tmp/ci_log_bench_corpus_v4_b{spec.n_builds}"
                   f"_l{spec.lines_per_file}_s{spec.seed}"
                   f"_h{spec.hot_build_factor}_n{spec.n_shards}")
     marker = os.path.join(corpus_dir, ".done")

@@ -71,6 +71,7 @@ class CorpusSpec:
     seed: int = 42
     base_date: str = "2022-03"        # month anchor for in-line timestamps
     n_shards: int = 1                 # parquet files (builds round-robin)
+    workers: int = 1                  # parallel generator processes
 
 
 def _phrase(rng) -> str:
@@ -253,115 +254,6 @@ TOKEN_SCHEMA = pa.schema([
 ])
 
 
-def generate_corpus(out_dir: str, spec: CorpusSpec = CorpusSpec()) -> dict:
-    """Write token_sequences.parquet + build_meta.parquet under out_dir.
-
-    Returns {"n_rows": int, "builds": [uuid...], "paths": {...}}.
-    """
-    os.makedirs(out_dir, exist_ok=True)
-    rng = np.random.default_rng(spec.seed)
-    meta_path = os.path.join(out_dir, "build_meta.parquet")
-    if spec.n_shards > 1:
-        seq_dir = os.path.join(out_dir, "token_sequences")
-        os.makedirs(seq_dir, exist_ok=True)
-        shard_paths = [
-            os.path.join(seq_dir, f"part-{i:05d}.parquet")
-            for i in range(spec.n_shards)
-        ]
-    else:
-        shard_paths = [os.path.join(out_dir, "token_sequences.parquet")]
-    seq_path = shard_paths[0] if spec.n_shards == 1 else os.path.dirname(shard_paths[0])
-
-    metas: list[dict] = []
-    uuids: list[str] = []
-    n_rows = 0
-    writers = [pq.ParquetWriter(p, TOKEN_SCHEMA) for p in shard_paths]
-    shard_rows = [0] * len(writers)  # size-balanced assignment (hot builds
-    # would otherwise skew one shard == one read task)
-    try:
-        for b in range(spec.n_builds):
-            uuid = "".join(rng.choice(list("0123456789abcdef"), size=32))
-            uuids.append(uuid)
-            aborted = rng.random() < 0.08
-            metas.append(_make_build_meta(rng, uuid, aborted))
-
-            doc_ids: list[str] = []
-            lines: list[str] = []
-            sources: list[str] = []
-
-            file_breaks: list[int] = []  # start row of each log file
-
-            def emit(fname: str, source: str, file_lines: list[str]):
-                file_breaks.append(len(doc_ids))
-                for i, line in enumerate(file_lines):
-                    doc_ids.append(f"{uuid}/{fname}/{i:06d}")
-                    lines.append(line)
-                    sources.append(source)
-
-            if aborted:
-                # custom-result path (logscraper.py:568-575): single file with
-                # "end_time | result"
-                emit("custom-job-results.txt", "console",
-                     ["2022-03-25T17:40:37 | ABORTED"])
-            else:
-                factor = spec.hot_build_factor if b == 0 else 1
-                nfiles = int(rng.integers(4, len(BUILD_FILES) + 1))
-                chosen = list(rng.choice(len(BUILD_FILES), size=nfiles, replace=False))
-                # always include a console log so every build has log lines
-                if 0 not in chosen:
-                    chosen.insert(0, 0)
-                for fi in sorted(chosen):
-                    fname, source = BUILD_FILES[fi]
-                    nl = max(3, int(rng.normal(spec.lines_per_file, spec.lines_per_file / 4)))
-                    nl *= factor
-                    if source == "performance":
-                        emit(fname, source, [_make_perf_json(rng, f"host-{uuid[:8]}")])
-                    elif source == "subunit":
-                        emit(fname, source, _make_subunit_rows(rng, max(2, nl // 10)))
-                    else:
-                        file_lines = [_make_logline(rng, source, i) for i in range(nl)]
-                        if source == "syslog" and rng.random() < 0.7:
-                            file_lines.insert(0, "-- Logs begin at Fri 2022-03-25 17:40:37 UTC.")
-                        # leading timestamp-less lines (utcnow-fallback path)
-                        if rng.random() < 0.3:
-                            file_lines.insert(0, "no timestamp on this leading line")
-                        emit(fname, source, file_lines)
-
-            tokens = _encode_tokens(lines)
-            table = pa.table({
-                "doc_id": pa.array(doc_ids, type=pa.string()),
-                "tokens": tokens,
-                "n_tok": pc.list_value_length(tokens),
-                "source": pa.array(sources, type=pa.string()),
-            }, schema=TOKEN_SCHEMA)
-            # FILE-aligned ~16k-row chunks, each routed to the currently
-            # least-loaded shard: files stay whole (the carry-forward
-            # layout contract) while a hot build's many files SPREAD
-            # across shards -- no shard becomes a straggler read task.
-            breaks = file_breaks + [len(table)]
-            start = 0
-            for bi in range(1, len(breaks)):
-                if breaks[bi] - start >= 16384 or bi == len(breaks) - 1:
-                    chunk = table.slice(start, breaks[bi] - start)
-                    if len(chunk):
-                        widx = shard_rows.index(min(shard_rows))
-                        writers[widx].write_table(
-                            chunk, row_group_size=max(1, len(chunk)))
-                        shard_rows[widx] += len(chunk)
-                    start = breaks[bi]
-            n_rows += len(table)
-    finally:
-        for w in writers:
-            w.close()
-
-    meta_table = pa.Table.from_pylist([_meta_to_row(m) for m in metas],
-                                      schema=BUILD_META_SCHEMA)
-    pq.write_table(meta_table, meta_path)
-    return {"n_rows": n_rows, "builds": uuids,
-            "paths": {"token_sequences": seq_path, "build_meta": meta_path,
-                      "shards": shard_paths}}
-
-
 BUILD_META_SCHEMA = pa.schema([
     ("build_uuid", pa.string()),
     ("build_node", pa.string()),
@@ -384,6 +276,147 @@ BUILD_META_SCHEMA = pa.schema([
     ("zuul_executor", pa.string()),
     ("change_url", pa.string()),
 ])
+
+
+def _generate_one_build(args) -> tuple[dict, "pa.Table"]:
+    """Content of build ``b`` -- deterministic from (seed, b) alone, so
+    builds can be generated in parallel in any order."""
+    spec, b = args
+    rng = np.random.default_rng((spec.seed, b))
+    uuid = "".join(rng.choice(list("0123456789abcdef"), size=32))
+    aborted = rng.random() < 0.08
+    meta = _make_build_meta(rng, uuid, aborted)
+
+    doc_ids: list[str] = []
+    lines: list[str] = []
+    sources: list[str] = []
+    file_breaks: list[int] = []  # start row of each log file
+
+    def emit(fname: str, source: str, file_lines: list[str]):
+        file_breaks.append(len(doc_ids))
+        for i, line in enumerate(file_lines):
+            doc_ids.append(f"{uuid}/{fname}/{i:06d}")
+            lines.append(line)
+            sources.append(source)
+
+    if aborted:
+        # custom-result path (logscraper.py:568-575): single file with
+        # "end_time | result"
+        emit("custom-job-results.txt", "console",
+             ["2022-03-25T17:40:37 | ABORTED"])
+    else:
+        factor = spec.hot_build_factor if b == 0 else 1
+        nfiles = int(rng.integers(4, len(BUILD_FILES) + 1))
+        chosen = list(rng.choice(len(BUILD_FILES), size=nfiles, replace=False))
+        # always include a console log so every build has log lines
+        if 0 not in chosen:
+            chosen.insert(0, 0)
+        for fi in sorted(chosen):
+            fname, source = BUILD_FILES[fi]
+            nl = max(3, int(rng.normal(spec.lines_per_file,
+                                       spec.lines_per_file / 4)))
+            nl *= factor
+            if source == "performance":
+                emit(fname, source, [_make_perf_json(rng, f"host-{uuid[:8]}")])
+            elif source == "subunit":
+                emit(fname, source, _make_subunit_rows(rng, max(2, nl // 10)))
+            else:
+                file_lines = [_make_logline(rng, source, i) for i in range(nl)]
+                if source == "syslog" and rng.random() < 0.7:
+                    file_lines.insert(
+                        0, "-- Logs begin at Fri 2022-03-25 17:40:37 UTC.")
+                # leading timestamp-less lines (utcnow-fallback path)
+                if rng.random() < 0.3:
+                    file_lines.insert(0, "no timestamp on this leading line")
+                emit(fname, source, file_lines)
+
+    tokens = _encode_tokens(lines)
+    table = pa.table({
+        "doc_id": pa.array(doc_ids, type=pa.string()),
+        "tokens": tokens,
+        "n_tok": pc.list_value_length(tokens),
+        "source": pa.array(sources, type=pa.string()),
+    }, schema=TOKEN_SCHEMA)
+    meta["_file_breaks"] = file_breaks
+    return meta, table
+
+
+def _write_builds(builds, writers, shard_rows) -> int:
+    """FILE-aligned ~16k-row chunks, each routed to the currently
+    least-loaded shard: files stay whole (the carry-forward layout
+    contract) while a hot build's many files SPREAD across shards --
+    no shard becomes a straggler read task."""
+    n_rows = 0
+    for meta, table in builds:
+        breaks = meta.pop("_file_breaks") + [len(table)]
+        start = 0
+        for bi in range(1, len(breaks)):
+            if breaks[bi] - start >= 16384 or bi == len(breaks) - 1:
+                chunk = table.slice(start, breaks[bi] - start)
+                if len(chunk):
+                    widx = shard_rows.index(min(shard_rows))
+                    writers[widx].write_table(
+                        chunk, row_group_size=max(1, len(chunk)))
+                    shard_rows[widx] += len(chunk)
+                start = breaks[bi]
+        n_rows += len(table)
+    return n_rows
+
+
+def generate_corpus(out_dir: str, spec: CorpusSpec = CorpusSpec()) -> dict:
+    """Write token_sequences.parquet + build_meta.parquet under out_dir.
+
+    Deterministic regardless of ``spec.workers``: build content depends
+    only on (seed, build index); chunk->shard routing happens in the
+    single writer process in build order.
+
+    Returns {"n_rows": int, "builds": [uuid...], "paths": {...}}.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "build_meta.parquet")
+    if spec.n_shards > 1:
+        seq_dir = os.path.join(out_dir, "token_sequences")
+        os.makedirs(seq_dir, exist_ok=True)
+        shard_paths = [
+            os.path.join(seq_dir, f"part-{i:05d}.parquet")
+            for i in range(spec.n_shards)
+        ]
+    else:
+        shard_paths = [os.path.join(out_dir, "token_sequences.parquet")]
+    seq_path = shard_paths[0] if spec.n_shards == 1 else os.path.dirname(shard_paths[0])
+
+    metas: list[dict] = []
+    n_rows = 0
+    writers = [pq.ParquetWriter(p, TOKEN_SCHEMA) for p in shard_paths]
+    shard_rows = [0] * len(writers)
+    try:
+        tasks = [(spec, b) for b in range(spec.n_builds)]
+        if spec.workers > 1:
+            from multiprocessing import Pool
+
+            with Pool(spec.workers) as pool:
+                # chunked imap keeps memory bounded; order preserved
+                for meta, table in pool.imap(_generate_one_build, tasks,
+                                             chunksize=4):
+                    metas.append(meta)
+                    n_rows += _write_builds([(meta, table)], writers,
+                                            shard_rows)
+        else:
+            for t in tasks:
+                meta, table = _generate_one_build(t)
+                metas.append(meta)
+                n_rows += _write_builds([(meta, table)], writers, shard_rows)
+    finally:
+        for w in writers:
+            w.close()
+
+    uuids = [m["build_uuid"] for m in metas]
+    meta_table = pa.Table.from_pylist([_meta_to_row(m) for m in metas],
+                                      schema=BUILD_META_SCHEMA)
+    pq.write_table(meta_table, meta_path)
+    return {"n_rows": n_rows, "builds": uuids,
+            "paths": {"token_sequences": seq_path, "build_meta": meta_path,
+                      "shards": shard_paths}}
 
 
 def _meta_to_row(fields: dict) -> dict:
