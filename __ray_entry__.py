@@ -842,6 +842,16 @@ def q_rolling_window(sf_dir: str):
                                   np.timedelta64(1, "h"))
 
 
+def q_hll_distinct_users(sf_dir: str):
+    """Approximate per-type distinct users via mergeable HyperLogLog
+    register sketches (rows-only: approximate by design; the exact
+    counterpart is q:distinct_users, hash-exact against DuckDB)."""
+    from ci_log_processing_ray.ops.sketch import hll_distinct_by_group
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_distinct_by_group(ds, "event_type", "user_id", p=12)
+
+
 def q_stratified_sample(sf_dir: str):
     """Stratified deterministic sampling: the 5 docs per source with the
     smallest md5(doc_id) -- a reproducible per-stratum subset (window
@@ -992,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         "rolling_window": q_rolling_window,
         "stratified_sample": q_stratified_sample,
+        "hll_distinct_users": q_hll_distinct_users,
         "pivot_counts": q_pivot_counts,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,

@@ -15,7 +15,12 @@ from .dedup import (  # noqa: F401
     simhash_clusters,
     embedding_dedup,
 )
-from .relational import asof_join_grouped, window_topk  # noqa: F401
+from .relational import (  # noqa: F401
+    asof_join_grouped,
+    range_join_count,
+    window_topk,
+)
+from .sketch import hll_distinct, hll_distinct_by_group  # noqa: F401
 from .similarity import knn_bruteforce, knn_ivf, knn_lsh  # noqa: F401
 from .textstats import (  # noqa: F401
     add_text_stats,
@@ -24,4 +29,8 @@ from .textstats import (  # noqa: F401
     quality_score,
     token_count_bpe,
 )
-from .window import sessionize, forward_fill_by_group  # noqa: F401
+from .window import (  # noqa: F401
+    sessionize,
+    forward_fill_by_group,
+    rolling_count_by_group,
+)

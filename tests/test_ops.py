@@ -350,3 +350,36 @@ def test_rolling_count_range_frame_ties(ray_session):
     assert out.loc[2, "n_in_window"] == 2
     assert out.loc[3, "n_in_window"] == 3
     assert out.loc[4, "n_in_window"] == 2  # ties at t0 fell out
+
+
+def test_hll_distinct_accuracy(ray_session):
+    from ci_log_processing_ray.ops.sketch import hll_distinct
+
+    n_true = 5000
+    rows = [{"v": f"user-{i % n_true}"} for i in range(20000)]
+    ds = ray.data.from_items(rows)
+    est = hll_distinct(ds, "v", p=12)
+    # standard error ~1.04/sqrt(4096) = 1.6%; allow 5%
+    assert abs(est - n_true) / n_true < 0.05, est
+
+
+def test_hll_merge_partition_invariant(ray_session):
+    """The sketch must give the SAME estimate regardless of how rows
+    are partitioned (mergeability)."""
+    from ci_log_processing_ray.ops.sketch import hll_distinct
+
+    rows = [{"v": f"k{i}"} for i in range(3000)]
+    a = hll_distinct(ray.data.from_items(rows).repartition(1), "v", p=11)
+    b = hll_distinct(ray.data.from_items(rows).repartition(17), "v", p=11)
+    assert a == b
+
+
+def test_hll_by_group(ray_session):
+    from ci_log_processing_ray.ops.sketch import hll_distinct_by_group
+
+    rows = ([{"g": "a", "v": f"x{i % 100}"} for i in range(1000)]
+            + [{"g": "b", "v": f"y{i % 700}"} for i in range(1400)])
+    out = hll_distinct_by_group(
+        ray.data.from_items(rows), "g", "v", p=12).set_index("g")
+    assert abs(out.loc["a", "n_distinct"] - 100) / 100 < 0.1
+    assert abs(out.loc["b", "n_distinct"] - 700) / 700 < 0.1
