@@ -34,7 +34,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..config import DEFAULT_FILE_CONFIG
 from .. import reference_impl as ref
 
 # file name -> source family used per build (subset chosen per build)
