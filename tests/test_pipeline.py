@@ -274,3 +274,54 @@ def test_grouped_fill_exact_on_scrambled_layout(ray_session, corpus_dir,
     want_key = sorted((r["doc_id"], r["sink"], r["ts"], r["severity"],
                        r["message"]) for r in want)
     assert got_key == want_key
+
+
+def test_partial_failure_resume(ray_session, corpus_dir, tmp_path):
+    """Crash-recovery semantics: if one partition's manifest is missing
+    (its task died after writing, before commit), a re-run reprocesses
+    ONLY that partition and converges to the same global counts."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    _, info = corpus_dir
+    src = info["paths"]["token_sequences"]
+    in_dir = tmp_path / "inputs"
+    in_dir.mkdir()
+    # 3 input partitions with distinct content slices
+    tbl = pq.read_table(src)
+    third = len(tbl) // 3
+    paths = []
+    for i in range(3):
+        sl = tbl.slice(i * third, third if i < 2 else len(tbl) - 2 * third)
+        p = str(in_dir / f"in-{i}.parquet")
+        pq.write_table(sl, p)
+        paths.append(p)
+
+    out = str(tmp_path / "out")
+    res1 = run_pipeline(paths, info["paths"]["build_meta"], out, CFG,
+                        clock_now=1.0)
+    assert res1.n_pending == 3
+    counts1 = {(r["sink"], r["severity"]): r["doc_count"]
+               for r in res1.counts.to_pylist()}
+
+    # simulate the crash: one committed manifest vanishes
+    victims = sorted(glob.glob(os.path.join(out, "manifests", "*.json")))
+    os.unlink(victims[1])
+
+    res2 = run_pipeline(paths, info["paths"]["build_meta"], out, CFG,
+                        clock_now=2.0)
+    assert res2.n_pending == 1 and res2.n_skipped == 2
+    # the reprocessed partition's counts match its original manifest run
+    from ci_log_processing_ray.state.manifest import ManifestStore
+
+    store = ManifestStore(os.path.join(out, "manifests"))
+    total = {}
+    for m in store.all():
+        for sink, c in m.per_sink_counts.items():
+            total[sink] = total.get(sink, 0) + c
+    want = {}
+    for (sink, _), c in counts1.items():
+        want[sink] = want.get(sink, 0) + c
+    assert total == want
