@@ -647,8 +647,10 @@ def q_asof_join(sf_dir: str):
         ev, orders, key="user_id", left_on="ts", right_on="o_orderdate",
         left_cols=["event_id"], right_cols=[])
     return out.map_batches(
-        lambda df: df.rename(columns={"o_orderdate_matched": "last_order_ts"}),
-        batch_format="pandas")
+        lambda t: t.rename_columns(
+            ["last_order_ts" if c == "o_orderdate_matched" else c
+             for c in t.column_names]),
+        batch_format="pyarrow")
 
 
 def q_window_topk(sf_dir: str):

@@ -64,21 +64,30 @@ def asof_join_grouped(
     both = lt.union(rt)
 
     matched = right_on + out_suffix
+    # explicit output schema: the unioned group frame holds NaN for the
+    # other side's columns, so pandas upcasts int64 -> float64; emitting
+    # an Arrow table with the source types (from_pandas semantics map
+    # NaN back to null) restores exact dtypes for the driver's hash.
+    out_schema = pa.schema(
+        [(c, ltypes[c]) for c in left_cols]
+        + [(matched, rtypes[right_on])]
+        + [(c, rtypes[c]) for c in right_cols])
     empty = pa.table(
-        {**{c: pa.nulls(0, ltypes[c]) for c in left_cols},
-         matched: pa.nulls(0, rtypes[right_on]),
-         **{c: pa.nulls(0, rtypes[c]) for c in right_cols}}).to_pandas()
+        {name: pa.nulls(0, out_schema.field(name).type)
+         for name in out_schema.names}, schema=out_schema)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> pa.Table:
         l = g[g["_side"] == 0].sort_values("_ts", kind="mergesort")
         r = g[g["_side"] == 1].sort_values("_ts", kind="mergesort")
         if len(l) == 0:
-            return empty.copy()
+            return empty
         lf = l[left_cols + ["_ts"]]
         rf = r[right_cols + ["_ts"]].copy()
         rf[matched] = rf["_ts"]
         merged = pd.merge_asof(lf, rf, on="_ts", direction="backward")
-        return merged[left_cols + [matched] + right_cols]
+        return pa.Table.from_pandas(
+            merged[left_cols + [matched] + right_cols],
+            schema=out_schema, preserve_index=False)
 
     return both.groupby(key).map_groups(merge, batch_format="pandas")
 
@@ -152,17 +161,27 @@ def range_join_count(
     both = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))
 
-    def count_in_window(g: pd.DataFrame) -> pd.DataFrame:
+    # explicit Arrow output schema -- the unioned group frame upcasts
+    # the (NaN-bearing) left_id column to float64; cast back on emit.
+    id_type = lschema.field(left_id).type
+    out_schema = pa.schema([(left_id, id_type), ("n_in_window", pa.int64())])
+    empty = pa.table({left_id: pa.nulls(0, id_type),
+                      "n_in_window": pa.nulls(0, pa.int64())},
+                     schema=out_schema)
+
+    def count_in_window(g: pd.DataFrame) -> pa.Table:
         l = g[g["_side"] == 0]
         if len(l) == 0:
-            return pd.DataFrame({left_id: pd.Series([], dtype=np.int64),
-                                 "n_in_window": pd.Series([], dtype=np.int64)})
+            return empty
         r_ts = np.sort(g.loc[g["_side"] == 1, "_ts"].to_numpy())
         l_ts = l["_ts"].to_numpy()
         hi = np.searchsorted(r_ts, l_ts, side="right")
         lo = np.searchsorted(r_ts, l_ts - window, side="left")
-        return pd.DataFrame({left_id: l[left_id].to_numpy(),
-                             "n_in_window": (hi - lo).astype(np.int64)})
+        return pa.table(
+            {left_id: pa.array(l[left_id].to_numpy(), type=id_type,
+                               from_pandas=True),
+             "n_in_window": pa.array((hi - lo).astype(np.int64))},
+            schema=out_schema)
 
     return both.groupby(key).map_groups(count_in_window,
                                         batch_format="pandas")
