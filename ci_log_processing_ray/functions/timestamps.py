@@ -91,13 +91,18 @@ def extract_timestamps(lines: pa.Array | pa.ChunkedArray, today_year: int) -> pa
     Returns timestamp[us] (naive UTC, matching the reference's naive
     datetimes and DuckDB's default).
     """
+    import datetime as _dt
+
     if isinstance(lines, pa.ChunkedArray):
         lines = lines.combine_chunks()
     n = len(lines)
-    out = np.full(n, np.datetime64("NaT"), dtype="datetime64[ns]")
+    # us resolution: datetime.strptime parses years the ns range cannot
+    # represent (outside ~[1677, 2262]); the slow-path residue below
+    # needs them storable, and the output type is timestamp[us] anyway.
+    out = np.full(n, np.datetime64("NaT"), dtype="datetime64[us]")
     pending_idx = np.arange(n)
     cur = lines
-    for regex, fmt, has_year, validator in PATTERNS:
+    for regex, fmt, _has_year, validator in PATTERNS:
         if len(pending_idx) == 0:
             break
         hit = pc.extract_regex(cur, pattern=regex)  # RE2, vectorized
@@ -108,15 +113,37 @@ def extract_timestamps(lines: pa.Array | pa.ChunkedArray, today_year: int) -> pa
         # null out captures CPython's strptime grammar would reject
         # (pandas is more lenient -- empty %f fractions etc.)
         valid = pc.match_substring_regex(cap, pattern=validator)
+        valid_np = pc.fill_null(valid, False).to_numpy(zero_copy_only=False)
         cap = pc.if_else(pc.fill_null(valid, False), cap,
                          pa.nulls(len(cap), pa.string()))
         cap_pd = cap.to_pandas().astype(object)
         parsed = pd.to_datetime(cap_pd, format=fmt, errors="coerce", exact=True)
-        if not has_year:
-            parsed = _replace_year(parsed, today_year)
+        # try_timestamp (logsender.py:354-356) replaces year==1900
+        # UNCONDITIONALLY -- even a literal 1900 date from an explicit-%Y
+        # pattern is bumped to the current year.
+        parsed = _replace_year(parsed, today_year)
         hitmask = parsed.notna().to_numpy()
         if hitmask.any():
             out[pending_idx[hitmask]] = parsed.to_numpy()[hitmask]
+        # slow-path residue: grammar-valid captures that pandas coerced
+        # to NaT (datetime64[ns] year range) -- parse them exactly as
+        # the reference does, row-wise datetime.strptime.  A handful of
+        # rows per corpus at most.
+        residue = valid_np & ~hitmask
+        if residue.any():
+            for i in np.nonzero(residue)[0]:
+                try:
+                    d = _dt.datetime.strptime(cap_pd.iloc[i], fmt)
+                except ValueError:
+                    continue
+                if d.year == 1900:
+                    try:
+                        d = d.replace(year=today_year)
+                    except ValueError:
+                        continue
+                out[pending_idx[i]] = np.datetime64(d.isoformat(), "us")
+                hitmask[i] = True
+        if hitmask.any():
             keep = ~hitmask
             pending_idx = pending_idx[keep]
             cur = cur.filter(pa.array(keep))

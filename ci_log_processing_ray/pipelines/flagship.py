@@ -131,37 +131,51 @@ _PARTIAL_SCHEMA = pa.schema([
 ])
 
 
-def make_fanout_writer(staging_dir: str):
+def make_fanout_writer(staging_dir: str,
+                       pid_names: Sequence[str] | None = None):
     """ONE-PASS per-sink writer + conformance-count combiner.
 
     The Ray-Data shape of logsender's send_to_es (S12: per-index bulk
     insert returning success counts, logsender.py:467-495): each task
     writes its block's rows into one Parquet file per sink under
-    ``sink=<name>/`` (hive layout, temp-file + atomic os.replace,
+    ``part-<partition>/sink=<name>/`` (temp-file + atomic os.replace,
     DETERMINISTIC name derived from the partition id + block content --
     task retries overwrite the same path, so sink counts stay exact),
     and returns only the tiny per-(partition, sink, severity) count
     partials as its output batch.  The downstream aggregate then runs
     over bytes-sized partials instead of re-reading the written corpus:
     the A2 conformance aggregate costs one streaming pass, total.
+
+    ``pid_names`` maps the per-run ``_partition`` index to a STABLE
+    partition id: the per-partition directory is then replaceable
+    wholesale when that partition is reprocessed after a partial
+    failure, so the routed tree never accumulates duplicate rows.
     """
 
-    def write_and_count(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return _PARTIAL_SCHEMA.empty_table()
-        pid_min = int(pc.min(t["_partition"]).as_py())
+    def write_one_partition(t: pa.Table, part_dir: str) -> None:
         tag = hashlib.sha1(
             f"{t['doc_id'][0].as_py()}|{len(t)}".encode()).hexdigest()[:8]
         sink_enc = t["sink"].combine_chunks().dictionary_encode()
         indices = sink_enc.indices
         for i, sink_val in enumerate(sink_enc.dictionary.to_pylist()):
             sub = t.filter(pc.equal(indices, i)).drop_columns("sink")
-            d = os.path.join(staging_dir, f"sink={sink_val}")
+            d = os.path.join(part_dir, f"sink={sink_val}")
             os.makedirs(d, exist_ok=True)
-            path = os.path.join(d, f"part-{pid_min:05d}-{tag}.parquet")
+            path = os.path.join(d, f"part-{tag}.parquet")
             tmp = f"{path}.tmp-{os.getpid()}"
             pq.write_table(sub, tmp)
             os.replace(tmp, path)
+
+    def write_and_count(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        # one read task per input file means a batch is normally a
+        # single partition; group anyway so mixed batches stay correct
+        part_enc = t["_partition"].combine_chunks().dictionary_encode()
+        for j, pid in enumerate(part_enc.dictionary.to_pylist()):
+            sub = t.filter(pc.equal(part_enc.indices, j))
+            name = pid_names[pid] if pid_names is not None else f"{pid:05d}"
+            write_one_partition(sub, os.path.join(staging_dir, f"part-{name}"))
         g = pa.table({
             "_partition": t["_partition"],
             "sink": t["sink"],
@@ -220,35 +234,38 @@ def run_pipeline(
 ) -> RunResult:
     """One pipeline tick: process pending partitions, commit manifests.
 
-    Idempotent: output lands in ``routed/batch-<digest-of-pending>/``
-    (replaced wholesale on retry); manifests commit only after the batch
-    dir is renamed into place -- the reference's commit-after-pool
-    ordering (logscraper.py:724-729) made exactly-once by determinism.
+    Idempotent AND duplicate-free across partial failures: output is
+    keyed by STABLE partition id (``routed/part-<pid>/sink=.../``); a
+    reprocessed partition's directory is replaced wholesale before its
+    manifest commits, so the routed tree never holds two copies of one
+    partition's rows.  Manifests commit only after the partition dir is
+    renamed into place -- the reference's commit-after-pool ordering
+    (logscraper.py:724-729) made exactly-once by determinism.
     """
     if isinstance(meta, str):
         meta = load_build_meta(meta)
     store = ManifestStore(os.path.join(out_dir, "manifests"))
     paths = sorted(input_paths)
     pending = pending_inputs(paths, store) if resume else paths
+    routed_root = os.path.join(out_dir, "routed")
     if not pending:
         return RunResult(None, _counts_from_manifests(store), [], 0, len(paths))
 
     routed = build_routed(pending, meta, cfg, file_config,
                           enrich_concurrency=enrich_concurrency)
     digest = _batch_digest(pending)
-    final_dir = os.path.join(out_dir, "routed", f"batch-{digest}")
-    staging_dir = final_dir + ".staging"
+    pid_names = [partition_id(p) for p in pending]
+    staging_dir = os.path.join(out_dir, ".staging", f"batch-{digest}")
     shutil.rmtree(staging_dir, ignore_errors=True)
     os.makedirs(staging_dir, exist_ok=True)
+    os.makedirs(routed_root, exist_ok=True)
     # single streaming pass: per-sink fan-out write + count partials out
     from ..runtime import heavy_task_cpus
 
     counts_tbl = routed.map_batches(
-        make_fanout_writer(staging_dir), batch_format="pyarrow",
+        make_fanout_writer(staging_dir, pid_names), batch_format="pyarrow",
         batch_size=None, zero_copy_batch=True,
         num_cpus=heavy_task_cpus()).to_pandas()
-    shutil.rmtree(final_dir, ignore_errors=True)
-    os.rename(staging_dir, final_dir)
     # collapse possible per-block splits of one partition so manifest
     # checksums are independent of physical batching
     counts_tbl = counts_tbl.groupby(
@@ -257,6 +274,14 @@ def run_pipeline(
 
     manifests: list[Manifest] = []
     for i, path in enumerate(pending):
+        # replace-then-commit, per partition: remove any prior copy of
+        # this partition's output (a re-run after partial failure), move
+        # the fresh one into place, THEN commit the manifest.
+        src = os.path.join(staging_dir, f"part-{pid_names[i]}")
+        dst = os.path.join(routed_root, f"part-{pid_names[i]}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isdir(src):
+            os.rename(src, dst)
         sub = counts_tbl[counts_tbl["_partition"] == i]
         per_sink = (
             sub.groupby("sink")["doc_count"].sum().astype(int).to_dict())
@@ -275,6 +300,7 @@ def run_pipeline(
         )
         store.commit(m)
         manifests.append(m)
+    shutil.rmtree(staging_dir, ignore_errors=True)
 
     agg = (
         counts_tbl.groupby(["sink", "severity"], as_index=False)[
@@ -296,7 +322,7 @@ def run_pipeline(
     with open(os.path.join(metrics_dir, f"batch-{digest}.json"), "w") as f:
         json.dump(metrics, f, sort_keys=True)
 
-    return RunResult(final_dir, counts, manifests, len(pending),
+    return RunResult(routed_root, counts, manifests, len(pending),
                      len(paths) - len(pending))
 
 

@@ -31,6 +31,18 @@ GOLDEN_TS = [
      datetime.datetime(2022, 2, 25, 9, 27, 51)),
     ("no timestamp here", None),
     ("-- Logs begin at Fri 2022-03-25 17:40:37 UTC.", None),
+    # try_timestamp replaces year==1900 UNCONDITIONALLY, so an explicit
+    # literal 1900 date is bumped to today's year too.
+    ("1900-03-25 17:40:37.123456 | msg",
+     datetime.datetime(YEAR, 3, 25, 17, 40, 37, 123456)),
+    # years outside pandas' datetime64[ns] range still parse (the
+    # reference uses datetime.strptime, which has no such limit).
+    ("2500-03-25 17:40:37.123456 | msg",
+     datetime.datetime(2500, 3, 25, 17, 40, 37, 123456)),
+    ("1680-01-02 03:04:05.000001 | msg",
+     datetime.datetime(1680, 1, 2, 3, 4, 5, 1)),
+    ("1600-01-02 03:04:05.000001 | msg",
+     datetime.datetime(1600, 1, 2, 3, 4, 5, 1)),
 ]
 
 

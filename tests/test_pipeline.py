@@ -325,3 +325,11 @@ def test_partial_failure_resume(ray_session, corpus_dir, tmp_path):
     for (sink, _), c in counts1.items():
         want[sink] = want.get(sink, 0) + c
     assert total == want
+    # and the routed tree on disk holds EXACTLY one copy of every row --
+    # the reprocessed partition replaced its directory instead of
+    # landing a second copy next to the old one
+    ondisk = sum(
+        pq.read_metadata(p).num_rows
+        for p in glob.glob(os.path.join(out, "routed", "**", "*.parquet"),
+                           recursive=True))
+    assert ondisk == sum(want.values())
