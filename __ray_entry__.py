@@ -582,16 +582,16 @@ def q_multiway_join(sf_dir: str):
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_mktsegment"])
     keep = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
-    keys_ref = ray.put(set(keep["c_custkey"].to_pylist()))
+    keys_ref = ray.put(keep["c_custkey"].combine_chunks())
     cutoff = pa.scalar(_MW_CUTOFF, type=pa.timestamp("us"))
 
     class OrderFilter:
         def __init__(self, keys_ref):
-            self.keys = ray.get(keys_ref)
+            self.keys: pa.Array = ray.get(keys_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask_seg = pa.array(
-                [k in self.keys for k in t["o_custkey"].to_pylist()])
+            mask_seg = pc.is_in(t["o_custkey"].combine_chunks(),
+                                value_set=self.keys)
             mask = pc.and_(mask_seg,
                            pc.less(t["o_orderdate"].combine_chunks(), cutoff))
             return t.filter(mask).select(["o_orderkey", "o_orderdate"])
@@ -713,8 +713,8 @@ def q_profit_by_nation(sf_dir: str):
     groupby."""
     part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
                          columns=["p_partkey", "p_type"])
-    econ = set(part.filter(pc.equal(part["p_type"], "ECONOMY"))
-               ["p_partkey"].to_pylist())
+    econ = part.filter(pc.equal(part["p_type"], "ECONOMY"))[
+        "p_partkey"].combine_chunks()
     supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
                          columns=["s_suppkey", "s_nationkey"])
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
@@ -724,19 +724,22 @@ def q_profit_by_nation(sf_dir: str):
     supp_nation = {s: n_name[k] for s, k in
                    zip(supp["s_suppkey"].to_pylist(),
                        supp["s_nationkey"].to_pylist())}
-    state_ref = ray.put((econ, supp_nation))
+    # vectorized lookup state: sorted key vector + aligned value vector
+    skeys = np.array(sorted(supp_nation), dtype=np.int64)
+    svals = pa.array([supp_nation[k] for k in skeys], type=pa.string())
+    state_ref = ray.put((econ, skeys, svals))
 
     class Star:
         def __init__(self, state_ref):
-            self.econ, self.supp_nation = ray.get(state_ref)
+            self.econ, self.skeys, self.svals = ray.get(state_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keep = pa.array([p in self.econ
-                             for p in t["l_partkey"].to_pylist()])
+            keep = pc.is_in(t["l_partkey"].combine_chunks(),
+                            value_set=self.econ)
             t = t.filter(keep)
-            names = pa.array([self.supp_nation[s]
-                              for s in t["l_suppkey"].to_pylist()],
-                             type=pa.string())
+            sk = t["l_suppkey"].combine_chunks().to_numpy()
+            names = self.svals.take(
+                pa.array(np.searchsorted(self.skeys, sk), type=pa.int64()))
             disc = pc.multiply(
                 t["l_extendedprice"].combine_chunks(),
                 pc.subtract(1.0, t["l_discount"].combine_chunks()))
@@ -768,16 +771,18 @@ def q_region_rollup(sf_dir: str):
     nat_region = {n: r_name[r] for n, r in
                   zip(nation["n_nationkey"].to_pylist(),
                       nation["n_regionkey"].to_pylist())}
-    lut_ref = ray.put(nat_region)
+    nkeys = np.array(sorted(nat_region), dtype=np.int64)
+    nvals = pa.array([nat_region[k] for k in nkeys], type=pa.string())
+    lut_ref = ray.put((nkeys, nvals))
 
     class Roll:
         def __init__(self, lut_ref):
-            self.lut = ray.get(lut_ref)
+            self.nkeys, self.nvals = ray.get(lut_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            names = pa.array([self.lut[n]
-                              for n in t["c_nationkey"].to_pylist()],
-                             type=pa.string())
+            nk = t["c_nationkey"].combine_chunks().to_numpy()
+            names = self.nvals.take(
+                pa.array(np.searchsorted(self.nkeys, nk), type=pa.int64()))
             tt = pa.table({
                 "r_name": names,
                 "n_customers": pa.array(np.ones(len(t), dtype=np.int64)),

@@ -181,27 +181,74 @@ def minhash_lsh_dedup(
     pairs = (
         banded.groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+        .to_pandas()  # candidate EDGE list only -- tiny by construction
     )
     if len(pairs) == 0:
         return pd.DataFrame({id_col: [], "cluster_rep": []})
     pairs = pairs.drop_duplicates()
 
-    # exact Jaccard verification on candidate docs only
-    cand_ids = set(pairs["left"]) | set(pairs["right"])
-    texts = {}
-    for t in ds.map_batches(
-        lambda t: t.select([id_col, text_col]),
-        batch_format="pyarrow", batch_size=None,
-    ).iter_batches(batch_format="pyarrow"):
-        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            if i in cand_ids:
-                texts[i] = _shingle_hashes(txt, k)
+    # ---- distributed exact-Jaccard verification ----------------------
+    # The corpus is never scanned on the driver: candidate ids are
+    # broadcast (ray.put once), each worker computes shingle sets for
+    # ONLY its block's candidate rows, and the pairwise verification
+    # runs as two distributed joins (pair.left -> shingles,
+    # pair.right -> shingles) + a vectorized-per-pair kernel.  Only the
+    # verified edge list (smaller than the candidate list) reaches the
+    # driver for union-find.
+    import pyarrow.compute as pc
 
-    def jac(x, y):
-        inter = len(np.intersect1d(x, y, assume_unique=True))
-        union = len(x) + len(y) - inter
-        return inter / union if union else 1.0
+    cand = np.unique(np.concatenate(
+        [pairs["left"].to_numpy(), pairs["right"].to_numpy()]))
+    cand_ref = ray.put(pa.array(cand.astype(np.int64)))
+
+    class _CandShingles:
+        def __init__(self, cand_ref, name):
+            self.cand: pa.Array = ray.get(cand_ref)
+            self.name = name
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].combine_chunks()
+            sub = t.filter(pc.is_in(ids, value_set=self.cand))
+            # bytes, not list<int64>: Acero hash joins reject list
+            # payload columns, and the blob is opaque to the join anyway
+            sh = [
+                _shingle_hashes(txt, k).tobytes()
+                for txt in sub[text_col].to_pylist()
+            ]
+            return pa.table({
+                f"{self.name}_id": sub[id_col].combine_chunks().cast(pa.int64()),
+                f"sh_{self.name}": pa.array(sh, type=pa.binary()),
+            })
+
+    def cand_shingle_ds(name: str) -> ray.data.Dataset:
+        return ds.map_batches(
+            _CandShingles, fn_constructor_args=(cand_ref, name),
+            batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+
+    pairs_ds = ray.data.from_pandas(
+        pairs.astype({"left": np.int64, "right": np.int64}))
+    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    j = pairs_ds.join(cand_shingle_ds("a"), "inner", num_partitions=n_part,
+                      on=("left",), right_on=("a_id",))
+    j = j.join(cand_shingle_ds("b"), "inner", num_partitions=n_part,
+               on=("right",), right_on=("b_id",))
+
+    def verify_pairs(t: pa.Table) -> pa.Table:
+        keep_l, keep_r = [], []
+        for left, right, ba, bb in zip(
+                t["left"].to_pylist(), t["right"].to_pylist(),
+                t["sh_a"].to_pylist(), t["sh_b"].to_pylist()):
+            xa = np.frombuffer(ba, dtype=np.uint64)
+            xb = np.frombuffer(bb, dtype=np.uint64)
+            inter = len(np.intersect1d(xa, xb, assume_unique=True))
+            union = len(xa) + len(xb) - inter
+            if (inter / union if union else 1.0) >= jaccard_threshold:
+                keep_l.append(left)
+                keep_r.append(right)
+        return pa.table({"left": pa.array(keep_l, type=pa.int64()),
+                         "right": pa.array(keep_r, type=pa.int64())})
+
+    edges = j.map_batches(verify_pairs, batch_format="pyarrow").to_pandas()
 
     parent: dict = {}
 
@@ -211,11 +258,10 @@ def minhash_lsh_dedup(
             x = parent[x]
         return x
 
-    for left, right in pairs.itertuples(index=False):
-        if jac(texts[left], texts[right]) >= jaccard_threshold:
-            rl, rr = find(left), find(right)
-            if rl != rr:
-                parent[max(rl, rr)] = min(rl, rr)
+    for left, right in edges.itertuples(index=False):
+        rl, rr = find(left), find(right)
+        if rl != rr:
+            parent[max(rl, rr)] = min(rl, rr)
 
     rows = sorted((i, find(i)) for i in parent)
     return pd.DataFrame(rows, columns=[id_col, "cluster_rep"])
@@ -224,25 +270,6 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, distributed via pair counting)
 # ---------------------------------------------------------------------------
-_WORD_RE = None  # compiled lazily per worker (module import = once per proc)
-
-
-def _word_ngram_hashes(text: str, n: int) -> np.ndarray:
-    """Distinct word-n-gram hashes of one document (lowercased words)."""
-    global _WORD_RE
-    if _WORD_RE is None:
-        import re
-
-        _WORD_RE = re.compile(r"[a-z0-9_]+")
-    words = _WORD_RE.findall(text.lower())
-    if len(words) < n:
-        return np.empty(0, dtype=np.uint64)
-    grams = np.asarray(
-        [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)],
-        dtype=object)
-    return np.unique(pd.util.hash_array(grams, hash_key=_HASH_KEY))
-
-
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset,
     text_col: str,
@@ -275,31 +302,56 @@ def ngram_jaccard_pairs(
     math -- value-hash safe vs a SQL oracle).
     """
 
+    import pyarrow.compute as pc
+
     n_buckets = 64  # coarse hash partitions: the ONE shuffle is over 64
     # groups, not one group per distinct gram (per-group dispatch would
     # dominate); within a bucket, pair generation is one vectorized
     # self-merge.
+    base = np.uint64(0x9E3779B97F4A7C15)  # odd: wraparound poly combine
 
     def explode(t: pa.Table) -> pa.Table:
-        ids_out, hashes, counts = [], [], []
-        for doc_id, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            h = _word_ngram_hashes(text, n)
-            if len(h) == 0:
-                continue
-            ids_out.append(np.full(len(h), doc_id, dtype=np.int64))
-            hashes.append(h.astype(np.int64))
-            counts.append(np.full(len(h), len(h), dtype=np.int64))
-        if not ids_out:
-            return pa.table({"gram": pa.array([], pa.int64()),
-                             "bucket": pa.array([], pa.int32()),
-                             "doc": pa.array([], pa.int64()),
-                             "n_grams": pa.array([], pa.int64())})
-        gram = np.concatenate(hashes)
+        """Whole-batch vectorized (doc, gram) explode: Arrow lower+split,
+        ONE hash_array call over the flattened word stream, rolling
+        polynomial n-gram combine, pandas drop_duplicates for the
+        per-doc distinct step -- no per-document Python loop."""
+        empty = pa.table({"gram": pa.array([], pa.int64()),
+                          "bucket": pa.array([], pa.int32()),
+                          "doc": pa.array([], pa.int64()),
+                          "n_grams": pa.array([], pa.int64())})
+        ids = t[id_col].combine_chunks().to_numpy()
+        if len(ids) == 0:
+            return empty
+        txt = pc.fill_null(t[text_col].combine_chunks(), "")
+        wl = pc.split_pattern_regex(pc.utf8_lower(txt),
+                                    pattern="[^a-z0-9_]+")
+        lens = np.diff(wl.offsets.to_numpy())
+        flat = wl.flatten()
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64),
+                            lens)[nonempty]
+        words = flat.to_numpy(zero_copy_only=False)[nonempty]
+        if len(words) < n:
+            return empty
+        h = pd.util.hash_array(words, hash_key=_HASH_KEY).astype(np.uint64)
+        w = len(h) - n + 1
+        valid = doc_idx[:w] == doc_idx[n - 1:]
+        gram_u = np.zeros(w, dtype=np.uint64)
+        for j in range(n):
+            gram_u = gram_u * base + h[j:j + w]
+        gram_u = gram_u[valid]
+        gdoc = doc_idx[:w][valid]
+        if len(gram_u) == 0:
+            return empty
+        dfp = pd.DataFrame({"d": gdoc, "g": gram_u.view(np.int64),
+                            "b": (gram_u % np.uint64(n_buckets)).astype(
+                                np.int32)}).drop_duplicates(["d", "g"])
+        counts = dfp.groupby("d", sort=False)["g"].transform("size")
         return pa.table({
-            "gram": pa.array(gram),
-            "bucket": pa.array((gram % n_buckets).astype(np.int32)),
-            "doc": pa.array(np.concatenate(ids_out)),
-            "n_grams": pa.array(np.concatenate(counts)),
+            "gram": pa.array(dfp["g"].to_numpy()),
+            "bucket": pa.array(dfp["b"].to_numpy()),
+            "doc": pa.array(ids[dfp["d"].to_numpy()]),
+            "n_grams": pa.array(counts.to_numpy(dtype=np.int64)),
         })
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=4096)
@@ -315,29 +367,37 @@ def ngram_jaccard_pairs(
                                  "right": pd.Series([], dtype=np.int64),
                                  "na": pd.Series([], dtype=np.int64),
                                  "nb": pd.Series([], dtype=np.int64),
+                                 "pinter": pd.Series([], dtype=np.int64),
                                  "pair_bucket": pd.Series([], dtype=np.int32)})
         m = sub.merge(sub, on="gram", suffixes=("_a", "_b"))
         m = m[m["doc_a"] < m["doc_b"]]
-        left = m["doc_a"].to_numpy()
+        # COMBINER: a gram lives in exactly one bucket, so this bucket's
+        # co-occurrence count per pair is a partial intersection size --
+        # collapse sum(df^2) co-occurrence rows to one row per distinct
+        # pair BEFORE the second shuffle.
+        part = m.groupby(["doc_a", "doc_b"], as_index=False, sort=False).agg(
+            pinter=("gram", "size"), na=("n_grams_a", "first"),
+            nb=("n_grams_b", "first"))
+        left = part["doc_a"].to_numpy()
         return pd.DataFrame({"left": left,
-                             "right": m["doc_b"].to_numpy(),
-                             "na": m["n_grams_a"].to_numpy(),
-                             "nb": m["n_grams_b"].to_numpy(),
+                             "right": part["doc_b"].to_numpy(),
+                             "na": part["na"].to_numpy(),
+                             "nb": part["nb"].to_numpy(),
+                             "pinter": part["pinter"].to_numpy(),
                              "pair_bucket": (left % n_buckets).astype(np.int32)})
 
     pairs = exploded.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas")
 
-    # second (and last) shuffle: co-locate each pair's co-occurrence
-    # rows by a coarse hash of the left id, then count locally --
-    # count(*) IS the intersection size.  (Coarse-bucket map_groups
-    # rides the fast sort-exchange with bounded group count;
-    # Dataset.groupby(...).aggregate() showed ~20s degenerate
-    # single-task sub-stages on the same data, and per-distinct-key
-    # map_groups pays per-group dispatch.)
+    # second (and last) shuffle: co-locate each pair's per-bucket
+    # partial counts by a coarse hash of the left id, then sum locally.
+    # (Coarse-bucket map_groups rides the fast sort-exchange with
+    # bounded group count; Dataset.groupby(...).aggregate() showed ~20s
+    # degenerate single-task sub-stages on the same data, and
+    # per-distinct-key map_groups pays per-group dispatch.)
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["left", "right"], as_index=False).agg(
-            inter=("na", "size"), na=("na", "min"), nb=("nb", "min"))
+            inter=("pinter", "sum"), na=("na", "min"), nb=("nb", "min"))
         inter = agg["inter"].to_numpy(dtype=np.int64)
         union = agg["na"].to_numpy(dtype=np.int64) + \
             agg["nb"].to_numpy(dtype=np.int64) - inter
@@ -357,18 +417,35 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 def _simhash_batch(texts: list[str], seed: int) -> np.ndarray:
-    out = np.empty(len(texts), dtype=np.uint64)
-    for i, text in enumerate(texts):
-        words = text.split()
-        if not words:
-            out[i] = 0
-            continue
-        h = pd.util.hash_array(np.asarray(words, dtype=object),
-                               hash_key=f"simhash{seed:09d}").astype(np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        votes = bits.astype(np.int64).sum(axis=0) * 2 - len(h)  # signed!
-        out[i] = np.uint64(
-            int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2))
+    """Whole-batch vectorized simhash: ONE hash_array call over the
+    flattened word stream, per-doc bit-vote sums via np.add.reduceat,
+    bits packed with a shift-dot -- no per-document Python work beyond
+    the unavoidable str.split."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    words_per_doc = [t.split() for t in texts]
+    lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
+                       count=len(texts))
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for w in words_per_doc:
+        if w:
+            flat[pos:pos + len(w)] = w
+            pos += len(w)
+    h = pd.util.hash_array(flat,
+                           hash_key=f"simhash{seed:09d}").astype(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)  # (W, 64)
+    nz = lens > 0
+    nz_lens = lens[nz]
+    starts = np.zeros(len(nz_lens), dtype=np.int64)
+    starts[1:] = np.cumsum(nz_lens)[:-1]
+    votes = 2 * np.add.reduceat(bits, starts, axis=0) - nz_lens[:, None]
+    packed = ((votes > 0).astype(np.uint64) << shifts).sum(
+        axis=1, dtype=np.uint64)
+    out[nz] = packed
     return out
 
 

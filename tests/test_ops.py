@@ -70,6 +70,33 @@ def test_simhash_buckets_identical_bags(ray_session):
     assert by_id.loc[3, "bucket_size"] == 1
 
 
+def test_simhash_vectorized_matches_rowwise_definition():
+    """The batch-vectorized kernel must produce bit-identical simhash
+    values to the row-at-a-time definition (per-word hash, bit votes,
+    MSB-last packing)."""
+    import pandas as pd
+
+    from ci_log_processing_ray.ops.dedup import _simhash_batch
+
+    def rowwise(text, seed):
+        words = text.split()
+        if not words:
+            return np.uint64(0)
+        h = pd.util.hash_array(np.asarray(words, dtype=object),
+                               hash_key=f"simhash{seed:09d}").astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        votes = bits.astype(np.int64).sum(axis=0) * 2 - len(h)
+        return np.uint64(
+            int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2))
+
+    texts = ["alpha beta gamma", "", "one", "  spaced   out  words ",
+             "repeat repeat repeat unique", "x " * 200,
+             "the quick brown fox jumps over the lazy dog"]
+    got = _simhash_batch(texts, seed=11)
+    want = np.array([rowwise(t, 11) for t in texts], dtype=np.uint64)
+    assert (got == want).all(), (got, want)
+
+
 def test_embedding_dedup(ray_session):
     rng = np.random.default_rng(0)
     vecs = rng.standard_normal((20, 64)).astype(np.float32)
