@@ -24,9 +24,13 @@ SOURCE_TAGS: dict[str, list[str]] = {
     "libvirt": ["libvirt"],
     "performance": ["performance"],
     "subunit": [],
+    # neutral family for files no grok branch claims
+    # (openstack-filters.conf has no fallback filter either)
+    "text": [],
 }
 
-LOGLINE_SOURCES = ("console", "oslofmt", "syslog", "apacheerror", "libvirt")
+LOGLINE_SOURCES = ("console", "oslofmt", "syslog", "apacheerror", "libvirt",
+                   "text")
 
 # Severity vocabulary of the grok loglevel extraction
 # (openstack-filters.conf:48; drop rule :81-83).

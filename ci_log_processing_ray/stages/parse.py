@@ -300,7 +300,11 @@ def make_parse_fn(cfg: PipelineConfig, fill: bool | None = None):
         from ..runtime import tune_worker_threads
 
         tune_worker_threads()
-        lines = tokens_to_text(batch["tokens"])
+        if "tokens" in batch.column_names:
+            lines = tokens_to_text(batch["tokens"])
+        else:  # raw text rows from sources/textlog.py
+            lines = batch["line"].combine_chunks()
+            batch = batch.drop_columns("line")
         src = batch["source"].combine_chunks()
         pieces = []
         log_mask = pc.is_in(src, value_set=pa.array(LOGLINE_SOURCES))
