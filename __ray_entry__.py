@@ -949,6 +949,104 @@ def q_video_frame_sample(sf_dir: str):
     return sample_video_frames(media, stride=4)
 
 
+def q_multiline_join(sf_dir: str):
+    """Logstash multiline join (openstack-filters.conf:12-23) as a
+    distributed operator: every 4th document line is a continuation (no
+    timestamp prefix); fold it into its anchor event.  One coarse
+    bucketed shuffle on hash(file), then a segment-local vectorized join
+    (stages/grok.py:multiline_join)."""
+    from ci_log_processing_ray.stages.grok import multiline_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].combine_chunks()
+        text = t["text"].combine_chunks()
+        cont = pc.equal(pc.bit_wise_and(did, 3), 1)
+        anchored = pc.binary_join_element_wise(
+            pa.array(["2024-01-05 10:00:00.000000 |"] * len(t)), text, " ")
+        return pa.table({
+            "source": t["source"].combine_chunks(),
+            "doc_id": did,
+            "line": pc.if_else(cont, text, anchored),
+        })
+
+    lines = ds.map_batches(mk, batch_format="pyarrow")
+    return multiline_join(lines, file_col="source", order_col="doc_id",
+                          line_col="line", family="console")
+
+
+def q_grok_fields(sf_dir: str):
+    """Grok structured-field extraction (openstack-filters.conf:44-77):
+    documents rendered as oslofmt/libvirt/syslog lines, parsed back via
+    the per-family grok kernels.  The oracle CONSTRUCTS the expected
+    fields from the same arithmetic, so a regex defect shows up as a
+    value mismatch."""
+    from ci_log_processing_ray.stages.grok import extract_grok_fields
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    sev_up = pa.array(["INFO", "ERROR", "WARNING", "TRACE", "CRITICAL"])
+    sev_lo = pa.array(["info", "error", "warning", "debug", "critical"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].combine_chunks()
+        n = len(t)
+        fam = pc.cast(_pc_mod(did, 3), pa.int64())
+        pidn = pc.add(pc.cast(_pc_mod(did, 900), pa.int64()), 100)
+        pid_s = pc.cast(pidn, pa.string())
+        did_s = pc.cast(did, pa.string())
+        msg = pc.binary_join_element_wise(
+            pa.array(["event"] * n), did_s, " ")
+        sev_u = sev_up.take(_pc_mod(did, 5))
+        sev_l = sev_lo.take(_pc_mod(did, 5))
+        module = pc.binary_join_element_wise(
+            pa.array(["nova."] * n), t["lang"].combine_chunks(), "")
+        host = pc.binary_join_element_wise(
+            pa.array(["node-"] * n), pc.cast(_pc_mod(did, 50), pa.string()), "")
+        prog = pc.binary_join_element_wise(
+            pa.array(["svc"] * n), pc.cast(_pc_mod(did, 9), pa.string()), "")
+        oslo = pc.binary_join_element_wise(
+            pa.array(["2024-03-05 12:00:00.123456"] * n),
+            pid_s, sev_u, module, msg, " ")
+        libv = pc.binary_join_element_wise(
+            pa.array(["2024-03-15 12:00:00.123+0000:"] * n),
+            pc.binary_join_element_wise(pid_s, "", ":"),
+            sev_l, pc.binary_join_element_wise(pa.array([":"] * n), msg, " "),
+            " ")
+        syslog = pc.binary_join_element_wise(
+            pa.array(["Mar 15 12:00:00"] * n), host,
+            pc.binary_join_element_wise(
+                prog, pc.binary_join_element_wise(
+                    pa.array(["["] * n), pid_s, pa.array(["]:"] * n), ""),
+                ""),
+            msg, " ")
+        line = pc.if_else(pc.equal(fam, 0), oslo,
+                          pc.if_else(pc.equal(fam, 1), libv, syslog))
+        fam_np = fam.to_numpy(zero_copy_only=False)
+        out = {name: pa.nulls(n, pa.string())
+               for name in ("pid", "loglevel", "module", "syslog_program",
+                            "syslog_pid", "syslog_host")}
+        for code, family in ((0, "oslofmt"), (1, "libvirt"), (2, "syslog")):
+            m = fam_np == code
+            if not m.any():
+                continue
+            mask = pa.array(m)
+            sub = extract_grok_fields(line.filter(mask), family)
+            for name in out:
+                if sub[name].null_count < len(sub[name]):
+                    out[name] = pc.replace_with_mask(out[name], mask, sub[name])
+        return pa.table({"doc_id": did, **out})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _pc_mod(arr, k: int):
+    """Arrow modulo for non-negative int64 (no pc.mod kernel)."""
+    return pc.subtract(arr, pc.multiply(
+        pc.cast(pc.floor(pc.divide(pc.cast(arr, pa.float64()), k)), pa.int64()),
+        k))
+
+
 def q_flagship_counts(sf_dir: str):
     """The flagship log pipeline itself (rows-only: per-sink counts over
     the deterministic token-sequence corpus derived from this sf)."""
@@ -1021,6 +1119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,
         "lang_id": q_lang_id,
         "multimodal_decode": q_multimodal_decode,
+        "multiline_join": q_multiline_join,
+        "grok_fields": q_grok_fields,
         "flagship_counts": q_flagship_counts,
     }
 
@@ -1288,4 +1388,44 @@ def oracle_sql() -> dict[str, str]:
                 (PARTITION BY q.query_id
                  ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
                           e.vec_id) <= 10""",
+        # multiline join oracle: cumulative anchor count per file = event
+        # id; leading continuation runs form their own event (cum sum 0).
+        "multiline_join": """
+            WITH lines AS (
+              SELECT source AS file_id, doc_id AS ord,
+                     CASE WHEN doc_id % 4 = 1 THEN text
+                          ELSE '2024-01-05 10:00:00.000000 | ' || text
+                     END AS line,
+                     CASE WHEN doc_id % 4 = 1 THEN 0 ELSE 1 END AS is_anchor
+              FROM documents),
+            ev AS (
+              SELECT *, sum(is_anchor) OVER
+                     (PARTITION BY file_id ORDER BY ord
+                      ROWS UNBOUNDED PRECEDING) AS eid
+              FROM lines)
+            SELECT file_id, min(ord) AS anchor_ord,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   string_agg(line, chr(10) ORDER BY ord) AS message
+            FROM ev GROUP BY file_id, eid""",
+        # grok oracle is CONSTRUCTIVE: fields derived from the same
+        # arithmetic that rendered the lines, never from a regex.
+        "grok_fields": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 IN (0, 1)
+                        THEN CAST(100 + doc_id % 900 AS VARCHAR) END AS pid,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                     ['INFO','ERROR','WARNING','TRACE','CRITICAL'][(doc_id % 5) + 1]
+                        WHEN doc_id % 3 = 1 THEN
+                     ['info','error','warning','debug','critical'][(doc_id % 5) + 1]
+                   END AS loglevel,
+                   CASE WHEN doc_id % 3 = 0 THEN 'nova.' || lang END AS module,
+                   CASE WHEN doc_id % 3 = 0 THEN ''
+                        WHEN doc_id % 3 = 2 THEN 'svc' || (doc_id % 9)
+                   END AS syslog_program,
+                   CASE WHEN doc_id % 3 = 0 THEN ''
+                        WHEN doc_id % 3 = 2 THEN CAST(100 + doc_id % 900 AS VARCHAR)
+                   END AS syslog_pid,
+                   CASE WHEN doc_id % 3 = 2 THEN 'node-' || (doc_id % 50)
+                   END AS syslog_host
+            FROM documents""",
     }

@@ -72,6 +72,14 @@ class PipelineConfig:
     #  - "grouped": exact regardless of physical layout -- shuffles only the
     #               files that actually contain timestamp-less rows.
     fill_mode: str = "batch"
+    # Logstash-side semantics (openstack-filters.conf), opt-in because
+    # the logsender reference path ships one doc per line:
+    #  - multiline_join: fold continuation lines into their anchor event
+    #    (conf:12-43) -- every traceback becomes ONE doc;
+    #  - grok_fields: extract module/pid/syslog_program/... columns per
+    #    source family (conf:44-77).
+    multiline_join: bool = False
+    grok_fields: bool = False
     # In batch mode, raise if a block boundary makes the carry-forward
     # ambiguous (a block starts mid-file with unanchored leading rows) --
     # i.e. the layout contract was violated.  Escape hatch: fill_mode="grouped".

@@ -19,15 +19,25 @@ from ..config import SEVERITIES, SEVERITY_NONE
 _SEVERITY_PATTERN = r"\b(?P<severity>%s)\b" % "|".join(SEVERITIES)
 
 
-def extract_messages(lines: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
-    """get_message (logsender.py:368-372), vectorized with Arrow kernels."""
+def extract_messages(
+    lines: pa.Array | pa.ChunkedArray, keep_newlines: bool = False
+) -> pa.Array | pa.ChunkedArray:
+    """get_message (logsender.py:368-372), vectorized with Arrow kernels.
+
+    ``keep_newlines=True`` is the multiline-joined form: the logstash
+    chain joins first (newlines INSIDE the event are real, grok runs
+    ``(?m)`` over them, openstack-filters.conf:19-21) and the per-line
+    newline strip has already happened before the join.
+    """
     has_pipe = pc.greater_equal(pc.find_substring(lines, "|"), 0)
     # drop everything through the first '|' (no-op when '|' absent)
     after = pc.replace_substring_regex(
         lines, pattern=r"^[^|]*\|", replacement="", max_replacements=1
     )
-    after = pc.replace_substring(after, "\n", "")
-    whole = pc.replace_substring(lines, "\n", "")
+    whole = lines
+    if not keep_newlines:
+        after = pc.replace_substring(after, "\n", "")
+        whole = pc.replace_substring(lines, "\n", "")
     return pc.if_else(has_pipe, pc.utf8_ltrim_whitespace(after), whole)
 
 

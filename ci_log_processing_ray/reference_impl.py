@@ -366,3 +366,55 @@ def get_file_info(
             return entry["name"], list(entry.get("tags", [])) + [base]
     base = os.path.basename(build_file)
     return base, [base]
+
+
+# ---------------------------------------------------------------------------
+# Logstash multiline filter simulator (openstack-filters.conf:12-43):
+# sequential, buffer-per-stream, what=previous.  Used to golden-check the
+# vectorized segment-local join in stages/grok.py.
+# ---------------------------------------------------------------------------
+_ML_ISO = (r"\d{4}-\d{2}-\d{2}[T ]\d{2}:?\d{2}"
+           r"(?::?\d{2}(?:[.,]\d+)?)?(?:Z|[+-]\d{2}:?\d{2})?")
+_ML_SYSLOG = (r"(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|"
+              r"Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|"
+              r"Nov(?:ember)?|Dec(?:ember)?) +\d{1,2} \d{2}:\d{2}:\d{2}")
+_ML_CONSOLE_RE = re.compile(rf"(?:{_ML_ISO}) \|")
+_ML_OSLO_TS_RE = re.compile(rf"(?:{_ML_ISO}|{_ML_SYSLOG}) ")
+_ML_OSLO_CONT_RE = re.compile(
+    rf"(?:{_ML_ISO}|{_ML_SYSLOG})\s+[+-]?\d+(?:\.\d+)?\s+(?:TRACE|ERROR)")
+
+
+def multiline_events(lines: list[str], family: str) -> list[tuple[int, str]]:
+    """One file's lines -> [(anchor_line_index, joined_message)].
+
+    Restates the conf's filters sequentially:
+      * console (conf:12-23): negate=true what=previous on
+        ``^TIMESTAMP_ISO8601 \\|`` -- a non-matching line joins the
+        previous event;
+      * oslofmt (conf:24-43): two stacked filters; composed row rule is
+        "starts a new event iff it begins with a timestamp AND is not a
+        ``TS  PID (TRACE|ERROR)`` trace continuation";
+      * any other family: no multiline filter, every line is its own event.
+    A leading continuation run (no previous event in the stream) becomes
+    its own event, like logstash's first buffered flush.
+    """
+    events: list[tuple[int, str]] = []
+    buf_start: Optional[int] = None
+    buf: list[str] = []
+    for i, line in enumerate(lines):
+        if family in ("console", "console.html"):
+            starts = _ML_CONSOLE_RE.match(line) is not None
+        elif family == "oslofmt":
+            starts = (_ML_OSLO_TS_RE.match(line) is not None
+                      and _ML_OSLO_CONT_RE.match(line) is None)
+        else:
+            starts = True
+        if starts or buf_start is None:
+            if buf:
+                events.append((buf_start, "\n".join(buf)))
+            buf_start, buf = i, [line]
+        else:
+            buf.append(line)
+    if buf:
+        events.append((buf_start, "\n".join(buf)))
+    return events

@@ -59,6 +59,14 @@ PARSED_FIELDS = [
     ("test_status", pa.string()),
     ("test_duration", pa.float64()),
     ("perf_fields", pa.string()),  # JSON-encoded flat dict (makeJsonFields)
+    # grok-extracted structure (openstack-filters.conf:44-77); populated
+    # only when cfg.grok_fields is on, null otherwise
+    ("module", pa.string()),
+    ("pid", pa.string()),
+    ("syslog_program", pa.string()),
+    ("syslog_pid", pa.string()),
+    ("syslog_host", pa.string()),
+    ("loglevel", pa.string()),
 ]
 PARSED_SCHEMA = pa.schema(PARSED_FIELDS)
 
@@ -109,6 +117,79 @@ def _segment_ids(file_ids: np.ndarray) -> np.ndarray:
     return np.cumsum(change) - 1
 
 
+def _join_multiline(
+    tbl: pa.Table, lines: pa.Array, fid_np: np.ndarray, cfg: PipelineConfig
+) -> tuple[pa.Table, pa.Array]:
+    """Fold continuation lines into their anchor event
+    (openstack-filters.conf:12-43), segment-local: one event per anchor
+    run, message lines joined with newlines, n_tok summed over the
+    event, all other columns taken from the anchor row.  Same
+    block-contiguity contract as the timestamp carry-forward."""
+    from .grok import anchor_mask
+
+    n = len(tbl)
+    src_np = np.asarray(tbl["source"].combine_chunks())
+    anchors = np.ones(n, dtype=bool)
+    for family in ("console", "oslofmt"):
+        fam = src_np == family
+        if fam.any():
+            anchors[fam] = anchor_mask(lines.filter(pa.array(fam)), family)
+    new_file = np.empty(n, dtype=bool)
+    new_file[0] = True
+    new_file[1:] = fid_np[1:] != fid_np[:-1]
+    start = anchors | new_file
+    starts = np.nonzero(start)[0]
+    if len(starts) == n:
+        return tbl, lines
+    if cfg.strict_layout and not anchors[0]:
+        first_line_no = int(
+            tbl["doc_id"][0].as_py().rsplit("/", 1)[1])
+        if first_line_no > 0:
+            raise ValueError(
+                "multiline-join ambiguity: block starts mid-file with a "
+                f"continuation row at doc_id={tbl['doc_id'][0].as_py()!r}; "
+                "its anchor lives in another block. Use file-aligned row "
+                "groups (one read task per file).")
+    event = np.cumsum(start) - 1
+    joined = pd.Series(np.asarray(lines, dtype=object)).groupby(
+        event, sort=True).agg("\n".join)
+    out = tbl.take(pa.array(starts))
+    if "n_tok" in tbl.column_names:
+        ntok = tbl["n_tok"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sums = np.add.reduceat(ntok, starts).astype(np.int32)
+        out = out.set_column(out.schema.get_field_index("n_tok"),
+                             "n_tok", pa.array(sums, type=pa.int32()))
+    return out, pa.array(joined.to_numpy(), type=pa.string())
+
+
+_GROK_COL_NAMES = ("module", "pid", "syslog_program", "syslog_pid",
+                   "syslog_host", "loglevel")
+
+
+def _extract_grok_cols(
+    lines: pa.Array, src_np: np.ndarray
+) -> dict[str, pa.Array]:
+    """Per-family grok field extraction scattered back to row order
+    (openstack-filters.conf:44-77; logdate/logmessage are dropped after
+    use by the filter chain, conf:105-107, so not emitted here)."""
+    from .grok import GROK_PATTERNS, extract_grok_fields
+
+    n = len(lines)
+    cols = {name: pa.nulls(n, pa.string()) for name in _GROK_COL_NAMES}
+    for family in GROK_PATTERNS:
+        fam = src_np == family
+        if not fam.any():
+            continue
+        mask = pa.array(fam)
+        sub = extract_grok_fields(lines.filter(mask), family)
+        for name in _GROK_COL_NAMES:
+            if sub[name].null_count < len(sub[name]):
+                cols[name] = pc.replace_with_mask(
+                    cols[name], mask, sub[name])
+    return cols
+
+
 def _parse_loglines(
     tbl: pa.Table, lines: pa.Array, cfg: PipelineConfig, fill: bool
 ) -> pa.Table:
@@ -139,6 +220,11 @@ def _parse_loglines(
 
     build, fname, line_no = _split_doc_id(tbl)
     file_id = pc.binary_join_element_wise(build, fname, "/")
+
+    if cfg.multiline_join and len(tbl):
+        tbl, lines = _join_multiline(tbl, lines, np.asarray(file_id), cfg)
+        build, fname, line_no = _split_doc_id(tbl)
+        file_id = pc.binary_join_element_wise(build, fname, "/")
 
     ts_ex = extract_timestamps(lines, cfg.today_year)
 
@@ -186,12 +272,15 @@ def _parse_loglines(
         sel = np.arange(len(tbl))
 
     severity = extract_severity(lines)
-    message = extract_messages(lines)
+    message = extract_messages(lines, keep_newlines=cfg.multiline_join)
 
     cols = {
         "build_uuid": build, "filename": fname, "line_no": line_no,
         "ts": ts, "severity": severity, "message": message,
     }
+    if cfg.grok_fields:
+        cols.update(_extract_grok_cols(
+            lines, np.asarray(tbl["source"].combine_chunks())))
     out = _finalize(tbl, cols)
     if fill:
         # one fused selection pass: banner drop + empty-message drop
