@@ -324,9 +324,24 @@ def q_sessionize(sf_dir: str):
     sess = sessionize(ds, "user_id", "ts",
                       gap=datetime.timedelta(minutes=30),
                       tiebreak_cols=["event_id"])
-    agg = sess.groupby("user_id").aggregate(
-        Max("session_id", alias_name="max_sid"),
-        Count(alias_name="n_events"))
+
+    # sessionize's bucketed shuffle already co-locates each user, so the
+    # per-user rollup combines INSIDE blocks (1 partial row per user per
+    # block) and the global groupby touches ~#users rows, not #events.
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate(
+            [("session_id", "max"), ("user_id", "count")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "max_sid": g["session_id_max"],
+            "n_events": pc.cast(g["user_id_count"], pa.int64()),
+        })
+
+    agg = sess.map_batches(
+        partial, batch_format="pyarrow", batch_size=None,
+    ).groupby("user_id").aggregate(
+        Max("max_sid", alias_name="max_sid"),
+        Sum("n_events", alias_name="n_events"))
 
     def fn(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -340,25 +355,38 @@ def q_sessionize(sf_dir: str):
 
 
 def q_join_large(sf_dir: str):
-    """Large-large hash-partitioned join (Dataset.join) + aggregate."""
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    # partition count sized to the cluster: each partition is one
-    # hash-aggregator actor; oversubscribing CPUs serializes the join
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    joined = li.join(orders, "inner", num_partitions=max(2, ncpu // 2),
-                     on=("l_orderkey",), right_on=("o_orderkey",))
-
-    def partial(t: pa.Table) -> pa.Table:
+    """Large-large hash-partitioned join (Dataset.join) + aggregate,
+    with the additive aggregate PUSHED BELOW the join: lineitem partials
+    (count + cents sum per l_orderkey, one Arrow group_by per batch)
+    shrink the shuffled fact side ~4x before the join moves it."""
+    def li_partial(t: pa.Table) -> pa.Table:
         disc_price = pc.multiply(
             t["l_extendedprice"].combine_chunks(),
             pc.subtract(1.0, t["l_discount"].combine_chunks()))
         tt = pa.table({
-            "o_orderpriority": t["o_orderpriority"].combine_chunks(),
+            "l_orderkey": t["l_orderkey"].combine_chunks(),
             "n_items": pa.array(np.ones(len(t), dtype=np.int64)),
             "disc_cents": _cents(disc_price),
         })
-        g = tt.group_by("o_orderpriority").aggregate(
+        g = tt.group_by("l_orderkey").aggregate(
+            [("n_items", "sum"), ("disc_cents", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "n_items": g["n_items_sum"],
+                         "disc_cents": g["disc_cents_sum"]})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        li_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    # partition count sized well UNDER the CPU count: each partition is
+    # one hash-aggregator actor and they run alongside the scan tasks;
+    # measured 8 partitions < 16 < 32 on a 32-CPU box.
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    joined = li.join(orders, "inner", num_partitions=max(2, ncpu // 4),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate(
             [("n_items", "sum"), ("disc_cents", "sum")])
         return pa.table({"o_orderpriority": g["o_orderpriority"],
                          "n_items": g["n_items_sum"],
@@ -587,11 +615,19 @@ def q_multiway_join(sf_dir: str):
 
     class OrderFilter:
         def __init__(self, keys_ref):
-            self.keys: pa.Array = ray.get(keys_ref)
+            # sorted-array membership built ONCE per actor: pc.is_in
+            # rebuilds its hash set on every call, which dominated the
+            # stage (measured 196ms/batch); two searchsorted probes are
+            # ~O(log n) per row and allocation-free.
+            self.keys = np.sort(ray.get(keys_ref).to_numpy())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask_seg = pc.is_in(t["o_custkey"].combine_chunks(),
-                                value_set=self.keys)
+            vals = t["o_custkey"].combine_chunks().to_numpy()
+            if len(self.keys) == 0:
+                return t.slice(0, 0).select(["o_orderkey", "o_orderdate"])
+            idx = np.minimum(np.searchsorted(self.keys, vals),
+                             len(self.keys) - 1)
+            mask_seg = pa.array(self.keys[idx] == vals)
             mask = pc.and_(mask_seg,
                            pc.less(t["o_orderdate"].combine_chunks(), cutoff))
             return t.filter(mask).select(["o_orderkey", "o_orderdate"])
@@ -602,34 +638,29 @@ def q_multiway_join(sf_dir: str):
         batch_format="pyarrow", concurrency=(1, 4))
 
     def li_filter(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t["l_shipdate"].combine_chunks(), cutoff))
+        # filter + aggregate-pushdown below the join: the final groupby
+        # key (l_orderkey, o_orderdate) is determined by the join key,
+        # so revenue partials can combine per batch BEFORE the shuffle
+        t = t.filter(pc.greater(t["l_shipdate"].combine_chunks(), cutoff))
+        disc_price = pc.multiply(
+            t["l_extendedprice"].combine_chunks(),
+            pc.subtract(1.0, t["l_discount"].combine_chunks()))
+        tt = pa.table({"l_orderkey": t["l_orderkey"].combine_chunks(),
+                       "revenue_cents": _cents(disc_price)})
+        g = tt.group_by("l_orderkey").aggregate([("revenue_cents", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "revenue_cents": g["revenue_cents_sum"]})
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount",
                 "l_shipdate"]).map_batches(li_filter, batch_format="pyarrow")
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    joined = li.join(orders, "inner", num_partitions=max(2, ncpu // 2),
+    joined = li.join(orders, "inner", num_partitions=max(2, ncpu // 4),
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
-    def partial(t: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(
-            t["l_extendedprice"].combine_chunks(),
-            pc.subtract(1.0, t["l_discount"].combine_chunks()))
-        tt = pa.table({
-            "l_orderkey": t["l_orderkey"].combine_chunks(),
-            "o_orderdate": t["o_orderdate"].combine_chunks(),
-            "revenue_cents": _cents(disc_price),
-        })
-        g = tt.group_by(["l_orderkey", "o_orderdate"]).aggregate(
-            [("revenue_cents", "sum")])
-        return pa.table({"l_orderkey": g["l_orderkey"],
-                         "o_orderdate": g["o_orderdate"],
-                         "revenue_cents": g["revenue_cents_sum"]})
-
-    agg = joined.map_batches(partial, batch_format="pyarrow").groupby(
-        ["l_orderkey", "o_orderdate"]).aggregate(
-            Sum("revenue_cents", alias_name="revenue_cents"))
+    agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"))
     return agg.sort(["revenue_cents", "l_orderkey"],
                     descending=[True, False]).limit(10)
 

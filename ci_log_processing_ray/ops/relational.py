@@ -77,19 +77,25 @@ def asof_join_grouped(
          for name in out_schema.names}, schema=out_schema)
 
     def merge(g: pd.DataFrame) -> pa.Table:
+        # whole-BUCKET vectorized: merge_asof(by=key) runs the sorted
+        # per-key backward merge for every key in the bucket in one
+        # cython call -- no per-distinct-key dispatch or loop
         l = g[g["_side"] == 0].sort_values("_ts", kind="mergesort")
         r = g[g["_side"] == 1].sort_values("_ts", kind="mergesort")
         if len(l) == 0:
             return empty
-        lf = l[left_cols + ["_ts"]]
-        rf = r[right_cols + ["_ts"]].copy()
+        lf = l[list(dict.fromkeys([key] + left_cols + ["_ts"]))]
+        rf = r[list(dict.fromkeys([key] + right_cols + ["_ts"]))].copy()
         rf[matched] = rf["_ts"]
-        merged = pd.merge_asof(lf, rf, on="_ts", direction="backward")
+        merged = pd.merge_asof(lf, rf, on="_ts", by=key,
+                               direction="backward")
         return pa.Table.from_pandas(
             merged[left_cols + [matched] + right_cols],
             schema=out_schema, preserve_index=False)
 
-    return both.groupby(key).map_groups(merge, batch_format="pandas")
+    from .window import bucketed_groups
+
+    return bucketed_groups(both, key, merge)
 
 
 def window_topk(
@@ -102,15 +108,20 @@ def window_topk(
     tiebreak_col: str | None = None,
 ) -> ray.data.Dataset:
     """Top-k rows per group by order_col (row_number-style window):
-    groupby shuffle once, then a per-group sort of small groups.  The
-    deterministic tie-break makes results partition-invariant."""
-    by = [order_col] + ([tiebreak_col] if tiebreak_col else [])
-    asc = [not descending] + ([True] if tiebreak_col else [])
+    one coarse bucketed shuffle (ops/window.py:bucketed_groups), then a
+    single whole-bucket sort + cython groupby-head per bucket -- no
+    per-distinct-key dispatch.  The deterministic tie-break makes
+    results partition-invariant."""
+    from .window import bucketed_groups
+
+    by = [group_col, order_col] + ([tiebreak_col] if tiebreak_col else [])
+    asc = [True, not descending] + ([True] if tiebreak_col else [])
 
     def head(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(by, ascending=asc, kind="mergesort").head(k)
+        g = g.sort_values(by, ascending=asc, kind="mergesort")
+        return g.groupby(group_col, sort=False).head(k)
 
-    return ds.groupby(group_col).map_groups(head, batch_format="pandas")
+    return bucketed_groups(ds, group_col, head)
 
 
 def range_join_count(
@@ -170,18 +181,37 @@ def range_join_count(
                      schema=out_schema)
 
     def count_in_window(g: pd.DataFrame) -> pa.Table:
-        l = g[g["_side"] == 0]
-        if len(l) == 0:
+        # whole-bucket kernel: one sort by (key, ts), then searchsorted
+        # per contiguous key SLICE (numpy views; the slice loop runs
+        # in-worker, it is not a per-key shuffle dispatch)
+        g = g.sort_values([key, "_ts"], kind="mergesort")
+        side = g["_side"].to_numpy()
+        ts = g["_ts"].to_numpy()
+        keys = g[key].to_numpy()
+        ids = g[left_id].to_numpy()
+        n = len(g)
+        if n == 0 or not (side == 0).any():
             return empty
-        r_ts = np.sort(g.loc[g["_side"] == 1, "_ts"].to_numpy())
-        l_ts = l["_ts"].to_numpy()
-        hi = np.searchsorted(r_ts, l_ts, side="right")
-        lo = np.searchsorted(r_ts, l_ts - window, side="left")
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        bounds = np.append(bounds, n)
+        id_parts, cnt_parts = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            is_r = side[s:e] == 1
+            l_ts = ts[s:e][~is_r]
+            if len(l_ts) == 0:
+                continue
+            r_ts = ts[s:e][is_r]  # already sorted within the slice
+            hi = np.searchsorted(r_ts, l_ts, side="right")
+            lo = np.searchsorted(r_ts, l_ts - window, side="left")
+            id_parts.append(ids[s:e][~is_r])
+            cnt_parts.append(hi - lo)
         return pa.table(
-            {left_id: pa.array(l[left_id].to_numpy(), type=id_type,
+            {left_id: pa.array(np.concatenate(id_parts), type=id_type,
                                from_pandas=True),
-             "n_in_window": pa.array((hi - lo).astype(np.int64))},
+             "n_in_window": pa.array(
+                 np.concatenate(cnt_parts).astype(np.int64))},
             schema=out_schema)
 
-    return both.groupby(key).map_groups(count_in_window,
-                                        batch_format="pandas")
+    from .window import bucketed_groups
+
+    return bucketed_groups(both, key, count_in_window)

@@ -2,18 +2,58 @@
 
 Ray Data has no event-time windows; these express the reference's
 order-dependent semantics (ST3 carry-forward) and classic sessionization
-as ``groupby(key).map_groups`` over groups sorted by their order column
--- the documented partitioning assumption is "one group fits in memory",
-which holds for per-user / per-file groups.
+over a SINGLE coarse bucketed shuffle: rows route to hash(key) % 64
+partitions, and the per-bucket kernel sorts once by (key, order) and
+runs a vectorized pass over the whole bucket.  At high key cardinality
+this is the difference between 64 map_groups dispatches and one
+dispatch per distinct key (the proven pattern from
+ops/dedup.py:ngram_jaccard_pairs).  Partitioning assumption: one
+BUCKET (≈ corpus/64) fits in a worker's heap; raise ``n_buckets`` to
+shrink buckets at larger scale.
 """
 
 from __future__ import annotations
 
 import datetime
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
+
+DEFAULT_GROUP_BUCKETS = 64
+
+
+def _key_buckets(arr: np.ndarray, n_buckets: int) -> np.ndarray:
+    if arr.dtype.kind not in "iufb":
+        arr = arr.astype(object)
+    return (pd.util.hash_array(arr) % n_buckets).astype(np.int32)
+
+
+def bucketed_groups(
+    ds: ray.data.Dataset,
+    group_col: str,
+    per_bucket,
+    *,
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> ray.data.Dataset:
+    """hash(group) % n_buckets coarse shuffle + one pandas kernel per
+    bucket.  ``per_bucket`` receives the bucket frame (NOT yet sorted,
+    ``_kb`` column already removed) holding every row of each of its
+    keys, and must be vectorized over the whole bucket."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_kb", pa.array(_key_buckets(k, n_buckets)))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return per_bucket(g.drop(columns="_kb"))
+
+    return ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("_kb").map_groups(run, batch_format="pandas")
 
 
 def forward_fill_by_group(
@@ -24,18 +64,21 @@ def forward_fill_by_group(
     *,
     fill_leading,
     out_col: str | None = None,
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
 ) -> ray.data.Dataset:
     """Per-group ordered forward fill (the generalized M2 carry-forward):
     nulls inherit the last non-null value earlier in the group; leading
-    nulls get ``fill_leading``."""
-    out_col = out_col or value_col
+    nulls get ``fill_leading``.  One sort + a cython groupby-ffill per
+    bucket."""
+    out = out_col or value_col
 
     def fill(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_col).copy()
-        g[out_col] = g[value_col].ffill().fillna(fill_leading)
+        g = g.sort_values([group_col, order_col], kind="mergesort").copy()
+        g[out] = g.groupby(group_col, sort=False)[value_col].ffill()
+        g[out] = g[out].fillna(fill_leading)
         return g
 
-    return ds.groupby(group_col).map_groups(fill, batch_format="pandas")
+    return bucketed_groups(ds, group_col, fill, n_buckets=n_buckets)
 
 
 def sessionize(
@@ -45,20 +88,27 @@ def sessionize(
     *,
     gap: datetime.timedelta,
     tiebreak_cols: list[str] | None = None,
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
 ) -> ray.data.Dataset:
     """Assign session ids per key: a new session starts when the gap to
     the previous event exceeds ``gap``.  Adds ``session_id`` (0-based
     per key, in (ts, *tiebreak) order -- pass tiebreaks for determinism
-    when timestamps can tie)."""
+    when timestamps can tie).  Whole-bucket vectorized: one sort by
+    (key, ts, *tiebreaks), boundary-aware cumsum, no per-key kernel."""
     order = [ts_col] + list(tiebreak_cols or [])
 
     def assign(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, kind="stable").copy()
-        new = g[ts_col].diff() > gap
-        g["session_id"] = new.cumsum().astype("int64")
+        g = g.sort_values([key_col] + order, kind="mergesort").copy()
+        key = g[key_col]
+        newkey = key.ne(key.shift()).to_numpy()
+        gapped = (g[ts_col].diff() > gap).to_numpy()
+        start = newkey | gapped
+        s = np.cumsum(start)
+        base = np.maximum.accumulate(np.where(newkey, s, 0))
+        g["session_id"] = (s - base).astype(np.int64)
         return g
 
-    return ds.groupby(key_col).map_groups(assign, batch_format="pandas")
+    return bucketed_groups(ds, key_col, assign, n_buckets=n_buckets)
 
 
 def rolling_count_by_group(
@@ -67,23 +117,32 @@ def rolling_count_by_group(
     ts_col: str,
     id_col: str,
     window,
+    *,
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
 ) -> "ray.data.Dataset":
     """SQL RANGE-frame rolling count: for each row, the number of rows
     of the same group with ts in [row.ts - window, row.ts] (peers with
     EQUAL timestamps all count, exactly like ``RANGE BETWEEN <window>
-    PRECEDING AND CURRENT ROW``).  One groupby shuffle; per-group
-    kernel is two vectorized searchsorted passes -- deliberately NOT
-    pandas ``rolling`` whose ROW-based tie handling diverges from SQL.
-    """
-    import numpy as np
-    import pandas as pd
+    PRECEDING AND CURRENT ROW``).  Per-bucket kernel: one sort by
+    (key, ts), then two searchsorted passes per key SLICE (numpy over
+    contiguous views; the per-slice loop is in-worker, not a dispatch)
+    -- deliberately NOT pandas ``rolling`` whose ROW-based tie handling
+    diverges from SQL."""
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g[ts_col].to_numpy())
-        cur = g[ts_col].to_numpy()
-        hi = np.searchsorted(ts, cur, side="right")
-        lo = np.searchsorted(ts, cur - window, side="left")
+        g = g.sort_values([group_col, ts_col], kind="mergesort")
+        ts = g[ts_col].to_numpy()
+        key = g[group_col].to_numpy()
+        n = len(g)
+        bounds = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        bounds = np.append(bounds, n)
+        out = np.empty(n, dtype=np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = ts[s:e]
+            hi = np.searchsorted(seg, seg, side="right")
+            lo = np.searchsorted(seg, seg - window, side="left")
+            out[s:e] = hi - lo
         return pd.DataFrame({id_col: g[id_col].to_numpy(),
-                             "n_in_window": (hi - lo).astype(np.int64)})
+                             "n_in_window": out})
 
-    return ds.groupby(group_col).map_groups(roll, batch_format="pandas")
+    return bucketed_groups(ds, group_col, roll, n_buckets=n_buckets)
