@@ -85,19 +85,19 @@ ROW_SCHEMA = pa.schema([
 ])
 
 
-def _decode_one(path: str, data: bytes, root: str,
-                file_config: tuple[FileConfigEntry, ...]):
-    """One downloaded file -> parse-ready rows (doc_id, line, source)."""
-    rel = os.path.relpath(path, root).replace(os.sep, "/")
-    build_uuid, _, fname = rel.partition("/")
-    if not fname:
-        build_uuid, fname = "unknown", rel
+def decode_file(fname: str, data: bytes,
+                file_config: tuple[FileConfigEntry, ...] = DEFAULT_FILE_CONFIG,
+                ) -> tuple[list[str], str, str]:
+    """One fetched file body -> (rows, decoded_fname, source).
+
+    Shared by the build-dir scan and the live HTTP source: broken-file
+    skip, transparent gzip (magic-byte guarded -- both the Arrow
+    filesystem layer and requests may have decoded already), binary
+    subunit -> per-test JSON rows, performance.json whole-body row,
+    plain text -> one row per line."""
     if posixpath.basename(fname) in BROKEN_FILES:
-        return [], "", "", ""
+        return [], fname, ""
     if fname.endswith(".gz"):
-        # ray.data.read_binary_files auto-decompresses by extension via
-        # the Arrow filesystem layer; decompress only if it did not
-        # (magic-byte check), mirroring requests' transparent decoding
         if data[:2] == b"\x1f\x8b":
             data = gzip.decompress(data)
         fname = strip_gz(fname)
@@ -113,11 +113,22 @@ def _decode_one(path: str, data: bytes, root: str,
                 "start": r["start_time"].isoformat(),
                 "end": r["end_time"].isoformat(),
             }, sort_keys=True))
-        return rows, build_uuid, fname, source
+        return rows, fname, source
     text = data.decode("utf-8", errors="replace")
     if source == "performance":
-        return [text], build_uuid, fname, source
-    return text.splitlines(), build_uuid, fname, source
+        return [text], fname, source
+    return text.splitlines(), fname, source
+
+
+def _decode_one(path: str, data: bytes, root: str,
+                file_config: tuple[FileConfigEntry, ...]):
+    """One downloaded file -> parse-ready rows (doc_id, line, source)."""
+    rel = os.path.relpath(path, root).replace(os.sep, "/")
+    build_uuid, _, fname = rel.partition("/")
+    if not fname:
+        build_uuid, fname = "unknown", rel
+    rows, fname, source = decode_file(fname, data, file_config)
+    return rows, build_uuid, fname, source
 
 
 def make_decode_fn(root: str,
