@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "hot_key_salted",
     "sample_hash",
+    "multiline_join",
+    "grok_fields",
 ]
 
 
@@ -137,12 +139,16 @@ def run_bench() -> dict:
             import __ray_entry__ as entrymod
 
             qs = entrymod.queries()
+            reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
             for name in BENCH_QUERIES:
-                t0 = time.perf_counter()
-                out = qs[name](SF_DIR)
-                if hasattr(out, "to_pandas"):
-                    out = out.to_pandas()
-                qtimes[name] = round(time.perf_counter() - t0, 3)
+                best = float("inf")
+                for _ in range(max(1, reps)):  # min-of-N vs host steal
+                    t0 = time.perf_counter()
+                    out = qs[name](SF_DIR)
+                    if hasattr(out, "to_pandas"):
+                        out = out.to_pandas()
+                    best = min(best, time.perf_counter() - t0)
+                qtimes[name] = round(best, 3)
 
         return {
             "metric": "flagship parse->enrich->route->aggregate wall time "
