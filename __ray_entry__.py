@@ -60,9 +60,16 @@ from ci_log_processing_ray.ops.textstats import (
     fingerprint,
     language_id,
     quality_score,
+    repetition_score,
     token_count_bpe,
 )
-from ci_log_processing_ray.ops.window import forward_fill_by_group, sessionize
+from ci_log_processing_ray.ops.quantile import approx_quantiles, quantile_disc_by_group
+from ci_log_processing_ray.ops.reshape import explode_list
+from ci_log_processing_ray.ops.window import (
+    forward_fill_by_group,
+    lag_diff_by_group,
+    sessionize,
+)
 from ci_log_processing_ray.pipelines.flagship import run_pipeline
 from ci_log_processing_ray.sources.synth import CorpusSpec, generate_corpus
 
@@ -1102,6 +1109,69 @@ def q_flagship_counts(sf_dir: str):
     return res.counts.to_pandas()
 
 
+def q_lag_gap(sf_dir: str):
+    """lag()-style window: microseconds since the previous event of the
+    same user (sentinel -1 for each user's first event).  One coarse
+    bucketed shuffle, whole-bucket vectorized diff."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return lag_diff_by_group(ds, "user_id", "ts", "event_id",
+                             tiebreak_col="event_id")
+
+
+def q_explode_embeddings(sf_dir: str):
+    """UNNEST WITH ORDINALITY: one row per embedding component, 1-based
+    position, value scaled to int 1e-4 units for hash-exact compare.
+    No shuffle -- pure offset arithmetic per block."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ex = explode_list(ds, "embedding", ["vec_id"], pos_col="pos",
+                      out_col="val")
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = pc.cast(t["val"].combine_chunks(), pa.float64())
+        val_e4 = pc.cast(pc.floor(pc.add(pc.multiply(v, 10000.0), 0.5)),
+                         pa.int64())
+        return pa.table({"vec_id": t["vec_id"], "pos": t["pos"],
+                         "val_e4": val_e4})
+
+    return ex.map_batches(fn, batch_format="pyarrow")
+
+
+def q_quantile_qty(sf_dir: str):
+    """Exact distributed percentile_disc per group: (group, value) ->
+    count partials shuffle (distinct pairs only, never rows), final
+    rank pick at ceil(q*n)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def to_int(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.floor(pc.add(t["l_quantity"].combine_chunks(), 0.5)),
+                      pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"], "qty": qty})
+
+    ints = ds.map_batches(to_int, batch_format="pyarrow")
+    return quantile_disc_by_group(
+        ints, "l_returnflag", "qty",
+        {"q25": 0.25, "q50": 0.5, "q90": 0.9})
+
+
+def q_repetition_score(sf_dir: str):
+    """Gopher-style within-doc repetition: duplicate word-bigram
+    percentage per document (all-integer outputs)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_score(ds, "text", "doc_id")
+
+
+def q_approx_quantile(sf_dir: str):
+    """DDSketch mergeable quantile sketch over event values: fixed-size
+    (bin, count) partials, driver answers from the merged histogram.
+    Approximate by design (relative error <= alpha=0.01) -- rows-only
+    check; the accuracy contract is unit-tested against exact numpy
+    quantiles."""
+    ds = _read(sf_dir, "events", ["value"])
+    qs = [0.5, 0.9, 0.99]
+    est = approx_quantiles(ds, "value", qs, alpha=0.01)
+    return pd.DataFrame({"q": qs, "estimate": est})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -1152,6 +1222,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "multiline_join": q_multiline_join,
         "grok_fields": q_grok_fields,
+        "lag_gap": q_lag_gap,
+        "explode_embeddings": q_explode_embeddings,
+        "quantile_qty": q_quantile_qty,
+        "repetition_score": q_repetition_score,
+        "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }
 
@@ -1459,4 +1534,42 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 3 = 2 THEN 'node-' || (doc_id % 50)
                    END AS syslog_host
             FROM documents""",
+        "lag_gap": """
+            SELECT event_id, user_id,
+                   coalesce(date_diff('microsecond',
+                                      lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id),
+                                      ts), -1) AS gap_us
+            FROM events""",
+        "explode_embeddings": """
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+                        AS BIGINT) AS val_e4
+            FROM embeddings""",
+        "quantile_qty": """
+            SELECT l_returnflag,
+                   CAST(quantile_disc(CAST(floor(l_quantity + 0.5) AS BIGINT),
+                                      0.25) AS BIGINT) AS q25,
+                   CAST(quantile_disc(CAST(floor(l_quantity + 0.5) AS BIGINT),
+                                      0.5) AS BIGINT) AS q50,
+                   CAST(quantile_disc(CAST(floor(l_quantity + 0.5) AS BIGINT),
+                                      0.9) AS BIGINT) AS q90
+            FROM lineitem GROUP BY l_returnflag""",
+        "repetition_score": """
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(lower(text),
+                                                 '[a-z0-9_]+') AS ws
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_2grams,
+                         CAST(len(list_distinct(list_transform(
+                              range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i+1]))) AS BIGINT)
+                             AS n_uniq_2grams
+                  FROM w)
+            SELECT doc_id, n_2grams, n_uniq_2grams,
+                   CAST((100 * (n_2grams - n_uniq_2grams))
+                        // greatest(n_2grams, 1) AS BIGINT) AS dup_2gram_pct
+            FROM c""",
     }

@@ -1,0 +1,170 @@
+"""Distributed quantiles: exact (value-histogram) and approximate
+(mergeable DDSketch-style log-histogram).
+
+The reference computes latency percentiles over performance-JSON
+metrics downstream (in OpenSearch dashboards); here they are engine
+operators.
+
+``quantile_disc_by_group`` is EXACT for bounded-cardinality value
+domains (durations in ms, token counts, integer money): each batch
+pre-aggregates to (group, value) -> count partials, so the shuffle
+carries one row per distinct (group, value) pair per block -- never the
+raw rows.  The final per-group pick (sort values, cumulative counts,
+index ceil(q*n)-1, i.e. SQL ``percentile_disc`` / DuckDB
+``quantile_disc``) runs over a table whose size is distinct-values, not
+rows.  Partitioning assumption: distinct (group, value) pairs fit in
+one worker per hash bucket -- raise ``n_buckets`` at larger scale.
+
+``DDSketch`` is the unbounded-domain scale path: a fixed-gamma
+log-histogram (Masson et al., "DDSketch: A Fast and Fully-Mergeable
+Quantile Sketch with Relative-Error Guarantees", VLDB 2019 -- public
+paper) whose partials are (bin, count) rows, merged by a tiny groupby
+sum; any quantile is then answered with relative error <= (gamma-1)/
+(gamma+1) from the merged histogram.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ci_log_processing_ray.ops.window import DEFAULT_GROUP_BUCKETS, bucketed_groups
+
+
+def _disc_index(n: int, q: float) -> int:
+    """0-based sorted index of percentile_disc(q): first value whose
+    cumulative count reaches ceil(q*n) (DuckDB quantile_disc,
+    calibrated empirically)."""
+    return max(int(np.ceil(q * n)) - 1, 0)
+
+
+def quantile_disc_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: dict[str, float],
+    *,
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> ray.data.Dataset:
+    """Exact per-group percentile_disc for integer-valued columns.
+
+    ``qs`` maps output column name -> quantile (e.g. {"q50": 0.5}).
+    Output: one row per group with int64 quantile columns.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            group_col: t[group_col].combine_chunks(),
+            "_v": pc.cast(t[value_col].combine_chunks(), pa.int64()),
+            "_n": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+        g = tt.group_by([group_col, "_v"]).aggregate([("_n", "sum")])
+        return pa.table({group_col: g[group_col], "_v": g["_v"],
+                         "_n": g["_n_sum"]})
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket frame: counts for every (group, value) of its keys;
+        # vectorized over the whole bucket -- one sort, per-group
+        # cumulative counts, searchsorted rank pick per quantile.
+        g = (g.groupby([group_col, "_v"], sort=False)["_n"].sum()
+              .reset_index().sort_values([group_col, "_v"],
+                                         kind="mergesort"))
+        key = g[group_col].to_numpy()
+        cnt = g["_n"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        bounds = np.append(bounds, len(g))
+        vals = g["_v"].to_numpy()
+        out = {group_col: key[bounds[:-1]]}
+        cum = np.cumsum(cnt)
+        seg_tot = cum[bounds[1:] - 1] - np.r_[0, cum[bounds[1:-1] - 1]]
+        for name, q in qs.items():
+            ranks = np.ceil(q * seg_tot).astype(np.int64)
+            ranks = np.maximum(ranks, 1)
+            picks = np.empty(len(seg_tot), dtype=np.int64)
+            for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+                seg_cum = cum[s:e] - (cum[s - 1] if s else 0)
+                picks[i] = vals[s + np.searchsorted(seg_cum, ranks[i])]
+            out[name] = picks
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed_groups(partials, group_col, pick, n_buckets=n_buckets)
+
+
+# ---------------------------------------------------------------------------
+# DDSketch: mergeable approximate quantiles with relative-error guarantee
+# ---------------------------------------------------------------------------
+class DDSketch:
+    """Log-histogram quantile sketch over positive values.
+
+    relative error <= alpha where gamma = (1+alpha)/(1-alpha).
+    Partials are (bin_index, count) pairs -- fixed-size, mergeable by
+    addition, exactly like the HLL registers in ops/sketch.py.
+    """
+
+    def __init__(self, alpha: float = 0.01):
+        self.alpha = alpha
+        self.gamma = (1 + alpha) / (1 - alpha)
+        self._log_gamma = np.log(self.gamma)
+
+    def bins(self, values: np.ndarray) -> np.ndarray:
+        """Bin index per value (values must be > 0)."""
+        return np.ceil(np.log(values) / self._log_gamma).astype(np.int64)
+
+    def value(self, bin_idx: np.ndarray) -> np.ndarray:
+        """Midpoint estimate for a bin: 2*gamma^i/(gamma+1)."""
+        return 2.0 * np.power(self.gamma, bin_idx.astype(np.float64)) / (
+            self.gamma + 1)
+
+    def partial_table(self, values: np.ndarray) -> pa.Table:
+        pos = values[values > 0]
+        b, n = np.unique(self.bins(pos), return_counts=True)
+        nz = int((values <= 0).sum())
+        if nz:
+            b = np.r_[np.iinfo(np.int64).min, b]
+            n = np.r_[nz, n]
+        return pa.table({"bin": pa.array(b), "n": pa.array(n.astype(np.int64))})
+
+    def quantiles(self, merged: pd.DataFrame, qs: list[float]) -> list[float]:
+        """Answer quantiles from the merged (bin, n) histogram."""
+        m = merged.sort_values("bin")
+        bins = m["bin"].to_numpy()
+        cum = np.cumsum(m["n"].to_numpy())
+        total = cum[-1]
+        out = []
+        for q in qs:
+            rank = max(int(np.ceil(q * total)), 1)
+            i = int(np.searchsorted(cum, rank))
+            b = bins[i]
+            out.append(0.0 if b == np.iinfo(np.int64).min
+                       else float(self.value(np.array([b]))[0]))
+        return out
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    qs: list[float],
+    *,
+    alpha: float = 0.01,
+) -> list[float]:
+    """Global approximate quantiles: per-batch DDSketch partials ->
+    tiny (bin, n) groupby sum -> driver-side answer.  The shuffle moves
+    at most O(log(max/min)/alpha) rows per block regardless of data
+    size."""
+    sk = DDSketch(alpha)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return sk.partial_table(v.astype(np.float64))
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("bin").sum("n").to_pandas())
+    merged = merged.rename(columns={"sum(n)": "n"})
+    return sk.quantiles(merged, qs)

@@ -1,0 +1,70 @@
+"""Reshape operators: list explode (UNNEST WITH ORDINALITY).
+
+The reference flattens nested payloads in two places -- the performance
+JSON flattener (logsender.py:372-407, one output doc per leaf metric)
+and the subunit normalizer (one doc per test) -- both expressed here as
+batch-local explodes.  ``explode_list`` is the generic primitive: each
+list element becomes its own row, carrying its parent's id columns and
+a 1-based ordinal.  Fully vectorized (offset arithmetic + one ``take``
+per id column); embarrassingly parallel -- no shuffle, so it streams at
+any scale and output blocks grow only by the mean list length.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def explode_table(
+    t: pa.Table,
+    list_col: str,
+    id_cols: list[str],
+    *,
+    pos_col: str = "pos",
+    out_col: str = "val",
+) -> pa.Table:
+    """Explode one Arrow batch: one output row per list element.
+
+    Null or empty lists contribute no rows (UNNEST semantics).  The
+    ordinal is 1-based to match SQL ``generate_subscripts``/``WITH
+    ORDINALITY``.
+    """
+    arr = t[list_col].combine_chunks()
+    if pa.types.is_null(arr.type):
+        # a block whose list column is entirely null (untyped) explodes
+        # to zero rows
+        arr = pa.array([], type=pa.list_(pa.null()))
+        t = t.slice(0, 0)
+    lens = pc.list_value_length(arr)
+    lens = pc.fill_null(lens, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(lens.sum())
+    parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    pos = np.arange(total, dtype=np.int64) - starts + 1
+    flat = pc.list_flatten(arr)
+    parent_idx = pa.array(parent)
+    cols = {c: t[c].combine_chunks().take(parent_idx) for c in id_cols}
+    cols[pos_col] = pa.array(pos)
+    cols[out_col] = flat
+    return pa.table(cols)
+
+
+def explode_list(
+    ds: ray.data.Dataset,
+    list_col: str,
+    id_cols: list[str],
+    *,
+    pos_col: str = "pos",
+    out_col: str = "val",
+) -> ray.data.Dataset:
+    """Dataset-level explode: ``map_batches`` over Arrow blocks, no
+    shuffle.  Batch size is left to the executor; for very long lists
+    pass a smaller ``override_num_blocks`` at read time instead."""
+    return ds.map_batches(
+        lambda t: explode_table(t, list_col, id_cols,
+                                pos_col=pos_col, out_col=out_col),
+        batch_format="pyarrow", zero_copy_batch=True)

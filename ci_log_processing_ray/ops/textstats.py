@@ -147,6 +147,42 @@ def quality_score(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+def repetition_score(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.Dataset:
+    """Within-document repetition signal (Gopher-style quality filter,
+    Rae et al. 2021: fraction of duplicated n-grams): per document the
+    word-bigram count, distinct-bigram count, and integer duplicate
+    percentage ``100*(n - n_distinct) // max(n, 1)``.
+
+    All-integer outputs (value-hash safe).  Tokenization is the shared
+    WORD_RE so the SQL oracle (regexp_extract_all + list_transform +
+    list_distinct) agrees exactly.  Embarrassingly parallel -- no
+    shuffle; the per-doc set build runs in-worker over the found-word
+    lists."""
+
+    def score(t: pa.Table) -> pa.Table:
+        ser = pd.Series(pc.utf8_lower(t[text_col].combine_chunks()).to_pandas())
+        words = ser.str.findall(WORD_RE)
+
+        def counts(ws: list) -> tuple[int, int]:
+            n = max(len(ws) - 1, 0)
+            if n == 0:
+                return (0, 0)
+            return (n, len(set(zip(ws, ws[1:]))))
+
+        pairs = words.map(counts)
+        n = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
+        nd = np.fromiter((p[1] for p in pairs), dtype=np.int64, count=len(pairs))
+        dup_pct = (100 * (n - nd)) // np.maximum(n, 1)
+        return pa.table({
+            id_col: t[id_col],
+            "n_2grams": pa.array(n),
+            "n_uniq_2grams": pa.array(nd),
+            "dup_2gram_pct": pa.array(dup_pct),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
 def token_count_bpe(ds: ray.data.Dataset, text_col: str, group_col: str) -> ray.data.Dataset:
     """Per-group total BPE-ish token counts (GPT-2-style pretokenizer
     regex, counted vectorized with RE2 -- no per-row Python loop), using

@@ -111,6 +111,40 @@ def sessionize(
     return bucketed_groups(ds, key_col, assign, n_buckets=n_buckets)
 
 
+def lag_diff_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+    *,
+    tiebreak_col: str | None = None,
+    sentinel: int = -1,
+    out_col: str = "gap_us",
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> "ray.data.Dataset":
+    """SQL ``lag()`` delta: for each row, microseconds since the
+    previous row of the same group in (ts, tiebreak) order; the first
+    row of each group gets ``sentinel`` (int64 throughout -- no
+    NaN-bearing upcast, the dtype leak class fixed in relational.py).
+    Whole-bucket vectorized: one sort, one diff, group-boundary mask."""
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col] + order, kind="mergesort")
+        ts = g[ts_col].to_numpy()
+        key = g[group_col].to_numpy()
+        gap = np.empty(len(g), dtype=np.int64)
+        if len(g):
+            gap[1:] = ((ts[1:] - ts[:-1])
+                       .astype("timedelta64[us]").astype(np.int64))
+            first = np.r_[True, key[1:] != key[:-1]]
+            gap[first] = sentinel
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             group_col: key, out_col: gap})
+
+    return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
+
+
 def rolling_count_by_group(
     ds: "ray.data.Dataset",
     group_col: str,

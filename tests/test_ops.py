@@ -410,3 +410,91 @@ def test_hll_by_group(ray_session):
         ray.data.from_items(rows), "g", "v", p=12).set_index("g")
     assert abs(out.loc["a", "n_distinct"] - 100) / 100 < 0.1
     assert abs(out.loc["b", "n_distinct"] - 700) / 700 < 0.1
+
+
+def test_explode_list(ray_session):
+    from ci_log_processing_ray.ops.reshape import explode_list
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4]),
+        "l": pa.array([[10.0, 20.0], [], None, [7.0]],
+                      type=pa.list_(pa.float64())),
+    })
+    out = explode_list(ray.data.from_arrow(t), "l", ["id"]).to_pandas()
+    out = out.sort_values(["id", "pos"]).reset_index(drop=True)
+    assert out["id"].tolist() == [1, 1, 4]
+    assert out["pos"].tolist() == [1, 2, 1]  # 1-based ordinal
+    assert out["val"].tolist() == [10.0, 20.0, 7.0]
+
+
+def test_quantile_disc_by_group(ray_session):
+    from ci_log_processing_ray.ops.quantile import quantile_disc_by_group
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 5, size=4000)
+    vals = rng.integers(0, 100, size=4000)
+    ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals}))
+    out = quantile_disc_by_group(
+        ds, "k", "v", {"q50": 0.5, "q90": 0.9}).to_pandas()
+    df = pd.DataFrame({"k": keys, "v": vals})
+    for k, g in df.groupby("k"):
+        s = np.sort(g["v"].to_numpy())
+        row = out[out["k"] == k].iloc[0]
+        # percentile_disc: value at 0-based sorted index ceil(q*n)-1
+        assert row["q50"] == s[int(np.ceil(0.5 * len(s))) - 1]
+        assert row["q90"] == s[int(np.ceil(0.9 * len(s))) - 1]
+
+
+def test_ddsketch_accuracy_and_merge_invariance(ray_session):
+    from ci_log_processing_ray.ops.quantile import approx_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(mean=3.0, sigma=1.5, size=20000)
+    qs = [0.5, 0.9, 0.99]
+    for blocks in (1, 16):  # merge invariance: same answer at any split
+        ds = ray.data.from_arrow(
+            pa.table({"value": vals})).repartition(blocks)
+        est = approx_quantiles(ds, "value", qs, alpha=0.01)
+        exact = np.quantile(vals, qs)
+        for e, x in zip(est, exact):
+            assert abs(e - x) / x <= 0.02  # 2*alpha guarantee margin
+
+
+def test_lag_diff_by_group(ray_session):
+    from ci_log_processing_ray.ops.window import lag_diff_by_group
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for uid in range(20):
+        for i in range(10):
+            rows.append({"event_id": uid * 10 + i, "user_id": uid,
+                         "ts": base + pd.Timedelta(microseconds=uid + 7 * i)})
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=3)
+    out = lag_diff_by_group(
+        ray.data.from_pandas(df), "user_id", "ts", "event_id",
+        tiebreak_col="event_id").to_pandas()
+    assert out["gap_us"].dtype == np.int64  # no float upcast
+    got = dict(zip(out["event_id"], out["gap_us"]))
+    for uid in range(20):
+        assert got[uid * 10] == -1  # first event per user
+        for i in range(1, 10):
+            assert got[uid * 10 + i] == 7
+
+
+def test_repetition_score(ray_session):
+    from ci_log_processing_ray.ops.textstats import repetition_score
+
+    rows = [
+        {"doc_id": 1, "text": "a b a b a b"},     # bigrams: ab ba ab ba ab
+        {"doc_id": 2, "text": "x y z"},            # all distinct
+        {"doc_id": 3, "text": "one"},              # no bigrams
+        {"doc_id": 4, "text": ""},
+    ]
+    out = repetition_score(
+        ray.data.from_items(rows), "text", "doc_id").to_pandas()
+    got = {r.doc_id: (r.n_2grams, r.n_uniq_2grams, r.dup_2gram_pct)
+           for r in out.itertuples()}
+    assert got[1] == (5, 2, 60)
+    assert got[2] == (2, 2, 0)
+    assert got[3] == (0, 0, 0)
+    assert got[4] == (0, 0, 0)
