@@ -662,6 +662,10 @@ def q_multiway_join(sf_dir: str):
                ["l_orderkey", "l_extendedprice", "l_discount",
                 "l_shipdate"]).map_batches(li_filter, batch_format="pyarrow")
 
+    # NOTE: aggregating fully below the join (groupby l_orderkey, then
+    # join) was A/B-measured SLOWER (8.3-9.2 s vs 6.0-6.5 s at sf0.1):
+    # Ray's sort-based groupby over the partial rows costs more than
+    # letting the hash join partition them.  Keep join -> groupby.
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     joined = li.join(orders, "inner", num_partitions=max(2, ncpu // 4),
                      on=("l_orderkey",), right_on=("o_orderkey",))
