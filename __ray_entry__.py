@@ -62,12 +62,19 @@ from ci_log_processing_ray.ops.textstats import (
     quality_score,
     repetition_score,
     token_count_bpe,
+    word_topk,
 )
-from ci_log_processing_ray.ops.quantile import approx_quantiles, quantile_disc_by_group
+from ci_log_processing_ray.ops.quantile import (
+    approx_quantiles,
+    quantile_cont_by_group,
+    quantile_disc_by_group,
+)
 from ci_log_processing_ray.ops.reshape import explode_list
 from ci_log_processing_ray.ops.window import (
     forward_fill_by_group,
     lag_diff_by_group,
+    rank_by_group,
+    running_total_by_group,
     sessionize,
 )
 from ci_log_processing_ray.pipelines.flagship import run_pipeline
@@ -1164,6 +1171,64 @@ def q_repetition_score(sf_dir: str):
     return repetition_score(ds, "text", "doc_id")
 
 
+def q_running_total(sf_dir: str):
+    """sum() OVER (PARTITION BY ... ROWS UNBOUNDED PRECEDING): per-user
+    cumulative cents, whole-bucket vectorized cumsum."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts": t["ts"], "cents": _cents(t["value"])})
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    return running_total_by_group(
+        cents, "user_id", ["ts", "event_id"], "cents", "event_id",
+        out_col="running_cents")
+
+
+def q_rank_orders(sf_dir: str):
+    """rank() + dense_rank() per customer over order value (ranked on
+    the cents-converted value so tie structure is identical in both
+    engines)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    ranked = rank_by_group(ds.map_batches(to_cents, batch_format="pyarrow"),
+                           "o_custkey", "cents", "o_orderkey",
+                           descending=True)
+    return ranked.map_batches(
+        lambda t: t.rename_columns(
+            [{"rank": "rnk", "dense_rank": "dense_rnk"}.get(c, c)
+             for c in t.column_names]),
+        batch_format="pyarrow")
+
+
+def q_quantile_cont_qty(sf_dir: str):
+    """Exact interpolated percentile_cont per group at dyadic quantiles
+    (bit-exact vs the SQL oracle for integer values)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def to_int(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.floor(pc.add(t["l_quantity"].combine_chunks(), 0.5)),
+                      pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"], "qty": qty})
+
+    ints = ds.map_batches(to_int, batch_format="pyarrow")
+    return quantile_cont_by_group(
+        ints, "l_returnflag", "qty",
+        {"q25c": 0.25, "q50c": 0.5, "q75c": 0.75})
+
+
+def q_word_topk(sf_dir: str):
+    """Exact corpus word-count top-20 (vocabulary-sized shuffle)."""
+    ds = _read(sf_dir, "documents", ["text"])
+    return word_topk(ds, "text", 20)
+
+
 def q_approx_quantile(sf_dir: str):
     """DDSketch mergeable quantile sketch over event values: fixed-size
     (bin, count) partials, driver answers from the merged histogram.
@@ -1230,6 +1295,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_embeddings": q_explode_embeddings,
         "quantile_qty": q_quantile_qty,
         "repetition_score": q_repetition_score,
+        "running_total": q_running_total,
+        "rank_orders": q_rank_orders,
+        "quantile_cont_qty": q_quantile_cont_qty,
+        "word_topk": q_word_topk,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }
@@ -1576,4 +1645,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST((100 * (n_2grams - n_uniq_2grams))
                         // greatest(n_2grams, 1) AS BIGINT) AS dup_2gram_pct
             FROM c""",
+        "running_total": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS running_cents
+            FROM events""",
+        "rank_orders": """
+            SELECT o_orderkey, o_custkey,
+                   rank() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) DESC) AS rnk,
+                   dense_rank() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) DESC) AS dense_rnk
+            FROM orders""",
+        "quantile_cont_qty": """
+            SELECT l_returnflag,
+                   quantile_cont(CAST(floor(l_quantity + 0.5) AS BIGINT),
+                                 0.25) AS q25c,
+                   quantile_cont(CAST(floor(l_quantity + 0.5) AS BIGINT),
+                                 0.5) AS q50c,
+                   quantile_cont(CAST(floor(l_quantity + 0.5) AS BIGINT),
+                                 0.75) AS q75c
+            FROM lineitem GROUP BY l_returnflag""",
+        "word_topk": """
+            SELECT w AS word, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                                   '[a-z0-9_]+')) AS w
+                  FROM documents)
+            GROUP BY w ORDER BY n DESC, word LIMIT 20""",
     }

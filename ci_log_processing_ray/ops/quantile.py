@@ -96,6 +96,69 @@ def quantile_disc_by_group(
     return bucketed_groups(partials, group_col, pick, n_buckets=n_buckets)
 
 
+def quantile_cont_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: dict[str, float],
+    *,
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> ray.data.Dataset:
+    """Exact per-group percentile_cont (linear interpolation at
+    position q*(n-1), DuckDB/Postgres semantics) over integer-valued
+    columns, same (group, value)->count partial shuffle as
+    ``quantile_disc_by_group``.
+
+    Float-determinism: with integer values and DYADIC quantiles
+    (0.25, 0.5, 0.75, ...) the interpolation ``v_lo + (v_hi-v_lo)*frac``
+    is exact in IEEE double, so results hash-compare exactly against a
+    SQL oracle; non-dyadic q may differ in the last ulp.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            group_col: t[group_col].combine_chunks(),
+            "_v": pc.cast(t[value_col].combine_chunks(), pa.int64()),
+            "_n": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+        g = tt.group_by([group_col, "_v"]).aggregate([("_n", "sum")])
+        return pa.table({group_col: g[group_col], "_v": g["_v"],
+                         "_n": g["_n_sum"]})
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby([group_col, "_v"], sort=False)["_n"].sum()
+              .reset_index().sort_values([group_col, "_v"],
+                                         kind="mergesort"))
+        key = g[group_col].to_numpy()
+        cnt = g["_n"].to_numpy()
+        vals = g["_v"].to_numpy().astype(np.float64)
+        bounds = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        bounds = np.append(bounds, len(g))
+        out = {group_col: key[bounds[:-1]]}
+        for name, q in qs.items():
+            res = np.empty(len(bounds) - 1, dtype=np.float64)
+            for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+                seg_cum = np.cumsum(cnt[s:e])
+                n = seg_cum[-1]
+                pos = q * (n - 1)
+                lo = int(np.floor(pos))
+                frac = pos - lo
+                # value at 0-based rank r = first value with cum > r
+                v_lo = vals[s + np.searchsorted(seg_cum, lo, side="right")]
+                if frac == 0.0:
+                    res[i] = v_lo
+                else:
+                    v_hi = vals[s + np.searchsorted(seg_cum, lo + 1,
+                                                    side="right")]
+                    res[i] = v_lo + (v_hi - v_lo) * frac
+            out[name] = res
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed_groups(partials, group_col, pick, n_buckets=n_buckets)
+
+
 # ---------------------------------------------------------------------------
 # DDSketch: mergeable approximate quantiles with relative-error guarantee
 # ---------------------------------------------------------------------------

@@ -147,6 +147,32 @@ def quality_score(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+def word_topk(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset:
+    """Corpus-level top-k most frequent words (the classic wordcount,
+    exact): per-batch Arrow kernel chain lower -> split on non-word
+    runs -> flatten -> drop empties -> local value counts, then a
+    vocabulary-sized groupby sum and a tiny global sort+limit.  The
+    shuffle carries (word, count) partials -- bounded by vocabulary per
+    block, never the corpus.  Ties at the k boundary break by word
+    (ascending), so the result is deterministic."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = pc.utf8_lower(t[text_col].combine_chunks())
+        words = pc.split_pattern_regex(col, pattern=r"[^a-z0-9_]+")
+        flat = pc.list_flatten(words)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).groupby("word").aggregate(
+        Sum("n", alias_name="n"))
+    return counts.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
 def repetition_score(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.Dataset:
     """Within-document repetition signal (Gopher-style quality filter,
     Rae et al. 2021: fraction of duplicated n-grams): per document the

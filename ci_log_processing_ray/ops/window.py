@@ -145,6 +145,74 @@ def lag_diff_by_group(
     return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
 
 
+def running_total_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    id_col: str,
+    *,
+    out_col: str = "running_total",
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> "ray.data.Dataset":
+    """SQL ``sum() OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``: per-key cumulative sum in the given order.  Whole-
+    bucket vectorized: global cumsum minus the segment-start offset."""
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col] + order_cols, kind="mergesort")
+        key = g[group_col].to_numpy()
+        v = g[value_col].to_numpy()
+        cs = np.cumsum(v)
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        # cumulative total just BEFORE each segment, broadcast per row
+        seg_lens = np.diff(np.append(starts, len(g)))
+        base = np.repeat(np.r_[0, cs[starts[1:] - 1]], seg_lens)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             group_col: key,
+                             out_col: cs - base})
+
+    return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
+
+
+def rank_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    descending: bool = True,
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> "ray.data.Dataset":
+    """SQL ``rank()`` and ``dense_rank()`` per group ordered by
+    ``value_col``: peers (equal values) share a rank; rank skips after
+    ties, dense_rank does not.  Whole-bucket vectorized (one sort +
+    boundary cumsums, no per-key dispatch)."""
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, value_col], kind="mergesort",
+                          ascending=[True, not descending])
+        key = g[group_col].to_numpy()
+        v = g[value_col].to_numpy()
+        n = len(g)
+        newkey = np.r_[True, key[1:] != key[:-1]]
+        newval = np.r_[True, (v[1:] != v[:-1])] | newkey
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(newkey, idx, 0))
+        # rank: 1 + rows before the first peer within the segment
+        peer_start = np.maximum.accumulate(np.where(newval, idx, 0))
+        rank = peer_start - seg_start + 1
+        # dense_rank: distinct-value counter within the segment
+        dr = np.cumsum(newval)
+        dense = dr - np.maximum.accumulate(np.where(newkey, dr, 0)) + 1
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             group_col: key,
+                             "rank": rank.astype(np.int64),
+                             "dense_rank": dense.astype(np.int64)})
+
+    return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
+
+
 def rolling_count_by_group(
     ds: "ray.data.Dataset",
     group_col: str,

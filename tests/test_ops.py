@@ -498,3 +498,73 @@ def test_repetition_score(ray_session):
     assert got[2] == (2, 2, 0)
     assert got[3] == (0, 0, 0)
     assert got[4] == (0, 0, 0)
+
+
+def test_running_total_by_group(ray_session):
+    from ci_log_processing_ray.ops.window import running_total_by_group
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "id": np.arange(300),
+        "k": rng.integers(0, 7, size=300),
+        "o": rng.permutation(300),
+        "v": rng.integers(-50, 50, size=300),
+    })
+    out = running_total_by_group(
+        ray.data.from_pandas(df.sample(frac=1.0, random_state=1)),
+        "k", ["o"], "v", "id", out_col="rt").to_pandas()
+    assert out["rt"].dtype == np.int64
+    expect = df.sort_values(["k", "o"]).groupby("k")["v"].cumsum()
+    got = dict(zip(out["id"], out["rt"]))
+    for i, e in zip(df.sort_values(["k", "o"])["id"], expect):
+        assert got[i] == e
+
+
+def test_rank_by_group(ray_session):
+    from ci_log_processing_ray.ops.window import rank_by_group
+
+    df = pd.DataFrame({
+        "id": np.arange(8),
+        "k": [1, 1, 1, 1, 2, 2, 2, 2],
+        "v": [30, 30, 20, 10, 5, 5, 5, 1],
+    })
+    out = rank_by_group(
+        ray.data.from_pandas(df), "k", "v", "id",
+        descending=True).to_pandas()
+    got = {r.id: (r.rank, r.dense_rank) for r in out.itertuples()}
+    # k=1: 30,30 share rank 1; 20 -> rank 3 (skips), dense 2; 10 -> 4/3
+    assert got[0] == (1, 1) and got[1] == (1, 1)
+    assert got[2] == (3, 2) and got[3] == (4, 3)
+    # k=2: 5,5,5 rank 1; 1 -> rank 4, dense 2
+    assert got[4] == (1, 1) and got[5] == (1, 1) and got[6] == (1, 1)
+    assert got[7] == (4, 2)
+
+
+def test_quantile_cont_by_group(ray_session):
+    from ci_log_processing_ray.ops.quantile import quantile_cont_by_group
+
+    rng = np.random.default_rng(13)
+    keys = rng.integers(0, 4, size=2000)
+    vals = rng.integers(0, 1000, size=2000)
+    ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals}))
+    out = quantile_cont_by_group(
+        ds, "k", "v", {"q25": 0.25, "q50": 0.5, "q75": 0.75}).to_pandas()
+    df = pd.DataFrame({"k": keys, "v": vals})
+    for k, g in df.groupby("k"):
+        row = out[out["k"] == k].iloc[0]
+        for name, q in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75)):
+            # numpy 'linear' interpolation == percentile_cont
+            assert row[name] == np.quantile(g["v"].to_numpy(), q,
+                                            method="linear")
+
+
+def test_word_topk(ray_session):
+    from ci_log_processing_ray.ops.textstats import word_topk
+
+    rows = [{"text": "Apple banana apple"},
+            {"text": "banana, cherry! APPLE"},
+            {"text": "cherry banana"}]
+    out = word_topk(
+        ray.data.from_items(rows), "text", 2).to_pandas()
+    assert out["word"].tolist() == ["apple", "banana"]  # 3 vs 3: tie -> word asc
+    assert out["n"].tolist() == [3, 3]
