@@ -1229,6 +1229,16 @@ def q_word_topk(sf_dir: str):
     return word_topk(ds, "text", 20)
 
 
+def q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing: global token offset per document
+    (distributed two-pass prefix sum, range-bucketed -- no global
+    sort), fixed 2048-token window assignment."""
+    from ci_log_processing_ray.ops.pack import pack_fixed_windows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return pack_fixed_windows(ds, "doc_id", "n_chars", 2048)
+
+
 def q_approx_quantile(sf_dir: str):
     """DDSketch mergeable quantile sketch over event values: fixed-size
     (bin, count) partials, driver answers from the merged histogram.
@@ -1299,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_orders": q_rank_orders,
         "quantile_cont_qty": q_quantile_cont_qty,
         "word_topk": q_word_topk,
+        "pack_sequences": q_pack_sequences,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }
@@ -1678,4 +1689,18 @@ def oracle_sql() -> dict[str, str]:
                                                    '[a-z0-9_]+')) AS w
                   FROM documents)
             GROUP BY w ORDER BY n DESC, word LIMIT 20""",
+        "pack_sequences": """
+            WITH s AS (
+                SELECT doc_id, n_chars,
+                       CAST(sum(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n_chars AS BIGINT)
+                           AS tok_start
+                FROM documents)
+            SELECT doc_id, tok_start,
+                   CAST(tok_start // 2048 AS BIGINT) AS pack_id,
+                   CAST(tok_start % 2048 AS BIGINT) AS offset_in_pack,
+                   CAST(CASE WHEN tok_start % 2048 + n_chars > 2048
+                             THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
+            FROM s""",
     }

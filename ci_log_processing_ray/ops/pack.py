@@ -1,0 +1,112 @@
+"""Sequence packing for LLM pretraining: concatenate documents in a
+deterministic global order and split the token stream into fixed-size
+context windows (GPT-style packing).
+
+Each document gets its global token offset (an exclusive prefix sum of
+token counts in ``order_col`` order), the id of the window its first
+token lands in, its offset within that window, and whether it spans a
+window boundary.
+
+The prefix sum is distributed the textbook way (two passes, no global
+sort):
+  1. one streaming pass computes per-range-bucket token sums -- a
+     tiny table (one row per bucket) reaches the driver;
+  2. the driver prefix-sums the bucket totals (K values) and the
+     per-bucket offsets ride back into a range-partitioned second pass
+     that cumsums within each bucket and adds its bucket's base.
+Range bucketing (``order // width``, ORDER-PRESERVING -- not a hash)
+keeps every bucket a contiguous slice of the global order, so the
+in-bucket cumsum plus the bucket base IS the global prefix sum.
+Partitioning assumption: one bucket (~rows/n_buckets) fits in a worker;
+raise ``n_buckets`` at larger scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Max, Min
+
+
+def pack_fixed_windows(
+    ds: ray.data.Dataset,
+    order_col: str,
+    len_col: str,
+    window: int,
+    *,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Assign each doc its global token offset and fixed-window slot.
+
+    ``order_col`` must be a non-negative int64 defining the global
+    concatenation order (dense ids are ideal; gaps are fine).  Output
+    columns: order_col, tok_start, pack_id, offset_in_pack,
+    spans_boundary (0/1) -- all int64.
+    """
+    # pass 0 (metadata-cheap): order-domain width for range bucketing
+    lo, hi = _order_range(ds, order_col)
+    width = max((hi - lo) // n_buckets + 1, 1)
+
+    def bucket_of(arr: pa.Array) -> pa.Array:
+        # integer division (non-negative after the lo shift) -- exact
+        # for the full int64 id domain, unlike a float path
+        return pc.divide(pc.cast(pc.subtract(arr, lo), pa.int64()),
+                         pa.scalar(width, pa.int64()))
+
+    # pass 1: per-bucket token sums (tiny -- one row per bucket/block)
+    def bucket_sums(t: pa.Table) -> pa.Table:
+        b = bucket_of(t[order_col].combine_chunks())
+        tt = pa.table({"_b": b,
+                       "_n": pc.cast(t[len_col].combine_chunks(), pa.int64())})
+        g = tt.group_by("_b").aggregate([("_n", "sum")])
+        return pa.table({"_b": g["_b"], "_n": g["_n_sum"]})
+
+    sums = (ds.map_batches(bucket_sums, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_b").sum("_n").to_pandas())
+    sums = sums.sort_values("_b")
+    bucket_ids = sums["_b"].to_numpy()
+    totals = sums["sum(_n)"].to_numpy()
+    bases = np.zeros(n_buckets + 1, dtype=np.int64)
+    # exclusive prefix: base of bucket b = sum of totals of buckets < b
+    cum = np.cumsum(totals)
+    for i, b in enumerate(bucket_ids):
+        bases[b] = cum[i] - totals[i]
+    bases_ref = ray.put(bases)
+
+    # pass 2: range shuffle by bucket, in-bucket cumsum + bucket base
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_b", bucket_of(t[order_col].combine_chunks()))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(bases_ref)[int(g["_b"].iloc[0])]
+        g = g.sort_values(order_col, kind="mergesort")
+        n = g[len_col].to_numpy().astype(np.int64)
+        start = base + np.cumsum(n) - n
+        pack_id = start // window
+        off = start - pack_id * window
+        spans = ((off + n) > window).astype(np.int64)
+        return pd.DataFrame({
+            order_col: g[order_col].to_numpy(),
+            "tok_start": start,
+            "pack_id": pack_id,
+            "offset_in_pack": off,
+            "spans_boundary": spans,
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_b").map_groups(assign, batch_format="pandas"))
+
+
+def _order_range(ds: ray.data.Dataset, order_col: str) -> tuple[int, int]:
+    """Min/max of the order column -- one cheap aggregate pass (Parquet
+    sources answer it from row-group statistics where available)."""
+    stats = ds.aggregate(Min(order_col), Max(order_col))
+    return int(stats[f"min({order_col})"]), int(stats[f"max({order_col})"])

@@ -568,3 +568,24 @@ def test_word_topk(ray_session):
         ray.data.from_items(rows), "text", 2).to_pandas()
     assert out["word"].tolist() == ["apple", "banana"]  # 3 vs 3: tie -> word asc
     assert out["n"].tolist() == [3, 3]
+
+
+def test_pack_fixed_windows(ray_session):
+    from ci_log_processing_ray.ops.pack import pack_fixed_windows
+
+    rng = np.random.default_rng(21)
+    n = 500
+    lens = rng.integers(1, 300, size=n)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "n_tok": lens,
+    })).repartition(7)  # prefix sum must be invariant to block splits
+    out = pack_fixed_windows(ds, "doc_id", "n_tok", 512,
+                             n_buckets=16).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    start = np.cumsum(lens) - lens
+    assert (out["tok_start"].to_numpy() == start).all()
+    assert (out["pack_id"].to_numpy() == start // 512).all()
+    assert (out["offset_in_pack"].to_numpy() == start % 512).all()
+    assert (out["spans_boundary"].to_numpy()
+            == ((start % 512 + lens) > 512).astype(np.int64)).all()
