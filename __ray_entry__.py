@@ -1229,6 +1229,81 @@ def q_word_topk(sf_dir: str):
     return word_topk(ds, "text", 20)
 
 
+def q_left_outer_join(sf_dir: str):
+    """LEFT OUTER JOIN with aggregate pushdown: orders pre-aggregated
+    per customer (tiny partial+final), then a left-outer hash join
+    against the customer dim; unmatched customers fill 0."""
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"o_custkey": t["o_custkey"].combine_chunks(),
+                       "n_orders": pa.array(np.ones(len(t), dtype=np.int64)),
+                       "total_cents": _cents(t["o_totalprice"])})
+        g = tt.group_by("o_custkey").aggregate(
+            [("n_orders", "sum"), ("total_cents", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "n_orders": g["n_orders_sum"],
+                         "total_cents": g["total_cents_sum"]})
+
+    agg = orders.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_custkey").aggregate(Sum("n_orders", alias_name="n_orders"),
+                               Sum("total_cents", alias_name="total_cents"))
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    joined = cust.join(agg, "left_outer", num_partitions=max(2, ncpu // 4),
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "n_orders": pc.fill_null(
+                pc.cast(t["n_orders"].combine_chunks(), pa.int64()), 0),
+            "total_cents": pc.fill_null(
+                pc.cast(t["total_cents"].combine_chunks(), pa.int64()), 0),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_string_agg(sf_dir: str):
+    """string_agg(text, '|' ORDER BY doc_id) per source."""
+    from ci_log_processing_ray.ops.groupagg import string_agg_by_group
+
+    ds = _read(sf_dir, "documents", ["source", "doc_id", "text"])
+    return string_agg_by_group(ds, "source", "text", "doc_id",
+                               sep="|", out_col="texts")
+
+
+def q_mode_event(sf_dir: str):
+    """Per-user most frequent event type (mode), deterministic ties:
+    (group,value)-count partials shuffle, vectorized argmax pick."""
+    from ci_log_processing_ray.ops.groupagg import mode_by_group
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return mode_by_group(ds, "user_id", "event_type", out_col="mode_type")
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram of event values (bin = floor(value/20)):
+    per-batch binned count partials, tiny global groupby."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(
+            t["value"].combine_chunks(), 20.0)), pa.int64())
+        tt = pa.table({"bin": b,
+                       "n": pa.array(np.ones(len(t), dtype=np.int64))})
+        g = tt.group_by("bin").aggregate([("n", "sum")])
+        return pa.table({"bin": g["bin"], "n": g["n_sum"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "bin").aggregate(Sum("n", alias_name="n"))
+
+
 def q_pack_sequences(sf_dir: str):
     """GPT-style sequence packing: global token offset per document
     (distributed two-pass prefix sum, range-bucketed -- no global
@@ -1310,6 +1385,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_cont_qty": q_quantile_cont_qty,
         "word_topk": q_word_topk,
         "pack_sequences": q_pack_sequences,
+        "left_outer_join": q_left_outer_join,
+        "string_agg": q_string_agg,
+        "mode_event": q_mode_event,
+        "value_histogram": q_value_histogram,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }
@@ -1703,4 +1782,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN tok_start % 2048 + n_chars > 2048
                              THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
             FROM s""",
+        "left_outer_join": """
+            SELECT c_custkey,
+                   CAST(coalesce(a.n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(coalesce(a.total_cents, 0) AS BIGINT) AS total_cents
+            FROM customer LEFT JOIN (
+                SELECT o_custkey, count(*) AS n_orders,
+                       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS total_cents
+                FROM orders GROUP BY o_custkey) a
+            ON c_custkey = a.o_custkey""",
+        "string_agg": """
+            SELECT source, string_agg(text, '|' ORDER BY doc_id) AS texts
+            FROM documents GROUP BY source""",
+        "mode_event": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT user_id, event_type, n,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY n DESC, event_type) AS rn
+                  FROM c)
+            SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+            FROM r WHERE rn = 1""",
+        "value_histogram": """
+            SELECT CAST(floor(value / 20.0) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1""",
     }

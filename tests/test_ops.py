@@ -589,3 +589,32 @@ def test_pack_fixed_windows(ray_session):
     assert (out["offset_in_pack"].to_numpy() == start % 512).all()
     assert (out["spans_boundary"].to_numpy()
             == ((start % 512 + lens) > 512).astype(np.int64)).all()
+
+
+def test_string_agg_by_group(ray_session):
+    from ci_log_processing_ray.ops.groupagg import string_agg_by_group
+
+    rows = [
+        {"k": "a", "i": 2, "v": "two"},
+        {"k": "a", "i": 1, "v": "one"},
+        {"k": "b", "i": 5, "v": "solo"},
+        {"k": "a", "i": 3, "v": "three"},
+    ]
+    out = string_agg_by_group(
+        ray.data.from_items(rows), "k", "v", "i",
+        sep="|", out_col="s").to_pandas()
+    got = dict(zip(out["k"], out["s"]))
+    assert got == {"a": "one|two|three", "b": "solo"}
+
+
+def test_mode_by_group(ray_session):
+    from ci_log_processing_ray.ops.groupagg import mode_by_group
+
+    rows = ([{"k": 1, "v": "x"}] * 3 + [{"k": 1, "v": "y"}] * 3
+            + [{"k": 1, "v": "z"}] * 2 + [{"k": 2, "v": "w"}])
+    out = mode_by_group(
+        ray.data.from_items(rows).repartition(3), "k", "v",
+        out_col="m").to_pandas()
+    got = {r.k: (r.m, r.n) for r in out.itertuples()}
+    assert got[1] == ("x", 3)  # 3-3 tie between x and y -> smallest value
+    assert got[2] == ("w", 1)
