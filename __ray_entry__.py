@@ -56,6 +56,8 @@ from ci_log_processing_ray.ops.similarity import knn_bruteforce, knn_ivf, knn_ls
 from ci_log_processing_ray.ops.textstats import (
     BPE_RE,
     QUALITY_STOPWORDS,
+    STOPWORD_RE,
+    WORD_RE,
     add_text_stats,
     fingerprint,
     language_id,
@@ -1314,6 +1316,124 @@ def q_pack_sequences(sf_dir: str):
     return pack_fixed_windows(ds, "doc_id", "n_chars", 2048)
 
 
+def q_interval_lookup(sf_dir: str):
+    """Broadcast small-side RANGE join (the IP-geolocation pattern):
+    25 value intervals derived from the nation dim, shipped once via
+    ray.put; each batch resolves membership with two searchsorted
+    probes -- no shuffle, no per-row Python."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+    order = np.argsort(nk)
+    lows = (nk * 20 + 3).astype(np.float64)[order]
+    highs = (nk * 20 + 15).astype(np.float64)[order]
+    names = nation["n_name"].take(pa.array(order)).combine_chunks()
+    state_ref = ray.put((lows, highs, names))
+
+    class Lookup:
+        def __init__(self, state_ref):
+            self.lows, self.highs, self.names = ray.get(state_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t["value"].combine_chunks().to_numpy()
+            idx = np.searchsorted(self.lows, v, side="right") - 1
+            safe = np.maximum(idx, 0)
+            hit = (idx >= 0) & (v < self.highs[safe])
+            zone = pc.if_else(pa.array(hit),
+                              self.names.take(pa.array(safe)),
+                              pa.scalar("NONE", pa.string()))
+            return pa.table({"event_id": t["event_id"], "zone": zone})
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return ds.map_batches(Lookup, fn_constructor_args=(state_ref,),
+                          batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (the k-means update step), exact:
+    components quantized to int 1e-4 units, per-(label, dim) integer
+    sums + counts, floor-divided mean.  Composes the explode operator
+    with a partial+final aggregate; the shuffle carries
+    (label, dim, sum, n) partials -- dims x labels rows per block."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    ex = explode_list(ds, "embedding", ["label"], pos_col="pos",
+                      out_col="val")
+
+    def partial(t: pa.Table) -> pa.Table:
+        e4 = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["val"].combine_chunks(), pa.float64()), 10000.0), 0.5)),
+            pa.int64())
+        tt = pa.table({"label": pc.cast(t["label"].combine_chunks(),
+                                        pa.int64()),
+                       "pos": t["pos"],
+                       "s": e4,
+                       "n": pa.array(np.ones(len(t), dtype=np.int64))})
+        g = tt.group_by(["label", "pos"]).aggregate(
+            [("s", "sum"), ("n", "sum")])
+        return pa.table({"label": g["label"], "pos": g["pos"],
+                         "s": g["s_sum"], "n": g["n_sum"]})
+
+    agg = ex.map_batches(partial, batch_format="pyarrow").groupby(
+        ["label", "pos"]).aggregate(Sum("s", alias_name="s"),
+                                    Sum("n", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].combine_chunks().to_numpy()
+        n = t["n"].combine_chunks().to_numpy()
+        return pa.table({"label": t["label"], "pos": t["pos"],
+                         "centroid_e4": pa.array(s // n)})  # floor division
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_corpus_curation(sf_dir: str):
+    """C4-style curation composite: quality filter (integer heuristics)
+    -> exact dedup within source -> per-source doc and word counts.
+    One (source, text) dedup shuffle + a tiny per-source aggregate."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def qfilter(t: pa.Table) -> pa.Table:
+        col = t["text"].combine_chunks()
+        lower = pc.utf8_lower(col)
+        n_words = pc.cast(pc.count_substring_regex(col, pattern=WORD_RE),
+                          pa.int64())
+        n_stop = pc.cast(pc.count_substring_regex(
+            lower, pattern=STOPWORD_RE), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(
+            col, pattern=r"[^\w\s]"), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(col), pa.int64())
+        one = pa.scalar(1, pa.int64())
+        stop_pct = pc.divide(pc.multiply(n_stop, pa.scalar(100, pa.int64())),
+                             pc.max_element_wise(n_words, one))
+        punct_pct = pc.divide(pc.multiply(n_punct, pa.scalar(100, pa.int64())),
+                              pc.max_element_wise(n_chars, one))
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(n_words, pa.scalar(10, pa.int64())),
+                    pc.less_equal(stop_pct, pa.scalar(60, pa.int64()))),
+            pc.less_equal(punct_pct, pa.scalar(20, pa.int64())))
+        tt = pa.table({"source": t["source"], "text": col,
+                       "n_words": n_words})
+        return tt.filter(keep)
+
+    kept = ds.map_batches(qfilter, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"source": t["source"].combine_chunks(),
+                       "n_docs": pa.array(np.ones(len(t), dtype=np.int64)),
+                       "total_words": t["n_words"].combine_chunks()})
+        g = tt.group_by("source").aggregate(
+            [("n_docs", "sum"), ("total_words", "sum")])
+        return pa.table({"source": g["source"], "n_docs": g["n_docs_sum"],
+                         "total_words": g["total_words_sum"]})
+
+    return kept.groupby(["source", "text"]).aggregate(
+        Min("n_words", alias_name="n_words")).map_batches(
+        partial, batch_format="pyarrow").groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_words", alias_name="total_words"))
+
+
 def q_approx_quantile(sf_dir: str):
     """DDSketch mergeable quantile sketch over event values: fixed-size
     (bin, count) partials, driver answers from the merged histogram.
@@ -1389,6 +1509,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_agg": q_string_agg,
         "mode_event": q_mode_event,
         "value_histogram": q_value_histogram,
+        "interval_lookup": q_interval_lookup,
+        "label_centroids": q_label_centroids,
+        "corpus_curation": q_corpus_curation,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }
@@ -1808,4 +1931,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(value / 20.0) AS BIGINT) AS bin,
                    count(*) AS n
             FROM events GROUP BY 1""",
+        "interval_lookup": """
+            SELECT event_id, coalesce(n_name, 'NONE') AS zone
+            FROM events LEFT JOIN nation
+            ON value >= n_nationkey * 20 + 3
+               AND value < n_nationkey * 20 + 15""",
+        "label_centroids": """
+            SELECT label, CAST(pos AS BIGINT) AS pos,
+                   CAST(floor(CAST(sum(e4) AS DOUBLE) / count(*)) AS BIGINT)
+                       AS centroid_e4
+            FROM (SELECT CAST(label AS BIGINT) AS label,
+                         generate_subscripts(embedding, 1) AS pos,
+                         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000
+                                    + 0.5) AS BIGINT) AS e4
+                  FROM embeddings)
+            GROUP BY label, pos""",
+        "corpus_curation": f"""
+            WITH f AS (
+                SELECT source, text, n_words
+                FROM (SELECT source, text, n_words,
+                             (100 * n_stop) // greatest(n_words, 1)
+                                 AS stop_pct,
+                             (100 * n_punct) // greatest(n_chars, 1)
+                                 AS punct_pct
+                      FROM (SELECT source, text,
+                                   len(regexp_extract_all(text,
+                                       '{WORD_RE_SQL}')) AS n_words,
+                                   len(regexp_extract_all(lower(text),
+                                       '\\b(?:{"|".join(QUALITY_STOPWORDS)})\\b'))
+                                       AS n_stop,
+                                   len(regexp_extract_all(text, '[^\\w\\s]'))
+                                       AS n_punct,
+                                   length(text) AS n_chars
+                            FROM documents))
+                WHERE n_words >= 10 AND stop_pct <= 60 AND punct_pct <= 20),
+            d AS (SELECT source, text, CAST(min(n_words) AS BIGINT) AS n_words
+                  FROM f GROUP BY source, text)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS total_words
+            FROM d GROUP BY source""",
     }
