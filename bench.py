@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "sample_hash",
     "multiline_join",
     "grok_fields",
+    "word_topk",
+    "pack_sequences",
+    "corpus_curation",
+    "label_centroids",
 ]
 
 
