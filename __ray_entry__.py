@@ -1434,6 +1434,27 @@ def q_corpus_curation(sf_dir: str):
         Sum("total_words", alias_name="total_words"))
 
 
+def q_duplicate_spans(sf_dir: str):
+    """Cross-document duplicate 5-gram spans (exact substring-dedup
+    building block): grams appearing in >= 2 distinct documents with
+    their document frequency."""
+    from ci_log_processing_ray.ops.dedup import duplicate_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_spans(ds, "text", "doc_id", n=5)
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries frequent users over the event stream: fixed-size
+    mergeable counter partials.  Approximate by design (underestimates
+    by <= n/(k+1)) -- rows-only check; the error and guaranteed-
+    presence contracts are unit-tested."""
+    from ci_log_processing_ray.ops.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ds, "user_id", k=32).head(10)
+
+
 def q_approx_quantile(sf_dir: str):
     """DDSketch mergeable quantile sketch over event values: fixed-size
     (bin, count) partials, driver answers from the merged histogram.
@@ -1512,6 +1533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_lookup": q_interval_lookup,
         "label_centroids": q_label_centroids,
         "corpus_curation": q_corpus_curation,
+        "duplicate_spans": q_duplicate_spans,
+        "heavy_hitters": q_heavy_hitters,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }
@@ -1970,4 +1993,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_docs,
                    CAST(sum(n_words) AS BIGINT) AS total_words
             FROM d GROUP BY source""",
+        "duplicate_spans": """
+            WITH g AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(ws) - 3),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                || ' ' || ws[i+3] || ' ' || ws[i+4])))
+                           AS gram
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z0-9_]+')
+                                 AS ws
+                      FROM documents)
+                WHERE len(ws) >= 5)
+            SELECT gram, count(*) AS df
+            FROM g GROUP BY gram HAVING count(*) >= 2""",
     }

@@ -545,3 +545,55 @@ def embedding_dedup(
     if len(clustered) == 0:
         return pd.DataFrame({id_col: [], "cluster_rep": []})
     return clustered.sort_values(id_col).reset_index(drop=True)
+
+
+def duplicate_spans(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 5,
+) -> "ray.data.Dataset":
+    """Cross-document duplicate span detection: word ``n``-grams that
+    appear in MORE THAN ONE distinct document, with their document
+    frequency (the building block of exact substring dedup, Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better" --
+    public paper; there via suffix arrays, here via gram blocking).
+
+    Two-level exact distinct-count: each batch emits DISTINCT
+    (gram, doc) pairs, the gram-keyed shuffle then counts docs per gram
+    and keeps df >= 2.  The exchange carries one row per distinct
+    (gram, doc) pair per block -- never full texts.  For corpora whose
+    gram strings are too wide to ship, hash the gram (the
+    ``ngram_jaccard_pairs`` layout) and keep this exact form as the
+    verify stage.  Output: gram, df (int64), sorted nowhere -- consume
+    with a downstream sort/limit if needed.
+    """
+
+    def explode_grams(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = pc.utf8_lower(t[text_col].combine_chunks())
+        words = pc.split_pattern_regex(texts, pattern=r"[^a-z0-9_]+")
+        ids = t[id_col].combine_chunks().to_numpy()
+        out_grams: list[str] = []
+        out_ids: list[int] = []
+        words_py = words.to_pylist()
+        for did, ws in zip(ids, words_py):
+            ws = [w for w in ws if w]
+            if len(ws) < n:
+                continue
+            grams = {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+            out_grams.extend(grams)
+            out_ids.extend([did] * len(grams))
+        return pa.table({"gram": pa.array(out_grams, type=pa.string()),
+                         id_col: pa.array(out_ids, type=pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    pairs = ds.map_batches(explode_grams, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    # distinct (gram, doc) is guaranteed per doc by the set above; a doc
+    # never spans batches, so groupby(gram) count == document frequency
+    df = pairs.groupby("gram").aggregate(Count(alias_name="df"))
+    return df.filter(expr="df >= 2")

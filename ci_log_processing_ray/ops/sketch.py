@@ -104,3 +104,55 @@ def hll_distinct_by_group(
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(group_col).map_groups(merge, batch_format="pandas")
             .to_pandas().sort_values(group_col).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: fixed-size mergeable frequent-item summaries
+# ---------------------------------------------------------------------------
+def _mg_summarize(items: np.ndarray, counts: np.ndarray, k: int):
+    """Reduce (item, count) pairs to <= k counters, Misra-Gries style:
+    keep the top-k by count and subtract the (k+1)-th count from the
+    survivors (the classic decrement step, batched).  Guarantees
+    true_count - n/(k+1) <= est <= true_count over any merge tree."""
+    if len(items) <= k:
+        return items, counts
+    order = np.argsort(-counts, kind="stable")
+    thresh = counts[order[k]]
+    keep = order[:k]
+    kept_counts = counts[keep] - thresh
+    nz = kept_counts > 0
+    return items[keep][nz], kept_counts[nz]
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    col: str,
+    k: int = 64,
+) -> "pd.DataFrame":
+    """Approximate most-frequent values of ``col``: each batch reduces
+    to <= k Misra-Gries counters (fixed-size partials, like the HLL
+    registers above), the tiny (item, count) union is groupby-summed,
+    and one final MG prune bounds the result.  Underestimates by at
+    most n/(k+1); any item with frequency > n/(k+1) is guaranteed
+    present.  Returns a pandas frame (item, est_count) sorted by count
+    desc -- driver-sized output by construction."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[col].combine_chunks()
+        vc = arr.value_counts()
+        items = vc.field("values").to_numpy(zero_copy_only=False)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        items, counts = _mg_summarize(items, counts, k)
+        return pa.table({"item": pa.array(items),
+                         "n": pa.array(counts)})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("item").sum("n").to_pandas())
+    merged = merged.rename(columns={"sum(n)": "n"})
+    items, counts = _mg_summarize(merged["item"].to_numpy(),
+                                  merged["n"].to_numpy().astype(np.int64), k)
+    out = pd.DataFrame({"item": items, "est_count": counts})
+    return out.sort_values(["est_count", "item"],
+                           ascending=[False, True]).reset_index(drop=True)

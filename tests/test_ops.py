@@ -618,3 +618,41 @@ def test_mode_by_group(ray_session):
     got = {r.k: (r.m, r.n) for r in out.itertuples()}
     assert got[1] == ("x", 3)  # 3-3 tie between x and y -> smallest value
     assert got[2] == ("w", 1)
+
+
+def test_duplicate_spans(ray_session):
+    from ci_log_processing_ray.ops.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        {"doc_id": 1, "text": f"one two {shared} three"},
+        {"doc_id": 2, "text": f"{shared} four five six"},
+        {"doc_id": 3, "text": "totally different words here now ok"},
+        {"doc_id": 4, "text": "short"},
+    ]
+    out = duplicate_spans(
+        ray.data.from_items(rows), "text", "doc_id", n=5).to_pandas()
+    got = dict(zip(out["gram"], out["df"]))
+    assert got.get(shared) == 2  # the planted shared 5-gram
+    # no gram from the unrelated doc appears
+    assert not any("totally" in g for g in got)
+
+
+def test_heavy_hitters(ray_session):
+    from ci_log_processing_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(17)
+    # planted heavy hitter: 20% of the stream; tail spread over 500 ids
+    n = 20000
+    vals = rng.integers(1000, 1500, size=n)
+    vals[: n // 5] = 7
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(8)
+    out = heavy_hitters(ds, "v", k=16)
+    assert out.iloc[0]["item"] == 7  # guaranteed: freq > n/(k+1)
+    true = n // 5
+    assert true - n // 17 <= out.iloc[0]["est_count"] <= true
+    # exactness when distinct values fit in k: no pruning ever happens
+    small = ray.data.from_arrow(pa.table(
+        {"v": np.array([1] * 5 + [2] * 3 + [3] * 2)})).repartition(3)
+    exact = heavy_hitters(small, "v", k=16)
+    assert dict(zip(exact["item"], exact["est_count"])) == {1: 5, 2: 3, 3: 2}
