@@ -85,9 +85,27 @@ from ci_log_processing_ray.sources.synth import CorpusSpec, generate_corpus
 WORD_VOCAB = ("join", "merge", "sort", "window")
 
 
+_TARGET_BLOCK_BYTES = 8 << 20  # ~8 MiB of parquet per block for small inputs
+
+
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    """read_parquet with size-aware block targeting.
+
+    Ray's default split heuristic aims for ~2x-CPU parallelism no matter
+    how small the file is -- a 1.5 MB table becomes 64 x 24 KB blocks,
+    and every downstream sort-shuffle then pays 64x64 tiny-partition
+    overhead (measured 13x slowdown on the curation composite).  For
+    small files, target ~8 MiB per block with a floor of 8 blocks (so
+    CPU-heavy text kernels still fan out); large files keep the default
+    row-group planning, which is already size-aware at scale.
+    """
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    kwargs = {}
+    nbytes = os.path.getsize(path)
+    if nbytes < (256 << 20):
+        kwargs["override_num_blocks"] = int(
+            min(max(8, nbytes // _TARGET_BLOCK_BYTES), 64))
+    return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
 def _cents(col) -> pa.Array:

@@ -63,7 +63,12 @@ def exact_dedup(
         )
         return out[[id_col, text_col, "dup_count"]]
 
-    return hashed.groupby("_h").map_groups(first_per_text, batch_format="pandas")
+    # coarse-bucket the hash key: one vectorized pandas groupby per
+    # bucket, NOT one kernel dispatch per distinct text (equal texts
+    # share a hash, so they land in the same bucket)
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    return bucketed_groups(hashed, "_h", first_per_text)
 
 
 # ---------------------------------------------------------------------------
@@ -168,19 +173,23 @@ def minhash_lsh_dedup(
         batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"left": [], "right": []})
-        left, right = [], []
-        rep = ids[0]
-        for other in ids[1:]:  # star expansion keeps pair count linear
-            left.append(rep)
-            right.append(other)
-        return pd.DataFrame({"left": left, "right": right})
+        # vectorized star expansion over the whole coarse bucket: the
+        # smallest id per (band, band_hash) group pairs with every other
+        # id in that group -- pair count stays linear in bucket size
+        g = g.sort_values(["band", "band_hash", id_col], kind="mergesort")
+        rep = g.groupby(["band", "band_hash"], sort=False)[id_col].transform(
+            "first")
+        mask = (g[id_col] != rep).to_numpy()
+        return pd.DataFrame({"left": rep.to_numpy()[mask],
+                             "right": g[id_col].to_numpy()[mask]})
+
+    from ci_log_processing_ray.ops.window import bucketed_groups
 
     pairs = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        # coarse-bucket on band_hash (same (band, band_hash) group never
+        # splits); the kernel resolves exact groups vectorized -- no
+        # per-distinct-bucket map_groups dispatch
+        bucketed_groups(banded, "band_hash", bucket_pairs)
         .to_pandas()  # candidate EDGE list only -- tiny by construction
     )
     if len(pairs) == 0:
@@ -465,11 +474,16 @@ def simhash_clusters(
     simmed = ds.map_batches(add_sim, batch_format="pyarrow", batch_size=None)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        g["bucket_size"] = len(g)
+        # whole-bucket vectorized: size per distinct simhash via one
+        # C-level transform, not one kernel dispatch per distinct hash
+        g = g.sort_values(["simhash", id_col], kind="mergesort").copy()
+        g["bucket_size"] = g.groupby("simhash", sort=False)[id_col].transform(
+            "size")
         return g
 
-    return simmed.groupby("simhash").map_groups(per_bucket, batch_format="pandas")
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    return bucketed_groups(simmed, "simhash", per_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -540,8 +554,18 @@ def embedding_dedup(
         sizes = out.groupby("cluster_rep")[id_col].transform("size")
         return out[sizes >= 2]
 
-    clustered = bucketed.groupby("bucket").map_groups(
-        verify, batch_format="pandas").to_pandas()
+    def verify_many(frame: pd.DataFrame) -> pd.DataFrame:
+        # one task per coarse bucket; the per-LSH-bucket O(n^2) cosine
+        # verify stays per exact bucket, but dispatch is per coarse
+        # bucket (the in-task Python loop is over a handful of groups)
+        outs = [verify(g) for _, g in frame.groupby("bucket", sort=False)]
+        if not outs:
+            return pd.DataFrame({id_col: [], "cluster_rep": []})
+        return pd.concat(outs, ignore_index=True)
+
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    clustered = bucketed_groups(bucketed, "bucket", verify_many).to_pandas()
     if len(clustered) == 0:
         return pd.DataFrame({id_col: [], "cluster_rep": []})
     return clustered.sort_values(id_col).reset_index(drop=True)
