@@ -113,31 +113,57 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _cached_perm_params(num_perm: int, seed: int):
+    """Per-worker-process cache (ST4 pattern): plain-task map_batches
+    stages get once-per-process params without actor-pool startup --
+    for a 2-task stage over a small table, actor spin-up dominates."""
+    return _perm_params(num_perm, seed)
+
+
 class _MinHashBatch:
-    """Actor-pool stage: permutation params computed once per actor."""
+    """Minhash + banding kernel (usable as a plain map_batches function:
+    state is the cached permutation params, so tasks pay no setup).
+
+    Shingling is inherently per-document (variable-length sets), but the
+    band explode is fully vectorized: signatures stack to an
+    (n_docs, bands, rows) cube, the FNV band hash folds over the rows
+    axis in uint64 wraparound arithmetic (bit-identical to the scalar
+    ``hash_band``), and the output columns come from one repeat/tile."""
 
     def __init__(self, text_col, id_col, k, num_perm, bands, seed):
         self.text_col, self.id_col = text_col, id_col
         self.k, self.num_perm, self.bands = k, num_perm, bands
         self.rows = num_perm // bands
-        self.a, self.b = _perm_params(num_perm, seed)
+        self.seed = seed
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes = [], [], []
-        for doc_id, text in zip(t[self.id_col].to_pylist(),
-                                t[self.text_col].to_pylist()):
-            sig = _minhash_signature(
-                _shingle_hashes(text, self.k), self.a, self.b)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows:(band + 1) * self.rows]
-                bh = hash_band(chunk)
-                ids.append(doc_id)
-                band_ids.append(band)
-                band_hashes.append(bh)
+        a, b = _cached_perm_params(self.num_perm, self.seed)
+        ids = t[self.id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        texts = t[self.text_col].to_pylist()
+        n = len(ids)
+        if n == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64())})
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for i, text in enumerate(texts):  # per-doc: variable shingle sets
+            sigs[i] = _minhash_signature(_shingle_hashes(text, self.k), a, b)
+        cube = sigs.reshape(n, self.bands, self.rows)
+        with np.errstate(over="ignore"):
+            h = np.full((n, self.bands), 1469598103934665603,
+                        dtype=np.uint64)  # FNV offset
+            for r in range(self.rows):
+                h = (h ^ cube[:, :, r]) * np.uint64(1099511628211)
+        bh = (h >> np.uint64(1)).astype(np.int64)
         return pa.table({
-            self.id_col: pa.array(ids),
-            "band": pa.array(band_ids, type=pa.int32()),
-            "band_hash": pa.array(band_hashes, type=pa.int64()),
+            self.id_col: pa.array(np.repeat(ids, self.bands)),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32),
+                                     n)),
+            "band_hash": pa.array(bh.reshape(-1)),
         })
 
 
@@ -167,10 +193,12 @@ def minhash_lsh_dedup(
     candidate docs only -> union-find on the verified edges (driver side;
     the edge set is tiny relative to the corpus by construction).
     """
+    # plain-task stage: params come from a per-process cache, so there
+    # is no actor-pool spin-up to amortize (a small table is only a
+    # couple of 4096-row tasks; at scale, tasks parallelize identically)
     banded = ds.map_batches(
-        _MinHashBatch,
-        fn_constructor_args=(text_col, id_col, k, num_perm, bands, seed),
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+        _MinHashBatch(text_col, id_col, k, num_perm, bands, seed),
+        batch_format="pyarrow", batch_size=4096)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized star expansion over the whole coarse bucket: the
@@ -210,54 +238,85 @@ def minhash_lsh_dedup(
         [pairs["left"].to_numpy(), pairs["right"].to_numpy()]))
     cand_ref = ray.put(pa.array(cand.astype(np.int64)))
 
-    class _CandShingles:
-        def __init__(self, cand_ref, name):
-            self.cand: pa.Array = ray.get(cand_ref)
-            self.name = name
+    def cand_shingles(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks()
+        sub = t.filter(pc.is_in(ids, value_set=ray.get(cand_ref)))
+        # bytes, not list<int64>: Acero hash joins reject list
+        # payload columns, and the blob is opaque to the join anyway
+        sh = [
+            _shingle_hashes(txt, k).tobytes()
+            for txt in sub[text_col].to_pylist()
+        ]
+        return pa.table({
+            "a_id": sub[id_col].combine_chunks().cast(pa.int64()),
+            "sh_a": pa.array(sh, type=pa.binary()),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t[id_col].combine_chunks()
-            sub = t.filter(pc.is_in(ids, value_set=self.cand))
-            # bytes, not list<int64>: Acero hash joins reject list
-            # payload columns, and the blob is opaque to the join anyway
-            sh = [
-                _shingle_hashes(txt, k).tobytes()
-                for txt in sub[text_col].to_pylist()
-            ]
-            return pa.table({
-                f"{self.name}_id": sub[id_col].combine_chunks().cast(pa.int64()),
-                f"sh_{self.name}": pa.array(sh, type=pa.binary()),
-            })
+    # ONE corpus pass computes candidate shingles
+    cand_a = ds.map_batches(cand_shingles, batch_format="pyarrow",
+                            batch_size=4096).materialize()
 
-    def cand_shingle_ds(name: str) -> ray.data.Dataset:
-        return ds.map_batches(
-            _CandShingles, fn_constructor_args=(cand_ref, name),
-            batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+    def jaccard_keep(ba: bytes, bb: bytes) -> bool:
+        xa = np.frombuffer(ba, dtype=np.uint64)
+        xb = np.frombuffer(bb, dtype=np.uint64)
+        inter = len(np.intersect1d(xa, xb, assume_unique=True))
+        union = len(xa) + len(xb) - inter
+        return (inter / union if union else 1.0) >= jaccard_threshold
 
-    pairs_ds = ray.data.from_pandas(
-        pairs.astype({"left": np.int64, "right": np.int64}))
-    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    j = pairs_ds.join(cand_shingle_ds("a"), "inner", num_partitions=n_part,
-                      on=("left",), right_on=("a_id",))
-    j = j.join(cand_shingle_ds("b"), "inner", num_partitions=n_part,
-               on=("right",), right_on=("b_id",))
+    if len(cand) <= 100_000:
+        # broadcast-verify: the candidate shingle table is small, so ship
+        # it once (ray.put) and resolve both pair sides with a dict
+        # lookup inside ONE map_batches over the edge list -- two Acero
+        # joins cost ~1s fixed each, pure overhead at this size
+        cand_tbl = cand_a.to_pandas()
+        sh_ref = ray.put(dict(zip(cand_tbl["a_id"].to_numpy(),
+                                  cand_tbl["sh_a"].to_numpy())))
+        pairs_ds = ray.data.from_pandas(
+            pairs.astype({"left": np.int64, "right": np.int64}))
 
-    def verify_pairs(t: pa.Table) -> pa.Table:
-        keep_l, keep_r = [], []
-        for left, right, ba, bb in zip(
-                t["left"].to_pylist(), t["right"].to_pylist(),
-                t["sh_a"].to_pylist(), t["sh_b"].to_pylist()):
-            xa = np.frombuffer(ba, dtype=np.uint64)
-            xb = np.frombuffer(bb, dtype=np.uint64)
-            inter = len(np.intersect1d(xa, xb, assume_unique=True))
-            union = len(xa) + len(xb) - inter
-            if (inter / union if union else 1.0) >= jaccard_threshold:
-                keep_l.append(left)
-                keep_r.append(right)
-        return pa.table({"left": pa.array(keep_l, type=pa.int64()),
-                         "right": pa.array(keep_r, type=pa.int64())})
+        def verify_broadcast(t: pa.Table) -> pa.Table:
+            sh = ray.get(sh_ref)
+            keep_l, keep_r = [], []
+            for left, right in zip(t["left"].to_pylist(),
+                                   t["right"].to_pylist()):
+                if jaccard_keep(sh[left], sh[right]):
+                    keep_l.append(left)
+                    keep_r.append(right)
+            return pa.table({"left": pa.array(keep_l, type=pa.int64()),
+                             "right": pa.array(keep_r, type=pa.int64())})
 
-    edges = j.map_batches(verify_pairs, batch_format="pyarrow").to_pandas()
+        edges = pairs_ds.map_batches(
+            verify_broadcast, batch_format="pyarrow").to_pandas()
+    else:
+        # shuffle-verify (the 100 TB path): the b-side of the pair join
+        # is the same small table with renamed columns, not a second
+        # scan of the full dataset
+        cand_b = cand_a.map_batches(
+            lambda t: t.rename_columns(["b_id", "sh_b"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        pairs_ds = ray.data.from_pandas(
+            pairs.astype({"left": np.int64, "right": np.int64}))
+        # size join partitions to the candidate edge list, not the
+        # cluster: a few thousand pairs do not need a CPU-wide exchange
+        n_part = int(np.clip(len(pairs) // 2000 + 2, 2,
+                             int(ray.cluster_resources().get("CPU", 8)) // 2))
+        j = pairs_ds.join(cand_a, "inner", num_partitions=n_part,
+                          on=("left",), right_on=("a_id",))
+        j = j.join(cand_b, "inner", num_partitions=n_part,
+                   on=("right",), right_on=("b_id",))
+
+        def verify_pairs(t: pa.Table) -> pa.Table:
+            keep_l, keep_r = [], []
+            for left, right, ba, bb in zip(
+                    t["left"].to_pylist(), t["right"].to_pylist(),
+                    t["sh_a"].to_pylist(), t["sh_b"].to_pylist()):
+                if jaccard_keep(ba, bb):
+                    keep_l.append(left)
+                    keep_r.append(right)
+            return pa.table({"left": pa.array(keep_l, type=pa.int64()),
+                             "right": pa.array(keep_r, type=pa.int64())})
+
+        edges = j.map_batches(verify_pairs, batch_format="pyarrow").to_pandas()
 
     parent: dict = {}
 
