@@ -1473,6 +1473,153 @@ def q_heavy_hitters(sf_dir: str):
     return heavy_hitters(ds, "user_id", k=32).head(10)
 
 
+def q_chunk_text(sf_dir: str):
+    """Overlapping fixed-window chunking (RAG / context-window prep):
+    50-word chunks, stride 40.  Pure map; reassembly is one take +
+    binary_join per batch (ops/curation.py)."""
+    from ci_log_processing_ray.ops.curation import chunk_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_text(ds, "text", "doc_id", chunk_size=50, stride=40)
+
+
+def q_decontaminate(sf_dir: str):
+    """Train/eval benchmark decontamination: docs with doc_id % 97 == 0
+    act as the held-out eval set; every other doc reports how many of
+    its distinct 5-grams leak from the eval set.  Eval grams broadcast
+    once; the train scan is a pure map."""
+    from ci_log_processing_ray.ops.curation import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(is_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy()
+            mask = (ids % 97 == 0) if is_eval else (ids % 97 != 0)
+            return t.filter(pa.array(mask))
+        return f
+
+    train = ds.map_batches(split(False), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    ev = ds.map_batches(split(True), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return decontaminate(train, ev, "text", "doc_id", n=5)
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary build + OOV rate: top-8 corpus words become the
+    vocab (wordcount shuffle), then per-source token and OOV counts
+    (broadcast vocab, one-pass partials)."""
+    from ci_log_processing_ray.ops.curation import vocab_coverage
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return vocab_coverage(ds, "text", "source", vocab_size=8)
+
+
+def q_strip_stopwords(sf_dir: str):
+    """Stopword-strip normalization: lowercase, tokenize, drop
+    {'a','the'}, re-join single-spaced; per-doc kept/dropped counts."""
+    from ci_log_processing_ray.ops.curation import strip_stopwords
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return strip_stopwords(ds, "text", "doc_id", ("a", "the"))
+
+
+def q_redact(sf_dir: str):
+    """PII-style scrubbing (emails, IPv4, long digit runs -> tokens),
+    RE2 kernels in rule order; per-doc redaction counts."""
+    from ci_log_processing_ray.ops.curation import redact_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return redact_text(ds, "text", "doc_id")
+
+
+def q_ntile(sf_dir: str):
+    """SQL ntile(4) per order-priority partition ordered by
+    (o_totalprice, o_orderkey) -- unique tie-break, so deterministic.
+    Whole-bucket vectorized segment arithmetic (ops/window.py)."""
+    from ci_log_processing_ray.ops.window import ntile_by_group
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return ntile_by_group(ds, "o_orderpriority",
+                          ["o_totalprice", "o_orderkey"], "o_orderkey", 4)
+
+
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang): one distributed aggregate at the
+    finest level, coarser levels re-aggregated from that driver-sized
+    frame (ops/groupagg.py)."""
+    from ci_log_processing_ray.ops.groupagg import rollup_counts
+
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+    return rollup_counts(ds, ["source", "lang"], "n_docs",
+                         sum_col="n_chars", sum_name="total_chars")
+
+
+def q_last_event(sf_dir: str):
+    """Latest event per user (CDC / upsert compaction): mergeable
+    argmax partials by (ts, event_id) desc, exchange bounded by
+    distinct users per block (ops/groupagg.py)."""
+    from ci_log_processing_ray.ops.groupagg import last_by_group
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    return last_by_group(ds, "user_id", ["ts", "event_id"],
+                         ["event_type"])
+
+
+def q_intersect_except(sf_dir: str):
+    """Set ops INTERSECT / EXCEPT on (user, day) activity: user-days
+    with both a purchase and a click but no error.  One pass of
+    distinct (key, value) partials + a presence pivot
+    (ops/groupagg.py)."""
+    from ci_log_processing_ray.ops.groupagg import presence_set_op
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.floor_temporal(t["ts"].combine_chunks(), unit="day"),
+            "event_type": t["event_type"],
+        })
+
+    keyed = ds.map_batches(add_day, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return presence_set_op(keyed, ["user_id", "day"], "event_type",
+                           include=("purchase", "click"),
+                           exclude=("error",))
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-prefiltered EXACT semi join: BUILDING-segment customer
+    keys build a broadcast bit array, the orders scan drops non-matches
+    before the join shuffle, and the surviving sliver goes through a
+    hash semi join (false positives removed, so the result is exact).
+    Aggregated to per-priority counts + cents."""
+    from ci_log_processing_ray.ops.relational import bloom_semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    dim = cust.filter(expr="c_mktsegment == 'BUILDING'")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderpriority",
+                    "o_totalprice"])
+    j = bloom_semi_join(orders, "o_custkey", dim, "c_custkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n_orders": pa.array(np.ones(len(t), dtype=np.int64)),
+            "cents": _cents(t["o_totalprice"]),
+        })
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderpriority").aggregate(
+                Sum("n_orders", alias_name="n_orders"),
+                Sum("cents", alias_name="cents")))
+
+
 def q_approx_quantile(sf_dir: str):
     """DDSketch mergeable quantile sketch over event values: fixed-size
     (bin, count) partials, driver answers from the merged histogram.
@@ -1553,6 +1700,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": q_corpus_curation,
         "duplicate_spans": q_duplicate_spans,
         "heavy_hitters": q_heavy_hitters,
+        "chunk_text": q_chunk_text,
+        "decontaminate": q_decontaminate,
+        "vocab_coverage": q_vocab_coverage,
+        "strip_stopwords": q_strip_stopwords,
+        "redact": q_redact,
+        "ntile": q_ntile,
+        "rollup": q_rollup,
+        "last_event": q_last_event,
+        "intersect_except": q_intersect_except,
+        "bloom_semi_join": q_bloom_semi_join,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }
@@ -2011,6 +2168,124 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_docs,
                    CAST(sum(n_words) AS BIGINT) AS total_words
             FROM d GROUP BY source""",
+        "chunk_text": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                FROM documents),
+            k AS (
+                SELECT doc_id, ws, len(ws) AS nw,
+                       CASE WHEN len(ws) <= 50 THEN 1
+                            ELSE CAST(ceil((len(ws) - 50) / 40.0) AS BIGINT)
+                                 + 1 END AS nk
+                FROM w WHERE len(ws) > 0),
+            c AS (SELECT doc_id, ws, nw,
+                         unnest(range(nk)) AS chunk_idx FROM k)
+            SELECT doc_id, chunk_idx,
+                   CAST(least(50, nw - chunk_idx * 40) AS BIGINT) AS n_words,
+                   array_to_string(ws[chunk_idx * 40 + 1 : chunk_idx * 40 + 50],
+                                   ' ') AS chunk_text
+            FROM c""",
+        "decontaminate": """
+            WITH g AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(ws) - 3),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                || ' ' || ws[i+3] || ' ' || ws[i+4])))
+                           AS gram
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z0-9_]+')
+                                 AS ws
+                      FROM documents)
+                WHERE len(ws) >= 5),
+            e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM g JOIN e USING (gram)
+            WHERE g.doc_id % 97 <> 0
+            GROUP BY g.doc_id""",
+        "vocab_coverage": """
+            WITH w AS (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                           AS word
+                FROM documents),
+            v AS (SELECT word FROM w
+                  GROUP BY word ORDER BY count(*) DESC, word LIMIT 8)
+            SELECT source, count(*) AS n_tokens,
+                   CAST(count(*) FILTER (
+                       WHERE word NOT IN (SELECT word FROM v)) AS BIGINT)
+                       AS n_oov
+            FROM w GROUP BY source""",
+        "strip_stopwords": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                FROM documents)
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(ws, x -> x NOT IN ('a', 'the')), ' ')
+                       AS norm_text,
+                   CAST(len(list_filter(ws, x -> x NOT IN ('a', 'the')))
+                        AS BIGINT) AS n_kept,
+                   CAST(len(ws) - len(list_filter(ws, x -> x NOT IN
+                        ('a', 'the'))) AS BIGINT) AS n_dropped
+            FROM w""",
+        "redact": """
+            WITH s1 AS (
+                SELECT doc_id,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                           AS c1
+                FROM documents),
+            s2 AS (
+                SELECT doc_id,
+                       regexp_replace(t,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g') AS t,
+                       c1,
+                       len(regexp_extract_all(t,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                           AS c2
+                FROM s1)
+            SELECT doc_id,
+                   regexp_replace(t, '\\d{4,}', '<NUM>', 'g') AS red_text,
+                   CAST(c1 + c2 + len(regexp_extract_all(t, '\\d{4,}'))
+                        AS BIGINT) AS n_redacted
+            FROM s2""",
+        "ntile": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
+            FROM orders""",
+        "rollup": """
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY ROLLUP(source, lang)""",
+        "last_event": """
+            SELECT user_id, ts, event_id, event_type
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) = 1""",
+        "intersect_except": """
+            WITH k AS (SELECT user_id, date_trunc('day', ts) AS day,
+                              event_type FROM events)
+            SELECT user_id, day FROM k WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id, day FROM k WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id, day FROM k WHERE event_type = 'error'""",
+        "bloom_semi_join": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT)
+                       AS cents
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+            GROUP BY o_orderpriority""",
         "duplicate_spans": """
             WITH g AS (
                 SELECT doc_id,

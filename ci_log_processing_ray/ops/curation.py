@@ -1,0 +1,297 @@
+"""Training-data curation operators: chunking, train/eval
+decontamination, vocabulary coverage, normalization, and PII-style
+redaction.
+
+All text kernels share one vectorized word pipeline: Arrow lower +
+regex split, flatten, drop empties, and rebuild per-doc offsets with
+numpy -- no per-row Python in any hot stage.  N-gram / chunk assembly
+uses the gather-index trick (repeat + cumsum-reset arange) so even the
+overlapping-window reassembly is one ``take`` + one ``binary_join``.
+
+Shuffle structure at 100 TB:
+
+* chunk_text      -- pure map (no shuffle); output rows ~ tokens/stride.
+* decontaminate   -- the eval/benchmark side is SMALL by definition; its
+                     distinct grams broadcast once (``ray.put``), and the
+                     train-side scan is embarrassingly parallel.
+* vocab_coverage  -- pass 1 is the vocabulary-sized wordcount shuffle,
+                     pass 2 broadcasts the top-V vocab and aggregates
+                     (source, n_tokens, n_oov) partials per batch.
+* normalize/redact -- pure maps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+_WORD_SPLIT = r"[^a-z0-9_]+"
+
+
+def _word_stream(texts: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Lower + split every text; return (flat_words, per_doc_counts)
+    with empty tokens removed -- all Arrow/numpy, no Python rows."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    wl = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(texts, "")), pattern=_WORD_SPLIT)
+    raw_counts = np.diff(wl.offsets.to_numpy())
+    flat = wl.flatten()
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    # per-doc valid-word counts: cumsum of the keep mask, diffed at the
+    # original list offsets
+    cv = np.concatenate([[0], np.cumsum(keep_np)])
+    offs = np.concatenate([[0], np.cumsum(raw_counts)])
+    n_words = (cv[offs[1:]] - cv[offs[:-1]]).astype(np.int64)
+    return flat.filter(keep), n_words
+
+
+def _gather_windows(
+    n_words: np.ndarray, win: int, stride: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Index plan for overlapping word windows.
+
+    Returns (doc_idx, win_idx, win_len, gather) where ``gather`` indexes
+    the flattened word stream and the windows of doc d start at word
+    offsets 0, stride, 2*stride, ... (the last window may be short;
+    docs with 0 words yield no windows)."""
+    n_wins = np.where(
+        n_words == 0, 0,
+        np.where(n_words <= win, 1, (n_words - win + stride - 1) // stride + 1)
+    ).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64), n_wins)
+    tot = int(n_wins.sum())
+    win_starts = np.concatenate([[0], np.cumsum(n_wins)])
+    win_idx = np.arange(tot, dtype=np.int64) - np.repeat(
+        win_starts[:-1], n_wins)
+    doc_offs = np.concatenate([[0], np.cumsum(n_words)])
+    word_start = doc_offs[doc_idx] + win_idx * stride
+    win_len = np.minimum(win, n_words[doc_idx] - win_idx * stride)
+    tot_words = int(win_len.sum())
+    out_offs = np.concatenate([[0], np.cumsum(win_len)])
+    gather = (np.arange(tot_words, dtype=np.int64)
+              - np.repeat(out_offs[:-1], win_len)
+              + np.repeat(word_start, win_len))
+    return doc_idx, win_idx, win_len, gather
+
+
+def _doc_ngrams(
+    texts: pa.Array, ids: np.ndarray, n: int
+) -> pd.DataFrame:
+    """DISTINCT (id, gram) pairs per document, vectorized: sliding
+    windows are gathered from the flat word stream, joined with
+    ``binary_join``, and deduped with one C-level drop_duplicates."""
+    flat, n_words = _word_stream(texts)
+    # sliding n-grams == windows of size n with stride 1, minus the
+    # short trailing windows
+    doc_idx, win_idx, win_len, gather = _gather_windows(n_words, n, 1)
+    full = win_len == n
+    if not full.any():
+        return pd.DataFrame({"id": np.array([], np.int64),
+                             "gram": np.array([], object)})
+    # rebuild the gather plan restricted to full windows
+    keep_words = np.repeat(full, win_len)
+    gather = gather[keep_words]
+    doc_idx = doc_idx[full]
+    k = int(full.sum())
+    offs = np.arange(0, (k + 1) * n, n, dtype=np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offs), flat.take(
+        pa.array(gather)))
+    grams = pc.binary_join(lists, " ").to_numpy(zero_copy_only=False)
+    return (pd.DataFrame({"id": ids[doc_idx], "gram": grams})
+            .drop_duplicates())
+
+
+def chunk_text(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_size: int = 50,
+    stride: int = 40,
+) -> ray.data.Dataset:
+    """Split each document into overlapping fixed-size word windows (the
+    RAG / context-window chunking primitive).  Output: id, chunk_idx
+    (0-based), n_words, chunk_text.  Pure map -- no shuffle; chunk
+    reassembly is one take + binary_join per batch."""
+
+    def kern(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        flat, n_words = _word_stream(t[text_col])
+        doc_idx, win_idx, win_len, gather = _gather_windows(
+            n_words, chunk_size, stride)
+        offs = np.concatenate([[0], np.cumsum(win_len)]).astype(np.int64)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), flat.take(pa.array(gather)))
+        return pa.table({
+            id_col: pa.array(ids[doc_idx]),
+            "chunk_idx": pa.array(win_idx),
+            "n_words": pa.array(win_len.astype(np.int64)),
+            "chunk_text": pc.binary_join(lists, " "),
+        })
+
+    return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    eval_ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 5,
+) -> ray.data.Dataset:
+    """Train/eval contamination check (the benchmark-decontamination
+    step of an LLM data pipeline): for every training document, count
+    its DISTINCT word ``n``-grams that also occur in the evaluation set;
+    emit (id, n_hits) for contaminated docs only (n_hits >= 1).
+
+    The eval side is small by definition (a benchmark), so its distinct
+    grams are collected once and broadcast via ``ray.put``; the train
+    scan is a pure map with one vectorized ``is_in`` per batch.  At
+    100 TB the train side streams; only eval grams are materialized.
+    """
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        d = _doc_ngrams(t[text_col], t[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False), n)
+        return pa.table({"gram": pa.array(
+            d["gram"].drop_duplicates().to_numpy(), type=pa.string())})
+
+    grams = (eval_ds.map_batches(eval_grams, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+             .unique("gram"))
+    gram_ref = ray.put(pa.array(sorted(grams), type=pa.string()))
+
+    def count_hits(t: pa.Table) -> pa.Table:
+        d = _doc_ngrams(t[text_col], t[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False), n)
+        if len(d) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
+        hit = pc.is_in(pa.array(d["gram"].to_numpy(), type=pa.string()),
+                       value_set=ray.get(gram_ref))
+        d = d[hit.to_numpy(zero_copy_only=False)]
+        agg = d.groupby("id", sort=False).size()
+        return pa.table({id_col: pa.array(agg.index.to_numpy()),
+                         "n_hits": pa.array(agg.to_numpy().astype(np.int64))})
+
+    # each doc is one row, so per-batch counts are final -- no shuffle
+    return ds.map_batches(count_hits, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def vocab_coverage(
+    ds: ray.data.Dataset,
+    text_col: str,
+    group_col: str,
+    *,
+    vocab_size: int = 8,
+) -> ray.data.Dataset:
+    """Vocabulary build + out-of-vocabulary rate: pass 1 computes the
+    top-``vocab_size`` words by corpus frequency (count desc, word asc
+    tie-break -- the wordcount shuffle carries (word, count) partials);
+    pass 2 broadcasts the vocab and aggregates per-group token and OOV
+    counts.  Output: group, n_tokens, n_oov (all int64)."""
+    from ci_log_processing_ray.ops.textstats import word_topk
+
+    top = word_topk(ds, text_col, vocab_size).to_pandas()
+    vocab_ref = ray.put(pa.array(top["word"].to_numpy(), type=pa.string()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        groups = t[group_col].combine_chunks()
+        flat, n_words = _word_stream(t[text_col])
+        oov = pc.invert(pc.is_in(flat, value_set=ray.get(vocab_ref)))
+        oov_np = oov.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(n_words)])
+        cv = np.concatenate([[0], np.cumsum(oov_np)])
+        n_oov_doc = cv[offs[1:]] - cv[offs[:-1]]
+        tt = pa.table({group_col: groups,
+                       "n_tokens": pa.array(n_words),
+                       "n_oov": pa.array(n_oov_doc.astype(np.int64))})
+        g = tt.group_by(group_col).aggregate(
+            [("n_tokens", "sum"), ("n_oov", "sum")])
+        return pa.table({group_col: g[group_col],
+                         "n_tokens": g["n_tokens_sum"],
+                         "n_oov": g["n_oov_sum"]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(group_col).aggregate(
+                Sum("n_tokens", alias_name="n_tokens"),
+                Sum("n_oov", alias_name="n_oov")))
+
+
+def strip_stopwords(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    stopwords: tuple[str, ...],
+) -> ray.data.Dataset:
+    """Normalization map: lowercase, tokenize, drop stopwords, re-join
+    single-spaced.  Output: id, norm_text, n_kept, n_dropped.  Pure map;
+    the filter + reassembly is one mask + take + binary_join."""
+    stop = pa.array(sorted(stopwords), type=pa.string())
+
+    def kern(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks()
+        flat, n_words = _word_stream(t[text_col])
+        keep = pc.invert(pc.is_in(flat, value_set=stop))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        offs = np.concatenate([[0], np.cumsum(n_words)])
+        cv = np.concatenate([[0], np.cumsum(keep_np)])
+        n_kept = (cv[offs[1:]] - cv[offs[:-1]]).astype(np.int64)
+        kept = flat.filter(keep)
+        out_offs = np.concatenate([[0], np.cumsum(n_kept)])
+        lists = pa.ListArray.from_arrays(
+            pa.array(out_offs, type=pa.int32()), kept)
+        return pa.table({
+            id_col: ids,
+            "norm_text": pc.binary_join(lists, " "),
+            "n_kept": pa.array(n_kept),
+            "n_dropped": pa.array(n_words - n_kept),
+        })
+
+    return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# RE2 syntax on BOTH engines (pyarrow and DuckDB): keep these literal in
+# the SQL oracle so the semantics stay engine-identical.
+REDACT_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("number", r"\d{4,}", "<NUM>"),
+)
+
+
+def redact_text(
+    ds: ray.data.Dataset, text_col: str, id_col: str
+) -> ray.data.Dataset:
+    """PII-style scrubbing: replace emails, IPv4 addresses, and long
+    digit runs with placeholder tokens, in rule order (email first so
+    its digits are not half-eaten by the number rule).  Output: id,
+    red_text, n_redacted (total matches across rules).  Pure map, RE2
+    kernels only."""
+
+    def kern(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[text_col].combine_chunks(), "")
+        total = np.zeros(len(txt), dtype=np.int64)
+        for _name, pat, repl in REDACT_RULES:
+            total += pc.count_substring_regex(
+                txt, pattern=pat).to_numpy(zero_copy_only=False)
+            txt = pc.replace_substring_regex(
+                txt, pattern=pat, replacement=repl)
+        return pa.table({
+            id_col: t[id_col],
+            "red_text": txt,
+            "n_redacted": pa.array(total),
+        })
+
+    return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)

@@ -654,23 +654,15 @@ def duplicate_spans(
     """
 
     def explode_grams(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        from ci_log_processing_ray.ops.curation import _doc_ngrams
 
-        texts = pc.utf8_lower(t[text_col].combine_chunks())
-        words = pc.split_pattern_regex(texts, pattern=r"[^a-z0-9_]+")
-        ids = t[id_col].combine_chunks().to_numpy()
-        out_grams: list[str] = []
-        out_ids: list[int] = []
-        words_py = words.to_pylist()
-        for did, ws in zip(ids, words_py):
-            ws = [w for w in ws if w]
-            if len(ws) < n:
-                continue
-            grams = {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
-            out_grams.extend(grams)
-            out_ids.extend([did] * len(grams))
-        return pa.table({"gram": pa.array(out_grams, type=pa.string()),
-                         id_col: pa.array(out_ids, type=pa.int64())})
+        d = _doc_ngrams(t[text_col],
+                        t[id_col].combine_chunks().to_numpy(
+                            zero_copy_only=False), n)
+        return pa.table({"gram": pa.array(d["gram"].to_numpy(),
+                                          type=pa.string()),
+                         id_col: pa.array(d["id"].to_numpy(),
+                                          type=pa.int64())})
 
     from ray.data.aggregate import Count
 

@@ -80,3 +80,108 @@ def mode_by_group(
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
     return bucketed_groups(partials, group_col, pick, n_buckets=n_buckets)
+
+
+def rollup_counts(
+    ds: ray.data.Dataset,
+    dims: list[str],
+    count_name: str,
+    sum_col: str | None = None,
+    sum_name: str | None = None,
+) -> pd.DataFrame:
+    """SQL ``GROUP BY ROLLUP(dims...)``: counts (and an optional sum)
+    at every rollup level, super-aggregate rows carrying NULL dims.
+
+    Single shuffle: ONE distributed aggregate at the finest level (its
+    cardinality is the product of dim cardinalities -- driver-sized by
+    construction), then the coarser levels re-aggregate that small
+    frame locally.  Never re-scans the data per level."""
+    from ray.data.aggregate import Count, Sum
+
+    aggs = [Count(alias_name=count_name)]
+    if sum_col:
+        aggs.append(Sum(sum_col, alias_name=sum_name or f"sum_{sum_col}"))
+    finest = ds.groupby(dims).aggregate(*aggs).to_pandas()
+    val_cols = [c for c in finest.columns if c not in dims]
+    levels = [finest]
+    for lvl in range(len(dims) - 1, -1, -1):
+        keep = dims[:lvl]
+        if keep:
+            g = finest.groupby(keep, as_index=False)[val_cols].sum()
+        else:
+            g = finest[val_cols].sum().to_frame().T
+        for d in dims[lvl:]:
+            g[d] = None
+        levels.append(g[dims + val_cols])
+    out = pd.concat(levels, ignore_index=True)[dims + val_cols]
+    for c in val_cols:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(dims + val_cols, na_position="first").reset_index(
+        drop=True)
+
+
+def last_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_cols: list[str],
+    keep_cols: list[str],
+) -> ray.data.Dataset:
+    """Latest row per group (the CDC / upsert-compaction primitive):
+    the row with the max ``order_cols`` tuple per group, deterministic
+    when the tuple is unique.  Mergeable argmax partials: each batch
+    keeps its per-group winner BEFORE the shuffle, so the exchange
+    carries at most (distinct groups) rows per block."""
+    cols = [group_col] + [c for c in order_cols if c not in [group_col]] + [
+        c for c in keep_cols if c not in order_cols + [group_col]]
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col] + order_cols,
+                          ascending=[True] + [False] * len(order_cols),
+                          kind="mergesort")
+        return g.drop_duplicates(group_col, keep="first")[cols]
+
+    partials = ds.map_batches(
+        lambda t: partial(t.to_pandas()), batch_format="pyarrow")
+    return bucketed_groups(partials, group_col, partial)
+
+
+def presence_set_op(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    flag_col: str,
+    include: tuple[str, ...],
+    exclude: tuple[str, ...],
+) -> ray.data.Dataset:
+    """Distinct-key INTERSECT / EXCEPT over one pass: keys whose rows
+    cover every ``include`` value of ``flag_col`` and none of the
+    ``exclude`` values.  Per-batch distinct (key, value) partials, one
+    small shuffle bounded by keys x tracked values, then a C-level
+    presence pivot per bucket -- no per-group Python."""
+    vals = list(include) + list(exclude)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(t[flag_col].combine_chunks(),
+                        value_set=pa.array(vals, type=pa.string()))
+        sub = t.select(key_cols + [flag_col]).filter(keep)
+        # distinct (key, value) pairs per batch: the exchange carries at
+        # most |keys| x |vals| rows per block, never the raw rows
+        return sub.group_by(key_cols + [flag_col]).aggregate([])
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        fl = g[flag_col].to_numpy()
+        for v in vals:
+            g[f"_has_{v}"] = fl == v
+        agg = g.groupby(key_cols, as_index=False)[
+            [f"_has_{v}" for v in vals]].max()
+        ok = np.ones(len(agg), dtype=bool)
+        for v in include:
+            ok &= agg[f"_has_{v}"].to_numpy()
+        for v in exclude:
+            ok &= ~agg[f"_has_{v}"].to_numpy()
+        return agg.loc[ok, key_cols].reset_index(drop=True)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed_groups(partials, key_cols[0], finish)

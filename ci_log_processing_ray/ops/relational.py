@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -215,3 +216,84 @@ def range_join_count(
     from .window import bucketed_groups
 
     return bucketed_groups(both, key, count_in_window)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi join: approximate pre-filter + exact verify join
+# ---------------------------------------------------------------------------
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants)."""
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def build_bloom(keys: np.ndarray, *, bits_per_key: int = 16,
+                n_hashes: int = 4) -> tuple[np.ndarray, int, int]:
+    """Bit array (packed uint64) for the key set; about 0.1 percent false positives
+    at 16 bits/key, 4 hashes."""
+    keys = keys.astype(np.int64).view(np.uint64)
+    m = max(1024, int(len(keys) * bits_per_key))
+    words = np.zeros((m + 63) // 64, dtype=np.uint64)
+    for i in range(n_hashes):
+        h = _splitmix64(keys + np.uint64(i * 0x51_7C_C1_B7_27_22_0A_95))
+        pos = h % np.uint64(m)
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return words, m, n_hashes
+
+
+def bloom_contains(words: np.ndarray, m: int, n_hashes: int,
+                   keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe; false positives possible, false
+    negatives never."""
+    keys = keys.astype(np.int64).view(np.uint64)
+    ok = np.ones(len(keys), dtype=bool)
+    for i in range(n_hashes):
+        h = _splitmix64(keys + np.uint64(i * 0x51_7C_C1_B7_27_22_0A_95))
+        pos = h % np.uint64(m)
+        bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        ok &= bit.astype(bool)
+    return ok
+
+
+def bloom_semi_join(
+    fact: "ray.data.Dataset",
+    fact_key: str,
+    dim: "ray.data.Dataset",
+    dim_key: str,
+    *,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT semi join with a broadcast Bloom pre-filter: the dim-side
+    key set builds a bit array shipped once (``ray.put``); a pure map
+    drops ~all non-matching fact rows BEFORE the join shuffle, and the
+    surviving sliver goes through a hash semi join for exactness (the
+    Bloom filter admits false positives, the join removes them; false
+    negatives cannot occur, so the result is exactly the semi join).
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling only the matching fraction.  The dim side must
+    be broadcast-sized (the same contract as any broadcast join).
+    """
+    import pyarrow.compute as pc
+
+    dim_keys = dim.to_pandas()[dim_key].to_numpy()
+    words, m, k = build_bloom(np.unique(dim_keys))
+    bloom_ref = ray.put((words, m, k))
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        w, mm, kk = ray.get(bloom_ref)
+        keys = t[fact_key].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(bloom_contains(w, mm, kk, keys)))
+
+    survivors = fact.map_batches(prefilter, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    n_part = num_partitions or max(
+        2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    return survivors.join(dim.select_columns([dim_key]), "left_semi",
+                          num_partitions=n_part,
+                          on=(fact_key,), right_on=(dim_key,))

@@ -248,3 +248,42 @@ def rolling_count_by_group(
                              "n_in_window": out})
 
     return bucketed_groups(ds, group_col, roll, n_buckets=n_buckets)
+
+
+def ntile_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_cols: list[str],
+    id_col: str,
+    n_tiles: int,
+    *,
+    out_col: str = "tile",
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> "ray.data.Dataset":
+    """SQL ``ntile(n) OVER (PARTITION BY group ORDER BY ...)``: rows of
+    each group split into ``n`` tiles as equal as possible, the first
+    ``count mod n`` tiles one row larger (the SQL-standard fill rule).
+    Pass a unique tie-break in ``order_cols`` for determinism.  Whole-
+    bucket vectorized: one sort, segment arithmetic, no per-key kernel."""
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col] + order_cols, kind="mergesort")
+        key = g[group_col].to_numpy()
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        newkey = np.r_[True, key[1:] != key[:-1]] if n else np.array([], bool)
+        seg_start = np.maximum.accumulate(np.where(newkey, idx, 0))
+        starts = np.flatnonzero(newkey)
+        seg_lens = np.diff(np.append(starts, n))
+        size = np.repeat(seg_lens, seg_lens)          # group size per row
+        pos = idx - seg_start                         # 0-based row in group
+        q, r = size // n_tiles, size % n_tiles
+        # rows 0 .. (q+1)*r-1 fall in the r big tiles of size q+1
+        big = pos < (q + 1) * r
+        tile = np.where(big, pos // np.maximum(q + 1, 1),
+                        r + (pos - (q + 1) * r) // np.maximum(q, 1)) + 1
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             group_col: key,
+                             out_col: tile.astype(np.int64)})
+
+    return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)

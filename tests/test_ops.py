@@ -656,3 +656,145 @@ def test_heavy_hitters(ray_session):
         {"v": np.array([1] * 5 + [2] * 3 + [3] * 2)})).repartition(3)
     exact = heavy_hitters(small, "v", k=16)
     assert dict(zip(exact["item"], exact["est_count"])) == {1: 5, 2: 3, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# curation operators
+# ---------------------------------------------------------------------------
+def test_chunk_text_windows(ray_session):
+    from ci_log_processing_ray.ops.curation import chunk_text
+
+    rows = [
+        {"doc_id": 1, "text": " ".join(f"w{i}" for i in range(7))},
+        {"doc_id": 2, "text": "one two"},
+        {"doc_id": 3, "text": ""},           # no words -> no chunks
+        {"doc_id": 4, "text": "!!! ???"},    # punctuation only
+    ]
+    out = chunk_text(ray.data.from_items(rows), "text", "doc_id",
+                     chunk_size=3, stride=2).to_pandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_idx")
+    # 7 words, win 3, stride 2 -> ceil((7-3)/2)+1 = 3 chunks, starts
+    # 0,2,4 (start 6 would be a redundant fully-covered tail)
+    assert list(d1.chunk_text) == ["w0 w1 w2", "w2 w3 w4", "w4 w5 w6"]
+    assert list(d1.n_words) == [3, 3, 3]
+    assert list(out[out.doc_id == 2].chunk_text) == ["one two"]
+    assert len(out[out.doc_id.isin([3, 4])]) == 0
+    assert str(out.chunk_idx.dtype) == "int64"
+
+
+def test_decontaminate_planted(ray_session):
+    from ci_log_processing_ray.ops.curation import decontaminate
+
+    leak = "alpha beta gamma delta epsilon"
+    ev = ray.data.from_items([{"doc_id": 97, "text": f"{leak} zeta eta"}])
+    train = ray.data.from_items([
+        {"doc_id": 1, "text": f"pre {leak} post"},       # 1 shared 5-gram
+        {"doc_id": 2, "text": "unrelated words only here now yes"},
+        {"doc_id": 3, "text": f"{leak} zeta"},           # 2 shared 5-grams
+    ])
+    out = decontaminate(train, ev, "text", "doc_id", n=5).to_pandas()
+    got = dict(zip(out.doc_id, out.n_hits))
+    assert got == {1: 1, 3: 2}
+
+
+def test_strip_stopwords_and_redact(ray_session):
+    from ci_log_processing_ray.ops.curation import redact_text, strip_stopwords
+
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "The quick  fox and a dog"},
+        {"doc_id": 2, "text": "a a the"},
+    ])
+    out = strip_stopwords(ds, "text", "doc_id", ("a", "the")).to_pandas()
+    got = out.set_index("doc_id")
+    assert got.loc[1, "norm_text"] == "quick fox and dog"
+    assert got.loc[1, "n_dropped"] == 2
+    assert got.loc[2, "norm_text"] == ""
+    assert got.loc[2, "n_kept"] == 0
+
+    ds2 = ray.data.from_items([
+        {"doc_id": 1, "text": "mail bob@example.com from 10.0.0.1 id 123456"},
+        {"doc_id": 2, "text": "clean text"},
+    ])
+    red = redact_text(ds2, "text", "doc_id").to_pandas().set_index("doc_id")
+    assert red.loc[1, "red_text"] == "mail <EMAIL> from <IP> id <NUM>"
+    assert red.loc[1, "n_redacted"] == 3
+    assert red.loc[2, "n_redacted"] == 0
+
+
+def test_ntile_fill_rule(ray_session):
+    from ci_log_processing_ray.ops.window import ntile_by_group
+
+    # 10 rows in one group, 4 tiles -> sizes 3,3,2,2 (SQL fill rule)
+    rows = [{"g": "x", "v": i, "id": i} for i in range(10)]
+    rows += [{"g": "y", "v": i, "id": 100 + i} for i in range(2)]  # < n_tiles
+    out = ntile_by_group(ray.data.from_items(rows), "g", ["v", "id"],
+                         "id", 4).to_pandas()
+    x = out[out.g == "x"].sort_values("id")
+    assert list(x.tile) == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    y = out[out.g == "y"].sort_values("id")
+    assert list(y.tile) == [1, 2]
+
+
+def test_presence_set_op(ray_session):
+    from ci_log_processing_ray.ops.groupagg import presence_set_op
+
+    rows = [
+        {"k": 1, "t": "purchase"}, {"k": 1, "t": "click"},
+        {"k": 2, "t": "purchase"}, {"k": 2, "t": "click"},
+        {"k": 2, "t": "error"},                       # excluded
+        {"k": 3, "t": "click"},                       # missing purchase
+        {"k": 4, "t": "purchase"}, {"k": 4, "t": "click"},
+        {"k": 4, "t": "view"},                        # untracked value ok
+    ]
+    out = presence_set_op(
+        ray.data.from_items(rows).repartition(3), ["k"], "t",
+        include=("purchase", "click"), exclude=("error",)).to_pandas()
+    assert sorted(out.k) == [1, 4]
+
+
+def test_bloom_filter_exactness(ray_session):
+    from ci_log_processing_ray.ops.relational import (
+        bloom_contains, build_bloom)
+
+    rng = np.random.default_rng(3)
+    keys = rng.choice(10_000_000, size=5000, replace=False)
+    words, m, k = build_bloom(keys)
+    # no false negatives, ever
+    assert bloom_contains(words, m, k, keys).all()
+    probe = rng.choice(10_000_000, size=20000, replace=False)
+    truth = np.isin(probe, keys)
+    got = bloom_contains(words, m, k, probe)
+    assert (got | ~truth).all() or got[truth].all()  # members always hit
+    fp = (got & ~truth).mean()
+    assert fp < 0.01  # ~0.1% expected at 16 bits/key
+
+
+def test_last_by_group(ray_session):
+    from ci_log_processing_ray.ops.groupagg import last_by_group
+
+    ts = pd.to_datetime("2024-01-01")
+    rows = [
+        {"u": 1, "ts": ts, "id": 1, "v": "a"},
+        {"u": 1, "ts": ts + pd.Timedelta("1h"), "id": 2, "v": "b"},
+        {"u": 2, "ts": ts, "id": 3, "v": "c"},
+        {"u": 2, "ts": ts, "id": 4, "v": "d"},  # ts tie -> max id wins
+    ]
+    out = last_by_group(
+        ray.data.from_items(rows).repartition(2), "u", ["ts", "id"],
+        ["v"]).to_pandas().set_index("u")
+    assert out.loc[1, "v"] == "b"
+    assert out.loc[2, "v"] == "d"
+
+
+def test_rollup_levels(ray_session):
+    from ci_log_processing_ray.ops.groupagg import rollup_counts
+
+    rows = [{"a": "x", "b": "p", "n": 1}, {"a": "x", "b": "q", "n": 2},
+            {"a": "y", "b": "p", "n": 4}]
+    out = rollup_counts(ray.data.from_items(rows), ["a", "b"], "cnt",
+                        sum_col="n", sum_name="total")
+    total = out[out.a.isna() & out.b.isna()]
+    assert len(total) == 1 and total.iloc[0]["total"] == 7
+    xa = out[(out.a == "x") & out.b.isna()]
+    assert xa.iloc[0]["cnt"] == 2 and xa.iloc[0]["total"] == 3
+    assert len(out) == 3 + 2 + 1
