@@ -1620,6 +1620,52 @@ def q_bloom_semi_join(sf_dir: str):
                 Sum("cents", alias_name="cents")))
 
 
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic training-order shuffle: global 1-based position of
+    every doc under the md5 shuffle key -- hex-prefix range buckets +
+    two-pass prefix sum, no global sort operator (ops/shuffle.py)."""
+    from ci_log_processing_ray.ops.shuffle import epoch_shuffle
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return epoch_shuffle(ds, "doc_id")
+
+
+def q_tfidf(sf_dir: str):
+    """Top-3 TF-IDF terms per doc, integer-rational scoring
+    (tf * n_docs // df): broadcast DF table + pure-map top-k
+    (ops/textstats.py)."""
+    from ci_log_processing_ray.ops.textstats import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(ds, "text", "doc_id", k=3)
+
+
+def q_salted_join(sf_dir: str):
+    """Skew-defused large join: fact-side salt spreads hot customer
+    keys over 8 sub-partitions, dim replicated per salt, join on
+    (key, salt) -- result identical to the plain inner join
+    (ops/relational.py:salted_join), aggregated per market segment."""
+    from ci_log_processing_ray.ops.relational import salted_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = salted_join(orders, cust, "o_custkey", "c_custkey", "o_orderkey",
+                    n_salt=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "n_orders": pa.array(np.ones(len(t), dtype=np.int64)),
+            "cents": _cents(t["o_totalprice"]),
+        })
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_mktsegment").aggregate(
+                Sum("n_orders", alias_name="n_orders"),
+                Sum("cents", alias_name="cents")))
+
+
 def q_approx_quantile(sf_dir: str):
     """DDSketch mergeable quantile sketch over event values: fixed-size
     (bin, count) partials, driver answers from the merged histogram.
@@ -1710,6 +1756,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_event": q_last_event,
         "intersect_except": q_intersect_except,
         "bloom_semi_join": q_bloom_semi_join,
+        "epoch_shuffle": q_epoch_shuffle,
+        "tfidf": q_tfidf,
+        "salted_join": q_salted_join,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }
@@ -2278,6 +2327,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, day FROM k WHERE event_type = 'click'
             EXCEPT
             SELECT user_id, day FROM k WHERE event_type = 'error'""",
+        "epoch_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                        AS BIGINT) AS pos
+            FROM documents""",
+        "tfidf": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                           AS word
+                FROM documents),
+            tf AS (SELECT doc_id, word, count(*) AS tf
+                   FROM w GROUP BY doc_id, word),
+            df AS (SELECT word, count(*) AS df
+                   FROM (SELECT DISTINCT doc_id, word FROM w)
+                   GROUP BY word),
+            nd AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, word AS term, tf,
+                   CAST(tf * n // df AS BIGINT) AS score
+            FROM tf JOIN df USING (word), nd
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                ORDER BY tf * n // df DESC, word) <= 3""",
+        "salted_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT)
+                       AS cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
         "bloom_semi_join": """
             SELECT o_orderpriority, count(*) AS n_orders,
                    CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT)

@@ -297,3 +297,50 @@ def bloom_semi_join(
     return survivors.join(dim.select_columns([dim_key]), "left_semi",
                           num_partitions=n_part,
                           on=(fact_key,), right_on=(dim_key,))
+
+
+# ---------------------------------------------------------------------------
+# Salted large-large join: defuse hot-key skew with key salting
+# ---------------------------------------------------------------------------
+def salted_join(
+    fact: "ray.data.Dataset",
+    dim: "ray.data.Dataset",
+    fact_key: str,
+    dim_key: str,
+    salt_src: str,
+    *,
+    n_salt: int = 8,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Inner join where the FACT side's hot keys are spread across
+    ``n_salt`` sub-partitions: each fact row gets salt =
+    hash(salt_src) % n_salt (``salt_src`` is any unique-ish fact
+    column), the dim side is replicated once per salt value, and the
+    join runs on (key, salt).  A key with 10M fact rows therefore lands
+    on n_salt reducers instead of one -- the classic skew fix -- at the
+    cost of a x n_salt dim-side replication (cheap when dim << fact).
+    Result rows are exactly the unsalted inner join's."""
+    import pyarrow.compute as pc
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        src = t[salt_src].combine_chunks().to_numpy(zero_copy_only=False)
+        salt = (pd.util.hash_array(np.ascontiguousarray(src))
+                % n_salt).astype(np.int64)
+        return t.append_column("_salt", pa.array(salt))
+
+    def replicate(t: pa.Table) -> pa.Table:
+        n = len(t)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_salt))
+        rep = t.take(idx)
+        salt = np.tile(np.arange(n_salt, dtype=np.int64), n)
+        return rep.append_column("_salt", pa.array(salt))
+
+    salted_fact = fact.map_batches(add_salt, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    salted_dim = dim.map_batches(replicate, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    n_part = num_partitions or max(
+        2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    return salted_fact.join(
+        salted_dim, "inner", num_partitions=n_part,
+        on=(fact_key, "_salt"), right_on=(dim_key, "_salt"))

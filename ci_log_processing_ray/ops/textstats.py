@@ -231,3 +231,66 @@ def token_count_bpe(ds: ray.data.Dataset, text_col: str, group_col: str) -> ray.
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         group_col).aggregate(Sum("n_tokens", alias_name="n_tokens"),
                              Sum("n_docs", alias_name="n_docs"))
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+) -> ray.data.Dataset:
+    """Top-``k`` TF-IDF terms per document, integer-exact: score =
+    ``tf * n_docs // df`` (rational idf -- deterministic across engines,
+    no transcendental log in the hash path).
+
+    Two passes: (1) the document-frequency table (vocabulary-sized
+    shuffle of distinct (word, doc) partials) is computed and broadcast
+    via ``ray.put`` -- the DF table must be broadcast-sized, the same
+    contract as any vocabulary structure; (2) a pure map computes
+    per-doc term frequencies and picks top-k by (score desc, term asc).
+    Output: id, term, tf, score (int64)."""
+    from ci_log_processing_ray.ops.curation import _word_stream
+
+    n_docs = ds.count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        flat, n_words = _word_stream(t[text_col])
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), n_words)
+        d = pd.DataFrame({"word": flat.to_numpy(zero_copy_only=False),
+                          "doc": ids[doc_idx]}).drop_duplicates()
+        vc = d.groupby("word", sort=False).size()
+        return pa.table({"word": pa.array(vc.index.to_numpy(), pa.string()),
+                         "df": pa.array(vc.to_numpy().astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("word").aggregate(Sum("df", alias_name="df"))
+              .to_pandas())
+    df_ref = ray.put(dict(zip(df_tbl["word"], df_tbl["df"])))
+
+    def topk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        flat, n_words = _word_stream(t[text_col])
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), n_words)
+        d = pd.DataFrame({"word": flat.to_numpy(zero_copy_only=False),
+                          "doc": ids[doc_idx]})
+        tf = d.groupby(["doc", "word"], sort=False).size().reset_index(
+            name="tf")
+        dfm = ray.get(df_ref)
+        dfv = tf["word"].map(dfm).to_numpy().astype(np.int64)
+        tf["score"] = tf["tf"].to_numpy() * np.int64(n_docs) // dfv
+        tf = tf.sort_values(["doc", "score", "word"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = tf.groupby("doc", sort=False).head(k)
+        return pa.table({id_col: pa.array(top["doc"].to_numpy()),
+                         "term": pa.array(top["word"].to_numpy(),
+                                          pa.string()),
+                         "tf": pa.array(top["tf"].to_numpy().astype(
+                             np.int64)),
+                         "score": pa.array(top["score"].to_numpy())})
+
+    return ds.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)

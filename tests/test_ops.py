@@ -798,3 +798,53 @@ def test_rollup_levels(ray_session):
     xa = out[(out.a == "x") & out.b.isna()]
     assert xa.iloc[0]["cnt"] == 2 and xa.iloc[0]["total"] == 3
     assert len(out) == 3 + 2 + 1
+
+
+def test_epoch_shuffle_is_permutation(ray_session):
+    from ci_log_processing_ray.ops.shuffle import epoch_shuffle
+
+    ds = ray.data.range(1000).map_batches(
+        lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
+    out = epoch_shuffle(ds, "doc_id").to_pandas()
+    assert sorted(out.pos) == list(range(1, 1001))  # exact 1..n permutation
+    # reproducible, and a different seed gives a different order
+    again = epoch_shuffle(ds, "doc_id").to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))
+    other = epoch_shuffle(ds, "doc_id", seed="epoch2").to_pandas()
+    merged = out.merge(other, on="doc_id")
+    assert (merged.pos_x != merged.pos_y).any()
+
+
+def test_tfidf_planted(ray_session):
+    from ci_log_processing_ray.ops.textstats import tfidf_top_terms
+
+    rows = [
+        {"doc_id": 1, "text": "rare rare rare common"},
+        {"doc_id": 2, "text": "common common other"},
+        {"doc_id": 3, "text": "common word"},
+    ]
+    out = tfidf_top_terms(ray.data.from_items(rows), "text", "doc_id",
+                          k=1).to_pandas().set_index("doc_id")
+    # 'rare' (tf=3, df=1): score 3*3//1 = 9 beats 'common' (1*3//3 = 1)
+    assert out.loc[1, "term"] == "rare" and out.loc[1, "score"] == 9
+
+
+def test_salted_join_equals_plain_join(ray_session):
+    from ci_log_processing_ray.ops.relational import salted_join
+
+    rng = np.random.default_rng(5)
+    # heavy skew: 60% of fact rows share one key
+    keys = np.where(rng.random(3000) < 0.6, 7,
+                    rng.integers(0, 50, size=3000))
+    fact = ray.data.from_arrow(pa.table({
+        "k": keys.astype(np.int64),
+        "rid": np.arange(3000, dtype=np.int64)})).repartition(4)
+    dim = ray.data.from_arrow(pa.table({
+        "dk": np.arange(50, dtype=np.int64),
+        "name": [f"n{i}" for i in range(50)]}))
+    out = salted_join(fact, dim, "k", "dk", "rid", n_salt=4).to_pandas()
+    assert len(out) == int(np.isin(keys, np.arange(50)).sum())
+    # spot-check the hot key kept its dim attribute everywhere
+    assert (out[out.k == 7]["name"] == "n7").all()
