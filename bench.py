@@ -46,6 +46,14 @@ BENCH_QUERIES = [
     "pack_sequences",
     "corpus_curation",
     "label_centroids",
+    "minhash_dedup",
+    "chunk_text",
+    "decontaminate",
+    "epoch_shuffle",
+    "tfidf",
+    "salted_join",
+    "bloom_semi_join",
+    "duplicate_spans",
 ]
 
 

@@ -361,9 +361,14 @@ def ngram_jaccard_pairs(
     Any pair with jaccard >= t > 0 shares >= 1 gram, so blocking on
     shared grams loses nothing -- the result is exact.  At 100 TB pass
     ``max_df`` to drop grams appearing in more than max_df docs (the
-    classic DF cutoff): candidate generation cost drops from
-    sum(df^2) to sum(min(df, max_df)^2) at a bounded, documented recall
-    loss for pairs that ONLY share ultra-common grams.
+    classic DF cutoff): candidate generation cost drops from sum(df^2)
+    to sum(df<=max_df ? df^2 : 0).  Contract under the cutoff
+    (unit-tested): dropped grams leave the INTERSECTION counts but per-
+    doc totals stay full, so every reported jaccard is a LOWER BOUND of
+    the true score and the output is always a SUBSET of the exact
+    output -- the cutoff can lose pairs (those reachable only through
+    hot grams, plus borderline pairs pushed under the threshold) but
+    never invents or inflates one.
 
     Returns (left_id, right_id, inter, union_sz) with left_id < right_id,
     threshold applied as ``100*inter >= threshold_pct*union`` (integer
@@ -643,32 +648,37 @@ def duplicate_spans(
     2022 "Deduplicating Training Data Makes Language Models Better" --
     public paper; there via suffix arrays, here via gram blocking).
 
-    Two-level exact distinct-count: each batch emits DISTINCT
-    (gram, doc) pairs, the gram-keyed shuffle then counts docs per gram
-    and keeps df >= 2.  The exchange carries one row per distinct
-    (gram, doc) pair per block -- never full texts.  For corpora whose
-    gram strings are too wide to ship, hash the gram (the
-    ``ngram_jaccard_pairs`` layout) and keep this exact form as the
-    verify stage.  Output: gram, df (int64), sorted nowhere -- consume
-    with a downstream sort/limit if needed.
+    Two-level exact distinct-count: each batch emits per-gram partial
+    doc counts over its DISTINCT (gram, doc) pairs, the shuffle routes
+    them by hash(gram) into 64 coarse buckets (sort key is the small
+    int bucket, gram strings travel as payload -- a string-keyed
+    sort-exchange over millions of grams was 4x slower), and one
+    C-level pandas groupby per bucket sums partials and keeps df >= 2.
+    For corpora whose gram strings are too wide to ship, hash the gram
+    (the ``ngram_jaccard_pairs`` layout) and keep this exact form as
+    the verify stage.  Output: gram, df (int64), sorted nowhere --
+    consume with a downstream sort/limit if needed.
     """
+    from ci_log_processing_ray.ops.window import bucketed_groups
 
-    def explode_grams(t: pa.Table) -> pa.Table:
+    def gram_partials(t: pa.Table) -> pa.Table:
         from ci_log_processing_ray.ops.curation import _doc_ngrams
 
         d = _doc_ngrams(t[text_col],
                         t[id_col].combine_chunks().to_numpy(
                             zero_copy_only=False), n)
-        return pa.table({"gram": pa.array(d["gram"].to_numpy(),
+        # a doc never spans batches, so per-batch distinct-doc counts
+        # per gram are mergeable partials of the document frequency
+        vc = d.groupby("gram", sort=False).size()
+        return pa.table({"gram": pa.array(vc.index.to_numpy(),
                                           type=pa.string()),
-                         id_col: pa.array(d["id"].to_numpy(),
-                                          type=pa.int64())})
+                         "df": pa.array(vc.to_numpy().astype(np.int64))})
 
-    from ray.data.aggregate import Count
+    partials = ds.map_batches(gram_partials, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
-    pairs = ds.map_batches(explode_grams, batch_format="pyarrow",
-                           zero_copy_batch=True)
-    # distinct (gram, doc) is guaranteed per doc by the set above; a doc
-    # never spans batches, so groupby(gram) count == document frequency
-    df = pairs.groupby("gram").aggregate(Count(alias_name="df"))
-    return df.filter(expr="df >= 2")
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("gram", as_index=False, sort=False)["df"].sum()
+        return agg[agg["df"] >= 2]
+
+    return bucketed_groups(partials, "gram", finish)

@@ -848,3 +848,36 @@ def test_salted_join_equals_plain_join(ray_session):
     assert len(out) == int(np.isin(keys, np.arange(50)).sum())
     # spot-check the hot key kept its dim attribute everywhere
     assert (out[out.k == 7]["name"] == "n7").all()
+
+
+def test_ngram_jaccard_max_df_contract(ray_session):
+    """The DF cutoff drops only pairs whose EVERY shared gram exceeds
+    max_df; pairs sharing at least one rare gram keep exact scores."""
+    from ci_log_processing_ray.ops.dedup import ngram_jaccard_pairs
+
+    common = "spam spam spam spam"          # its 3-grams appear in ALL docs
+    rare = "unique trigram here"
+    rows = [
+        {"doc_id": 1, "text": f"{common} {rare}"},
+        {"doc_id": 2, "text": f"{common} {rare}"},       # shares rare+common
+        {"doc_id": 3, "text": common},
+        {"doc_id": 4, "text": common},                   # shares ONLY common
+    ]
+    full = ngram_jaccard_pairs(
+        ray.data.from_items(rows), "text", "doc_id",
+        n=3, threshold_pct=50).to_pandas()
+    cut = ngram_jaccard_pairs(
+        ray.data.from_items(rows), "text", "doc_id",
+        n=3, threshold_pct=50, max_df=2).to_pandas()
+    fp = set(zip(full.left_id, full.right_id))
+    cp = set(zip(cut.left_id, cut.right_id))
+    assert (1, 2) in fp and (3, 4) in fp
+    assert (1, 2) in cp          # survives: shares rare grams (df <= 2)
+    assert (3, 4) not in cp      # documented recall loss: only hot grams
+    assert cp <= fp              # cutoff can only LOSE pairs, never add
+    # surviving pair's score is a conservative LOWER BOUND: hot grams
+    # leave the intersection but per-doc totals stay full
+    r_full = full[(full.left_id == 1) & (full.right_id == 2)].iloc[0]
+    r_cut = cut[(cut.left_id == 1) & (cut.right_id == 2)].iloc[0]
+    assert r_cut.inter <= r_full.inter
+    assert r_cut.union_sz >= r_full.union_sz
