@@ -1620,6 +1620,53 @@ def q_bloom_semi_join(sf_dir: str):
                 Sum("cents", alias_name="cents")))
 
 
+def q_asof_forward(sf_dir: str):
+    """FORWARD as-of join: each event matched to the EARLIEST order of
+    the same user at or after the event time (same co-partitioning
+    shuffle as the backward variant, direction flipped)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({"user_id": t["o_custkey"],
+                            "o_orderdate": t["o_orderdate"]}),
+        batch_format="pyarrow")
+    out = asof_join_grouped(
+        ev, orders, key="user_id", left_on="ts", right_on="o_orderdate",
+        left_cols=["event_id"], right_cols=[], direction="forward")
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["next_order_ts" if c == "o_orderdate_matched" else c
+             for c in t.column_names]),
+        batch_format="pyarrow")
+
+
+def q_window_dedup(sf_dir: str):
+    """Windowed dedup (streaming rate-limit primitive): keep only the
+    FIRST event per (user, event_type) per clock hour -- mergeable
+    argmin partials over the composite key (ops/groupagg.py)."""
+    from ci_log_processing_ray.ops.groupagg import last_by_group
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "hour", pc.floor_temporal(t["ts"].combine_chunks(), unit="hour"))
+
+    keyed = ds.map_batches(add_hour, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return last_by_group(keyed, ["user_id", "event_type", "hour"],
+                         ["ts", "event_id"], ["event_id"], keep="first")
+
+
+def q_hopping_window(sf_dir: str):
+    """Hopping event-time windows (1h window, 15min hop): per-window
+    count + cents sum; the x4 explode and partial aggregation stay
+    inside each batch (ops/window.py:hopping_window_agg)."""
+    from ci_log_processing_ray.ops.window import hopping_window_agg
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    return hopping_window_agg(ds, "ts", "value", window_s=3600, hop_s=900)
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic training-order shuffle: global 1-based position of
     every doc under the md5 shuffle key -- hex-prefix range buckets +
@@ -1759,6 +1806,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": q_epoch_shuffle,
         "tfidf": q_tfidf,
         "salted_join": q_salted_join,
+        "asof_forward": q_asof_forward,
+        "window_dedup": q_window_dedup,
+        "hopping_window": q_hopping_window,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }
@@ -2327,6 +2377,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, day FROM k WHERE event_type = 'click'
             EXCEPT
             SELECT user_id, day FROM k WHERE event_type = 'error'""",
+        "asof_forward": """
+            SELECT e.event_id,
+                   (SELECT min(o.o_orderdate) FROM orders o
+                    WHERE o.o_custkey = e.user_id
+                      AND o.o_orderdate >= e.ts) AS next_order_ts
+            FROM events e""",
+        "window_dedup": """
+            SELECT user_id, event_type,
+                   date_trunc('hour', ts) AS hour, ts, event_id
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                ORDER BY ts, event_id) = 1""",
+        "hopping_window": """
+            WITH g AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 900 AS hb,
+                              value
+                       FROM events),
+            x AS (SELECT (hb - i) * 900 AS window_start_s, value
+                  FROM g, unnest([0, 1, 2, 3]) AS t(i))
+            SELECT window_start_s, count(*) AS n_events,
+                   CAST(sum(floor(value * 100 + 0.5)) AS BIGINT)
+                       AS value_cents
+            FROM x GROUP BY window_start_s""",
         "epoch_shuffle": """
             SELECT doc_id,
                    CAST(row_number() OVER (

@@ -122,27 +122,34 @@ def rollup_counts(
 
 def last_by_group(
     ds: ray.data.Dataset,
-    group_col: str,
+    group_cols: str | list[str],
     order_cols: list[str],
     keep_cols: list[str],
+    *,
+    keep: str = "last",
 ) -> ray.data.Dataset:
-    """Latest row per group (the CDC / upsert-compaction primitive):
-    the row with the max ``order_cols`` tuple per group, deterministic
-    when the tuple is unique.  Mergeable argmax partials: each batch
-    keeps its per-group winner BEFORE the shuffle, so the exchange
-    carries at most (distinct groups) rows per block."""
-    cols = [group_col] + [c for c in order_cols if c not in [group_col]] + [
-        c for c in keep_cols if c not in order_cols + [group_col]]
+    """Latest (``keep='last'``) or earliest (``keep='first'``) row per
+    group (the CDC / upsert-compaction primitive): the row with the
+    max/min ``order_cols`` tuple per group, deterministic when the
+    tuple is unique.  Mergeable argmax partials: each batch keeps its
+    per-group winner BEFORE the shuffle, so the exchange carries at
+    most (distinct groups) rows per block.  Composite groups bucket on
+    the first group column (the rest ride along)."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    cols = groups + [c for c in order_cols if c not in groups] + [
+        c for c in keep_cols if c not in order_cols + groups]
+    asc = keep == "first"
 
     def partial(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([group_col] + order_cols,
-                          ascending=[True] + [False] * len(order_cols),
+        g = g.sort_values(groups + order_cols,
+                          ascending=[True] * len(groups)
+                          + [asc] * len(order_cols),
                           kind="mergesort")
-        return g.drop_duplicates(group_col, keep="first")[cols]
+        return g.drop_duplicates(groups, keep="first")[cols]
 
     partials = ds.map_batches(
         lambda t: partial(t.to_pandas()), batch_format="pyarrow")
-    return bucketed_groups(partials, group_col, partial)
+    return bucketed_groups(partials, groups[0], partial)
 
 
 def presence_set_op(

@@ -31,9 +31,13 @@ def asof_join_grouped(
     left_cols: list[str],
     right_cols: list[str],
     out_suffix: str = "_matched",
+    direction: str = "backward",
 ) -> ray.data.Dataset:
-    """Backward as-of join; returns left_cols + [right_on + out_suffix]
-    + right_cols.  Left rows with no earlier right row get nulls."""
+    """As-of join; returns left_cols + [right_on + out_suffix]
+    + right_cols.  ``direction='backward'`` matches the latest right
+    row with right_ts <= left_ts (unmatched rows get nulls);
+    ``'forward'`` matches the earliest right row with
+    right_ts >= left_ts."""
 
     import pyarrow as pa
 
@@ -89,7 +93,7 @@ def asof_join_grouped(
         rf = r[list(dict.fromkeys([key] + right_cols + ["_ts"]))].copy()
         rf[matched] = rf["_ts"]
         merged = pd.merge_asof(lf, rf, on="_ts", by=key,
-                               direction="backward")
+                               direction=direction)
         return pa.Table.from_pandas(
             merged[left_cols + [matched] + right_cols],
             schema=out_schema, preserve_index=False)

@@ -287,3 +287,52 @@ def ntile_by_group(
                              out_col: tile.astype(np.int64)})
 
     return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
+
+
+def hopping_window_agg(
+    ds: "ray.data.Dataset",
+    ts_col: str,
+    value_col: str,
+    *,
+    window_s: int,
+    hop_s: int,
+) -> "ray.data.Dataset":
+    """Hopping (sliding) event-time windows: every event lands in
+    ``window_s / hop_s`` overlapping windows; per-window count and
+    integer-cents value sum.  The window explode and the aggregation
+    partials happen INSIDE each batch (one Arrow group_by), so the
+    shuffle carries (window, count, cents) partials -- bounded by
+    distinct windows per block, never the exploded rows.  Output:
+    window_start_s (epoch seconds, int64), n_events, value_cents."""
+    if window_s % hop_s:
+        raise ValueError("window_s must be a multiple of hop_s")
+    n_hops = window_s // hop_s
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].combine_chunks().to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        sec = ts // 1_000_000
+        hb = sec // hop_s
+        v = t[value_col].combine_chunks().to_numpy()
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        # each event's n_hops window starts, exploded batch-locally
+        starts = ((hb[:, None] - np.arange(n_hops, dtype=np.int64))
+                  * hop_s).reshape(-1)
+        tt = pa.table({
+            "window_start_s": pa.array(starts),
+            "n_events": pa.array(np.ones(len(starts), dtype=np.int64)),
+            "value_cents": pa.array(np.repeat(cents, n_hops)),
+        })
+        g = tt.group_by("window_start_s").aggregate(
+            [("n_events", "sum"), ("value_cents", "sum")])
+        return pa.table({"window_start_s": g["window_start_s"],
+                         "n_events": g["n_events_sum"],
+                         "value_cents": g["value_cents_sum"]})
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("window_start_s").aggregate(
+                Sum("n_events", alias_name="n_events"),
+                Sum("value_cents", alias_name="value_cents")))

@@ -881,3 +881,55 @@ def test_ngram_jaccard_max_df_contract(ray_session):
     r_cut = cut[(cut.left_id == 1) & (cut.right_id == 2)].iloc[0]
     assert r_cut.inter <= r_full.inter
     assert r_cut.union_sz >= r_full.union_sz
+
+
+def test_asof_forward_direction(ray_session):
+    t0 = pd.Timestamp("2024-01-01")
+    left = ray.data.from_items([
+        {"k": 1, "lts": t0 + pd.Timedelta("10min"), "lid": 1},
+        {"k": 1, "lts": t0 + pd.Timedelta("2h"), "lid": 2},   # nothing after
+    ])
+    right = ray.data.from_items([
+        {"k": 1, "rts": t0, "tag": "early"},
+        {"k": 1, "rts": t0 + pd.Timedelta("30min"), "tag": "late"},
+    ])
+    from ci_log_processing_ray.ops.relational import asof_join_grouped
+
+    out = asof_join_grouped(
+        left, right, key="k", left_on="lts", right_on="rts",
+        left_cols=["lid"], right_cols=["tag"],
+        direction="forward").to_pandas().set_index("lid")
+    assert out.loc[1, "tag"] == "late"          # earliest at-or-after
+    assert pd.isna(out.loc[2, "tag"])           # no later right row
+
+
+def test_last_by_group_first_composite(ray_session):
+    from ci_log_processing_ray.ops.groupagg import last_by_group
+
+    rows = [
+        {"u": 1, "t": "a", "o": 3, "id": 30},
+        {"u": 1, "t": "a", "o": 1, "id": 10},   # first by o
+        {"u": 1, "t": "b", "o": 2, "id": 20},
+    ]
+    out = last_by_group(ray.data.from_items(rows).repartition(2),
+                        ["u", "t"], ["o"], ["id"],
+                        keep="first").to_pandas()
+    got = {(r.u, r.t): r.id for r in out.itertuples()}
+    assert got == {(1, "a"): 10, (1, "b"): 20}
+
+
+def test_hopping_window_counts(ray_session):
+    from ci_log_processing_ray.ops.window import hopping_window_agg
+
+    base = pd.Timestamp("2024-01-01 00:37:00")
+    ds = ray.data.from_items([{"ts": base, "value": 1.0}])
+    out = hopping_window_agg(ds, "ts", "value",
+                             window_s=3600, hop_s=900).to_pandas()
+    # one event -> exactly 4 hopping windows, each counting it once
+    assert len(out) == 4 and (out.n_events == 1).all()
+    assert (out.value_cents == 100).all()
+    starts = sorted(out.window_start_s)
+    assert starts == [starts[0] + 900 * i for i in range(4)]
+    # the event's hop-floor is the LAST window start
+    epoch = int(base.timestamp())
+    assert starts[-1] == (epoch // 900) * 900
