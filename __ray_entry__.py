@@ -1620,6 +1620,49 @@ def q_bloom_semi_join(sf_dir: str):
                 Sum("cents", alias_name="cents")))
 
 
+def q_phash_dedup(sf_dir: str):
+    """Image near-dup via 64-bit perceptual average-hash: payloads
+    derived deterministically from doc ids, with every doc_id % 10 == 0
+    image DUPLICATED under a distinct media_id (planted near-dups);
+    actor-pool hashing, 8-byte-key bucket shuffle (rows-only -- no
+    codec libs / SQL equivalent)."""
+    from ci_log_processing_ray.ops.multimodal import phash_clusters
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def make_payload(t: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for i in t["doc_id"].to_pylist():
+            payload = encode_fake_image(i, 16 + (i % 16), 16)
+            ids.append(i)
+            payloads.append(payload)
+            if i % 10 == 0:  # planted duplicate under a new id
+                ids.append(1_000_000 + i)
+                payloads.append(payload)
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    media = ds.map_batches(make_payload, batch_format="pyarrow",
+                           batch_size=256)
+    out = phash_clusters(media)
+    return out.filter(expr="bucket_size >= 2")
+
+
+def q_quantize_embeddings(sf_dir: str):
+    """int8 embedding quantization (4x storage shrink): per-vector
+    symmetric scale, fixed-width binary blob output (rows-only;
+    accuracy bound unit-tested)."""
+    from ci_log_processing_ray.ops.similarity import quantize_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return quantize_embeddings(ds, "embedding", "vec_id").map_batches(
+        lambda t: t.drop_columns(["qvec"]).append_column(
+            "qvec_bytes", pc.binary_length(t["qvec"]).cast(pa.int64())),
+        batch_format="pyarrow")
+
+
 def q_asof_forward(sf_dir: str):
     """FORWARD as-of join: each event matched to the EARLIEST order of
     the same user at or after the event time (same co-partitioning
@@ -1809,6 +1852,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_forward": q_asof_forward,
         "window_dedup": q_window_dedup,
         "hopping_window": q_hopping_window,
+        "phash_dedup": q_phash_dedup,
+        "quantize_embeddings": q_quantize_embeddings,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }

@@ -223,3 +223,77 @@ def sample_video_frames(
         VideoFrameSampler, fn_constructor_args=(stride, payload_col, id_col),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+class PerceptualHasher:
+    """Actor-pool stage: 64-bit average-hash (aHash) per image payload.
+
+    Classic perceptual fingerprint: downsample to an 8x8 grid of block
+    means, threshold at the grid mean, pack 64 bits MSB-first.  Robust
+    to mild noise/re-encoding, so identical-looking images collide --
+    the bucket key for image near-dup.  Uses the same decode fallback
+    as ImageDecoder (header + raw pixels) when codec libs are absent.
+    """
+
+    def __init__(self, payload_col: str = "payload",
+                 id_col: str = "media_id", grid: int = 8):
+        self.payload_col, self.id_col, self.grid = payload_col, id_col, grid
+
+    def _phash(self, raw: bytes) -> int:
+        width, height = struct.unpack_from("<ii", raw, 0)
+        px = np.frombuffer(raw, dtype=np.uint8, offset=8).astype(np.float64)
+        px = px[:width * height].reshape(height, width)
+        g = self.grid
+        # block means via two reduceat passes (any width/height, no
+        # divisibility requirement)
+        ys = (np.arange(g) * height) // g
+        xs = (np.arange(g) * width) // g
+        rows = np.add.reduceat(px, ys, axis=0)
+        cells = np.add.reduceat(rows, xs, axis=1)
+        ylen = np.diff(np.append(ys, height))[:, None]
+        xlen = np.diff(np.append(xs, width))[None, :]
+        means = cells / (ylen * xlen)
+        bits = (means > means.mean()).reshape(-1)
+        return int(np.packbits(bits).view(">u8")[0])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for media_id, raw in zip(batch[self.id_col].to_pylist(),
+                                 batch[self.payload_col].to_pylist()):
+            ids.append(media_id)
+            hashes.append(self._phash(raw))
+        return pa.table({
+            self.id_col: pa.array(ids, type=pa.int64()),
+            "phash": pa.array(np.array(hashes, dtype=np.uint64).view(
+                np.int64)),
+        })
+
+
+def phash_clusters(
+    ds: ray.data.Dataset,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    concurrency=(1, 4),
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Image near-dup buckets: (id, phash, bucket_size) -- payloads
+    hash in an actor pool (small batches, large rows), then ONE
+    8-byte-key shuffle groups identical perceptual hashes; the payload
+    never moves after the hash stage."""
+    import pandas as pd
+
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    hashed = ds.map_batches(
+        PerceptualHasher, fn_constructor_args=(payload_col, id_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+    def size_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["phash", id_col], kind="mergesort").copy()
+        g["bucket_size"] = g.groupby("phash", sort=False)[id_col].transform(
+            "size")
+        return g
+
+    return bucketed_groups(hashed, "phash", size_per_hash)

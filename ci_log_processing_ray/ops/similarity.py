@@ -270,3 +270,32 @@ def knn_ivf(
     return (
         pd.DataFrame(rows, columns=["query_id", id_col, "rank"])
         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def quantize_embeddings(
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    id_col: str,
+) -> "ray.data.Dataset":
+    """Symmetric int8 quantization per vector (the 4x storage shrink a
+    100 TB embedding table needs): q = round(127 * v / max|v|), stored
+    as a fixed-width binary blob + one float32 scale.  Pure map, fully
+    vectorized over the stacked batch matrix.  Dequantized cosine error
+    is bounded by the per-component step (unit-tested < 1e-2)."""
+
+    def kern(t: pa.Table) -> pa.Table:
+        v = np.vstack(t[vec_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64)
+        amax = np.abs(v).max(axis=1, keepdims=True)
+        amax[amax == 0] = 1.0
+        q = np.clip(np.rint(v * (127.0 / amax)), -127, 127).astype(np.int8)
+        scales = (amax[:, 0] / 127.0).astype(np.float32)
+        blobs = [row.tobytes() for row in q]
+        return pa.table({
+            id_col: t[id_col],
+            "qvec": pa.array(blobs, type=pa.binary()),
+            "scale": pa.array(scales, type=pa.float32()),
+            "dim": pa.array(np.full(len(t), v.shape[1], dtype=np.int32)),
+        })
+
+    return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)

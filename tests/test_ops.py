@@ -933,3 +933,54 @@ def test_hopping_window_counts(ray_session):
     # the event's hop-floor is the LAST window start
     epoch = int(base.timestamp())
     assert starts[-1] == (epoch // 900) * 900
+
+
+def test_phash_noise_robust_and_distinct(ray_session):
+    from ci_log_processing_ray.ops.multimodal import (
+        PerceptualHasher, encode_fake_image, phash_clusters)
+
+    import struct
+
+    # structured image (gradient): block means sit far from the global
+    # mean, so aHash is robust to mild noise -- unlike white noise,
+    # where means hug the threshold (the reason aHash works on photos)
+    grad = np.tile(np.linspace(0, 255, 32).astype(np.uint8), (24, 1))
+    base = struct.pack("<ii", 32, 24) + grad.tobytes()
+    noisy_px = np.clip(grad.astype(np.int16) + np.random.default_rng(4)
+                       .integers(-2, 3, size=grad.shape), 0, 255)
+    noisy = struct.pack("<ii", 32, 24) + noisy_px.astype(np.uint8).tobytes()
+    other = struct.pack("<ii", 32, 24) + grad[:, ::-1].copy().tobytes()
+    h = PerceptualHasher()._phash
+    assert h(base) == h(bytes(noisy))
+    assert h(base) != h(other)
+
+    rows = [
+        {"media_id": 1, "payload": base},
+        {"media_id": 2, "payload": bytes(noisy)},
+        {"media_id": 3, "payload": other},
+    ]
+    out = phash_clusters(
+        ray.data.from_arrow(pa.table({
+            "media_id": pa.array([r["media_id"] for r in rows]),
+            "payload": pa.array([r["payload"] for r in rows],
+                                type=pa.binary())}))).to_pandas()
+    by_id = out.set_index("media_id")
+    assert by_id.loc[1, "bucket_size"] == 2
+    assert by_id.loc[3, "bucket_size"] == 1
+
+
+def test_quantize_embeddings_accuracy(ray_session):
+    from ci_log_processing_ray.ops.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((50, 64))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)]
+    out = quantize_embeddings(ray.data.from_items(rows), "embedding",
+                              "vec_id").to_pandas().set_index("vec_id")
+    for i in range(50):
+        q = np.frombuffer(out.loc[i, "qvec"], dtype=np.int8).astype(
+            np.float64) * out.loc[i, "scale"]
+        v = vecs[i]
+        cos = (q @ v) / (np.linalg.norm(q) * np.linalg.norm(v))
+        assert cos > 0.999
+        assert np.abs(q - v).max() < out.loc[i, "scale"] * 0.51
