@@ -1663,6 +1663,39 @@ def q_quantize_embeddings(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_kmeans(sf_dir: str):
+    """Full distributed k-means loop (Lloyd's): broadcast centroids,
+    one streaming assignment+partial pass per round, k-row aggregate to
+    the driver, early stop on movement < tol (ops/iterative.py).
+    Returns per-cluster counts (rows-only; float assignment)."""
+    from ci_log_processing_ray.ops.iterative import kmeans
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    _centroids, counts = kmeans(ds, "embedding", k=8, n_iter=5)
+    return counts
+
+
+def q_connected_components(sf_dir: str):
+    """Distributed connected components by min-label propagation over a
+    chain graph (doc_id -- doc_id-1 within each decade of ids): one
+    bucketed (node, label) exchange per round, driver sees only change
+    counts -- the at-scale replacement for driver-side union-find.
+    Components are the id decades, so the result is oracle-exact."""
+    from ci_log_processing_ray.ops.iterative import connected_components
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def chain_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        keep = ids % 10 != 0
+        return pa.table({"src": pa.array(ids[keep]),
+                         "dst": pa.array(ids[keep] - 1)})
+
+    edges = ds.map_batches(chain_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return connected_components(edges, "src", "dst")
+
+
 def q_asof_forward(sf_dir: str):
     """FORWARD as-of join: each event matched to the EARLIEST order of
     the same user at or after the event time (same co-partitioning
@@ -1854,6 +1887,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "phash_dedup": q_phash_dedup,
         "quantize_embeddings": q_quantize_embeddings,
+        "kmeans": q_kmeans,
+        "connected_components": q_connected_components,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }
@@ -2422,6 +2457,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, day FROM k WHERE event_type = 'click'
             EXCEPT
             SELECT user_id, day FROM k WHERE event_type = 'error'""",
+        "connected_components": """
+            WITH n AS (
+                SELECT DISTINCT node FROM (
+                    SELECT doc_id AS node FROM documents
+                    WHERE doc_id % 10 <> 0
+                    UNION ALL
+                    SELECT doc_id - 1 AS node FROM documents
+                    WHERE doc_id % 10 <> 0))
+            SELECT node, (node // 10) * 10 AS component FROM n""",
         "asof_forward": """
             SELECT e.event_id,
                    (SELECT min(o.o_orderdate) FROM orders o

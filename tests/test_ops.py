@@ -984,3 +984,34 @@ def test_quantize_embeddings_accuracy(ray_session):
         cos = (q @ v) / (np.linalg.norm(q) * np.linalg.norm(v))
         assert cos > 0.999
         assert np.abs(q - v).max() < out.loc[i, "scale"] * 0.51
+
+
+def test_kmeans_separated_blobs(ray_session):
+    from ci_log_processing_ray.ops.iterative import kmeans
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0] * 8, [-10.0] * 8, [10.0] * 4 + [-10.0] * 4])
+    vecs = np.vstack([c + 0.1 * rng.standard_normal((40, 8))
+                      for c in centers])
+    rows = [{"embedding": v.tolist()} for v in vecs]
+    cents, counts = kmeans(ray.data.from_items(rows).repartition(4),
+                           "embedding", k=3, n_iter=10, seed=1)
+    assert sorted(counts["count"]) == [40, 40, 40]
+    # recovered centroids match the true centers (order-free)
+    d = np.abs(cents[:, None, :] - centers[None, :, :]).max(axis=2)
+    assert (d.min(axis=1) < 0.2).all()
+
+
+def test_connected_components_chain_and_isolates(ray_session):
+    from ci_log_processing_ray.ops.iterative import connected_components
+
+    # two chains (0-1-2-3-4, 10-11-12) and one isolated edge (100, 200)
+    edges = [(1, 0), (2, 1), (3, 2), (4, 3), (11, 10), (12, 11), (100, 200)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64())})).repartition(3)
+    out = connected_components(ds, "src", "dst").to_pandas()
+    comp = dict(zip(out.node, out.component))
+    assert all(comp[n] == 0 for n in range(5))
+    assert all(comp[n] == 10 for n in (10, 11, 12))
+    assert comp[100] == 100 and comp[200] == 100
