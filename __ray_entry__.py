@@ -1663,6 +1663,55 @@ def q_quantize_embeddings(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_tokenize_ids(sf_dir: str):
+    """Tokenizer encode: words -> frequency-ranked vocab ids (broadcast
+    vocab), per-doc (token_id, count) rows (ops/curation.py)."""
+    from ci_log_processing_ray.ops.curation import tokenize_to_ids
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tokenize_to_ids(ds, "text", "doc_id")
+
+
+def q_outlier_counts(sf_dir: str):
+    """Robust outlier gate (two-phase stats-then-filter): per-type
+    median of value cents computed exactly (quantile op), broadcast,
+    then one scan counts events deviating > 500 dollars from their
+    type's median -- all integers, oracle-exact."""
+    from ci_log_processing_ray.ops.quantile import quantile_disc_by_group
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "cents": _cents(t["value"])})
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    med = quantile_disc_by_group(cents, "event_type", "cents",
+                                 {"med": 0.5}).to_pandas()
+    med_ref = ray.put(dict(zip(med["event_type"], med["med"])))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        types = t["event_type"].combine_chunks()
+        c = t["cents"].combine_chunks().to_numpy()
+        meds = pd.Series(types.to_pylist()).map(m).to_numpy()
+        out = (np.abs(c - meds) > 50_000).astype(np.int64)
+        tt = pa.table({"event_type": types,
+                       "n_outliers": pa.array(out),
+                       "n": pa.array(np.ones(len(c), dtype=np.int64))})
+        g = tt.group_by("event_type").aggregate(
+            [("n_outliers", "sum"), ("n", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "n_outliers": g["n_outliers_sum"],
+                         "n": g["n_sum"]})
+
+    return (cents.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").aggregate(
+                Sum("n_outliers", alias_name="n_outliers"),
+                Sum("n", alias_name="n")))
+
+
 def q_kmeans(sf_dir: str):
     """Full distributed k-means loop (Lloyd's): broadcast centroids,
     one streaming assignment+partial pass per round, k-row aggregate to
@@ -1889,6 +1938,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": q_quantize_embeddings,
         "kmeans": q_kmeans,
         "connected_components": q_connected_components,
+        "tokenize_ids": q_tokenize_ids,
+        "outlier_counts": q_outlier_counts,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }
@@ -2457,6 +2508,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, day FROM k WHERE event_type = 'click'
             EXCEPT
             SELECT user_id, day FROM k WHERE event_type = 'error'""",
+        "tokenize_ids": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                           AS word
+                FROM documents),
+            c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+            v AS (SELECT word,
+                         row_number() OVER (ORDER BY cnt DESC, word) - 1
+                             AS tid
+                  FROM c)
+            SELECT doc_id, tid, count(*) AS n
+            FROM w JOIN v USING (word)
+            GROUP BY doc_id, tid""",
+        "outlier_counts": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            m AS (SELECT event_type,
+                         CAST(percentile_disc(0.5) WITHIN GROUP
+                              (ORDER BY cents) AS BIGINT) AS med
+                  FROM c GROUP BY event_type)
+            SELECT c.event_type,
+                   CAST(count(*) FILTER (WHERE abs(c.cents - m.med)
+                        > 50000) AS BIGINT) AS n_outliers,
+                   count(*) AS n
+            FROM c JOIN m USING (event_type)
+            GROUP BY c.event_type""",
         "connected_components": """
             WITH n AS (
                 SELECT DISTINCT node FROM (

@@ -295,3 +295,52 @@ def redact_text(
         })
 
     return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tokenize_to_ids(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Tokenizer encode step: map every word to its vocabulary id
+    (rank by corpus frequency, count desc then word asc -- the
+    frequency-sorted vocab every tokenizer ships) and emit per-doc
+    (token_id, count) rows.
+
+    Pass 1 is the vocabulary-sized wordcount shuffle; the ranked vocab
+    broadcasts once (``ray.put`` -- vocabularies are model-sized, not
+    corpus-sized); pass 2 is a pure map.  Output: id, tid, n (int64).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def wc_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _word_stream(t[text_col])
+        vc = flat.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = (ds.map_batches(wc_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("word").aggregate(_Sum("n", alias_name="n"))
+              .to_pandas())
+    counts = counts.sort_values(["n", "word"], ascending=[False, True],
+                                kind="mergesort").reset_index(drop=True)
+    vocab_ref = ray.put(dict(zip(counts["word"],
+                                 np.arange(len(counts), dtype=np.int64))))
+
+    def encode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        flat, n_words = _word_stream(t[text_col])
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), n_words)
+        vocab = ray.get(vocab_ref)
+        d = pd.DataFrame({"doc": ids[doc_idx],
+                          "word": flat.to_numpy(zero_copy_only=False)})
+        d["tid"] = d["word"].map(vocab).astype(np.int64)
+        agg = d.groupby(["doc", "tid"], sort=False).size().reset_index(
+            name="n")
+        return pa.table({id_col: pa.array(agg["doc"].to_numpy()),
+                         "tid": pa.array(agg["tid"].to_numpy()),
+                         "n": pa.array(agg["n"].to_numpy().astype(np.int64))})
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -1015,3 +1015,17 @@ def test_connected_components_chain_and_isolates(ray_session):
     assert all(comp[n] == 0 for n in range(5))
     assert all(comp[n] == 10 for n in (10, 11, 12))
     assert comp[100] == 100 and comp[200] == 100
+
+
+def test_tokenize_to_ids_ranking(ray_session):
+    from ci_log_processing_ray.ops.curation import tokenize_to_ids
+
+    rows = [
+        {"doc_id": 1, "text": "b b b a a c"},
+        {"doc_id": 2, "text": "b a"},
+    ]
+    out = tokenize_to_ids(ray.data.from_items(rows), "text",
+                          "doc_id").to_pandas()
+    # vocab ranked by freq desc, word asc: b(4)->0, a(3)->1, c(1)->2
+    got = {(r.doc_id, r.tid): r.n for r in out.itertuples()}
+    assert got == {(1, 0): 3, (1, 1): 2, (1, 2): 1, (2, 0): 1, (2, 1): 1}
