@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "salted_join",
     "bloom_semi_join",
     "duplicate_spans",
+    "kmeans",
+    "connected_components",
+    "tokenize_ids",
+    "hopping_window",
 ]
 
 

@@ -1029,3 +1029,36 @@ def test_tokenize_to_ids_ranking(ray_session):
     # vocab ranked by freq desc, word asc: b(4)->0, a(3)->1, c(1)->2
     got = {(r.doc_id, r.tid): r.n for r in out.itertuples()}
     assert got == {(1, 0): 3, (1, 1): 2, (1, 2): 1, (2, 0): 1, (2, 1): 1}
+
+
+def test_epoch_shuffle_arbitrary_ids(ray_session):
+    """Permutation property holds for sparse, unordered, negative ids."""
+    from ci_log_processing_ray.ops.shuffle import epoch_shuffle
+
+    ids = np.array([-5, 0, 7, 1000003, 42, -99, 8], dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids})).repartition(3)
+    out = epoch_shuffle(ds, "doc_id").to_pandas()
+    assert sorted(out.pos) == list(range(1, len(ids) + 1))
+    assert set(out.doc_id) == set(ids)
+
+
+def test_chunk_text_reconstruction_property(ray_session):
+    """Taking every chunk's first `stride` words (and the last chunk
+    whole) reconstructs the tokenized document exactly."""
+    from ci_log_processing_ray.ops.curation import chunk_text
+
+    rng = np.random.default_rng(12)
+    texts = [" ".join(rng.choice(["aa", "bb", "cc", "dd"],
+                                 size=rng.integers(1, 40)))
+             for _ in range(25)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    out = chunk_text(ray.data.from_items(rows), "text", "doc_id",
+                     chunk_size=7, stride=5).to_pandas()
+    for i, t in enumerate(texts):
+        chunks = out[out.doc_id == i].sort_values("chunk_idx")
+        words = []
+        rowlist = list(chunks.itertuples())
+        for j, r in enumerate(rowlist):
+            w = r.chunk_text.split()
+            words.extend(w if j == len(rowlist) - 1 else w[:5])
+        assert words == t.split(), i
