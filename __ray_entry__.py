@@ -1663,6 +1663,27 @@ def q_quantize_embeddings(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_model_score(sf_dir: str):
+    """Batched model inference (curation quality-model step): stub
+    classifier loaded once per actor, hashed-BoW features, one matmul
+    per batch (ops/inference.py; rows-only -- float model output)."""
+    from ci_log_processing_ray.ops.inference import score_texts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return score_texts(ds, "text", "doc_id")
+
+
+def q_model_filter(sf_dir: str):
+    """Model-gated filter, fused score+keep so the text payload makes
+    ONE trip through the object store; returns per-source kept counts
+    (rows-only -- float threshold)."""
+    from ci_log_processing_ray.ops.inference import filter_by_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    kept = filter_by_score(ds, "text", "doc_id", threshold=0.5)
+    return kept.groupby("source").aggregate(Count(alias_name="n_kept"))
+
+
 def q_tokenize_ids(sf_dir: str):
     """Tokenizer encode: words -> frequency-ranked vocab ids (broadcast
     vocab), per-doc (token_id, count) rows (ops/curation.py)."""
@@ -1940,6 +1961,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q_connected_components,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
+        "model_score": q_model_score,
+        "model_filter": q_model_filter,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }

@@ -1062,3 +1062,25 @@ def test_chunk_text_reconstruction_property(ray_session):
             w = r.chunk_text.split()
             words.extend(w if j == len(rowlist) - 1 else w[:5])
         assert words == t.split(), i
+
+
+def test_model_score_deterministic_and_batched(ray_session):
+    from ci_log_processing_ray.ops.inference import (
+        filter_by_score, score_texts)
+
+    rows = [{"doc_id": i, "text": f"doc number {i} with words " * (i + 1)}
+            for i in range(30)]
+    a = score_texts(ray.data.from_items(rows), "text",
+                    "doc_id").to_pandas().sort_values("doc_id")
+    # reproducible across runs and partitionings
+    b = score_texts(ray.data.from_items(rows).repartition(5), "text",
+                    "doc_id").to_pandas().sort_values("doc_id")
+    assert np.allclose(a.model_score.to_numpy(), b.model_score.to_numpy())
+    assert ((a.model_score >= 0) & (a.model_score <= 1)).all()
+
+    thresh = float(a.model_score.median())
+    kept = filter_by_score(ray.data.from_items(rows), "text", "doc_id",
+                           threshold=thresh).to_pandas()
+    want = set(a[a.model_score >= thresh].doc_id)
+    assert set(kept.doc_id) == want
+    assert "text" in kept.columns  # payload rides along, fused
