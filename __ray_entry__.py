@@ -1663,6 +1663,35 @@ def q_quantize_embeddings(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Cross-run incremental dedup through the sharded hash-index
+    actor pool (state/dedup_index.py -- the engine's one raw-actor
+    surface): documents stream against the persisted index; the first
+    invocation sees everything new, re-invocations drop all of it.
+    Returns per-source counts of never-seen-before docs (rows-only:
+    result depends on index state across driver invocations)."""
+    import shutil
+
+    from ci_log_processing_ray.state.dedup_index import (
+        DedupIndex, incremental_dedup)
+
+    # fresh index per call: the query contract must be idempotent for
+    # the driver's repeated runs
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/ci_log_dedup_index_{sf_tag}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    idx = DedupIndex(index_dir, n_shards=4)
+    try:
+        ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+        new = incremental_dedup(ds, idx, "text", "doc_id")
+        out = (new.groupby("source")
+               .aggregate(Count(alias_name="n_new")).to_pandas())
+        idx.flush()
+        return out.sort_values("source").reset_index(drop=True)
+    finally:
+        idx.shutdown()
+
+
 def q_model_score(sf_dir: str):
     """Batched model inference (curation quality-model step): stub
     classifier loaded once per actor, hashed-BoW features, one matmul
@@ -1963,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
         "model_filter": q_model_filter,
+        "incremental_dedup": q_incremental_dedup,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }

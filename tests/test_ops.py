@@ -1084,3 +1084,40 @@ def test_model_score_deterministic_and_batched(ray_session):
     want = set(a[a.model_score >= thresh].doc_id)
     assert set(kept.doc_id) == want
     assert "text" in kept.columns  # payload rides along, fused
+
+
+def test_incremental_dedup_index(ray_session, tmp_path):
+    """Cross-run exact dedup through the sharded index actors: run 2
+    only emits never-before-flushed content, and a fresh index handle
+    reloads the committed state from disk."""
+    import time
+
+    from ci_log_processing_ray.state.dedup_index import (
+        DedupIndex, incremental_dedup)
+
+    d = str(tmp_path / "idx")
+    idx = DedupIndex(d, n_shards=4)
+    try:
+        a = ray.data.from_items(
+            [{"doc_id": i, "text": f"text {i % 50}"} for i in range(200)])
+        out1 = incremental_dedup(a, idx, "text", "doc_id").to_pandas()
+        assert len(out1) == 50                      # within-run dedup
+        assert idx.flush() == 50
+        b = ray.data.from_items(
+            [{"doc_id": 1000 + i, "text": f"text {i}"} for i in range(80)])
+        out2 = incremental_dedup(b, idx, "text", "doc_id").to_pandas()
+        assert sorted(out2.doc_id) == list(range(1050, 1080))  # only new
+        idx.flush()
+    finally:
+        idx.shutdown()
+    time.sleep(1)
+    idx2 = DedupIndex(d, n_shards=4)   # restart: reload from parquet
+    try:
+        assert idx2.size() == 80
+        out3 = incremental_dedup(
+            ray.data.from_items(
+                [{"doc_id": 5, "text": "text 5"}]), idx2, "text",
+            "doc_id").to_pandas()
+        assert len(out3) == 0
+    finally:
+        idx2.shutdown()
