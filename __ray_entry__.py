@@ -1663,6 +1663,41 @@ def q_quantize_embeddings(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_full_outer_join(sf_dir: str):
+    """FULL OUTER join: per-user event counts against the BUILDING
+    customer roster -- users with no segment row AND segment customers
+    with no events both survive, null sides coalesced to 0
+    (Dataset.join full_outer + one finishing map)."""
+    ev = _read(sf_dir, "events", ["user_id"])
+    counts = ev.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    dim = cust.filter(expr="c_mktsegment == 'BUILDING'").select_columns(
+        ["c_custkey"])
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    j = counts.join(dim, "full_outer", num_partitions=max(2, ncpu // 4),
+                    on=("user_id",), right_on=("c_custkey",))
+    # Ray's full_outer coalesces the key pair into the left key name
+    # (user_id carries both sides); the right-side membership flag comes
+    # from a broadcast of the (small) dim key set instead
+    keys_ref = ray.put(pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"]).filter(
+        pc.equal(pc.field("c_mktsegment"), "BUILDING"))[
+        "c_custkey"].combine_chunks())
+
+    def finish(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks()
+        return pa.table({
+            "key_id": uid,
+            "n_events": pc.coalesce(t["n_events"].combine_chunks(),
+                                    pa.scalar(0, pa.int64())),
+            "is_building": pc.cast(
+                pc.is_in(uid, value_set=ray.get(keys_ref)), pa.int64()),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def q_incremental_dedup(sf_dir: str):
     """Cross-run incremental dedup through the sharded hash-index
     actor pool (state/dedup_index.py -- the engine's one raw-actor
@@ -1993,6 +2028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_score": q_model_score,
         "model_filter": q_model_filter,
         "incremental_dedup": q_incremental_dedup,
+        "full_outer_join": q_full_outer_join,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }
@@ -2561,6 +2597,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, day FROM k WHERE event_type = 'click'
             EXCEPT
             SELECT user_id, day FROM k WHERE event_type = 'error'""",
+        "full_outer_join": """
+            SELECT coalesce(u.user_id, c.c_custkey) AS key_id,
+                   coalesce(u.n_events, 0) AS n_events,
+                   CAST(c.c_custkey IS NOT NULL AS BIGINT) AS is_building
+            FROM (SELECT user_id, count(*) AS n_events
+                  FROM events GROUP BY user_id) u
+            FULL OUTER JOIN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING') c
+            ON u.user_id = c.c_custkey""",
         "tokenize_ids": """
             WITH w AS (
                 SELECT doc_id,
