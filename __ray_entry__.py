@@ -1663,6 +1663,30 @@ def q_quantize_embeddings(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_late_events(sf_dir: str):
+    """Watermark late-data tagging: event late iff its event time
+    trails the high-water mark of everything that ARRIVED earlier
+    (arrival order = event_id) by > 1 hour.  Distributed running max:
+    order-preserving range buckets + a 64-int prefix pass
+    (ops/window.py:tag_late_events)."""
+    from ci_log_processing_ray.ops.window import tag_late_events
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    return tag_late_events(ds, "event_id", "ts",
+                           allowed_lateness_us=3_600_000_000)
+
+
+def q_cap_source(sf_dir: str):
+    """Per-source quota cap (data-mixing primitive): at most 20 docs
+    per source, picked in md5-hash order (stable pseudo-random, not
+    file-position-biased); mergeable local caps bound the exchange
+    (ops/curation.py:cap_per_group)."""
+    from ci_log_processing_ray.ops.curation import cap_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return cap_per_group(ds, "source", "doc_id", 20)
+
+
 def q_full_outer_join(sf_dir: str):
     """FULL OUTER join: per-user event counts against the BUILDING
     customer roster -- users with no segment row AND segment customers
@@ -2029,6 +2053,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_filter": q_model_filter,
         "incremental_dedup": q_incremental_dedup,
         "full_outer_join": q_full_outer_join,
+        "late_events": q_late_events,
+        "cap_source": q_cap_source,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }
@@ -2597,6 +2623,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, day FROM k WHERE event_type = 'click'
             EXCEPT
             SELECT user_id, day FROM k WHERE event_type = 'error'""",
+        "late_events": """
+            SELECT event_id,
+                   CAST(CASE WHEN epoch_us(ts) <
+                        max(epoch_us(ts)) OVER (ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) - 3600000000
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_late
+            FROM events""",
+        "cap_source": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20""",
         "full_outer_join": """
             SELECT coalesce(u.user_id, c.c_custkey) AS key_id,
                    coalesce(u.n_events, 0) AS n_events,

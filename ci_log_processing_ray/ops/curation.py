@@ -344,3 +344,40 @@ def tokenize_to_ids(
 
     return ds.map_batches(encode, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def cap_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    cap: int,
+) -> ray.data.Dataset:
+    """Deterministic per-group quota (the data-mixing primitive: cap
+    each source's contribution): keep at most ``cap`` rows per group,
+    chosen by md5-hash order of the id -- a stable pseudo-random pick,
+    not "first N by position", which would bias toward early files.
+
+    Mergeable: each batch keeps its local top-``cap`` per group BEFORE
+    the shuffle, so the exchange carries at most groups x cap rows per
+    block regardless of input size."""
+    import hashlib
+
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        md5 = hashlib.md5
+        keys = [md5(b"%d" % i).hexdigest() for i in ids]
+        return t.append_column("_mk", pa.array(keys, type=pa.string()))
+
+    def local_cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, "_mk", id_col], kind="mergesort")
+        return g.groupby(group_col, sort=False).head(cap)
+
+    partials = (ds.map_batches(add_key, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .map_batches(lambda t: pa.Table.from_pandas(
+                    local_cap(t.to_pandas()), preserve_index=False),
+                    batch_format="pyarrow"))
+    capped = bucketed_groups(partials, group_col, local_cap)
+    return capped.drop_columns(["_mk"])

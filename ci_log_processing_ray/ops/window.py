@@ -336,3 +336,79 @@ def hopping_window_agg(
             .groupby("window_start_s").aggregate(
                 Sum("n_events", alias_name="n_events"),
                 Sum("value_cents", alias_name="value_cents")))
+
+
+def tag_late_events(
+    ds: "ray.data.Dataset",
+    arrival_col: str,
+    ts_col: str,
+    *,
+    allowed_lateness_us: int,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Watermark-style late-data tagging: an event is LATE when its
+    event time trails the high-water mark of everything that ARRIVED
+    before it (max event-time over preceding arrival order) by more
+    than ``allowed_lateness_us``.
+
+    Distributed running max without a global sort: ``arrival_col``
+    range-buckets preserve arrival order (the ops/pack.py pattern), a
+    tiny per-bucket max table prefix-maxes on the driver, and each
+    bucket's kernel runs one vectorized cummax seeded with its
+    predecessor buckets' watermark.  Output: arrival_col, is_late
+    (int64 0/1; the first-arriving event is never late)."""
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.aggregate(Min(arrival_col), Max(arrival_col))
+    lo = int(stats[f"min({arrival_col})"])
+    hi = int(stats[f"max({arrival_col})"])
+    width = max((hi - lo) // n_buckets + 1, 1)
+
+    def bucket_of(arr: pa.Array) -> pa.Array:
+        import pyarrow.compute as pc
+
+        return pc.divide(pc.cast(pc.subtract(arr, lo), pa.int64()),
+                         pa.scalar(width, pa.int64()))
+
+    def bucket_max(t: pa.Table) -> pa.Table:
+        b = bucket_of(t[arrival_col].combine_chunks())
+        # normalize to MICROSECONDS regardless of the source's timestamp
+        # unit (an in-memory source can carry timestamp[s]; the kernel
+        # below always works in us)
+        ts = (t[ts_col].combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()))
+        tt = pa.table({"_b": b, "_m": ts})
+        g = tt.group_by("_b").aggregate([("_m", "max")])
+        return pa.table({"_b": g["_b"], "_m": g["_m_max"]})
+
+    maxes = (ds.map_batches(bucket_max, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("_b").max("_m").to_pandas().sort_values("_b"))
+    # watermark entering bucket b = max event time of buckets < b
+    SENTINEL = np.iinfo(np.int64).min // 4  # "- lateness" cannot underflow
+    seed = np.full(n_buckets + 1, SENTINEL, dtype=np.int64)
+    run = SENTINEL
+    by_b = dict(zip(maxes["_b"].astype(int), maxes["max(_m)"]))
+    for b in range(n_buckets + 1):
+        seed[b] = run
+        if b in by_b:
+            run = max(run, int(by_b[b]))
+    seed_ref = ray.put(seed)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_b", bucket_of(t[arrival_col].combine_chunks()))
+
+    def tag(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(seed_ref)[int(g["_b"].iloc[0])]
+        g = g.sort_values(arrival_col, kind="mergesort")
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # watermark BEFORE each row: running max shifted by one
+        run = np.maximum.accumulate(np.r_[base, ts[:-1]])
+        late = (ts < run - allowed_lateness_us).astype(np.int64)
+        return pd.DataFrame({arrival_col: g[arrival_col].to_numpy(),
+                             "is_late": late})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_b").map_groups(tag, batch_format="pandas"))

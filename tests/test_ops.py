@@ -1121,3 +1121,35 @@ def test_incremental_dedup_index(ray_session, tmp_path):
         assert len(out3) == 0
     finally:
         idx2.shutdown()
+
+
+def test_tag_late_events_watermark(ray_session):
+    from ci_log_processing_ray.ops.window import tag_late_events
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        {"aid": 1, "ts": t0},
+        {"aid": 2, "ts": t0 + pd.Timedelta("2h")},    # advances watermark
+        {"aid": 3, "ts": t0 + pd.Timedelta("30min")}, # 90min late -> LATE
+        {"aid": 4, "ts": t0 + pd.Timedelta("90min")}, # 30min late -> ok
+        {"aid": 5, "ts": t0 + pd.Timedelta("3h")},
+    ]
+    out = tag_late_events(
+        ray.data.from_items(rows).repartition(3), "aid", "ts",
+        allowed_lateness_us=3_600_000_000).to_pandas().set_index("aid")
+    assert out.is_late.to_dict() == {1: 0, 2: 0, 3: 1, 4: 0, 5: 0}
+
+
+def test_cap_per_group_quota(ray_session):
+    from ci_log_processing_ray.ops.curation import cap_per_group
+
+    rows = ([{"doc_id": i, "g": "big"} for i in range(100)]
+            + [{"doc_id": 1000 + i, "g": "small"} for i in range(3)])
+    out = cap_per_group(ray.data.from_items(rows).repartition(5),
+                        "g", "doc_id", 10).to_pandas()
+    sizes = out.groupby("g").size().to_dict()
+    assert sizes == {"big": 10, "small": 3}
+    # deterministic pick regardless of partitioning
+    again = cap_per_group(ray.data.from_items(rows).repartition(2),
+                          "g", "doc_id", 10).to_pandas()
+    assert set(out.doc_id) == set(again.doc_id)
