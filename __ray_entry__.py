@@ -1694,20 +1694,19 @@ def q_full_outer_join(sf_dir: str):
     (Dataset.join full_outer + one finishing map)."""
     ev = _read(sf_dir, "events", ["user_id"])
     counts = ev.groupby("user_id").aggregate(Count(alias_name="n_events"))
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    dim = cust.filter(expr="c_mktsegment == 'BUILDING'").select_columns(
+    # ONE read of the small dim serves both the join side and the
+    # broadcast membership set (Ray's full_outer coalesces the key pair
+    # into the left key name, so the flag must come from a broadcast)
+    building = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"]).filter(
+        pc.equal(pc.field("c_mktsegment"), "BUILDING")).select(
         ["c_custkey"])
+    dim = ray.data.from_arrow(building)
+    keys_ref = ray.put(building["c_custkey"].combine_chunks())
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     j = counts.join(dim, "full_outer", num_partitions=max(2, ncpu // 4),
                     on=("user_id",), right_on=("c_custkey",))
-    # Ray's full_outer coalesces the key pair into the left key name
-    # (user_id carries both sides); the right-side membership flag comes
-    # from a broadcast of the (small) dim key set instead
-    keys_ref = ray.put(pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_mktsegment"]).filter(
-        pc.equal(pc.field("c_mktsegment"), "BUILDING"))[
-        "c_custkey"].combine_chunks())
 
     def finish(t: pa.Table) -> pa.Table:
         uid = t["user_id"].combine_chunks()

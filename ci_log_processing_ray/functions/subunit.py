@@ -60,8 +60,12 @@ class SubunitError(ValueError):
 
 
 def _read_number(buf: bytes, pos: int) -> tuple[int, int]:
+    if pos >= len(buf):
+        raise SubunitError("truncated subunit packet")
     first = buf[pos]
     n_bytes = (first >> 6) + 1
+    if pos + n_bytes > len(buf):
+        raise SubunitError("truncated subunit packet")
     value = first & 0x3F
     for i in range(1, n_bytes):
         value = (value << 8) | buf[pos + i]
@@ -88,6 +92,8 @@ def iter_packets(buf: bytes):
         start = pos
         if buf[pos] != SIGNATURE:
             raise SubunitError("Non subunit content")
+        if pos + 3 > n:
+            raise SubunitError("truncated subunit packet")
         flags = int.from_bytes(buf[pos + 1:pos + 3], "big")
         version = flags >> 12
         if version != 0x2:

@@ -360,14 +360,12 @@ def cap_per_group(
     Mergeable: each batch keeps its local top-``cap`` per group BEFORE
     the shuffle, so the exchange carries at most groups x cap rows per
     block regardless of input size."""
-    import hashlib
-
+    from ci_log_processing_ray.ops.shuffle import _md5_keys
     from ci_log_processing_ray.ops.window import bucketed_groups
 
     def add_key(t: pa.Table) -> pa.Table:
         ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        md5 = hashlib.md5
-        keys = [md5(b"%d" % i).hexdigest() for i in ids]
+        keys = _md5_keys(ids, "")  # the epoch-shuffle key, same contract
         return t.append_column("_mk", pa.array(keys, type=pa.string()))
 
     def local_cap(g: pd.DataFrame) -> pd.DataFrame:

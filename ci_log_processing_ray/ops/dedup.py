@@ -146,9 +146,13 @@ class _MinHashBatch:
         texts = t[self.text_col].to_pylist()
         n = len(ids)
         if n == 0:
-            return pa.table({self.id_col: pa.array([], pa.int64()),
-                             "band": pa.array([], pa.int32()),
-                             "band_hash": pa.array([], pa.int64())})
+            # keep the SOURCE id type: a hardcoded int64 here would make
+            # empty blocks schema-incompatible with non-empty ones for
+            # string-id corpora
+            return pa.table({
+                self.id_col: pa.nulls(0, t.schema.field(self.id_col).type),
+                "band": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64())})
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
         for i, text in enumerate(texts):  # per-doc: variable shingle sets
             sigs[i] = _minhash_signature(_shingle_hashes(text, self.k), a, b)
@@ -392,18 +396,14 @@ def ngram_jaccard_pairs(
                           "bucket": pa.array([], pa.int32()),
                           "doc": pa.array([], pa.int64()),
                           "n_grams": pa.array([], pa.int64())})
+        from ci_log_processing_ray.ops.curation import _word_stream
+
         ids = t[id_col].combine_chunks().to_numpy()
         if len(ids) == 0:
             return empty
-        txt = pc.fill_null(t[text_col].combine_chunks(), "")
-        wl = pc.split_pattern_regex(pc.utf8_lower(txt),
-                                    pattern="[^a-z0-9_]+")
-        lens = np.diff(wl.offsets.to_numpy())
-        flat = wl.flatten()
-        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64),
-                            lens)[nonempty]
-        words = flat.to_numpy(zero_copy_only=False)[nonempty]
+        flat, n_words = _word_stream(t[text_col])
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), n_words)
+        words = flat.to_numpy(zero_copy_only=False)
         if len(words) < n:
             return empty
         h = pd.util.hash_array(words, hash_key=_HASH_KEY).astype(np.uint64)

@@ -35,13 +35,6 @@ import ray.data
 from ci_log_processing_ray.ops.window import DEFAULT_GROUP_BUCKETS, bucketed_groups
 
 
-def _disc_index(n: int, q: float) -> int:
-    """0-based sorted index of percentile_disc(q): first value whose
-    cumulative count reaches ceil(q*n) (DuckDB quantile_disc,
-    calibrated empirically)."""
-    return max(int(np.ceil(q * n)) - 1, 0)
-
-
 def quantile_disc_by_group(
     ds: ray.data.Dataset,
     group_col: str,

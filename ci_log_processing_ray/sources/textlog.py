@@ -103,15 +103,26 @@ def decode_file(fname: str, data: bytes,
         fname = strip_gz(fname)
     source = classify_source(fname, file_config)
     if source == "subunit":
-        from ..functions.subunit import subunit_results
+        from ..functions.subunit import SubunitError, subunit_results
 
         rows = []
-        for name, r in subunit_results(data).items():
+        try:
+            results = subunit_results(data)
+        except SubunitError:
+            # reference semantics (logsender.py:438-441): a subunit file
+            # whose body is not a subunit stream (HTML error page,
+            # truncated download) is skipped, not fatal
+            return [], fname, source
+        for name, r in results.items():
+            # FLAG_TIMESTAMP is optional in the wire format: a terminal
+            # packet without it leaves start/end as None
             rows.append(json.dumps({
                 "test_name": name,
                 "status": r["status"],
-                "start": r["start_time"].isoformat(),
-                "end": r["end_time"].isoformat(),
+                "start": (r["start_time"].isoformat()
+                          if r["start_time"] is not None else None),
+                "end": (r["end_time"].isoformat()
+                        if r["end_time"] is not None else None),
             }, sort_keys=True))
         return rows, fname, source
     text = data.decode("utf-8", errors="replace")

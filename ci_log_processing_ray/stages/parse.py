@@ -363,13 +363,20 @@ def _parse_subunit(tbl: pa.Table, lines: pa.Array, cfg: PipelineConfig) -> pa.Ta
     names, statuses, durations, ts_list = [], [], [], []
     for line in lines.to_pylist():
         rec = json.loads(line)
-        start = pd.Timestamp(rec["start"]).to_pydatetime()
-        end = pd.Timestamp(rec["end"]).to_pydatetime()
-        delta = end - start
-        durations.append(float("%d.%d" % (delta.seconds, delta.microseconds)))
+        if rec.get("start") is None or rec.get("end") is None:
+            # FLAG_TIMESTAMP is optional on the wire: no timestamps ->
+            # no duration, null @timestamp (the row still routes)
+            durations.append(None)
+            ts_list.append(None)
+        else:
+            start = pd.Timestamp(rec["start"]).to_pydatetime()
+            end = pd.Timestamp(rec["end"]).to_pydatetime()
+            delta = end - start
+            durations.append(
+                float("%d.%d" % (delta.seconds, delta.microseconds)))
+            ts_list.append(start.replace(microsecond=0))  # %S precision
         names.append(rec["test_name"])
         statuses.append(rec["status"])
-        ts_list.append(start.replace(microsecond=0))  # strftime %S precision
     return _finalize(tbl, {
         "build_uuid": build, "filename": fname, "line_no": line_no,
         "ts": pa.array(ts_list, type=pa.timestamp("us")),

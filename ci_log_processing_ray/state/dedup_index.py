@@ -95,17 +95,19 @@ class DedupIndex:
     """Driver-side handle to the sharded index actor pool."""
 
     def __init__(self, index_dir: str, n_shards: int = 8):
-        import hashlib
-
         self.index_dir = index_dir
         self.n_shards = n_shards
-        tag = hashlib.md5(index_dir.encode()).hexdigest()[:12]
+        # anonymous actors: handles reach map_batches tasks by closure,
+        # so names would only invite get_if_exists races against a dying
+        # predecessor (ray.kill is asynchronous).  One DedupIndex = one
+        # actor pool; two handles on the same dir would double-create --
+        # share the DedupIndex object instead.
         self.shards = [
-            DedupShard.options(name=f"dedup-shard-{tag}-{i}",
-                               get_if_exists=True).remote(
-                os.path.join(index_dir, f"shard-{i:03d}"))
+            DedupShard.remote(os.path.join(index_dir, f"shard-{i:03d}"))
             for i in range(n_shards)
         ]
+        # surface load errors here, not at first use
+        ray.get([s.size.remote() for s in self.shards])
 
     def shutdown(self) -> None:
         """Kill the shard actors (state on disk survives; a new

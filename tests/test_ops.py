@@ -1110,7 +1110,6 @@ def test_incremental_dedup_index(ray_session, tmp_path):
         idx.flush()
     finally:
         idx.shutdown()
-    time.sleep(1)
     idx2 = DedupIndex(d, n_shards=4)   # restart: reload from parquet
     try:
         assert idx2.size() == 80

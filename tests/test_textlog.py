@@ -220,3 +220,35 @@ def test_textlog_through_parse_and_route(ray_session, build_root):
     assert len(perf) == 1
     assert json.loads(perf[0]["perf_fields"])[
         "service_api_memorycurrent"] == 1024
+
+
+def test_truncated_stream_raises_subunit_error():
+    """A stream cut mid-packet (inside the header or a varint) must
+    raise SubunitError, never IndexError."""
+    full = _fixture_stream()
+    for cut in (1, 2, 3, 4, len(full) - 3):
+        with pytest.raises(SubunitError):
+            list(iter_packets(full[:cut]))
+
+
+def test_corrupt_subunit_file_is_skipped_not_fatal():
+    """Reference semantics (logsender.py:438-441): a .subunit file whose
+    body is an HTML error page parses to ZERO rows, not a crash."""
+    from ci_log_processing_ray.sources.textlog import decode_file
+
+    rows, fname, source = decode_file(
+        "testrepository.subunit", b"<html>404 not found</html>", ())
+    assert rows == [] and source == "subunit"
+
+
+def test_subunit_missing_timestamps_survive():
+    """FLAG_TIMESTAMP is optional: a terminal packet without timestamps
+    yields null start/end in the decoded row instead of crashing."""
+    from ci_log_processing_ray.sources.textlog import decode_file
+
+    pkt = make_packet(3, "pkg.T.test_x", None)   # status=success, no ts
+    rows, _, _ = decode_file("x.subunit", pkt, ())
+    assert len(rows) == 1
+    rec = json.loads(rows[0])
+    assert rec["test_name"] == "pkg.T.test_x"
+    assert rec["start"] is None and rec["end"] is None
