@@ -1663,6 +1663,28 @@ def q_quantize_embeddings(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_pack_bins(sf_dir: str):
+    """Bin packing without document splitting (best-fit-style FFD per
+    hash bucket, globally unique bin ids): docs -> bins of <= 512
+    'tokens' (n_chars/4), oversize docs flagged truncated (rows-only:
+    the packing is a heuristic assignment; invariants unit-tested)."""
+    from ci_log_processing_ray.ops.pack import pack_bins_ffd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def tok_est(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tok": pc.cast(pc.divide(t["n_chars"].combine_chunks(),
+                                       pa.scalar(4, pa.int64())),
+                             pa.int64()),
+        })
+
+    est = ds.map_batches(tok_est, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return pack_bins_ffd(est, "doc_id", "n_tok", 512)
+
+
 def q_late_events(sf_dir: str):
     """Watermark late-data tagging: event late iff its event time
     trails the high-water mark of everything that ARRIVED earlier
@@ -2054,6 +2076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join": q_full_outer_join,
         "late_events": q_late_events,
         "cap_source": q_cap_source,
+        "pack_bins": q_pack_bins,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }

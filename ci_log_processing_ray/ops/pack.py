@@ -110,3 +110,74 @@ def _order_range(ds: ray.data.Dataset, order_col: str) -> tuple[int, int]:
     sources answer it from row-group statistics where available)."""
     stats = ds.aggregate(Min(order_col), Max(order_col))
     return int(stats[f"min({order_col})"]), int(stats[f"max({order_col})"])
+
+
+def pack_bins_ffd(
+    ds: ray.data.Dataset,
+    id_col: str,
+    len_col: str,
+    capacity: int,
+    *,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Bin packing for LLM pretraining without document splitting
+    (best-fit style, cf. the public "fewer truncations" line of work):
+    documents group into bins of at most ``capacity`` tokens; a doc
+    longer than capacity gets its own bin, flagged truncated.
+
+    Distributed approximation: docs hash into ``n_buckets`` independent
+    packing domains, each bucket runs first-fit-decreasing locally (the
+    classic 11/9 OPT + 1 guarantee applies per bucket), and bin ids are
+    globally unique via bucket * 2^32 + local index.  The per-bucket
+    FFD loop is sequential by nature but bucket-parallel and in-worker;
+    the exchange carries (id, len) pairs only.  Output: id, bin_id,
+    offset_in_bin, truncated (int64).
+    """
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(np.ascontiguousarray(ids))
+             % n_buckets).astype(np.int32)
+        return pa.table({
+            id_col: t[id_col],
+            len_col: pc.cast(t[len_col].combine_chunks(), pa.int64()),
+            "_b": pa.array(b),
+        })
+
+    def ffd(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["_b"].iloc[0])
+        base = bucket << 32
+        g = g.sort_values([len_col, id_col], ascending=[False, True],
+                          kind="mergesort")
+        ids = g[id_col].to_numpy()
+        lens = g[len_col].to_numpy()
+        bin_free: list[int] = []     # free space per open bin
+        out_bin = np.empty(len(g), dtype=np.int64)
+        out_off = np.empty(len(g), dtype=np.int64)
+        out_trunc = np.zeros(len(g), dtype=np.int64)
+        for i, ln in enumerate(lens):
+            ln = int(ln)
+            if ln >= capacity:
+                bin_free.append(0)          # own (full) bin
+                out_bin[i] = base + len(bin_free) - 1
+                out_off[i] = 0
+                out_trunc[i] = int(ln > capacity)
+                continue
+            # first fit: lowest-index open bin with room
+            for j, free in enumerate(bin_free):
+                if free >= ln:
+                    out_bin[i] = base + j
+                    out_off[i] = capacity - free
+                    bin_free[j] = free - ln
+                    break
+            else:
+                bin_free.append(capacity - ln)
+                out_bin[i] = base + len(bin_free) - 1
+                out_off[i] = 0
+        return pd.DataFrame({id_col: ids, "bin_id": out_bin,
+                             "offset_in_bin": out_off,
+                             "truncated": out_trunc})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_b").map_groups(ffd, batch_format="pandas"))

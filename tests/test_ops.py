@@ -1152,3 +1152,30 @@ def test_cap_per_group_quota(ray_session):
     again = cap_per_group(ray.data.from_items(rows).repartition(2),
                           "g", "doc_id", 10).to_pandas()
     assert set(out.doc_id) == set(again.doc_id)
+
+
+def test_pack_bins_ffd_invariants(ray_session):
+    from ci_log_processing_ray.ops.pack import pack_bins_ffd
+
+    rng = np.random.default_rng(21)
+    lens = np.concatenate([rng.integers(100, 900, size=200),
+                           np.array([2048, 3000])])  # exact-fit + oversize
+    rows = [{"doc_id": i, "n_tok": int(l)} for i, l in enumerate(lens)]
+    out = pack_bins_ffd(ray.data.from_items(rows).repartition(4),
+                        "doc_id", "n_tok", 2048,
+                        n_buckets=8).to_pandas()
+    assert len(out) == len(rows)
+    m = out.merge(pd.DataFrame(rows), on="doc_id")
+    fills = m.groupby("bin_id")["n_tok"].sum()
+    clipped = m.copy()
+    clipped.loc[clipped.truncated == 1, "n_tok"] = 2048
+    assert (clipped.groupby("bin_id")["n_tok"].sum() <= 2048).all()
+    assert m[m.doc_id == 201].truncated.iloc[0] == 1   # 3000 > capacity
+    assert m[m.doc_id == 200].truncated.iloc[0] == 0   # 2048 exact fit
+    # offsets within a bin are consistent: disjoint [off, off+len) spans
+    for _, grp in m[m.truncated == 0].groupby("bin_id"):
+        spans = sorted(zip(grp.offset_in_bin, grp.offset_in_bin + grp.n_tok))
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2
+    # utilization sanity: FFD on uniform(100,900) fills bins well
+    assert fills.mean() > 1200
