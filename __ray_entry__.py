@@ -1682,6 +1682,65 @@ def q_quantize_embeddings(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_jsonl_source(sf_dir: str):
+    """JSONL source coverage: documents exported once to JSON-lines
+    (cached per sf), read back with ray.data.read_json, aggregated per
+    lang -- proves the non-parquet ingest path end-to-end against the
+    parquet oracle."""
+    out = f"/tmp/ci_log_jsonl_{os.path.basename(os.path.normpath(sf_dir))}"
+    marker = os.path.join(out, ".done")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "lang", "n_chars"])
+        import json as _json
+
+        tmp = os.path.join(out, "part-0.jsonl.tmp")
+        with open(tmp, "w") as f:
+            for row in tbl.to_pylist():
+                f.write(_json.dumps(row, sort_keys=True) + "\n")
+        os.replace(tmp, os.path.join(out, "part-0.jsonl"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    ds = ray.data.read_json(os.path.join(out, "part-0.jsonl"))
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"))
+
+
+def q_csv_source(sf_dir: str):
+    """CSV source coverage: events exported once to CSV (cached per
+    sf), read back with ray.data.read_csv, aggregated per event type
+    with integer cents -- the delimited-text ingest path."""
+    out = f"/tmp/ci_log_csv_{os.path.basename(os.path.normpath(sf_dir))}"
+    marker = os.path.join(out, ".done")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "event_type", "value"])
+        import pyarrow.csv as pacsv
+
+        tmp = os.path.join(out, "events.csv.tmp")
+        pacsv.write_csv(tbl, tmp)
+        os.replace(tmp, os.path.join(out, "events.csv"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    ds = ray.data.read_csv(os.path.join(out, "events.csv"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            "cents": _cents(pc.cast(t["value"].combine_chunks(),
+                                    pa.float64())),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").aggregate(
+                Sum("n", alias_name="n"),
+                Sum("cents", alias_name="cents")))
+
+
 def q_pack_bins(sf_dir: str):
     """Bin packing without document splitting (best-fit-style FFD per
     hash bucket, globally unique bin ids): docs -> bins of <= 512
@@ -2096,6 +2155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": q_late_events,
         "cap_source": q_cap_source,
         "pack_bins": q_pack_bins,
+        "jsonl_source": q_jsonl_source,
+        "csv_source": q_csv_source,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }
@@ -2664,6 +2725,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, day FROM k WHERE event_type = 'click'
             EXCEPT
             SELECT user_id, day FROM k WHERE event_type = 'error'""",
+        "jsonl_source": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang""",
+        "csv_source": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents
+            FROM events GROUP BY event_type""",
         "late_events": """
             SELECT event_id,
                    CAST(CASE WHEN epoch_us(ts) <
