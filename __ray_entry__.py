@@ -109,7 +109,7 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
 
 
 def _join_partitions(sf_dir: str, *tables: str,
-                     rows_per_partition: int = 300_000) -> int:
+                     rows_per_partition: int = 250_000) -> int:
     """Data-size-aware hash-join partition count: Acero join stages pay
     per-partition fixed costs (aggregator actors), so partitions track
     the JOINED ROW VOLUME (parquet metadata, free to read) with the

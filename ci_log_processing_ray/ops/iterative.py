@@ -9,12 +9,10 @@ movement is bounded by the model size, never the dataset.
   nearest-centroid assignments with one matmul and emits per-centroid
   (sum, count) partials; the driver updates centroids from the k-row
   aggregate and loops until movement < tol.
-* connected components: iterative min-label propagation over the edge
-  list (the scale-out replacement for driver-side union-find when the
-  edge set itself is too big to collect): each round joins labels to
-  edges, emits the min neighbor label per node, and merges -- converges
-  in O(diameter) rounds; each round is one bucketed shuffle of
-  (node, label) pairs.
+* connected components: two-phase local contraction (block-local
+  union-find, then a driver closure over the contracted boundary
+  graph) -- constant number of passes, diameter-independent; see the
+  function docstring.
 """
 
 from __future__ import annotations
