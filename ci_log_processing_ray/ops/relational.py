@@ -21,6 +21,20 @@ import pyarrow as pa
 import ray.data
 
 
+def _arrowized(ds: "ray.data.Dataset"):
+    """Normalize a dataset to Arrow blocks and return (ds, pa.Schema).
+
+    Pandas-block sources (from_pandas / from_items) report a
+    PandasBlockSchema; the typed-union construction in the co-partition
+    joins below needs one Arrow schema model."""
+    sch = ds.schema().base_schema
+    if isinstance(sch, pa.Schema):
+        return ds, sch
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds, ds.schema().base_schema
+
+
 def asof_join_grouped(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -41,7 +55,8 @@ def asof_join_grouped(
 
     import pyarrow as pa
 
-    lschema, rschema = left.schema().base_schema, right.schema().base_schema
+    left, lschema = _arrowized(left)
+    right, rschema = _arrowized(right)
     ltypes = {n: lschema.field(n).type for n in [key] + left_cols + [left_on]}
     rtypes = {n: rschema.field(n).type for n in right_cols + [right_on]}
     # one fixed Arrow schema for BOTH tagged sides -- union stays typed
@@ -151,7 +166,8 @@ def range_join_count(
     import numpy as np
     import pyarrow as pa
 
-    lschema, rschema = left.schema().base_schema, right.schema().base_schema
+    left, lschema = _arrowized(left)
+    right, rschema = _arrowized(right)
     unified = pa.schema([
         (key, lschema.field(key).type),
         (left_id, lschema.field(left_id).type),

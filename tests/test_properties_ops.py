@@ -1,0 +1,135 @@
+"""Property-based parity for the window/relational operators: on
+ARBITRARY random inputs, the distributed bucketed kernels must agree
+with simple row-at-a-time brute-force references.  Catches segment-
+boundary and tie-handling drift that fixed fixtures cannot.
+
+Hypothesis drives the input shapes; each case round-trips through a
+real (local) Ray Dataset with a random repartition so partitioning
+invariance is exercised too.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import ray
+import ray.data
+
+events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),      # group key
+        st.integers(min_value=0, max_value=3_600),  # ts seconds
+    ),
+    min_size=1, max_size=60,
+)
+
+SET = settings(max_examples=25, deadline=None,
+               suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def _ds(df: pd.DataFrame, parts: int) -> "ray.data.Dataset":
+    return ray.data.from_pandas(df).repartition(parts)
+
+
+@given(data=events_st, parts=st.integers(min_value=1, max_value=4))
+@SET
+def test_rolling_count_matches_bruteforce(ray_session, data, parts):
+    from ci_log_processing_ray.ops.window import rolling_count_by_group
+
+    df = pd.DataFrame({
+        "k": [d[0] for d in data],
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta([d[1] for d in data], unit="s"),
+        "id": np.arange(len(data), dtype=np.int64),
+    })
+    out = rolling_count_by_group(
+        _ds(df, parts), "k", "ts", "id",
+        window=pd.Timedelta("600s")).to_pandas().set_index("id")
+    for _, row in df.iterrows():
+        same = df[df.k == row.k]
+        want = int(((same.ts >= row.ts - pd.Timedelta("600s"))
+                    & (same.ts <= row.ts)).sum())
+        assert out.loc[row.id, "n_in_window"] == want
+
+
+@given(data=events_st, parts=st.integers(min_value=1, max_value=4),
+       n_tiles=st.integers(min_value=1, max_value=5))
+@SET
+def test_ntile_matches_bruteforce(ray_session, data, parts, n_tiles):
+    from ci_log_processing_ray.ops.window import ntile_by_group
+
+    df = pd.DataFrame({
+        "k": [d[0] for d in data],
+        "v": [d[1] for d in data],
+        "id": np.arange(len(data), dtype=np.int64),
+    })
+    out = ntile_by_group(_ds(df, parts), "k", ["v", "id"], "id",
+                         n_tiles).to_pandas().set_index("id")
+    for key, grp in df.groupby("k"):
+        grp = grp.sort_values(["v", "id"])
+        n = len(grp)
+        q, r = divmod(n, n_tiles)
+        want_tiles = []
+        for tile in range(1, n_tiles + 1):
+            want_tiles.extend([tile] * (q + (1 if tile <= r else 0)))
+        got = [out.loc[i, "tile"] for i in grp.id]
+        assert got == want_tiles[:n], (key, got, want_tiles)
+
+
+@given(data=events_st, parts=st.integers(min_value=1, max_value=4))
+@SET
+def test_hopping_window_matches_bruteforce(ray_session, data, parts):
+    from ci_log_processing_ray.ops.window import hopping_window_agg
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "ts": base + pd.to_timedelta([d[1] for d in data], unit="s"),
+        "value": [float(d[0]) for d in data],
+    })
+    out = hopping_window_agg(_ds(df, parts), "ts", "value",
+                             window_s=600, hop_s=300).to_pandas()
+    got = dict(zip(out.window_start_s, out.n_events))
+    # brute force: every event lands in window_s/hop_s hop windows
+    want: dict = {}
+    for _, row in df.iterrows():
+        sec = int(row.ts.timestamp())
+        hb = sec // 300
+        for i in range(2):
+            want[(hb - i) * 300] = want.get((hb - i) * 300, 0) + 1
+    assert got == want
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)),
+                  min_size=1, max_size=30),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)),
+                   min_size=1, max_size=30),
+    parts=st.integers(min_value=1, max_value=3),
+)
+@SET
+def test_asof_join_matches_bruteforce(ray_session, left, right, parts):
+    from ci_log_processing_ray.ops.relational import asof_join_grouped
+
+    base = pd.Timestamp("2024-01-01")
+    ldf = pd.DataFrame({
+        "k": [x[0] for x in left],
+        "lts": base + pd.to_timedelta([x[1] for x in left], unit="s"),
+        "lid": np.arange(len(left), dtype=np.int64),
+    })
+    rdf = pd.DataFrame({
+        "k": [x[0] for x in right],
+        "rts": base + pd.to_timedelta([x[1] for x in right], unit="s"),
+    })
+    out = asof_join_grouped(
+        _ds(ldf, parts), _ds(rdf, parts), key="k", left_on="lts",
+        right_on="rts", left_cols=["lid"],
+        right_cols=[]).to_pandas().set_index("lid")
+    for _, row in ldf.iterrows():
+        cand = rdf[(rdf.k == row.k) & (rdf.rts <= row.lts)]
+        got = out.loc[row.lid, "rts_matched"]
+        if len(cand) == 0:
+            assert pd.isna(got)
+        else:
+            assert got == cand.rts.max()
