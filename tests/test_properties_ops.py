@@ -133,3 +133,63 @@ def test_asof_join_matches_bruteforce(ray_session, left, right, parts):
             assert pd.isna(got)
         else:
             assert got == cand.rts.max()
+
+
+@given(data=events_st, parts=st.integers(min_value=1, max_value=4))
+@SET
+def test_rank_matches_pandas(ray_session, data, parts):
+    from ci_log_processing_ray.ops.window import rank_by_group
+
+    df = pd.DataFrame({
+        "k": [d[0] for d in data],
+        "v": [d[1] for d in data],
+        "id": np.arange(len(data), dtype=np.int64),
+    })
+    out = rank_by_group(_ds(df, parts), "k", "v",
+                        "id").to_pandas().set_index("id")
+    want_rank = df.groupby("k")["v"].rank(method="min", ascending=False)
+    want_dense = df.groupby("k")["v"].rank(method="dense", ascending=False)
+    for i in df.id:
+        assert out.loc[i, "rank"] == int(want_rank[i])
+        assert out.loc[i, "dense_rank"] == int(want_dense[i])
+
+
+@given(data=events_st, parts=st.integers(min_value=1, max_value=4))
+@SET
+def test_running_total_matches_bruteforce(ray_session, data, parts):
+    from ci_log_processing_ray.ops.window import running_total_by_group
+
+    df = pd.DataFrame({
+        "k": [d[0] for d in data],
+        "v": [d[1] for d in data],
+        "id": np.arange(len(data), dtype=np.int64),
+    })
+    out = running_total_by_group(
+        _ds(df, parts), "k", ["id"], "v", "id").to_pandas().set_index("id")
+    want = df.sort_values("id").groupby("k")["v"].cumsum()
+    for i in df.id:
+        assert out.loc[i, "running_total"] == want[i]
+
+
+@given(data=events_st, parts=st.integers(min_value=1, max_value=4))
+@SET
+def test_lag_diff_matches_bruteforce(ray_session, data, parts):
+    from ci_log_processing_ray.ops.window import lag_diff_by_group
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "k": [d[0] for d in data],
+        "ts": base + pd.to_timedelta([d[1] for d in data], unit="s"),
+        "id": np.arange(len(data), dtype=np.int64),
+    })
+    out = lag_diff_by_group(
+        _ds(df, parts), "k", "ts", "id",
+        tiebreak_col="id").to_pandas().set_index("id")
+    srt = df.sort_values(["k", "ts", "id"])
+    prev = srt.groupby("k")["ts"].shift()
+    for i, p in zip(srt.id, prev):
+        if pd.isna(p):
+            assert out.loc[i, "gap_us"] == -1
+        else:
+            want = int((srt.set_index("id").loc[i, "ts"] - p).value // 1000)
+            assert out.loc[i, "gap_us"] == want
