@@ -1682,6 +1682,19 @@ def q_quantize_embeddings(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_rate_sample(sf_dir: str):
+    """Mixture-weight sampling: src0 at 25%, src1 at 50%, everything
+    else at 12.5% -- first-hex-digit-of-md5 thresholds, deterministic
+    on both engines; per-source kept counts
+    (ops/curation.py:rate_sample_by_group)."""
+    from ci_log_processing_ray.ops.curation import rate_sample_by_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    kept = rate_sample_by_group(ds, "source", "doc_id",
+                                {"src0": "4", "src1": "8"}, "2")
+    return kept.groupby("source").aggregate(Count(alias_name="n"))
+
+
 def q_jsonl_source(sf_dir: str):
     """JSONL source coverage: documents exported once to JSON-lines
     (cached per sf), read back with ray.data.read_json, aggregated per
@@ -2157,6 +2170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_bins": q_pack_bins,
         "jsonl_source": q_jsonl_source,
         "csv_source": q_csv_source,
+        "rate_sample": q_rate_sample,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
     }
@@ -2725,6 +2739,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, day FROM k WHERE event_type = 'click'
             EXCEPT
             SELECT user_id, day FROM k WHERE event_type = 'error'""",
+        "rate_sample": """
+            WITH h AS (
+                SELECT source,
+                       substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS c
+                FROM documents)
+            SELECT source, count(*) AS n FROM h
+            WHERE (source = 'src0' AND c < '4')
+               OR (source = 'src1' AND c < '8')
+               OR (source NOT IN ('src0', 'src1') AND c < '2')
+            GROUP BY source""",
         "jsonl_source": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars

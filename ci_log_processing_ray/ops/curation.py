@@ -379,3 +379,29 @@ def cap_per_group(
                     batch_format="pyarrow"))
     capped = bucketed_groups(partials, group_col, local_cap)
     return capped.drop_columns(["_mk"])
+
+
+def rate_sample_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    limits: dict[str, str],
+    default_limit: str,
+) -> ray.data.Dataset:
+    """Per-group RATE sampling (the mixture-weights primitive: sample
+    each source at its own rate): keep a row iff the first hex digit of
+    md5(id) is lexicographically below the group's limit -- limit '4'
+    = 25%, '8' = 50%, '2' = 12.5%.  Deterministic and reproducible on
+    any engine computing the same md5; complements ``cap_per_group``
+    (hard counts) with proportional rates.  Pure map, no shuffle."""
+    from ci_log_processing_ray.ops.shuffle import _md5_keys
+
+    def kern(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        first = pd.Series(_md5_keys(ids, "")).str[0]
+        lim = (pd.Series(t[group_col].combine_chunks()
+                         .to_numpy(zero_copy_only=False))
+               .map(limits).fillna(default_limit))
+        return t.filter(pa.array((first < lim).to_numpy()))
+
+    return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)

@@ -1179,3 +1179,21 @@ def test_pack_bins_ffd_invariants(ray_session):
             assert e1 <= s2
     # utilization sanity: FFD on uniform(100,900) fills bins well
     assert fills.mean() > 1200
+
+
+def test_rate_sample_by_group(ray_session):
+    from ci_log_processing_ray.ops.curation import rate_sample_by_group
+
+    rows = ([{"doc_id": i, "g": "half"} for i in range(400)]
+            + [{"doc_id": 1000 + i, "g": "tiny"} for i in range(400)])
+    out = rate_sample_by_group(
+        ray.data.from_items(rows).repartition(4), "g", "doc_id",
+        {"half": "8"}, "1").to_pandas()
+    frac = out.groupby("g").size() / 400
+    assert 0.4 < frac["half"] < 0.6      # ~50%
+    assert frac.get("tiny", 0) < 0.12    # ~6.25%
+    # deterministic: identical subset on a different partitioning
+    again = rate_sample_by_group(
+        ray.data.from_items(rows).repartition(2), "g", "doc_id",
+        {"half": "8"}, "1").to_pandas()
+    assert set(out.doc_id) == set(again.doc_id)
