@@ -1624,7 +1624,11 @@ def q_bloom_semi_join(sf_dir: str):
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderpriority",
                     "o_totalprice"])
-    j = bloom_semi_join(orders, "o_custkey", dim, "c_custkey")
+    # survivors are ~1/5 of orders (BUILDING segment share); size the
+    # verify join to that sliver
+    j = bloom_semi_join(orders, "o_custkey", dim, "c_custkey",
+                        num_partitions=_join_partitions(
+                            sf_dir, "orders", rows_per_partition=1_000_000))
 
     def partial(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -2044,7 +2048,8 @@ def q_salted_join(sf_dir: str):
                    ["o_orderkey", "o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     j = salted_join(orders, cust, "o_custkey", "c_custkey", "o_orderkey",
-                    n_salt=8)
+                    n_salt=8,
+                    num_partitions=_join_partitions(sf_dir, "orders"))
 
     def partial(t: pa.Table) -> pa.Table:
         return pa.table({
