@@ -1699,12 +1699,25 @@ def q_rate_sample(sf_dir: str):
     return kept.groupby("source").aggregate(Count(alias_name="n"))
 
 
+def _export_cache_dir(sf_dir: str, table: str, fmt: str) -> str:
+    """Cache dir for a format-converted export, keyed by the SOURCE
+    parquet's identity (path + size + mtime): regenerating the sf dir
+    invalidates the cache instead of silently serving stale data."""
+    import hashlib as _hl
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(src)
+    tag = _hl.md5(f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+                  .encode()).hexdigest()[:16]
+    return f"/tmp/ci_log_{fmt}_{tag}"
+
+
 def q_jsonl_source(sf_dir: str):
     """JSONL source coverage: documents exported once to JSON-lines
     (cached per sf), read back with ray.data.read_json, aggregated per
     lang -- proves the non-parquet ingest path end-to-end against the
     parquet oracle."""
-    out = f"/tmp/ci_log_jsonl_{os.path.basename(os.path.normpath(sf_dir))}"
+    out = _export_cache_dir(sf_dir, "documents", "jsonl")
     marker = os.path.join(out, ".done")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
@@ -1712,7 +1725,7 @@ def q_jsonl_source(sf_dir: str):
                             columns=["doc_id", "lang", "n_chars"])
         import json as _json
 
-        tmp = os.path.join(out, "part-0.jsonl.tmp")
+        tmp = os.path.join(out, f"part-0.jsonl.tmp.{os.getpid()}")
         with open(tmp, "w") as f:
             for row in tbl.to_pylist():
                 f.write(_json.dumps(row, sort_keys=True) + "\n")
@@ -1729,7 +1742,7 @@ def q_csv_source(sf_dir: str):
     """CSV source coverage: events exported once to CSV (cached per
     sf), read back with ray.data.read_csv, aggregated per event type
     with integer cents -- the delimited-text ingest path."""
-    out = f"/tmp/ci_log_csv_{os.path.basename(os.path.normpath(sf_dir))}"
+    out = _export_cache_dir(sf_dir, "events", "csv")
     marker = os.path.join(out, ".done")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
@@ -1737,7 +1750,7 @@ def q_csv_source(sf_dir: str):
                             columns=["event_id", "event_type", "value"])
         import pyarrow.csv as pacsv
 
-        tmp = os.path.join(out, "events.csv.tmp")
+        tmp = os.path.join(out, f"events.csv.tmp.{os.getpid()}")
         pacsv.write_csv(tbl, tmp)
         os.replace(tmp, os.path.join(out, "events.csv"))
         with open(marker, "w") as f:
@@ -1821,8 +1834,10 @@ def q_full_outer_join(sf_dir: str):
         ["c_custkey"])
     dim = ray.data.from_arrow(building)
     keys_ref = ray.put(building["c_custkey"].combine_chunks())
+    # the join's LEFT input is the per-user aggregate (<= distinct
+    # users), not raw events -- size partitions to the small dim side
     j = counts.join(dim, "full_outer",
-                    num_partitions=_join_partitions(sf_dir, "events"),
+                    num_partitions=_join_partitions(sf_dir, "customer"),
                     on=("user_id",), right_on=("c_custkey",))
 
     def finish(t: pa.Table) -> pa.Table:

@@ -7,8 +7,9 @@ movement is bounded by the model size, never the dataset.
 
 * k-means: centroids (k x dim floats) broadcast; each batch computes
   nearest-centroid assignments with one matmul and emits per-centroid
-  (sum, count) partials; the driver updates centroids from the k-row
-  aggregate and loops until movement < tol.
+  (sum, count) partials, combined driver-side for small block counts
+  and through a distributed groupby beyond that (per-round driver
+  traffic stays bounded either way); loops until movement < tol.
 * connected components: two-phase local contraction (block-local
   union-find, then a driver closure over the contracted boundary
   graph) -- constant number of passes, diameter-independent; see the
@@ -50,6 +51,10 @@ def kmeans(
     The loop stops early when max centroid movement < ``tol``.
     """
     del seed  # deterministic init; kept for signature stability
+    # materialize once: the loop passes over the data n_iter times, and
+    # the block count decides how round partials are combined below
+    ds = ds.materialize()
+    n_blocks = ds.num_blocks()
     first = ds.limit(sample_size).to_pandas()
     sample = np.vstack(first[vec_col].to_numpy()).astype(np.float64)
     k = min(k, len(sample))
@@ -87,14 +92,21 @@ def kmeans(
                 "n": pa.array(np.repeat(cnt[nz], v.shape[1])),
             })
 
-        # per-block partials are k x dim rows; collect and combine on
-        # the driver (blocks x k x dim rows -- thousands).  A
-        # distributed groupby here paid ~0.4s/round of pure exchange
-        # overhead for a result this small; for clusters with very
-        # large block counts, re-insert .groupby(["cid","pos"]) before
-        # the collect.
-        agg = (ds.map_batches(partials, batch_format="pyarrow",
-                              zero_copy_batch=True).to_pandas())
+        # per-block partials are k x dim rows.  With few blocks, collect
+        # and combine on the driver (a distributed groupby paid
+        # ~0.4s/round of pure exchange overhead for a result this
+        # small); past the threshold the driver frame would grow as
+        # blocks x k x dim, so fall back to the distributed combine.
+        part_ds = ds.map_batches(partials, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        if n_blocks <= 256:
+            agg = part_ds.to_pandas()
+        else:
+            from ray.data.aggregate import Sum
+
+            agg = (part_ds.groupby(["cid", "pos"])
+                   .aggregate(Sum("s", alias_name="s"),
+                              Sum("n", alias_name="n")).to_pandas())
         agg = agg.groupby(["cid", "pos"], as_index=False)[["s", "n"]].sum()
         new = centroids.copy()
         agg = agg.sort_values(["cid", "pos"])

@@ -121,63 +121,106 @@ def pack_bins_ffd(
     n_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Bin packing for LLM pretraining without document splitting
-    (best-fit style, cf. the public "fewer truncations" line of work):
-    documents group into bins of at most ``capacity`` tokens; a doc
-    longer than capacity gets its own bin, flagged truncated.
+    (best-fit-decreasing style, cf. the public "fewer truncations" line
+    of work): documents group into bins of at most ``capacity`` tokens;
+    a doc with length >= capacity gets its own bin, flagged truncated
+    when longer.
 
     Distributed approximation: docs hash into ``n_buckets`` independent
-    packing domains, each bucket runs first-fit-decreasing locally (the
-    classic 11/9 OPT + 1 guarantee applies per bucket), and bin ids are
-    globally unique via bucket * 2^32 + local index.  The per-bucket
-    FFD loop is sequential by nature but bucket-parallel and in-worker;
-    the exchange carries (id, len) pairs only.  Output: id, bin_id,
-    offset_in_bin, truncated (int64).
+    packing domains (via the shared ``bucketed_groups`` shuffle), each
+    domain packs docs in decreasing length order into the TIGHTEST
+    viable free-space class -- open bins index into capacity/64-wide
+    free-space classes with lazy-deletion stacks, so placement is
+    amortized O(1) per doc instead of a linear scan over all open bins.
+    Zero-length docs still claim a real >= 1-token slot so no offset
+    ever reaches ``capacity``.  Bin ids are globally unique via
+    domain << 32 | local index.  Output: id, bin_id, offset_in_bin,
+    truncated (int64).
     """
+    from ci_log_processing_ray.ops.window import bucketed_groups
 
     def add_bucket(t: pa.Table) -> pa.Table:
         ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         b = (pd.util.hash_array(np.ascontiguousarray(ids))
-             % n_buckets).astype(np.int32)
+             % n_buckets).astype(np.int64)
         return pa.table({
             id_col: t[id_col],
             len_col: pc.cast(t[len_col].combine_chunks(), pa.int64()),
-            "_b": pa.array(b),
+            "_pb": pa.array(b),
         })
 
-    def ffd(g: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(g["_b"].iloc[0])
-        base = bucket << 32
+    n_classes = 64
+    cw = max(1, capacity // n_classes)
+
+    def pack_domain(g: pd.DataFrame) -> pd.DataFrame:
+        base = int(g["_pb"].iloc[0]) << 32
         g = g.sort_values([len_col, id_col], ascending=[False, True],
                           kind="mergesort")
         ids = g[id_col].to_numpy()
         lens = g[len_col].to_numpy()
-        bin_free: list[int] = []     # free space per open bin
+        bin_free: list[int] = []
+        classes: list[list[int]] = [[] for _ in range(n_classes + 1)]
+
+        def class_of(free: int) -> int:
+            return min(free // cw, n_classes)
+
         out_bin = np.empty(len(g), dtype=np.int64)
         out_off = np.empty(len(g), dtype=np.int64)
         out_trunc = np.zeros(len(g), dtype=np.int64)
         for i, ln in enumerate(lens):
             ln = int(ln)
             if ln >= capacity:
-                bin_free.append(0)          # own (full) bin
+                bin_free.append(0)
                 out_bin[i] = base + len(bin_free) - 1
                 out_off[i] = 0
                 out_trunc[i] = int(ln > capacity)
                 continue
-            # first fit: lowest-index open bin with room
-            for j, free in enumerate(bin_free):
-                if free >= ln:
-                    out_bin[i] = base + j
-                    out_off[i] = capacity - free
-                    bin_free[j] = free - ln
+            need = max(ln, 1)  # zero-length docs still take a slot
+            c0 = need // cw
+            j = -1
+            # exact class: entries may be stale (bin moved classes) or
+            # too small within the class window -- scan lazily, keep
+            # the non-viable live entries
+            keepback = []
+            cls = classes[c0]
+            while cls:
+                cand = cls.pop()
+                free = bin_free[cand]
+                if class_of(free) != c0:
+                    continue  # stale entry; its live entry is elsewhere
+                if free >= need:
+                    j = cand
                     break
-            else:
-                bin_free.append(capacity - ln)
-                out_bin[i] = base + len(bin_free) - 1
-                out_off[i] = 0
+                keepback.append(cand)
+            cls.extend(keepback)
+            if j < 0:
+                # tightest strictly-higher class: ANY live bin there has
+                # free >= (c0+1)*cw >= need
+                for c in range(c0 + 1, n_classes + 1):
+                    cls = classes[c]
+                    while cls:
+                        cand = cls.pop()
+                        if class_of(bin_free[cand]) != c:
+                            continue
+                        j = cand
+                        break
+                    if j >= 0:
+                        break
+            if j < 0:
+                bin_free.append(capacity)
+                j = len(bin_free) - 1
+            out_bin[i] = base + j
+            out_off[i] = capacity - bin_free[j]
+            bin_free[j] -= ln
+            classes[class_of(bin_free[j])].append(j)
         return pd.DataFrame({id_col: ids, "bin_id": out_bin,
                              "offset_in_bin": out_off,
                              "truncated": out_trunc})
 
-    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+    def pack_many(frame: pd.DataFrame) -> pd.DataFrame:
+        outs = [pack_domain(d) for _, d in frame.groupby("_pb", sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow",
                            zero_copy_batch=True)
-            .groupby("_b").map_groups(ffd, batch_format="pandas"))
+    return bucketed_groups(keyed, "_pb", pack_many, n_buckets=n_buckets)

@@ -30,10 +30,12 @@ import ray.data
 
 
 def _md5_keys(ids: np.ndarray, prefix: str) -> np.ndarray:
+    """md5 hex key per id; ids stringify with str() so string ids work
+    too (for ints this matches SQL's CAST(id AS VARCHAR))."""
     md5 = hashlib.md5
-    enc = (prefix + "%d").__mod__
-    return np.array([md5(enc(i).encode()).hexdigest() for i in ids],
-                    dtype=object)
+    return np.array(
+        [md5((prefix + str(i)).encode()).hexdigest() for i in ids],
+        dtype=object)
 
 
 def epoch_shuffle(

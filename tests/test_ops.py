@@ -1159,7 +1159,7 @@ def test_pack_bins_ffd_invariants(ray_session):
 
     rng = np.random.default_rng(21)
     lens = np.concatenate([rng.integers(100, 900, size=200),
-                           np.array([2048, 3000])])  # exact-fit + oversize
+                           np.array([2048, 3000, 0, 0])])  # + zero-length
     rows = [{"doc_id": i, "n_tok": int(l)} for i, l in enumerate(lens)]
     out = pack_bins_ffd(ray.data.from_items(rows).repartition(4),
                         "doc_id", "n_tok", 2048,
@@ -1172,6 +1172,8 @@ def test_pack_bins_ffd_invariants(ray_session):
     assert (clipped.groupby("bin_id")["n_tok"].sum() <= 2048).all()
     assert m[m.doc_id == 201].truncated.iloc[0] == 1   # 3000 > capacity
     assert m[m.doc_id == 200].truncated.iloc[0] == 0   # 2048 exact fit
+    # zero-length docs never overflow a bin or land in an own-bin
+    assert (m.offset_in_bin < 2048).all()
     # offsets within a bin are consistent: disjoint [off, off+len) spans
     for _, grp in m[m.truncated == 0].groupby("bin_id"):
         spans = sorted(zip(grp.offset_in_bin, grp.offset_in_bin + grp.n_tok))
