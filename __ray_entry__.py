@@ -130,6 +130,20 @@ def _cents(col) -> pa.Array:
     return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
 
 
+def _ts_us(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Cast every timestamp column to microsecond precision.  Ray's hash
+    shuffle round-trips timestamp keys through numpy datetime64 and can
+    emit timestamp[s] where the source (and the DuckDB oracle) carry
+    timestamp[us]; values are identical, but the driver's value hash is
+    precision-sensitive, so normalize on emit."""
+    def cast(t: pa.Table) -> pa.Table:
+        fields = [
+            (f.name, pa.timestamp("us")) if pa.types.is_timestamp(f.type)
+            else (f.name, f.type) for f in t.schema]
+        return t.cast(pa.schema(fields))
+    return ds.map_batches(cast, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship pipeline over a deterministic corpus sized from sf0.001
 # ---------------------------------------------------------------------------
@@ -717,8 +731,8 @@ def q_multiway_join(sf_dir: str):
 
     agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
         Sum("revenue_cents", alias_name="revenue_cents"))
-    return agg.sort(["revenue_cents", "l_orderkey"],
-                    descending=[True, False]).limit(10)
+    return _ts_us(agg.sort(["revenue_cents", "l_orderkey"],
+                           descending=[True, False]).limit(10))
 
 
 def q_asof_join(sf_dir: str):
@@ -772,10 +786,10 @@ def q_tumbling_window(sf_dir: str):
                          "window_start": g["window_start"],
                          "n": g["n_sum"], "value_cents": g["value_cents_sum"]})
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+    return _ts_us(ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["user_id", "window_start"]).aggregate(
             Sum("n", alias_name="n"),
-            Sum("value_cents", alias_name="value_cents"))
+            Sum("value_cents", alias_name="value_cents")))
 
 
 def q_union_counts(sf_dir: str):
