@@ -1999,6 +1999,28 @@ def q_connected_components(sf_dir: str):
     return connected_components(edges, "src", "dst")
 
 
+def q_pagerank(sf_dir: str):
+    """Fixed-point PageRank (custom iterative operator,
+    ops/iterative.py:pagerank_fixedpoint): 3 rounds of integer power
+    iteration over a deterministic event graph (user_id ->
+    event_id mod 500).  Every step is int64 floor arithmetic, so the
+    DuckDB oracle (3 unrolled join+aggregate rounds) reproduces the
+    values bit-for-bit -- a rare value-hash-exact iterative algorithm."""
+    from ci_log_processing_ray.ops.iterative import pagerank_fixedpoint
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].combine_chunks().to_numpy()
+        return pa.table({
+            "src": t["user_id"].combine_chunks(),
+            "dst": pa.array(eid % 500)})
+
+    edges = ev.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return pagerank_fixedpoint(edges, "src", "dst", n_iter=3)
+
+
 def q_asof_forward(sf_dir: str):
     """FORWARD as-of join: each event matched to the EARLIEST order of
     the same user at or after the event time (same co-partitioning
@@ -2193,6 +2215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": q_quantize_embeddings,
         "kmeans": q_kmeans,
         "connected_components": q_connected_components,
+        "pagerank": q_pagerank,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -2850,6 +2873,44 @@ def oracle_sql() -> dict[str, str]:
                     SELECT doc_id - 1 AS node FROM documents
                     WHERE doc_id % 10 <> 0))
             SELECT node, (node // 10) * 10 AS component FROM n""",
+        "pagerank": """
+            WITH e AS (SELECT user_id AS src, event_id % 500 AS dst
+                       FROM events),
+            deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst AS node FROM e),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            r0 AS (SELECT node,
+                          1000000000000 // (SELECT n FROM nn) AS r
+                   FROM nodes),
+            i1 AS (SELECT nd.node, CAST(
+                          (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+                          + COALESCE(SUM((85 * r0.r) // (100 * deg.d)), 0)
+                          AS BIGINT) AS r
+                   FROM nodes nd
+                   LEFT JOIN e ON e.dst = nd.node
+                   LEFT JOIN deg ON deg.src = e.src
+                   LEFT JOIN r0 ON r0.node = e.src
+                   GROUP BY nd.node),
+            i2 AS (SELECT nd.node, CAST(
+                          (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+                          + COALESCE(SUM((85 * i1.r) // (100 * deg.d)), 0)
+                          AS BIGINT) AS r
+                   FROM nodes nd
+                   LEFT JOIN e ON e.dst = nd.node
+                   LEFT JOIN deg ON deg.src = e.src
+                   LEFT JOIN i1 ON i1.node = e.src
+                   GROUP BY nd.node),
+            i3 AS (SELECT nd.node, CAST(
+                          (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+                          + COALESCE(SUM((85 * i2.r) // (100 * deg.d)), 0)
+                          AS BIGINT) AS r
+                   FROM nodes nd
+                   LEFT JOIN e ON e.dst = nd.node
+                   LEFT JOIN deg ON deg.src = e.src
+                   LEFT JOIN i2 ON i2.node = e.src
+                   GROUP BY nd.node)
+            SELECT node, r AS rank_fp FROM i3""",
         "asof_forward": """
             SELECT e.event_id,
                    (SELECT min(o.o_orderdate) FROM orders o

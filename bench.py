@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "duplicate_spans",
     "kmeans",
     "connected_components",
+    "pagerank",
     "tokenize_ids",
     "hopping_window",
 ]

@@ -123,6 +123,103 @@ def kmeans(
     return centroids, counts
 
 
+def pagerank_fixedpoint(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    *,
+    n_iter: int = 3,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> ray.data.Dataset:
+    """PageRank in int64 FIXED-POINT arithmetic (same model-broadcast
+    shape as :func:`kmeans`: per-node state -- ranks and out-degrees --
+    lives on the driver and is re-broadcast each round; the big edge
+    list streams through ``map_batches`` producing mergeable per-dst
+    partials, so per-round data movement is bounded by the node count,
+    never the edge count).
+
+    Semantics (deterministic, oracle-exact -- every step is integer
+    floor arithmetic, so a SQL engine reproduces the values bit-for-bit,
+    unlike float power iteration whose summation order varies):
+
+    * r0(v)   = scale // N for every node
+    * r_{t+1}(v) = (15 * scale) // (100 * N)
+                 + sum over in-edges (u, v), with edge multiplicity, of
+                   (damp_num * r_t(u)) // (damp_den * outdeg(u))
+
+    Dangling mass is NOT redistributed (the simplified variant common in
+    batch pipelines: total mass leaks a little per round; the ranking
+    ORDER is what downstream consumers use).  Multi-edges contribute
+    once per occurrence.
+
+    Partitioning assumption: the node state (ids, ranks, degrees) must
+    be broadcast-sized -- the same contract as the k-means centroids.
+    For graphs whose node state exceeds driver memory, shard the rank
+    vector and switch the contribution combine to a co-partitioned
+    (dst-keyed) groupby per round.
+
+    Returns a Dataset of (node, rank_fp) with rank_fp int64 in units of
+    1/scale.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    edges = edges.map_batches(
+        lambda t: pa.table({
+            "src": t[src_col].combine_chunks().cast(pa.int64()),
+            "dst": t[dst_col].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    deg_df = edges.groupby("src").aggregate(Count(alias_name="d")).to_pandas()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["src"].combine_chunks().to_numpy(),
+            t["dst"].combine_chunks().to_numpy()]))
+        return pa.table({"node": pa.array(u)})
+
+    nodes = np.sort(
+        edges.map_batches(node_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("node").aggregate(Count(alias_name="_c"))
+        .to_pandas()["node"].to_numpy().astype(np.int64))
+    n = len(nodes)
+    deg = np.zeros(n, dtype=np.int64)
+    pos = np.searchsorted(nodes, deg_df["src"].to_numpy().astype(np.int64))
+    deg[pos] = deg_df["d"].to_numpy().astype(np.int64)
+
+    ranks = np.full(n, scale // n, dtype=np.int64)
+    teleport = (15 * scale) // (100 * n)
+
+    for _round in range(n_iter):
+        state_ref = ray.put((nodes, ranks, deg))
+
+        def contrib(t: pa.Table, _ref=state_ref) -> pa.Table:
+            nd, r, dg = ray.get(_ref)  # zero-copy numpy views
+            s = t["src"].combine_chunks().to_numpy()
+            d = t["dst"].combine_chunks().to_numpy()
+            si = np.searchsorted(nd, s)
+            c = (damp_num * r[si]) // (damp_den * dg[si])
+            # in-batch combine: one (dst, partial) row per distinct dst
+            du, inv = np.unique(d, return_inverse=True)
+            sums = np.zeros(len(du), dtype=np.int64)
+            np.add.at(sums, inv, c)
+            return pa.table({"dst": pa.array(du), "c": pa.array(sums)})
+
+        agg = (edges.map_batches(contrib, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+               .groupby("dst").aggregate(Sum("c", alias_name="c"))
+               .to_pandas())
+        new = np.full(n, teleport, dtype=np.int64)
+        di = np.searchsorted(nodes, agg["dst"].to_numpy().astype(np.int64))
+        new[di] += agg["c"].to_numpy().astype(np.int64)
+        ranks = new
+
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes), "rank_fp": pa.array(ranks)}))
+
+
 def connected_components(
     edges: ray.data.Dataset,
     src_col: str,

@@ -1199,3 +1199,37 @@ def test_rate_sample_by_group(ray_session):
         ray.data.from_items(rows).repartition(2), "g", "doc_id",
         {"half": "8"}, "1").to_pandas()
     assert set(out.doc_id) == set(again.doc_id)
+
+
+def test_pagerank_fixedpoint_vs_dense_reference(ray_session):
+    from ci_log_processing_ray.ops.iterative import pagerank_fixedpoint
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 40, size=600)
+    dst = rng.integers(0, 40, size=600)
+    edges = ray.data.from_items(
+        [{"s": int(a), "d": int(b)} for a, b in zip(src, dst)]
+    ).repartition(5)
+    out = pagerank_fixedpoint(edges, "s", "d", n_iter=4).to_pandas()
+    out = out.sort_values("node").reset_index(drop=True)
+
+    # independent dense reference: same integer floor semantics
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    scale = 10**12
+    deg = np.zeros(n, dtype=np.int64)
+    for a in src:
+        deg[idx[int(a)]] += 1
+    r = np.full(n, scale // n, dtype=np.int64)
+    tele = (15 * scale) // (100 * n)
+    for _ in range(4):
+        new = np.full(n, tele, dtype=np.int64)
+        for a, b in zip(src, dst):
+            ia, ib = idx[int(a)], idx[int(b)]
+            new[ib] += (85 * r[ia]) // (100 * deg[ia])
+        r = new
+    assert (out["node"].to_numpy() == nodes).all()
+    assert (out["rank_fp"].to_numpy() == r).all()
+    # mass sanity: leaks only via floor truncation + dangling nodes
+    assert 0 < out["rank_fp"].sum() <= scale
