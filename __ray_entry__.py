@@ -1999,6 +1999,19 @@ def q_connected_components(sf_dir: str):
     return connected_components(edges, "src", "dst")
 
 
+def q_funnel(sf_dir: str):
+    """Two-step funnel (view -> purchase within 30 min, per user):
+    one co-partitioning shuffle of (user, ts, side) triples, per-bucket
+    searchsorted kernel (ops/window.py:funnel_first_conversion)."""
+    from ci_log_processing_ray.ops.window import funnel_first_conversion
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_first_conversion(
+        ev, "user_id", "ts", "event_type",
+        step_a="view", step_b="purchase",
+        window=datetime.timedelta(minutes=30))
+
+
 def q_pagerank(sf_dir: str):
     """Fixed-point PageRank (custom iterative operator,
     ops/iterative.py:pagerank_fixedpoint): 3 rounds of integer power
@@ -2216,6 +2229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q_kmeans,
         "connected_components": q_connected_components,
         "pagerank": q_pagerank,
+        "funnel": q_funnel,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -2911,6 +2925,20 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN i2 ON i2.node = e.src
                    GROUP BY nd.node)
             SELECT node, r AS rank_fp FROM i3""",
+        "funnel": """
+            WITH a AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'view'),
+            b AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+            conv AS (SELECT a.user_id, min(b.ts) AS first_conversion_ts
+                     FROM a JOIN b ON b.user_id = a.user_id
+                      AND b.ts BETWEEN a.ts
+                          AND a.ts + INTERVAL 30 MINUTE
+                     GROUP BY a.user_id)
+            SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_step_a,
+                   conv.first_conversion_ts
+            FROM a LEFT JOIN conv ON conv.user_id = a.user_id
+            GROUP BY a.user_id, conv.first_conversion_ts""",
         "asof_forward": """
             SELECT e.event_id,
                    (SELECT min(o.o_orderdate) FROM orders o

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "kmeans",
     "connected_components",
     "pagerank",
+    "funnel",
     "tokenize_ids",
     "hopping_window",
 ]

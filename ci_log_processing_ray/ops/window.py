@@ -412,3 +412,85 @@ def tag_late_events(
     return (ds.map_batches(add_bucket, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("_b").map_groups(tag, batch_format="pandas"))
+
+
+def funnel_first_conversion(
+    events: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    *,
+    step_a: str,
+    step_b: str,
+    window: "datetime.timedelta",
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> ray.data.Dataset:
+    """Two-step funnel: for every user with >=1 ``step_a`` event, the
+    earliest ``step_b`` event that has SOME step_a event within
+    ``[b_ts - window, b_ts]`` (closed interval both ends, i.e.
+    a.ts <= b.ts <= a.ts + window -- SQL BETWEEN semantics), plus the
+    user's step_a count.  Unconverted users emit a null timestamp.
+
+    Shape: the same single co-partitioning shuffle as the range join --
+    both step streams tag a side marker, union, and route through one
+    coarse bucketed exchange; the per-bucket kernel is one sort plus
+    two searchsorted probes per contiguous user slice (O((na+nb) log na)
+    per user, no per-key dispatch).  Only (user, ts, side) rows move --
+    never the full event payload.
+    """
+
+    def pick(step: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            m = pc.equal(t[type_col].combine_chunks(), step)
+            f = t.filter(m)
+            n = len(f)
+            return pa.table({
+                user_col: f[user_col].combine_chunks().cast(pa.int64()),
+                "_ts": f[ts_col].combine_chunks().cast(pa.timestamp("us")),
+                "_side": pa.nulls(n, pa.int8()).fill_null(side)})
+        return fn
+
+    both = events.map_batches(
+        pick(step_a, 0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(events.map_batches(
+        pick(step_b, 1), batch_format="pyarrow", zero_copy_batch=True))
+
+    win = np.timedelta64(int(window.total_seconds() * 1_000_000), "us")
+    out_schema = pa.schema([(user_col, pa.int64()),
+                            ("n_step_a", pa.int64()),
+                            ("first_conversion_ts", pa.timestamp("us"))])
+    empty = pa.table({n: pa.nulls(0, out_schema.field(n).type)
+                      for n in out_schema.names}, schema=out_schema)
+
+    def kern(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([user_col, "_ts"], kind="mergesort")
+        ts = g["_ts"].to_numpy().astype("datetime64[us]")
+        side = g["_side"].to_numpy()
+        users = g[user_col].to_numpy()
+        n = len(g)
+        if n == 0:
+            return empty
+        bounds = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        bounds = np.append(bounds, n)
+        out_u, out_na, out_conv = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            is_b = side[s:e] == 1
+            a_ts = ts[s:e][~is_b]
+            if len(a_ts) == 0:
+                continue  # funnel is defined over users who did step A
+            b_ts = ts[s:e][is_b]
+            lo = np.searchsorted(a_ts, b_ts - win, side="left")
+            hi = np.searchsorted(a_ts, b_ts, side="right")
+            ok = np.flatnonzero(hi > lo)
+            out_u.append(int(users[s]))
+            out_na.append(len(a_ts))
+            out_conv.append(b_ts[ok[0]] if len(ok) else None)
+        return pa.table(
+            {user_col: pa.array(out_u, type=pa.int64()),
+             "n_step_a": pa.array(out_na, type=pa.int64()),
+             "first_conversion_ts": pa.array(out_conv,
+                                             type=pa.timestamp("us"))},
+            schema=out_schema)
+
+    return bucketed_groups(both, user_col, kern, n_buckets=n_buckets)

@@ -1233,3 +1233,37 @@ def test_pagerank_fixedpoint_vs_dense_reference(ray_session):
     assert (out["rank_fp"].to_numpy() == r).all()
     # mass sanity: leaks only via floor truncation + dangling nodes
     assert 0 < out["rank_fp"].sum() <= scale
+
+
+def test_funnel_first_conversion_boundaries(ray_session):
+    import datetime as dt
+
+    from ci_log_processing_ray.ops.window import funnel_first_conversion
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda u, typ, mins: {"user_id": u, "event_type": typ,
+                               "ts": t0 + dt.timedelta(minutes=mins)}
+    rows = [
+        # u1: conversion exactly at the window edge (inclusive)
+        mk(1, "view", 0), mk(1, "purchase", 30),
+        # u2: purchase BEFORE any view -> not a conversion; later one is
+        mk(2, "purchase", 0), mk(2, "view", 5), mk(2, "purchase", 20),
+        # u3: purchase outside the window -> unconverted
+        mk(3, "view", 0), mk(3, "purchase", 31),
+        # u4: views only
+        mk(4, "view", 0), mk(4, "view", 10),
+        # u5: purchases only -> no output row (funnel needs step A)
+        mk(5, "purchase", 0),
+    ]
+    out = funnel_first_conversion(
+        ray.data.from_items(rows).repartition(3),
+        "user_id", "ts", "event_type",
+        step_a="view", step_b="purchase",
+        window=dt.timedelta(minutes=30)).to_pandas()
+    out = out.sort_values("user_id").reset_index(drop=True)
+    assert out["user_id"].tolist() == [1, 2, 3, 4]
+    assert out["n_step_a"].tolist() == [1, 1, 1, 2]
+    conv = out["first_conversion_ts"]
+    assert conv[0] == t0 + dt.timedelta(minutes=30)   # edge inclusive
+    assert conv[1] == t0 + dt.timedelta(minutes=20)   # pre-view b ignored
+    assert pd.isna(conv[2]) and pd.isna(conv[3])
