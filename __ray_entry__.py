@@ -1999,6 +1999,18 @@ def q_connected_components(sf_dir: str):
     return connected_components(edges, "src", "dst")
 
 
+def q_profile(sf_dir: str):
+    """Dataset profiling report over events: per-column row, null and
+    exact-distinct counts (ops/profile.py:profile_columns -- one-pass
+    count partials + one native-dtype distinct per column)."""
+    from ci_log_processing_ray.ops.profile import profile_columns
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "value"])
+    return profile_columns(ds, ["event_id", "user_id", "event_type",
+                                "value"])
+
+
 def q_funnel(sf_dir: str):
     """Two-step funnel (view -> purchase within 30 min, per user):
     one co-partitioning shuffle of (user, ts, side) triples, per-bucket
@@ -2230,6 +2242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q_connected_components,
         "pagerank": q_pagerank,
         "funnel": q_funnel,
+        "profile": q_profile,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -2925,6 +2938,19 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN i2 ON i2.node = e.src
                    GROUP BY nd.node)
             SELECT node, r AS rank_fp FROM i3""",
+        "profile": """
+            SELECT 'event_id' AS col_name, count(*) AS n,
+                   count(*) - count(event_id) AS n_null,
+                   count(DISTINCT event_id) AS n_distinct FROM events
+            UNION ALL
+            SELECT 'event_type', count(*), count(*) - count(event_type),
+                   count(DISTINCT event_type) FROM events
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   count(DISTINCT user_id) FROM events
+            UNION ALL
+            SELECT 'value', count(*), count(*) - count(value),
+                   count(DISTINCT value) FROM events""",
         "funnel": """
             WITH a AS (SELECT user_id, ts FROM events
                        WHERE event_type = 'view'),

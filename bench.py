@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "connected_components",
     "pagerank",
     "funnel",
+    "profile",
     "tokenize_ids",
     "hopping_window",
 ]

@@ -1,0 +1,65 @@
+"""Dataset profiling: per-column row / null / exact-distinct counts.
+
+The profiling report every curation pipeline starts from.  Row and
+null counts combine as one-pass mergeable partials (a single streaming
+pass, bytes-sized result).  Exact distinct counts run one per-column
+distinct each -- kept NATIVE-dtype end-to-end (per-batch ``unique``
+partial to shrink the exchange, then a distributed groupby whose row
+count is the answer), so no string-representation drift can diverge
+from a SQL oracle's ``COUNT(DISTINCT col)``.  Nulls are excluded from
+the distinct, matching SQL semantics.
+
+At 100 TB an exact distinct per column is a deliberate cost (each is
+its own shuffle of the column's unique values); the approximate
+alternative is ``ops/sketch.py``'s HyperLogLog, one pass for ALL
+columns.  This operator is the exact small-report variant.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def profile_columns(ds: ray.data.Dataset, cols: list[str]) -> pa.Table:
+    """Return a pyarrow Table (col_name, n, n_null, n_distinct), one
+    row per profiled column, sorted by col_name."""
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "col_name": pa.array(list(cols)),
+            "n": pa.array([n] * len(cols), type=pa.int64()),
+            "n_null": pa.array([t[c].null_count for c in cols],
+                               type=pa.int64())})
+
+    counts = (ds.map_batches(count_partials, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("col_name")
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("n_null", alias_name="n_null"))
+              .to_pandas().set_index("col_name"))
+
+    n_distinct = {}
+    for c in cols:
+        def batch_unique(t: pa.Table, _c=c) -> pa.Table:
+            v = t[_c].combine_chunks().drop_null().unique()
+            return pa.table({_c: v})
+
+        n_distinct[c] = (ds.select_columns([c])
+                         .map_batches(batch_unique, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                         .groupby(c).aggregate(Count(alias_name="_c"))
+                         .count())
+
+    order = sorted(cols)
+    return pa.table({
+        "col_name": pa.array(order),
+        "n": pa.array([int(counts.loc[c, "n"]) for c in order],
+                      type=pa.int64()),
+        "n_null": pa.array([int(counts.loc[c, "n_null"]) for c in order],
+                           type=pa.int64()),
+        "n_distinct": pa.array([int(n_distinct[c]) for c in order],
+                               type=pa.int64())})

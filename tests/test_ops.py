@@ -1267,3 +1267,19 @@ def test_funnel_first_conversion_boundaries(ray_session):
     assert conv[0] == t0 + dt.timedelta(minutes=30)   # edge inclusive
     assert conv[1] == t0 + dt.timedelta(minutes=20)   # pre-view b ignored
     assert pd.isna(conv[2]) and pd.isna(conv[3])
+
+
+def test_profile_columns_nulls_and_distinct(ray_session):
+    from ci_log_processing_ray.ops.profile import profile_columns
+
+    rows = ([{"a": i % 7, "b": None if i % 3 == 0 else f"s{i % 4}"}
+             for i in range(90)]
+            + [{"a": None, "b": "s0"} for _ in range(10)])
+    out = profile_columns(
+        ray.data.from_items(rows).repartition(4), ["a", "b"]).to_pandas()
+    out = out.set_index("col_name")
+    assert out.loc["a", "n"] == 100 and out.loc["b", "n"] == 100
+    assert out.loc["a", "n_null"] == 10
+    assert out.loc["b", "n_null"] == 30          # i % 3 == 0 within 0..89
+    assert out.loc["a", "n_distinct"] == 7       # nulls excluded
+    assert out.loc["b", "n_distinct"] == 4
