@@ -1999,6 +1999,36 @@ def q_connected_components(sf_dir: str):
     return connected_components(edges, "src", "dst")
 
 
+def q_snapshot_diff(sf_dir: str):
+    """CDC snapshot diff (ops/diff.py): old = docs without doc_id%97==0,
+    new = docs without doc_id%89==0 and with every doc_id%50==0 text
+    amended -- classify added/removed/changed via one full-outer join of
+    (key, presence, cmp) triples."""
+    from ci_log_processing_ray.ops.diff import snapshot_diff
+
+    def old_fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        return t.filter(pa.array(ids % 97 != 0))
+
+    def new_fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        t = t.filter(pa.array(ids % 89 != 0))
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        amended = pc.binary_join_element_wise(
+            t["text"].combine_chunks(), " v2", "")
+        text = pc.if_else(pa.array(ids % 50 == 0), amended,
+                          t["text"].combine_chunks())
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    old = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        old_fn, batch_format="pyarrow", zero_copy_batch=True)
+    new = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        new_fn, batch_format="pyarrow", zero_copy_batch=True)
+    return snapshot_diff(old, new, "doc_id", "text",
+                         num_partitions=_join_partitions(sf_dir,
+                                                         "documents"))
+
+
 def q_profile(sf_dir: str):
     """Dataset profiling report over events: per-column row, null and
     exact-distinct counts (ops/profile.py:profile_columns -- one-pass
@@ -2243,6 +2273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "funnel": q_funnel,
         "profile": q_profile,
+        "snapshot_diff": q_snapshot_diff,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -2938,6 +2969,20 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN i2 ON i2.node = e.src
                    GROUP BY nd.node)
             SELECT node, r AS rank_fp FROM i3""",
+        "snapshot_diff": """
+            WITH o AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id % 97 <> 0),
+            n AS (SELECT doc_id,
+                         CASE WHEN doc_id % 50 = 0 THEN text || ' v2'
+                              ELSE text END AS text
+                  FROM documents WHERE doc_id % 89 <> 0),
+            d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                         CASE WHEN o.doc_id IS NULL THEN 'added'
+                              WHEN n.doc_id IS NULL THEN 'removed'
+                              WHEN o.text <> n.text THEN 'changed'
+                              ELSE 'unchanged' END AS status
+                  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+            SELECT doc_id, status FROM d WHERE status <> 'unchanged'""",
         "profile": """
             SELECT 'event_id' AS col_name, count(*) AS n,
                    count(*) - count(event_id) AS n_null,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "pagerank",
     "funnel",
     "profile",
+    "snapshot_diff",
     "tokenize_ids",
     "hopping_window",
 ]

@@ -1283,3 +1283,27 @@ def test_profile_columns_nulls_and_distinct(ray_session):
     assert out.loc["b", "n_null"] == 30          # i % 3 == 0 within 0..89
     assert out.loc["a", "n_distinct"] == 7       # nulls excluded
     assert out.loc["b", "n_distinct"] == 4
+
+
+def test_snapshot_diff_classification(ray_session):
+    from ci_log_processing_ray.ops.diff import snapshot_diff
+
+    old = ray.data.from_items([
+        {"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": None},
+        {"k": 4, "v": "d"}, {"k": 5, "v": None}]).repartition(2)
+    new = ray.data.from_items([
+        {"k": 1, "v": "a"},          # unchanged
+        {"k": 2, "v": "B"},          # changed
+        {"k": 3, "v": None},         # NULL on both sides -> unchanged
+        {"k": 5, "v": "now"},        # NULL -> value: SQL <> is NULL,
+        {"k": 6, "v": "f"},          # added       not TRUE -> unchanged
+    ]).repartition(3)                # k=4 -> removed
+    out = (snapshot_diff(old, new, "k", "v", num_partitions=2)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert dict(zip(out.k, out.status)) == {
+        2: "changed", 4: "removed", 6: "added"}
+    full = (snapshot_diff(old, new, "k", "v", keep_unchanged=True,
+                          num_partitions=2).to_pandas())
+    assert len(full) == 6
+    assert dict(zip(full.k, full.status))[3] == "unchanged"
+    assert dict(zip(full.k, full.status))[5] == "unchanged"
