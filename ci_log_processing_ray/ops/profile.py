@@ -17,6 +17,8 @@ columns.  This operator is the exact small-report variant.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 import pyarrow as pa
 
 import ray.data
@@ -35,24 +37,33 @@ def profile_columns(ds: ray.data.Dataset, cols: list[str]) -> pa.Table:
             "n_null": pa.array([t[c].null_count for c in cols],
                                type=pa.int64())})
 
-    counts = (ds.map_batches(count_partials, batch_format="pyarrow",
-                             zero_copy_batch=True)
-              .groupby("col_name")
-              .aggregate(Sum("n", alias_name="n"),
-                         Sum("n_null", alias_name="n_null"))
-              .to_pandas().set_index("col_name"))
+    def run_counts():
+        return (ds.map_batches(count_partials, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("col_name")
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("n_null", alias_name="n_null"))
+                .to_pandas().set_index("col_name"))
 
-    n_distinct = {}
-    for c in cols:
+    def run_distinct(c: str) -> int:
         def batch_unique(t: pa.Table, _c=c) -> pa.Table:
             v = t[_c].combine_chunks().drop_null().unique()
             return pa.table({_c: v})
 
-        n_distinct[c] = (ds.select_columns([c])
-                         .map_batches(batch_unique, batch_format="pyarrow",
-                                      zero_copy_batch=True)
-                         .groupby(c).aggregate(Count(alias_name="_c"))
-                         .count())
+        return (ds.select_columns([c])
+                .map_batches(batch_unique, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(c).aggregate(Count(alias_name="_c"))
+                .count())
+
+    # the count pass and the per-column distincts are independent Ray
+    # jobs; launch them together from driver threads so their stages
+    # interleave on the cluster instead of running back-to-back
+    with ThreadPoolExecutor(max_workers=len(cols) + 1) as ex:
+        counts_f = ex.submit(run_counts)
+        distinct_f = {c: ex.submit(run_distinct, c) for c in cols}
+        counts = counts_f.result()
+        n_distinct = {c: f.result() for c, f in distinct_f.items()}
 
     order = sorted(cols)
     return pa.table({
