@@ -1999,6 +1999,33 @@ def q_connected_components(sf_dir: str):
     return connected_components(edges, "src", "dst")
 
 
+def q_url_curation(sf_dir: str):
+    """Web-crawl curation (ops/urltools.py): deterministic per-doc URLs
+    (mixed-case host, optional port and query string), parsed and
+    canonicalized in one RE2 pass, hosts filtered against a broadcast
+    blocklist.  No shuffle; everything is batch-local Arrow kernels."""
+    from ci_log_processing_ray.ops.urltools import parse_and_filter_urls
+
+    def build_url(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        src = t["source"].combine_chunks()
+        port = pc.if_else(pa.array(ids % 7 == 0),
+                          pa.scalar(":8080"), pa.scalar(""))
+        qs = pc.if_else(pa.array(ids % 3 == 0),
+                        pa.scalar("?utm=x"), pa.scalar(""))
+        num = pc.cast(pa.array(ids % 100), pa.string())
+        url = pc.binary_join_element_wise(
+            "https://", src, ".Example.COM", port, "/p/", num, qs, "")
+        return pa.table({"doc_id": t["doc_id"], "url": url})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        build_url, batch_format="pyarrow", zero_copy_batch=True)
+    return parse_and_filter_urls(
+        ds, "url",
+        blocked_hosts={"src3.example.com", "src7.example.com"},
+        keep_cols=["doc_id", "url"])
+
+
 def q_snapshot_diff(sf_dir: str):
     """CDC snapshot diff (ops/diff.py): old = docs without doc_id%97==0,
     new = docs without doc_id%89==0 and with every doc_id%50==0 text
@@ -2274,6 +2301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,
         "profile": q_profile,
         "snapshot_diff": q_snapshot_diff,
+        "url_curation": q_url_curation,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -2969,6 +2997,23 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN i2 ON i2.node = e.src
                    GROUP BY nd.node)
             SELECT node, r AS rank_fp FROM i3""",
+        "url_curation": """
+            WITH u AS (SELECT doc_id,
+                   'https://' || source || '.Example.COM'
+                   || CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+                   || '/p/' || CAST(doc_id % 100 AS VARCHAR)
+                   || CASE WHEN doc_id % 3 = 0 THEN '?utm=x' ELSE '' END
+                   AS url
+               FROM documents),
+            p AS (SELECT doc_id, url,
+                   lower(regexp_extract(url,
+                         '^https?://([^/:?#]+)', 1)) AS host,
+                   regexp_extract(url,
+                         '^https?://[^/:?#]+[^/?#]*([^?#]*)', 1) AS path
+                  FROM u)
+            SELECT doc_id, url, host, path, host || path AS canonical_url
+            FROM p
+            WHERE host NOT IN ('src3.example.com', 'src7.example.com')""",
         "snapshot_diff": """
             WITH o AS (SELECT doc_id, text FROM documents
                        WHERE doc_id % 97 <> 0),

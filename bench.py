@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "funnel",
     "profile",
     "snapshot_diff",
+    "url_curation",
     "tokenize_ids",
     "hopping_window",
 ]

@@ -1307,3 +1307,25 @@ def test_snapshot_diff_classification(ray_session):
     assert len(full) == 6
     assert dict(zip(full.k, full.status))[3] == "unchanged"
     assert dict(zip(full.k, full.status))[5] == "unchanged"
+
+
+def test_parse_and_filter_urls(ray_session):
+    from ci_log_processing_ray.ops.urltools import parse_and_filter_urls
+
+    rows = [
+        {"id": 1, "u": "https://Sub.HOST.com:8080/a/b?x=1#frag"},
+        {"id": 2, "u": "http://plain.org"},
+        {"id": 3, "u": "https://blocked.net/page"},
+        {"id": 4, "u": "not a url"},
+        {"id": 5, "u": "ftp://other.scheme/x"},
+    ]
+    out = parse_and_filter_urls(
+        ray.data.from_items(rows).repartition(2), "u",
+        blocked_hosts={"blocked.net"}, keep_cols=["id"]
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    # blocked host, unparseable string, and non-http scheme all dropped
+    assert out["id"].tolist() == [1, 2]
+    assert out["host"].tolist() == ["sub.host.com", "plain.org"]
+    assert out["path"].tolist() == ["/a/b", ""]   # port/query/frag gone
+    assert out["canonical_url"].tolist() == ["sub.host.com/a/b",
+                                             "plain.org"]
