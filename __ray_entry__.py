@@ -1999,6 +1999,32 @@ def q_connected_components(sf_dir: str):
     return connected_components(edges, "src", "dst")
 
 
+def q_safe_udf(sf_dir: str):
+    """Poison-row quarantine (stages/quarantine.py:safe_map_batches):
+    a UDF that crashes on event_id % 997 == 0 rows still yields the
+    full clean subset -- bad rows bisect-isolated to a dead-letter
+    Parquet dir, good rows doubled and emitted.  The oracle is the
+    clean subset computed declaratively."""
+    import tempfile
+
+    from ci_log_processing_ray.stages.quarantine import safe_map_batches
+
+    def udf(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].combine_chunks().to_numpy()
+        if np.any(ids % 997 == 0):
+            raise ValueError("corrupt record")
+        return pa.table({"event_id": t["event_id"],
+                         "cents_x2": pc.multiply(
+                             _cents(t["value"]), pa.scalar(2, pa.int64()))})
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    qdir = tempfile.mkdtemp(prefix="quarantine-", dir="/tmp")
+    return safe_map_batches(
+        ds, udf, quarantine_dir=qdir,
+        out_schema=pa.schema([("event_id", pa.int64()),
+                              ("cents_x2", pa.int64())]))
+
+
 def q_url_curation(sf_dir: str):
     """Web-crawl curation (ops/urltools.py): deterministic per-doc URLs
     (mixed-case host, optional port and query string), parsed and
@@ -2302,6 +2328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile": q_profile,
         "snapshot_diff": q_snapshot_diff,
         "url_curation": q_url_curation,
+        "safe_udf": q_safe_udf,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -2997,6 +3024,10 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN i2 ON i2.node = e.src
                    GROUP BY nd.node)
             SELECT node, r AS rank_fp FROM i3""",
+        "safe_udf": """
+            SELECT event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) * 2 AS cents_x2
+            FROM events WHERE event_id % 997 <> 0""",
         "url_curation": """
             WITH u AS (SELECT doc_id,
                    'https://' || source || '.Example.COM'

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "profile",
     "snapshot_diff",
     "url_curation",
+    "safe_udf",
     "tokenize_ids",
     "hopping_window",
 ]

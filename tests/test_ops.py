@@ -1329,3 +1329,35 @@ def test_parse_and_filter_urls(ray_session):
     assert out["path"].tolist() == ["/a/b", ""]   # port/query/frag gone
     assert out["canonical_url"].tolist() == ["sub.host.com/a/b",
                                              "plain.org"]
+
+
+def test_safe_map_batches_quarantine(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ci_log_processing_ray.stages.quarantine import safe_map_batches
+
+    rows = [{"k": i, "v": float(i)} for i in range(200)]
+    poison = {30, 31, 77, 150}
+
+    def udf(t: pa.Table) -> pa.Table:
+        ks = t["k"].combine_chunks().to_numpy()
+        if any(int(k) in poison for k in ks):
+            raise ValueError("corrupt record")
+        return pa.table({"k": t["k"],
+                         "v2": pa.array(ks.astype(np.int64) * 2)})
+
+    qdir = str(tmp_path / "quarantine")
+    out = safe_map_batches(
+        ray.data.from_items(rows).repartition(4), udf,
+        quarantine_dir=qdir).to_pandas().sort_values("k")
+    assert set(out.k) == set(range(200)) - poison
+    assert (out.v2.to_numpy() == out.k.to_numpy() * 2).all()
+    qt = pq.read_table(qdir).to_pandas()
+    assert set(qt.k) == poison
+    assert (qt._error.str.contains("corrupt record")).all()
+    # all-poison batch with out_schema -> empty result, rows quarantined
+    allbad = ray.data.from_items([{"k": 30, "v": 0.0}] * 5).repartition(1)
+    empty = safe_map_batches(
+        allbad, udf, quarantine_dir=qdir,
+        out_schema=pa.schema([("k", pa.int64()), ("v2", pa.int64())]))
+    assert empty.count() == 0
