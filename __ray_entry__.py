@@ -1999,6 +1999,35 @@ def q_connected_components(sf_dir: str):
     return connected_components(edges, "src", "dst")
 
 
+def q_sample_bottomk(sf_dir: str):
+    """Exact-k deterministic sample (ops/curation.py:bottomk_by_hash):
+    the 100 docs with smallest md5(doc_id), tie-broken by id -- only
+    blocks x k candidates ever reach the closing sort+limit."""
+    from ci_log_processing_ray.ops.curation import bottomk_by_hash
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return bottomk_by_hash(ds, "doc_id", 100)
+
+
+def q_compression_ratio(sf_dir: str):
+    """zlib compressibility per doc (repetitive-junk signal): count
+    docs per source whose compressed size is under 45% of raw."""
+    from ci_log_processing_ray.ops.textstats import compression_ratio
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    scored = compression_ratio(ds, "text", "doc_id")
+
+    def flag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "ratio_milli": t["ratio_milli"],
+            "is_repetitive": pc.cast(
+                pc.less(t["ratio_milli"].combine_chunks(), 450),
+                pa.int64())})
+
+    return scored.map_batches(flag, batch_format="pyarrow")
+
+
 def q_safe_udf(sf_dir: str):
     """Poison-row quarantine (stages/quarantine.py:safe_map_batches):
     a UDF that crashes on event_id % 997 == 0 rows still yields the
@@ -2329,6 +2358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "url_curation": q_url_curation,
         "safe_udf": q_safe_udf,
+        "sample_bottomk": q_sample_bottomk,
+        "compression_ratio": q_compression_ratio,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3024,6 +3055,10 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN i2 ON i2.node = e.src
                    GROUP BY nd.node)
             SELECT node, r AS rank_fp FROM i3""",
+        "sample_bottomk": """
+            SELECT doc_id, source FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 100""",
         "safe_udf": """
             SELECT event_id,
                    CAST(floor(value * 100 + 0.5) AS BIGINT) * 2 AS cents_x2

@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "url_curation",
     "safe_udf",
+    "sample_bottomk",
+    "compression_ratio",
     "tokenize_ids",
     "hopping_window",
 ]

@@ -405,3 +405,35 @@ def rate_sample_by_group(
         return t.filter(pa.array((first < lim).to_numpy()))
 
     return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bottomk_by_hash(
+    ds: ray.data.Dataset,
+    key_col: str,
+    k: int,
+    *,
+    salt: str = "",
+) -> ray.data.Dataset:
+    """EXACT-k deterministic uniform sample: the k rows with the
+    lexicographically smallest ``md5(salt + str(key))`` (tie-broken by
+    the key), i.e. SQL ``ORDER BY md5(key), key LIMIT k`` -- the
+    reproducible fixed-size cousin of threshold hash sampling.
+
+    Scale shape: each batch keeps only its LOCAL bottom-k, so at most
+    k rows per block reach the final exchange; the closing sort+limit
+    runs over blocks x k candidate rows, never the dataset.  Per-row
+    md5 is C-speed (the same acceptance as fingerprinting)."""
+    import hashlib
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        digs = np.array(
+            [hashlib.md5((salt + str(v)).encode()).hexdigest()
+             for v in t[key_col].to_pylist()], dtype=object)
+        order = np.argsort(digs, kind="stable")[:k]
+        kept = t.take(pa.array(order))
+        return kept.append_column("_h", pa.array(digs[order].tolist(),
+                                                 type=pa.string()))
+
+    cand = ds.map_batches(local_bottomk, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return cand.sort(["_h", key_col]).limit(k).drop_columns(["_h"])

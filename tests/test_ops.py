@@ -1361,3 +1361,36 @@ def test_safe_map_batches_quarantine(ray_session, tmp_path):
         allbad, udf, quarantine_dir=qdir,
         out_schema=pa.schema([("k", pa.int64()), ("v2", pa.int64())]))
     assert empty.count() == 0
+
+
+def test_bottomk_by_hash_partition_invariant(ray_session):
+    import hashlib
+
+    from ci_log_processing_ray.ops.curation import bottomk_by_hash
+
+    rows = [{"k": i, "p": f"v{i}"} for i in range(300)]
+    expect = sorted(range(300),
+                    key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
+                                   i))[:25]
+    for nparts in (1, 7):
+        out = bottomk_by_hash(
+            ray.data.from_items(rows).repartition(nparts), "k", 25
+        ).to_pandas()
+        assert sorted(out.k) == sorted(expect)
+        assert out.p.tolist() == [f"v{i}" for i in out.k]
+
+
+def test_compression_ratio_separates_repetition(ray_session):
+    from ci_log_processing_ray.ops.textstats import compression_ratio
+
+    rows = [{"id": 0, "t": "spam " * 400},
+            {"id": 1, "t": " ".join(f"w{i * 7919 % 5003}"
+                                    for i in range(400))},
+            {"id": 2, "t": ""}]
+    out = compression_ratio(
+        ray.data.from_items(rows).repartition(2), "t", "id"
+    ).to_pandas().set_index("id")
+    assert out.loc[0, "ratio_milli"] < 100       # boilerplate crushes
+    assert out.loc[1, "ratio_milli"] > 300       # diverse text doesn't
+    assert out.loc[2, "raw_bytes"] == 0          # empty doc safe
+    assert (out.comp_bytes > 0).all()
