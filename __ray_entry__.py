@@ -1999,6 +1999,47 @@ def q_connected_components(sf_dir: str):
     return connected_components(edges, "src", "dst")
 
 
+def q_winsorize(sf_dir: str):
+    """Winsorized aggregate (outlier-robust): clamp each event's cents
+    to its group's exact [p05, p95] band, then sum per group.  Two
+    passes: the exact distributed percentile op yields one tiny row per
+    group (broadcast back), then a single clamped partial+final sum --
+    the quantile table never exceeds group cardinality."""
+    from ci_log_processing_ray.ops.quantile import quantile_disc_by_group
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    cents_ds = ds.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "cents": _cents(t["value"])}),
+        batch_format="pyarrow")
+    band = (quantile_disc_by_group(cents_ds, "event_type", "cents",
+                                   {"lo": 0.05, "hi": 0.95})
+            .to_pandas().sort_values("event_type"))
+    band_ref = ray.put((band["event_type"].to_numpy().astype(object),
+                        band["lo"].to_numpy().astype(np.int64),
+                        band["hi"].to_numpy().astype(np.int64)))
+
+    def clamp_partial(t: pa.Table) -> pa.Table:
+        keys, lo, hi = ray.get(band_ref)
+        et = t["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, et)
+        cents = _cents(t["value"]).to_numpy()
+        w = np.clip(cents, lo[idx], hi[idx])
+        tt = pa.table({"event_type": t["event_type"],
+                       "w": pa.array(w),
+                       "one": pa.array(np.ones(len(t), dtype=np.int64))})
+        g = tt.group_by("event_type").aggregate([("w", "sum"),
+                                                 ("one", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "sum_winsorized_cents": g["w_sum"],
+                         "n": g["one_sum"]})
+
+    return ds.map_batches(clamp_partial, batch_format="pyarrow").groupby(
+        "event_type").aggregate(
+            Sum("sum_winsorized_cents", alias_name="sum_winsorized_cents"),
+            Sum("n", alias_name="n"))
+
+
 def q_sample_bottomk(sf_dir: str):
     """Exact-k deterministic sample (ops/curation.py:bottomk_by_hash):
     the 100 docs with smallest md5(doc_id), tie-broken by id -- only
@@ -2360,6 +2401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "safe_udf": q_safe_udf,
         "sample_bottomk": q_sample_bottomk,
         "compression_ratio": q_compression_ratio,
+        "winsorize": q_winsorize,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3055,6 +3097,23 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN i2 ON i2.node = e.src
                    GROUP BY nd.node)
             SELECT node, r AS rank_fp FROM i3""",
+        "winsorize": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                AS cents
+                       FROM events),
+            q AS (SELECT event_type,
+                     CAST(percentile_disc(0.05) WITHIN GROUP
+                          (ORDER BY cents) AS BIGINT) AS lo,
+                     CAST(percentile_disc(0.95) WITHIN GROUP
+                          (ORDER BY cents) AS BIGINT) AS hi
+                  FROM c GROUP BY event_type)
+            SELECT c.event_type,
+                   CAST(sum(LEAST(GREATEST(c.cents, q.lo), q.hi))
+                        AS BIGINT) AS sum_winsorized_cents,
+                   count(*) AS n
+            FROM c JOIN q USING (event_type)
+            GROUP BY c.event_type""",
         "sample_bottomk": """
             SELECT doc_id, source FROM documents
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "safe_udf",
     "sample_bottomk",
     "compression_ratio",
+    "winsorize",
     "tokenize_ids",
     "hopping_window",
 ]
