@@ -1999,6 +1999,18 @@ def q_connected_components(sf_dir: str):
     return connected_components(edges, "src", "dst")
 
 
+def q_event_runs(sf_dir: str):
+    """Gaps-and-islands (ops/window.py:runs_by_group): collapse each
+    user's consecutive same-type events (ordered by ts, event_id) into
+    run rows -- the vectorized replacement for LAG + cumulative-sum."""
+    from ci_log_processing_ray.ops.window import runs_by_group
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    return _ts_us(runs_by_group(ds, "user_id", ["ts", "event_id"],
+                                "event_type"))
+
+
 def q_winsorize(sf_dir: str):
     """Winsorized aggregate (outlier-robust): clamp each event's cents
     to its group's exact [p05, p95] band, then sum per group.  Two
@@ -2402,6 +2414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_bottomk": q_sample_bottomk,
         "compression_ratio": q_compression_ratio,
         "winsorize": q_winsorize,
+        "event_runs": q_event_runs,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3097,6 +3110,21 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN i2 ON i2.node = e.src
                    GROUP BY nd.node)
             SELECT node, r AS rank_fp FROM i3""",
+        "event_runs": """
+            WITH x AS (SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(event_type) OVER
+                             (PARTITION BY user_id
+                              ORDER BY ts, event_id) = event_type
+                        THEN 0 ELSE 1 END AS brk
+                  FROM events),
+            y AS (SELECT *, SUM(brk) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM x)
+            SELECT user_id, event_type,
+                   min(ts) AS valid_from, max(ts) AS last_seen,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM y GROUP BY user_id, event_type, grp""",
         "winsorize": """
             WITH c AS (SELECT event_type,
                               CAST(floor(value * 100 + 0.5) AS BIGINT)

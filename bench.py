@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "sample_bottomk",
     "compression_ratio",
     "winsorize",
+    "event_runs",
     "tokenize_ids",
     "hopping_window",
 ]

@@ -494,3 +494,46 @@ def funnel_first_conversion(
             schema=out_schema)
 
     return bucketed_groups(both, user_col, kern, n_buckets=n_buckets)
+
+
+def runs_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> ray.data.Dataset:
+    """Gaps-and-islands / run-length encoding per key: collapse
+    CONSECUTIVE rows (ordered by ``order_cols`` within ``group_col``)
+    holding the same ``value_col`` into one run row
+    (group, value, valid_from, last_seen, n_rows) -- the SCD2-interval
+    builder (and the vectorized replacement for the classic
+    LAG + cumulative-sum SQL idiom).
+
+    One coarse bucketed shuffle; the per-bucket kernel is a single sort
+    plus numpy boundary detection + segment reduceat -- no per-key
+    dispatch, no Python row loop."""
+    first_order = order_cols[0]
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col] + order_cols, kind="mergesort")
+        keys = g[group_col].to_numpy()
+        vals = g[value_col].to_numpy()
+        ts = g[first_order].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({group_col: [], value_col: [],
+                                 "valid_from": [], "last_seen": [],
+                                 "n_rows": []})
+        brk = np.r_[True, (keys[1:] != keys[:-1]) | (vals[1:] != vals[:-1])]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], n] - 1
+        return pd.DataFrame({
+            group_col: keys[starts],
+            value_col: vals[starts],
+            "valid_from": ts[starts],
+            "last_seen": ts[ends],
+            "n_rows": (ends - starts + 1).astype(np.int64)})
+
+    return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)

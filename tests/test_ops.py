@@ -1394,3 +1394,19 @@ def test_compression_ratio_separates_repetition(ray_session):
     assert out.loc[1, "ratio_milli"] > 300       # diverse text doesn't
     assert out.loc[2, "raw_bytes"] == 0          # empty doc safe
     assert (out.comp_bytes > 0).all()
+
+
+def test_runs_by_group_islands(ray_session):
+    from ci_log_processing_ray.ops.window import runs_by_group
+
+    rows = [
+        {"u": 1, "o": 1, "v": "a"}, {"u": 1, "o": 2, "v": "a"},
+        {"u": 1, "o": 3, "v": "b"}, {"u": 1, "o": 4, "v": "a"},
+        {"u": 2, "o": 1, "v": "a"},   # same value, different key ->
+    ]                                 # never merges across users
+    out = runs_by_group(
+        ray.data.from_items(rows).repartition(3), "u", ["o"], "v"
+    ).to_pandas().sort_values(["u", "valid_from"]).reset_index(drop=True)
+    got = list(zip(out.u, out.v, out.valid_from, out.last_seen, out.n_rows))
+    assert got == [(1, "a", 1, 2, 2), (1, "b", 3, 3, 1),
+                   (1, "a", 4, 4, 1), (2, "a", 1, 1, 1)]
