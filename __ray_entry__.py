@@ -1999,6 +1999,16 @@ def q_connected_components(sf_dir: str):
     return connected_components(edges, "src", "dst")
 
 
+def q_retention(sf_dir: str):
+    """Cohort retention (ops/groupagg.py:retention_cohorts): distinct
+    users per (first-active-day cohort, day offset); the exchange
+    carries distinct (user, day) pairs, never events."""
+    from ci_log_processing_ray.ops.groupagg import retention_cohorts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return _ts_us(retention_cohorts(ds, "user_id", "ts"))
+
+
 def q_event_runs(sf_dir: str):
     """Gaps-and-islands (ops/window.py:runs_by_group): collapse each
     user's consecutive same-type events (ordered by ts, event_id) into
@@ -2415,6 +2425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": q_compression_ratio,
         "winsorize": q_winsorize,
         "event_runs": q_event_runs,
+        "retention": q_retention,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3110,6 +3121,17 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN i2 ON i2.node = e.src
                    GROUP BY nd.node)
             SELECT node, r AS rank_fp FROM i3""",
+        "retention": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              date_trunc('day', ts) AS day FROM events),
+            f AS (SELECT user_id, min(day) AS cohort FROM d
+                  GROUP BY user_id)
+            SELECT f.cohort,
+                   CAST(datediff('day', f.cohort, d.day) AS BIGINT)
+                     AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM d JOIN f USING (user_id)
+            GROUP BY f.cohort, day_offset""",
         "event_runs": """
             WITH x AS (SELECT user_id, ts, event_id, event_type,
                    CASE WHEN LAG(event_type) OVER

@@ -192,3 +192,52 @@ def presence_set_op(
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
     return bucketed_groups(partials, key_cols[0], finish)
+
+
+def retention_cohorts(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    *,
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> ray.data.Dataset:
+    """Cohort retention: distinct users active per (cohort_day,
+    day_offset), where a user's cohort is their first active day.
+
+    Shape: batches pre-shrink to distinct (user, day) pairs, ONE
+    user-keyed bucketed shuffle co-locates each user's full history,
+    and the per-bucket kernel both derives cohorts (per-user min day)
+    and counts (cohort, offset) pairs LOCALLY -- each user lives
+    wholly in one bucket, so bucket partials sum to exact distinct-user
+    counts in a final tiny groupby.  The exchange carries distinct
+    (user, day) pairs, never events."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(
+            pc.cast(t[ts_col].combine_chunks(), pa.timestamp("us")),
+            unit="day")
+        tt = pa.table({user_col: t[user_col], "day": day})
+        g = tt.group_by([user_col, "day"]).aggregate([])
+        return g
+
+    pairs = ds.map_batches(day_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([user_col, "day"])
+        cohort = g.groupby(user_col)["day"].transform("min")
+        off = ((g["day"].to_numpy() - cohort.to_numpy())
+               / np.timedelta64(1, "D")).astype(np.int64)
+        out = (pd.DataFrame({"cohort": cohort.to_numpy(),
+                             "day_offset": off})
+               .value_counts(["cohort", "day_offset"])
+               .rename("n_users").reset_index())
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    partials = bucketed_groups(pairs, user_col, kern, n_buckets=n_buckets)
+    return partials.groupby(["cohort", "day_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users"))

@@ -1410,3 +1410,25 @@ def test_runs_by_group_islands(ray_session):
     got = list(zip(out.u, out.v, out.valid_from, out.last_seen, out.n_rows))
     assert got == [(1, "a", 1, 2, 2), (1, "b", 3, 3, 1),
                    (1, "a", 4, 4, 1), (2, "a", 1, 1, 1)]
+
+
+def test_retention_cohorts_counts(ray_session):
+    import datetime as dt
+
+    from ci_log_processing_ray.ops.groupagg import retention_cohorts
+
+    d0 = dt.datetime(2024, 3, 1)
+    rows = []
+    # u1: days 0,1,3 (two events day 0 -> still one distinct)
+    for off in (0, 0, 1, 3):
+        rows.append({"u": 1, "ts": d0 + dt.timedelta(days=off, hours=2)})
+    # u2: joins day 1, active day 1 and 3 (offsets 0 and 2)
+    for off in (1, 3):
+        rows.append({"u": 2, "ts": d0 + dt.timedelta(days=off)})
+    out = retention_cohorts(
+        ray.data.from_items(rows).repartition(3), "u", "ts"
+    ).to_pandas()
+    got = {(r.cohort.day, r.day_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == {(1, 0): 1, (1, 1): 1, (1, 3): 1,   # u1 cohort Mar 1
+                   (2, 0): 1, (2, 2): 1}              # u2 cohort Mar 2
