@@ -2327,6 +2327,47 @@ def q_approx_quantile(sf_dir: str):
     return pd.DataFrame({"q": qs, "estimate": est})
 
 
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE(status, priority) over orders: one distributed
+    aggregate at the finest level, the 2^d-1 super-aggregate subsets
+    re-derived locally from that driver-sized frame
+    (ops/groupagg.py:cube_counts)."""
+    from ci_log_processing_ray.ops.groupagg import cube_counts
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "cents": _cents(t["o_totalprice"]),
+        })
+
+    return cube_counts(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderstatus", "o_orderpriority"],
+        "n_orders", sum_col="cents", sum_name="total_cents")
+
+
+def q_weighted_sample(sf_dir: str):
+    """Exact-k weight-biased deterministic sample
+    (ops/curation.py:weighted_bottomk): integer priority
+    md5_60bit(doc_id) // weight, weight grows with doc length -- the
+    data-mixing primitive for quality/length-weighted corpus draws."""
+    from ci_log_processing_ray.ops.curation import weighted_bottomk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def add_w(t: pa.Table) -> pa.Table:
+        w = pc.add(pc.divide(t["n_chars"].combine_chunks(), 64), 1)
+        return t.append_column("w", pc.cast(w, pa.int64()))
+
+    return weighted_bottomk(
+        ds.map_batches(add_w, batch_format="pyarrow", zero_copy_batch=True),
+        "doc_id", "w", 100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -2426,6 +2467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": q_winsorize,
         "event_runs": q_event_runs,
         "retention": q_retention,
+        "cube": q_cube,
+        "weighted_sample": q_weighted_sample,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3121,6 +3164,20 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN i2 ON i2.node = e.src
                    GROUP BY nd.node)
             SELECT node, r AS rank_fp FROM i3""",
+        "cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+        "weighted_sample": """
+            SELECT doc_id, n_chars, w, priority FROM (
+                SELECT doc_id, n_chars, (n_chars // 64 + 1) AS w,
+                       CAST(concat('0x',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) // (n_chars // 64 + 1) AS priority
+                FROM documents)
+            ORDER BY priority, doc_id LIMIT 100""",
         "retention": """
             WITH d AS (SELECT DISTINCT user_id,
                               date_trunc('day', ts) AS day FROM events),

@@ -437,3 +437,44 @@ def bottomk_by_hash(
     cand = ds.map_batches(local_bottomk, batch_format="pyarrow",
                           zero_copy_batch=True)
     return cand.sort(["_h", key_col]).limit(k).drop_columns(["_h"])
+
+
+def weighted_bottomk(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "",
+) -> ray.data.Dataset:
+    """EXACT-k deterministic weight-biased sample: keep the k rows with
+    the smallest integer priority ``md5_60bit(salt + str(key)) // w``
+    (tie-broken by key) -- a Cohen-Kaplan bottom-k sketch with rank
+    h/w, done in pure int64 so both engines agree bit-for-bit
+    (SQL: ``('0x' || substr(md5(key),1,15))::BIGINT // w``).  Larger
+    integer weights shrink the priority, so selection probability grows
+    ~proportionally with weight for k << n; reruns and repartitions
+    return the identical sample.
+
+    Scale shape is the same as :func:`bottomk_by_hash`: each batch
+    keeps its LOCAL bottom-k, so at most k rows per block reach the
+    closing sort+limit.  Weights must be int >= 1 (caller clamps)."""
+    import hashlib
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (int(hashlib.md5((salt + str(v)).encode()).hexdigest()[:15], 16)
+             for v in t[key_col].to_pylist()),
+            dtype=np.int64, count=len(t))
+        w = t[weight_col].to_numpy().astype(np.int64)
+        if len(w) and w.min() < 1:
+            raise ValueError("weights must be >= 1")
+        rank = h // w
+        order = np.lexsort((t[key_col].to_numpy(), rank))[:k]
+        kept = t.take(pa.array(order))
+        return kept.append_column(
+            "priority", pa.array(rank[order], type=pa.int64()))
+
+    cand = ds.map_batches(local_bottomk, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return cand.sort(["priority", key_col]).limit(k)

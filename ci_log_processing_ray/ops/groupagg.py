@@ -120,6 +120,50 @@ def rollup_counts(
         drop=True)
 
 
+def cube_counts(
+    ds: ray.data.Dataset,
+    dims: list[str],
+    count_name: str,
+    sum_col: str | None = None,
+    sum_name: str | None = None,
+) -> pd.DataFrame:
+    """SQL ``GROUP BY CUBE(dims...)``: aggregates for every subset of
+    the dims, super-aggregate rows carrying NULL for absent dims.
+
+    Same single-shuffle plan as :func:`rollup_counts`: ONE distributed
+    aggregate at the finest level (cardinality = product of dim
+    cardinalities, driver-sized by construction), then each of the
+    2^d - 1 coarser subsets re-aggregates that small frame locally --
+    the data is scanned once no matter how many subsets CUBE expands
+    to."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Count, Sum
+
+    aggs = [Count(alias_name=count_name)]
+    if sum_col:
+        aggs.append(Sum(sum_col, alias_name=sum_name or f"sum_{sum_col}"))
+    finest = ds.groupby(dims).aggregate(*aggs).to_pandas()
+    val_cols = [c for c in finest.columns if c not in dims]
+    levels = [finest]
+    for r in range(len(dims) - 1, -1, -1):
+        for keep in combinations(dims, r):
+            keep = list(keep)
+            if keep:
+                g = finest.groupby(keep, as_index=False)[val_cols].sum()
+            else:
+                g = finest[val_cols].sum().to_frame().T
+            for d in dims:
+                if d not in keep:
+                    g[d] = None
+            levels.append(g[dims + val_cols])
+    out = pd.concat(levels, ignore_index=True)[dims + val_cols]
+    for c in val_cols:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(dims + val_cols, na_position="first").reset_index(
+        drop=True)
+
+
 def last_by_group(
     ds: ray.data.Dataset,
     group_cols: str | list[str],

@@ -1432,3 +1432,34 @@ def test_retention_cohorts_counts(ray_session):
            for r in out.itertuples()}
     assert got == {(1, 0): 1, (1, 1): 1, (1, 3): 1,   # u1 cohort Mar 1
                    (2, 0): 1, (2, 2): 1}              # u2 cohort Mar 2
+
+
+def test_cube_counts_all_subsets(ray_session):
+    from ci_log_processing_ray.ops.groupagg import cube_counts
+
+    rows = [{"a": "x", "b": "p", "v": 1}, {"a": "x", "b": "q", "v": 2},
+            {"a": "y", "b": "p", "v": 4}]
+    out = cube_counts(ray.data.from_items(rows).repartition(2),
+                      ["a", "b"], "n", sum_col="v", sum_name="sv")
+    got = {(r.a, r.b): (r.n, r.sv) for r in out.itertuples()}
+    assert got[("x", "p")] == (1, 1) and got[("x", "q")] == (1, 2)
+    assert got[("x", None)] == (2, 3)       # rollup level a
+    assert got[(None, "p")] == (2, 5)       # CUBE-only level b
+    assert got[(None, None)] == (3, 7)      # grand total
+    assert len(got) == 3 + 2 + 2 + 1
+
+
+def test_weighted_bottomk_bias_and_determinism(ray_session):
+    from ci_log_processing_ray.ops.curation import weighted_bottomk
+
+    rows = [{"k": i, "w": 1000 if i < 50 else 1} for i in range(1000)]
+    a = weighted_bottomk(
+        ray.data.from_items(rows).repartition(4), "k", "w", 40).to_pandas()
+    b = weighted_bottomk(
+        ray.data.from_items(rows).repartition(9), "k", "w", 40).to_pandas()
+    # heavy keys (w=1000, 5% of rows) dominate the sample
+    assert (a.k < 50).sum() >= 30
+    assert len(a) == 40
+    # partition-invariant and sorted by priority
+    assert a.k.tolist() == b.k.tolist()
+    assert a.priority.is_monotonic_increasing
