@@ -2350,6 +2350,37 @@ def q_cube(sf_dir: str):
         "n_orders", sum_col="cents", sum_name="total_cents")
 
 
+def q_interval_overlap(sf_dir: str):
+    """Interval-overlap self join (ops/relational.py): concurrent
+    shipping windows [shipdate, shipdate + quantity days] of the same
+    part -- key-hash bucketed co-partition, vectorized searchsorted
+    pair sweep, each unordered pair emitted exactly once."""
+    from ci_log_processing_ray.ops.relational import interval_overlap_join
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_orderkey", "l_linenumber", "l_quantity",
+                "l_shipdate"])
+
+    def win(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["l_shipdate"].combine_chunks(), pa.timestamp("us"))
+        days = pc.cast(pc.round(t["l_quantity"].combine_chunks()),
+                       pa.int64())
+        e = pc.cast(pc.add(pc.cast(s, pa.int64()),
+                           pc.multiply(days, 86_400_000_000)),
+                    pa.timestamp("us"))
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": pc.cast(t["l_linenumber"].combine_chunks(),
+                                    pa.int64()),
+            "s": s, "e": e,
+        })
+
+    return interval_overlap_join(
+        ds.map_batches(win, batch_format="pyarrow", zero_copy_batch=True),
+        "l_partkey", "s", "e", ["l_orderkey", "l_linenumber"])
+
+
 def q_weighted_sample(sf_dir: str):
     """Exact-k weight-biased deterministic sample
     (ops/curation.py:weighted_bottomk): integer priority
@@ -2468,6 +2499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_runs": q_event_runs,
         "retention": q_retention,
         "cube": q_cube,
+        "interval_overlap": q_interval_overlap,
         "weighted_sample": q_weighted_sample,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
@@ -3170,6 +3202,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
                         AS BIGINT) AS total_cents
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+        "interval_overlap": """
+            WITH l AS (SELECT l_partkey k, l_orderkey ok,
+                              CAST(l_linenumber AS BIGINT) ln,
+                              l_shipdate s,
+                              l_shipdate + INTERVAL (CAST(l_quantity AS INT))
+                                DAY AS e
+                       FROM lineitem)
+            SELECT a.k AS l_partkey,
+                   a.ok AS a_l_orderkey, a.ln AS a_l_linenumber,
+                   b.ok AS b_l_orderkey, b.ln AS b_l_linenumber,
+                   CAST(datediff('day', greatest(a.s, b.s),
+                                 least(a.e, b.e)) AS BIGINT) AS overlap_days
+            FROM l a JOIN l b
+              ON a.k = b.k AND (a.ok, a.ln) < (b.ok, b.ln)
+             AND a.s <= b.e AND b.s <= a.e""",
         "weighted_sample": """
             SELECT doc_id, n_chars, w, priority FROM (
                 SELECT doc_id, n_chars, (n_chars // 64 + 1) AS w,

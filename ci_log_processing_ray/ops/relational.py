@@ -364,3 +364,87 @@ def salted_join(
     return salted_fact.join(
         salted_dim, "inner", num_partitions=n_part,
         on=(fact_key, "_salt"), right_on=(dim_key, "_salt"))
+
+
+def interval_overlap_join(
+    ds: ray.data.Dataset,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_cols: list[str],
+    *,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Key-equality + interval-overlap SELF join: every unordered pair
+    of rows sharing ``key_col`` whose closed ``[start, end]`` windows
+    intersect, emitted once with the pair canonicalized by the
+    ``id_cols`` tuple (a_* < b_*) plus the integer overlap length in
+    days.  The SQL shape is ``a JOIN b ON a.key = b.key AND
+    (a.ids) < (b.ids) AND a.start <= b.end AND b.start <= a.end``.
+
+    Scale shape: ONE coarse key-hash bucketed shuffle co-locates each
+    key's intervals (ops/window.py:bucketed_groups -- no per-key
+    dispatch); inside a bucket the kernel sorts by (key, start) once
+    and finds every partner with a single vectorized searchsorted over
+    segment-offset-encoded starts: within a start-sorted segment, row i
+    overlaps exactly the rows i+1..upper_i where upper_i is the last
+    start <= end_i, so candidate generation is repeat+arange -- no
+    per-row or per-key Python, and no candidate ever crosses a bucket.
+    Output cardinality is sum over keys of the true overlap count, so a
+    hot key with n co-keyed intervals costs O(n log n + pairs); salt on
+    a time grid if one key's intervals exceed a worker."""
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, start_col] + id_cols,
+                          kind="mergesort", ignore_index=True)
+        start = g[start_col].to_numpy().astype("datetime64[D]").astype(np.int64)
+        end = g[end_col].to_numpy().astype("datetime64[D]").astype(np.int64)
+        # segment id per distinct key, in sorted order
+        keys = g[key_col].to_numpy()
+        new_seg = np.empty(len(g), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = keys[1:] != keys[:-1]
+        seg = np.cumsum(new_seg) - 1
+        # offset-encode so one global searchsorted respects segments:
+        # values within a segment stay sorted, segments never interleave
+        # (re-based to >= 0 so pre-epoch dates cannot cross segments)
+        base = start.min() if len(start) else 0
+        enc = seg * (1 << 33) + (start - base)
+        upper = np.searchsorted(enc, seg * (1 << 33) + (end - base),
+                                side="right")
+        i0 = np.arange(len(g), dtype=np.int64)
+        cnt = np.maximum(upper - (i0 + 1), 0)
+        li = np.repeat(i0, cnt)
+        offs = np.concatenate([[0], np.cumsum(cnt)])
+        ri = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+            offs[:-1], cnt) + li + 1
+        if len(li) == 0:
+            cols = {key_col: keys[:0]}
+            for p in ("a", "b"):
+                for c in id_cols:
+                    cols[f"{p}_{c}"] = g[c].to_numpy()[:0]
+            cols["overlap_days"] = np.array([], np.int64)
+            return pd.DataFrame(cols)
+        # canonical order by id tuple (sort order guarantees start_li <=
+        # start_ri but not id order)
+        swap = np.zeros(len(li), dtype=bool)
+        undecided = np.ones(len(li), dtype=bool)
+        for c in id_cols:
+            v = g[c].to_numpy()
+            swap |= undecided & (v[li] > v[ri])
+            undecided &= v[li] == v[ri]
+        ai = np.where(swap, ri, li)
+        bi = np.where(swap, li, ri)
+        ov = (np.minimum(end[li], end[ri])
+              - np.maximum(start[li], start[ri]))
+        cols = {key_col: keys[li]}
+        for p, idx in (("a", ai), ("b", bi)):
+            for c in id_cols:
+                cols[f"{p}_{c}"] = g[c].to_numpy()[idx]
+        cols["overlap_days"] = ov
+        return pd.DataFrame(cols)
+
+    from .window import DEFAULT_GROUP_BUCKETS, bucketed_groups
+
+    return bucketed_groups(ds, key_col, kern,
+                           n_buckets=n_buckets or DEFAULT_GROUP_BUCKETS)

@@ -1463,3 +1463,30 @@ def test_weighted_bottomk_bias_and_determinism(ray_session):
     # partition-invariant and sorted by priority
     assert a.k.tolist() == b.k.tolist()
     assert a.priority.is_monotonic_increasing
+
+
+def test_interval_overlap_join_pairs(ray_session):
+    import datetime as dt
+
+    from ci_log_processing_ray.ops.relational import interval_overlap_join
+
+    D = lambda d: dt.datetime(2024, 1, d)
+    rows = [
+        # key 1: a=(9,1) starts first but has the LARGER id than (3,1):
+        # canonicalization must swap.  [1,5] and [3,9] overlap (3 days
+        # shared: 3..5); [12,13] touches nothing.
+        {"k": 1, "ok": 9, "ln": 1, "s": D(1), "e": D(5)},
+        {"k": 1, "ok": 3, "ln": 1, "s": D(3), "e": D(9)},
+        {"k": 1, "ok": 5, "ln": 2, "s": D(12), "e": D(13)},
+        # closed-interval touch: [5,7] meets [7,8] at exactly day 7
+        {"k": 2, "ok": 1, "ln": 1, "s": D(5), "e": D(7)},
+        {"k": 2, "ok": 2, "ln": 1, "s": D(7), "e": D(8)},
+        # same window on another key: never pairs across keys
+        {"k": 3, "ok": 1, "ln": 1, "s": D(1), "e": D(31)},
+    ]
+    out = interval_overlap_join(
+        ray.data.from_items(rows).repartition(3), "k", "s", "e",
+        ["ok", "ln"]).to_pandas().sort_values(["k"]).reset_index(drop=True)
+    got = [(r.k, r.a_ok, r.a_ln, r.b_ok, r.b_ln, r.overlap_days)
+           for r in out.itertuples()]
+    assert got == [(1, 3, 1, 9, 1, 2), (2, 1, 1, 2, 1, 0)]
