@@ -2381,6 +2381,16 @@ def q_interval_overlap(sf_dir: str):
         "l_partkey", "s", "e", ["l_orderkey", "l_linenumber"])
 
 
+def q_inverted_index(sf_dir: str):
+    """Distinctive-phrase inverted index (ops/textstats.py): posting
+    lists for word-bigram terms appearing in 2..20 docs; the exchange
+    carries distinct (term, doc) pairs, never text."""
+    from ci_log_processing_ray.ops.textstats import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(ds, "text", "doc_id", n=2, min_df=2, max_df=20)
+
+
 def q_weighted_sample(sf_dir: str):
     """Exact-k weight-biased deterministic sample
     (ops/curation.py:weighted_bottomk): integer priority
@@ -2500,6 +2510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": q_retention,
         "cube": q_cube,
         "interval_overlap": q_interval_overlap,
+        "inverted_index": q_inverted_index,
         "weighted_sample": q_weighted_sample,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
@@ -3217,6 +3228,20 @@ def oracle_sql() -> dict[str, str]:
             FROM l a JOIN l b
               ON a.k = b.k AND (a.ok, a.ln) < (b.ok, b.ln)
              AND a.s <= b.e AND b.s <= a.e""",
+        "inverted_index": """
+            WITH l AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(text),
+                                '[^a-z0-9_]+'), x -> x != '') AS w
+                FROM documents),
+            b AS (SELECT DISTINCT doc_id, u.g FROM l,
+                  LATERAL (SELECT unnest(list_zip(w, w[2:])) AS g) u
+                  WHERE u.g[2] IS NOT NULL),
+            p AS (SELECT concat(g[1], ' ', g[2]) AS term,
+                         count(*) AS df,
+                         string_agg(CAST(doc_id AS VARCHAR), ','
+                                    ORDER BY doc_id) AS postings
+                  FROM b GROUP BY term)
+            SELECT term, df, postings FROM p WHERE df BETWEEN 2 AND 20""",
         "weighted_sample": """
             SELECT doc_id, n_chars, w, priority FROM (
                 SELECT doc_id, n_chars, (n_chars // 64 + 1) AS w,

@@ -323,3 +323,70 @@ def compression_ratio(
             "ratio_milli": pa.array(comp * 1000 // safe_raw)})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def inverted_index(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 1,
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> ray.data.Dataset:
+    """Inverted-index (posting-list) build: for every word ``n``-gram
+    term, its document frequency and the comma-joined posting list of
+    doc ids in ascending numeric order -- the retrieval/attribution
+    primitive (SQL: ``string_agg(id, ',' ORDER BY id)`` over distinct
+    (term, doc) pairs).
+
+    Scale shape: each batch pre-shrinks to DISTINCT (term, doc) pairs
+    (curation's vectorized n-gram gather), so the term-hash bucketed
+    exchange carries at most one row per (term, doc) -- never raw text.
+    Inside a bucket the posting assembly is one sort + boundary diff +
+    Arrow ``binary_join``: no per-term Python.  ``min_df``/``max_df``
+    bound the output (and a real deployment's max_df caps the hot-term
+    posting length -- document frequency of stopword-grade terms makes
+    their postings useless for retrieval anyway); the df filter runs
+    per bucket, exact because a term lives wholly in one bucket."""
+    from .curation import _doc_ngrams
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        d = _doc_ngrams(t[text_col], ids, n)
+        return pa.table({"term": pa.array(d["gram"], type=pa.string()),
+                         "id": pa.array(d["id"], type=pa.int64())})
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["term", "id"])
+              .sort_values(["term", "id"], ignore_index=True))
+        if len(g) == 0:
+            return pd.DataFrame({"term": np.array([], object),
+                                 "df": np.array([], np.int64),
+                                 "postings": np.array([], object)})
+        terms = g["term"].to_numpy()
+        change = np.empty(len(g), dtype=bool)
+        change[0] = True
+        change[1:] = terms[1:] != terms[:-1]
+        starts = np.flatnonzero(change)
+        offs = np.concatenate([starts, [len(g)]]).astype(np.int32)
+        ids_str = pc.cast(pa.array(g["id"].to_numpy()), pa.string())
+        postings = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs), ids_str), ",")
+        df = np.diff(offs).astype(np.int64)
+        out = pd.DataFrame({
+            "term": terms[starts],
+            "df": df,
+            "postings": postings.to_numpy(zero_copy_only=False),
+        })
+        keep = out["df"] >= min_df
+        if max_df is not None:
+            keep &= out["df"] <= max_df
+        return out[keep].reset_index(drop=True)
+
+    from .window import bucketed_groups
+
+    return bucketed_groups(pairs, "term", kern)

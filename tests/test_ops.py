@@ -1490,3 +1490,20 @@ def test_interval_overlap_join_pairs(ray_session):
     got = [(r.k, r.a_ok, r.a_ln, r.b_ok, r.b_ln, r.overlap_days)
            for r in out.itertuples()]
     assert got == [(1, 3, 1, 9, 1, 2), (2, 1, 1, 2, 1, 0)]
+
+
+def test_inverted_index_postings(ray_session):
+    from ci_log_processing_ray.ops.textstats import inverted_index
+
+    rows = [{"id": 3, "t": "red fox"}, {"id": 1, "t": "red fox red fox"},
+            {"id": 2, "t": "blue fox"}, {"id": 4, "t": ""}]
+    out = inverted_index(
+        ray.data.from_items(rows).repartition(3), "t", "id",
+        n=1).to_pandas()
+    got = {r.term: (r.df, r.postings) for r in out.itertuples()}
+    # repeats within a doc count once; postings numeric-ascending
+    assert got == {"red": (2, "1,3"), "fox": (3, "1,2,3"),
+                   "blue": (1, "2")}
+    capped = inverted_index(ray.data.from_items(rows), "t", "id",
+                            n=1, min_df=2, max_df=2).to_pandas()
+    assert set(capped.term) == {"red"}
