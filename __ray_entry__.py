@@ -2391,6 +2391,17 @@ def q_inverted_index(sf_dir: str):
     return inverted_index(ds, "text", "doc_id", n=2, min_df=2, max_df=20)
 
 
+def q_next_word(sf_dir: str):
+    """Bigram next-word model (ops/textstats.py:next_word_model): per
+    first word, top-3 continuations by corpus bigram count with exact
+    integer permille conditional probability; the exchange carries
+    per-block (w1, w2, n) partials, never the token stream."""
+    from ci_log_processing_ray.ops.textstats import next_word_model
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return next_word_model(ds, "text", k=3)
+
+
 def q_weighted_sample(sf_dir: str):
     """Exact-k weight-biased deterministic sample
     (ops/curation.py:weighted_bottomk): integer priority
@@ -2511,6 +2522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube": q_cube,
         "interval_overlap": q_interval_overlap,
         "inverted_index": q_inverted_index,
+        "next_word": q_next_word,
         "weighted_sample": q_weighted_sample,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
@@ -3242,6 +3254,24 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY doc_id) AS postings
                   FROM b GROUP BY term)
             SELECT term, df, postings FROM p WHERE df BETWEEN 2 AND 20""",
+        "next_word": """
+            WITH l AS (SELECT list_filter(string_split_regex(lower(text),
+                                '[^a-z0-9_]+'), x -> x != '') AS w
+                FROM documents),
+            b AS (SELECT u.g[1] AS w1, u.g[2] AS w2 FROM l,
+                  LATERAL (SELECT unnest(list_zip(w, w[2:])) AS g) u
+                  WHERE u.g[2] IS NOT NULL),
+            c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+                  FROM b GROUP BY w1, w2),
+            t AS (SELECT *,
+                         CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT)
+                           AS total,
+                         ROW_NUMBER() OVER (PARTITION BY w1
+                                            ORDER BY n DESC, w2) AS rk
+                  FROM c)
+            SELECT w1, w2, n, total,
+                   CAST(1000 * n // total AS BIGINT) AS p_permille
+            FROM t WHERE rk <= 3""",
         "weighted_sample": """
             SELECT doc_id, n_chars, w, priority FROM (
                 SELECT doc_id, n_chars, (n_chars // 64 + 1) AS w,

@@ -390,3 +390,58 @@ def inverted_index(
     from .window import bucketed_groups
 
     return bucketed_groups(pairs, "term", kern)
+
+
+def next_word_model(
+    ds: ray.data.Dataset,
+    text_col: str,
+    *,
+    k: int = 3,
+) -> ray.data.Dataset:
+    """Bigram language-model table: for every word w1, the top-``k``
+    next words by corpus bigram count (ties by w2 ascending) with the
+    count, w1's total continuation count, and the integer permille
+    conditional probability ``1000*n // total`` -- exact in int64 on
+    both engines.
+
+    Scale shape: bigram extraction is adjacent-pair slicing of the
+    flat word stream (doc-boundary pairs masked out -- no window
+    materialization), each batch pre-aggregates (w1, w2) counts, so
+    the ONE w1-hash bucketed exchange is bounded by distinct bigrams
+    per block, never tokens; the top-k/total kernel is a C-level sort +
+    cumcount per bucket."""
+    from .curation import _word_stream
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, n_words = _word_stream(t[text_col])
+        if len(flat) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        starts = np.cumsum(n_words)[:-1]  # doc start offsets after the 1st
+        valid[starts[(starts > 0) & (starts <= len(valid))] - 1] = False
+        idx = np.flatnonzero(valid)
+        tt = pa.table({"w1": flat.take(pa.array(idx)),
+                       "w2": flat.take(pa.array(idx + 1)),
+                       "n": pa.array(np.ones(len(idx), np.int64))})
+        g = tt.group_by(["w1", "w2"]).aggregate([("n", "sum")])
+        return pa.table({"w1": g["w1"], "w2": g["w2"], "n": g["n_sum"]})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["w1", "w2"], sort=False, as_index=False)["n"].sum()
+        g["total"] = g.groupby("w1", sort=False)["n"].transform("sum")
+        g = g.sort_values(["w1", "n", "w2"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g[g.groupby("w1", sort=False).cumcount() < k]
+        g["n"] = g["n"].astype(np.int64)
+        g["total"] = g["total"].astype(np.int64)
+        g["p_permille"] = 1000 * g["n"] // g["total"]
+        return g.reset_index(drop=True)
+
+    from .window import bucketed_groups
+
+    return bucketed_groups(counts, "w1", kern)

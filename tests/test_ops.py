@@ -1507,3 +1507,32 @@ def test_inverted_index_postings(ray_session):
     capped = inverted_index(ray.data.from_items(rows), "t", "id",
                             n=1, min_df=2, max_df=2).to_pandas()
     assert set(capped.term) == {"red"}
+
+
+def test_next_word_model(ray_session):
+    from ci_log_processing_ray.ops.textstats import next_word_model
+
+    rows = [
+        {"t": "the cat sat"},          # the->cat, cat->sat
+        {"t": "the cat ran"},          # the->cat, cat->ran
+        {"t": "the dog"},              # the->dog
+        {"t": "the ant"},              # the->ant (tie with dog: w2 asc)
+        {"t": ""},                     # empty doc between others
+        {"t": "sat the"},              # sat->the; no pair crosses docs
+    ]
+    out = next_word_model(
+        ray.data.from_items(rows).repartition(3), "t", k=2).to_pandas()
+    got = {(r.w1, r.w2): (r.n, r.total, r.p_permille)
+           for r in out.itertuples()}
+    # 'the' has 5 continuations: cat x2, ant, dog; k=2 keeps cat then
+    # the tie broken by w2 ascending (ant before dog)
+    assert got[("the", "cat")] == (2, 4, 500)
+    assert got[("the", "ant")] == (1, 4, 250)
+    assert ("the", "dog") not in got
+    assert got[("cat", "ran")] == (1, 2, 500)
+    assert got[("cat", "sat")] == (1, 2, 500)
+    assert got[("sat", "the")] == (1, 1, 1000)
+    # doc boundaries masked: 'ran'->'the', 'sat'(doc1)->'the'(doc2) absent
+    assert ("ran", "the") not in got and ("ant", "sat") not in got
+    w1s = set(out.w1)
+    assert "ran" not in w1s and "ant" not in w1s
