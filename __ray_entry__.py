@@ -2420,6 +2420,56 @@ def q_weighted_sample(sf_dir: str):
         "doc_id", "w", 100)
 
 
+def q_melt(sf_dir: str):
+    """Wide-to-long unpivot (ops/reshape.py:melt): four lineitem money
+    columns become (variable, value) rows via zero-copy column slices
+    per block -- SQL UNPIVOT with no shuffle and no row loop."""
+    from ci_log_processing_ray.ops.reshape import melt
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": pc.cast(t["l_linenumber"].combine_chunks(),
+                                    pa.int64()),
+            "price_cents": _cents(t["l_extendedprice"]),
+            "disc_cents": _cents(t["l_discount"]),
+            "tax_cents": _cents(t["l_tax"]),
+            "qty_cents": _cents(t["l_quantity"]),
+        })
+
+    return melt(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey", "l_linenumber"],
+        ["price_cents", "disc_cents", "tax_cents", "qty_cents"])
+
+
+def q_corr_stats(sf_dir: str):
+    """Grouped covariance/OLS sufficient statistics
+    (ops/groupagg.py:corr_suffstats_by_group): exact int64
+    (n, sum_x, sum_y, sum_xx, sum_yy, sum_xy) per return flag over
+    (quantity, discount-cents) -- combiner partials per block, one
+    bounded exchange."""
+    from ci_log_processing_ray.ops.groupagg import corr_suffstats_by_group
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "x": pc.cast(t["l_quantity"].combine_chunks(), pa.int64()),
+            "y": _cents(t["l_discount"]),
+        })
+
+    return corr_suffstats_by_group(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "l_returnflag", "x", "y")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -2524,6 +2574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "next_word": q_next_word,
         "weighted_sample": q_weighted_sample,
+        "melt": q_melt,
+        "corr_stats": q_corr_stats,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3280,6 +3332,41 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) // (n_chars // 64 + 1) AS priority
                 FROM documents)
             ORDER BY priority, doc_id LIMIT 100""",
+        "melt": """
+            WITH b AS (SELECT l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                     AS price_cents,
+                   CAST(floor(l_discount*100 + 0.5) AS BIGINT)
+                     AS disc_cents,
+                   CAST(floor(l_tax*100 + 0.5) AS BIGINT) AS tax_cents,
+                   CAST(floor(l_quantity*100 + 0.5) AS BIGINT)
+                     AS qty_cents
+                FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   'price_cents' AS variable, price_cents AS value FROM b
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'disc_cents', disc_cents FROM b
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'tax_cents', tax_cents FROM b
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'qty_cents', qty_cents FROM b""",
+        "corr_stats": """
+            WITH b AS (SELECT l_returnflag,
+                    CAST(l_quantity AS BIGINT) AS x,
+                    CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS y
+                FROM lineitem)
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(y) AS BIGINT) AS sum_y,
+                   CAST(sum(x*x) AS BIGINT) AS sum_xx,
+                   CAST(sum(y*y) AS BIGINT) AS sum_yy,
+                   CAST(sum(x*y) AS BIGINT) AS sum_xy
+            FROM b GROUP BY l_returnflag""",
         "retention": """
             WITH d AS (SELECT DISTINCT user_id,
                               date_trunc('day', ts) AS day FROM events),

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -162,6 +163,53 @@ def cube_counts(
         out[c] = out[c].astype(np.int64)
     return out.sort_values(dims + val_cols, na_position="first").reset_index(
         drop=True)
+
+
+def corr_suffstats_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> ray.data.Dataset:
+    """Exact sufficient statistics for covariance / correlation / OLS
+    per group: ``n, sum_x, sum_y, sum_xx, sum_yy, sum_xy`` -- all int64,
+    so the result is bit-exact and order-independent (float covariance
+    depends on reduction order and would break cross-engine hashing).
+    Callers derive the moments downstream: ``cov*n^2 = n*sxy - sx*sy``,
+    ``var_x*n^2 = n*sxx - sx^2``, slope = cov/var_x, etc.
+
+    Inputs must be integer-valued (floor/round upstream); the op casts
+    to int64 and fails loudly on fractional values rather than silently
+    truncating.
+
+    Scale shape: each block pre-aggregates to one row per distinct key
+    (seven int64s), so the single exchange is bounded by per-block key
+    cardinality -- the classic combiner plan; partials merge by plain
+    summation at any tree depth."""
+    from ray.data.aggregate import Sum
+
+    stat_cols = ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[x_col].combine_chunks(), pa.int64())
+        y = pc.cast(t[y_col].combine_chunks(), pa.int64())
+        tt = pa.table({
+            group_col: t[group_col],
+            "n": pa.array(np.ones(len(t), np.int64)),
+            "sum_x": x, "sum_y": y,
+            "sum_xx": pc.multiply_checked(x, x),
+            "sum_yy": pc.multiply_checked(y, y),
+            "sum_xy": pc.multiply_checked(x, y),
+        })
+        g = tt.group_by([group_col]).aggregate(
+            [(c, "sum") for c in stat_cols])
+        return pa.table({group_col: g[group_col],
+                         **{c: g[f"{c}_sum"] for c in stat_cols}})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.groupby(group_col).aggregate(
+        *[Sum(c, alias_name=c) for c in stat_cols])
 
 
 def last_by_group(

@@ -53,6 +53,34 @@ def explode_table(
     return pa.table(cols)
 
 
+def melt(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """Unpivot wide columns into (variable, value) rows -- SQL UNPIVOT /
+    pandas ``melt``.  Every ``value_cols`` entry must share one type.
+
+    Pure batch-local map: each block emits ``len(value_cols)`` zero-copy
+    column slices stacked with ``pa.concat_tables`` -- no shuffle, no
+    row loop, so it streams at any scale and output size is exactly
+    ``n_value_cols`` x input rows."""
+
+    def m(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: t[k] for k in id_cols}
+            cols[var_name] = pa.repeat(pa.scalar(c, pa.string()), len(t))
+            cols[value_name] = t[c]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(m, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def explode_list(
     ds: ray.data.Dataset,
     list_col: str,

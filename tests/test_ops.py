@@ -1536,3 +1536,34 @@ def test_next_word_model(ray_session):
     assert ("ran", "the") not in got and ("ant", "sat") not in got
     w1s = set(out.w1)
     assert "ran" not in w1s and "ant" not in w1s
+
+
+def test_melt_unpivot(ray_session):
+    from ci_log_processing_ray.ops.reshape import melt
+
+    rows = [{"id": 1, "a": 10, "b": 20}, {"id": 2, "a": 30, "b": 40}]
+    out = melt(ray.data.from_items(rows).repartition(2),
+               ["id"], ["a", "b"]).to_pandas()
+    got = {(r.id, r.variable): r.value for r in out.itertuples()}
+    assert got == {(1, "a"): 10, (1, "b"): 20, (2, "a"): 30, (2, "b"): 40}
+    assert len(out) == 4
+    assert list(out.columns) == ["id", "variable", "value"]
+
+
+def test_corr_suffstats_exact_and_partition_invariant(ray_session):
+    from ci_log_processing_ray.ops.groupagg import corr_suffstats_by_group
+
+    rows = [{"g": "a", "x": 1, "y": 2}, {"g": "a", "x": 3, "y": 5},
+            {"g": "b", "x": -2, "y": 7}]
+    for nparts in (1, 3):
+        out = corr_suffstats_by_group(
+            ray.data.from_items(rows).repartition(nparts),
+            "g", "x", "y").to_pandas().set_index("g")
+        a = out.loc["a"]
+        assert (a.n, a.sum_x, a.sum_y) == (2, 4, 7)
+        assert (a.sum_xx, a.sum_yy, a.sum_xy) == (10, 29, 17)
+        b = out.loc["b"]
+        assert (b.n, b.sum_x, b.sum_y, b.sum_xx, b.sum_yy, b.sum_xy) == \
+            (1, -2, 7, 4, 49, -14)
+        # derived slope for g=a: cov*n = n*sxy - sx*sy = 34-28 = 6
+        assert a.n * a.sum_xy - a.sum_x * a.sum_y == 6
