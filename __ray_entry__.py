@@ -2470,6 +2470,124 @@ def q_corr_stats(sf_dir: str):
         "l_returnflag", "x", "y")
 
 
+def q_minmax_scale(sf_dir: str):
+    """Per-group min-max feature scaling
+    (ops/groupagg.py:minmax_scale_by_group): each event's cents mapped
+    to exact integer permille of its event_type's [min, max] band --
+    tiny (group, min, max) aggregate broadcast once, then a pure map."""
+    from ci_log_processing_ray.ops.groupagg import minmax_scale_by_group
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "cents": _cents(t["value"]),
+        })
+
+    return minmax_scale_by_group(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "cents", out_col="scaled_permille")
+
+
+def q_row_number(sf_dir: str):
+    """Exact global ROW_NUMBER over (o_orderdate, o_orderkey) without a
+    global sort (ops/window.py:row_number_global): equi-width range
+    buckets on the date + driver prefix-sum of per-bucket counts +
+    per-bucket sort with broadcast offsets -- the zip-with-index
+    primitive."""
+    from ci_log_processing_ray.ops.window import row_number_global
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "date_us": pc.cast(
+                pc.cast(t["o_orderdate"].combine_chunks(),
+                        pa.timestamp("us")), pa.int64()),
+        })
+
+    return row_number_global(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "date_us", tie_cols=["o_orderkey"])
+
+
+def q_edit1_pairs(sf_dir: str):
+    """Spelling-variant detection (ops/curation.py:edit1_pairs): all
+    distinct part-name pairs at edit distance exactly 1 via SymSpell
+    deletion-neighborhood blocking -- candidate space is
+    O(vocab x len), never vocab^2, with an exact per-candidate verify."""
+    from ci_log_processing_ray.ops.curation import edit1_pairs
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    return edit1_pairs(ds, "p_name")
+
+
+def q_lm_score(sf_dir: str):
+    """Bigram-LM document quality scoring
+    (ops/textstats.py:score_docs_bigram): train corpus bigram permille
+    probabilities (vocabulary-sized exchange), broadcast once, score
+    every doc by mean bigram permille in a pure map -- the model-based
+    fluency gate of a pretraining pipeline, exact in int64."""
+    from ci_log_processing_ray.ops.textstats import score_docs_bigram
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return score_docs_bigram(ds, "text", "doc_id")
+
+
+def q_contract(sf_dir: str):
+    """Data-quality contract gate (ops/profile.py:check_contract):
+    vectorized violation predicates fold into one shared streaming
+    count pass; the primary-key uniqueness rule adds one distinct-key
+    exchange of per-block pre-aggregates."""
+    from ci_log_processing_ray.ops.profile import check_contract
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                "l_shipdate"])
+    rules = {
+        "qty_gt_45": lambda t: pc.greater(t["l_quantity"], 45.0),
+        "disc_over_5pct": lambda t: pc.greater(t["l_discount"], 0.05),
+        "shipdate_null": lambda t: pc.is_null(t["l_shipdate"]),
+    }
+    return check_contract(
+        ds, rules,
+        unique_keys={"pk_unique": ["l_orderkey", "l_linenumber"]})
+
+
+def q_merge_upsert(sf_dir: str):
+    """MERGE INTO / upsert compaction (ops/diff.py:merge_upsert):
+    deterministic update set (every 10th order key gets cents+1, every
+    100th is deleted) applied onto orders -- union with source
+    priority + bucketed argmax-per-key, one key-hash exchange."""
+    from ci_log_processing_ray.ops.diff import merge_upsert
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["o_orderkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    base = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def mk_updates(t: pa.Table) -> pa.Table:
+        k = t["k"].combine_chunks().to_numpy()
+        t = t.filter(pa.array(k % 10 == 0))
+        k = t["k"].combine_chunks().to_numpy()
+        return pa.table({
+            "k": t["k"],
+            "cents": pc.add(t["cents"].combine_chunks(), 1),
+            "del": pa.array(k % 100 == 0),
+        })
+
+    updates = base.map_batches(mk_updates, batch_format="pyarrow")
+    return merge_upsert(base, updates, ["k"], ["cents"],
+                        delete_col="del")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -2576,6 +2694,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "melt": q_melt,
         "corr_stats": q_corr_stats,
+        "minmax_scale": q_minmax_scale,
+        "row_number": q_row_number,
+        "edit1_pairs": q_edit1_pairs,
+        "lm_score": q_lm_score,
+        "contract": q_contract,
+        "merge_upsert": q_merge_upsert,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3354,6 +3478,86 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "merge_upsert": """
+            WITH base AS (SELECT o_orderkey AS k,
+                    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)
+                      AS cents FROM orders),
+            upd AS (SELECT k, cents + 1 AS cents,
+                           (k % 100 = 0) AS del
+                    FROM base WHERE k % 10 = 0)
+            SELECT coalesce(u.k, b.k) AS k,
+                   coalesce(u.cents, b.cents) AS cents
+            FROM base b FULL OUTER JOIN upd u ON b.k = u.k
+            WHERE NOT coalesce(u.del, FALSE)""",
+        "contract": """
+            SELECT 'disc_over_5pct' AS rule,
+                   CAST(count(*) FILTER (WHERE l_discount > 0.05)
+                        AS BIGINT) AS n_violations FROM lineitem
+            UNION ALL
+            SELECT 'pk_unique',
+                   CAST(coalesce((SELECT sum(n - 1) FROM (
+                        SELECT count(*) AS n FROM lineitem
+                        GROUP BY l_orderkey, l_linenumber) WHERE n > 1),
+                        0) AS BIGINT)
+            UNION ALL
+            SELECT 'qty_gt_45',
+                   CAST(count(*) FILTER (WHERE l_quantity > 45)
+                        AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT 'shipdate_null',
+                   CAST(count(*) FILTER (WHERE l_shipdate IS NULL)
+                        AS BIGINT) FROM lineitem""",
+        "lm_score": """
+            WITH l AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(text),
+                                '[^a-z0-9_]+'), x -> x != '') AS w
+                FROM documents),
+            b AS (SELECT doc_id, u.g[1] AS w1, u.g[2] AS w2 FROM l,
+                  LATERAL (SELECT unnest(list_zip(w, w[2:])) AS g) u
+                  WHERE u.g[2] IS NOT NULL),
+            c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+                  FROM b GROUP BY w1, w2),
+            p AS (SELECT w1, w2,
+                         CAST(1000 * n // (CAST(SUM(n) OVER
+                             (PARTITION BY w1) AS BIGINT)) AS BIGINT)
+                           AS pm
+                  FROM c),
+            s AS (SELECT b.doc_id,
+                         CAST(count(*) AS BIGINT) AS n_bigrams,
+                         CAST(sum(p.pm) AS BIGINT) AS score_sum
+                  FROM b JOIN p USING (w1, w2) GROUP BY b.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(s.score_sum, 0) AS BIGINT) AS score_sum,
+                   CAST(CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 0
+                        ELSE s.score_sum // s.n_bigrams END AS BIGINT)
+                     AS avg_permille
+            FROM documents d LEFT JOIN s USING (doc_id)""",
+        "edit1_pairs": """
+            WITH f AS (SELECT DISTINCT p_name FROM part
+                       WHERE len(p_name) BETWEEN 3 AND 40)
+            SELECT a.p_name AS a, b.p_name AS b
+            FROM f a JOIN f b
+              ON a.p_name < b.p_name
+             AND levenshtein(a.p_name, b.p_name) = 1""",
+        "row_number": """
+            SELECT o_orderkey,
+                   CAST(epoch_us(o_orderdate) AS BIGINT) AS date_us,
+                   CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate,
+                                           o_orderkey) AS BIGINT)
+                     AS row_num
+            FROM orders""",
+        "minmax_scale": """
+            WITH b AS (SELECT event_id, event_type,
+                    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+                FROM events),
+            m AS (SELECT event_type, min(cents) AS mn, max(cents) AS mx
+                  FROM b GROUP BY event_type)
+            SELECT b.event_id, b.event_type, b.cents,
+                   CASE WHEN m.mx = m.mn THEN 0
+                        ELSE (b.cents - m.mn) * 1000 // (m.mx - m.mn)
+                   END AS scaled_permille
+            FROM b JOIN m USING (event_type)""",
         "corr_stats": """
             WITH b AS (SELECT l_returnflag,
                     CAST(l_quantity AS BIGINT) AS x,

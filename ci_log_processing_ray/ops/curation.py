@@ -478,3 +478,77 @@ def weighted_bottomk(
     cand = ds.map_batches(local_bottomk, batch_format="pyarrow",
                           zero_copy_batch=True)
     return cand.sort(["priority", key_col]).limit(k)
+
+
+def edit1_pairs(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    min_len: int = 3,
+    max_len: int = 40,
+) -> ray.data.Dataset:
+    """All distinct string pairs at edit distance exactly 1 (the
+    spelling-variant / near-key detector) via the SymSpell
+    deletion-neighborhood trick: two strings with d(a,b) <= 1 always
+    share a 0-or-1-deletion variant, so variants block the candidate
+    space and an exact per-pair check removes the d=2 false positives.
+
+    Scale shape: the corpus collapses to DISTINCT values first (the
+    only corpus-sized exchange, carrying the value column alone), then
+    each distinct string of length L explodes to L+1 variants -- work
+    is O(vocab x len), independent of corpus row count.  Variant
+    groups are tiny in natural data; the per-pair verify runs inside
+    ``map_groups`` on candidates only.  A final pair-key groupby
+    dedups pairs that share several variants.
+
+    Output: ``a, b`` (a < b), each pair once."""
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        v = pc.unique(t[col].combine_chunks())
+        n = pc.binary_length(v)
+        v = v.filter(pc.and_(pc.greater_equal(n, min_len),
+                             pc.less_equal(n, max_len)))
+        return pa.table({col: v})
+
+    vocab = (ds.map_batches(distinct_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(col).count())
+
+    def variants(t: pa.Table) -> pa.Table:
+        vs, ws = [], []
+        for w in t[col].to_pylist():
+            vs.append(w)
+            ws.append(w)
+            for i in range(len(w)):
+                vs.append(w[:i] + w[i + 1:])
+                ws.append(w)
+        return pa.table({"_v": pa.array(vs, pa.string()),
+                         "_w": pa.array(ws, pa.string())})
+
+    def _is_edit1(a: str, b: str) -> bool:
+        la, lb = len(a), len(b)
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        # lb == la + 1: b with one deletion equals a
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1:]
+
+    def pair_up(g: pd.DataFrame) -> pd.DataFrame:
+        ws = sorted(set(g["_w"]))
+        out_a, out_b = [], []
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                if _is_edit1(ws[i], ws[j]):
+                    out_a.append(ws[i])
+                    out_b.append(ws[j])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    cand = (vocab.map_batches(variants, batch_format="pyarrow")
+            .groupby("_v").map_groups(pair_up, batch_format="pandas"))
+    return (cand.groupby(["a", "b"]).count()
+            .map_batches(lambda t: t.select(["a", "b"]),
+                         batch_format="pyarrow"))

@@ -70,3 +70,51 @@ def snapshot_diff(
         return out.filter(pc.not_equal(status, "unchanged"))
 
     return j.map_batches(classify, batch_format="pyarrow")
+
+
+def merge_upsert(
+    base: ray.data.Dataset,
+    updates: ray.data.Dataset,
+    key_cols: list[str],
+    value_cols: list[str],
+    *,
+    delete_col: str | None = None,
+) -> ray.data.Dataset:
+    """SQL ``MERGE INTO`` semantics: apply ``updates`` onto ``base`` by
+    key -- matched keys take the update's values, unmatched update keys
+    insert, and rows whose update has ``delete_col`` true disappear.
+    Exactly one output row per surviving key (update keys must be
+    unique; base keys must be unique).
+
+    Scale shape: no driver-side state -- the two inputs union with an
+    int64 source-priority column and compact through the bucketed
+    argmax-per-key kernel (``ops/groupagg.py:last_by_group``): one
+    key-hash exchange carrying key + values, then a vectorized delete
+    filter.  This is the compaction step of an incremental corpus
+    refresh."""
+    from .groupagg import last_by_group
+
+    cols = key_cols + value_cols
+
+    def tag(prio: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            out = {c: t[c] for c in cols}
+            out["_prio"] = pa.array([prio] * n, pa.int64())
+            if delete_col is not None:
+                out["_del"] = (
+                    pc.cast(t[delete_col].combine_chunks(), pa.int64())
+                    if prio else pa.array([0] * n, pa.int64()))
+            return pa.table(out)
+        return fn
+
+    tagged = (base.map_batches(tag(0), batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .union(updates.map_batches(tag(1), batch_format="pyarrow",
+                                         zero_copy_batch=True)))
+    keep = value_cols + (["_del"] if delete_col is not None else [])
+    merged = last_by_group(tagged, key_cols, ["_prio"], keep, keep="last")
+    if delete_col is None:
+        return merged.select_columns(cols)
+    return (merged.filter(expr="_del == 0")
+            .select_columns(cols))

@@ -212,6 +212,48 @@ def corr_suffstats_by_group(
         *[Sum(c, alias_name=c) for c in stat_cols])
 
 
+def minmax_scale_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    *,
+    out_col: str = "scaled",
+    scale: int = 1000,
+) -> ray.data.Dataset:
+    """Per-group min-max feature scaling to exact integers in
+    ``[0, scale]``: ``(x - min) * scale // (max - min)`` (0 for a
+    constant group) -- the normalization step of an ML feature
+    pipeline, bit-exact so it cross-checks against a SQL window oracle.
+
+    Two passes, no row shuffle: a per-group (min, max) aggregate
+    (partials combine inside each block first, so the exchange is
+    bounded by group cardinality), broadcast once via ``ray.put``,
+    then a pure vectorized map appends ``out_col`` to every block.
+    ``x_col`` must be int64."""
+    from ray.data.aggregate import Max, Min
+
+    band = (ds.groupby(group_col)
+            .aggregate(Min(x_col, alias_name="mn"),
+                       Max(x_col, alias_name="mx"))
+            .to_pandas().sort_values(group_col))
+    band_ref = ray.put((band[group_col].to_numpy().astype(object),
+                        band["mn"].to_numpy().astype(np.int64),
+                        band["mx"].to_numpy().astype(np.int64)))
+
+    def apply(t: pa.Table) -> pa.Table:
+        keys, mn, mx = ray.get(band_ref)
+        g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, g)
+        x = t[x_col].combine_chunks().to_numpy()
+        span = mx[idx] - mn[idx]
+        out = np.where(span == 0, 0,
+                       (x - mn[idx]) * scale // np.where(span == 0, 1, span))
+        return t.append_column(out_col, pa.array(out, pa.int64()))
+
+    return ds.map_batches(apply, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def last_by_group(
     ds: ray.data.Dataset,
     group_cols: str | list[str],

@@ -74,3 +74,78 @@ def profile_columns(ds: ray.data.Dataset, cols: list[str]) -> pa.Table:
                            type=pa.int64()),
         "n_distinct": pa.array([int(n_distinct[c]) for c in order],
                                type=pa.int64())})
+
+
+def check_contract(
+    ds: ray.data.Dataset,
+    rules: dict,
+    *,
+    unique_keys: dict | None = None,
+) -> pa.Table:
+    """Data-quality contract report: ``rules`` maps a rule name to a
+    vectorized predicate ``pa.Table -> pa.BooleanArray`` marking
+    VIOLATING rows; ``unique_keys`` maps a rule name to a key-column
+    list whose duplicates (rows beyond the first per key) violate.
+    Returns (rule, n_violations) sorted by rule -- the schema-contract
+    gate a pipeline runs before promoting a dataset.
+
+    Scale shape: every predicate rule folds into ONE shared streaming
+    pass of bytes-sized count partials; each uniqueness rule adds one
+    key-hash exchange of per-block (key, n) pre-aggregates (distinct
+    keys, never rows).  Nothing corpus-sized reaches the driver."""
+    import pyarrow.compute as pc
+
+    names = sorted(rules)
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = []
+        for r in names:
+            mask = rules[r](t)
+            if isinstance(mask, pa.ChunkedArray):
+                mask = mask.combine_chunks()
+            counts.append(pc.sum(mask, min_count=0).as_py() or 0)
+        return pa.table({"rule": pa.array(names),
+                         "n_violations": pa.array(counts, pa.int64())})
+
+    def run_predicates():
+        if not names:
+            return {}
+        out = (ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("rule")
+               .aggregate(Sum("n_violations", alias_name="v"))
+               .to_pandas())
+        return dict(zip(out["rule"], out["v"].astype(int)))
+
+    def run_unique(keys: list[str]) -> int:
+        def key_counts(t: pa.Table) -> pa.Table:
+            g = (t.select(keys)
+                 .append_column("_n", pa.array([1] * len(t), pa.int64()))
+                 .group_by(keys).aggregate([("_n", "sum")]))
+            return pa.table({**{k: g[k] for k in keys},
+                             "_n": g["_n_sum"]})
+
+        per_key = (ds.map_batches(key_counts, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .groupby(keys).aggregate(Sum("_n", alias_name="n")))
+
+        def dups(t: pa.Table) -> pa.Table:
+            extra = pc.sum(pc.subtract(t["n"], 1), min_count=0).as_py() or 0
+            return pa.table({"d": pa.array([extra], pa.int64())})
+
+        total = (per_key.map_batches(dups, batch_format="pyarrow")
+                 .sum("d"))
+        return int(total or 0)
+
+    with ThreadPoolExecutor(max_workers=len(unique_keys or {}) + 1) as ex:
+        pred_f = ex.submit(run_predicates)
+        uniq_f = {r: ex.submit(run_unique, ks)
+                  for r, ks in (unique_keys or {}).items()}
+        got = pred_f.result()
+        for r, f in uniq_f.items():
+            got[r] = f.result()
+
+    order = sorted(got)
+    return pa.table({"rule": pa.array(order),
+                     "n_violations": pa.array([got[r] for r in order],
+                                              pa.int64())})

@@ -445,3 +445,90 @@ def next_word_model(
     from .window import bucketed_groups
 
     return bucketed_groups(counts, "w1", kern)
+
+
+def score_docs_bigram(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    top_k: int | None = None,
+) -> ray.data.Dataset:
+    """Language-model quality scoring: train a corpus bigram model
+    (pass 1), broadcast it once, then score every document by the mean
+    integer-permille conditional probability of its bigrams (pass 2) --
+    the model-based fluency/quality gate of a pretraining pipeline,
+    exact in int64 so it cross-checks against a SQL oracle.
+
+    Scale shape: the trained table is VOCABULARY-shaped (distinct
+    bigrams), not corpus-shaped -- per-block count partials bound the
+    one exchange; ``top_k`` caps the broadcast table for web-scale
+    vocabularies (absent bigrams score 0, the standard pruned-LM
+    contract).  Scoring is a pure map: flat word-stream slicing,
+    doc-boundary masking, one hashed dict lookup and two bincounts per
+    batch.
+
+    Output: ``id_col, n_bigrams, score_sum, avg_permille``."""
+    from .curation import _word_stream
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, n_words = _word_stream(t[text_col])
+        if len(flat) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ends = np.cumsum(n_words)
+        doc_of = np.searchsorted(ends, np.arange(len(flat)), side="right")
+        idx = np.flatnonzero(doc_of[:-1] == doc_of[1:])
+        tt = pa.table({"w1": flat.take(pa.array(idx)),
+                       "w2": flat.take(pa.array(idx + 1)),
+                       "n": pa.array(np.ones(len(idx), np.int64))})
+        g = tt.group_by(["w1", "w2"]).aggregate([("n", "sum")])
+        return pa.table({"w1": g["w1"], "w2": g["w2"], "n": g["n_sum"]})
+
+    model = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["w1", "w2"]).sum("n").to_pandas()
+             .rename(columns={"sum(n)": "n"}))
+    model["total"] = model.groupby("w1")["n"].transform("sum")
+    model["pm"] = 1000 * model["n"].astype(np.int64) \
+        // model["total"].astype(np.int64)
+    if top_k is not None:
+        model = model.sort_values(["n", "w1", "w2"],
+                                  ascending=[False, True, True],
+                                  kind="mergesort").head(top_k)
+    lut = dict(zip(model["w1"] + "\x1f" + model["w2"],
+                   model["pm"].astype(np.int64)))
+    lut_ref = ray.put(lut)
+
+    def score(t: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        flat, n_words = _word_stream(t[text_col])
+        n_docs = len(t)
+        sums = np.zeros(n_docs, np.int64)
+        cnts = np.zeros(n_docs, np.int64)
+        if len(flat) >= 2:
+            ends = np.cumsum(n_words)
+            doc_of = np.searchsorted(ends, np.arange(len(flat)),
+                                     side="right")
+            idx = np.flatnonzero(doc_of[:-1] == doc_of[1:])
+            if len(idx):
+                keys = pc.binary_join_element_wise(
+                    flat.take(pa.array(idx)), flat.take(pa.array(idx + 1)),
+                    "\x1f")
+                pm = (pd.Series(keys.to_pandas()).map(table)
+                      .fillna(0).to_numpy(np.int64))
+                pair_doc = doc_of[idx]
+                sums = np.bincount(pair_doc, weights=pm,
+                                   minlength=n_docs).astype(np.int64)
+                cnts = np.bincount(pair_doc,
+                                   minlength=n_docs).astype(np.int64)
+        avg = np.where(cnts == 0, 0,
+                       sums // np.where(cnts == 0, 1, cnts))
+        return pa.table({id_col: t[id_col],
+                         "n_bigrams": pa.array(cnts),
+                         "score_sum": pa.array(sums),
+                         "avg_permille": pa.array(avg)})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

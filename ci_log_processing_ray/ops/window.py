@@ -19,6 +19,7 @@ import datetime
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -537,3 +538,70 @@ def runs_by_group(
             "n_rows": (ends - starts + 1).astype(np.int64)})
 
     return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
+
+
+def row_number_global(
+    ds: "ray.data.Dataset",
+    order_col: str,
+    *,
+    tie_cols: list[str] | None = None,
+    out_col: str = "row_num",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Exact global 1-based ROW_NUMBER ordered by
+    ``(order_col, *tie_cols)`` without a global sort -- the
+    zip-with-index primitive.  ``order_col`` must be int64; the full
+    tuple must be unique for a deterministic numbering.
+
+    Scale shape: equi-width range buckets on ``order_col`` (ties share
+    a value, hence a bucket, so ``tie_cols`` never cross buckets), a
+    tiny per-bucket count table prefix-summed on the driver, then one
+    bucketed shuffle with a per-bucket sort + arange + broadcast
+    offset.  The exchange moves each row once; the driver sees only
+    ``n_buckets`` integers.  Equi-width bucketing assumes the order
+    key is not pathologically skewed; raise ``n_buckets`` (or
+    pre-transform the key) for skewed domains."""
+    from ray.data.aggregate import Max, Min
+
+    tie_cols = tie_cols or []
+    stats = ds.aggregate(Min(order_col), Max(order_col))
+    lo = int(stats[f"min({order_col})"])
+    hi = int(stats[f"max({order_col})"])
+    width = max((hi - lo) // n_buckets + 1, 1)
+
+    def bucket_of(arr):
+        return pc.divide(pc.cast(pc.subtract(arr, lo), pa.int64()),
+                         pa.scalar(width, pa.int64()))
+
+    def bucket_count(t: pa.Table) -> pa.Table:
+        b = bucket_of(t[order_col].combine_chunks())
+        tt = pa.table({"_b": b,
+                       "_n": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by("_b").aggregate([("_n", "sum")])
+        return pa.table({"_b": g["_b"], "_n": g["_n_sum"]})
+
+    counts = (ds.map_batches(bucket_count, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("_b").sum("_n").to_pandas().sort_values("_b"))
+    offsets = np.zeros(n_buckets + 2, dtype=np.int64)
+    by_b = dict(zip(counts["_b"].astype(int), counts["sum(_n)"]))
+    run = 0
+    for b in range(n_buckets + 2):
+        offsets[b] = run
+        run += int(by_b.get(b, 0))
+    off_ref = ray.put(offsets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_b", bucket_of(t[order_col].combine_chunks()))
+
+    def number(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(off_ref)[int(g["_b"].iloc[0])]
+        g = g.sort_values([order_col] + tie_cols,
+                          kind="mergesort").drop(columns="_b")
+        g[out_col] = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_b").map_groups(number, batch_format="pandas"))

@@ -1567,3 +1567,113 @@ def test_corr_suffstats_exact_and_partition_invariant(ray_session):
             (1, -2, 7, 4, 49, -14)
         # derived slope for g=a: cov*n = n*sxy - sx*sy = 34-28 = 6
         assert a.n * a.sum_xy - a.sum_x * a.sum_y == 6
+
+
+def test_minmax_scale_by_group(ray_session):
+    from ci_log_processing_ray.ops.groupagg import minmax_scale_by_group
+
+    rows = [{"g": "a", "x": -10}, {"g": "a", "x": 0}, {"g": "a", "x": 30},
+            {"g": "b", "x": 7}, {"g": "b", "x": 7}]  # constant group
+    out = minmax_scale_by_group(
+        ray.data.from_items(rows).repartition(3), "g", "x",
+        out_col="s").to_pandas()
+    got = {(r.g, r.x): r.s for r in out.itertuples()}
+    assert got[("a", -10)] == 0
+    assert got[("a", 0)] == 250      # (0+10)*1000 // 40
+    assert got[("a", 30)] == 1000
+    assert got[("b", 7)] == 0        # max == min -> 0, no div-by-zero
+
+
+def test_row_number_global_dense_and_partition_invariant(ray_session):
+    from ci_log_processing_ray.ops.window import row_number_global
+
+    # skewed key domain with cross-block ties on the order col
+    rows = [{"k": v, "id": i} for i, v in
+            enumerate([5, 5, 5, 100, 3, 7, 7, 1000, 3, 5])]
+    out = row_number_global(
+        ray.data.from_items(rows).repartition(4), "k",
+        tie_cols=["id"], n_buckets=8).to_pandas()
+    out = out.sort_values("row_num").reset_index(drop=True)
+    # numbering is a permutation 1..n following (k, id) order
+    assert list(out.row_num) == list(range(1, 11))
+    expect = sorted(rows, key=lambda r: (r["k"], r["id"]))
+    assert list(out.k) == [r["k"] for r in expect]
+    assert list(out.id) == [r["id"] for r in expect]
+
+
+def test_edit1_pairs_symspell(ray_session):
+    from ci_log_processing_ray.ops.curation import edit1_pairs
+
+    words = ["cat", "bat", "cart", "ab", "dog", "dogs", "cat", "tac"]
+    out = edit1_pairs(
+        ray.data.from_items([{"w": w} for w in words]).repartition(3),
+        "w").to_pandas()
+    got = set(zip(out.a, out.b))
+    # substitution, insertion, and each pair exactly once despite
+    # sharing several deletion variants
+    assert ("bat", "cat") in got
+    assert ("cart", "cat") in got
+    assert ("dog", "dogs") in got
+    # d=2 candidates sharing a variant are rejected ("cat"/"tac"
+    # share variant "at"? no -- "tac" deletes to "ac","tc","ta";
+    # "bat"/"cart" d=3 never candidates); "ab" below min_len dropped
+    assert ("cat", "tac") not in got
+    assert not any("ab" in p for p in got)
+    assert len(got) == 3
+
+
+def test_score_docs_bigram_exact_and_topk_cap(ray_session):
+    from ci_log_processing_ray.ops.textstats import score_docs_bigram
+
+    rows = [{"i": 0, "t": "the cat sat"},      # the->cat, cat->sat
+            {"i": 1, "t": "the cat ran"},      # the->cat, cat->ran
+            {"i": 2, "t": "solo"},             # no bigram
+            {"i": 3, "t": ""}]                 # empty doc
+    out = score_docs_bigram(
+        ray.data.from_items(rows).repartition(3), "t", "i").to_pandas()
+    got = {r.i: (r.n_bigrams, r.score_sum, r.avg_permille)
+           for r in out.itertuples()}
+    # model: the->cat pm=1000; cat->sat pm=500; cat->ran pm=500
+    assert got[0] == (2, 1500, 750)
+    assert got[1] == (2, 1500, 750)
+    assert got[2] == (0, 0, 0)
+    assert got[3] == (0, 0, 0)
+    # pruned model: keep only the single hottest bigram (the->cat, n=2)
+    capped = score_docs_bigram(
+        ray.data.from_items(rows).repartition(2), "t", "i",
+        top_k=1).to_pandas()
+    gc = {r.i: (r.n_bigrams, r.score_sum) for r in capped.itertuples()}
+    assert gc[0] == (2, 1000) and gc[1] == (2, 1000)
+
+
+def test_check_contract_rules_and_uniqueness(ray_session):
+    import pyarrow.compute as _pc
+    from ci_log_processing_ray.ops.profile import check_contract
+
+    rows = [{"k": 1, "v": 5}, {"k": 1, "v": 50},   # dup key 1
+            {"k": 2, "v": -1}, {"k": 3, "v": 7},
+            {"k": 1, "v": 8}]                      # triple key 1
+    out = check_contract(
+        ray.data.from_items(rows).repartition(3),
+        {"neg_v": lambda t: _pc.less(t["v"], 0),
+         "big_v": lambda t: _pc.greater(t["v"], 10)},
+        unique_keys={"k_unique": ["k"]}).to_pandas()
+    got = dict(zip(out.rule, out.n_violations))
+    assert got == {"neg_v": 1, "big_v": 1, "k_unique": 2}
+    assert list(out.rule) == sorted(out.rule)
+
+
+def test_merge_upsert_insert_update_delete(ray_session):
+    from ci_log_processing_ray.ops.diff import merge_upsert
+
+    base = ray.data.from_items(
+        [{"k": 1, "v": 10}, {"k": 2, "v": 20},
+         {"k": 3, "v": 30}]).repartition(2)
+    upd = ray.data.from_items(
+        [{"k": 2, "v": 99, "del": False},    # update
+         {"k": 3, "v": 0, "del": True},      # delete
+         {"k": 4, "v": 40, "del": False}])   # insert
+    out = merge_upsert(base, upd, ["k"], ["v"],
+                       delete_col="del").to_pandas()
+    got = dict(zip(out.k, out.v))
+    assert got == {1: 10, 2: 99, 4: 40}
