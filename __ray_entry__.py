@@ -2588,6 +2588,43 @@ def q_merge_upsert(sf_dir: str):
                         delete_col="del")
 
 
+def q_mad(sf_dir: str):
+    """Median absolute deviation per event type
+    (ops/quantile.py:mad_by_group): two exact distributed percentile
+    passes with a group-sized median broadcast between them -- the
+    robust-spread statistic for outlier gating."""
+    from ci_log_processing_ray.ops.quantile import mad_by_group
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    cents = ds.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "cents": _cents(t["value"])}),
+        batch_format="pyarrow")
+    return mad_by_group(cents, "event_type", "cents")
+
+
+def q_twap(sf_dir: str):
+    """Per-user time-weighted average value
+    (ops/window.py:twap_by_group): each event's cents weighted by the
+    microseconds until the user's next event -- one bucketed key-hash
+    shuffle, whole-bucket vectorized diff, checked multiplies."""
+    from ci_log_processing_ray.ops.window import twap_by_group
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": pc.cast(t["ts"].combine_chunks(), pa.timestamp("us")),
+            "event_id": t["event_id"],
+            "cents": _cents(t["value"]),
+        })
+
+    return twap_by_group(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", "ts", "cents", tie_col="event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -2700,6 +2737,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": q_lm_score,
         "contract": q_contract,
         "merge_upsert": q_merge_upsert,
+        "mad": q_mad,
+        "twap": q_twap,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3478,6 +3517,40 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "mad": """
+            WITH b AS (SELECT event_type,
+                    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+                FROM events),
+            m AS (SELECT event_type,
+                         CAST(percentile_disc(0.5) WITHIN GROUP
+                              (ORDER BY cents) AS BIGINT) AS med
+                  FROM b GROUP BY event_type),
+            d AS (SELECT b.event_type, m.med,
+                         abs(b.cents - m.med) AS dev
+                  FROM b JOIN m USING (event_type))
+            SELECT event_type, CAST(any_value(med) AS BIGINT) AS med,
+                   CAST(percentile_disc(0.5) WITHIN GROUP
+                        (ORDER BY dev) AS BIGINT) AS mad
+            FROM d GROUP BY event_type""",
+        "twap": """
+            WITH b AS (SELECT user_id, ts, event_id,
+                    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+                FROM events),
+            w AS (SELECT user_id, cents,
+                         CAST(epoch_us(LEAD(ts) OVER
+                              (PARTITION BY user_id
+                               ORDER BY ts, event_id) - ts) AS BIGINT)
+                           AS dt
+                  FROM b)
+            SELECT user_id,
+                   CAST(count(dt) AS BIGINT) AS n_intervals,
+                   CAST(coalesce(sum(dt), 0) AS BIGINT) AS sum_dt_us,
+                   CAST(coalesce(sum(cents * dt), 0) AS BIGINT)
+                     AS sum_value_dt,
+                   CAST(CASE WHEN coalesce(sum(dt), 0) = 0 THEN 0
+                        ELSE sum(cents * dt) // sum(dt) END AS BIGINT)
+                     AS twap
+            FROM w GROUP BY user_id""",
         "merge_upsert": """
             WITH base AS (SELECT o_orderkey AS k,
                     CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)

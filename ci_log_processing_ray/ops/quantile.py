@@ -224,3 +224,44 @@ def approx_quantiles(
               .groupby("bin").sum("n").to_pandas())
     merged = merged.rename(columns={"sum(n)": "n"})
     return sk.quantiles(merged, qs)
+
+
+def mad_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    *,
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> pa.Table:
+    """Median absolute deviation per group -- the robust spread
+    statistic (median of |x - group median|), exact in int64 via two
+    passes of the exact distributed percentile op: the per-group
+    median table (group-cardinality-sized) broadcasts once, a pure map
+    emits deviations, and a second percentile pass yields the MAD.
+    Output: (group, med, mad), one row per group.
+
+    Both exchanges carry (group, value, count) pre-aggregates, never
+    rows -- the same scale contract as quantile_disc_by_group."""
+    import ray
+
+    med = (quantile_disc_by_group(ds, group_col, x_col, {"med": 0.5},
+                                  n_buckets=n_buckets)
+           .to_pandas().sort_values(group_col))
+    med_ref = ray.put((med[group_col].to_numpy().astype(object),
+                       med["med"].to_numpy().astype(np.int64)))
+
+    def dev(t: pa.Table) -> pa.Table:
+        keys, m = ray.get(med_ref)
+        g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+        x = pc.cast(t[x_col].combine_chunks(), pa.int64()).to_numpy()
+        d = np.abs(x - m[np.searchsorted(keys, g)])
+        return pa.table({group_col: t[group_col], "dev": pa.array(d)})
+
+    mad = (quantile_disc_by_group(
+        ds.map_batches(dev, batch_format="pyarrow", zero_copy_batch=True),
+        group_col, "dev", {"mad": 0.5}, n_buckets=n_buckets)
+        .to_pandas())
+    out = med.merge(mad, on=group_col).sort_values(group_col)
+    return pa.table({group_col: pa.array(out[group_col]),
+                     "med": pa.array(out["med"].to_numpy(np.int64)),
+                     "mad": pa.array(out["mad"].to_numpy(np.int64))})

@@ -605,3 +605,49 @@ def row_number_global(
     return (ds.map_batches(add_bucket, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("_b").map_groups(number, batch_format="pandas"))
+
+
+def twap_by_group(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    tie_col: str | None = None,
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> "ray.data.Dataset":
+    """Time-weighted average per key: each observation holds until the
+    key's next event, so its weight is the gap to that event in
+    microseconds (the last observation carries no weight) -- the TWAP
+    / sensor-mean primitive, exact in int64 as
+    ``(n_intervals, sum_dt_us, sum_value_dt, twap = sum_value_dt //
+    sum_dt_us)``.
+
+    ``value_col`` must be int64 (pre-scale floats upstream); products
+    use checked multiplies, so a value x timespan envelope past int64
+    fails loudly rather than wrapping.  One bucketed key-hash shuffle;
+    the kernel is a whole-bucket sort + vectorized diff with key
+    boundaries masked."""
+    order = [key_col, ts_col] + ([tie_col] if tie_col else [])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        k = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g[value_col].to_numpy()
+        same = np.r_[k[:-1] == k[1:], False]
+        dt = np.where(same, np.r_[np.diff(ts), 0], 0)
+        w = pc.multiply_checked(pa.array(v, pa.int64()),
+                                pa.array(dt, pa.int64())).to_numpy()
+        df = pd.DataFrame({key_col: k,
+                           "_n": same.astype(np.int64),
+                           "_dt": dt, "_w": w})
+        s = df.groupby(key_col, sort=False, as_index=False).sum()
+        s["twap"] = np.where(
+            s["_dt"] == 0, 0,
+            s["_w"] // np.where(s["_dt"] == 0, 1, s["_dt"]))
+        return s.rename(columns={"_n": "n_intervals",
+                                 "_dt": "sum_dt_us",
+                                 "_w": "sum_value_dt"})
+
+    return bucketed_groups(ds, key_col, kern, n_buckets=n_buckets)

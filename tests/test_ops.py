@@ -1677,3 +1677,37 @@ def test_merge_upsert_insert_update_delete(ray_session):
                        delete_col="del").to_pandas()
     got = dict(zip(out.k, out.v))
     assert got == {1: 10, 2: 99, 4: 40}
+
+
+def test_mad_by_group_exact(ray_session):
+    from ci_log_processing_ray.ops.quantile import mad_by_group
+
+    rows = ([{"g": "a", "x": v} for v in [1, 2, 3, 100]]
+            + [{"g": "b", "x": 5}])
+    out = mad_by_group(
+        ray.data.from_items(rows).repartition(3), "g", "x").to_pandas()
+    got = {r.g: (r.med, r.mad) for r in out.itertuples()}
+    # percentile_disc(0.5) of [1,2,3,100] = 2; devs [1,0,1,98] -> 1
+    assert got["a"] == (2, 1)
+    assert got["b"] == (5, 0)
+
+
+def test_twap_by_group_weights_and_boundaries(ray_session):
+    import datetime as _dt
+    from ci_log_processing_ray.ops.window import twap_by_group
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        {"u": 1, "ts": t0, "id": 0, "v": 100},
+        {"u": 1, "ts": t0 + _dt.timedelta(seconds=1), "id": 1, "v": 300},
+        {"u": 1, "ts": t0 + _dt.timedelta(seconds=4), "id": 2, "v": 999},
+        {"u": 2, "ts": t0, "id": 3, "v": 7},     # single event: no weight
+    ]
+    out = twap_by_group(
+        ray.data.from_items(rows).repartition(2), "u", "ts", "v",
+        tie_col="id").to_pandas()
+    got = {r.u: (r.n_intervals, r.sum_dt_us, r.sum_value_dt, r.twap)
+           for r in out.itertuples()}
+    # u1: 100 held 1s, 300 held 3s -> (100e6 + 900e6) / 4e6 = 250
+    assert got[1] == (2, 4_000_000, 1_000_000_000, 250)
+    assert got[2] == (0, 0, 0, 0)
