@@ -2625,6 +2625,28 @@ def q_twap(sf_dir: str):
         "user_id", "ts", "cents", tie_col="event_id")
 
 
+def q_collocations(sf_dir: str):
+    """Collocation / phrase mining (ops/textstats.py:collocations):
+    integer-permille lift of adjacent word pairs vs independence --
+    bigram- and unigram-vocabulary-sized exchanges only, unigram table
+    broadcast into the final lift map (word2phrase's merge signal)."""
+    from ci_log_processing_ray.ops.textstats import collocations
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return collocations(ds, "text", min_count=2)
+
+
+def q_checksum(sf_dir: str):
+    """Order-independent dataset checksum
+    (ops/profile.py:dataset_checksum): modular sum of per-row md5-60bit
+    over pinned '|'-joined serialization -- each block reduces to two
+    integers, the migration-validation equality witness."""
+    from ci_log_processing_ray.ops.profile import dataset_checksum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return dataset_checksum(ds, ["doc_id", "source"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -2739,6 +2761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_upsert": q_merge_upsert,
         "mad": q_mad,
         "twap": q_twap,
+        "collocations": q_collocations,
+        "checksum": q_checksum,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3517,6 +3541,34 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "checksum": """
+            WITH h AS (SELECT CAST(concat('0x',
+                        substr(md5(concat(CAST(doc_id AS VARCHAR), '|',
+                                          source)), 1, 15)) AS BIGINT)
+                         AS v FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(v AS HUGEINT))
+                        % 2305843009213693951 AS BIGINT) AS checksum
+            FROM h""",
+        "collocations": """
+            WITH l AS (SELECT list_filter(string_split_regex(lower(text),
+                                '[^a-z0-9_]+'), x -> x != '') AS w
+                FROM documents),
+            b AS (SELECT u.g[1] AS w1, u.g[2] AS w2 FROM l,
+                  LATERAL (SELECT unnest(list_zip(w, w[2:])) AS g) u
+                  WHERE u.g[2] IS NOT NULL),
+            c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+                  FROM b GROUP BY w1, w2),
+            u AS (SELECT wd AS w, CAST(count(*) AS BIGINT) AS n
+                  FROM (SELECT unnest(w) AS wd FROM l) GROUP BY wd),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM u)
+            SELECT c.w1, c.w2, c.n_xy,
+                   CAST(1000 * c.n_xy * t.total // (ux.n * uy.n)
+                        AS BIGINT) AS lift_permille
+            FROM c, t
+            JOIN u ux ON ux.w = c.w1
+            JOIN u uy ON uy.w = c.w2
+            WHERE c.n_xy >= 2""",
         "mad": """
             WITH b AS (SELECT event_type,
                     CAST(floor(value*100 + 0.5) AS BIGINT) AS cents

@@ -149,3 +149,47 @@ def check_contract(
     return pa.table({"rule": pa.array(order),
                      "n_violations": pa.array([got[r] for r in order],
                                               pa.int64())})
+
+
+def dataset_checksum(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    *,
+    mod: int = (1 << 61) - 1,
+) -> pa.Table:
+    """Order-independent content checksum: sum over rows of
+    md5-60bit('col1|col2|...') modulo a Mersenne prime, plus the row
+    count -- the cheap equality witness for migration validation and
+    replica comparison (two datasets match iff (n_rows, checksum)
+    match, regardless of partitioning or row order).
+
+    Scale shape: one streaming pass; each block reduces to TWO
+    integers (count, modular partial sum), the driver folds the
+    block-count-sized partial table.  md5 is C-speed hashlib per row;
+    the serialization ('|'-joined string casts) is pinned so a SQL
+    engine can reproduce the value exactly."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = []
+        for i, c in enumerate(cols):
+            if i:
+                parts.append("|")
+            parts.append(pc.cast(t[c].combine_chunks(), pa.string()))
+        parts.append("")
+        keys = pc.binary_join_element_wise(*parts)
+        s = 0
+        for v in keys.to_pylist():
+            s = (s + int(hashlib.md5(v.encode()).hexdigest()[:15], 16)) % mod
+        return pa.table({"n": pa.array([len(t)], pa.int64()),
+                         "partial": pa.array([s], pa.int64())})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas())
+    # fold in Python ints: a numpy sum of ~2^61-sized partials wraps
+    checksum = sum(int(v) for v in parts["partial"]) % mod
+    return pa.table({
+        "n_rows": pa.array([int(parts["n"].sum())], pa.int64()),
+        "checksum": pa.array([checksum], pa.int64())})

@@ -532,3 +532,79 @@ def score_docs_bigram(
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def collocations(
+    ds: ray.data.Dataset,
+    text_col: str,
+    *,
+    min_count: int = 2,
+) -> ray.data.Dataset:
+    """Collocation / phrase mining (word2phrase): for every adjacent
+    word pair seen at least ``min_count`` times, the integer-permille
+    lift ``1000 * n_xy * n_tokens // (n_x * n_y)`` -- >1000 means the
+    pair co-occurs more than independence predicts, the signal used to
+    merge "new york"-style phrases before tokenizer training.  Exact
+    int64 (checked multiplies) so both engines agree bit-for-bit.
+
+    Scale shape: one pass emits per-block (w1, w2) count partials
+    (bigram-vocabulary-sized exchange) and per-block unigram partials
+    (vocabulary-sized); unigram totals and the token count come back as
+    one driver-sized table broadcast into the final lift map.  Output:
+    ``w1, w2, n_xy, lift_permille``."""
+    from .curation import _word_stream
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        flat, n_words = _word_stream(t[text_col])
+        if len(flat) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ends = np.cumsum(n_words)
+        doc_of = np.searchsorted(ends, np.arange(len(flat)), side="right")
+        idx = np.flatnonzero(doc_of[:-1] == doc_of[1:])
+        tt = pa.table({"w1": flat.take(pa.array(idx)),
+                       "w2": flat.take(pa.array(idx + 1)),
+                       "n": pa.array(np.ones(len(idx), np.int64))})
+        g = tt.group_by(["w1", "w2"]).aggregate([("n", "sum")])
+        return pa.table({"w1": g["w1"], "w2": g["w2"], "n": g["n_sum"]})
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _word_stream(t[text_col])
+        tt = pa.table({"w": flat,
+                       "n": pa.array(np.ones(len(flat), np.int64))})
+        g = tt.group_by("w").aggregate([("n", "sum")])
+        return pa.table({"w": g["w"], "n": g["n_sum"]})
+
+    uni = (ds.map_batches(unigram_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("w").sum("n").to_pandas()
+           .rename(columns={"sum(n)": "n"}))
+    n_tokens = int(uni["n"].sum())
+    lut = dict(zip(uni["w"], uni["n"].astype(np.int64)))
+    uni_ref = ray.put((lut, n_tokens))
+
+    from ray.data.aggregate import Sum
+
+    bigrams = (ds.map_batches(bigram_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby(["w1", "w2"])
+               .aggregate(Sum("n", alias_name="n_xy")))
+
+    def lift(t: pa.Table) -> pa.Table:
+        table, total = ray.get(uni_ref)
+        t = t.filter(pc.greater_equal(t["n_xy"].combine_chunks(),
+                                      min_count))
+        n_xy = t["n_xy"].combine_chunks()
+        nx = pd.Series(t["w1"].combine_chunks().to_pandas()).map(
+            table).to_numpy(np.int64)
+        ny = pd.Series(t["w2"].combine_chunks().to_pandas()).map(
+            table).to_numpy(np.int64)
+        num = pc.multiply_checked(
+            pc.multiply_checked(n_xy, pa.scalar(1000, pa.int64())),
+            pa.scalar(total, pa.int64()))
+        den = pc.multiply_checked(pa.array(nx), pa.array(ny))
+        return pa.table({"w1": t["w1"], "w2": t["w2"], "n_xy": n_xy,
+                         "lift_permille": pc.divide(num, den)})
+
+    return bigrams.map_batches(lift, batch_format="pyarrow")

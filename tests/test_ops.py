@@ -1711,3 +1711,35 @@ def test_twap_by_group_weights_and_boundaries(ray_session):
     # u1: 100 held 1s, 300 held 3s -> (100e6 + 900e6) / 4e6 = 250
     assert got[1] == (2, 4_000_000, 1_000_000_000, 250)
     assert got[2] == (0, 0, 0, 0)
+
+
+def test_collocations_lift(ray_session):
+    from ci_log_processing_ray.ops.textstats import collocations
+
+    # "new york" always adjacent (high lift); "the cat" diluted
+    rows = [{"t": "new york is big"}, {"t": "new york runs"},
+            {"t": "the cat"}, {"t": "the dog"}, {"t": "cat the"}]
+    out = collocations(
+        ray.data.from_items(rows).repartition(3), "t",
+        min_count=2).to_pandas()
+    got = {(r.w1, r.w2): (r.n_xy, r.lift_permille)
+           for r in out.itertuples()}
+    # 13 tokens total; new=2, york=2, pair=2 -> 1000*2*13//4 = 6500
+    assert got[("new", "york")] == (2, 6500)
+    assert all(n >= 2 for n, _ in got.values())
+
+
+def test_dataset_checksum_order_and_partition_invariant(ray_session):
+    from ci_log_processing_ray.ops.profile import dataset_checksum
+
+    rows = [{"k": i, "s": f"v{i}"} for i in range(100)]
+    a = dataset_checksum(
+        ray.data.from_items(rows).repartition(7), ["k", "s"])
+    b = dataset_checksum(
+        ray.data.from_items(list(reversed(rows))).repartition(2),
+        ["k", "s"])
+    assert a.to_pydict() == b.to_pydict()
+    assert a["n_rows"][0].as_py() == 100
+    c = dataset_checksum(
+        ray.data.from_items(rows[:99]).repartition(3), ["k", "s"])
+    assert c["checksum"][0].as_py() != a["checksum"][0].as_py()
