@@ -2647,6 +2647,19 @@ def q_checksum(sf_dir: str):
     return dataset_checksum(ds, ["doc_id", "source"])
 
 
+def q_bpe_train(sf_dir: str):
+    """BPE merge-rule training (ops/curation.py:bpe_train): 8 merges
+    learned from corpus word frequencies -- corpus collapses once to
+    the (word, count) vocabulary table; each round is vocabulary-sized
+    pair-count partials + driver argmax + broadcast merge.  No SQL
+    oracle (iterative data-dependent argmax); unit-tested against a
+    pure-Python reference implementation."""
+    from ci_log_processing_ray.ops.curation import bpe_train
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bpe_train(ds, "text", n_merges=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -2763,6 +2776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twap": q_twap,
         "collocations": q_collocations,
         "checksum": q_checksum,
+        "bpe_train": q_bpe_train,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,

@@ -552,3 +552,98 @@ def edit1_pairs(
     return (cand.groupby(["a", "b"]).count()
             .map_batches(lambda t: t.select(["a", "b"]),
                          batch_format="pyarrow"))
+
+
+def bpe_train(
+    ds: ray.data.Dataset,
+    text_col: str,
+    *,
+    n_merges: int,
+) -> pa.Table:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016): learn
+    ``n_merges`` merge rules from corpus word frequencies.  Returns the
+    merge table (rank, left, right, pair_count) -- the artifact a
+    tokenizer ships.
+
+    Scale shape: the corpus collapses ONCE to the (word, count)
+    vocabulary table (the only corpus-sized exchange, standard
+    wordcount partials); every training round then runs over that
+    vocabulary-shaped Dataset -- per-block weighted pair-count
+    partials, a pair-vocabulary groupby, a driver argmax (ties:
+    lexicographic), and a broadcast merge applied in a map.  Rounds
+    cost O(vocab), never O(corpus); the driver sees only per-round
+    pair tables."""
+    from ray.data.aggregate import Sum
+
+    def wc_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _word_stream(t[text_col])
+        vc = flat.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    vocab = (ds.map_batches(wc_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("word").aggregate(Sum("n", alias_name="n")))
+
+    def to_syms(t: pa.Table) -> pa.Table:
+        words = t["word"].to_pylist()
+        return pa.table({
+            "syms": pa.array([list(w) for w in words],
+                             pa.list_(pa.string())),
+            "n": t["n"]})
+
+    table = vocab.map_batches(to_syms, batch_format="pyarrow")
+    merges = []
+    for rank in range(n_merges):
+        def pair_partial(t: pa.Table) -> pa.Table:
+            counts: dict = {}
+            ns = t["n"].to_pylist()
+            for syms, n in zip(t["syms"].to_pylist(), ns):
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + n
+            if not counts:
+                return pa.table({"l": pa.array([], pa.string()),
+                                 "r": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            ls, rs = zip(*counts)
+            return pa.table({"l": pa.array(ls), "r": pa.array(rs),
+                             "n": pa.array(list(counts.values()),
+                                           pa.int64())})
+
+        pairs = (table.map_batches(pair_partial, batch_format="pyarrow")
+                 .groupby(["l", "r"]).aggregate(Sum("n", alias_name="n"))
+                 .to_pandas())
+        if pairs.empty:
+            break
+        pairs = pairs.sort_values(["n", "l", "r"],
+                                  ascending=[False, True, True],
+                                  kind="mergesort")
+        best = pairs.iloc[0]
+        merges.append((rank, best["l"], best["r"], int(best["n"])))
+        pair_ref = ray.put((best["l"], best["r"]))
+
+        def apply_merge(t: pa.Table) -> pa.Table:
+            left, right = ray.get(pair_ref)
+            out = []
+            for syms in t["syms"].to_pylist():
+                i, merged = 0, []
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        merged.append(left + right)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                out.append(merged)
+            return pa.table({"syms": pa.array(out, pa.list_(pa.string())),
+                             "n": t["n"]})
+
+        table = table.map_batches(apply_merge,
+                                  batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64())})

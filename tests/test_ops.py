@@ -1743,3 +1743,49 @@ def test_dataset_checksum_order_and_partition_invariant(ray_session):
     c = dataset_checksum(
         ray.data.from_items(rows[:99]).repartition(3), ["k", "s"])
     assert c["checksum"][0].as_py() != a["checksum"][0].as_py()
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Pure-Python Sennrich BPE for parity checking."""
+    vocab = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs = {}
+        for syms, n in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, best[0], best[1], pairs[best]))
+        new = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + n
+        vocab = new
+    return merges
+
+
+def test_bpe_train_matches_reference(ray_session):
+    import re as _re
+    from collections import Counter
+    from ci_log_processing_ray.ops.curation import bpe_train
+
+    texts = ["lower lower lowest", "newer newest new",
+             "wider wide wide", "low low low lower"]
+    out = bpe_train(
+        ray.data.from_items([{"t": s} for s in texts]).repartition(3),
+        "t", n_merges=6).to_pandas()
+    wc = Counter(w for s in texts
+                 for w in _re.findall(r"[a-z0-9_]+", s.lower()))
+    want = _bpe_reference(dict(wc), 6)
+    got = [(r.rank, r.left, r.right, r.pair_count)
+           for r in out.itertuples()]
+    assert got == want
