@@ -2660,6 +2660,18 @@ def q_bpe_train(sf_dir: str):
     return bpe_train(ds, "text", n_merges=8)
 
 
+def q_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence + association-rule confidence
+    (ops/relational.py:cooccurrence_pairs): users containing both
+    event types, per-type support, integer permille confidence both
+    directions -- distinct (user,type) exchange, per-bucket vectorized
+    self-merge, item-vocabulary-bounded final exchange."""
+    from ci_log_processing_ray.ops.relational import cooccurrence_pairs
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return cooccurrence_pairs(ds, "user_id", "event_type")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -2777,6 +2789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": q_collocations,
         "checksum": q_checksum,
         "bpe_train": q_bpe_train,
+        "cooccurrence": q_cooccurrence,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3555,6 +3568,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "cooccurrence": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+            c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY event_type),
+            p AS (SELECT x.event_type AS a, y.event_type AS b,
+                         CAST(count(*) AS BIGINT) AS n_ab
+                  FROM d x JOIN d y USING (user_id)
+                  WHERE x.event_type < y.event_type
+                  GROUP BY 1, 2)
+            SELECT p.a, p.b, p.n_ab, ca.n AS n_a, cb.n AS n_b,
+                   CAST(1000 * p.n_ab // ca.n AS BIGINT)
+                     AS conf_ab_permille,
+                   CAST(1000 * p.n_ab // cb.n AS BIGINT)
+                     AS conf_ba_permille
+            FROM p JOIN c ca ON ca.event_type = p.a
+                   JOIN c cb ON cb.event_type = p.b""",
         "checksum": """
             WITH h AS (SELECT CAST(concat('0x',
                         substr(md5(concat(CAST(doc_id AS VARCHAR), '|',

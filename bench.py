@@ -68,6 +68,15 @@ BENCH_QUERIES = [
     "event_runs",
     "tokenize_ids",
     "hopping_window",
+    "melt",
+    "row_number",
+    "lm_score",
+    "merge_upsert",
+    "twap",
+    "collocations",
+    "checksum",
+    "bpe_train",
+    "cooccurrence",
 ]
 
 

@@ -448,3 +448,80 @@ def interval_overlap_join(
 
     return bucketed_groups(ds, key_col, kern,
                            n_buckets=n_buckets or DEFAULT_GROUP_BUCKETS)
+
+
+def cooccurrence_pairs(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    item_col: str,
+    *,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Market-basket co-occurrence with association-rule confidence:
+    for every unordered item pair (a < b), the number of keys (users /
+    baskets) containing BOTH, each item's own key count, and the
+    integer-permille confidences ``1000*n_ab // n_a`` (a=>b) and
+    ``// n_b`` (b=>a) -- the k=2 frequent-itemset primitive.
+
+    Scale shape: rows collapse to DISTINCT (key, item) pairs first
+    (per-block unique partial, one key-hash exchange); the pair
+    expansion runs per key-bucket as a vectorized self-merge (output
+    bounded by sum over keys of items_per_key^2 -- cap item domains
+    upstream for heavy-basket data); item counts ride the same
+    distinct table.  The final exchange carries (a, b, n) partials,
+    item-vocabulary^2-bounded, never rows."""
+    from ray.data.aggregate import Sum
+
+    from .window import bucketed_groups
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return (t.select([key_col, item_col])
+                .group_by([key_col, item_col]).aggregate([]))
+
+    distinct = (ds.map_batches(distinct_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby([key_col, item_col]).count())
+
+    import ray as _ray
+
+    # rows of `distinct` are unique (key, item) pairs, so a row count
+    # per item IS the item's distinct-key support
+    item_counts = (distinct.groupby(item_col).count()
+                   .to_pandas().sort_values(item_col))
+    count_col = [c for c in item_counts.columns if c != item_col][0]
+    counts_ref = _ray.put(dict(zip(
+        item_counts[item_col],
+        item_counts[count_col].astype(np.int64))))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[key_col, item_col]]
+        m = g.merge(g, on=key_col, suffixes=("_a", "_b"))
+        m = m[m[f"{item_col}_a"] < m[f"{item_col}_b"]]
+        out = (m.groupby([f"{item_col}_a", f"{item_col}_b"],
+                         as_index=False, sort=False)
+               .size().rename(columns={"size": "n_ab",
+                                       f"{item_col}_a": "a",
+                                       f"{item_col}_b": "b"}))
+        out["n_ab"] = out["n_ab"].astype(np.int64)
+        return out
+
+    pair_partials = bucketed_groups(distinct, key_col, pairs,
+                                    n_buckets=n_buckets)
+    agg = pair_partials.groupby(["a", "b"]).aggregate(
+        Sum("n_ab", alias_name="n_ab"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        lut = _ray.get(counts_ref)
+        a = t["a"].combine_chunks()
+        b = t["b"].combine_chunks()
+        n_ab = t["n_ab"].combine_chunks().to_numpy()
+        n_a = np.array([lut[x] for x in a.to_pylist()], np.int64)
+        n_b = np.array([lut[x] for x in b.to_pylist()], np.int64)
+        return pa.table({
+            "a": a, "b": b,
+            "n_ab": pa.array(n_ab),
+            "n_a": pa.array(n_a), "n_b": pa.array(n_b),
+            "conf_ab_permille": pa.array(1000 * n_ab // n_a),
+            "conf_ba_permille": pa.array(1000 * n_ab // n_b)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1789,3 +1789,22 @@ def test_bpe_train_matches_reference(ray_session):
     got = [(r.rank, r.left, r.right, r.pair_count)
            for r in out.itertuples()]
     assert got == want
+
+
+def test_cooccurrence_pairs_support_and_confidence(ray_session):
+    from ci_log_processing_ray.ops.relational import cooccurrence_pairs
+
+    rows = [{"u": 1, "i": "x"}, {"u": 1, "i": "y"}, {"u": 1, "i": "x"},
+            {"u": 2, "i": "x"}, {"u": 2, "i": "y"},
+            {"u": 3, "i": "x"},
+            {"u": 4, "i": "z"}, {"u": 4, "i": "y"}]
+    out = cooccurrence_pairs(
+        ray.data.from_items(rows).repartition(3), "u", "i").to_pandas()
+    got = {(r.a, r.b): (r.n_ab, r.n_a, r.n_b,
+                        r.conf_ab_permille, r.conf_ba_permille)
+           for r in out.itertuples()}
+    # x: users {1,2,3}; y: {1,2,4}; z: {4}
+    assert got[("x", "y")] == (2, 3, 3, 666, 666)
+    assert got[("y", "z")] == (1, 3, 1, 333, 1000)
+    assert ("x", "z") not in got
+    # duplicate (u=1, x) rows counted once
