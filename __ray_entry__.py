@@ -2672,6 +2672,44 @@ def q_cooccurrence(sf_dir: str):
     return cooccurrence_pairs(ds, "user_id", "event_type")
 
 
+def q_triangles(sf_dir: str):
+    """Triangle count of the part co-purchase graph
+    (ops/relational.py:triangle_count): parts co-ordered in >=2 shared
+    orders form edges (support threshold = the wedge-explosion guard);
+    canonical wedges close against the materialized graph-sized edge
+    table via two hash joins."""
+    from ci_log_processing_ray.ops.relational import triangle_count
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return triangle_count(ds, "l_orderkey", "l_partkey", min_support=2,
+                          num_partitions=_join_partitions(sf_dir,
+                                                          "lineitem"))
+
+
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS over the part co-purchase graph
+    (ops/iterative.py:bfs_hops): seeds are parts with key % 97 == 0,
+    3 frontier expansions over support>=2 edges -- per-round
+    edge-shaped join + bucketed min fold, nothing driver-side."""
+    from ci_log_processing_ray.ops.iterative import bfs_hops
+    from ci_log_processing_ray.ops.relational import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = (cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+             .filter(expr="n_ab >= 2")
+             .map_batches(lambda t: t.select(["a", "b"]),
+                          batch_format="pyarrow"))
+
+    def seed_fn(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].combine_chunks().to_numpy()
+        keep = p % 97 == 0
+        return pa.table({"node": pa.array(np.unique(p[keep]))})
+
+    seeds = li.map_batches(seed_fn, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return bfs_hops(edges, "a", "b", seeds, n_rounds=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -2790,6 +2828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checksum": q_checksum,
         "bpe_train": q_bpe_train,
         "cooccurrence": q_cooccurrence,
+        "triangles": q_triangles,
+        "bfs_hops": q_bfs_hops,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3568,6 +3608,37 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "bfs_hops": """
+            WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                       FROM lineitem),
+            e AS (SELECT a.p AS a, b.p AS b
+                  FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+            eb AS (SELECT a AS u, b AS v FROM e
+                   UNION ALL SELECT b, a FROM e),
+            h0 AS (SELECT DISTINCT l_partkey AS n, 0 AS h FROM lineitem
+                   WHERE l_partkey % 97 = 0),
+            h1 AS (SELECT DISTINCT eb.v AS n, 1 AS h
+                   FROM eb JOIN h0 ON eb.u = h0.n),
+            h2 AS (SELECT DISTINCT eb.v AS n, 2 AS h
+                   FROM eb JOIN h1 ON eb.u = h1.n),
+            h3 AS (SELECT DISTINCT eb.v AS n, 3 AS h
+                   FROM eb JOIN h2 ON eb.u = h2.n)
+            SELECT n AS node, CAST(min(h) AS BIGINT) AS hops
+            FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+                  UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+            GROUP BY n""",
+        "triangles": """
+            WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                       FROM lineitem),
+            e AS (SELECT a.p AS a, b.p AS b
+                  FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
+                  GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e e1
+                    JOIN e e2 ON e1.b = e2.a
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+                     AS n_triangles""",
         "cooccurrence": """
             WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
             c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n

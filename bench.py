@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "checksum",
     "bpe_train",
     "cooccurrence",
+    "triangles",
 ]
 
 

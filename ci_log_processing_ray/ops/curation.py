@@ -510,9 +510,11 @@ def edit1_pairs(
                              pc.less_equal(n, max_len)))
         return pa.table({col: v})
 
-    vocab = (ds.map_batches(distinct_partial, batch_format="pyarrow",
-                            zero_copy_batch=True)
-             .groupby(col).count())
+    from .window import bucketed_distinct as _bdistinct
+
+    vocab = _bdistinct(
+        ds.map_batches(distinct_partial, batch_format="pyarrow",
+                       zero_copy_batch=True), [col])
 
     def variants(t: pa.Table) -> pa.Table:
         vs, ws = [], []
@@ -537,21 +539,27 @@ def edit1_pairs(
             i += 1
         return a[i:] == b[i + 1:]
 
+    # variant cardinality is vocab x word-length (corpus-shaped), so
+    # route variants through the coarse-bucket kernels -- per-distinct-
+    # variant map_groups dispatch and the native pair-key groupby both
+    # pay per-group costs there (ops/window.py:bucketed_sum rationale)
     def pair_up(g: pd.DataFrame) -> pd.DataFrame:
-        ws = sorted(set(g["_w"]))
         out_a, out_b = [], []
-        for i in range(len(ws)):
-            for j in range(i + 1, len(ws)):
-                if _is_edit1(ws[i], ws[j]):
-                    out_a.append(ws[i])
-                    out_b.append(ws[j])
+        for _, grp in g.groupby("_v", sort=False):
+            ws = sorted(set(grp["_w"]))
+            for i in range(len(ws)):
+                for j in range(i + 1, len(ws)):
+                    if _is_edit1(ws[i], ws[j]):
+                        out_a.append(ws[i])
+                        out_b.append(ws[j])
         return pd.DataFrame({"a": out_a, "b": out_b})
 
-    cand = (vocab.map_batches(variants, batch_format="pyarrow")
-            .groupby("_v").map_groups(pair_up, batch_format="pandas"))
-    return (cand.groupby(["a", "b"]).count()
-            .map_batches(lambda t: t.select(["a", "b"]),
-                         batch_format="pyarrow"))
+    from .window import bucketed_distinct, bucketed_groups
+
+    cand = bucketed_groups(
+        vocab.map_batches(variants, batch_format="pyarrow"),
+        "_v", pair_up)
+    return bucketed_distinct(cand, ["a", "b"])
 
 
 def bpe_train(

@@ -321,3 +321,87 @@ def connected_components(
     return (mapping.map_batches(relabel, batch_format="pyarrow")
             .groupby("node").aggregate(Min("component",
                                            alias_name="component")))
+
+
+def bfs_hops(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    seeds: ray.data.Dataset,
+    *,
+    n_rounds: int,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Multi-source BFS, ``n_rounds`` frontier expansions: shortest hop
+    distance (0 = seed) from any seed node over the UNDIRECTED graph;
+    nodes unreached within the round budget are absent.  ``seeds``
+    must have a ``node`` column.  Returns (node, hops).
+
+    Scale shape: per round, the newly-reached frontier co-partitions
+    with the bidirectional edge table (materialized once) through ONE
+    tagged-union bucketed shuffle -- the kernel is a vectorized isin
+    against the bucket's frontier slice -- and the distance table
+    folds through one bucketed min kernel; every exchange is node- or
+    edge-shaped and the driver holds nothing.  Frontier size tracks
+    the graph's expansion, as BFS should.  A production variant would
+    pre-partition edges by src once instead of re-sharding per round
+    -- noted as the first optimization at real scale."""
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    ebi = (edges.map_batches(
+        lambda t: pa.table({"u": pa.concat_arrays([
+            t[src_col].combine_chunks().cast(pa.int64()),
+            t[dst_col].combine_chunks().cast(pa.int64())]),
+            "v": pa.concat_arrays([
+                t[dst_col].combine_chunks().cast(pa.int64()),
+                t[src_col].combine_chunks().cast(pa.int64())])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .materialize())
+
+    def min_kern(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False, sort=False)["hops"].min()
+
+    dist = (seeds.map_batches(
+        lambda t: pa.table({
+            "node": t["node"].combine_chunks().cast(pa.int64()),
+            "hops": pa.array(np.zeros(len(t), np.int64))}),
+        batch_format="pyarrow").materialize())
+    frontier = dist
+
+    # tagged union: edges carry (key=u, v, _side=0), frontier rows
+    # (key=node, v=-, _side=1); one bucketed shuffle co-locates every
+    # node's edges with its frontier membership, no Acero join (whose
+    # key resolution rejects the schema-less empty blocks Ray forwards
+    # past pandas kernels)
+    etag = ebi.map_batches(
+        lambda t: pa.table({"key": t["u"], "v": t["v"],
+                            "_side": pa.array(
+                                np.zeros(len(t), np.int8))}),
+        batch_format="pyarrow").materialize()
+
+    for r in range(n_rounds):
+        if frontier.count() == 0:  # exhausted: no further rounds
+            break
+        ftag = frontier.map_batches(
+            lambda t: pa.table({
+                "key": t["node"].combine_chunks().cast(pa.int64()),
+                "v": pa.array(np.zeros(len(t), np.int64)),
+                "_side": pa.array(np.ones(len(t), np.int8))}),
+            batch_format="pyarrow")
+
+        def expand(g: pd.DataFrame, _r=r) -> pd.DataFrame:
+            fkeys = g.loc[g["_side"] == 1, "key"]
+            e = g[g["_side"] == 0]
+            hit = e[e["key"].isin(set(fkeys))]
+            return pd.DataFrame({
+                "node": hit["v"].to_numpy(np.int64),
+                "hops": np.full(len(hit), _r + 1, np.int64)})
+
+        cand = bucketed_groups(etag.union(ftag), "key", expand,
+                               n_buckets=n_buckets)
+        dist = (bucketed_groups(dist.union(cand), "node", min_kern,
+                                n_buckets=n_buckets)
+                .materialize())
+        frontier = dist.filter(expr=f"hops == {r + 1}")
+
+    return dist

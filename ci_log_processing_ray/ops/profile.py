@@ -46,15 +46,20 @@ def profile_columns(ds: ray.data.Dataset, cols: list[str]) -> pa.Table:
                 .to_pandas().set_index("col_name"))
 
     def run_distinct(c: str) -> int:
+        # distinct-value cardinality is corpus-shaped (id columns), so
+        # the global dedup runs through the coarse-bucket kernel --
+        # native groupby pays per-distinct-group merge cost there
+        # (ops/window.py:bucketed_sum rationale)
+        from .window import bucketed_distinct
+
         def batch_unique(t: pa.Table, _c=c) -> pa.Table:
             v = t[_c].combine_chunks().drop_null().unique()
             return pa.table({_c: v})
 
-        return (ds.select_columns([c])
-                .map_batches(batch_unique, batch_format="pyarrow",
-                             zero_copy_batch=True)
-                .groupby(c).aggregate(Count(alias_name="_c"))
-                .count())
+        return bucketed_distinct(
+            ds.select_columns([c])
+            .map_batches(batch_unique, batch_format="pyarrow",
+                         zero_copy_batch=True), [c]).count()
 
     # the count pass and the per-column distincts are independent Ray
     # jobs; launch them together from driver threads so their stages
@@ -118,6 +123,10 @@ def check_contract(
         return dict(zip(out["rule"], out["v"].astype(int)))
 
     def run_unique(keys: list[str]) -> int:
+        # key cardinality is corpus-shaped (primary keys), so the
+        # global count runs through the coarse-bucket sum kernel
+        from .window import bucketed_sum
+
         def key_counts(t: pa.Table) -> pa.Table:
             g = (t.select(keys)
                  .append_column("_n", pa.array([1] * len(t), pa.int64()))
@@ -125,15 +134,15 @@ def check_contract(
             return pa.table({**{k: g[k] for k in keys},
                              "_n": g["_n_sum"]})
 
-        per_key = (ds.map_batches(key_counts, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-                   .groupby(keys).aggregate(Sum("_n", alias_name="n")))
+        per_key = bucketed_sum(
+            ds.map_batches(key_counts, batch_format="pyarrow",
+                           zero_copy_batch=True), keys, ["_n"])
 
-        def dups(t: pa.Table) -> pa.Table:
-            extra = pc.sum(pc.subtract(t["n"], 1), min_count=0).as_py() or 0
+        def dups(df):
+            extra = int((df["_n"].to_numpy() - 1).sum())
             return pa.table({"d": pa.array([extra], pa.int64())})
 
-        total = (per_key.map_batches(dups, batch_format="pyarrow")
+        total = (per_key.map_batches(dups, batch_format="pandas")
                  .sum("d"))
         return int(total or 0)
 

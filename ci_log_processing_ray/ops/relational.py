@@ -469,32 +469,41 @@ def cooccurrence_pairs(
     bounded by sum over keys of items_per_key^2 -- cap item domains
     upstream for heavy-basket data); item counts ride the same
     distinct table.  The final exchange carries (a, b, n) partials,
-    item-vocabulary^2-bounded, never rows."""
-    from ray.data.aggregate import Sum
+    item-vocabulary^2-bounded, never rows.
 
-    from .window import bucketed_groups
+    The wide steps use coarse-bucket pandas kernels
+    (ops/window.py:bucketed_distinct / bucketed_sum) -- (key, item) and
+    (a, b) cardinalities are corpus-shaped, the regime where
+    Dataset.groupby's native aggregate pays per-distinct-group merge
+    cost."""
+    from .window import bucketed_distinct, bucketed_groups, bucketed_sum
 
     def distinct_partial(t: pa.Table) -> pa.Table:
         return (t.select([key_col, item_col])
                 .group_by([key_col, item_col]).aggregate([]))
 
-    distinct = (ds.map_batches(distinct_partial, batch_format="pyarrow",
-                               zero_copy_batch=True)
-                .groupby([key_col, item_col]).count())
+    distinct = (bucketed_distinct(
+        ds.map_batches(distinct_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key_col, item_col], n_buckets=n_buckets)
+        .materialize())
 
     import ray as _ray
 
     # rows of `distinct` are unique (key, item) pairs, so a row count
-    # per item IS the item's distinct-key support
-    item_counts = (distinct.groupby(item_col).count()
+    # per item IS the item's distinct-key support (item vocabulary is
+    # broadcast-sized by contract, so one C-speed kernel per bucket)
+    def item_count_kern(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(item_col, as_index=False, sort=False)
+                .size().rename(columns={"size": "n"}))
+
+    item_counts = (bucketed_groups(distinct, item_col, item_count_kern,
+                                   n_buckets=n_buckets)
                    .to_pandas().sort_values(item_col))
-    count_col = [c for c in item_counts.columns if c != item_col][0]
     counts_ref = _ray.put(dict(zip(
-        item_counts[item_col],
-        item_counts[count_col].astype(np.int64))))
+        item_counts[item_col], item_counts["n"].astype(np.int64))))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[[key_col, item_col]]
         m = g.merge(g, on=key_col, suffixes=("_a", "_b"))
         m = m[m[f"{item_col}_a"] < m[f"{item_col}_b"]]
         out = (m.groupby([f"{item_col}_a", f"{item_col}_b"],
@@ -505,10 +514,9 @@ def cooccurrence_pairs(
         out["n_ab"] = out["n_ab"].astype(np.int64)
         return out
 
-    pair_partials = bucketed_groups(distinct, key_col, pairs,
-                                    n_buckets=n_buckets)
-    agg = pair_partials.groupby(["a", "b"]).aggregate(
-        Sum("n_ab", alias_name="n_ab"))
+    agg = bucketed_sum(
+        bucketed_groups(distinct, key_col, pairs, n_buckets=n_buckets),
+        ["a", "b"], ["n_ab"], n_buckets=n_buckets)
 
     def finish(t: pa.Table) -> pa.Table:
         lut = _ray.get(counts_ref)
@@ -525,3 +533,82 @@ def cooccurrence_pairs(
             "conf_ba_permille": pa.array(1000 * n_ab // n_b)})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def triangle_count(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    item_col: str,
+    *,
+    min_support: int = 1,
+    num_partitions: int = 8,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Triangle count of the item co-occurrence graph (items are nodes;
+    an edge joins two items sharing >= ``min_support`` keys): the
+    classic distributed graph benchmark, counted as canonical wedges
+    closed by an edge lookup.  Returns one row (n_edges, n_triangles).
+
+    Scale shape: rows collapse to DISTINCT (key, item); edges build
+    per key-bucket by vectorized self-merge and dedup/count through
+    ONE (a, b) exchange.  ``min_support`` is the wedge-explosion
+    guard: co-occurrence graphs over heavy baskets go dense, and wedge
+    volume is sum(deg^2) -- raise support (or cap basket size
+    upstream) to keep the joined volume graph-shaped.  The edge table
+    (graph-sized, not corpus-sized) is materialized once and reused
+    across both hash joins: wedges = edges |><| edges on b=a' (every
+    a<b<c path), closed against the edge set on (a, c).  Canonical
+    a<b ordering means each triangle is counted exactly once with no
+    orientation dedup.
+
+    Both wide steps use the coarse-bucket pandas kernels
+    (ops/window.py:bucketed_distinct / bucketed_sum): edge-pair key
+    cardinality is corpus-shaped, where Dataset.groupby's native
+    aggregate pays per-distinct-group merge cost."""
+    from .window import bucketed_distinct, bucketed_groups, bucketed_sum
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return (t.select([key_col, item_col])
+                .group_by([key_col, item_col]).aggregate([]))
+
+    distinct = bucketed_distinct(
+        ds.map_batches(distinct_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key_col, item_col], n_buckets=n_buckets)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=key_col, suffixes=("_a", "_b"))
+        m = m[m[f"{item_col}_a"] < m[f"{item_col}_b"]]
+        out = (m.groupby([f"{item_col}_a", f"{item_col}_b"],
+                         as_index=False, sort=False).size()
+               .rename(columns={"size": "n_keys",
+                                f"{item_col}_a": "a",
+                                f"{item_col}_b": "b"}))
+        out["n_keys"] = out["n_keys"].astype(np.int64)
+        return out
+
+    def apply_support(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.greater_equal(t["n_keys"].combine_chunks(),
+                                      min_support))
+        return t.select(["a", "b"])
+
+    edges = (bucketed_sum(
+        bucketed_groups(distinct, key_col, pairs, n_buckets=n_buckets),
+        ["a", "b"], ["n_keys"], n_buckets=n_buckets)
+        .map_batches(apply_support, batch_format="pyarrow")
+        .materialize())
+    n_edges = edges.count()
+
+    e2 = edges.map_batches(
+        lambda t: pa.table({"b2": t["a"], "c": t["b"]}),
+        batch_format="pyarrow")
+    wedges = edges.join(e2, "inner", num_partitions=num_partitions,
+                        on=("b",), right_on=("b2",))
+    e3 = edges.map_batches(
+        lambda t: pa.table({"a3": t["a"], "c3": t["b"]}),
+        batch_format="pyarrow")
+    tri = wedges.join(e3, "inner", num_partitions=num_partitions,
+                      on=("a", "c"), right_on=("a3", "c3"))
+    return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                     "n_triangles": pa.array([tri.count()], pa.int64())})

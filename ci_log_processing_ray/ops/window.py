@@ -57,6 +57,44 @@ def bucketed_groups(
     ).groupby("_kb").map_groups(run, batch_format="pandas")
 
 
+def bucketed_sum(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    sum_cols: list[str],
+    *,
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> ray.data.Dataset:
+    """Exact grouped sum at HIGH key cardinality: hash-bucket on the
+    first key column, one C-speed pandas groupby-sum per bucket.
+    Dataset.groupby(...).aggregate() pays a per-distinct-group cost in
+    its merge (measured 145 s for 120k groups on pandas blocks, ~10 s
+    on Arrow blocks, vs ~1 s here) -- use this whenever group count is
+    corpus-shaped rather than vocabulary-shaped."""
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_cols, as_index=False, sort=False)[
+            sum_cols].sum()
+
+    return bucketed_groups(ds, key_cols[0], kern, n_buckets=n_buckets)
+
+
+def bucketed_distinct(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    *,
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> ray.data.Dataset:
+    """Exact DISTINCT over ``key_cols`` at high cardinality: same
+    coarse-bucket shape as :func:`bucketed_sum`, kernel is a pandas
+    ``drop_duplicates``.  Callers should pre-shrink with a per-block
+    distinct partial so the exchange carries block-distinct rows."""
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        return g[key_cols].drop_duplicates()
+
+    return bucketed_groups(ds, key_cols[0], kern, n_buckets=n_buckets)
+
+
 def forward_fill_by_group(
     ds: ray.data.Dataset,
     group_col: str,

@@ -1808,3 +1808,18 @@ def test_cooccurrence_pairs_support_and_confidence(ray_session):
     assert got[("y", "z")] == (1, 3, 1, 333, 1000)
     assert ("x", "z") not in got
     # duplicate (u=1, x) rows counted once
+
+
+def test_bfs_hops_shortest_distance(ray_session):
+    from ci_log_processing_ray.ops.iterative import bfs_hops
+
+    # path 1-2-3-4-5 plus shortcut 1-4, isolated 9-10
+    edges = ray.data.from_items(
+        [{"a": 1, "b": 2}, {"a": 2, "b": 3}, {"a": 3, "b": 4},
+         {"a": 4, "b": 5}, {"a": 1, "b": 4},
+         {"a": 9, "b": 10}]).repartition(2)
+    seeds = ray.data.from_items([{"node": 1}])
+    out = bfs_hops(edges, "a", "b", seeds, n_rounds=3).to_pandas()
+    got = dict(zip(out.node, out.hops))
+    # shortcut wins: 4 at hop 1, 5 at hop 2; 9/10 unreachable (absent)
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
