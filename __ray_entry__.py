@@ -3088,6 +3088,35 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER
                 (PARTITION BY source
                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5""",
+        "lang_id": """
+            WITH l AS (SELECT lang,
+                    list_filter(string_split_regex(lower(text),
+                                '[^a-z0-9_]+'), x -> x != '') AS w
+                FROM documents),
+            c AS (SELECT lang,
+                len(list_filter(w, x -> x IN ('the','a','of','and',
+                    'to','in','is','it'))) AS c_en,
+                len(list_filter(w, x -> x IN ('el','la','de','y',
+                    'que','en','un','es'))) AS c_es,
+                len(list_filter(w, x -> x IN ('der','die','das','und',
+                    'zu','in','ist','ein'))) AS c_de,
+                len(list_filter(w, x -> x IN ('le','la','de','et',
+                    'que','en','un','est'))) AS c_fr
+                FROM l),
+            p AS (SELECT lang,
+                CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0
+                         THEN 'other'
+                     WHEN c_en = greatest(c_en, c_es, c_de, c_fr)
+                         THEN 'en'
+                     WHEN c_es = greatest(c_en, c_es, c_de, c_fr)
+                         THEN 'es'
+                     WHEN c_de = greatest(c_en, c_es, c_de, c_fr)
+                         THEN 'de'
+                     ELSE 'fr' END AS lang_pred
+                FROM c)
+            SELECT lang, lang_pred,
+                   CAST(count(*) AS BIGINT) AS "count()"
+            FROM p GROUP BY 1, 2""",
         "pivot_counts": """
             SELECT user_id,
                    CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
