@@ -2710,6 +2710,19 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, "a", "b", seeds, n_rounds=3)
 
 
+def q_transitions(sf_dir: str):
+    """First-order Markov transition matrix over per-user event
+    sequences (ops/window.py:transition_counts): one bucketed key-hash
+    shuffle, whole-bucket sort + boundary mask, state-vocabulary^2
+    final exchange -- the user-journey flow primitive."""
+    from ci_log_processing_ray.ops.window import transition_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    return transition_counts(ds, "user_id", "ts", "event_type",
+                             tie_col="event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -2830,6 +2843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence": q_cooccurrence,
         "triangles": q_triangles,
         "bfs_hops": q_bfs_hops,
+        "transitions": q_transitions,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3637,6 +3651,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "transitions": """
+            WITH s AS (SELECT user_id, event_type,
+                    LEAD(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS next_type
+                FROM events)
+            SELECT event_type AS from_state, next_type AS to_state,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE next_type IS NOT NULL
+            GROUP BY 1, 2""",
         "bfs_hops": """
             WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                        FROM lineitem),

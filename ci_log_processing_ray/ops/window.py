@@ -689,3 +689,42 @@ def twap_by_group(
                                  "_w": "sum_value_dt"})
 
     return bucketed_groups(ds, key_col, kern, n_buckets=n_buckets)
+
+
+def transition_counts(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    *,
+    tie_col: str | None = None,
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> "ray.data.Dataset":
+    """First-order Markov transition matrix over per-key event
+    sequences: for every (from_state, to_state) pair, how many times a
+    key's event was followed by that next state in (ts, tie) order --
+    the session-flow / user-journey primitive.  Output:
+    ``from_state, to_state, n`` (int64).
+
+    One bucketed key-hash shuffle; the kernel sorts the whole bucket
+    once, masks key boundaries, and counts pairs with a C-speed pandas
+    groupby.  The final exchange carries per-bucket
+    (from, to, n) partials -- state-vocabulary^2-bounded."""
+    order = [key_col, ts_col] + ([tie_col] if tie_col else [])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        k = g[key_col].to_numpy()
+        s = g[state_col].to_numpy()
+        same = k[:-1] == k[1:]
+        df = pd.DataFrame({"from_state": s[:-1][same],
+                           "to_state": s[1:][same]})
+        out = (df.groupby(["from_state", "to_state"], as_index=False,
+                          sort=False).size()
+               .rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = bucketed_groups(ds, key_col, kern, n_buckets=n_buckets)
+    return bucketed_sum(partials, ["from_state", "to_state"], ["n"],
+                        n_buckets=n_buckets)

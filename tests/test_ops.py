@@ -1823,3 +1823,23 @@ def test_bfs_hops_shortest_distance(ray_session):
     got = dict(zip(out.node, out.hops))
     # shortcut wins: 4 at hop 1, 5 at hop 2; 9/10 unreachable (absent)
     assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_transition_counts_boundaries(ray_session):
+    import datetime as _dt
+    from ci_log_processing_ray.ops.window import transition_counts
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        {"u": 1, "ts": t0, "id": 0, "s": "a"},
+        {"u": 1, "ts": t0 + _dt.timedelta(seconds=1), "id": 1, "s": "b"},
+        {"u": 1, "ts": t0 + _dt.timedelta(seconds=2), "id": 2, "s": "a"},
+        {"u": 2, "ts": t0, "id": 3, "s": "b"},   # boundary: no 'a'->'b'
+        {"u": 2, "ts": t0 + _dt.timedelta(seconds=5), "id": 4, "s": "b"},
+        {"u": 3, "ts": t0, "id": 5, "s": "c"},   # singleton: nothing
+    ]
+    out = transition_counts(
+        ray.data.from_items(rows).repartition(3), "u", "ts", "s",
+        tie_col="id").to_pandas()
+    got = {(r.from_state, r.to_state): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
