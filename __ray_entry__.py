@@ -2723,6 +2723,24 @@ def q_transitions(sf_dir: str):
                              tie_col="event_id")
 
 
+def q_global_rank(sf_dir: str):
+    """Exact global RANK with ties + percentile permille over order
+    total price cents (ops/window.py:rank_global): range buckets +
+    driver prefix counts, per-bucket first-occurrence rank kernel --
+    PERCENT_RANK without a global sort."""
+    from ci_log_processing_ray.ops.window import rank_global
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    return rank_global(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "cents")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -2844,6 +2862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": q_triangles,
         "bfs_hops": q_bfs_hops,
         "transitions": q_transitions,
+        "global_rank": q_global_rank,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3651,6 +3670,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "global_rank": """
+            WITH b AS (SELECT o_orderkey,
+                    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)
+                      AS cents FROM orders)
+            SELECT o_orderkey, cents,
+                   CAST(RANK() OVER (ORDER BY cents) AS BIGINT) AS rank,
+                   CAST(1000 * (RANK() OVER (ORDER BY cents) - 1)
+                        // greatest((SELECT count(*) - 1 FROM b), 1)
+                        AS BIGINT) AS pct_permille
+            FROM b""",
         "transitions": """
             WITH s AS (SELECT user_id, event_type,
                     LEAD(event_type) OVER (PARTITION BY user_id

@@ -728,3 +728,74 @@ def transition_counts(
     partials = bucketed_groups(ds, key_col, kern, n_buckets=n_buckets)
     return bucketed_sum(partials, ["from_state", "to_state"], ["n"],
                         n_buckets=n_buckets)
+
+
+def rank_global(
+    ds: "ray.data.Dataset",
+    order_col: str,
+    *,
+    out_col: str = "rank",
+    pct_col: str | None = "pct_permille",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Exact global SQL ``RANK()`` ordered by ``order_col`` (ties share
+    a rank; the next rank skips), plus the integer permille percentile
+    ``1000 * (rank - 1) // (N - 1)`` -- feature-normalization /
+    leaderboard primitive, no global sort.
+
+    Same scale shape as :func:`row_number_global`: equi-width range
+    buckets on the int64 order column (a value's ties all land in its
+    bucket), per-bucket counts prefix-summed on the driver, and one
+    bucketed shuffle whose kernel ranks via sort + first-occurrence
+    offsets.  ``order_col`` must be int64."""
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.aggregate(Min(order_col), Max(order_col))
+    lo = int(stats[f"min({order_col})"])
+    hi = int(stats[f"max({order_col})"])
+    width = max((hi - lo) // n_buckets + 1, 1)
+
+    def bucket_of(arr):
+        return pc.divide(pc.cast(pc.subtract(arr, lo), pa.int64()),
+                         pa.scalar(width, pa.int64()))
+
+    def bucket_count(t: pa.Table) -> pa.Table:
+        b = bucket_of(t[order_col].combine_chunks())
+        tt = pa.table({"_b": b,
+                       "_n": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by("_b").aggregate([("_n", "sum")])
+        return pa.table({"_b": g["_b"], "_n": g["_n_sum"]})
+
+    counts = (ds.map_batches(bucket_count, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("_b").sum("_n").to_pandas().sort_values("_b"))
+    by_b = dict(zip(counts["_b"].astype(int), counts["sum(_n)"]))
+    offsets = np.zeros(n_buckets + 2, dtype=np.int64)
+    run = 0
+    for b in range(n_buckets + 2):
+        offsets[b] = run
+        run += int(by_b.get(b, 0))
+    total = run
+    off_ref = ray.put(offsets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_b", bucket_of(t[order_col].combine_chunks()))
+
+    def rank_kern(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(off_ref)[int(g["_b"].iloc[0])]
+        g = g.sort_values(order_col, kind="mergesort").drop(columns="_b")
+        v = g[order_col].to_numpy()
+        # rank of each row = base + index of its value's FIRST occurrence
+        first = np.r_[True, v[1:] != v[:-1]]
+        rank = base + 1 + np.maximum.accumulate(
+            np.where(first, np.arange(len(v), dtype=np.int64), 0))
+        g[out_col] = rank
+        if pct_col is not None:
+            denom = max(total - 1, 1)
+            g[pct_col] = 1000 * (rank - 1) // denom
+        return g
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_b").map_groups(rank_kern, batch_format="pandas"))

@@ -1843,3 +1843,21 @@ def test_transition_counts_boundaries(ray_session):
         tie_col="id").to_pandas()
     got = {(r.from_state, r.to_state): r.n for r in out.itertuples()}
     assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+
+
+def test_rank_global_ties_and_percentile(ray_session):
+    from ci_log_processing_ray.ops.window import rank_global
+
+    vals = [10, 20, 20, 30, 30, 30, 40, 5, 5, 100, 1000]
+    rows = [{"id": i, "v": v} for i, v in enumerate(vals)]
+    out = rank_global(
+        ray.data.from_items(rows).repartition(4), "v",
+        n_buckets=8).to_pandas().sort_values(["v", "id"])
+    import pandas as _pd
+    want = _pd.Series(vals).rank(method="min").astype(int)
+    got = dict(zip(out.id, out["rank"]))
+    assert got == {i: int(want[i]) for i in range(len(vals))}
+    # percentile permille: rank 1 -> 0; max rank 11 -> 1000
+    pp = dict(zip(out.id, out.pct_permille))
+    assert pp[7] == 0 and pp[8] == 0      # the two 5s share rank 1
+    assert pp[10] == 1000
