@@ -78,6 +78,13 @@ BENCH_QUERIES = [
     "bpe_train",
     "cooccurrence",
     "triangles",
+    "transitions",
+    "global_rank",
+    "minmax_scale",
+    "mad",
+    "contract",
+    "edit1_pairs",
+    "bfs_hops",
 ]
 
 

@@ -337,15 +337,16 @@ def bfs_hops(
     nodes unreached within the round budget are absent.  ``seeds``
     must have a ``node`` column.  Returns (node, hops).
 
-    Scale shape: per round, the newly-reached frontier co-partitions
-    with the bidirectional edge table (materialized once) through ONE
-    tagged-union bucketed shuffle -- the kernel is a vectorized isin
-    against the bucket's frontier slice -- and the distance table
-    folds through one bucketed min kernel; every exchange is node- or
-    edge-shaped and the driver holds nothing.  Frontier size tracks
-    the graph's expansion, as BFS should.  A production variant would
-    pre-partition edges by src once instead of re-sharding per round
-    -- noted as the first optimization at real scale."""
+    Scale shape: per round, a broadcastable frontier (its size is
+    already known from the exhaustion check) ships once via ``ray.put``
+    and the expansion is a pure vectorized ``np.isin`` map over the
+    materialized bidirectional edge table -- no per-round edge
+    re-shuffle.  Frontiers past the broadcast cap fall back to ONE
+    tagged-union bucketed co-partition of frontier + edges.  The
+    distance table folds through one bucketed min kernel; every
+    exchange is node- or edge-shaped.  A production variant would
+    additionally pre-partition edges by src once -- noted as the next
+    optimization at true scale."""
     from ci_log_processing_ray.ops.window import bucketed_groups
 
     ebi = (edges.map_batches(
@@ -368,37 +369,61 @@ def bfs_hops(
         batch_format="pyarrow").materialize())
     frontier = dist
 
-    # tagged union: edges carry (key=u, v, _side=0), frontier rows
-    # (key=node, v=-, _side=1); one bucketed shuffle co-locates every
-    # node's edges with its frontier membership, no Acero join (whose
-    # key resolution rejects the schema-less empty blocks Ray forwards
-    # past pandas kernels)
+    # tagged union fallback: edges carry (key=u, v, _side=0), frontier
+    # rows (key=node, v=-, _side=1); one bucketed shuffle co-locates
+    # every node's edges with its frontier membership, no Acero join
+    # (whose key resolution rejects the schema-less empty blocks Ray
+    # forwards past pandas kernels)
     etag = ebi.map_batches(
         lambda t: pa.table({"key": t["u"], "v": t["v"],
                             "_side": pa.array(
                                 np.zeros(len(t), np.int8))}),
         batch_format="pyarrow").materialize()
 
+    # frontier sizes are already counted each round (the exhaustion
+    # check), so route small frontiers through a ray.put broadcast +
+    # pure edge-side map -- no per-round edge re-shuffle.  The tagged
+    # union co-partition remains the path for frontiers too large to
+    # broadcast (billion-node graphs).
+    BROADCAST_CAP = 5_000_000
+
     for r in range(n_rounds):
-        if frontier.count() == 0:  # exhausted: no further rounds
+        n_front = frontier.count()
+        if n_front == 0:  # exhausted: no further rounds
             break
-        ftag = frontier.map_batches(
-            lambda t: pa.table({
-                "key": t["node"].combine_chunks().cast(pa.int64()),
-                "v": pa.array(np.zeros(len(t), np.int64)),
-                "_side": pa.array(np.ones(len(t), np.int8))}),
-            batch_format="pyarrow")
+        if n_front <= BROADCAST_CAP:
+            fset_ref = ray.put(np.sort(
+                frontier.to_pandas()["node"].to_numpy(np.int64)))
 
-        def expand(g: pd.DataFrame, _r=r) -> pd.DataFrame:
-            fkeys = g.loc[g["_side"] == 1, "key"]
-            e = g[g["_side"] == 0]
-            hit = e[e["key"].isin(set(fkeys))]
-            return pd.DataFrame({
-                "node": hit["v"].to_numpy(np.int64),
-                "hops": np.full(len(hit), _r + 1, np.int64)})
+            def bcast_expand(t: pa.Table, _r=r, _ref=fset_ref) -> pa.Table:
+                farr = ray.get(_ref)
+                u = t["u"].combine_chunks().to_numpy()
+                mask = np.isin(u, farr, assume_unique=False)
+                v = t["v"].combine_chunks().to_numpy()[mask]
+                return pa.table({
+                    "node": pa.array(v),
+                    "hops": pa.array(np.full(len(v), _r + 1, np.int64))})
 
-        cand = bucketed_groups(etag.union(ftag), "key", expand,
-                               n_buckets=n_buckets)
+            cand = ebi.map_batches(bcast_expand, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        else:
+            ftag = frontier.map_batches(
+                lambda t: pa.table({
+                    "key": t["node"].combine_chunks().cast(pa.int64()),
+                    "v": pa.array(np.zeros(len(t), np.int64)),
+                    "_side": pa.array(np.ones(len(t), np.int8))}),
+                batch_format="pyarrow")
+
+            def expand(g: pd.DataFrame, _r=r) -> pd.DataFrame:
+                fkeys = g.loc[g["_side"] == 1, "key"]
+                e = g[g["_side"] == 0]
+                hit = e[e["key"].isin(set(fkeys))]
+                return pd.DataFrame({
+                    "node": hit["v"].to_numpy(np.int64),
+                    "hops": np.full(len(hit), _r + 1, np.int64)})
+
+            cand = bucketed_groups(etag.union(ftag), "key", expand,
+                                   n_buckets=n_buckets)
         dist = (bucketed_groups(dist.union(cand), "node", min_kern,
                                 n_buckets=n_buckets)
                 .materialize())

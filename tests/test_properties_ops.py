@@ -193,3 +193,57 @@ def test_lag_diff_matches_bruteforce(ray_session, data, parts):
         else:
             want = int((srt.set_index("id").loc[i, "ts"] - p).value // 1000)
             assert out.loc[i, "gap_us"] == want
+
+
+@given(data=st.lists(st.integers(min_value=-1000, max_value=1000),
+                     min_size=1, max_size=60),
+       parts=st.integers(min_value=1, max_value=4))
+@SET
+def test_row_number_global_matches_sorted_enumeration(ray_session, data,
+                                                      parts):
+    from ci_log_processing_ray.ops.window import row_number_global
+
+    df = pd.DataFrame({"k": np.array(data, np.int64),
+                       "id": np.arange(len(data), dtype=np.int64)})
+    out = (row_number_global(_ds(df, parts), "k", tie_cols=["id"],
+                             n_buckets=8)
+           .to_pandas().sort_values("row_num").reset_index(drop=True))
+    want = df.sort_values(["k", "id"]).reset_index(drop=True)
+    assert list(out.row_num) == list(range(1, len(df) + 1))
+    assert list(out.k) == list(want.k)
+    assert list(out.id) == list(want.id)
+
+
+@given(data=st.lists(st.integers(min_value=-50, max_value=50),
+                     min_size=1, max_size=60),
+       parts=st.integers(min_value=1, max_value=4))
+@SET
+def test_rank_global_matches_pandas_min_rank(ray_session, data, parts):
+    from ci_log_processing_ray.ops.window import rank_global
+
+    df = pd.DataFrame({"v": np.array(data, np.int64),
+                       "id": np.arange(len(data), dtype=np.int64)})
+    out = rank_global(_ds(df, parts), "v",
+                      n_buckets=8).to_pandas().set_index("id")
+    want = df.set_index("id")["v"].rank(method="min").astype(int)
+    for i in df.id:
+        assert out.loc[i, "rank"] == want[i]
+
+
+@given(data=st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+                               st.integers(min_value=-100, max_value=100)),
+                     min_size=1, max_size=60),
+       parts=st.integers(min_value=1, max_value=4))
+@SET
+def test_minmax_scale_matches_bruteforce(ray_session, data, parts):
+    from ci_log_processing_ray.ops.groupagg import minmax_scale_by_group
+
+    df = pd.DataFrame({"g": [str(d[0]) for d in data],
+                       "x": np.array([d[1] for d in data], np.int64)})
+    out = minmax_scale_by_group(_ds(df, parts), "g", "x",
+                                out_col="s").to_pandas()
+    for _, row in out.iterrows():
+        grp = df[df.g == row.g]["x"]
+        lo, hi = grp.min(), grp.max()
+        want = 0 if hi == lo else (row.x - lo) * 1000 // (hi - lo)
+        assert row.s == want
