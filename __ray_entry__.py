@@ -2741,6 +2741,37 @@ def q_global_rank(sf_dir: str):
         "cents")
 
 
+def q_target_encode(sf_dir: str):
+    """Leave-one-out target encoding
+    (ops/groupagg.py:target_encode_loo): per event, the other
+    same-type events' cents sum and count as an exact integer rational
+    -- category aggregate broadcast once, pure map."""
+    from ci_log_processing_ray.ops.groupagg import target_encode_loo
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "cents": _cents(t["value"]),
+        })
+
+    return target_encode_loo(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "cents")
+
+
+def q_kfold(sf_dir: str):
+    """Stratified k-fold assignment (ops/curation.py:kfold_assign):
+    round-robin folds in md5(doc_id) order within each source stratum
+    -- deterministic on any cluster size, fold sizes within 1."""
+    from ci_log_processing_ray.ops.curation import kfold_assign
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return kfold_assign(ds, "doc_id", "source", 5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -2863,6 +2894,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": q_bfs_hops,
         "transitions": q_transitions,
         "global_rank": q_global_rank,
+        "target_encode": q_target_encode,
+        "kfold": q_kfold,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3670,6 +3703,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "target_encode": """
+            WITH b AS (SELECT event_id, event_type,
+                    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+                FROM events),
+            g AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS s,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM b GROUP BY event_type)
+            SELECT b.event_id, b.event_type, b.cents,
+                   CAST(CASE WHEN g.n <= 1 THEN 0
+                        ELSE g.s - b.cents END AS BIGINT) AS loo_num,
+                   CAST(greatest(g.n - 1, 0) AS BIGINT) AS loo_den
+            FROM b JOIN g USING (event_type)""",
+        "kfold": """
+            WITH b AS (SELECT doc_id, source,
+                    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+            SELECT doc_id, source,
+                   CAST((ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY h, doc_id) - 1) % 5 AS BIGINT)
+                     AS fold
+            FROM b""",
         "global_rank": """
             WITH b AS (SELECT o_orderkey,
                     CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)

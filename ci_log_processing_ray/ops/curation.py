@@ -655,3 +655,45 @@ def bpe_train(
         "left": pa.array([m[1] for m in merges], pa.string()),
         "right": pa.array([m[2] for m in merges], pa.string()),
         "pair_count": pa.array([m[3] for m in merges], pa.int64())})
+
+
+def kfold_assign(
+    ds: ray.data.Dataset,
+    id_col: str,
+    strata_col: str,
+    k: int,
+    *,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Stratified k-fold assignment: within each stratum, rows take
+    folds round-robin in md5(id) order -- deterministic, reproducible
+    on any cluster size, and exactly balanced (fold sizes within a
+    stratum differ by at most 1), the cross-validation split
+    primitive.  Output: ``id_col, strata_col, fold`` (0-based int64).
+
+    One bucketed shuffle keyed on the stratum; the kernel sorts its
+    whole bucket once by (stratum, md5, id) and assigns
+    ``rank_in_stratum % k`` via boundary-masked cumcount."""
+    import hashlib
+
+    from .window import bucketed_groups
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hx = [hashlib.md5(str(v).encode()).hexdigest()
+              for v in t[id_col].to_pylist()]
+        return pa.table({id_col: t[id_col], strata_col: t[strata_col],
+                         "_h": pa.array(hx, pa.string())})
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([strata_col, "_h", id_col], kind="mergesort")
+        s = g[strata_col].to_numpy()
+        new = np.r_[True, s[1:] != s[:-1]]
+        idx = np.arange(len(g), dtype=np.int64)
+        base = np.maximum.accumulate(np.where(new, idx, 0))
+        g["fold"] = (idx - base) % k
+        return g.drop(columns="_h")
+
+    return bucketed_groups(
+        ds.map_batches(add_hash, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        strata_col, assign, n_buckets=n_buckets)

@@ -375,3 +375,59 @@ def retention_cohorts(
     partials = bucketed_groups(pairs, user_col, kern, n_buckets=n_buckets)
     return partials.groupby(["cohort", "day_offset"]).aggregate(
         Sum("n_users", alias_name="n_users"))
+
+
+def target_encode_loo(
+    ds: ray.data.Dataset,
+    cat_col: str,
+    target_col: str,
+    *,
+    num_col: str = "loo_num",
+    den_col: str = "loo_den",
+) -> ray.data.Dataset:
+    """Leave-one-out target encoding, the category-feature primitive:
+    for every row, the mean of ``target_col`` over the OTHER rows of
+    its category, emitted as the exact integer rational
+    ``(sum_g - x, n_g - 1)`` (numerator/denominator columns -- no
+    float division, so the result is bit-exact and cross-engine
+    hashable; singleton categories get (0, 0)).
+
+    Two passes, no row shuffle: a category-cardinality (sum, n)
+    aggregate (combined per block first) broadcasts via ``ray.put``;
+    a pure vectorized map appends the two columns.  ``target_col``
+    must be int64."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            cat_col: t[cat_col],
+            "_s": pc.cast(t[target_col].combine_chunks(), pa.int64()),
+            "_n": pa.array(np.ones(len(t), np.int64)),
+        })
+        g = tt.group_by(cat_col).aggregate([("_s", "sum"), ("_n", "sum")])
+        return pa.table({cat_col: g[cat_col], "_s": g["_s_sum"],
+                         "_n": g["_n_sum"]})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(cat_col)
+           .aggregate(Sum("_s", alias_name="s"),
+                      Sum("_n", alias_name="n"))
+           .to_pandas().sort_values(cat_col))
+    ref = ray.put((agg[cat_col].to_numpy().astype(object),
+                   agg["s"].to_numpy().astype(np.int64),
+                   agg["n"].to_numpy().astype(np.int64)))
+
+    def apply(t: pa.Table) -> pa.Table:
+        keys, s, n = ray.get(ref)
+        g = t[cat_col].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, g)
+        x = pc.cast(t[target_col].combine_chunks(), pa.int64()).to_numpy()
+        den = n[idx] - 1
+        num = np.where(den == 0, 0, s[idx] - x)
+        t = t.append_column(num_col, pa.array(num, pa.int64()))
+        return t.append_column(den_col,
+                               pa.array(np.maximum(den, 0), pa.int64()))
+
+    return ds.map_batches(apply, batch_format="pyarrow",
+                          zero_copy_batch=True)

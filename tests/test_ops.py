@@ -1861,3 +1861,33 @@ def test_rank_global_ties_and_percentile(ray_session):
     pp = dict(zip(out.id, out.pct_permille))
     assert pp[7] == 0 and pp[8] == 0      # the two 5s share rank 1
     assert pp[10] == 1000
+
+
+def test_target_encode_loo_exact(ray_session):
+    from ci_log_processing_ray.ops.groupagg import target_encode_loo
+
+    rows = [{"id": 0, "g": "a", "x": 10}, {"id": 1, "g": "a", "x": 20},
+            {"id": 2, "g": "a", "x": 30}, {"id": 3, "g": "b", "x": 7}]
+    out = target_encode_loo(
+        ray.data.from_items(rows).repartition(2),
+        "g", "x").to_pandas().set_index("id")
+    assert (out.loc[0, "loo_num"], out.loc[0, "loo_den"]) == (50, 2)
+    assert (out.loc[1, "loo_num"], out.loc[1, "loo_den"]) == (40, 2)
+    assert (out.loc[3, "loo_num"], out.loc[3, "loo_den"]) == (0, 0)
+
+
+def test_kfold_assign_balance_and_determinism(ray_session):
+    from ci_log_processing_ray.ops.curation import kfold_assign
+
+    rows = [{"id": i, "s": "x" if i < 17 else "y"} for i in range(29)]
+    a = kfold_assign(ray.data.from_items(rows).repartition(4),
+                     "id", "s", 3).to_pandas()
+    b = kfold_assign(ray.data.from_items(rows[::-1]).repartition(2),
+                     "id", "s", 3).to_pandas()
+    # deterministic under any partitioning/order
+    assert dict(zip(a.id, a.fold)) == dict(zip(b.id, b.fold))
+    # balanced within each stratum: sizes differ by <= 1
+    for s, grp in a.groupby("s"):
+        sizes = grp.groupby("fold").size()
+        assert sizes.max() - sizes.min() <= 1
+        assert set(grp.fold) <= {0, 1, 2}
