@@ -2772,6 +2772,19 @@ def q_kfold(sf_dir: str):
     return kfold_assign(ds, "doc_id", "source", 5)
 
 
+def q_approx_quantile_group(sf_dir: str):
+    """Per-group approximate quantiles (grouped DDSketch,
+    ops/quantile.py:approx_quantiles_by_group): (group, bin, n)
+    mergeable partials, groups x O(log range / alpha) exchange --
+    rows-only (approximate by design; accuracy + merge-invariance
+    unit-tested)."""
+    from ci_log_processing_ray.ops.quantile import approx_quantiles_by_group
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return approx_quantiles_by_group(
+        ds, "event_type", "value", {"p50": 0.5, "p95": 0.95})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -2896,6 +2909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": q_global_rank,
         "target_encode": q_target_encode,
         "kfold": q_kfold,
+        "approx_quantile_group": q_approx_quantile_group,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,

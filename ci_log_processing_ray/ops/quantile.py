@@ -265,3 +265,53 @@ def mad_by_group(
     return pa.table({group_col: pa.array(out[group_col]),
                      "med": pa.array(out["med"].to_numpy(np.int64)),
                      "mad": pa.array(out["mad"].to_numpy(np.int64))})
+
+
+def approx_quantiles_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: dict[str, float],
+    *,
+    alpha: float = 0.01,
+) -> pd.DataFrame:
+    """Per-group approximate quantiles via grouped DDSketch partials:
+    each block emits (group, bin, n) rows -- at most
+    groups x O(log(max/min)/alpha) per block, fixed-size and mergeable
+    by addition -- then one small groupby-sum and a driver-side answer
+    per group.  The approximate per-group companion to
+    quantile_disc_by_group (exact), with relative error <= alpha.
+    Returns a pandas frame: group_col + one column per ``qs`` key."""
+    sk = DDSketch(alpha)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t[group_col].to_pylist(),
+            "v": t[value_col].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.float64),
+        })
+        gs, bs, ns = [], [], []
+        for g, sub in df.groupby("g", sort=False):
+            pt = sk.partial_table(sub["v"].to_numpy())
+            k = len(pt)
+            gs.extend([g] * k)
+            bs.append(pt["bin"].to_numpy())
+            ns.append(pt["n"].to_numpy())
+        if not gs:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({group_col: pa.array(gs),
+                         "bin": pa.array(np.concatenate(bs)),
+                         "n": pa.array(np.concatenate(ns))})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby([group_col, "bin"]).sum("n").to_pandas()
+              .rename(columns={"sum(n)": "n"}))
+    rows = []
+    for g, sub in merged.groupby(group_col, sort=True):
+        vals = sk.quantiles(sub, list(qs.values()))
+        rows.append({group_col: g,
+                     **dict(zip(qs.keys(), vals))})
+    return pd.DataFrame(rows)

@@ -1891,3 +1891,26 @@ def test_kfold_assign_balance_and_determinism(ray_session):
         sizes = grp.groupby("fold").size()
         assert sizes.max() - sizes.min() <= 1
         assert set(grp.fold) <= {0, 1, 2}
+
+
+def test_approx_quantiles_by_group_accuracy_and_merge(ray_session):
+    import numpy as np
+    from ci_log_processing_ray.ops.quantile import approx_quantiles_by_group
+
+    rng = np.random.default_rng(7)
+    rows = ([{"g": "a", "v": float(v)} for v in rng.uniform(1, 1000, 2000)]
+            + [{"g": "b", "v": float(v)} for v in rng.uniform(5, 50, 500)])
+    out = approx_quantiles_by_group(
+        ray.data.from_items(rows).repartition(5), "g", "v",
+        {"p50": 0.5, "p95": 0.95}, alpha=0.01).set_index("g")
+    va = np.array([r["v"] for r in rows if r["g"] == "a"])
+    vb = np.array([r["v"] for r in rows if r["g"] == "b"])
+    for g, vals in (("a", va), ("b", vb)):
+        for name, q in (("p50", 0.5), ("p95", 0.95)):
+            true = np.quantile(vals, q)
+            assert abs(out.loc[g, name] - true) / true < 0.03
+    # partition invariance (mergeable partials)
+    out2 = approx_quantiles_by_group(
+        ray.data.from_items(rows[::-1]).repartition(2), "g", "v",
+        {"p50": 0.5, "p95": 0.95}, alpha=0.01).set_index("g")
+    assert out.round(9).equals(out2.round(9))
