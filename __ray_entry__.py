@@ -2785,6 +2785,17 @@ def q_approx_quantile_group(sf_dir: str):
         ds, "event_type", "value", {"p50": 0.5, "p95": 0.95})
 
 
+def q_budget_sample(sf_dir: str):
+    """Data mixing to a per-source size budget
+    (ops/curation.py:take_until_budget): docs taken in md5 order per
+    source while the running character total stays within 50k -- the
+    deterministic token-budget mixture sampler."""
+    from ci_log_processing_ray.ops.curation import take_until_budget
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return take_until_budget(ds, "source", "doc_id", "n_chars", 50_000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -2910,6 +2921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode": q_target_encode,
         "kfold": q_kfold,
         "approx_quantile_group": q_approx_quantile_group,
+        "budget_sample": q_budget_sample,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3717,6 +3729,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "budget_sample": """
+            WITH b AS (SELECT doc_id, source, n_chars,
+                    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+            c AS (SELECT doc_id, source, n_chars,
+                         SUM(n_chars) OVER (PARTITION BY source
+                             ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM b)
+            SELECT doc_id, source, n_chars
+            FROM c WHERE cum <= 50000""",
         "target_encode": """
             WITH b AS (SELECT event_id, event_type,
                     CAST(floor(value*100 + 0.5) AS BIGINT) AS cents

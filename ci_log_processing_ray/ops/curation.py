@@ -697,3 +697,48 @@ def kfold_assign(
         ds.map_batches(add_hash, batch_format="pyarrow",
                        zero_copy_batch=True),
         strata_col, assign, n_buckets=n_buckets)
+
+
+def take_until_budget(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    *,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Data mixing to a size budget: within each group (source /
+    domain), take documents in md5(id) order while the running total
+    of ``size_col`` stays within ``budget`` -- the deterministic
+    token-budget sampler that builds a pretraining mixture with fixed
+    per-source shares on any cluster size.  A document is kept iff the
+    cumulative size INCLUDING it is <= budget.
+
+    One bucketed shuffle keyed on the group; the kernel is one sort +
+    boundary-reset cumsum over its whole bucket.  Output keeps the
+    input columns."""
+    import hashlib
+
+    from .window import bucketed_groups
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hx = [hashlib.md5(str(v).encode()).hexdigest()
+              for v in t[id_col].to_pylist()]
+        return t.append_column("_h", pa.array(hx, pa.string()))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, "_h", id_col], kind="mergesort")
+        s = g[group_col].to_numpy()
+        sz = g[size_col].to_numpy(np.int64)
+        cs = np.cumsum(sz)
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        seg_lens = np.diff(np.append(starts, len(g)))
+        base = np.repeat(np.r_[0, cs[starts[1:] - 1]], seg_lens)
+        keep = (cs - base) <= budget
+        return g[keep].drop(columns="_h")
+
+    return bucketed_groups(
+        ds.map_batches(add_hash, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_col, pick, n_buckets=n_buckets)

@@ -1914,3 +1914,22 @@ def test_approx_quantiles_by_group_accuracy_and_merge(ray_session):
         ray.data.from_items(rows[::-1]).repartition(2), "g", "v",
         {"p50": 0.5, "p95": 0.95}, alpha=0.01).set_index("g")
     assert out.round(9).equals(out2.round(9))
+
+
+def test_take_until_budget_prefix_rule(ray_session):
+    import hashlib
+    from ci_log_processing_ray.ops.curation import take_until_budget
+
+    rows = [{"id": i, "g": "s", "sz": 10} for i in range(10)]
+    out = take_until_budget(
+        ray.data.from_items(rows).repartition(3), "g", "id", "sz",
+        35).to_pandas()
+    # 35 // 10 -> exactly first 3 docs in md5(id) order survive
+    order = sorted(range(10),
+                   key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    assert sorted(out.id) == sorted(order[:3])
+    # partition invariance
+    out2 = take_until_budget(
+        ray.data.from_items(rows[::-1]).repartition(5), "g", "id", "sz",
+        35).to_pandas()
+    assert sorted(out2.id) == sorted(out.id)
