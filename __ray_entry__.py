@@ -2788,12 +2788,12 @@ def q_approx_quantile_group(sf_dir: str):
 def q_budget_sample(sf_dir: str):
     """Data mixing to a per-source size budget
     (ops/curation.py:take_until_budget): docs taken in md5 order per
-    source while the running character total stays within 50k -- the
+    source while the running character total stays within 4k -- the
     deterministic token-budget mixture sampler."""
     from ci_log_processing_ray.ops.curation import take_until_budget
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
-    return take_until_budget(ds, "source", "doc_id", "n_chars", 50_000)
+    return take_until_budget(ds, "source", "doc_id", "n_chars", 4_000)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -3738,7 +3738,7 @@ def oracle_sql() -> dict[str, str]:
                              ROWS UNBOUNDED PRECEDING) AS cum
                   FROM b)
             SELECT doc_id, source, n_chars
-            FROM c WHERE cum <= 50000""",
+            FROM c WHERE cum <= 4000""",
         "target_encode": """
             WITH b AS (SELECT event_id, event_type,
                     CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
