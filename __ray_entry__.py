@@ -2796,6 +2796,58 @@ def q_budget_sample(sf_dir: str):
     return take_until_budget(ds, "source", "doc_id", "n_chars", 4_000)
 
 
+def q_window_anomaly(sf_dir: str):
+    """Hot-window anomaly detection: flag (event_type, hour) windows
+    whose count exceeds 1.5x the type's mean hourly count -- windowed
+    count partials (one exchange), type baselines broadcast back,
+    exact integer compare ``2 * n * n_windows > 3 * total``."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(
+            pc.cast(t["ts"].combine_chunks(), pa.timestamp("us")),
+            unit="hour")
+        tt = pa.table({
+            "event_type": t["event_type"].combine_chunks(),
+            "window_start": win,
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+        g = tt.group_by(["event_type", "window_start"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "window_start": g["window_start"],
+                         "n": g["n_sum"]})
+
+    wins = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "window_start"])
+            .aggregate(Sum("n", alias_name="n"))).materialize()
+
+    base = (wins.groupby("event_type")
+            .aggregate(Sum("n", alias_name="total"),
+                       Count(alias_name="n_windows"))
+            .to_pandas().sort_values("event_type"))
+    ref = ray.put((base["event_type"].to_numpy().astype(object),
+                   base["total"].to_numpy().astype(np.int64),
+                   base["n_windows"].to_numpy().astype(np.int64)))
+
+    def flag(t: pa.Table) -> pa.Table:
+        keys, total, n_windows = ray.get(ref)
+        et = t["event_type"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        idx = np.searchsorted(keys, et)
+        n = t["n"].combine_chunks().to_numpy()
+        hot = 2 * n * n_windows[idx] > 3 * total[idx]
+        t = t.filter(pa.array(hot))
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": pc.cast(t["window_start"].combine_chunks(),
+                                    pa.timestamp("us")),
+            "n": t["n"]})
+
+    return wins.map_batches(flag, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -2922,6 +2974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kfold": q_kfold,
         "approx_quantile_group": q_approx_quantile_group,
         "budget_sample": q_budget_sample,
+        "window_anomaly": q_window_anomaly,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3729,6 +3782,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "window_anomaly": """
+            WITH w AS (SELECT event_type,
+                    date_trunc('hour', ts) AS window_start,
+                    CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+                         CAST(count(*) AS BIGINT) AS n_windows
+                  FROM w GROUP BY event_type)
+            SELECT w.event_type, w.window_start, w.n
+            FROM w JOIN b USING (event_type)
+            WHERE 2 * w.n * b.n_windows > 3 * b.total""",
         "budget_sample": """
             WITH b AS (SELECT doc_id, source, n_chars,
                     md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
