@@ -2848,6 +2848,38 @@ def q_window_anomaly(sf_dir: str):
     return wins.map_batches(flag, batch_format="pyarrow")
 
 
+def q_pushdown_scan(sf_dir: str):
+    """Predicate pushdown at the READ: the shipdate row filter goes
+    into ``read_parquet(filter=...)`` so row groups outside the range
+    never leave storage (plus column pruning); the engine then only
+    aggregates what survived -- the scan-level pruning contract for
+    100 TB inputs."""
+    import datetime as _dt
+
+    cutoff = _dt.datetime(1999, 1, 1)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= pa.scalar(cutoff)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(np.ones(len(t), np.int64)),
+            "qty": pc.cast(t["l_quantity"].combine_chunks(), pa.int64()),
+        })
+        g = tt.group_by("l_returnflag").aggregate([("n", "sum"),
+                                                   ("qty", "sum")])
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "n": g["n_sum"], "sum_qty": g["qty_sum"]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("l_returnflag")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_qty", alias_name="sum_qty")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -2975,6 +3007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantile_group": q_approx_quantile_group,
         "budget_sample": q_budget_sample,
         "window_anomaly": q_window_anomaly,
+        "pushdown_scan": q_pushdown_scan,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3782,6 +3815,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "pushdown_scan": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS sum_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+            GROUP BY l_returnflag""",
         "window_anomaly": """
             WITH w AS (SELECT event_type,
                     date_trunc('hour', ts) AS window_start,
