@@ -2880,6 +2880,32 @@ def q_pushdown_scan(sf_dir: str):
                        Sum("sum_qty", alias_name="sum_qty")))
 
 
+def q_union_evolved(sf_dir: str):
+    """Schema-evolution union (ops/reshape.py:union_by_name): an old
+    snapshot (doc_id, source) and a new snapshot (doc_id, n_chars,
+    lang) align by name with typed nulls -- the schema-drift merge a
+    multi-release corpus needs."""
+    from ci_log_processing_ray.ops.reshape import union_by_name
+
+    old = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def halve_old(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        return t.filter(pa.array(ids % 2 == 0))
+
+    def halve_new(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        return t.filter(pa.array(ids % 2 == 1))
+
+    new = _read(sf_dir, "documents", ["doc_id", "n_chars", "lang"])
+    return union_by_name([
+        old.map_batches(halve_old, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        new.map_batches(halve_new, batch_format="pyarrow",
+                        zero_copy_batch=True),
+    ])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3008,6 +3034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_sample": q_budget_sample,
         "window_anomaly": q_window_anomaly,
         "pushdown_scan": q_pushdown_scan,
+        "union_evolved": q_union_evolved,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3815,6 +3842,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "union_evolved": """
+            SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars,
+                   CAST(NULL AS VARCHAR) AS lang
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, CAST(NULL AS VARCHAR), n_chars, lang
+            FROM documents WHERE doc_id % 2 = 1""",
         "pushdown_scan": """
             SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)

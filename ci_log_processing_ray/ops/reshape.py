@@ -96,3 +96,49 @@ def explode_list(
         lambda t: explode_table(t, list_col, id_cols,
                                 pos_col=pos_col, out_col=out_col),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def union_by_name(
+    datasets: "list[ray.data.Dataset]",
+) -> "ray.data.Dataset":
+    """Schema-evolution union: concatenate datasets whose schemas
+    drifted (columns added / dropped across snapshots) by aligning
+    columns BY NAME -- missing columns fill with typed nulls, the
+    output schema is the first-seen type per name in input order.
+    Disagreeing types for the same name fail loudly.
+
+    Pure map per input (no shuffle): each block projects onto the
+    unified schema; ``Dataset.union`` then concatenates lazily, so the
+    result streams like any other source."""
+    schemas = []
+    for d in datasets:
+        s = d.schema().base_schema
+        if not isinstance(s, pa.Schema):
+            d = d.map_batches(lambda t: t, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            s = d.schema().base_schema
+        schemas.append((d, s))
+    unified: dict = {}
+    for _, s in schemas:
+        for f in s:
+            if f.name in unified:
+                if unified[f.name] != f.type:
+                    raise TypeError(
+                        f"column {f.name!r}: {unified[f.name]} vs {f.type}")
+            else:
+                unified[f.name] = f.type
+    target = pa.schema(list(unified.items()))
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in target.names:
+            cols[name] = (t[name] if name in t.column_names
+                          else pa.nulls(len(t), target.field(name).type))
+        return pa.table(cols, schema=target)
+
+    parts = [d.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True) for d, _ in schemas]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

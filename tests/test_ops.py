@@ -1933,3 +1933,20 @@ def test_take_until_budget_prefix_rule(ray_session):
         ray.data.from_items(rows[::-1]).repartition(5), "g", "id", "sz",
         35).to_pandas()
     assert sorted(out2.id) == sorted(out.id)
+
+
+def test_union_by_name_schema_drift(ray_session):
+    import pyarrow as _pa
+    from ci_log_processing_ray.ops.reshape import union_by_name
+
+    a = ray.data.from_items([{"k": 1, "old": "x"}])
+    b = ray.data.from_items([{"k": 2, "new": 7}])
+    out = union_by_name([a, b]).to_pandas().sort_values("k")
+    assert list(out.columns) == ["k", "old", "new"]
+    assert out.iloc[0].old == "x" and pd.isna(out.iloc[0].new)
+    assert pd.isna(out.iloc[1].old) and out.iloc[1].new == 7
+    # type disagreement fails loudly
+    c = ray.data.from_items([{"k": "s"}])
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        union_by_name([a, c])
