@@ -1950,3 +1950,21 @@ def test_union_by_name_schema_drift(ray_session):
     import pytest as _pytest
     with _pytest.raises(TypeError):
         union_by_name([a, c])
+
+
+def test_compact_dir_preserves_rows(ray_session, tmp_path):
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from ci_log_processing_ray.state.compact import compact_dir
+
+    src = tmp_path / "many"
+    src.mkdir()
+    for i in range(12):
+        _pq.write_table(_pa.table({"x": list(range(i * 10, i * 10 + 10))}),
+                        src / f"part-{i}.parquet")
+    out = tmp_path / "compacted"
+    rep = compact_dir(str(src), str(out), target_bytes=1 << 30)
+    assert rep == {"n_rows": 120, "files_in": 12, "files_out": 1}
+    back = _pq.read_table(sorted(map(str, out.glob("*.parquet")))[0])
+    assert sorted(back["x"].to_pylist()) == list(range(120))
+    assert (out / "_compacted").read_text().strip() == "120"
