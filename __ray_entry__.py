@@ -2906,6 +2906,36 @@ def q_union_evolved(sf_dir: str):
     ])
 
 
+def q_session_paths(sf_dir: str):
+    """Session path mining: top-10 most common per-session event-type
+    sequences -- sessionize (30-min gap) -> per-session ordered path
+    join -> path-count partials -> tiny sort+limit.  Composes the
+    sessionize, bucketed-kernel, and bucketed-sum primitives
+    end-to-end."""
+    from ci_log_processing_ray.ops.window import (bucketed_groups,
+                                                  bucketed_sum,
+                                                  sessionize)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    sess = sessionize(ds, "user_id", "ts",
+                      gap=datetime.timedelta(minutes=30),
+                      tiebreak_cols=["event_id"])
+
+    def paths(g):
+        g = g.sort_values(["user_id", "session_id", "ts", "event_id"],
+                          kind="mergesort")
+        agg = (g.groupby(["user_id", "session_id"], sort=False)
+               ["event_type"].agg(">".join))
+        out = agg.reset_index(name="path")[["path"]]
+        out["n"] = np.ones(len(out), np.int64)
+        return out
+
+    per_session = bucketed_groups(sess, "user_id", paths)
+    counts = bucketed_sum(per_session, ["path"], ["n"])
+    return counts.sort(["n", "path"], descending=[True, False]).limit(10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3035,6 +3065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_anomaly": q_window_anomaly,
         "pushdown_scan": q_pushdown_scan,
         "union_evolved": q_union_evolved,
+        "session_paths": q_session_paths,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3842,6 +3873,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "session_paths": """
+            WITH e AS (SELECT user_id, ts, event_id, event_type
+                       FROM events),
+            s AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                         THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts, event_id)),
+            s2 AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+            p AS (SELECT user_id, sid,
+                         string_agg(event_type, '>'
+                                    ORDER BY ts, event_id) AS path
+                  FROM s2 GROUP BY 1, 2),
+            c AS (SELECT path, CAST(count(*) AS BIGINT) AS n
+                  FROM p GROUP BY path)
+            SELECT path, n FROM c
+            ORDER BY n DESC, path LIMIT 10""",
         "union_evolved": """
             SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars,
                    CAST(NULL AS VARCHAR) AS lang
