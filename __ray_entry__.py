@@ -2936,6 +2936,22 @@ def q_session_paths(sf_dir: str):
     return counts.sort(["n", "path"], descending=[True, False]).limit(10)
 
 
+def q_balance_classes(sf_dir: str):
+    """Class-balanced downsampling: every event type capped to the
+    SMALLEST type's count, picked in md5(event_id) order -- the
+    label-balancing step before classifier training (a tiny count
+    aggregate feeds the cap into ops/curation.py:cap_per_group)."""
+    from ci_log_processing_ray.ops.curation import cap_per_group
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    counts = (ds.groupby("event_type")
+              .aggregate(Count(alias_name="n")).to_pandas())
+    cap = int(counts["n"].min())
+    out = cap_per_group(ds, "event_type", "event_id", cap)
+    return (out.groupby("event_type")
+            .aggregate(Count(alias_name="n_kept")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3066,6 +3082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pushdown_scan": q_pushdown_scan,
         "union_evolved": q_union_evolved,
         "session_paths": q_session_paths,
+        "balance_classes": q_balance_classes,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3873,6 +3890,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "balance_classes": """
+            WITH m AS (SELECT min(n) AS cap FROM (
+                    SELECT count(*) AS n FROM events
+                    GROUP BY event_type)),
+            r AS (SELECT event_type,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                      event_id) AS rk
+                  FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept
+            FROM r, m WHERE r.rk <= m.cap
+            GROUP BY event_type""",
         "session_paths": """
             WITH e AS (SELECT user_id, ts, event_id, event_type
                        FROM events),
