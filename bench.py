@@ -85,6 +85,14 @@ BENCH_QUERIES = [
     "contract",
     "edit1_pairs",
     "bfs_hops",
+    "target_encode",
+    "kfold",
+    "budget_sample",
+    "window_anomaly",
+    "pushdown_scan",
+    "union_evolved",
+    "session_paths",
+    "balance_classes",
 ]
 
 
