@@ -2952,6 +2952,17 @@ def q_balance_classes(sf_dir: str):
             .aggregate(Count(alias_name="n_kept")))
 
 
+def q_resample_grid(sf_dir: str):
+    """Dense hourly resampling with zero-fill
+    (ops/window.py:dense_grid_counts): every (event_type, hour) cell
+    between the corpus's first and last hour, silent hours included --
+    grid generated distributed, one coarse-bucket fold."""
+    from ci_log_processing_ray.ops.window import dense_grid_counts
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return dense_grid_counts(ds, "event_type", "ts")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3083,6 +3094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_evolved": q_union_evolved,
         "session_paths": q_session_paths,
         "balance_classes": q_balance_classes,
+        "resample_grid": q_resample_grid,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3890,6 +3902,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "resample_grid": """
+            WITH b AS (SELECT event_type,
+                    date_trunc('hour', ts) AS h FROM events),
+            bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM b),
+            grid AS (SELECT t.event_type, g.h
+                     FROM (SELECT DISTINCT event_type FROM b) t
+                     CROSS JOIN bounds
+                     CROSS JOIN LATERAL (SELECT unnest(generate_series(
+                         bounds.lo, bounds.hi, INTERVAL 1 HOUR)) AS h) g),
+            c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+                  FROM b GROUP BY 1, 2)
+            SELECT grid.event_type, grid.h AS window_start,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM grid LEFT JOIN c USING (event_type, h)""",
         "balance_classes": """
             WITH m AS (SELECT min(n) AS cap FROM (
                     SELECT count(*) AS n FROM events

@@ -799,3 +799,77 @@ def rank_global(
     return (ds.map_batches(add_bucket, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("_b").map_groups(rank_kern, batch_format="pandas"))
+
+
+def dense_grid_counts(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    *,
+    unit_us: int = 3_600_000_000,
+    out_ts: str = "window_start",
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> "ray.data.Dataset":
+    """Resample to a DENSE time grid with zero-fill: per key, the event
+    count for EVERY window between the corpus's first and last window
+    -- including empty ones -- the gap-filling step before any
+    time-series model ingests the counts.  Output: key, ``out_ts``
+    (timestamp us), ``n`` (int64, 0 for silent windows).
+
+    Scale shape: count partials per (key, window) as usual; the grid
+    itself is GENERATED DISTRIBUTED (``ray.data.range`` over windows x
+    a broadcast key vocabulary -- key cardinality must be
+    vocabulary-sized, the usual dimension contract), unioned with the
+    real counts as zero rows, and folded through one coarse-bucket
+    sum.  No driver-side grid materialization."""
+    import ray as _ray
+    from ray.data.aggregate import Max, Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t[ts_col].combine_chunks(), pa.timestamp("us"))
+        win = pc.multiply(
+            pc.divide(pc.cast(ts, pa.int64()),
+                      pa.scalar(unit_us, pa.int64())),
+            pa.scalar(unit_us, pa.int64()))
+        tt = pa.table({key_col: t[key_col].combine_chunks(),
+                       "_w": win,
+                       "n": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by([key_col, "_w"]).aggregate([("n", "sum")])
+        return pa.table({key_col: g[key_col], "_w": g["_w"],
+                         "n": g["n_sum"]})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize())
+    stats = counts.aggregate(Min("_w"), Max("_w"))
+    lo, hi = int(stats["min(_w)"]), int(stats["max(_w)"])
+    n_win = (hi - lo) // unit_us + 1
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        return pa.table({key_col: pc.unique(t[key_col].combine_chunks())})
+
+    keys = sorted(
+        counts.map_batches(key_partial, batch_format="pyarrow")
+        .to_pandas()[key_col].unique())
+    keys_ref = _ray.put(np.array(keys, dtype=object))
+
+    def make_grid(t: pa.Table) -> pa.Table:
+        ks = _ray.get(keys_ref)
+        idx = t["id"].combine_chunks().to_numpy()
+        wins = lo + idx * unit_us
+        return pa.table({
+            key_col: pa.array(np.tile(ks, len(idx))),
+            "_w": pa.array(np.repeat(wins, len(ks))),
+            "n": pa.array(np.zeros(len(idx) * len(ks), np.int64))})
+
+    grid = ray.data.range(int(n_win)).map_batches(
+        make_grid, batch_format="pyarrow")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby([key_col, "_w"], as_index=False, sort=False)[
+            "n"].sum()
+        out[out_ts] = out["_w"].to_numpy(np.int64).astype(
+            "datetime64[us]")
+        return out.drop(columns="_w")
+
+    return bucketed_groups(counts.union(grid), key_col, finish,
+                           n_buckets=n_buckets)

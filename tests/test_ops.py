@@ -1968,3 +1968,25 @@ def test_compact_dir_preserves_rows(ray_session, tmp_path):
     back = _pq.read_table(sorted(map(str, out.glob("*.parquet")))[0])
     assert sorted(back["x"].to_pylist()) == list(range(120))
     assert (out / "_compacted").read_text().strip() == "120"
+
+
+def test_dense_grid_counts_zero_fill(ray_session):
+    import datetime as _dt
+    from ci_log_processing_ray.ops.window import dense_grid_counts
+
+    t0 = _dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        {"k": "a", "ts": t0},                                # hour 0
+        {"k": "a", "ts": t0 + _dt.timedelta(hours=3)},       # hour 3
+        {"k": "a", "ts": t0 + _dt.timedelta(hours=3, minutes=10)},
+        {"k": "b", "ts": t0 + _dt.timedelta(hours=1)},       # hour 1
+    ]
+    out = dense_grid_counts(
+        ray.data.from_items(rows).repartition(2), "k", "ts",
+        n_buckets=4).to_pandas()
+    got = {(r.k, r.window_start.hour): r.n for r in out.itertuples()}
+    # 4 hours x 2 keys = 8 dense cells
+    assert len(out) == 8
+    assert got[("a", 0)] == 1 and got[("a", 1)] == 0
+    assert got[("a", 2)] == 0 and got[("a", 3)] == 2
+    assert got[("b", 1)] == 1 and got[("b", 0)] == 0
