@@ -2963,6 +2963,66 @@ def q_resample_grid(sf_dir: str):
     return dense_grid_counts(ds, "event_type", "ts")
 
 
+def q_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((status, priority), (status), ()) over
+    orders (ops/groupagg.py:grouping_sets_counts): one distributed
+    finest-level aggregate, requested subsets re-derived locally."""
+    from ci_log_processing_ray.ops.groupagg import grouping_sets_counts
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "cents": _cents(t["o_totalprice"]),
+        })
+
+    return grouping_sets_counts(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderstatus", "o_orderpriority"],
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "n_orders", sum_col="cents", sum_name="total_cents")
+
+
+def q_multi_distinct(sf_dir: str):
+    """Multi-column distinct counts per group in one statement: per
+    event type, COUNT(DISTINCT user) and COUNT(DISTINCT day) -- two
+    distinct-pair exchanges (each pre-shrunk by per-block unique
+    partials) joined on the tiny group table."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "user_id": t["user_id"],
+            "day": pc.floor_temporal(
+                pc.cast(t["ts"].combine_chunks(), pa.timestamp("us")),
+                unit="day"),
+        })
+
+    p = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def count_distinct(col: str, out: str) -> "pd.DataFrame":
+        part = p.map_batches(
+            lambda t, _c=col: (t.select(["event_type", _c])
+                               .group_by(["event_type", _c])
+                               .aggregate([])),
+            batch_format="pyarrow")
+        from ci_log_processing_ray.ops.window import bucketed_distinct
+        distinct = bucketed_distinct(part, ["event_type", col])
+        return (distinct.groupby("event_type")
+                .aggregate(Count(alias_name=out)).to_pandas())
+
+    users = count_distinct("user_id", "n_users")
+    days = count_distinct("day", "n_days")
+    out = users.merge(days, on="event_type").sort_values("event_type")
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out["n_days"] = out["n_days"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3095,6 +3155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_paths": q_session_paths,
         "balance_classes": q_balance_classes,
         "resample_grid": q_resample_grid,
+        "grouping_sets": q_grouping_sets,
+        "multi_distinct": q_multi_distinct,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3902,6 +3964,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())""",
+        "multi_distinct": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+                     AS n_days
+            FROM events GROUP BY event_type""",
         "resample_grid": """
             WITH b AS (SELECT event_type,
                     date_trunc('hour', ts) AS h FROM events),

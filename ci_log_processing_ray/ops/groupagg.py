@@ -431,3 +431,47 @@ def target_encode_loo(
 
     return ds.map_batches(apply, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def grouping_sets_counts(
+    ds: ray.data.Dataset,
+    dims: list[str],
+    sets: list[list[str]],
+    count_name: str,
+    sum_col: str | None = None,
+    sum_name: str | None = None,
+) -> pd.DataFrame:
+    """SQL ``GROUP BY GROUPING SETS ((...), (...))``: aggregates for an
+    ARBITRARY list of dim subsets, super-aggregate rows carrying NULL
+    for absent dims -- the generalization the ROLLUP/CUBE helpers
+    specialize.
+
+    Same single-shuffle plan: ONE distributed aggregate at the finest
+    level (product of dim cardinalities, driver-sized by construction),
+    then each requested subset re-aggregates that small frame locally;
+    the data is scanned once regardless of how many sets are asked."""
+    from ray.data.aggregate import Count, Sum
+
+    aggs = [Count(alias_name=count_name)]
+    if sum_col:
+        aggs.append(Sum(sum_col, alias_name=sum_name or f"sum_{sum_col}"))
+    finest = ds.groupby(dims).aggregate(*aggs).to_pandas()
+    val_cols = [c for c in finest.columns if c not in dims]
+    levels = []
+    for keep in sets:
+        keep = list(keep)
+        if sorted(keep) == sorted(dims):
+            g = finest.copy()
+        elif keep:
+            g = finest.groupby(keep, as_index=False)[val_cols].sum()
+        else:
+            g = finest[val_cols].sum().to_frame().T
+        for d in dims:
+            if d not in keep:
+                g[d] = None
+        levels.append(g[dims + val_cols])
+    out = pd.concat(levels, ignore_index=True)[dims + val_cols]
+    for c in val_cols:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(dims + val_cols, na_position="first").reset_index(
+        drop=True)
