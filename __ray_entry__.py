@@ -3023,6 +3023,35 @@ def q_multi_distinct(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_ann_recall(sf_dir: str):
+    """ANN quality evaluation: recall@10 of the LSH multi-probe index
+    vs the exact brute-force top-10, per query and overall -- the
+    accept/reject evidence an ANN deployment needs (rows-only: the LSH
+    side is hash-geometric).  Both pipelines are distributed; only the
+    two k-sized result lists meet on the driver."""
+    import pandas as pd
+
+    from ci_log_processing_ray.ops.similarity import (knn_bruteforce,
+                                                      knn_lsh)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q, qids = _query_vectors(sf_dir)
+    exact = knn_bruteforce(ds, "embedding", "vec_id", q, qids, k=10)
+    approx = knn_lsh(ds, "embedding", "vec_id", q, qids, k=10,
+                     probe_hamming=2)
+    approx = approx if isinstance(approx, pd.DataFrame) \
+        else approx.to_pandas()
+    e = exact.groupby("query_id")["vec_id"].apply(set)
+    a = approx.groupby("query_id")["vec_id"].apply(set)
+    rows = []
+    for qi in sorted(e.index):
+        hits = len(e[qi] & a.get(qi, set()))
+        rows.append({"query_id": int(qi), "n_exact": len(e[qi]),
+                     "n_hits": hits,
+                     "recall_permille": 1000 * hits // max(len(e[qi]), 1)})
+    return pd.DataFrame(rows)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3157,6 +3186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_grid": q_resample_grid,
         "grouping_sets": q_grouping_sets,
         "multi_distinct": q_multi_distinct,
+        "ann_recall": q_ann_recall,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,

@@ -95,9 +95,17 @@ def knn_lsh(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 41,
+    probe_hamming: int = 1,
 ) -> pd.DataFrame:
     """Approximate top-k: score only vectors whose hyperplane bucket is
-    within Hamming distance 1 of the query's bucket (multi-probe)."""
+    within Hamming distance ``probe_hamming`` of the query's bucket
+    (multi-probe).  The recall/cost knob: distance 1 probes
+    1+n_planes of 2^n_planes buckets, distance 2 adds the
+    C(n_planes, 2) pair-flips -- on structure-free (uniform) vectors
+    recall tracks the probed fraction almost linearly, so size it to
+    the recall target."""
+    from itertools import combinations
+
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
     qn = queries.astype(np.float64)
@@ -110,6 +118,9 @@ def knn_lsh(
         probes = {int(b)}
         for j in range(n_planes):
             probes.add(int(b) ^ (1 << j))
+        if probe_hamming >= 2:
+            for j, l in combinations(range(n_planes), 2):
+                probes.add(int(b) ^ (1 << j) ^ (1 << l))
         probe_sets.append(probes)
     wanted: set[int] = set().union(*probe_sets)
 
