@@ -3052,6 +3052,47 @@ def q_ann_recall(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_top_spenders(sf_dir: str):
+    """Top-3 customers by total order spend per market segment: a
+    combiner-pre-aggregated (customer, cents) rollup joined to the
+    broadcast segment dim, then the bucketed window-topk kernel --
+    the aggregate-then-rank OLAP two-stage."""
+    from ci_log_processing_ray.ops.relational import window_topk
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"o_custkey": t["o_custkey"],
+                       "cents": _cents(t["o_totalprice"])})
+        g = tt.group_by("o_custkey").aggregate([("cents", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "total_cents": g["cents_sum"]})
+
+    spend = (orders.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("o_custkey")
+             .aggregate(Sum("total_cents", alias_name="total_cents")))
+
+    seg_tbl = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                            columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put((
+        seg_tbl["c_custkey"].combine_chunks().to_numpy(),
+        seg_tbl["c_mktsegment"].combine_chunks()
+        .to_numpy(zero_copy_only=False)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, segs = ray.get(seg_ref)
+        order = np.argsort(keys)
+        idx = order[np.searchsorted(keys, t["o_custkey"].combine_chunks()
+                                    .to_numpy(), sorter=order)]
+        return t.append_column("c_mktsegment",
+                               pa.array(segs[idx], pa.string()))
+
+    enriched = spend.map_batches(attach, batch_format="pyarrow")
+    return window_topk(enriched, "c_mktsegment", "total_cents", 3,
+                       descending=True, tiebreak_col="o_custkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3187,6 +3228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets": q_grouping_sets,
         "multi_distinct": q_multi_distinct,
         "ann_recall": q_ann_recall,
+        "top_spenders": q_top_spenders,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -3994,6 +4036,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "top_spenders": """
+            WITH s AS (SELECT o_custkey,
+                    CAST(sum(CAST(floor(o_totalprice*100 + 0.5)
+                                  AS BIGINT)) AS BIGINT) AS total_cents
+                FROM orders GROUP BY o_custkey),
+            j AS (SELECT s.o_custkey, s.total_cents, c.c_mktsegment,
+                         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                             ORDER BY s.total_cents DESC, s.o_custkey)
+                           AS rk
+                  FROM s JOIN customer c ON c.c_custkey = s.o_custkey)
+            SELECT o_custkey, total_cents, c_mktsegment
+            FROM j WHERE rk <= 3""",
         "grouping_sets": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,
