@@ -3093,6 +3093,47 @@ def q_top_spenders(sf_dir: str):
                        descending=True, tiebreak_col="o_custkey")
 
 
+def q_day_over_day(sf_dir: str):
+    """Period-over-period deltas: per (event_type, day), the count,
+    the previous OBSERVED day's count (-1 when none), and the delta --
+    daily partials (one bounded exchange) + the bucketed lag kernel."""
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(
+            pc.cast(t["ts"].combine_chunks(), pa.timestamp("us")),
+            unit="day")
+        tt = pa.table({"event_type": t["event_type"].combine_chunks(),
+                       "day": day,
+                       "n": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by(["event_type", "day"]).aggregate([("n", "sum")])
+        return pa.table({"event_type": g["event_type"], "day": g["day"],
+                         "n": g["n_sum"]})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"])
+             .aggregate(Sum("n", alias_name="n")))
+
+    def lagk(g):
+        g = g.sort_values(["event_type", "day"], kind="mergesort")
+        k = g["event_type"].to_numpy()
+        n = g["n"].to_numpy(np.int64)
+        prev = np.empty(len(g), np.int64)
+        prev[0] = -1
+        if len(g) > 1:
+            prev[1:] = np.where(k[1:] == k[:-1], n[:-1], -1)
+        g = g.copy()
+        g["n_prev"] = prev
+        g["delta"] = np.where(prev < 0, 0, n - prev)
+        return g
+
+    out = bucketed_groups(daily, "event_type", lagk)
+    return _ts_us(out)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3229,6 +3270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_distinct": q_multi_distinct,
         "ann_recall": q_ann_recall,
         "top_spenders": q_top_spenders,
+        "day_over_day": q_day_over_day,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -4036,6 +4078,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "day_over_day": """
+            WITH d AS (SELECT event_type,
+                    date_trunc('day', ts) AS day,
+                    CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+            l AS (SELECT *, LAG(n) OVER (PARTITION BY event_type
+                        ORDER BY day) AS p FROM d)
+            SELECT event_type, day, n,
+                   CAST(coalesce(p, -1) AS BIGINT) AS n_prev,
+                   CAST(CASE WHEN p IS NULL THEN 0 ELSE n - p END
+                        AS BIGINT) AS delta
+            FROM l""",
         "top_spenders": """
             WITH s AS (SELECT o_custkey,
                     CAST(sum(CAST(floor(o_totalprice*100 + 0.5)
