@@ -3134,6 +3134,42 @@ def q_day_over_day(sf_dir: str):
     return _ts_us(out)
 
 
+def q_golden_record(sf_dir: str):
+    """Survivorship merge (MDM golden record): one row per user taking
+    each field's best value under its own rule -- max spend, latest
+    timestamp, the type AT that latest timestamp, row count -- one
+    bucketed kernel pass, per-field argmax semantics."""
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type",
+                                  "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": pc.cast(t["ts"].combine_chunks(), pa.timestamp("us")),
+            "event_type": t["event_type"],
+            "cents": _cents(t["value"]),
+        })
+
+    def golden(g):
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        agg = g.groupby("user_id", sort=False).agg(
+            max_cents=("cents", "max"),
+            last_ts=("ts", "max"),
+            last_type=("event_type", "last"),
+            n_rows=("user_id", "size"))
+        out = agg.reset_index()
+        out["max_cents"] = out["max_cents"].astype(np.int64)
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        return out
+
+    out = bucketed_groups(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", golden)
+    return _ts_us(out)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3271,6 +3307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": q_ann_recall,
         "top_spenders": q_top_spenders,
         "day_over_day": q_day_over_day,
+        "golden_record": q_golden_record,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -4078,6 +4115,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "golden_record": """
+            SELECT user_id,
+                   CAST(max(CAST(floor(value*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS max_cents,
+                   max(ts) AS last_ts,
+                   arg_max(event_type, ts) AS last_type,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY user_id""",
         "day_over_day": """
             WITH d AS (SELECT event_type,
                     date_trunc('day', ts) AS day,
