@@ -3170,6 +3170,29 @@ def q_golden_record(sf_dir: str):
     return _ts_us(out)
 
 
+def q_funnel3(sf_dir: str):
+    """3-step funnel signup -> click -> purchase, each step within 7
+    days of the previous, first-touch semantics
+    (ops/window.py:funnel_steps): k-1 vectorized merges per bucket,
+    k-integer partials."""
+    from ci_log_processing_ray.ops.window import funnel_steps
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": pc.cast(t["ts"].combine_chunks(), pa.timestamp("us")),
+            "event_type": t["event_type"],
+        })
+
+    return funnel_steps(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"],
+        window_us=7 * 86_400_000_000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3308,6 +3331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_spenders": q_top_spenders,
         "day_over_day": q_day_over_day,
         "golden_record": q_golden_record,
+        "funnel3": q_funnel3,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -4115,6 +4139,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "funnel3": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                     AND e.ts <= s1.t1 + INTERVAL 7 DAY
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     AND e.ts <= s2.t2 + INTERVAL 7 DAY
+                   GROUP BY e.user_id)
+            SELECT 1 AS step, 'signup' AS step_name,
+                   CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_keys
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3)""",
         "golden_record": """
             SELECT user_id,
                    CAST(max(CAST(floor(value*100 + 0.5) AS BIGINT))

@@ -873,3 +873,52 @@ def dense_grid_counts(
 
     return bucketed_groups(counts.union(grid), key_col, finish,
                            n_buckets=n_buckets)
+
+
+def funnel_steps(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    *,
+    window_us: int,
+    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+) -> "ray.data.Dataset":
+    """k-step funnel conversion: per key, the earliest chain
+    step1 -> step2 -> ... where each step occurs strictly after the
+    previous one and within ``window_us`` of it (first-touch
+    semantics); returns one row per step with the count of keys that
+    reached it -- the multi-step generalization of the 2-step funnel.
+
+    One bucketed key-hash shuffle; inside each bucket the chain is
+    k-1 vectorized merges over per-key first-occurrence tables (pandas
+    C-speed, no per-key Python).  Per-bucket partials are k integers;
+    the final exchange is k rows."""
+    from ray.data.aggregate import Sum
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[key_col, ts_col, type_col]]
+        ts = g[ts_col]
+        if not np.issubdtype(ts.dtype, np.integer):
+            g = g.assign(**{ts_col: ts.to_numpy()
+                            .astype("datetime64[us]").astype(np.int64)})
+        cur = (g[g[type_col] == steps[0]]
+               .groupby(key_col, as_index=False)[ts_col].min()
+               .rename(columns={ts_col: "_t"}))
+        counts = [len(cur)]
+        for s in steps[1:]:
+            nxt = g[g[type_col] == s].merge(cur, on=key_col)
+            nxt = nxt[(nxt[ts_col] > nxt["_t"])
+                      & (nxt[ts_col] <= nxt["_t"] + window_us)]
+            cur = (nxt.groupby(key_col, as_index=False)[ts_col].min()
+                   .rename(columns={ts_col: "_t"}))
+            counts.append(len(cur))
+        return pd.DataFrame({
+            "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "step_name": steps,
+            "n_keys": np.array(counts, np.int64)})
+
+    partials = bucketed_groups(ds, key_col, kern, n_buckets=n_buckets)
+    return (partials.groupby(["step", "step_name"])
+            .aggregate(Sum("n_keys", alias_name="n_keys")))

@@ -1990,3 +1990,34 @@ def test_dense_grid_counts_zero_fill(ray_session):
     assert got[("a", 0)] == 1 and got[("a", 1)] == 0
     assert got[("a", 2)] == 0 and got[("a", 3)] == 2
     assert got[("b", 1)] == 1 and got[("b", 0)] == 0
+
+
+def test_funnel_steps_first_touch_chain(ray_session):
+    import datetime as _dt
+    from ci_log_processing_ray.ops.window import funnel_steps
+
+    t0 = _dt.datetime(2024, 1, 1)
+    m = _dt.timedelta(minutes=1)
+    rows = [
+        # u1 full chain A(0) -> B(1) -> C(2)
+        {"u": 1, "ts": t0, "et": "A"},
+        {"u": 1, "ts": t0 + m, "et": "B"},
+        {"u": 1, "ts": t0 + 2 * m, "et": "C"},
+        # u2: B before A -> chain stops at A
+        {"u": 2, "ts": t0 + m, "et": "A"},
+        {"u": 2, "ts": t0, "et": "B"},
+        # u3: A then B outside window
+        {"u": 3, "ts": t0, "et": "A"},
+        {"u": 3, "ts": t0 + _dt.timedelta(hours=2), "et": "B"},
+        # u4: first-touch trap -- first B is too EARLY a chain-breaker?
+        # no: first B after A within window counts even if a later B
+        # would also fit
+        {"u": 4, "ts": t0, "et": "A"},
+        {"u": 4, "ts": t0 + 2 * m, "et": "B"},
+        {"u": 4, "ts": t0 + 3 * m, "et": "C"},
+    ]
+    out = funnel_steps(
+        ray.data.from_items(rows).repartition(3), "u", "ts", "et",
+        ["A", "B", "C"], window_us=30 * 60 * 1_000_000).to_pandas()
+    got = dict(zip(out.step_name, out.n_keys))
+    assert got == {"A": 4, "B": 2, "C": 2}
