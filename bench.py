@@ -93,6 +93,13 @@ BENCH_QUERIES = [
     "union_evolved",
     "session_paths",
     "balance_classes",
+    "resample_grid",
+    "grouping_sets",
+    "multi_distinct",
+    "top_spenders",
+    "day_over_day",
+    "golden_record",
+    "funnel3",
 ]
 
 
