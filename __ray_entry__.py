@@ -3193,6 +3193,40 @@ def q_funnel3(sf_dir: str):
         window_us=7 * 86_400_000_000)
 
 
+def q_auto_salt(sf_dir: str):
+    """Adaptive skew defense (ops/relational.py:auto_salted_join):
+    measure the fact key histogram, salt ONLY keys above 1% of rows,
+    replicate dim rows only for those -- result identical to the plain
+    inner join (the oracle), salting cost paid only where skew
+    exists."""
+    from ci_log_processing_ray.ops.relational import auto_salted_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    j = auto_salted_join(li, part, "l_partkey", "p_partkey",
+                         "l_orderkey", hot_permille=10,
+                         num_partitions=_join_partitions(sf_dir,
+                                                         "lineitem"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "p_name": t["p_name"],
+            "n_items": pa.array(np.ones(len(t), np.int64)),
+            "qty": pc.cast(t["l_quantity"].combine_chunks(), pa.int64()),
+        })
+        g = tt.group_by("p_name").aggregate([("n_items", "sum"),
+                                             ("qty", "sum")])
+        return pa.table({"p_name": g["p_name"],
+                         "n_items": g["n_items_sum"],
+                         "sum_qty": g["qty_sum"]})
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("p_name")
+            .aggregate(Sum("n_items", alias_name="n_items"),
+                       Sum("sum_qty", alias_name="sum_qty")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3332,6 +3366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "day_over_day": q_day_over_day,
         "golden_record": q_golden_record,
         "funnel3": q_funnel3,
+        "auto_salt": q_auto_salt,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -4139,6 +4174,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "auto_salt": """
+            SELECT p_name,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_name""",
         "funnel3": """
             WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
                         WHERE event_type = 'signup' GROUP BY user_id),

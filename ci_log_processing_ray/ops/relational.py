@@ -612,3 +612,90 @@ def triangle_count(
                       on=("a", "c"), right_on=("a3", "c3"))
     return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
                      "n_triangles": pa.array([tri.count()], pa.int64())})
+
+
+def auto_salted_join(
+    fact: "ray.data.Dataset",
+    dim: "ray.data.Dataset",
+    fact_key: str,
+    dim_key: str,
+    salt_src: str,
+    *,
+    hot_permille: int = 10,
+    n_salt: int = 8,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Adaptive skew defense: MEASURE the fact side's key histogram
+    first, then salt ONLY keys holding more than ``hot_permille``/1000
+    of the rows -- hot keys spread over ``n_salt`` sub-partitions, cold
+    keys keep salt 0, and the dim side replicates only its hot rows.
+    Result rows are exactly the plain inner join's; the cost of
+    salting (dim replication + wider shuffle key) is paid only where
+    skew exists.
+
+    The hot set is bounded by construction (at most 1000/hot_permille
+    keys), so its broadcast is always tiny; detection is one
+    per-block pre-aggregated count exchange through the coarse-bucket
+    sum kernel."""
+    import pyarrow.compute as pc
+
+    from .window import bucketed_sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({fact_key: t[fact_key],
+                       "_n": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by(fact_key).aggregate([("_n", "sum")])
+        return pa.table({fact_key: g[fact_key], "_n": g["_n_sum"]})
+
+    per_key = bucketed_sum(
+        fact.map_batches(count_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        [fact_key], ["_n"]).materialize()
+    total = int(per_key.sum("_n") or 0)
+    cutoff = max(1, total * hot_permille // 1000)
+
+    def hot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "_n" not in df.columns:  # empty bucket block (schema-less)
+            return pd.DataFrame({fact_key: []})
+        return df[df["_n"] > cutoff][[fact_key]]
+
+    hot_df = (per_key.map_batches(hot_partial, batch_format="pandas")
+              .to_pandas())
+    # a skew-free input has NO hot keys; the empty frame loses columns
+    hot = (hot_df[fact_key].to_numpy() if fact_key in hot_df.columns
+           else np.array([], dtype=np.int64))
+    hot_ref = ray.put(np.sort(hot))
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        keys = t[fact_key].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        src = t[salt_src].combine_chunks().to_numpy(zero_copy_only=False)
+        salt = np.where(
+            np.isin(keys, hk),
+            (pd.util.hash_array(np.ascontiguousarray(src)) % n_salt)
+            .astype(np.int64),
+            0)
+        return t.append_column("_salt", pa.array(salt.astype(np.int64)))
+
+    def replicate_hot(t: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        keys = t[dim_key].combine_chunks().to_numpy(zero_copy_only=False)
+        is_hot = np.isin(keys, hk)
+        reps = np.where(is_hot, n_salt, 1).astype(np.int64)
+        idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), reps))
+        rep = t.take(idx)
+        salt = np.concatenate([
+            np.arange(r, dtype=np.int64) for r in reps]) \
+            if len(t) else np.array([], np.int64)
+        return rep.append_column("_salt", pa.array(salt))
+
+    salted_fact = fact.map_batches(add_salt, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    salted_dim = dim.map_batches(replicate_hot, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    n_part = num_partitions or max(
+        2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    return salted_fact.join(
+        salted_dim, "inner", num_partitions=n_part,
+        on=(fact_key, "_salt"), right_on=(dim_key, "_salt"))

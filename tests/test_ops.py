@@ -2021,3 +2021,23 @@ def test_funnel_steps_first_touch_chain(ray_session):
         ["A", "B", "C"], window_us=30 * 60 * 1_000_000).to_pandas()
     got = dict(zip(out.step_name, out.n_keys))
     assert got == {"A": 4, "B": 2, "C": 2}
+
+
+def test_auto_salted_join_planted_skew(ray_session):
+    from ci_log_processing_ray.ops.relational import auto_salted_join
+
+    # key 7 holds 60% of fact rows -> hot; others cold
+    fact = ray.data.from_items(
+        [{"k": 7, "src": i, "v": 1} for i in range(60)]
+        + [{"k": i % 5, "src": 100 + i, "v": 1} for i in range(40)]
+    ).repartition(4)
+    dim = ray.data.from_items(
+        [{"dk": k, "name": f"n{k}"} for k in [7, 0, 1, 2, 3, 4]])
+    out = auto_salted_join(fact, dim, "k", "dk", "src",
+                           hot_permille=100, n_salt=4,
+                           num_partitions=2).to_pandas()
+    # result equals the plain inner join: every fact row matched once
+    assert len(out) == 100
+    assert (out[out.k == 7].name == "n7").all()
+    counts = out.groupby("k").size()
+    assert counts[7] == 60
