@@ -3227,6 +3227,41 @@ def q_auto_salt(sf_dir: str):
                        Sum("sum_qty", alias_name="sum_qty")))
 
 
+def q_rare_labels(sf_dir: str):
+    """Rare-label collapsing: part names holding <2% of lineitem rows
+    recode to 'OTHER' (the categorical-feature cardinality guard) --
+    label histogram broadcast once, pure recode map, final counts."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    pk = part["p_partkey"].combine_chunks().to_numpy()
+    pn = part["p_name"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    name_ref = ray.put((pk[order], pn[order]))
+
+    def with_name(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(name_ref)
+        idx = np.searchsorted(keys, t["l_partkey"].combine_chunks()
+                              .to_numpy())
+        tt = pa.table({"p_name": pa.array(names[idx], pa.string()),
+                       "n": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by("p_name").aggregate([("n", "sum")])
+        return pa.table({"p_name": g["p_name"], "n": g["n_sum"]})
+
+    hist = (ds.map_batches(with_name, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("p_name").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    total = int(hist["n"].sum())
+    cutoff = total * 2 // 100
+    hist["label"] = np.where(hist["n"].to_numpy(np.int64) < cutoff,
+                             "OTHER", hist["p_name"])
+    out = (hist.groupby("label", as_index=False)["n"].sum()
+           .sort_values("label").reset_index(drop=True))
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3367,6 +3402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_record": q_golden_record,
         "funnel3": q_funnel3,
         "auto_salt": q_auto_salt,
+        "rare_labels": q_rare_labels,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -4174,6 +4210,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "rare_labels": """
+            WITH h AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n
+                       FROM lineitem JOIN part ON l_partkey = p_partkey
+                       GROUP BY p_name),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+            SELECT CASE WHEN h.n < t.total * 2 // 100 THEN 'OTHER'
+                        ELSE h.p_name END AS label,
+                   CAST(sum(h.n) AS BIGINT) AS n
+            FROM h, t GROUP BY 1""",
         "auto_salt": """
             SELECT p_name,
                    CAST(count(*) AS BIGINT) AS n_items,
