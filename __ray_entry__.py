@@ -3262,6 +3262,29 @@ def q_rare_labels(sf_dir: str):
     return out
 
 
+def q_weighted_median(sf_dir: str):
+    """Exact QUANTITY-WEIGHTED price percentiles per return flag
+    (ops/quantile.py:quantile_disc_by_group with weight_col): each
+    lineitem counts l_quantity times -- no row expansion, the weights
+    ride the (group, value, weight-sum) partials."""
+    from ci_log_processing_ray.ops.quantile import quantile_disc_by_group
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "cents": _cents(t["l_extendedprice"]),
+            "w": pc.cast(t["l_quantity"].combine_chunks(), pa.int64()),
+        })
+
+    return quantile_disc_by_group(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "l_returnflag", "cents", {"p25": 0.25, "p50": 0.5, "p75": 0.75},
+        weight_col="w")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3403,6 +3426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel3": q_funnel3,
         "auto_salt": q_auto_salt,
         "rare_labels": q_rare_labels,
+        "weighted_median": q_weighted_median,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -4210,6 +4234,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "weighted_median": """
+            WITH x AS (SELECT l_returnflag,
+                    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                      AS cents
+                FROM lineitem,
+                LATERAL (SELECT unnest(range(CAST(l_quantity AS INT)))))
+            SELECT l_returnflag,
+                   CAST(percentile_disc(0.25) WITHIN GROUP
+                        (ORDER BY cents) AS BIGINT) AS p25,
+                   CAST(percentile_disc(0.5) WITHIN GROUP
+                        (ORDER BY cents) AS BIGINT) AS p50,
+                   CAST(percentile_disc(0.75) WITHIN GROUP
+                        (ORDER BY cents) AS BIGINT) AS p75
+            FROM x GROUP BY l_returnflag""",
         "rare_labels": """
             WITH h AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n
                        FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -41,19 +41,28 @@ def quantile_disc_by_group(
     value_col: str,
     qs: dict[str, float],
     *,
+    weight_col: str | None = None,
     n_buckets: int = DEFAULT_GROUP_BUCKETS,
 ) -> ray.data.Dataset:
     """Exact per-group percentile_disc for integer-valued columns.
 
     ``qs`` maps output column name -> quantile (e.g. {"q50": 0.5}).
     Output: one row per group with int64 quantile columns.
+
+    ``weight_col`` (int64) switches to the exact WEIGHTED percentile:
+    a row counts ``weight`` times, identical to percentile_disc over
+    the weight-expanded multiset -- same (group, value, weight-sum)
+    partial exchange, no row expansion anywhere.
     """
 
     def partial(t: pa.Table) -> pa.Table:
+        w = (pc.cast(t[weight_col].combine_chunks(), pa.int64())
+             if weight_col is not None
+             else pa.array(np.ones(len(t), dtype=np.int64)))
         tt = pa.table({
             group_col: t[group_col].combine_chunks(),
             "_v": pc.cast(t[value_col].combine_chunks(), pa.int64()),
-            "_n": pa.array(np.ones(len(t), dtype=np.int64)),
+            "_n": w,
         })
         g = tt.group_by([group_col, "_v"]).aggregate([("_n", "sum")])
         return pa.table({group_col: g[group_col], "_v": g["_v"],
