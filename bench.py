@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "day_over_day",
     "golden_record",
     "funnel3",
+    "auto_salt",
+    "rare_labels",
+    "weighted_median",
 ]
 
 
