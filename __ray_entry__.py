@@ -3285,6 +3285,42 @@ def q_weighted_median(sf_dir: str):
         weight_col="w")
 
 
+def q_seq_pattern(sf_dir: str):
+    """MATCH_RECOGNIZE-style sequence patterns: each user's ordered
+    event history encodes as an initials string (s/c/e/v/p), three
+    regex patterns match per user, counts aggregate -- pattern
+    matching over event SEQUENCES, not rows.  One bucketed path-build
+    shuffle, RE2 matching, 3-integer partials."""
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    patterns = [("signup_then_purchase", "s.*p"),
+                ("click_error_click", "c.*e.*c"),
+                ("ends_with_purchase", "p$")]
+
+    def paths(g):
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        g = g.assign(_i=g["event_type"].str[0])
+        s = g.groupby("user_id", sort=False)["_i"].agg("".join)
+        arr = pa.array(s.to_numpy(), pa.string())
+        rows = {"pattern": [], "n_users": []}
+        for name, rx in patterns:
+            hit = pc.sum(pc.match_substring_regex(arr, rx),
+                         min_count=0).as_py() or 0
+            rows["pattern"].append(name)
+            rows["n_users"].append(hit)
+        import pandas as _pd
+        out = _pd.DataFrame(rows)
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    partials = bucketed_groups(ds, "user_id", paths)
+    return (partials.groupby("pattern")
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3427,6 +3463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auto_salt": q_auto_salt,
         "rare_labels": q_rare_labels,
         "weighted_median": q_weighted_median,
+        "seq_pattern": q_seq_pattern,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -4234,6 +4271,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "seq_pattern": """
+            WITH p AS (SELECT user_id,
+                    string_agg(substr(event_type, 1, 1), ''
+                               ORDER BY ts, event_id) AS s
+                FROM events GROUP BY user_id)
+            SELECT 'signup_then_purchase' AS pattern,
+                   CAST(count(*) FILTER (WHERE regexp_matches(s, 's.*p'))
+                        AS BIGINT) AS n_users FROM p
+            UNION ALL
+            SELECT 'click_error_click',
+                   CAST(count(*) FILTER (WHERE regexp_matches(s,
+                        'c.*e.*c')) AS BIGINT) FROM p
+            UNION ALL
+            SELECT 'ends_with_purchase',
+                   CAST(count(*) FILTER (WHERE regexp_matches(s, 'p$'))
+                        AS BIGINT) FROM p""",
         "weighted_median": """
             WITH x AS (SELECT l_returnflag,
                     CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
