@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "auto_salt",
     "rare_labels",
     "weighted_median",
+    "seq_pattern",
 ]
 
 
