@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -36,8 +37,16 @@ def kmeans(
     tol: float = 1e-4,
     seed: int = 42,
     sample_size: int = 1024,
+    checkpoint_dir: str | None = None,
 ) -> tuple[np.ndarray, "pd.DataFrame"]:
     """Lloyd's k-means over a ``list<float>`` column.
+
+    ``checkpoint_dir`` makes the loop RESUMABLE: after every round the
+    centroids land in ``round-NNNN.parquet`` (write-to-temp + atomic
+    rename, the manifest discipline); a restarted call loads the
+    latest checkpoint and continues from the next round, so a
+    many-hour iterative job survives driver loss at the cost of one
+    tiny file per round.
 
     Init: deterministic farthest-point traversal over a driver-side
     sample (first ``sample_size`` rows): start at the first point, then
@@ -50,25 +59,48 @@ def kmeans(
     driver.  Returns (centroids [k, dim], per-cluster counts frame).
     The loop stops early when max centroid movement < ``tol``.
     """
+    import glob as _glob
+    import os as _os
+
     del seed  # deterministic init; kept for signature stability
     # materialize once: the loop passes over the data n_iter times, and
     # the block count decides how round partials are combined below
     ds = ds.materialize()
     n_blocks = ds.num_blocks()
-    first = ds.limit(sample_size).to_pandas()
-    sample = np.vstack(first[vec_col].to_numpy()).astype(np.float64)
-    k = min(k, len(sample))
-    chosen = [0]
-    d2 = ((sample - sample[0]) ** 2).sum(axis=1)
-    for _ in range(k - 1):
-        nxt = int(d2.argmax())
-        chosen.append(nxt)
-        d2 = np.minimum(d2, ((sample - sample[nxt]) ** 2).sum(axis=1))
-    centroids = sample[chosen].copy()
+
+    start_round = 0
+    centroids = None
+    if checkpoint_dir:
+        _os.makedirs(checkpoint_dir, exist_ok=True)
+        ckpts = sorted(_glob.glob(
+            _os.path.join(checkpoint_dir, "round-*.parquet")))
+        if ckpts:
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(ckpts[-1])
+            kk = int(pc.max(t["cid"]).as_py()) + 1
+            dd = int(pc.max(t["pos"]).as_py()) + 1
+            centroids = np.zeros((kk, dd))
+            centroids[t["cid"].to_numpy(),
+                      t["pos"].to_numpy()] = t["v"].to_numpy()
+            start_round = int(
+                _os.path.basename(ckpts[-1])[6:10]) + 1
+
+    if centroids is None:
+        first = ds.limit(sample_size).to_pandas()
+        sample = np.vstack(first[vec_col].to_numpy()).astype(np.float64)
+        k = min(k, len(sample))
+        chosen = [0]
+        d2 = ((sample - sample[0]) ** 2).sum(axis=1)
+        for _ in range(k - 1):
+            nxt = int(d2.argmax())
+            chosen.append(nxt)
+            d2 = np.minimum(d2, ((sample - sample[nxt]) ** 2).sum(axis=1))
+        centroids = sample[chosen].copy()
     dim = centroids.shape[1]
 
     counts = None
-    for _round in range(n_iter):
+    for _round in range(start_round, n_iter):
         c_ref = ray.put(centroids)
 
         def partials(t: pa.Table, _c_ref=c_ref) -> pa.Table:
@@ -118,6 +150,21 @@ def kmeans(
                   .astype({"cid": np.int64, "count": np.int64})
                   .reset_index(drop=True))
         centroids = new
+        if checkpoint_dir:
+            import pyarrow.parquet as _pq
+
+            kk, dd = centroids.shape
+            t = pa.table({
+                "cid": pa.array(np.repeat(np.arange(kk, dtype=np.int64),
+                                          dd)),
+                "pos": pa.array(np.tile(np.arange(dd, dtype=np.int64),
+                                        kk)),
+                "v": pa.array(centroids.reshape(-1))})
+            final = _os.path.join(checkpoint_dir,
+                                  f"round-{_round:04d}.parquet")
+            tmp = final + ".tmp"
+            _pq.write_table(t, tmp)
+            _os.replace(tmp, final)
         if move < tol:
             break
     return centroids, counts

@@ -2041,3 +2041,28 @@ def test_auto_salted_join_planted_skew(ray_session):
     assert (out[out.k == 7].name == "n7").all()
     counts = out.groupby("k").size()
     assert counts[7] == 60
+
+
+def test_kmeans_checkpoint_resume(ray_session, tmp_path):
+    import numpy as np
+    from ci_log_processing_ray.ops.iterative import kmeans
+
+    rng = np.random.default_rng(3)
+    blobs = np.concatenate([
+        rng.normal(0, 0.1, (60, 4)),
+        rng.normal(5, 0.1, (60, 4)),
+        rng.normal(-5, 0.1, (60, 4))])
+    rows = [{"v": list(map(float, b))} for b in blobs]
+    ds = ray.data.from_items(rows).repartition(3)
+
+    # uninterrupted reference
+    ref_c, _ = kmeans(ds, "v", k=3, n_iter=4, tol=0.0)
+    # interrupted: 2 rounds with checkpoints, then resume to 4
+    ck = str(tmp_path / "ck")
+    kmeans(ds, "v", k=3, n_iter=2, tol=0.0, checkpoint_dir=ck)
+    import glob as _g
+    assert len(_g.glob(ck + "/round-*.parquet")) == 2
+    res_c, _ = kmeans(ds, "v", k=3, n_iter=4, tol=0.0,
+                      checkpoint_dir=ck)
+    assert np.allclose(sorted(map(tuple, ref_c)),
+                       sorted(map(tuple, res_c)))
