@@ -3321,6 +3321,46 @@ def q_seq_pattern(sf_dir: str):
             .aggregate(Sum("n_users", alias_name="n_users")))
 
 
+def q_log_templates(sf_dir: str):
+    """Log template mining (Drain-lite, rows-only: runs on the token
+    corpus, not a SQL view): detokenized log lines mask digit runs and
+    hex ids to '<*>', the corpus collapses to (template, n) counts --
+    the structure-discovery step of log analytics.  Exchange carries
+    distinct templates per block; top 20 by count, ties by template."""
+    import glob
+
+    from ci_log_processing_ray.functions.detok import tokens_to_text
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    spec = CorpusSpec(n_builds=max(8, min(48, n_docs // 40)),
+                      lines_per_file=40, seed=1234, n_shards=4,
+                      hot_build_factor=4)
+    corpus_dir = f"/tmp/ci_log_corpus_q_{spec.n_builds}_{spec.seed}"
+    marker = os.path.join(corpus_dir, ".done")
+    if not os.path.exists(marker):
+        generate_corpus(corpus_dir, spec)
+        with open(marker, "w") as f:
+            f.write("ok")
+    shards = sorted(glob.glob(
+        os.path.join(corpus_dir, "token_sequences", "*.parquet")))
+    ds = ray.data.read_parquet(shards, columns=["tokens"])
+
+    def templates(t: pa.Table) -> pa.Table:
+        lines = tokens_to_text(t["tokens"])
+        masked = pc.replace_substring_regex(
+            lines, pattern=r"[0-9a-f]{8,}|[0-9]+", replacement="<*>")
+        vc = masked.value_counts()
+        return pa.table({"template": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = (ds.map_batches(templates, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("template").aggregate(Sum("n", alias_name="n")))
+    return counts.sort(["n", "template"],
+                       descending=[True, False]).limit(20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3464,6 +3504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_labels": q_rare_labels,
         "weighted_median": q_weighted_median,
         "seq_pattern": q_seq_pattern,
+        "log_templates": q_log_templates,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
