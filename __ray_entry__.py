@@ -3361,6 +3361,40 @@ def q_log_templates(sf_dir: str):
                        descending=[True, False]).limit(20)
 
 
+def q_moving_sum(sf_dir: str):
+    """7-hour trailing moving sum per event type over the DENSE
+    zero-filled hourly grid (silent hours count as 0 -- the honest
+    moving window): resample_grid -> per-type cumsum-diff kernel."""
+    from ci_log_processing_ray.ops.window import (bucketed_groups,
+                                                  dense_grid_counts)
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    grid = dense_grid_counts(ds, "event_type", "ts")
+
+    def roll(g):
+        g = g.sort_values(["event_type", "window_start"],
+                          kind="mergesort")
+        k = g["event_type"].to_numpy()
+        n = g["n"].to_numpy(np.int64)
+        cs = np.cumsum(n)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        seg_lens = np.diff(np.append(starts, len(g)))
+        base = np.repeat(np.r_[0, cs[starts[1:] - 1]], seg_lens)
+        seg_cs = cs - base
+        idx_in_seg = (np.arange(len(g))
+                      - np.repeat(starts, seg_lens))
+        lag = idx_in_seg - 7
+        prev = np.where(lag >= 0,
+                        seg_cs[np.maximum(
+                            np.arange(len(g)) - 7, 0)], 0)
+        g = g.copy()
+        g["sum_7h"] = (seg_cs - prev).astype(np.int64)
+        return g
+
+    out = bucketed_groups(grid, "event_type", roll)
+    return _ts_us(out)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3505,6 +3539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": q_weighted_median,
         "seq_pattern": q_seq_pattern,
         "log_templates": q_log_templates,
+        "moving_sum": q_moving_sum,
         "tokenize_ids": q_tokenize_ids,
         "outlier_counts": q_outlier_counts,
         "model_score": q_model_score,
@@ -4312,6 +4347,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber,
                    'qty_cents', qty_cents FROM b""",
+        "moving_sum": """
+            WITH b AS (SELECT event_type,
+                    date_trunc('hour', ts) AS h FROM events),
+            bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM b),
+            grid AS (SELECT t.event_type, g.h
+                     FROM (SELECT DISTINCT event_type FROM b) t
+                     CROSS JOIN bounds
+                     CROSS JOIN LATERAL (SELECT unnest(generate_series(
+                         bounds.lo, bounds.hi, INTERVAL 1 HOUR)) AS h) g),
+            c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+                  FROM b GROUP BY 1, 2),
+            d AS (SELECT grid.event_type, grid.h AS window_start,
+                         CAST(coalesce(c.n, 0) AS BIGINT) AS n
+                  FROM grid LEFT JOIN c USING (event_type, h))
+            SELECT event_type, window_start, n,
+                   CAST(SUM(n) OVER (PARTITION BY event_type
+                        ORDER BY window_start
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS sum_7h
+            FROM d""",
         "seq_pattern": """
             WITH p AS (SELECT user_id,
                     string_agg(substr(event_type, 1, 1), ''
