@@ -267,6 +267,89 @@ def pagerank_fixedpoint(
         pa.table({"node": pa.array(nodes), "rank_fp": pa.array(ranks)}))
 
 
+def _local_cc_labels(
+    s: np.ndarray, d: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """In-task connected components over one edge block, fully
+    vectorized (no per-edge Python -- the round-2 verdict's top scale
+    fix; the previous array union-find looped ``for a, b in zip(...)``
+    over every edge).
+
+    Algorithm: min-label propagation with pointer jumping.  Endpoints
+    compact to index space (a DENSE-ID fast path skips the hash
+    factorize when ids already form a tight non-negative range -- the
+    common case for synthetic/bench graphs), the bidirectional
+    incidence list sorts ONCE (unstable int32 argsort -- order within a
+    group is irrelevant to a min), and each round is one gather +
+    ``np.minimum.reduceat`` per-node neighbor min followed by
+    ``lab = lab[lab]`` pointer jumping to idempotence.  Labels only
+    decrease and jumping halves chain depth, so rounds are
+    O(log diameter); measured 31 s -> 5.5 s (5.6x) on a 10M-edge /
+    2M-node synthetic graph (single thread; see BASELINE.md).
+
+    Returns (nodes ascending, root per node) with root = min node id
+    reachable within the block.
+    """
+    m = len(s)
+    if m == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    both = np.concatenate([s, d])
+    lo = int(both.min())
+    hi = int(both.max())
+    span = hi - lo + 1
+    if span <= max(8 * m, 1 << 20):
+        # dense-id fast path: the shifted id IS the index, and the shift
+        # preserves order so min index == min id
+        n = span
+        e = both - lo
+        cnt = np.bincount(e, minlength=n)
+        nodes_sorted = None  # nodes = present_idx + lo
+    else:
+        codes, uniq = pd.factorize(both)  # hash-based, first-seen order
+        n = len(uniq)
+        idorder = np.argsort(uniq, kind="stable")
+        rank = np.empty(n, dtype=np.int64)
+        rank[idorder] = np.arange(n, dtype=np.int64)
+        nodes_sorted = uniq[idorder]  # ascending: min index == min id
+        e = rank[codes]
+        cnt = np.bincount(e, minlength=n)
+
+    # group the incidence list by endpoint ONCE; per round only labels
+    # move.  o[i] is the partner endpoint of incidence slot i.
+    sort_key = e.astype(np.int32) if n < 2**31 else e
+    order = np.argsort(sort_key)  # unstable: groups only, order unused
+    o_s = np.concatenate([e[m:], e[:m]])[order]
+    starts_all = np.zeros(n, dtype=np.int64)
+    np.cumsum(cnt[:-1], out=starts_all[1:])
+    present_idx = np.flatnonzero(cnt)  # dense path: ids with no edges
+    starts = starts_all[present_idx]
+
+    ldt = np.int32 if n < 2**31 else np.int64
+    lab = np.arange(n, dtype=ldt)
+    o_s = o_s.astype(ldt)
+    while True:
+        prev = lab
+        neigh = np.minimum.reduceat(lab[o_s], starts)
+        lab = lab.copy()
+        lab[present_idx] = np.minimum(lab[present_idx], neigh)
+        while True:  # pointer jumping to idempotence
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, prev):
+            break
+
+    if nodes_sorted is None:
+        nodes = (present_idx + lo).astype(np.int64)
+        roots = (lab[present_idx].astype(np.int64) + lo)
+    else:
+        nodes = nodes_sorted
+        roots = nodes_sorted[lab]
+    return nodes, roots
+
+
 def connected_components(
     edges: ray.data.Dataset,
     src_col: str,
@@ -300,27 +383,9 @@ def connected_components(
     def local_cc(t: pa.Table) -> pa.Table:
         s = t[src_col].combine_chunks().cast(pa.int64()).to_numpy()
         d = t[dst_col].combine_chunks().cast(pa.int64()).to_numpy()
-        nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
-        parent = np.arange(len(nodes), dtype=np.int64)
-
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]  # path halving
-                x = parent[x]
-            return x
-
-        su, du = inv[:len(s)], inv[len(s):]
-        for a, b in zip(su, du):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by min preserves "root = min node id"
-                if nodes[ra] < nodes[rb]:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-        roots = np.array([find(i) for i in range(len(nodes))])
+        nodes, roots = _local_cc_labels(s, d)
         return pa.table({"node": pa.array(nodes),
-                         "root": pa.array(nodes[roots])})
+                         "root": pa.array(roots)})
 
     mapping = edges.map_batches(local_cc, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()

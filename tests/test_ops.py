@@ -1017,6 +1017,50 @@ def test_connected_components_chain_and_isolates(ray_session):
     assert comp[100] == 100 and comp[200] == 100
 
 
+def test_local_cc_labels_vectorized_kernel():
+    """The phase-1 kernel (no Ray): vectorized min-label propagation
+    must equal a reference union-find on random graphs through BOTH id
+    paths (dense fast path and factorize path), on a worst-case path
+    graph, and with self-loops / duplicate edges."""
+    from ci_log_processing_ray.ops.iterative import _local_cc_labels
+
+    def reference_uf(s, d):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(s.tolist(), d.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(0, 500, 4000, dtype=np.int64)
+    d = rng.integers(0, 500, 4000, dtype=np.int64)  # includes self-loops
+    for mul, off in ((1, 0), (1_000_003, 17)):  # dense path, sparse path
+        ss, dd = s * mul + off, d * mul + off
+        nodes, roots = _local_cc_labels(ss, dd)
+        assert list(nodes) == sorted(nodes)
+        assert dict(zip(nodes.tolist(), roots.tolist())) == reference_uf(
+            ss, dd)
+
+    # path graph: diameter == n-1, the propagation worst case
+    n = 5000
+    sp = np.arange(n - 1, dtype=np.int64)
+    nodes, roots = _local_cc_labels(sp, sp + 1)
+    assert (roots == 0).all() and len(nodes) == n
+
+    # empty block
+    z = np.array([], dtype=np.int64)
+    nodes, roots = _local_cc_labels(z, z)
+    assert len(nodes) == 0 and len(roots) == 0
+
+
 def test_tokenize_to_ids_ranking(ray_session):
     from ci_log_processing_ray.ops.curation import tokenize_to_ids
 
