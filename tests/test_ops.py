@@ -40,6 +40,33 @@ def test_exact_dedup(ray_session):
     assert got == {"aaa": (1, 2), "bbb": (2, 1), "ccc": (4, 3)}
 
 
+def test_minhash_stream_kernel_bit_identical():
+    """The flattened-stream signature kernel must equal the per-doc
+    reference path bit-for-bit: empty docs, docs shorter than k
+    (zero-padding), multi-byte UTF-8, chunked arrays, large_string."""
+    from ci_log_processing_ray.ops.dedup import (
+        _minhash_signature, _minhash_sigs, _perm_params, _shingle_hashes)
+
+    a, b = _perm_params(64, 97)
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "ray", "data", "log", "zuul"]
+    texts = ["", "ab", "x", "γειά σου κόσμε", " ", "\n\t",
+             "the quick brown fox " * 30]
+    for _ in range(150):
+        texts.append(" ".join(rng.choice(vocab, rng.integers(0, 40))))
+    for k in (3, 5, 9):
+        chunked = pa.chunked_array([pa.array(texts[:50]),
+                                    pa.array(texts[50:])])
+        ref = np.vstack([
+            _minhash_signature(_shingle_hashes(t, k), a, b) for t in texts])
+        assert np.array_equal(_minhash_sigs(chunked, k, a, b), ref)
+    large = pa.array(texts, type=pa.large_string())
+    ref5 = np.vstack([
+        _minhash_signature(_shingle_hashes(t, 5), a, b) for t in texts])
+    assert np.array_equal(_minhash_sigs(large, 5, a, b), ref5)
+    assert _minhash_sigs(pa.array([], pa.string()), 5, a, b).shape == (0, 64)
+
+
 def test_minhash_finds_near_duplicates(ray_session):
     base = ("the quick brown fox jumps over the lazy dog and then runs far "
             "away into the deep green forest while the sun slowly sets") * 3
