@@ -663,7 +663,7 @@ def kfold_assign(
     strata_col: str,
     k: int,
     *,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Stratified k-fold assignment: within each stratum, rows take
     folds round-robin in md5(id) order -- deterministic, reproducible
@@ -706,7 +706,7 @@ def take_until_budget(
     size_col: str,
     budget: int,
     *,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Data mixing to a size budget: within each group (source /
     domain), take documents in md5(id) order while the running total

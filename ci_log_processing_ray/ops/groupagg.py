@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ci_log_processing_ray.ops.window import DEFAULT_GROUP_BUCKETS, bucketed_groups
+from ci_log_processing_ray.ops.window import bucketed_groups
 
 
 def string_agg_by_group(
@@ -30,7 +30,7 @@ def string_agg_by_group(
     *,
     sep: str = "|",
     out_col: str = "agg",
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """SQL ``string_agg(value, sep ORDER BY order_col)`` per group.
 
@@ -52,7 +52,7 @@ def mode_by_group(
     value_col: str,
     *,
     out_col: str = "mode",
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Per-group mode with deterministic ties (highest count, then
     smallest value).  Output: group, ``out_col`` (the winning value),
@@ -333,7 +333,7 @@ def retention_cohorts(
     user_col: str,
     ts_col: str,
     *,
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Cohort retention: distinct users active per (cohort_day,
     day_offset), where a user's cohort is their first active day.

@@ -442,7 +442,7 @@ def bfs_hops(
     seeds: ray.data.Dataset,
     *,
     n_rounds: int,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Multi-source BFS, ``n_rounds`` frontier expansions: shortest hop
     distance (0 = seed) from any seed node over the UNDIRECTED graph;

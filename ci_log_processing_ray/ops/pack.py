@@ -32,6 +32,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Max, Min
 
+from ci_log_processing_ray.ops.window import resolve_group_buckets
+
 
 def pack_fixed_windows(
     ds: ray.data.Dataset,
@@ -39,7 +41,7 @@ def pack_fixed_windows(
     len_col: str,
     window: int,
     *,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Assign each doc its global token offset and fixed-window slot.
 
@@ -50,6 +52,7 @@ def pack_fixed_windows(
     """
     # pass 0 (metadata-cheap): order-domain width for range bucketing
     lo, hi = _order_range(ds, order_col)
+    n_buckets = resolve_group_buckets(n_buckets)
     width = max((hi - lo) // n_buckets + 1, 1)
 
     def bucket_of(arr: pa.Array) -> pa.Array:
@@ -118,7 +121,7 @@ def pack_bins_ffd(
     len_col: str,
     capacity: int,
     *,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Bin packing for LLM pretraining without document splitting
     (best-fit-decreasing style, cf. the public "fewer truncations" line
@@ -138,6 +141,8 @@ def pack_bins_ffd(
     truncated (int64).
     """
     from ci_log_processing_ray.ops.window import bucketed_groups
+
+    n_buckets = resolve_group_buckets(n_buckets)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)

@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ci_log_processing_ray.ops.window import DEFAULT_GROUP_BUCKETS, bucketed_groups
+from ci_log_processing_ray.ops.window import bucketed_groups
 
 
 def quantile_disc_by_group(
@@ -42,7 +42,7 @@ def quantile_disc_by_group(
     qs: dict[str, float],
     *,
     weight_col: str | None = None,
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Exact per-group percentile_disc for integer-valued columns.
 
@@ -104,7 +104,7 @@ def quantile_cont_by_group(
     value_col: str,
     qs: dict[str, float],
     *,
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Exact per-group percentile_cont (linear interpolation at
     position q*(n-1), DuckDB/Postgres semantics) over integer-valued
@@ -240,7 +240,7 @@ def mad_by_group(
     group_col: str,
     x_col: str,
     *,
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> pa.Table:
     """Median absolute deviation per group -- the robust spread
     statistic (median of |x - group median|), exact in int64 via two

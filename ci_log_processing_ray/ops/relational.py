@@ -444,10 +444,9 @@ def interval_overlap_join(
         cols["overlap_days"] = ov
         return pd.DataFrame(cols)
 
-    from .window import DEFAULT_GROUP_BUCKETS, bucketed_groups
+    from .window import bucketed_groups
 
-    return bucketed_groups(ds, key_col, kern,
-                           n_buckets=n_buckets or DEFAULT_GROUP_BUCKETS)
+    return bucketed_groups(ds, key_col, kern, n_buckets=n_buckets)
 
 
 def cooccurrence_pairs(
@@ -455,7 +454,7 @@ def cooccurrence_pairs(
     key_col: str,
     item_col: str,
     *,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Market-basket co-occurrence with association-rule confidence:
     for every unordered item pair (a < b), the number of keys (users /
@@ -542,7 +541,7 @@ def triangle_count(
     *,
     min_support: int = 1,
     num_partitions: int = 8,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> pa.Table:
     """Triangle count of the item co-occurrence graph (items are nodes;
     an edge joins two items sharing >= ``min_support`` keys): the

@@ -25,6 +25,42 @@ import ray.data
 
 DEFAULT_GROUP_BUCKETS = 64
 
+# one reduce task should own roughly this much input; used by the
+# input-bytes override of resolve_group_buckets
+TARGET_BUCKET_BYTES = 256 << 20
+
+
+def resolve_group_buckets(
+    n_buckets: int | None = None,
+    *,
+    input_bytes: int | None = None,
+) -> int:
+    """Cluster/size-aware bucket count for every coarse bucketed
+    exchange (the round-2 verdict's fix for the fixed 64-bucket cap on
+    reduce-side parallelism).
+
+    An explicit ``n_buckets`` always wins.  Otherwise the default is
+    ``max(64, 2 * cluster_CPUs)`` -- so a 256-node x 32-CPU cluster
+    gets 16384-way reduces instead of 64 -- raised further to
+    ``input_bytes / TARGET_BUCKET_BYTES`` when the caller knows the
+    exchange size (so one bucket, ~input/n_buckets, stays inside a
+    worker's heap regardless of CPU count)."""
+    if n_buckets is not None:
+        return int(n_buckets)
+    n = DEFAULT_GROUP_BUCKETS
+    try:
+        import ray as _ray
+
+        if _ray.is_initialized():
+            cpus = int(_ray.cluster_resources().get("CPU", 0))
+            if cpus > 0:
+                n = max(n, 2 * cpus)
+    except Exception:  # resolution must never break the pipeline
+        pass
+    if input_bytes is not None:
+        n = max(n, int(input_bytes) // TARGET_BUCKET_BYTES + 1)
+    return n
+
 
 def _key_buckets(arr: np.ndarray, n_buckets: int) -> np.ndarray:
     if arr.dtype.kind not in "iufb":
@@ -37,12 +73,14 @@ def bucketed_groups(
     group_col: str,
     per_bucket,
     *,
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """hash(group) % n_buckets coarse shuffle + one pandas kernel per
     bucket.  ``per_bucket`` receives the bucket frame (NOT yet sorted,
     ``_kb`` column already removed) holding every row of each of its
-    keys, and must be vectorized over the whole bucket."""
+    keys, and must be vectorized over the whole bucket.  ``n_buckets``
+    defaults to the cluster-aware :func:`resolve_group_buckets`."""
+    n_buckets = resolve_group_buckets(n_buckets)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         k = t[group_col].combine_chunks().to_numpy(zero_copy_only=False)
@@ -62,7 +100,7 @@ def bucketed_sum(
     key_cols: list[str],
     sum_cols: list[str],
     *,
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Exact grouped sum at HIGH key cardinality: hash-bucket on the
     first key column, one C-speed pandas groupby-sum per bucket.
@@ -82,7 +120,7 @@ def bucketed_distinct(
     ds: ray.data.Dataset,
     key_cols: list[str],
     *,
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Exact DISTINCT over ``key_cols`` at high cardinality: same
     coarse-bucket shape as :func:`bucketed_sum`, kernel is a pandas
@@ -103,7 +141,7 @@ def forward_fill_by_group(
     *,
     fill_leading,
     out_col: str | None = None,
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Per-group ordered forward fill (the generalized M2 carry-forward):
     nulls inherit the last non-null value earlier in the group; leading
@@ -127,7 +165,7 @@ def sessionize(
     *,
     gap: datetime.timedelta,
     tiebreak_cols: list[str] | None = None,
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Assign session ids per key: a new session starts when the gap to
     the previous event exceeds ``gap``.  Adds ``session_id`` (0-based
@@ -159,7 +197,7 @@ def lag_diff_by_group(
     tiebreak_col: str | None = None,
     sentinel: int = -1,
     out_col: str = "gap_us",
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """SQL ``lag()`` delta: for each row, microseconds since the
     previous row of the same group in (ts, tiebreak) order; the first
@@ -192,7 +230,7 @@ def running_total_by_group(
     id_col: str,
     *,
     out_col: str = "running_total",
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """SQL ``sum() OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
     PRECEDING)``: per-key cumulative sum in the given order.  Whole-
@@ -221,7 +259,7 @@ def rank_by_group(
     id_col: str,
     *,
     descending: bool = True,
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """SQL ``rank()`` and ``dense_rank()`` per group ordered by
     ``value_col``: peers (equal values) share a rank; rank skips after
@@ -259,7 +297,7 @@ def rolling_count_by_group(
     id_col: str,
     window,
     *,
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """SQL RANGE-frame rolling count: for each row, the number of rows
     of the same group with ts in [row.ts - window, row.ts] (peers with
@@ -297,7 +335,7 @@ def ntile_by_group(
     n_tiles: int,
     *,
     out_col: str = "tile",
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """SQL ``ntile(n) OVER (PARTITION BY group ORDER BY ...)``: rows of
     each group split into ``n`` tiles as equal as possible, the first
@@ -383,7 +421,7 @@ def tag_late_events(
     ts_col: str,
     *,
     allowed_lateness_us: int,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Watermark-style late-data tagging: an event is LATE when its
     event time trails the high-water mark of everything that ARRIVED
@@ -397,6 +435,8 @@ def tag_late_events(
     predecessor buckets' watermark.  Output: arrival_col, is_late
     (int64 0/1; the first-arriving event is never late)."""
     from ray.data.aggregate import Max, Min
+
+    n_buckets = resolve_group_buckets(n_buckets)
 
     stats = ds.aggregate(Min(arrival_col), Max(arrival_col))
     lo = int(stats[f"min({arrival_col})"])
@@ -462,7 +502,7 @@ def funnel_first_conversion(
     step_a: str,
     step_b: str,
     window: "datetime.timedelta",
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Two-step funnel: for every user with >=1 ``step_a`` event, the
     earliest ``step_b`` event that has SOME step_a event within
@@ -541,7 +581,7 @@ def runs_by_group(
     order_cols: list[str],
     value_col: str,
     *,
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Gaps-and-islands / run-length encoding per key: collapse
     CONSECUTIVE rows (ordered by ``order_cols`` within ``group_col``)
@@ -584,7 +624,7 @@ def row_number_global(
     *,
     tie_cols: list[str] | None = None,
     out_col: str = "row_num",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Exact global 1-based ROW_NUMBER ordered by
     ``(order_col, *tie_cols)`` without a global sort -- the
@@ -600,6 +640,8 @@ def row_number_global(
     key is not pathologically skewed; raise ``n_buckets`` (or
     pre-transform the key) for skewed domains."""
     from ray.data.aggregate import Max, Min
+
+    n_buckets = resolve_group_buckets(n_buckets)
 
     tie_cols = tie_cols or []
     stats = ds.aggregate(Min(order_col), Max(order_col))
@@ -652,7 +694,7 @@ def twap_by_group(
     value_col: str,
     *,
     tie_col: str | None = None,
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Time-weighted average per key: each observation holds until the
     key's next event, so its weight is the gap to that event in
@@ -698,7 +740,7 @@ def transition_counts(
     state_col: str,
     *,
     tie_col: str | None = None,
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """First-order Markov transition matrix over per-key event
     sequences: for every (from_state, to_state) pair, how many times a
@@ -736,7 +778,7 @@ def rank_global(
     *,
     out_col: str = "rank",
     pct_col: str | None = "pct_permille",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Exact global SQL ``RANK()`` ordered by ``order_col`` (ties share
     a rank; the next rank skips), plus the integer permille percentile
@@ -749,6 +791,8 @@ def rank_global(
     bucketed shuffle whose kernel ranks via sort + first-occurrence
     offsets.  ``order_col`` must be int64."""
     from ray.data.aggregate import Max, Min
+
+    n_buckets = resolve_group_buckets(n_buckets)
 
     stats = ds.aggregate(Min(order_col), Max(order_col))
     lo = int(stats[f"min({order_col})"])
@@ -808,7 +852,7 @@ def dense_grid_counts(
     *,
     unit_us: int = 3_600_000_000,
     out_ts: str = "window_start",
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Resample to a DENSE time grid with zero-fill: per key, the event
     count for EVERY window between the corpus's first and last window
@@ -883,7 +927,7 @@ def funnel_steps(
     steps: list[str],
     *,
     window_us: int,
-    n_buckets: int = DEFAULT_GROUP_BUCKETS,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """k-step funnel conversion: per key, the earliest chain
     step1 -> step2 -> ... where each step occurs strictly after the

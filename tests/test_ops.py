@@ -1044,6 +1044,21 @@ def test_connected_components_chain_and_isolates(ray_session):
     assert comp[100] == 100 and comp[200] == 100
 
 
+def test_resolve_group_buckets_cluster_aware(ray_session, monkeypatch):
+    """Bucket counts must scale with the cluster: explicit wins, the
+    default is max(64, 2*CPUs), and the input-bytes override raises it
+    so one bucket stays heap-sized."""
+    from ci_log_processing_ray.ops import window
+
+    assert window.resolve_group_buckets(7) == 7
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 256})
+    assert window.resolve_group_buckets() == 512
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 4})
+    assert window.resolve_group_buckets() == 64  # floor stays 64
+    assert window.resolve_group_buckets(input_bytes=1 << 40) == \
+        (1 << 40) // window.TARGET_BUCKET_BYTES + 1
+
+
 def test_local_cc_labels_vectorized_kernel():
     """The phase-1 kernel (no Ray): vectorized min-label propagation
     must equal a reference union-find on random graphs through BOTH id
