@@ -620,10 +620,32 @@ def _collect(ds: ray.data.Dataset) -> pa.Table:
 
 def q_ngram_jaccard(sf_dir: str):
     """n-gram Jaccard near-dup pairs -- exact, via distributed pair
-    counting (shared-gram blocking loses nothing at threshold > 0)."""
+    counting (shared-gram blocking loses nothing at threshold > 0).
+
+    ``max_df`` is set to the corpus row count: a gram's document
+    frequency can never exceed it, so the cutoff provably changes
+    nothing (the unit-tested subset contract) while keeping the
+    sum(df^2)-guard ACTIVE in the shipped plan -- any gram hotter than
+    the bound (data bugs, adversarial corpora) is dropped instead of
+    exploding candidate generation."""
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _collect(ngram_jaccard_pairs(ds, "text", "doc_id",
-                                        n=3, threshold_pct=50))
+                                        n=3, threshold_pct=50,
+                                        max_df=n_docs))
+
+
+def q_ngram_jaccard_maxdf(sf_dir: str):
+    """The DF-cutoff scale path exercised for real: grams in more than
+    ``max_df=3`` docs are excluded from INTERSECTION counts (per-doc
+    totals stay full), so every reported jaccard is a lower bound and
+    the output is a subset of the exact result -- candidate generation
+    drops from sum(df^2) to sum(df<=3 ? df^2 : 0).  The oracle encodes
+    the same contract, so it stays binding under the cutoff."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(ngram_jaccard_pairs(ds, "text", "doc_id",
+                                        n=3, threshold_pct=50, max_df=3))
 
 
 def q_quality_score(sf_dir: str):
@@ -3416,6 +3438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perf_props_sum": q_perf_props_sum,
         "hot_key_salted": q_hot_key_salted,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
         "quality_score": q_quality_score,
         "token_count_bpe": q_token_count_bpe,
         "anti_join": q_anti_join,
@@ -3687,6 +3710,34 @@ def oracle_sql() -> dict[str, str]:
               AND 100 * len(list_intersect(a.grams, b.grams))
                   >= 50 * (len(a.grams) + len(b.grams)
                            - len(list_intersect(a.grams, b.grams)))""",
+        "ngram_jaccard_maxdf": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                           AS grams
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                      FROM documents)
+                WHERE len(ws) >= 3),
+            gd AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            df AS (SELECT gram FROM gd GROUP BY gram
+                   HAVING count(*) >= 2 AND count(*) <= 3),
+            inter AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       count(*) AS inter
+                FROM gd a JOIN gd b ON a.gram = b.gram
+                                   AND a.doc_id < b.doc_id
+                JOIN df ON df.gram = a.gram
+                GROUP BY a.doc_id, b.doc_id),
+            tot AS (SELECT doc_id, len(grams) AS n FROM g)
+            SELECT left_id, right_id, inter,
+                   ta.n + tb.n - inter AS union_sz
+            FROM inter
+            JOIN tot ta ON ta.doc_id = left_id
+            JOIN tot tb ON tb.doc_id = right_id
+            WHERE 100 * inter >= 50 * (ta.n + tb.n - inter)""",
         "quality_score": f"""
             SELECT doc_id, n_words, stop_pct, punct_pct,
                    CAST(CASE WHEN n_words >= 10 AND stop_pct <= 60
