@@ -1163,6 +1163,64 @@ def q_grok_fields(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_apache_fields(sf_dir: str):
+    """apachecombined grok family (openstack-filters.conf:51-56):
+    documents rendered as %{COMBINEDAPACHELOG} access-log lines, parsed
+    back via the apachecombined grok kernel -- logdate = timestamp,
+    logmessage composed as "verb request response" (conf add_field).
+    Every 11th line carries a rawrequest-style quoted section (no verb)
+    to exercise the alternation; every 13th sends '-' for bytes.  The
+    oracle reconstructs the expected fields from the same arithmetic,
+    so a regex defect shows as a value mismatch."""
+    from ci_log_processing_ray.stages.grok import extract_grok_fields
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    verbs = pa.array(["GET", "POST", "PUT", "DELETE", "HEAD"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].combine_chunks()
+        n = len(t)
+        did_s = pc.cast(did, pa.string())
+        ip = pc.binary_join_element_wise(
+            pa.array(["10."] * n), pc.cast(_pc_mod(did, 200), pa.string()),
+            pa.array([".0.1"] * n), "")
+        verb = verbs.take(_pc_mod(did, 5))
+        req = pc.binary_join_element_wise(
+            pa.array(["/api/v"] * n), pc.cast(_pc_mod(did, 3), pa.string()),
+            pa.array(["/r/"] * n), did_s, "")
+        ver = pc.if_else(pc.equal(_pc_mod(did, 2), 0),
+                         pa.array([" HTTP/1.1"] * n), pa.array([""] * n))
+        quoted = pc.if_else(
+            pc.equal(_pc_mod(did, 11), 0),
+            pa.array(['"ping"'] * n),
+            pc.binary_join_element_wise(
+                pa.array(['"'] * n), verb, pa.array([" "] * n), req, ver,
+                pa.array(['"'] * n), ""))
+        resp = pc.cast(pc.add(pc.multiply(_pc_mod(did, 4), 100), 200),
+                       pa.string())
+        nbytes = pc.if_else(pc.equal(_pc_mod(did, 13), 0),
+                            pa.array(["-"] * n),
+                            pc.cast(_pc_mod(did, 5000), pa.string()))
+        agent = pc.binary_join_element_wise(
+            pa.array(['"curl/8.'] * n), pc.cast(_pc_mod(did, 10), pa.string()),
+            pa.array(['"'] * n), "")
+        line = pc.binary_join_element_wise(
+            ip, pa.array(["- - [15/Mar/2024:12:00:00 +0000]"] * n),
+            quoted, resp, nbytes, pa.array(['"-"'] * n), agent, " ")
+        out = extract_grok_fields(line, "apachecombined")
+        return pa.table({
+            "doc_id": did,
+            "logdate": out["logdate"],
+            "verb": out["verb"],
+            "request": out["request"],
+            "response": out["response"],
+            "n_bytes": out["bytes"],
+            "logmessage": out["logmessage"],
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _pc_mod(arr, k: int):
     """Arrow modulo for non-negative int64 (no pc.mod kernel)."""
     return pc.subtract(arr, pc.multiply(
@@ -3468,6 +3526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "multiline_join": q_multiline_join,
         "grok_fields": q_grok_fields,
+        "apache_fields": q_apache_fields,
         "lag_gap": q_lag_gap,
         "explode_embeddings": q_explode_embeddings,
         "quantile_qty": q_quantile_qty,
@@ -3940,6 +3999,26 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 3 = 2 THEN 'node-' || (doc_id % 50)
                    END AS syslog_host
             FROM documents""",
+        "apache_fields": """
+            SELECT doc_id,
+                   '15/Mar/2024:12:00:00 +0000' AS logdate,
+                   verb, request, response, n_bytes,
+                   CASE WHEN verb = '' THEN NULL
+                        ELSE verb || ' ' || request || ' ' || response
+                   END AS logmessage
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN ''
+                            ELSE ['GET','POST','PUT','DELETE','HEAD']
+                                 [(doc_id % 5) + 1] END AS verb,
+                       CASE WHEN doc_id % 11 = 0 THEN ''
+                            ELSE '/api/v' || (doc_id % 3) || '/r/' || doc_id
+                       END AS request,
+                       CAST(200 + 100 * (doc_id % 4) AS VARCHAR) AS response,
+                       CASE WHEN doc_id % 13 = 0 THEN ''
+                            ELSE CAST(doc_id % 5000 AS VARCHAR)
+                       END AS n_bytes
+                FROM documents)""",
         "lag_gap": """
             SELECT event_id, user_id,
                    coalesce(date_diff('microsecond',

@@ -77,10 +77,29 @@ GROK_PATTERNS: dict[str, str] = {
         rf"(?P<syslog_host>[\w.:-]+)?\s*"
         rf"(?P<syslog_program>.*?)(?:\[(?P<syslog_pid>[1-9]\d*)\])?:? "
         rf"(?P<logmessage>.*)$"),
+    # %{COMBINEDAPACHELOG} (openstack-filters.conf:51-56): the conf maps
+    # logdate = %{timestamp} (HTTPDATE) and composes
+    # logmessage = "%{verb} %{request} %{response}" via add_field --
+    # the composition happens in extract_grok_fields below.  A quoted
+    # request without the "VERB path [HTTP/v]" shape falls to the
+    # rawrequest branch (verb/request stay null, exactly like grok).
+    "apachecombined": (
+        rf"^(?P<clientip>\S+) (?P<ident>\S+) (?P<auth>\S+) "
+        rf"\[(?P<logdate>\d{{1,2}}/{_MONTH}/\d{{4}}:"
+        rf"\d{{2}}:\d{{2}}:\d{{2}}(?:\.\d+)? [+-]?\d+)\] "
+        rf"\"(?:(?P<verb>\w+) (?P<request>\S+)"
+        rf"(?: HTTP/(?P<httpversion>[\d.]+))?|(?P<rawrequest>[^\"]*))\" "
+        rf"(?P<response>\d+) (?:(?P<bytes>\d+)|-) "
+        rf"\"(?P<referrer>[^\"]*)\" \"(?P<agent>[^\"]*)\"\s*$"),
 }
 
 GROK_FIELDS = ("logdate", "syslog_program", "syslog_pid", "pid",
                "loglevel", "module", "logmessage", "syslog_host")
+
+# extra columns only the apachecombined family produces
+APACHE_FIELDS = ("clientip", "ident", "auth", "verb", "request",
+                 "httpversion", "rawrequest", "response", "bytes",
+                 "referrer", "agent")
 
 
 def anchor_mask(lines: pa.Array | pa.ChunkedArray, family: str) -> np.ndarray:
@@ -183,14 +202,26 @@ def extract_grok_fields(
         lines = lines.combine_chunks()
     n = len(lines)
     pattern = GROK_PATTERNS.get(family)
-    out = {f: pa.nulls(n, pa.string()) for f in GROK_FIELDS}
+    fields = GROK_FIELDS + (APACHE_FIELDS if family == "apachecombined"
+                            else ())
+    out = {f: pa.nulls(n, pa.string()) for f in fields}
     if pattern is None or n == 0:
         return out
     hit = pc.extract_regex(lines, pattern=pattern)
     present = {f.name for f in hit.type} if n else set()
-    for f in GROK_FIELDS:
+    for f in fields:
         if f in present:
             out[f] = pc.struct_field(hit, f)
+    if family == "apachecombined":
+        # conf:55 add_field: logmessage = "%{verb} %{request} %{response}"
+        # (null when the rawrequest branch matched -- logstash would
+        # leave the sprintf unresolved there; we surface null instead.
+        # Non-participating groups extract as EMPTY STRING, the
+        # established convention of the other families' oracles.)
+        joined = pc.binary_join_element_wise(
+            out["verb"], out["request"], out["response"], " ")
+        out["logmessage"] = pc.if_else(
+            pc.equal(out["verb"], ""), pa.nulls(n, pa.string()), joined)
     return out
 
 

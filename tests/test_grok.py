@@ -99,6 +99,32 @@ def test_join_runs_file_boundary_resets():
 
 GROK_GOLDENS = [
     # (family, line, expected non-empty fields)
+    # %{COMBINEDAPACHELOG} (openstack-filters.conf:51-56): logdate from
+    # the HTTPDATE timestamp, logmessage = "verb request response"
+    ("apachecombined",
+     '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+     '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+     '"http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98)"',
+     {"logdate": "10/Oct/2000:13:55:36 -0700", "clientip": "127.0.0.1",
+      "auth": "frank", "ident": "-", "verb": "GET",
+      "request": "/apache_pb.gif", "httpversion": "1.0",
+      "response": "200", "bytes": "2326",
+      "referrer": "http://www.example.com/start.html",
+      "agent": "Mozilla/4.08 [en] (Win98)",
+      "logmessage": "GET /apache_pb.gif 200"}),
+    ("apachecombined",
+     '10.0.0.5 - - [15/Mar/2024:12:00:00 +0000] '
+     '"POST /api/v1/x" 404 - "-" "curl/8.1"',
+     {"logdate": "15/Mar/2024:12:00:00 +0000", "clientip": "10.0.0.5",
+      "auth": "-", "ident": "-", "verb": "POST", "request": "/api/v1/x",
+      "response": "404", "referrer": "-", "agent": "curl/8.1",
+      "logmessage": "POST /api/v1/x 404"}),
+    # rawrequest branch: no verb -> logmessage stays null
+    ("apachecombined",
+     '10.0.0.5 - - [15/Mar/2024:12:00:00 +0000] "quit" 400 0 "-" "-"',
+     {"logdate": "15/Mar/2024:12:00:00 +0000", "clientip": "10.0.0.5",
+      "auth": "-", "ident": "-", "rawrequest": "quit",
+      "response": "400", "bytes": "0", "referrer": "-", "agent": "-"}),
     ("oslofmt",
      "2024-03-05 12:00:00.123456 4567 INFO nova.compute.manager event 5",
      {"logdate": "2024-03-05 12:00:00.123456", "pid": "4567",
