@@ -1221,6 +1221,81 @@ def q_apache_fields(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_logdate_normalize(sf_dir: str):
+    """Logstash date-block normalization (openstack-filters.conf:86-102):
+    each doc renders its deterministic timestamp components in one of
+    the 13 Joda formats (keyed by doc_id % 13), and normalize_logdate
+    parses them back -- zoned formats convert to UTC.  The oracle
+    reconstructs the expected instant from the same component
+    arithmetic (make_timestamp + offset shifts), so both the format
+    table and the TZ handling are value-checked."""
+    from ci_log_processing_ray.functions.timestamps import normalize_logdate
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    months = pa.array(["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                       "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"])
+
+    def pad2(arr):
+        return pc.utf8_lpad(pc.cast(arr, pa.string()), 2, "0")
+
+    def fn(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].combine_chunks()
+        n = len(t)
+        f = pc.cast(_pc_mod(did, 13), pa.int64())
+        mo = pc.add(_pc_mod(did, 12), 1)
+        day1 = pc.add(_pc_mod(did, 9), 1)     # 1..9  (MMM  d)
+        day2 = pc.add(_pc_mod(did, 19), 10)   # 10..28
+        hh, mi = _pc_mod(did, 24), _pc_mod(did, 60)
+        ss = _pc_mod(pc.multiply(did, 7), 60)
+        ms = _pc_mod(did, 1000)
+        us_ = _pc_mod(did, 1000000)
+        ymd = pc.binary_join_element_wise(
+            pa.array(["2024"] * n), pad2(mo), pad2(day2), "-")
+        hms = pc.binary_join_element_wise(pad2(hh), pad2(mi), pad2(ss), ":")
+        ms_s = pc.utf8_lpad(pc.cast(ms, pa.string()), 3, "0")
+        us_s = pc.utf8_lpad(pc.cast(us_, pa.string()), 6, "0")
+        mon_name = months.take(_pc_mod(did, 12))
+        sp = pc.binary_join_element_wise(ymd, hms, " ")
+        forms = [
+            pc.binary_join_element_wise(sp, ms_s, "."),               # 0 .SSS
+            pc.binary_join_element_wise(sp, us_s, "."),               # 1 .SSSSSS
+            pc.binary_join_element_wise(sp, ms_s, ","),               # 2 ,SSS
+            sp,                                                       # 3 plain
+            pc.binary_join_element_wise(                              # 4 MMM  d
+                mon_name, pa.array([" "] * n),
+                pc.cast(day1, pa.string()), pa.array([" "] * n), hms, ""),
+            pc.binary_join_element_wise(mon_name, pad2(day2), hms, " "),  # 5
+            pc.binary_join_element_wise(                              # 6 + .SSSSSS
+                mon_name, pad2(day2),
+                pc.binary_join_element_wise(hms, us_s, "."), " "),
+            pc.binary_join_element_wise(                              # 7 HTTPDATE
+                pad2(day2), pa.array(["/"] * n), mon_name,
+                pa.array(["/2024:"] * n), hms, pa.array([" -0700"] * n), ""),
+            pc.binary_join_element_wise(                              # 8 .SSSZ
+                pc.binary_join_element_wise(sp, ms_s, "."),
+                pa.array(["+0530"] * n), ""),
+            pc.binary_join_element_wise(                              # 9 E..yyyy Z
+                pa.array(["Mon"] * n), mon_name, pad2(day2), hms,
+                pa.array(["2024 +0000"] * n), " "),
+            pc.binary_join_element_wise(                              # 10 E..yyyy
+                pa.array(["Mon"] * n), mon_name, pad2(day2), hms,
+                pa.array(["2024"] * n), " "),
+            pc.binary_join_element_wise(                              # 11 ISO Z
+                ymd, pa.array(["T"] * n),
+                pc.binary_join_element_wise(hms, us_s, "."),
+                pa.array(["Z"] * n), ""),
+            pc.binary_join_element_wise(                              # 12 ISO +02:00
+                ymd, pa.array(["T"] * n), hms, pa.array(["+02:00"] * n), ""),
+        ]
+        rendered = forms[0]
+        for code in range(1, 13):
+            rendered = pc.if_else(pc.equal(f, code), forms[code], rendered)
+        ts = normalize_logdate(rendered, 2024)
+        return pa.table({"doc_id": did, "ts": ts})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _pc_mod(arr, k: int):
     """Arrow modulo for non-negative int64 (no pc.mod kernel)."""
     return pc.subtract(arr, pc.multiply(
@@ -3527,6 +3602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiline_join": q_multiline_join,
         "grok_fields": q_grok_fields,
         "apache_fields": q_apache_fields,
+        "logdate_normalize": q_logdate_normalize,
         "lag_gap": q_lag_gap,
         "explode_embeddings": q_explode_embeddings,
         "quantile_qty": q_quantile_qty,
@@ -3998,6 +4074,25 @@ def oracle_sql() -> dict[str, str]:
                    END AS syslog_pid,
                    CASE WHEN doc_id % 3 = 2 THEN 'node-' || (doc_id % 50)
                    END AS syslog_host
+            FROM documents""",
+        "logdate_normalize": """
+            SELECT doc_id,
+                   make_timestamp(
+                       2024,
+                       (doc_id % 12) + 1,
+                       CASE WHEN doc_id % 13 = 4 THEN (doc_id % 9) + 1
+                            ELSE (doc_id % 19) + 10 END,
+                       doc_id % 24, doc_id % 60,
+                       ((doc_id * 7) % 60)
+                       + CASE WHEN doc_id % 13 IN (0, 2, 8)
+                              THEN (doc_id % 1000) / 1000.0
+                              WHEN doc_id % 13 IN (1, 6, 11)
+                              THEN (doc_id % 1000000) / 1000000.0
+                              ELSE 0 END)
+                   + CASE WHEN doc_id % 13 = 7 THEN INTERVAL 7 HOUR
+                          WHEN doc_id % 13 = 8 THEN - INTERVAL 330 MINUTE
+                          WHEN doc_id % 13 = 12 THEN - INTERVAL 2 HOUR
+                          ELSE INTERVAL 0 HOUR END AS ts
             FROM documents""",
         "apache_fields": """
             SELECT doc_id,

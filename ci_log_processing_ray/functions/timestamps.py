@@ -85,6 +85,91 @@ def _replace_year(parsed: pd.Series, year: int) -> pd.Series:
     return out
 
 
+_A3 = r"(?i:mon|tue|wed|thu|fri|sat|sun)"
+
+# The logstash date block (openstack-filters.conf:86-102) accepts 13
+# Joda formats on the grok-extracted ``logdate``; re-expressed as
+# (strptime fmt | "ISO8601", full-string validator AFTER whitespace-run
+# collapse, has_tz).  Order preserved from the conf; "MMM  d" and
+# "MMM dd" collapse to one row post-collapse (same fmt, same result).
+# Joda parses-but-ignores the E day-of-week token, matching CPython %a
+# (no cross-validation against the date).
+LOGSTASH_DATE_FORMATS: list[tuple[str, str | None, bool]] = [
+    ("%Y-%m-%d %H:%M:%S.%f",                                # .SSS
+     rf"^{_Y}-{_MO}-{_D} {_H}:{_MS}:{_MS}\.\d{{3}}$", False),
+    ("%Y-%m-%d %H:%M:%S.%f",                                # .SSSSSS
+     rf"^{_Y}-{_MO}-{_D} {_H}:{_MS}:{_MS}\.\d{{6}}$", False),
+    ("%Y-%m-%d %H:%M:%S,%f",                                # ,SSS
+     rf"^{_Y}-{_MO}-{_D} {_H}:{_MS}:{_MS},\d{{3}}$", False),
+    ("%Y-%m-%d %H:%M:%S",
+     rf"^{_Y}-{_MO}-{_D} {_H}:{_MS}:{_MS}$", False),
+    ("%b %d %H:%M:%S",                                      # MMM [ d|dd]
+     rf"^{_B3} {_D} {_H}:{_MS}:{_MS}$", False),
+    ("%b %d %H:%M:%S.%f",                                   # MMM dd ... .SSSSSS
+     rf"^{_B3} {_D} {_H}:{_MS}:{_MS}\.\d{{6}}$", False),
+    ("%d/%b/%Y:%H:%M:%S %z",                                # dd/MMM/yyyy:HH:mm:ss Z
+     rf"^{_D}/{_B3}/{_Y}:{_H}:{_MS}:{_MS} [+-]\d{{4}}$", True),
+    ("%Y-%m-%d %H:%M:%S.%f%z",                              # .SSSZ
+     rf"^{_Y}-{_MO}-{_D} {_H}:{_MS}:{_MS}\.\d{{3}}[+-]\d{{4}}$", True),
+    ("%a %b %d %H:%M:%S %Y %z",                             # E MMM dd ... yyyy Z
+     rf"^{_A3} {_B3} {_D} {_H}:{_MS}:{_MS} {_Y} [+-]\d{{4}}$", True),
+    ("%a %b %d %H:%M:%S %Y",                                # E MMM dd ... yyyy
+     rf"^{_A3} {_B3} {_D} {_H}:{_MS}:{_MS} {_Y}$", False),
+    ("ISO8601", None, True),                                # catch-all
+]
+
+
+def normalize_logdate(
+    logdate: pa.Array | pa.ChunkedArray, today_year: int
+) -> pa.Array:
+    """Logstash ``date``-filter normalization of grok ``logdate`` values
+    (openstack-filters.conf:86-102): first matching format wins, zoned
+    formats convert to UTC, zoneless ones are taken AS UTC
+    (``timezone => "UTC"``), and yearless formats get ``today_year``
+    (the same year-patch convention as the logsender table).  Returns
+    timestamp[us] naive UTC; null where no format matches (logstash
+    would tag _dateparsefailure and keep @timestamp).
+
+    Same progressive-narrowing shape as :func:`extract_timestamps`:
+    each format only ever sees the rows every earlier format rejected,
+    with anchored RE2 validators standing in for Joda's exact-width
+    tokens (pandas' strptime is more lenient than Joda; the validator
+    enforces e.g. SSS = exactly three digits)."""
+    if isinstance(logdate, pa.ChunkedArray):
+        logdate = logdate.combine_chunks()
+    n = len(logdate)
+    out = np.full(n, np.datetime64("NaT"), dtype="datetime64[us]")
+    pending_idx = np.arange(n)
+    cur = pc.replace_substring_regex(
+        logdate, pattern=r"\s+", replacement=" ")
+    for fmt, validator, has_tz in LOGSTASH_DATE_FORMATS:
+        if len(pending_idx) == 0:
+            break
+        if fmt == "ISO8601":
+            cap_pd = cur.to_pandas().astype(object)
+            parsed = pd.to_datetime(cap_pd, format="ISO8601",
+                                    errors="coerce", utc=True)
+            parsed = parsed.dt.tz_localize(None)
+        else:
+            valid = pc.fill_null(
+                pc.match_substring_regex(cur, pattern=validator), False)
+            cap = pc.if_else(valid, cur, pa.nulls(len(cur), pa.string()))
+            cap_pd = cap.to_pandas().astype(object)
+            parsed = pd.to_datetime(cap_pd, format=fmt, errors="coerce",
+                                    exact=True, utc=has_tz)
+            if has_tz:
+                parsed = parsed.dt.tz_localize(None)
+            else:
+                parsed = _replace_year(parsed, today_year)
+        hitmask = parsed.notna().to_numpy()
+        if hitmask.any():
+            out[pending_idx[hitmask]] = parsed.to_numpy()[hitmask]
+            keep = ~hitmask
+            pending_idx = pending_idx[keep]
+            cur = cur.filter(pa.array(keep))
+    return pa.Array.from_pandas(pd.Series(out), type=pa.timestamp("us"))
+
+
 def extract_timestamps(lines: pa.Array | pa.ChunkedArray, today_year: int) -> pa.Array:
     """Extract per-line timestamps; null where no pattern matches.
 

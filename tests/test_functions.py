@@ -118,3 +118,40 @@ def test_detok_rejects_non_byte_tokens():
     arr = pa.array([[72, 105], [999]], type=pa.list_(pa.int32()))
     with pytest.raises(Exception):
         tokens_to_text(arr)
+
+
+def test_normalize_logdate_all_13_formats():
+    """Logstash date-block table (openstack-filters.conf:86-102): every
+    format parses, zoned ones convert to UTC, yearless ones take
+    today_year, junk stays null."""
+    import datetime as dt
+
+    from ci_log_processing_ray.functions.timestamps import normalize_logdate
+
+    cases = [
+        ("2024-03-05 12:00:00.123", dt.datetime(2024, 3, 5, 12, 0, 0, 123000)),
+        ("2024-03-05 12:00:00.123456", dt.datetime(2024, 3, 5, 12, 0, 0, 123456)),
+        ("2024-03-05 12:00:00,123", dt.datetime(2024, 3, 5, 12, 0, 0, 123000)),
+        ("2024-03-05 12:00:00", dt.datetime(2024, 3, 5, 12, 0, 0)),
+        ("Mar  5 12:00:00", dt.datetime(2024, 3, 5, 12, 0, 0)),
+        ("Mar 15 12:00:00", dt.datetime(2024, 3, 15, 12, 0, 0)),
+        ("Mar 15 12:00:00.123456", dt.datetime(2024, 3, 15, 12, 0, 0, 123456)),
+        # zoned -> UTC
+        ("15/Mar/2024:12:00:00 -0700", dt.datetime(2024, 3, 15, 19, 0, 0)),
+        ("2024-03-05 12:00:00.123+0530",
+         dt.datetime(2024, 3, 5, 6, 30, 0, 123000)),
+        ("Mon Mar 15 12:00:00 2024 +0000", dt.datetime(2024, 3, 15, 12, 0)),
+        ("Mon Mar 15 12:00:00 2024", dt.datetime(2024, 3, 15, 12, 0)),
+        ("2024-03-05T12:00:00.123456Z",
+         dt.datetime(2024, 3, 5, 12, 0, 0, 123456)),
+        ("2024-03-05T12:00:00+02:00", dt.datetime(2024, 3, 5, 10, 0, 0)),
+        # Joda SSS is exactly 3 digits: 1-2 digit fractions fall through
+        # the .SSS row but the ISO8601 catch-all still takes them
+        ("not a date", None),
+        ("", None),
+        ("2024-13-05 12:00:00", None),  # month 13 rejected by validator
+    ]
+    out = normalize_logdate(
+        pa.array([c[0] for c in cases], pa.string()), 2024).to_pylist()
+    for (s, want), got in zip(cases, out):
+        assert got == want, (s, got, want)
