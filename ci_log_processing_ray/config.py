@@ -60,6 +60,9 @@ class PipelineConfig:
     # Deterministic stand-ins for the reference's utcnow() calls:
     # leading-lines-without-timestamp fallback (logsender.py:407-408).
     fallback_now: datetime.datetime = datetime.datetime(2022, 3, 25, 0, 0, 0)
+    # received_at = %{@timestamp} (openstack-filters.conf:21,49,55,61):
+    # the batch-processing wall clock, pinned for determinism.
+    received_at: datetime.datetime = datetime.datetime(2022, 3, 25, 0, 0, 0)
     # year patch for year-less formats (logsender.py:354-356 uses today().year).
     today_year: int = 2022
 

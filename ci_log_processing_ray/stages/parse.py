@@ -67,6 +67,10 @@ PARSED_FIELDS = [
     ("syslog_pid", pa.string()),
     ("syslog_host", pa.string()),
     ("loglevel", pa.string()),
+    # conf:21,49,55,61,67,74 add_field received_at = %{@timestamp}: the
+    # batch-processing wall clock, injected as the deterministic
+    # cfg.received_at (impure input stays driver-side)
+    ("received_at", pa.timestamp("us")),
 ]
 PARSED_SCHEMA = pa.schema(PARSED_FIELDS)
 
@@ -83,13 +87,20 @@ def _nulls(n: int, typ) -> pa.Array:
     return pa.nulls(n, type=typ)
 
 
-def _finalize(tbl: pa.Table, cols: dict[str, pa.Array]) -> pa.Table:
+def _finalize(tbl: pa.Table, cols: dict[str, pa.Array],
+              received_at=None) -> pa.Table:
     """Assemble the unified PARSED_SCHEMA table.
 
     Input columns whose name starts with ``_`` (e.g. the lineage
     partition id) are passed through unchanged after the schema columns.
+    ``received_at`` (a datetime) broadcasts to every row -- the conf
+    adds it in every grok block.
     """
     n = len(tbl)
+    if received_at is not None and "received_at" not in cols:
+        cols = {**cols,
+                "received_at": pa.nulls(n, pa.timestamp("us")).fill_null(
+                    received_at)}
     out = {}
     for name, typ in PARSED_FIELDS:
         if name in cols:
@@ -281,7 +292,7 @@ def _parse_loglines(
     if cfg.grok_fields:
         cols.update(_extract_grok_cols(
             lines, np.asarray(tbl["source"].combine_chunks())))
-    out = _finalize(tbl, cols)
+    out = _finalize(tbl, cols, received_at=cfg.received_at)
     if fill:
         # one fused selection pass: banner drop + empty-message drop
         # (logsender.py:421-424) + optional DEBUG-severity drop
@@ -346,7 +357,7 @@ def _parse_performance(tbl: pa.Table, lines: pa.Array, cfg: PipelineConfig) -> p
         "severity": pa.array([SEVERITY_NONE] * len(tbl)),
         "message": message,
         "perf_fields": pa.array(perf_json, type=pa.string()),
-    })
+    }, received_at=cfg.received_at)
     return out.filter(pc.not_equal(out["message"].combine_chunks(), ""))
 
 
@@ -384,7 +395,7 @@ def _parse_subunit(tbl: pa.Table, lines: pa.Array, cfg: PipelineConfig) -> pa.Ta
         "test_name": pa.array(names, type=pa.string()),
         "test_status": pa.array(statuses, type=pa.string()),
         "test_duration": pa.array(durations, type=pa.float64()),
-    })
+    }, received_at=cfg.received_at)
 
 
 def make_parse_fn(cfg: PipelineConfig, fill: bool | None = None):

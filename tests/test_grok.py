@@ -291,3 +291,21 @@ def test_distributed_multiline_join_matches_local(ray_session):
         for start, msg in ref.multiline_events(lines, "console"):
             want_set.add((fid, start, msg.count("\n") + 1, msg))
     assert got_set == want_set
+
+
+def test_received_at_constant_on_every_parsed_row():
+    """conf:21,49,55,61: every grok adds received_at = %{@timestamp};
+    the engine broadcasts the pinned cfg.received_at to every row of
+    every parse branch."""
+    import datetime as dt
+
+    cfg = PipelineConfig(
+        received_at=dt.datetime(2023, 7, 1, 8, 30, 0))
+    tbl = _token_table({
+        "screen-n-cpu.txt": ("oslofmt", TRACEBACK_OSLO),
+        "job-output.txt": ("console", TRACEBACK_CONSOLE),
+    })
+    out = make_parse_fn(cfg)(tbl)
+    assert "received_at" in out.column_names
+    vals = set(out["received_at"].to_pylist())
+    assert vals == {dt.datetime(2023, 7, 1, 8, 30, 0)}
