@@ -122,7 +122,8 @@ def knn_lsh(
             for j, l in combinations(range(n_planes), 2):
                 probes.add(int(b) ^ (1 << j) ^ (1 << l))
         probe_sets.append(probes)
-    wanted: set[int] = set().union(*probe_sets)
+    # hoisted SORTED probe array (was a per-batch list(set) rebuild)
+    wanted = np.array(sorted(set().union(*probe_sets)), dtype=np.int64)
 
     state = ray.put((planes, qn, wanted))
 
@@ -135,7 +136,7 @@ def knn_lsh(
             v = _to_matrix(t[vec_col])
             v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-12
             bucket = ((v @ self.planes) > 0) @ weights
-            mask = np.isin(bucket, list(self.wanted))
+            mask = np.isin(bucket, self.wanted)
             if not mask.any():
                 return pa.table({
                     "qi": pa.array([], type=pa.int32()),
