@@ -322,13 +322,19 @@ def minhash_lsh_dedup(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     seed: int = 97,
+    driver_edge_cap: int = 1_000_000,
 ) -> "pd.DataFrame":
     """Near-dup clusters: returns (id, cluster_rep) for every clustered doc.
 
     Pipeline: minhash+band rows (actor pool) -> groupby(band, band_hash)
     -> candidate pairs per bucket -> exact Jaccard verification on the
-    candidate docs only -> union-find on the verified edges (driver side;
-    the edge set is tiny relative to the corpus by construction).
+    candidate docs only -> closure over the verified edges.  Up to
+    ``driver_edge_cap`` edges the closure is a driver union-find (the
+    edge set is tiny relative to the corpus by construction); above it
+    the edges route through the distributed
+    :func:`~ci_log_processing_ray.ops.iterative.connected_components`
+    (two-phase local contraction), so pathological corpora with huge
+    duplicate clusters never serialize the closure on the driver.
     """
     # plain-task stage: params come from a per-process cache, so there
     # is no actor-pool spin-up to amortize (a small table is only a
@@ -454,6 +460,19 @@ def minhash_lsh_dedup(
                              "right": pa.array(keep_r, type=pa.int64())})
 
         edges = j.map_batches(verify_pairs, batch_format="pyarrow").to_pandas()
+
+    if len(edges) > driver_edge_cap:
+        # distributed closure: component = min reachable id, exactly the
+        # union-by-min the driver path computes
+        from ci_log_processing_ray.ops.iterative import connected_components
+
+        cc = connected_components(
+            ray.data.from_pandas(
+                edges.astype({"left": np.int64, "right": np.int64})),
+            "left", "right").to_pandas()
+        cc = cc.rename(columns={"node": id_col,
+                                "component": "cluster_rep"})
+        return cc.sort_values(id_col).reset_index(drop=True)
 
     parent: dict = {}
 

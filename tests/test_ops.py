@@ -84,6 +84,29 @@ def test_minhash_finds_near_duplicates(ray_session):
     assert clusters.get(3, 3) == 3  # far doc not merged into cluster 1
 
 
+def test_minhash_distributed_closure_matches_driver_path(ray_session):
+    """driver_edge_cap=0 forces the verified edges through the
+    distributed connected_components closure; clusters must be
+    identical to the driver union-find (both compute min reachable
+    id)."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest while the sun sets") * 3
+    rows = [{"doc_id": i, "text": base.replace("sun", f"sun{i % 2}")}
+            for i in range(1, 9)]
+    rows.append({"doc_id": 99,
+                 "text": "completely different content entirely " * 6})
+    ds = ray.data.from_items(rows)
+    via_driver = minhash_lsh_dedup(ds, "text", "doc_id",
+                                   jaccard_threshold=0.7)
+    via_cc = minhash_lsh_dedup(ds, "text", "doc_id",
+                               jaccard_threshold=0.7, driver_edge_cap=0)
+    a = via_driver.sort_values("doc_id").reset_index(drop=True)
+    b = via_cc.sort_values("doc_id").reset_index(drop=True)
+    assert len(a) > 0
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["cluster_rep"].tolist() == b["cluster_rep"].tolist()
+
+
 def test_simhash_buckets_identical_bags(ray_session):
     rows = [
         {"doc_id": 1, "text": "alpha beta gamma"},
