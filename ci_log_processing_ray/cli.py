@@ -30,10 +30,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="ci-log-processing-ray",
         description="Ray-Data-native CI log parse->enrich->route->aggregate")
-    p.add_argument("--inputs", required=True,
-                   help="glob of token-sequence parquet shards")
-    p.add_argument("--build-meta", required=True,
-                   help="build_meta parquet path")
+    p.add_argument("--inputs",
+                   help="glob of token-sequence parquet shards "
+                        "(batch mode; required unless --live)")
+    p.add_argument("--build-meta",
+                   help="build_meta parquet path "
+                        "(batch mode; required unless --live)")
+    p.add_argument("--live", action="store_true",
+                   help="live mode: list builds from a Zuul API and "
+                        "fetch log files over HTTP (S1->S12; see "
+                        "pipelines/live.py)")
+    p.add_argument("--zuul-url",
+                   help="Zuul API base URL (live mode)")
+    p.add_argument("--job-names", nargs="*", default=None,
+                   help="job names to scrape (live mode; default: all)")
+    p.add_argument("--max-builds", type=int, default=100,
+                   help="builds per job per tick (live mode)")
     p.add_argument("--out", required=True, help="output root directory")
     p.add_argument("--skip-debug", action="store_true",
                    help="drop lines containing DEBUG (logsender --skip-debug)")
@@ -52,6 +64,29 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _urllib_get_json(url: str):
+    """Default live-mode JSON fetcher (stdlib only; the engine itself
+    stays injection-based and network-free -- tests use dict fakes)."""
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read().decode("utf-8"))
+
+
+def _urllib_fetcher_factory():
+    import urllib.error
+    import urllib.request
+
+    def get_bytes(url: str):
+        try:
+            with urllib.request.urlopen(url, timeout=60) as r:
+                return r.read()
+        except urllib.error.URLError:
+            return None
+
+    return get_bytes
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_arg_parser().parse_args(argv)
 
@@ -67,6 +102,28 @@ def main(argv: list[str] | None = None) -> int:
 
         cfg = PipelineConfig(skip_debug=args.skip_debug,
                              fill_mode=args.fill_mode)
+
+        if args.live:
+            if not args.zuul_url:
+                raise SystemExit("--live requires --zuul-url")
+            from .pipelines.live import run_live
+
+            results = [run_live(
+                _urllib_get_json, _urllib_fetcher_factory,
+                args.zuul_url, args.out, cfg,
+                job_names=args.job_names, max_builds=args.max_builds,
+                clock_now=time.time())]
+            last = results[-1]
+            print(json.dumps({
+                "ticks": 1,
+                "n_pending": last.n_pending,
+                "n_skipped": last.n_skipped,
+                "routed_dir": last.routed_dir,
+                "counts": last.counts.to_pylist(),
+            }, default=str))
+            return 0
+        if not args.inputs or not args.build_meta:
+            raise SystemExit("batch mode requires --inputs and --build-meta")
 
         def list_inputs():
             return sorted(glob.glob(args.inputs))

@@ -106,12 +106,15 @@ def get_last_job_results(
     max_builds: int,
     seen,
     job_name: Optional[str] = None,
+    *,
+    complete_param: str = "",
 ) -> Iterator[dict]:
     """J4 anti-join against the checkpoint: yield at most ``max_builds``
     builds whose ``_id``/uuid is not in ``seen`` (any object with
     ``contains``/``add``, e.g. state/manifest.py's cache)."""
     count = 0
-    for build in iter_builds(get_json, zuul_url, job_name):
+    for build in iter_builds(get_json, zuul_url, job_name,
+                             complete_param=complete_param):
         count += 1
         if count > int(max_builds):
             break

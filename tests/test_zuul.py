@@ -3,6 +3,7 @@ pager drift dedup, version gate, job intersection, distributed fetch
 equivalence vs the build-dir source, meta normalization vs the
 reference oracle."""
 
+import os
 import gzip
 import json
 
@@ -258,3 +259,72 @@ def test_fetch_build_meta_distributed(ray_session):
     assert rows["abc"]["build_change"] == 812345
     assert rows["dead"]["build_status"] == "ABORTED"
     assert rows["dead"]["hosts_id"] == []
+
+
+def test_run_live_end_to_end_and_idempotent(ray_session, tmp_path):
+    """S1->S12 from fake HTTP fixtures to routed counts: version gate,
+    jobs intersection, paginated listing, anti-join vs manifests,
+    distributed fetch (.gz twin), parse/enrich/route, per-sink fan-out
+    write, per-build manifest commit.  A second identical run is a
+    no-op (n_pending == 0) with identical cumulative counts."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from ci_log_processing_ray.config import PipelineConfig
+    from ci_log_processing_ray.pipelines.live import run_live
+
+    zuul_url = "https://zuul.example/api"
+    log_url = "https://storage.example/logs/1/abc/"
+    site = _site(log_url)
+    builds_page = [
+        {"uuid": "abc", "log_url": log_url, "result": "SUCCESS",
+         "end_time": "2022-03-25T17:40:40", "job_name": "tox"},
+        {"uuid": "dead", "log_url": None, "result": "ABORTED",
+         "end_time": "2022-03-25T17:41:00", "job_name": "tox"},
+    ]
+    calls = []
+
+    def get_json(url):
+        calls.append(url)
+        if url.endswith("/status"):
+            return {"zuul_version": "4.10.2-1.el7"}
+        if url.endswith("/jobs"):
+            return [{"name": "tox"}, {"name": "other"}]
+        if "/builds?" in url:
+            assert "&complete=true" in url  # M17 gate wired through
+            skip = int(url.rsplit("skip=", 1)[1])
+            return builds_page[skip:]
+        raise AssertionError(url)
+
+    out = str(tmp_path / "live_out")
+    cfg = PipelineConfig()
+    res1 = run_live(get_json, lambda: site.get, zuul_url, out, cfg,
+                    job_names=["tox", "missing-job"], max_builds=10)
+    assert res1.n_pending == 2
+    assert len(res1.manifests) == 2
+    total1 = {(r["sink"], r["severity"]): r["doc_count"]
+              for r in res1.counts.to_pylist()}
+    assert sum(total1.values()) > 0
+
+    # every routed row landed under a per-build partition dir and the
+    # files agree with the count partials
+    files = _glob.glob(os.path.join(out, "routed", "part-build-*",
+                                    "sink=*", "*.parquet"))
+    assert files
+    assert sum(_pq.read_metadata(f).num_rows for f in files) == \
+        sum(total1.values())
+    # the aborted build synthesized its custom-result doc
+    dead_files = [f for f in files if "part-build-dead-" in f]
+    assert sum(_pq.read_metadata(f).num_rows for f in dead_files) == 1
+
+    # second run: anti-join vs committed manifests -> nothing pending,
+    # cumulative per-sink counts unchanged
+    res2 = run_live(get_json, lambda: site.get, zuul_url, out, cfg,
+                    job_names=["tox"], max_builds=10)
+    assert res2.n_pending == 0
+    per_sink1 = {}
+    for (s, _), c in total1.items():
+        per_sink1[s] = per_sink1.get(s, 0) + c
+    got2 = {r["sink"]: r["doc_count"] for r in res2.counts.to_pylist()}
+    assert got2 == per_sink1
