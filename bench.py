@@ -104,6 +104,10 @@ BENCH_QUERIES = [
     "rare_labels",
     "weighted_median",
     "seq_pattern",
+    # round 3 additions
+    "ngram_jaccard_maxdf",
+    "apache_fields",
+    "logdate_normalize",
 ]
 
 

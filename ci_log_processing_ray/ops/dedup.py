@@ -31,9 +31,12 @@ _HASH_KEY = "cilogprocraydedu"  # exactly 16 bytes (pandas hash_key contract)
 
 def _hash64(texts: pa.Array | list) -> np.ndarray:
     """Deterministic vectorized 64-bit string hash."""
-    arr = np.asarray(
-        texts.to_pylist() if isinstance(texts, (pa.Array, pa.ChunkedArray)) else texts,
-        dtype=object)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(texts, pa.Array):
+        arr = texts.to_numpy(zero_copy_only=False)  # object ndarray of str
+    else:
+        arr = np.asarray(texts, dtype=object)
     return pd.util.hash_array(arr, hash_key=_HASH_KEY).astype(np.uint64)
 
 
@@ -88,9 +91,10 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     base = np.uint64(257)
     powers = np.empty(k, dtype=np.uint64)
     p = np.uint64(1)
-    for i in range(k - 1, -1, -1):
-        powers[i] = p
-        p = (p * base) % np.uint64(_MERSENNE)
+    with np.errstate(over="ignore"):  # wraparound mult is intentional
+        for i in range(k - 1, -1, -1):
+            powers[i] = p
+            p = (p * base) % np.uint64(_MERSENNE)
     windows = np.lib.stride_tricks.sliding_window_view(data, k)[:n]
     h = (windows * powers).sum(axis=1) % np.uint64(_MERSENNE)
     return np.unique(h)
@@ -194,9 +198,10 @@ def _minhash_sigs(
     base = np.uint64(257)
     powers = np.empty(k, dtype=np.uint64)
     p = np.uint64(1)
-    for i in range(k - 1, -1, -1):
-        powers[i] = p
-        p = (p * base) % np.uint64(_MERSENNE)
+    with np.errstate(over="ignore"):  # wraparound mult is intentional
+        for i in range(k - 1, -1, -1):
+            powers[i] = p
+            p = (p * base) % np.uint64(_MERSENNE)
     n_win = out_total - k + 1
     st = stream.astype(np.uint64)
     h = np.zeros(n_win, dtype=np.uint64)
@@ -641,24 +646,36 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def _simhash_batch(texts: list[str], seed: int) -> np.ndarray:
+def _simhash_batch(
+    texts: "list[str] | pa.Array | pa.ChunkedArray", seed: int
+) -> np.ndarray:
     """Whole-batch vectorized simhash: ONE hash_array call over the
     flattened word stream, per-doc bit-vote sums via np.add.reduceat,
-    bits packed with a shift-dot -- no per-document Python work beyond
-    the unavoidable str.split."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    words_per_doc = [t.split() for t in texts]
-    lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
-                       count=len(texts))
+    bits packed with a shift-dot -- now with NO per-document Python at
+    all (Arrow ``utf8_split_whitespace`` replaces the per-doc
+    ``str.split``; identical tokenization incl. unicode whitespace,
+    empties filtered, hash values unchanged)."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, list):
+        texts = pa.array(texts, pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    wl = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+    raw_counts = np.diff(wl.offsets.to_numpy())
+    flat0 = wl.flatten()
+    keep = pc.not_equal(flat0, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    # per-doc kept-word counts: cumsum of keep, diffed at list offsets
+    cv = np.concatenate([[0], np.cumsum(keep_np)])
+    offs = np.concatenate([[0], np.cumsum(raw_counts)])
+    lens = (cv[offs[1:]] - cv[offs[:-1]]).astype(np.int64)
     total = int(lens.sum())
     if total == 0:
         return out
-    flat = np.empty(total, dtype=object)
-    pos = 0
-    for w in words_per_doc:
-        if w:
-            flat[pos:pos + len(w)] = w
-            pos += len(w)
+    flat = flat0.filter(keep).to_numpy(zero_copy_only=False)
     h = pd.util.hash_array(flat,
                            hash_key=f"simhash{seed:09d}").astype(np.uint64)
     shifts = np.arange(64, dtype=np.uint64)
@@ -681,7 +698,7 @@ def simhash_clusters(
     identical 64-bit simhash are near-identical bags of words."""
 
     def add_sim(t: pa.Table) -> pa.Table:
-        sh = _simhash_batch(t[text_col].to_pylist(), seed)
+        sh = _simhash_batch(t[text_col], seed)
         return pa.table({
             id_col: t[id_col],
             "simhash": pa.array(sh.astype(np.int64)),
