@@ -614,7 +614,21 @@ def _collect(ds: ray.data.Dataset) -> pa.Table:
     driver's column comparison)."""
     batches = list(ds.iter_batches(batch_format="pyarrow"))
     if not batches:
-        return ds.schema().base_schema.empty_table()
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return base.empty_table()
+        # Empty pandas-block dataset: PandasBlockSchema has no
+        # empty_table(); rebuild Arrow fields from the pandas dtypes
+        # (object dtype means text in this repo -> string, never null).
+        fields = []
+        for name, dt in zip(base.names, base.types):
+            try:
+                typ = (pa.string() if getattr(dt, "kind", None) == "O"
+                       else pa.from_numpy_dtype(dt))
+            except (pa.ArrowNotImplementedError, TypeError):
+                typ = pa.string()
+            fields.append(pa.field(name, typ))
+        return pa.schema(fields).empty_table()
     return pa.concat_tables(batches, promote_options="default")
 
 

@@ -67,6 +67,21 @@ def test_rows_only_query_runs(ray_session, name):
     assert len(df) >= 0
 
 
+def test_collect_empty_pandas_blocks(ray_session):
+    """_collect must keep names/types for an EMPTY pandas-block dataset
+    (PandasBlockSchema has no empty_table; object dtype -> string)."""
+    import ray
+
+    src = pd.DataFrame({"doc_a": [1], "doc_b": [2], "text": ["x"]})
+    ds = ray.data.from_pandas(src).map_batches(
+        lambda df: df[df.doc_a > 99], batch_format="pandas")
+    tab = entrymod._collect(ds)
+    assert tab.num_rows == 0
+    assert tab.schema.names == ["doc_a", "doc_b", "text"]
+    assert tab.schema.field("text").type == "string"
+    assert tab.schema.field("doc_a").type == "int64"
+
+
 def test_entry_smoke(ray_session):
     df = entrymod.entry()
     assert len(df) > 0
