@@ -42,6 +42,7 @@ from ci_log_processing_ray.ops.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
+    semdedup,
     simhash_clusters,
 )
 from ci_log_processing_ray.ops.multimodal import (
@@ -582,6 +583,29 @@ def q_embedding_dedup(sf_dir: str):
     correctness is covered by tests/test_ops.py with planted dups."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return embedding_dedup(ds, "embedding", "vec_id", cosine_threshold=0.92)
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): k-means-blocked embedding near-dup
+    clusters (ops/dedup.py:semdedup).  EXPECTED EMPTY on the synthetic
+    embeddings table (max pairwise cosine ~0.51, same as
+    embedding_dedup); positive-path correctness is covered by
+    tests/test_ops.py with planted dups.  Rows-only: k-means blocking
+    + float cosine is not SQL-expressible."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(ds, "embedding", "vec_id", k=8,
+                    cosine_threshold=0.92)
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR importance selection (arXiv:2302.03169,
+    ops/curation.py:dsir_select): top-100 docs most 'src3'-like by
+    Laplace-smoothed integer unigram frequency-ratio weights."""
+    from ci_log_processing_ray.ops.curation import dsir_select
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return _collect(dsir_select(ds, "text", "doc_id", "source", "src3",
+                                k=100))
 
 
 def q_lang_id(sf_dir: str):
@@ -3611,6 +3635,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_dedup": q_embedding_dedup,
+        "semdedup": q_semdedup,
+        "dsir_select": q_dsir_select,
         "lang_id": q_lang_id,
         "multimodal_decode": q_multimodal_decode,
         "multiline_join": q_multiline_join,
@@ -4787,6 +4813,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.event_type, w.window_start, w.n
             FROM w JOIN b USING (event_type)
             WHERE 2 * w.n * b.n_windows > 3 * b.total""",
+        "dsir_select": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                           AS word
+                FROM documents),
+            v AS (SELECT word,
+                         CAST(count(*) AS BIGINT) AS raw_n,
+                         CAST(count(*) FILTER (source = 'src3')
+                              AS BIGINT) AS tgt_n
+                  FROM w GROUP BY word),
+            wt AS (SELECT word,
+                          (1000000 * (tgt_n + 1)) // (raw_n + 1) AS wt
+                   FROM v),
+            s AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score
+                  FROM w JOIN wt USING (word) GROUP BY doc_id)
+            SELECT doc_id, score FROM s
+            ORDER BY score DESC, doc_id LIMIT 100""",
         "budget_sample": """
             WITH b AS (SELECT doc_id, source, n_chars,
                     md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),

@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "ngram_jaccard_maxdf",
     "apache_fields",
     "logdate_normalize",
+    "dsir_select",
+    "semdedup",
 ]
 
 
@@ -226,9 +228,29 @@ def run_bench() -> dict:
             "queries": qtimes,
             "sf": sf,
             "num_cpus": NCPU,
+            "calib_sec": _calibrate(),
         }
     finally:
         ray.shutdown()
+
+
+def _calibrate() -> float:
+    """Fixed single-thread CPU workload (min-of-3): a host-speed yardstick
+    emitted with every bench line so cross-round absolute wall times can
+    be normalized -- round-to-round the box has varied by ~1.5x with
+    near-zero steal on both days (see BASELINE.md 'Measured results')."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((1024, 1024))
+    x = rng.random(4_000_000)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ a).sum()
+        np.sort(x, kind="stable")
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def _steal_sample() -> tuple[int, int]:

@@ -742,3 +742,87 @@ def take_until_budget(
         ds.map_batches(add_hash, batch_format="pyarrow",
                        zero_copy_batch=True),
         group_col, pick, n_buckets=n_buckets)
+
+
+def dsir_select(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    target_value: str,
+    *,
+    k: int = 100,
+    scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    rank raw documents by how target-like their token distribution is,
+    using hashed/unigram feature importance weights.
+
+    Integer-exact variant so a DuckDB oracle can check it bit-for-bit:
+    per word ``w`` the weight is ``scale * (tgt_n + 1) // (raw_n + 1)``
+    (a Laplace-smoothed scaled frequency ratio -- the constant corpus
+    totals cancel in the ranking, so dividing them out is unnecessary),
+    a document scores the sum of its tokens' weights WITH multiplicity,
+    and the top ``k`` docs by ``(score DESC, id ASC)`` are returned.
+
+    Scale shape: pass 1 is per-block (word, raw, tgt) count partials
+    into ONE vocabulary-sized groupby-sum; the weight table is
+    broadcast once via ``ray.put`` (the standard vocabulary-structure
+    contract, same as tf-idf's DF table); pass 2 is a pure map (one
+    dict lookup + bincount per batch) followed by a per-batch local
+    top-k prune, so the final exact sort+limit exchanges at most
+    ``k * n_blocks`` rows, never the corpus.
+
+    Output: ``id_col, score`` (both int64), exactly ``k`` rows (fewer
+    only if the corpus is smaller).
+    """
+    def count_partial(t: pa.Table) -> pa.Table:
+        flat, n_words = _word_stream(t[text_col])
+        is_tgt = pc.equal(t[group_col], target_value).to_numpy(
+            zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), n_words)
+        d = pd.DataFrame({
+            "word": flat.to_numpy(zero_copy_only=False),
+            "raw_n": np.ones(len(doc_idx), np.int64),
+            "tgt_n": is_tgt[doc_idx].astype(np.int64),
+        })
+        g = d.groupby("word", sort=False, as_index=False).sum()
+        return pa.table({
+            "word": pa.array(g["word"].to_numpy(), pa.string()),
+            "raw_n": pa.array(g["raw_n"].to_numpy(np.int64)),
+            "tgt_n": pa.array(g["tgt_n"].to_numpy(np.int64)),
+        })
+
+    vocab = (ds.map_batches(count_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("word")
+             .aggregate(Sum("raw_n", alias_name="raw_n"),
+                        Sum("tgt_n", alias_name="tgt_n"))
+             .to_pandas())
+    wt = (np.int64(scale) * (vocab["tgt_n"].to_numpy(np.int64) + 1)
+          // (vocab["raw_n"].to_numpy(np.int64) + 1))
+    wt_ref = ray.put(dict(zip(vocab["word"], wt)))
+
+    def score(t: pa.Table) -> pa.Table:
+        lut = ray.get(wt_ref)
+        flat, n_words = _word_stream(t[text_col])
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), n_words)
+        w = pd.Series(flat.to_numpy(zero_copy_only=False)).map(lut) \
+            .to_numpy(np.int64)
+        # float64 bincount is exact here: per-doc sums stay far below
+        # 2^53 (scale * tokens-per-doc)
+        sums = np.bincount(doc_idx, weights=w,
+                           minlength=len(t)).astype(np.int64)
+        out = pd.DataFrame({
+            id_col: t[id_col].combine_chunks().to_numpy(
+                zero_copy_only=False),
+            "score": sums,
+        }).sort_values(["score", id_col], ascending=[False, True],
+                       kind="mergesort").head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pruned = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return pruned.sort(["score", id_col],
+                       descending=[True, False]).limit(k)

@@ -722,6 +722,49 @@ def simhash_clusters(
 # ---------------------------------------------------------------------------
 # Embedding near-duplicate detection
 # ---------------------------------------------------------------------------
+def _cosine_verify_group(g: pd.DataFrame, id_col: str,
+                         threshold: float) -> pd.DataFrame:
+    """Exact pairwise cosine over one blocking group's normalized
+    vectors (column ``_v``) + union-find; (id, cluster_rep) rows for
+    near-dup sets of size >= 2.  O(|g|^2) by design -- callers bound
+    group size via their blocking scheme."""
+    if len(g) < 2:
+        return pd.DataFrame({id_col: [], "cluster_rep": []})
+    g = g.sort_values(id_col).reset_index(drop=True)
+    v = np.vstack(g["_v"].to_numpy())
+    sims = v @ v.T
+    ids = g[id_col].to_numpy()
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ii, jj = np.nonzero(np.triu(sims >= threshold, 1))
+    for i, j in zip(ii, jj):
+        ri, rj = find(int(ids[i])), find(int(ids[j]))
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    rows = [(int(i), find(int(i))) for i in ids]
+    out = pd.DataFrame(rows, columns=[id_col, "cluster_rep"])
+    sizes = out.groupby("cluster_rep")[id_col].transform("size")
+    return out[sizes >= 2]
+
+
+def _cosine_cluster_groups(frame: pd.DataFrame, block_col: str,
+                           id_col: str, threshold: float) -> pd.DataFrame:
+    """One task per coarse bucket; the per-blocking-group O(n^2) cosine
+    verify stays per exact group, but dispatch is per coarse bucket
+    (the in-task Python loop is over a handful of groups)."""
+    outs = [_cosine_verify_group(g, id_col, threshold)
+            for _, g in frame.groupby(block_col, sort=False)]
+    if not outs:
+        return pd.DataFrame({id_col: [], "cluster_rep": []})
+    return pd.concat(outs, ignore_index=True)
+
+
 def embedding_dedup(
     ds: ray.data.Dataset,
     vec_col: str,
@@ -762,43 +805,77 @@ def embedding_dedup(
         Bucketer, fn_constructor_args=(planes_ref,),
         batch_format="pyarrow", batch_size=8192, concurrency=(1, 4))
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({id_col: [], "cluster_rep": []})
-        g = g.sort_values(id_col).reset_index(drop=True)
-        v = np.vstack(g["_v"].to_numpy())
-        sims = v @ v.T
-        ids = g[id_col].to_numpy()
-        parent = {int(i): int(i) for i in ids}
-
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        ii, jj = np.nonzero(np.triu(sims >= cosine_threshold, 1))
-        for i, j in zip(ii, jj):
-            ri, rj = find(int(ids[i])), find(int(ids[j]))
-            if ri != rj:
-                parent[max(ri, rj)] = min(ri, rj)
-        rows = [(int(i), find(int(i))) for i in ids]
-        out = pd.DataFrame(rows, columns=[id_col, "cluster_rep"])
-        sizes = out.groupby("cluster_rep")[id_col].transform("size")
-        return out[sizes >= 2]
-
     def verify_many(frame: pd.DataFrame) -> pd.DataFrame:
-        # one task per coarse bucket; the per-LSH-bucket O(n^2) cosine
-        # verify stays per exact bucket, but dispatch is per coarse
-        # bucket (the in-task Python loop is over a handful of groups)
-        outs = [verify(g) for _, g in frame.groupby("bucket", sort=False)]
-        if not outs:
-            return pd.DataFrame({id_col: [], "cluster_rep": []})
-        return pd.concat(outs, ignore_index=True)
+        return _cosine_cluster_groups(frame, "bucket", id_col,
+                                      cosine_threshold)
 
     from ci_log_processing_ray.ops.window import bucketed_groups
 
     clustered = bucketed_groups(bucketed, "bucket", verify_many).to_pandas()
+    if len(clustered) == 0:
+        return pd.DataFrame({id_col: [], "cluster_rep": []})
+    return clustered.sort_values(id_col).reset_index(drop=True)
+
+
+def semdedup(
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 16,
+    cosine_threshold: float = 0.95,
+    n_iter: int = 4,
+) -> "pd.DataFrame":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    clusters via K-MEANS blocking -- cluster the corpus embeddings with
+    the distributed k-means from ``ops/iterative.py``, then verify
+    exact cosine only WITHIN each cluster (the paper's design: cluster
+    count chosen so a cluster's members fit one worker, never
+    all-pairs).  Complements :func:`embedding_dedup`, whose blocking is
+    random-hyperplane LSH: k-means blocking adapts to the data's actual
+    density (no near-dup pair straddles two distant clusters), at the
+    cost of the training passes.
+
+    Scale shape: k-means is streaming (k x dim partials per round);
+    assignment is a pure map against broadcast UNIT-NORM centroids
+    (cosine assignment, matching the verify metric); the O(n_c^2)
+    verify runs per cluster inside a coarse-bucket exchange.
+
+    Returns (id, cluster_rep) for docs in near-dup sets of size >= 2;
+    cluster_rep is the smallest member id (keep rows whose
+    id == cluster_rep for the keep-one policy).
+    """
+    from ci_log_processing_ray.ops.iterative import kmeans
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    cents, _ = kmeans(ds, vec_col, k=k, n_iter=n_iter)
+    cn = cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
+    c_ref = ray.put(cn)
+
+    class Assign:
+        def __init__(self, c_ref):
+            self.c = ray.get(c_ref)  # zero-copy from the object store
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = np.vstack(t[vec_col].to_numpy(
+                zero_copy_only=False)).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-12
+            cid = (v @ self.c.T).argmax(axis=1).astype(np.int64)
+            return pa.table({
+                id_col: t[id_col],
+                "cluster": pa.array(cid),
+                "_v": pa.array(list(v), type=pa.list_(pa.float64())),
+            })
+
+    assigned = ds.map_batches(
+        Assign, fn_constructor_args=(c_ref,),
+        batch_format="pyarrow", batch_size=8192, concurrency=(1, 4))
+
+    def verify_many(frame: pd.DataFrame) -> pd.DataFrame:
+        return _cosine_cluster_groups(frame, "cluster", id_col,
+                                      cosine_threshold)
+
+    clustered = bucketed_groups(assigned, "cluster", verify_many).to_pandas()
     if len(clustered) == 0:
         return pd.DataFrame({id_col: [], "cluster_rep": []})
     return clustered.sort_values(id_col).reset_index(drop=True)

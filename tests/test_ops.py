@@ -158,6 +158,30 @@ def test_embedding_dedup(ray_session):
     assert clusters.get(3) == 3 and clusters.get(7) == 3
 
 
+def test_semdedup_planted(ray_session):
+    """k-means-blocked semantic dedup finds planted same-direction
+    pairs and leaves the rest alone, including pairs landing in
+    different k-means clusters than other dups."""
+    from ci_log_processing_ray.ops.dedup import semdedup
+
+    rng = np.random.default_rng(0)
+    # two separated blobs so k-means has real structure to find; shift
+    # kept small enough that blob-mates are NOT near-dups (shift 2.0:
+    # expected cosine ~ 4/(4+1) = 0.8 < 0.95 threshold)
+    vecs = rng.standard_normal((40, 64)).astype(np.float64)
+    vecs[:20] += 2.0
+    vecs[20:] -= 2.0
+    vecs[7] = vecs[3] * 2.5     # dup inside blob 1
+    vecs[31] = vecs[25] * 0.5   # dup inside blob 2
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(40)]
+    out = semdedup(ray.data.from_items(rows), "embedding", "vec_id",
+                   k=2, cosine_threshold=0.95, n_iter=5)
+    clusters = dict(zip(out["vec_id"], out["cluster_rep"]))
+    assert clusters.get(3) == 3 and clusters.get(7) == 3
+    assert clusters.get(25) == 25 and clusters.get(31) == 25
+    assert set(clusters) == {3, 7, 25, 31}
+
+
 def test_knn_bruteforce_matches_numpy(ray_session):
     rng = np.random.default_rng(1)
     vecs = rng.standard_normal((100, 64))
