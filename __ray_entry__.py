@@ -686,6 +686,16 @@ def q_ngram_jaccard_maxdf(sf_dir: str):
                                         n=3, threshold_pct=50, max_df=3))
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher quality rule bundle (arXiv:2112.11446,
+    ops/textstats.py:gopher_rules): per-doc word-count / mean-word-
+    length / stopword rules + combined gate, all-integer."""
+    from ci_log_processing_ray.ops.textstats import gopher_rules
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return gopher_rules(ds, "text", "doc_id")
+
+
 def q_quality_score(sf_dir: str):
     """Text-quality scoring: all-integer features via RE2 kernels."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -3611,6 +3621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
         "quality_score": q_quality_score,
+        "gopher_rules": q_gopher_rules,
         "token_count_bpe": q_token_count_bpe,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
@@ -3913,6 +3924,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN tot ta ON ta.doc_id = left_id
             JOIN tot tb ON tb.doc_id = right_id
             WHERE 100 * inter >= 50 * (ta.n + tb.n - inter)""",
+        "gopher_rules": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                           AS word
+                FROM documents),
+            per AS (SELECT doc_id,
+                           CAST(count(*) AS BIGINT) AS n_words,
+                           CAST(sum(len(word)) * 1000 // count(*)
+                                AS BIGINT) AS mwl_pm,
+                           CAST(count(*) FILTER (word IN
+                                ('a','an','the','and','of','to','in','is'))
+                                AS BIGINT) AS n_stop
+                    FROM w GROUP BY doc_id)
+            SELECT doc_id, n_words, mwl_pm, n_stop,
+                   CAST(n_words BETWEEN 30 AND 80 AS BIGINT) AS r_words,
+                   CAST(mwl_pm BETWEEN 4000 AND 5000 AS BIGINT) AS r_mwl,
+                   CAST(n_stop >= 2 AS BIGINT) AS r_stop,
+                   CAST((n_words BETWEEN 30 AND 80)
+                        AND (mwl_pm BETWEEN 4000 AND 5000)
+                        AND n_stop >= 2 AS BIGINT) AS passed
+            FROM per""",
         "quality_score": f"""
             SELECT doc_id, n_words, stop_pct, punct_pct,
                    CAST(CASE WHEN n_words >= 10 AND stop_pct <= 60

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "logdate_normalize",
     "dsir_select",
     "semdedup",
+    "gopher_rules",
 ]
 
 
