@@ -686,6 +686,27 @@ def q_ngram_jaccard_maxdf(sf_dir: str):
                                         n=3, threshold_pct=50, max_df=3))
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style per-source quality buckets (Wenzek et al. 2020,
+    arXiv:1911.00359): the corpus bigram-LM doc score
+    (ops/textstats.py:score_docs_bigram) feeds ntile(3) partitioned by
+    source, ordered by (score DESC, doc_id) -- tile 1 = head,
+    2 = middle, 3 = tail, the paper's head/middle/tail split."""
+    from ci_log_processing_ray.ops.textstats import score_docs_bigram
+    from ci_log_processing_ray.ops.window import ntile_by_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    scored = score_docs_bigram(ds, "text", "doc_id",
+                               passthrough_cols=("source",))
+
+    def neg(t: pa.Table) -> pa.Table:
+        return t.append_column("neg_pm", pc.negate(t["avg_permille"]))
+
+    ranked = scored.map_batches(neg, batch_format="pyarrow")
+    return ntile_by_group(ranked, "source", ["neg_pm", "doc_id"],
+                          "doc_id", 3)
+
+
 def q_gopher_rules(sf_dir: str):
     """Gopher quality rule bundle (arXiv:2112.11446,
     ops/textstats.py:gopher_rules): per-doc word-count / mean-word-
@@ -3622,6 +3643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
         "quality_score": q_quality_score,
         "gopher_rules": q_gopher_rules,
+        "ccnet_buckets": q_ccnet_buckets,
         "token_count_bpe": q_token_count_bpe,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
@@ -3924,6 +3946,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN tot ta ON ta.doc_id = left_id
             JOIN tot tb ON tb.doc_id = right_id
             WHERE 100 * inter >= 50 * (ta.n + tb.n - inter)""",
+        "ccnet_buckets": """
+            WITH l AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(text),
+                                '[^a-z0-9_]+'), x -> x != '') AS w
+                FROM documents),
+            b AS (SELECT doc_id, u.g[1] AS w1, u.g[2] AS w2 FROM l,
+                  LATERAL (SELECT unnest(list_zip(w, w[2:])) AS g) u
+                  WHERE u.g[2] IS NOT NULL),
+            c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+                  FROM b GROUP BY w1, w2),
+            p AS (SELECT w1, w2,
+                         CAST(1000 * n // (CAST(SUM(n) OVER
+                             (PARTITION BY w1) AS BIGINT)) AS BIGINT)
+                           AS pm
+                  FROM c),
+            s AS (SELECT b.doc_id,
+                         CAST(count(*) AS BIGINT) AS n_bigrams,
+                         CAST(sum(p.pm) AS BIGINT) AS score_sum
+                  FROM b JOIN p USING (w1, w2) GROUP BY b.doc_id),
+            sc AS (SELECT d.doc_id, d.source,
+                          CAST(CASE WHEN coalesce(s.n_bigrams, 0) = 0
+                               THEN 0 ELSE s.score_sum // s.n_bigrams
+                               END AS BIGINT) AS avg_pm
+                   FROM documents d LEFT JOIN s USING (doc_id))
+            SELECT doc_id, source,
+                   CAST(ntile(3) OVER (PARTITION BY source
+                        ORDER BY avg_pm DESC, doc_id) AS BIGINT) AS tile
+            FROM sc""",
         "gopher_rules": """
             WITH w AS (
                 SELECT doc_id,

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "semdedup",
     "gopher_rules",
+    "ccnet_buckets",
 ]
 
 

@@ -470,6 +470,7 @@ def score_docs_bigram(
     id_col: str,
     *,
     top_k: int | None = None,
+    passthrough_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Language-model quality scoring: train a corpus bigram model
     (pass 1), broadcast it once, then score every document by the mean
@@ -543,6 +544,7 @@ def score_docs_bigram(
         avg = np.where(cnts == 0, 0,
                        sums // np.where(cnts == 0, 1, cnts))
         return pa.table({id_col: t[id_col],
+                         **{c: t[c] for c in passthrough_cols},
                          "n_bigrams": pa.array(cnts),
                          "score_sum": pa.array(sums),
                          "avg_permille": pa.array(avg)})
