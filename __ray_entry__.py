@@ -585,6 +585,16 @@ def q_embedding_dedup(sf_dir: str):
     return embedding_dedup(ds, "embedding", "vec_id", cosine_threshold=0.92)
 
 
+def q_pca_embeddings(sf_dir: str):
+    """Distributed PCA (ops/similarity.py:pca_project): one-pass moment
+    partials -> driver eigh -> broadcast projection.  Rows-only (float
+    eigendecomposition); numpy-parity unit test in tests/test_ops.py."""
+    from ci_log_processing_ray.ops.similarity import pca_project
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pca_project(ds, "embedding", "vec_id", n_components=2)
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup (arXiv:2303.09540): k-means-blocked embedding near-dup
     clusters (ops/dedup.py:semdedup).  EXPECTED EMPTY on the synthetic
@@ -3670,6 +3680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
+        "pca_embeddings": q_pca_embeddings,
         "lang_id": q_lang_id,
         "multimodal_decode": q_multimodal_decode,
         "multiline_join": q_multiline_join,

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "semdedup",
     "gopher_rules",
     "ccnet_buckets",
+    "pca_embeddings",
 ]
 
 

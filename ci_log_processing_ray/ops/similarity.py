@@ -311,3 +311,76 @@ def quantize_embeddings(
         })
 
     return ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pca_project(
+    ds: ray.data.Dataset,
+    vec_col: str,
+    id_col: str,
+    *,
+    n_components: int = 2,
+) -> ray.data.Dataset:
+    """Distributed PCA over an embedding column via ONE-PASS moment
+    partials: each batch emits (count, sum-vector, sum-of-outer-
+    products) -- dim + dim^2 numbers regardless of corpus size -- the
+    driver assembles the covariance from the merged moments and
+    eigendecomposes it (dim x dim, trivially driver-sized), then the
+    unit-norm components are broadcast and every vector is projected in
+    a pure map.  The corpus is touched exactly twice, nothing is
+    shuffled, and no stage materializes the dataset: the canonical
+    "sufficient statistics -> broadcast model" shape that survives any
+    corpus size as long as dim^2 fits one machine.
+
+    Determinism: eigenvector SIGN is fixed by making each component's
+    largest-magnitude coordinate positive (ties by lowest index via
+    argmax), so output is reproducible across runs and block layouts
+    up to float summation order.
+
+    Output: ``id_col, pc1..pcN`` (float64 projections onto the top
+    components, mean-centered).  Rows-only: transcendental
+    eigendecomposition is not SQL-expressible; parity vs numpy's
+    directly-computed PCA is unit-tested.
+    """
+    def moments(t: pa.Table) -> pa.Table:
+        v = _to_matrix(t[vec_col])
+        n = np.array([float(len(v))])
+        s = v.sum(axis=0)
+        ss = (v.T @ v).reshape(-1)
+        return pa.table({"stat": pa.array(np.concatenate([n, s, ss]),
+                                          pa.float64()),
+                         "pos": pa.array(np.arange(1 + len(s) + len(ss),
+                                                   dtype=np.int64))})
+
+    agg = (ds.map_batches(moments, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("pos").sum("stat").to_pandas()
+           .sort_values("pos"))
+    stats = agg["sum(stat)"].to_numpy()
+    n = stats[0]
+    dim = int(round((np.sqrt(4 * (len(stats) - 1) + 1) - 1) / 2))
+    mean = stats[1:1 + dim] / n
+    cov = stats[1 + dim:].reshape(dim, dim) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # (n_components, dim)
+    # canonical sign: largest-|coord| entry positive
+    flips = np.sign(comps[np.arange(len(comps)),
+                          np.abs(comps).argmax(axis=1)])
+    comps = comps * np.where(flips == 0, 1.0, flips)[:, None]
+    state = ray.put((mean, comps))
+
+    class Project:
+        def __init__(self, state_ref):
+            self.mean, self.comps = ray.get(state_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = _to_matrix(t[vec_col])
+            proj = (v - self.mean) @ self.comps.T
+            cols = {id_col: t[id_col]}
+            for i in range(proj.shape[1]):
+                cols[f"pc{i + 1}"] = pa.array(proj[:, i], pa.float64())
+            return pa.table(cols)
+
+    return ds.map_batches(Project, fn_constructor_args=(state,),
+                          batch_format="pyarrow", batch_size=8192,
+                          concurrency=(1, 4))

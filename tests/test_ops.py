@@ -182,6 +182,35 @@ def test_semdedup_planted(ray_session):
     assert set(clusters) == {3, 7, 25, 31}
 
 
+def test_pca_project_matches_numpy(ray_session):
+    """Distributed moment-partial PCA must match numpy PCA computed
+    directly on the full matrix (same sign convention), across blocks."""
+    from ci_log_processing_ray.ops.similarity import pca_project
+
+    rng = np.random.default_rng(5)
+    # anisotropic cloud: variance concentrated along two known axes
+    base = rng.standard_normal((300, 16))
+    base[:, 0] *= 8.0
+    base[:, 3] *= 4.0
+    rows = [{"vec_id": i, "embedding": base[i].tolist()}
+            for i in range(300)]
+    ds = ray.data.from_items(rows).repartition(7)
+    got = pca_project(ds, "embedding", "vec_id", n_components=2) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    mean = base.mean(axis=0)
+    cov = np.cov(base, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, np.argsort(evals)[::-1][:2]].T
+    flips = np.sign(comps[np.arange(2), np.abs(comps).argmax(axis=1)])
+    comps = comps * flips[:, None]
+    want = (base - mean) @ comps.T
+    np.testing.assert_allclose(got[["pc1", "pc2"]].to_numpy(), want,
+                               rtol=1e-8, atol=1e-8)
+    # the dominant axes are found: |pc1| correlates with coord 0
+    assert abs(np.corrcoef(got["pc1"], base[:, 0])[0, 1]) > 0.99
+
+
 def test_knn_bruteforce_matches_numpy(ray_session):
     rng = np.random.default_rng(1)
     vecs = rng.standard_normal((100, 64))
