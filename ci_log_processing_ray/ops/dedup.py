@@ -52,9 +52,28 @@ def exact_dedup(
     """
 
     def add_hash(t: pa.Table) -> pa.Table:
+        # combiner: collapse to block-distinct texts BEFORE the exchange
+        # (min id + partial count per text), so the shuffle carries one
+        # row per distinct text per block, not one per input row -- on a
+        # duplicate-heavy corpus the exchange shrinks by the in-block
+        # duplication factor, and the text payload never ships twice.
         h = _hash64(t[text_col].combine_chunks())
-        return t.select([id_col, text_col]).append_column(
-            "_h", pa.array(h.astype(np.int64)))
+        df = pd.DataFrame({
+            id_col: t[id_col].combine_chunks().to_numpy(
+                zero_copy_only=False),
+            text_col: t[text_col].to_pandas(),
+            "_h": h.astype(np.int64),
+        })
+        part = (
+            df.sort_values(id_col)
+            .groupby(text_col, sort=False, as_index=False)
+            .agg(**{id_col: (id_col, "first"),
+                    "dup_count": (id_col, "size"),
+                    "_h": ("_h", "first")})
+        )
+        return pa.Table.from_pandas(
+            part[[id_col, text_col, "dup_count", "_h"]],
+            preserve_index=False)
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None)
 
@@ -62,7 +81,8 @@ def exact_dedup(
         out = (
             g.sort_values(id_col)
             .groupby(text_col, sort=False, as_index=False)
-            .agg(**{id_col: (id_col, "first"), "dup_count": (id_col, "size")})
+            .agg(**{id_col: (id_col, "first"),
+                    "dup_count": ("dup_count", "sum")})
         )
         return out[[id_col, text_col, "dup_count"]]
 
@@ -317,6 +337,44 @@ def hash_band(chunk: np.ndarray) -> int:
     return int(h >> np.uint64(1))
 
 
+def _verify_jaccard_batch(left: np.ndarray, right: np.ndarray,
+                          blobs_a, blobs_b,
+                          threshold: float) -> pa.Table:
+    """Whole-batch exact-Jaccard verification, NO per-pair Python
+    dispatch: flatten every pair's two shingle sets (unique within a
+    side by construction: ``_shingle_hashes`` ends in ``np.unique``)
+    into one (pair_idx, hash) stream, lexsort once, count adjacent
+    equal (pair, hash) entries -- each adjacency is one intersection
+    element -- then one bincount per pair.  The 100x-corpus proof run
+    (scale_proof.py) measured the per-pair ``np.intersect1d`` loop it
+    replaces at 343 s for 500k docs (~25M candidate pairs); this
+    kernel is the fix.  Returns the kept (left, right) edge table."""
+    n = len(left)
+    if n == 0:
+        return pa.table({"left": pa.array([], type=pa.int64()),
+                         "right": pa.array([], type=pa.int64())})
+    arrs_a = [np.frombuffer(b, dtype=np.uint64) for b in blobs_a]
+    arrs_b = [np.frombuffer(b, dtype=np.uint64) for b in blobs_b]
+    len_a = np.fromiter((len(x) for x in arrs_a), np.int64, n)
+    len_b = np.fromiter((len(x) for x in arrs_b), np.int64, n)
+    pair_idx = np.concatenate([
+        np.repeat(np.arange(n, dtype=np.int64), len_a),
+        np.repeat(np.arange(n, dtype=np.int64), len_b)])
+    hashes = np.concatenate([np.concatenate(arrs_a),
+                             np.concatenate(arrs_b)])
+    order = np.lexsort((hashes, pair_idx))
+    ps, hs = pair_idx[order], hashes[order]
+    dup = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
+    inter = np.bincount(ps[1:][dup], minlength=n)
+    union = len_a + len_b - inter
+    jac = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+    keep = jac >= threshold
+    left = np.asarray(left)
+    right = np.asarray(right)
+    return pa.table({"left": pa.array(left[keep].astype(np.int64)),
+                     "right": pa.array(right[keep].astype(np.int64))})
+
+
 def minhash_lsh_dedup(
     ds: ray.data.Dataset,
     text_col: str,
@@ -328,6 +386,7 @@ def minhash_lsh_dedup(
     jaccard_threshold: float = 0.8,
     seed: int = 97,
     driver_edge_cap: int = 1_000_000,
+    broadcast_cand_cap: int = 100_000,
 ) -> "pd.DataFrame":
     """Near-dup clusters: returns (id, cluster_rep) for every clustered doc.
 
@@ -404,18 +463,17 @@ def minhash_lsh_dedup(
     cand_a = ds.map_batches(cand_shingles, batch_format="pyarrow",
                             batch_size=4096).materialize()
 
-    def jaccard_keep(ba: bytes, bb: bytes) -> bool:
-        xa = np.frombuffer(ba, dtype=np.uint64)
-        xb = np.frombuffer(bb, dtype=np.uint64)
-        inter = len(np.intersect1d(xa, xb, assume_unique=True))
-        union = len(xa) + len(xb) - inter
-        return (inter / union if union else 1.0) >= jaccard_threshold
+    def verify_batch(left: np.ndarray, right: np.ndarray,
+                     blobs_a, blobs_b) -> pa.Table:
+        return _verify_jaccard_batch(left, right, blobs_a, blobs_b,
+                                     jaccard_threshold)
 
-    if len(cand) <= 100_000:
+    if len(cand) <= broadcast_cand_cap:
         # broadcast-verify: the candidate shingle table is small, so ship
         # it once (ray.put) and resolve both pair sides with a dict
-        # lookup inside ONE map_batches over the edge list -- two Acero
-        # joins cost ~1s fixed each, pure overhead at this size
+        # lookup inside ONE map_batches over the edge list -- a
+        # distributed exchange costs seconds of fixed overhead, pure
+        # waste at this size
         cand_tbl = cand_a.to_pandas()
         sh_ref = ray.put(dict(zip(cand_tbl["a_id"].to_numpy(),
                                   cand_tbl["sh_a"].to_numpy())))
@@ -424,47 +482,90 @@ def minhash_lsh_dedup(
 
         def verify_broadcast(t: pa.Table) -> pa.Table:
             sh = ray.get(sh_ref)
-            keep_l, keep_r = [], []
-            for left, right in zip(t["left"].to_pylist(),
-                                   t["right"].to_pylist()):
-                if jaccard_keep(sh[left], sh[right]):
-                    keep_l.append(left)
-                    keep_r.append(right)
-            return pa.table({"left": pa.array(keep_l, type=pa.int64()),
-                             "right": pa.array(keep_r, type=pa.int64())})
+            left = t["left"].to_numpy()
+            right = t["right"].to_numpy()
+            return verify_batch(left, right,
+                                [sh[x] for x in left],
+                                [sh[x] for x in right])
 
         edges = pairs_ds.map_batches(
             verify_broadcast, batch_format="pyarrow").to_pandas()
     else:
-        # shuffle-verify (the 100 TB path): the b-side of the pair join
-        # is the same small table with renamed columns, not a second
-        # scan of the full dataset
-        cand_b = cand_a.map_batches(
-            lambda t: t.rename_columns(["b_id", "sh_b"]),
-            batch_format="pyarrow", zero_copy_batch=True)
-        pairs_ds = ray.data.from_pandas(
-            pairs.astype({"left": np.int64, "right": np.int64}))
-        # size join partitions to the candidate edge list, not the
-        # cluster: a few thousand pairs do not need a CPU-wide exchange
-        n_part = int(np.clip(len(pairs) // 2000 + 2, 2,
-                             int(ray.cluster_resources().get("CPU", 8)) // 2))
-        j = pairs_ds.join(cand_a, "inner", num_partitions=n_part,
-                          on=("left",), right_on=("a_id",))
-        j = j.join(cand_b, "inner", num_partitions=n_part,
-                   on=("right",), right_on=("b_id",))
+        # shuffle-verify (the 100 TB path): TAGGED-UNION bucketed
+        # co-partition, not Acero hash joins.  The 500k-doc / 2.9M-pair
+        # scale proof (scale_proof.py) measured the previous two-
+        # JoinOperator plan spending minutes re-hashing and copying the
+        # per-pair shingle blobs through two exchanges; here each blob
+        # ships through the standard coarse-bucket exchange co-located
+        # with the edges that need it -- pass 1 routes every edge to its
+        # LEFT endpoint's bucket to attach sh_a, pass 2 re-routes to the
+        # RIGHT endpoint's bucket to attach sh_b and verify (the same
+        # tagged-union shape as ops/iterative.py:bfs_hops).
+        from ci_log_processing_ray.ops.window import bucketed_groups
 
-        def verify_pairs(t: pa.Table) -> pa.Table:
-            keep_l, keep_r = [], []
-            for left, right, ba, bb in zip(
-                    t["left"].to_pylist(), t["right"].to_pylist(),
-                    t["sh_a"].to_pylist(), t["sh_b"].to_pylist()):
-                if jaccard_keep(ba, bb):
-                    keep_l.append(left)
-                    keep_r.append(right)
-            return pa.table({"left": pa.array(keep_l, type=pa.int64()),
-                             "right": pa.array(keep_r, type=pa.int64())})
+        def tag_blobs(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": t["a_id"],
+                "left": t["a_id"],
+                "right": t["a_id"],
+                "blob": t["sh_a"],
+                "kind": pa.array(np.zeros(len(t), np.int32)),
+            })
 
-        edges = j.map_batches(verify_pairs, batch_format="pyarrow").to_pandas()
+        blob_rows = cand_a.map_batches(tag_blobs, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+        edge_rows = ray.data.from_arrow(pa.table({
+            "key": pa.array(pairs["left"].to_numpy(np.int64)),
+            "left": pa.array(pairs["left"].to_numpy(np.int64)),
+            "right": pa.array(pairs["right"].to_numpy(np.int64)),
+            "blob": pa.array([b""] * len(pairs), pa.binary()),
+            "kind": pa.array(np.ones(len(pairs), np.int32)),
+        }))
+
+        def attach_left(g: pd.DataFrame) -> pd.DataFrame:
+            isb = g["kind"].to_numpy() == 0
+            lut = dict(zip(g.loc[isb, "key"], g.loc[isb, "blob"]))
+            e = g[~isb]
+            if not len(e):
+                return pd.DataFrame({
+                    "key": pd.Series(dtype=np.int64),
+                    "left": pd.Series(dtype=np.int64),
+                    "right": pd.Series(dtype=np.int64),
+                    "blob": pd.Series(dtype=object),
+                    "kind": pd.Series(dtype=np.int32)})
+            return pd.DataFrame({
+                "key": e["right"].to_numpy(np.int64),
+                "left": e["left"].to_numpy(np.int64),
+                "right": e["right"].to_numpy(np.int64),
+                "blob": e["left"].map(lut).to_numpy(),
+                "kind": np.ones(len(e), np.int32),
+            })
+
+        with_a = bucketed_groups(blob_rows.union(edge_rows), "key",
+                                 attach_left)
+
+        def verify_right(g: pd.DataFrame) -> pd.DataFrame:
+            isb = g["kind"].to_numpy() == 0
+            lut = dict(zip(g.loc[isb, "key"], g.loc[isb, "blob"]))
+            e = g[~isb]
+            if not len(e):
+                return pd.DataFrame({"left": pd.Series(dtype=np.int64),
+                                     "right": pd.Series(dtype=np.int64)})
+            outs = []
+            # chunk the verify so the lexsort working set stays
+            # cache-friendly (8192 pairs x ~600 shingles x 16 B)
+            for i in range(0, len(e), 8192):
+                ch = e.iloc[i:i + 8192]
+                outs.append(_verify_jaccard_batch(
+                    ch["left"].to_numpy(np.int64),
+                    ch["right"].to_numpy(np.int64),
+                    ch["blob"].to_list(),
+                    ch["right"].map(lut).to_list(),
+                    jaccard_threshold).to_pandas())
+            return pd.concat(outs, ignore_index=True)
+
+        edges = bucketed_groups(with_a.union(blob_rows), "key",
+                                verify_right).to_pandas()
 
     if len(edges) > driver_edge_cap:
         # distributed closure: component = min reachable id, exactly the

@@ -67,6 +67,42 @@ def test_minhash_stream_kernel_bit_identical():
     assert _minhash_sigs(pa.array([], pa.string()), 5, a, b).shape == (0, 64)
 
 
+def test_jaccard_verify_batch_matches_per_pair_loop():
+    """The whole-batch lexsort verify kernel must agree with a direct
+    per-pair intersect1d loop on random shingle sets, including empty
+    sides and full-overlap pairs."""
+    from ci_log_processing_ray.ops.dedup import _shingle_hashes
+
+    rng = np.random.default_rng(11)
+    texts = ["".join(rng.choice(list("abcdef "), 60)) for _ in range(30)]
+    texts += [texts[0], texts[1] + "xx", ""]  # dup, near-dup, empty
+    blobs = [_shingle_hashes(t, 5).tobytes() for t in texts]
+    n = len(texts)
+    left = rng.integers(0, n, 200)
+    right = rng.integers(0, n, 200)
+    thr = 0.5
+
+    def ref_keep(ba, bb):
+        xa = np.frombuffer(ba, dtype=np.uint64)
+        xb = np.frombuffer(bb, dtype=np.uint64)
+        inter = len(np.intersect1d(xa, xb, assume_unique=True))
+        union = len(xa) + len(xb) - inter
+        return (inter / union if union else 1.0) >= thr
+
+    want = [(int(l), int(r)) for l, r in zip(left, right)
+            if ref_keep(blobs[l], blobs[r])]
+
+    from ci_log_processing_ray.ops.dedup import _verify_jaccard_batch
+
+    out = _verify_jaccard_batch(
+        left, right,
+        [blobs[x] for x in left], [blobs[x] for x in right], thr)
+    got = list(zip(out["left"].to_pylist(), out["right"].to_pylist()))
+    assert got == want
+    assert len(_verify_jaccard_batch(
+        np.array([], np.int64), np.array([], np.int64), [], [], thr)) == 0
+
+
 def test_minhash_finds_near_duplicates(ray_session):
     base = ("the quick brown fox jumps over the lazy dog and then runs far "
             "away into the deep green forest while the sun slowly sets") * 3
@@ -82,6 +118,30 @@ def test_minhash_finds_near_duplicates(ray_session):
     clusters = dict(zip(out["doc_id"], out["cluster_rep"]))
     assert clusters.get(1) == 1 and clusters.get(2) == 1
     assert clusters.get(3, 3) == 3  # far doc not merged into cluster 1
+
+
+def test_minhash_shuffle_verify_matches_broadcast_path(ray_session):
+    """broadcast_cand_cap=0 forces the tagged-union bucketed
+    shuffle-verify (the 100 TB path); output must equal the
+    broadcast-verify path's on the same corpus, including clusters of
+    exact copies and marker-word near-dups."""
+    rng = np.random.default_rng(3)
+    words = ["join", "hash", "row", "batch", "scan", "filter", "small"]
+    rows = []
+    did = 0
+    for d in range(12):
+        text = " ".join(rng.choice(words, 40))
+        for r in range(4):
+            t = text if r == 0 else (text + f" v{r}" if r == 1
+                                     else " ".join(rng.choice(words, 40)))
+            rows.append({"doc_id": did, "text": t})
+            did += 1
+    ds = ray.data.from_items(rows)
+    a = minhash_lsh_dedup(ds, "text", "doc_id", jaccard_threshold=0.8)
+    b = minhash_lsh_dedup(ds, "text", "doc_id", jaccard_threshold=0.8,
+                          broadcast_cand_cap=0)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True))
 
 
 def test_minhash_distributed_closure_matches_driver_path(ray_session):
