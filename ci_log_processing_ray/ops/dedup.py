@@ -491,62 +491,68 @@ def minhash_lsh_dedup(
         edges = pairs_ds.map_batches(
             verify_broadcast, batch_format="pyarrow").to_pandas()
     else:
-        # shuffle-verify (the 100 TB path): TAGGED-UNION bucketed
-        # co-partition, not Acero hash joins.  The 500k-doc / 2.9M-pair
-        # scale proof (scale_proof.py) measured the previous two-
-        # JoinOperator plan spending minutes re-hashing and copying the
-        # per-pair shingle blobs through two exchanges; here each blob
-        # ships through the standard coarse-bucket exchange co-located
-        # with the edges that need it -- pass 1 routes every edge to its
-        # LEFT endpoint's bucket to attach sh_a, pass 2 re-routes to the
-        # RIGHT endpoint's bucket to attach sh_b and verify (the same
-        # tagged-union shape as ops/iterative.py:bfs_hops).
-        from ci_log_processing_ray.ops.window import bucketed_groups
+        # shuffle-verify (the 100 TB path): ONE tagged-union bucketed
+        # co-partition, with blobs routed per (id, bucket) -- never per
+        # edge.  Every edge goes to its RIGHT endpoint's hash bucket, so
+        # a right's blob ships exactly once (to its own bucket); a
+        # left's blob ships once per DISTINCT partner bucket (the
+        # driver-computed need list -- edges are already driver-resident
+        # as the candidate list).  The previous two-pass design attached
+        # a blob COPY to every edge and shipped it through BOTH
+        # exchanges: at the 500k-doc scale proof (2.9M pairs, ~1.7 KB
+        # mean blob) that moved ~10 GB of blobs and cost ~300 s; this
+        # single exchange moves ~|cand| + |distinct (left, bucket)|
+        # blobs (~1.1 GB there) regardless of edge multiplicity.
+        from ci_log_processing_ray.ops.window import (
+            _key_buckets, bucketed_groups, resolve_group_buckets)
 
-        def tag_blobs(t: pa.Table) -> pa.Table:
+        n_buckets = resolve_group_buckets()
+        left_np = pairs["left"].to_numpy(np.int64)
+        right_np = pairs["right"].to_numpy(np.int64)
+        eb = _key_buckets(right_np, n_buckets).astype(np.int64)
+        # extra buckets that need a left's blob beyond its own bucket
+        need = pd.DataFrame({"id": left_np, "b": eb}).drop_duplicates()
+        need = need[need["b"].to_numpy() != _key_buckets(
+            need["id"].to_numpy(), n_buckets).astype(np.int64)]
+        need_ref = ray.put(need.reset_index(drop=True))
+
+        def route_blobs(t: pa.Table) -> pa.Table:
+            """One copy to the id's own bucket + one per needed extra
+            bucket (vectorized: a pandas merge against the broadcast
+            need table, one Arrow take for the blob gather)."""
+            needs = ray.get(need_ref)
+            ids = t["a_id"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            own = _key_buckets(ids, n_buckets).astype(np.int64)
+            m = pd.DataFrame(
+                {"id": ids, "_j": np.arange(len(ids), dtype=np.int64)}
+            ).merge(needs, on="id")
+            idx = np.concatenate([np.arange(len(ids), dtype=np.int64),
+                                  m["_j"].to_numpy()])
+            buckets = np.concatenate([own, m["b"].to_numpy(np.int64)])
+            blob = t["sh_a"].combine_chunks().take(pa.array(idx))
+            out_ids = pa.array(ids[idx])
             return pa.table({
-                "key": t["a_id"],
-                "left": t["a_id"],
-                "right": t["a_id"],
-                "blob": t["sh_a"],
-                "kind": pa.array(np.zeros(len(t), np.int32)),
+                "key": pa.array(buckets),
+                "left": out_ids,
+                "right": out_ids,
+                "blob": blob,
+                "kind": pa.array(np.zeros(len(idx), np.int32)),
             })
 
-        blob_rows = cand_a.map_batches(tag_blobs, batch_format="pyarrow",
+        blob_rows = cand_a.map_batches(route_blobs, batch_format="pyarrow",
                                        zero_copy_batch=True)
         edge_rows = ray.data.from_arrow(pa.table({
-            "key": pa.array(pairs["left"].to_numpy(np.int64)),
-            "left": pa.array(pairs["left"].to_numpy(np.int64)),
-            "right": pa.array(pairs["right"].to_numpy(np.int64)),
+            "key": pa.array(eb),
+            "left": pa.array(left_np),
+            "right": pa.array(right_np),
             "blob": pa.array([b""] * len(pairs), pa.binary()),
             "kind": pa.array(np.ones(len(pairs), np.int32)),
         }))
 
-        def attach_left(g: pd.DataFrame) -> pd.DataFrame:
+        def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
             isb = g["kind"].to_numpy() == 0
-            lut = dict(zip(g.loc[isb, "key"], g.loc[isb, "blob"]))
-            e = g[~isb]
-            if not len(e):
-                return pd.DataFrame({
-                    "key": pd.Series(dtype=np.int64),
-                    "left": pd.Series(dtype=np.int64),
-                    "right": pd.Series(dtype=np.int64),
-                    "blob": pd.Series(dtype=object),
-                    "kind": pd.Series(dtype=np.int32)})
-            return pd.DataFrame({
-                "key": e["right"].to_numpy(np.int64),
-                "left": e["left"].to_numpy(np.int64),
-                "right": e["right"].to_numpy(np.int64),
-                "blob": e["left"].map(lut).to_numpy(),
-                "kind": np.ones(len(e), np.int32),
-            })
-
-        with_a = bucketed_groups(blob_rows.union(edge_rows), "key",
-                                 attach_left)
-
-        def verify_right(g: pd.DataFrame) -> pd.DataFrame:
-            isb = g["kind"].to_numpy() == 0
-            lut = dict(zip(g.loc[isb, "key"], g.loc[isb, "blob"]))
+            lut = dict(zip(g.loc[isb, "left"], g.loc[isb, "blob"]))
             e = g[~isb]
             if not len(e):
                 return pd.DataFrame({"left": pd.Series(dtype=np.int64),
@@ -559,13 +565,13 @@ def minhash_lsh_dedup(
                 outs.append(_verify_jaccard_batch(
                     ch["left"].to_numpy(np.int64),
                     ch["right"].to_numpy(np.int64),
-                    ch["blob"].to_list(),
+                    ch["left"].map(lut).to_list(),
                     ch["right"].map(lut).to_list(),
                     jaccard_threshold).to_pandas())
             return pd.concat(outs, ignore_index=True)
 
-        edges = bucketed_groups(with_a.union(blob_rows), "key",
-                                verify_right).to_pandas()
+        edges = bucketed_groups(blob_rows.union(edge_rows), "key",
+                                verify_bucket).to_pandas()
 
     if len(edges) > driver_edge_cap:
         # distributed closure: component = min reachable id, exactly the
