@@ -10,7 +10,15 @@ the per-round bench touches.  Runs the headline LLM-data operators at
 full parallelism and prints ONE JSON line of per-op wall time +
 docs/sec, verifying the planted counts where closed-form truth exists.
 
-Usage: python scale_proof.py   (owns its Ray session; ~2 GiB of text)
+Usage: python scale_proof.py              (text ops; ~2 GiB of text)
+       python scale_proof.py embeddings   (embedding ops at 500k vectors)
+
+The embeddings mode replicates sf0.1's 2,000 unit-norm 64-dim vectors
+250x with planted families: every 10th replica an EXACT copy, the rest
+perturbed to cosine ~0.9988 with their original -- while the max
+cosine between two distinct ORIGINALS is 0.601 (measured), so any
+>=0.95 near-dup relation is family-internal by construction and every
+ANN / dedup / clustering result has a closed-form family-purity truth.
 """
 from __future__ import annotations
 
@@ -72,6 +80,170 @@ def build_corpus() -> tuple[int, int]:
     with open(marker, "w") as f:
         json.dump({"n_rows": total}, f)
     return total, n_base
+
+
+REPLICAS_E = int(os.environ.get("GRAFT_SCALE_EMB_REPLICAS", "250"))
+CORPUS_E = f"/tmp/llm_scale_emb_r{REPLICAS_E}_v1"
+
+
+def build_emb_corpus() -> tuple[int, int]:
+    """Replicate embeddings REPLICAS_E x with planted families.
+
+    Replica r of vec v keeps vec_id = v * REPLICAS_E + r.  r % 10 == 0
+    -> exact copy (25 exact copies per original at 250); otherwise
+    normalize(v + 0.05 * noise(seed=(r))) -- cosine ~0.9988 to the
+    original, far above any cross-original cosine (max 0.601).
+    Deterministic, written once (marker-file cached).
+    """
+    import numpy as np
+
+    marker = os.path.join(CORPUS_E, ".done")
+    base = pq.read_table(os.path.join(SRC, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    n_base = base.num_rows
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)["n_rows"], n_base
+    os.makedirs(CORPUS_E, exist_ok=True)
+    ids = base["vec_id"].to_numpy()
+    v = np.vstack(base["embedding"].to_pandas().to_numpy()).astype(
+        np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    total = 0
+    per_shard = (REPLICAS_E + N_SHARDS - 1) // N_SHARDS
+    for shard in range(N_SHARDS):
+        lo, hi = shard * per_shard, min((shard + 1) * per_shard,
+                                        REPLICAS_E)
+        if lo >= hi:
+            continue
+        parts = []
+        for r in range(lo, hi):
+            if r % 10 == 0:
+                w = v
+            else:
+                rng = np.random.default_rng(1000 + r)
+                w = v + 0.05 * rng.standard_normal(v.shape)
+                w /= np.linalg.norm(w, axis=1, keepdims=True)
+            parts.append(pa.table({
+                "vec_id": pa.array(ids * REPLICAS_E + r, pa.int64()),
+                "embedding": pa.array(
+                    list(w.astype(np.float32)),
+                    type=pa.list_(pa.float32())),
+            }))
+        out = pa.concat_tables(parts)
+        total += out.num_rows
+        tmp = os.path.join(CORPUS_E, f".tmp-{shard:04d}.parquet")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(CORPUS_E, f"part-{shard:04d}.parquet"))
+    with open(marker, "w") as f:
+        json.dump({"n_rows": total}, f)
+    return total, n_base
+
+
+def main_embeddings() -> None:
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    n_rows, n_base = build_emb_corpus()
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.dedup import (
+            embedding_dedup, semdedup)
+        from ci_log_processing_ray.ops.similarity import (
+            knn_bruteforce, knn_ivf, pca_project, quantize_embeddings)
+
+        def read():
+            return ray.data.read_parquet(CORPUS_E)
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        results: dict[str, dict] = {}
+
+        def run(name, fn, check=None):
+            t0 = time.perf_counter()
+            out = fn()
+            if hasattr(out, "to_pandas"):
+                out = out.to_pandas()
+            sec = time.perf_counter() - t0
+            results[name] = {"sec": round(sec, 2),
+                             "vecs_per_sec": round(n_rows / sec),
+                             "out_rows": len(out)}
+            if check is not None:
+                check(out)
+
+        def fam(ids):
+            return np.asarray(ids, np.int64) // REPLICAS_E
+
+        base = pq.read_table(os.path.join(SRC, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        q = np.vstack(base["embedding"].to_pandas().to_numpy()[:16]).astype(
+            np.float64)
+        q_fams = base["vec_id"].to_numpy()[:16]
+
+        # brute force: queries ARE family originals, so every top-10 hit
+        # must be in-family (25 exact copies at cosine 1.0 + 225
+        # near-dups at ~0.9988 vs <=0.601 cross-family)
+        def check_bf(out):
+            assert (fam(out["vec_id"]) ==
+                    np.repeat(q_fams, 10)).all()
+
+        run("knn_bruteforce",
+            lambda: knn_bruteforce(read(), "embedding", "vec_id",
+                                   q, list(range(16)), k=10), check_bf)
+
+        # IVF probes a subset of lists; family tightness makes recall
+        # near-perfect -- assert >= 80% in-family as the probe contract
+        def check_ivf(out):
+            ok = (fam(out["vec_id"]) ==
+                  np.asarray(out["query_id"].map(
+                      dict(enumerate(q_fams))), np.int64))
+            assert ok.mean() >= 0.8, ok.mean()
+
+        run("knn_ivf",
+            lambda: knn_ivf(read(), "embedding", "vec_id",
+                            q, list(range(16)), k=10,
+                            n_centroids=64, n_probe=8), check_ivf)
+
+        # LSH-bucketed near-dup: every cluster must be family-pure, and
+        # each family's 25 EXACT copies always share a bucket, so
+        # clustered rows >= 25 per family
+        def check_purity(out):
+            assert (fam(out["vec_id"]) == fam(out["cluster_rep"])).all()
+            assert len(out) >= n_base * 25, len(out)
+
+        run("embedding_dedup",
+            lambda: embedding_dedup(read(), "embedding", "vec_id",
+                                    cosine_threshold=0.95),
+            check_purity)
+
+        run("semdedup",
+            lambda: semdedup(read(), "embedding", "vec_id",
+                             k=256, cosine_threshold=0.95, n_iter=4),
+            check_purity)
+
+        run("pca_project",
+            lambda: pca_project(read(), "embedding", "vec_id",
+                                n_components=2),
+            lambda out: (_ for _ in ()).throw(AssertionError(len(out)))
+            if len(out) != n_rows else None)
+
+        run("quantize_int8",
+            lambda: quantize_embeddings(read(), "embedding", "vec_id"),
+            lambda out: (_ for _ in ()).throw(AssertionError(len(out)))
+            if len(out) != n_rows else None)
+
+        print(json.dumps({
+            "corpus_vecs": n_rows,
+            "replicas": REPLICAS_E,
+            "num_cpus": NCPU,
+            "ops": results,
+        }))
+    finally:
+        ray.shutdown()
 
 
 def main() -> None:
@@ -169,4 +341,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "embeddings":
+        main_embeddings()
+    else:
+        main()
