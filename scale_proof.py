@@ -246,6 +246,163 @@ def main_embeddings() -> None:
         ray.shutdown()
 
 
+N_FAM = int(os.environ.get("GRAFT_SCALE_GRAPH_FAMILIES", "20000"))
+FAM_C = 100           # nodes per family
+EXTRA_PER_FAM = 900   # random intra-family edges (family 0 stays a pure chain)
+CORPUS_G = f"/tmp/llm_scale_graph_f{N_FAM}_v1"
+
+
+def build_graph_corpus() -> tuple[int, int]:
+    """Deterministic 2M-node / ~20M-edge graph with closed-form truth.
+
+    Family f owns node ids [f*100, (f+1)*100): a 99-edge chain plus 900
+    random intra-family edges (family 0 gets NO extra edges, so its
+    BFS distances from node 0 are exactly the chain positions).  Every
+    component is one family -> connected_components' label (min
+    reachable id) must equal (node // 100) * 100 for every node.
+
+    10% of all edges are scattered round-robin across OTHER shards
+    (deterministically), so phase-1 local contraction sees foreign
+    edges and the boundary graph is genuinely exercised -- with
+    family-contiguous shards alone the cross-block boundary would be
+    empty and phase 2 trivial.
+    """
+    import numpy as np
+
+    marker = os.path.join(CORPUS_G, ".done")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            d = json.load(f)
+            return d["n_edges"], d["n_nodes"]
+    os.makedirs(CORPUS_G, exist_ok=True)
+    per_shard = (N_FAM + N_SHARDS - 1) // N_SHARDS
+    n_edges = 0
+    scattered: list = []  # (dest_shard, src, dst) spill from each shard
+    shards_local: list = []
+    for shard in range(N_SHARDS):
+        lo, hi = shard * per_shard, min((shard + 1) * per_shard, N_FAM)
+        fams = np.arange(lo, hi, dtype=np.int64)
+        base = fams * FAM_C
+        # chain edges: base+i -> base+i+1 for i in 0..98
+        off = np.arange(FAM_C - 1, dtype=np.int64)
+        src = (base[:, None] + off[None, :]).reshape(-1)
+        dst = src + 1
+        # extra random intra-family edges (skip family 0)
+        rng = np.random.default_rng(7000 + shard)
+        ex_f = np.repeat(fams, EXTRA_PER_FAM)
+        a = rng.integers(0, FAM_C, size=len(ex_f)).astype(np.int64)
+        b = rng.integers(0, FAM_C, size=len(ex_f)).astype(np.int64)
+        keep = ex_f != 0
+        ex_src = (ex_f * FAM_C + a)[keep]
+        ex_dst = (ex_f * FAM_C + b)[keep]
+        s = np.concatenate([src, ex_src])
+        d = np.concatenate([dst, ex_dst])
+        # scatter every 10th edge to a rotating foreign shard
+        idx = np.arange(len(s))
+        is_scatter = idx % 10 == 9
+        for t in range(N_SHARDS):
+            m = is_scatter & (idx % N_SHARDS == t)
+            if t != shard and m.any():
+                scattered.append((t, s[m], d[m]))
+        local = ~is_scatter | (idx % N_SHARDS == shard)
+        shards_local.append((s[local], d[local]))
+        n_edges += len(s)
+    for shard in range(N_SHARDS):
+        s_parts = [shards_local[shard][0]] + [
+            x[1] for x in scattered if x[0] == shard]
+        d_parts = [shards_local[shard][1]] + [
+            x[2] for x in scattered if x[0] == shard]
+        out = pa.table({
+            "src": pa.array(np.concatenate(s_parts)),
+            "dst": pa.array(np.concatenate(d_parts))})
+        tmp = os.path.join(CORPUS_G, f".tmp-{shard:04d}.parquet")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(CORPUS_G, f"part-{shard:04d}.parquet"))
+    n_nodes = N_FAM * FAM_C
+    with open(marker, "w") as f:
+        json.dump({"n_edges": n_edges, "n_nodes": n_nodes}, f)
+    return n_edges, n_nodes
+
+
+def main_graph() -> None:
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    n_edges, n_nodes = build_graph_corpus()
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.iterative import (
+            bfs_hops, connected_components, pagerank_fixedpoint)
+
+        def read():
+            return ray.data.read_parquet(CORPUS_G)
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        results: dict[str, dict] = {}
+
+        def run(name, fn, check=None):
+            t0 = time.perf_counter()
+            out = fn()
+            if hasattr(out, "to_pandas"):
+                out = out.to_pandas()
+            sec = time.perf_counter() - t0
+            results[name] = {"sec": round(sec, 2),
+                             "edges_per_sec": round(n_edges / sec),
+                             "out_rows": len(out)}
+            if check is not None:
+                check(out)
+
+        # every component is one family: label = (node // 100) * 100
+        def check_cc(out):
+            node = out["node"].to_numpy()
+            comp = out["component"].to_numpy()
+            assert len(out) == n_nodes, len(out)
+            assert (comp == (node // FAM_C) * FAM_C).all()
+
+        run("connected_components",
+            lambda: connected_components(read(), "src", "dst",
+                                         boundary_cap=20_000_000),
+            check_cc)
+
+        # family 0 is a pure chain: hops from node 0 are chain positions
+        def check_bfs(out):
+            got = dict(zip(out["node"].to_numpy(),
+                           out["hops"].to_numpy()))
+            assert got == {i: i for i in range(5)}, got
+
+        run("bfs_hops",
+            lambda: bfs_hops(read(), "src", "dst",
+                             ray.data.from_items([{"node": 0}]),
+                             n_rounds=4),
+            check_bfs)
+
+        # 3 fixed-point rounds; min rank >= the teleport floor term
+        scale = 10 ** 12
+
+        def check_pr(out):
+            assert int(out["rank_fp"].min()) >= (15 * scale) // (
+                100 * n_nodes)
+
+        run("pagerank_3r",
+            lambda: pagerank_fixedpoint(read(), "src", "dst", n_iter=3,
+                                        scale=scale),
+            check_pr)
+
+        print(json.dumps({
+            "n_edges": n_edges,
+            "n_nodes": n_nodes,
+            "num_cpus": NCPU,
+            "ops": results,
+        }))
+    finally:
+        ray.shutdown()
+
+
 def main() -> None:
     import ray
     from ray.data import DataContext
@@ -345,5 +502,7 @@ if __name__ == "__main__":
 
     if len(sys.argv) > 1 and sys.argv[1] == "embeddings":
         main_embeddings()
+    elif len(sys.argv) > 1 and sys.argv[1] == "graph":
+        main_graph()
     else:
         main()
