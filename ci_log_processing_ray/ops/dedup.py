@@ -586,21 +586,16 @@ def minhash_lsh_dedup(
                                 "component": "cluster_rep"})
         return cc.sort_values(id_col).reset_index(drop=True)
 
-    parent: dict = {}
+    # driver closure via the vectorized min-label kernel (every edge
+    # endpoint gets its min reachable id, nodes ascending) -- same
+    # semantics as the per-edge Python union-find it replaces, no
+    # per-row Python
+    from ci_log_processing_ray.ops.iterative import _local_cc_labels
 
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for left, right in edges.itertuples(index=False):
-        rl, rr = find(left), find(right)
-        if rl != rr:
-            parent[max(rl, rr)] = min(rl, rr)
-
-    rows = sorted((i, find(i)) for i in parent)
-    return pd.DataFrame(rows, columns=[id_col, "cluster_rep"])
+    nodes_, roots_ = _local_cc_labels(
+        edges["left"].to_numpy(np.int64),
+        edges["right"].to_numpy(np.int64))
+    return pd.DataFrame({id_col: nodes_, "cluster_rep": roots_})
 
 
 # ---------------------------------------------------------------------------

@@ -424,27 +424,32 @@ def connected_components(
             f"boundary graph has {len(merges)} merge edges > boundary_cap; "
             "raise the cap or contract hierarchically")
 
-    parent: dict = {}
-
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for ra, rb in merges.itertuples(index=False):
-        xa, xb = find(int(ra)), find(int(rb))
-        if xa != xb:
-            parent[max(xa, xb)] = min(xa, xb)
-    final = {r: find(r) for r in parent}
-    final_ref = ray.put(final)
+    # close the contracted boundary graph with the SAME vectorized
+    # min-label kernel the blocks use (the per-edge Python union-find
+    # it replaces cost ~10 s at a 2M-edge boundary); keep only the
+    # entries that actually change (root != min reachable), sorted --
+    # the relabel below resolves them with one searchsorted, not a
+    # per-row dict map
+    if len(merges):
+        mnodes, mroots = _local_cc_labels(
+            merges["ra"].to_numpy(np.int64),
+            merges["rb"].to_numpy(np.int64))
+        changed = mnodes != mroots
+        fin_keys, fin_vals = mnodes[changed], mroots[changed]
+    else:
+        fin_keys = fin_vals = np.array([], dtype=np.int64)
+    final_ref = ray.put((fin_keys, fin_vals))
 
     def relabel(t: pa.Table) -> pa.Table:
-        f = ray.get(final_ref)
-        roots = pd.Series(t["root"].to_numpy(zero_copy_only=False))
-        comp = roots.map(f).fillna(roots).to_numpy()
+        k, v = ray.get(final_ref)  # zero-copy sorted key/value arrays
+        roots = t["root"].to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = roots.copy()
+        if len(k):
+            pos = np.minimum(np.searchsorted(k, roots), len(k) - 1)
+            hit = k[pos] == roots
+            comp[hit] = v[pos[hit]]
         return pa.table({"node": t["node"],
-                         "component": pa.array(comp.astype(np.int64))})
+                         "component": pa.array(comp)})
 
     # a node can appear in several blocks; dedup to one row via min
     # (all its relabeled components are equal by construction)
@@ -503,12 +508,19 @@ def bfs_hops(
     # rows (key=node, v=-, _side=1); one bucketed shuffle co-locates
     # every node's edges with its frontier membership, no Acero join
     # (whose key resolution rejects the schema-less empty blocks Ray
-    # forwards past pandas kernels)
-    etag = ebi.map_batches(
-        lambda t: pa.table({"key": t["u"], "v": t["v"],
-                            "_side": pa.array(
-                                np.zeros(len(t), np.int8))}),
-        batch_format="pyarrow").materialize()
+    # forwards past pandas kernels).  Materialized LAZILY on first use:
+    # broadcast-sized frontiers (the common case) never pay the second
+    # edge-table materialization.
+    _etag_cache: list = []
+
+    def get_etag():
+        if not _etag_cache:
+            _etag_cache.append(ebi.map_batches(
+                lambda t: pa.table({"key": t["u"], "v": t["v"],
+                                    "_side": pa.array(
+                                        np.zeros(len(t), np.int8))}),
+                batch_format="pyarrow").materialize())
+        return _etag_cache[0]
 
     # frontier sizes are already counted each round (the exhaustion
     # check), so route small frontiers through a ray.put broadcast +
@@ -552,10 +564,22 @@ def bfs_hops(
                     "node": hit["v"].to_numpy(np.int64),
                     "hops": np.full(len(hit), _r + 1, np.int64)})
 
-            cand = bucketed_groups(etag.union(ftag), "key", expand,
+            cand = bucketed_groups(get_etag().union(ftag), "key", expand,
                                    n_buckets=n_buckets)
+        # coalesce the fold output: groupby emits ~one block per INPUT
+        # block and union appends the expansion's blocks every round, so
+        # without compaction the distance table's BLOCK count grows by
+        # the edge-table block count per round while its rows barely
+        # change -- measured per-round fold wall DOUBLING (3.3 -> 10.6
+        # -> 20.8 -> 45.5 s over 4 rounds at 20M edges) on pure
+        # scheduling overhead.  repartition(nb) (coalesce, no shuffle)
+        # bounds it to the bucket count; per-round cost becomes flat.
+        from ci_log_processing_ray.ops.window import resolve_group_buckets
+
+        nb = resolve_group_buckets(n_buckets)
         dist = (bucketed_groups(dist.union(cand), "node", min_kern,
-                                n_buckets=n_buckets)
+                                n_buckets=nb)
+                .repartition(nb)
                 .materialize())
         frontier = dist.filter(expr=f"hops == {r + 1}")
 
