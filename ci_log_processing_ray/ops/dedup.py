@@ -159,42 +159,24 @@ def _utf8_stream(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray,
     return flat, lens
 
 
-def _minhash_sigs(
-    texts: pa.Array | pa.ChunkedArray,
-    k: int,
-    a: np.ndarray,
-    b: np.ndarray,
-    *,
-    perm_chunk: int = 64,
-    doc_seg_shingles: int = 16384,
-) -> np.ndarray:
-    """Whole-batch minhash signatures, bit-identical to the per-doc
-    ``_minhash_signature(_shingle_hashes(text, k), a, b)`` path but with
-    NO per-document Python dispatch (the round-2 verdict's #2 fix,
-    reusing the flattened-stream pattern from ``ngram_jaccard_pairs``):
+def _window_hash_stream(
+    texts: pa.Array | pa.ChunkedArray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Whole-batch k-byte rolling window hashes over ALL docs at once
+    (the shared front half of :func:`_minhash_sigs` and
+    :func:`_doc_shingle_blobs`): zero-copy UTF-8 stream, short docs
+    zero-padded in place via one scatter, ONE k-pass rolling polynomial
+    hash (the exact arithmetic of the per-doc ``_shingle_hashes``),
+    windows crossing doc boundaries dropped by position.
 
-    * all docs' UTF-8 bytes come zero-copy from the Arrow data buffer,
-      short docs zero-pad in place to ``k`` bytes (scatter via one
-      repeat/cumsum index map);
-    * ONE k-pass rolling polynomial hash over the padded stream (uint64
-      wraparound multiply-add then ``% (2^61-1)`` -- the exact
-      arithmetic of ``_shingle_hashes``; windows crossing a doc
-      boundary are invalid by position, no masking math needed);
-    * per-doc per-permutation minima via ``np.minimum.reduceat`` over
-      doc segments (duplicates don't change a min, so the old kernel's
-      ``np.unique`` is unnecessary), processed through PREALLOCATED
-      cache-resident buffers: ``doc_seg_shingles`` (~16k) shingles x
-      ``perm_chunk`` permutations per inner step -- fresh multi-MB
-      temporaries per chunk measured 6x slower than buffer reuse on
-      the same arithmetic (page-fault bound, not compute bound).
-
-    Returns an (n_docs, num_perm) uint64 signature matrix.
+    Returns (window hashes gathered doc-contiguous, per-doc window
+    counts, per-doc segment starts, n_docs).
     """
     flat, lens = _utf8_stream(texts)
     n = len(lens)
-    num_perm = len(a)
     if n == 0:
-        return np.empty((0, num_perm), dtype=np.uint64)
+        z = np.array([], dtype=np.int64)
+        return np.array([], dtype=np.uint64), z, z, 0
     if (lens >= k).all():
         # common case: nothing to pad, the Arrow data buffer IS the
         # stream -- no scatter copy
@@ -240,7 +222,71 @@ def _minhash_sigs(
     sh = h[win_idx]
     seg_starts = np.zeros(n, dtype=np.int64)
     np.cumsum(counts[:-1], out=seg_starts[1:])
+    return sh, counts, seg_starts, n
 
+
+def _doc_shingle_blobs(
+    texts: pa.Array | pa.ChunkedArray, k: int
+) -> list[bytes]:
+    """Per-doc SORTED-UNIQUE shingle-hash blobs for a whole batch,
+    bit-identical to ``[_shingle_hashes(t, k).tobytes() for t in ...]``
+    but with no per-document Python hashing dispatch: one shared
+    rolling-hash stream (:func:`_window_hash_stream`), ONE lexsort over
+    the (doc, hash) pairs, adjacent-duplicate drop per segment, then
+    cheap per-doc buffer slices.  Used by the minhash verify stage's
+    candidate-shingle pass (measured ~3x on the 500k-doc proof)."""
+    sh, counts, seg_starts, n = _window_hash_stream(texts, k)
+    if n == 0:
+        return []
+    didx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((sh, didx))
+    s_sorted = sh[order]
+    d_sorted = didx[order]
+    keep = np.r_[True, (s_sorted[1:] != s_sorted[:-1])
+                 | (d_sorted[1:] != d_sorted[:-1])]
+    u = np.ascontiguousarray(s_sorted[keep])
+    du = d_sorted[keep]
+    u_counts = np.bincount(du, minlength=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(u_counts, out=offs[1:])
+    return [u[offs[i]:offs[i + 1]].tobytes() for i in range(n)]
+
+
+def _minhash_sigs(
+    texts: pa.Array | pa.ChunkedArray,
+    k: int,
+    a: np.ndarray,
+    b: np.ndarray,
+    *,
+    perm_chunk: int = 64,
+    doc_seg_shingles: int = 16384,
+) -> np.ndarray:
+    """Whole-batch minhash signatures, bit-identical to the per-doc
+    ``_minhash_signature(_shingle_hashes(text, k), a, b)`` path but with
+    NO per-document Python dispatch (the round-2 verdict's #2 fix,
+    reusing the flattened-stream pattern from ``ngram_jaccard_pairs``):
+
+    * all docs' UTF-8 bytes come zero-copy from the Arrow data buffer,
+      short docs zero-pad in place to ``k`` bytes (scatter via one
+      repeat/cumsum index map);
+    * ONE k-pass rolling polynomial hash over the padded stream (uint64
+      wraparound multiply-add then ``% (2^61-1)`` -- the exact
+      arithmetic of ``_shingle_hashes``; windows crossing a doc
+      boundary are invalid by position, no masking math needed);
+    * per-doc per-permutation minima via ``np.minimum.reduceat`` over
+      doc segments (duplicates don't change a min, so the old kernel's
+      ``np.unique`` is unnecessary), processed through PREALLOCATED
+      cache-resident buffers: ``doc_seg_shingles`` (~16k) shingles x
+      ``perm_chunk`` permutations per inner step -- fresh multi-MB
+      temporaries per chunk measured 6x slower than buffer reuse on
+      the same arithmetic (page-fault bound, not compute bound).
+
+    Returns an (n_docs, num_perm) uint64 signature matrix.
+    """
+    sh, counts, seg_starts, n = _window_hash_stream(texts, k)
+    num_perm = len(a)
+    if n == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
     sigs = np.empty((n, num_perm), dtype=np.uint64)
     # doc segments bounded by shingle count; O(#segments) bound search
     cum = np.cumsum(counts)
@@ -448,12 +494,10 @@ def minhash_lsh_dedup(
     def cand_shingles(t: pa.Table) -> pa.Table:
         ids = t[id_col].combine_chunks()
         sub = t.filter(pc.is_in(ids, value_set=ray.get(cand_ref)))
-        # bytes, not list<int64>: Acero hash joins reject list
-        # payload columns, and the blob is opaque to the join anyway
-        sh = [
-            _shingle_hashes(txt, k).tobytes()
-            for txt in sub[text_col].to_pylist()
-        ]
+        # bytes, not list<int64>: opaque fixed-layout payload for the
+        # exchange; whole-batch kernel (shared rolling-hash stream +
+        # one lexsort), no per-doc hashing dispatch
+        sh = _doc_shingle_blobs(sub[text_col], k)
         return pa.table({
             "a_id": sub[id_col].combine_chunks().cast(pa.int64()),
             "sh_a": pa.array(sh, type=pa.binary()),

@@ -67,6 +67,31 @@ def test_minhash_stream_kernel_bit_identical():
     assert _minhash_sigs(pa.array([], pa.string()), 5, a, b).shape == (0, 64)
 
 
+def test_doc_shingle_blobs_bit_identical():
+    """The whole-batch sorted-unique shingle-blob kernel must equal the
+    per-doc ``_shingle_hashes(t, k).tobytes()`` path bit-for-bit,
+    including empty docs, docs shorter than k, unicode, chunked and
+    large_string inputs."""
+    from ci_log_processing_ray.ops.dedup import (
+        _doc_shingle_blobs, _shingle_hashes)
+
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "ray", "data", "log", "zuul"]
+    texts = ["", "ab", "x", "γειά σου κόσμε", " ", "\n\t",
+             "the quick brown fox " * 30]
+    for _ in range(150):
+        texts.append(" ".join(rng.choice(vocab, rng.integers(0, 40))))
+    for k in (3, 5, 9):
+        chunked = pa.chunked_array([pa.array(texts[:50]),
+                                    pa.array(texts[50:])])
+        ref = [_shingle_hashes(t, k).tobytes() for t in texts]
+        assert _doc_shingle_blobs(chunked, k) == ref
+    large = pa.array(texts, type=pa.large_string())
+    assert _doc_shingle_blobs(large, 5) == [
+        _shingle_hashes(t, 5).tobytes() for t in texts]
+    assert _doc_shingle_blobs(pa.array([], pa.string()), 5) == []
+
+
 def test_jaccard_verify_batch_matches_per_pair_loop():
     """The whole-batch lexsort verify kernel must agree with a direct
     per-pair intersect1d loop on random shingle sets, including empty
