@@ -2065,6 +2065,17 @@ def q_cap_source(sf_dir: str):
     return cap_per_group(ds, "source", "doc_id", 20)
 
 
+def q_temperature_mix(sf_dir: str):
+    """Temperature-weighted source mixing (multilingual-sampling rule,
+    alpha=0.5): per-source quota = floor(sqrt(n_source)) docs picked in
+    md5 order; big sources downsample sub-linearly.  Mergeable local
+    caps bound the exchange (ops/curation.py:temperature_mix)."""
+    from ci_log_processing_ray.ops.curation import temperature_mix
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return temperature_mix(ds, "source", "doc_id")
+
+
 def q_full_outer_join(sf_dir: str):
     """FULL OUTER join: per-user event counts against the BUILDING
     customer roster -- users with no segment row AND segment customers
@@ -3790,6 +3801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join": q_full_outer_join,
         "late_events": q_late_events,
         "cap_source": q_cap_source,
+        "temperature_mix": q_temperature_mix,
         "pack_bins": q_pack_bins,
         "jsonl_source": q_jsonl_source,
         "csv_source": q_csv_source,
@@ -4538,6 +4550,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             QUALIFY row_number() OVER (PARTITION BY source
                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20""",
+        "temperature_mix": """
+            WITH q AS (SELECT source,
+                              CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS quota
+                       FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source
+            FROM (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                      doc_id) AS rn
+                  FROM documents) d
+            JOIN q USING (source)
+            WHERE d.rn <= q.quota""",
         "full_outer_join": """
             SELECT coalesce(u.user_id, c.c_custkey) AS key_id,
                    coalesce(u.n_events, 0) AS n_events,

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "gopher_rules",
     "ccnet_buckets",
     "pca_embeddings",
+    "temperature_mix",
 ]
 
 

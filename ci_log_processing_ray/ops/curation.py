@@ -381,6 +381,72 @@ def cap_per_group(
     return capped.drop_columns(["_mk"])
 
 
+def temperature_mix(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    *,
+    quota_fn=None,
+) -> ray.data.Dataset:
+    """Temperature-weighted source mixing: per-source quota =
+    floor(sqrt(n_source)) rows (the alpha = 0.5 / tau = 2 multilingual
+    sampling rule -- big sources are downsampled sub-linearly so small
+    sources keep proportionally more mass), rows chosen in md5(id)
+    order (stable pseudo-random, same contract as
+    :func:`cap_per_group`).  ``quota_fn`` overrides the quota rule
+    (``n_rows -> quota``; must be deterministic integer math for the
+    oracle to stay binding).
+
+    Scale shape: pass 1 computes per-source counts from per-block
+    partials (one vocabulary-sized exchange) and broadcasts the quota
+    map; pass 2 is the mergeable cap -- each block keeps its local
+    md5-bottom ``quota`` per source BEFORE the exchange, so at most
+    sources x quota rows per block ship, then one coarse bucketed
+    exchange finishes the exact global pick.  Output: (id, group)."""
+    import math
+
+    from ci_log_processing_ray.ops.shuffle import _md5_keys
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    if quota_fn is None:
+        quota_fn = math.isqrt
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t[group_col].combine_chunks().to_numpy(
+            zero_copy_only=False), return_counts=True)
+        return pa.table({group_col: pa.array(u),
+                         "_n": pa.array(c.astype(np.int64))})
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .to_pandas()
+              .groupby(group_col, as_index=False)["_n"].sum())
+    quota = {g: int(quota_fn(int(n)))
+             for g, n in zip(counts[group_col], counts["_n"])}
+    quota_ref = ray.put(quota)
+
+    def local_cap(g: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(quota_ref)
+        g = g.sort_values([group_col, "_mk", id_col], kind="mergesort")
+        rank = g.groupby(group_col, sort=False).cumcount().to_numpy()
+        lim = g[group_col].map(q).fillna(0).to_numpy(np.int64)
+        return g[rank < lim]
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_mk", pa.array(_md5_keys(ids, ""), type=pa.string()))
+
+    partials = (ds.select_columns([id_col, group_col])
+                .map_batches(add_key, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .map_batches(lambda t: pa.Table.from_pandas(
+                    local_cap(t.to_pandas()), preserve_index=False),
+                    batch_format="pyarrow"))
+    return bucketed_groups(partials, group_col,
+                           local_cap).drop_columns(["_mk"])
+
+
 def rate_sample_by_group(
     ds: ray.data.Dataset,
     group_col: str,

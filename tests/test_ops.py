@@ -1401,6 +1401,41 @@ def test_cap_per_group_quota(ray_session):
     assert set(out.doc_id) == set(again.doc_id)
 
 
+def test_temperature_mix_quotas(ray_session):
+    """floor(sqrt(n)) quota per source, md5-order pick, partitioning-
+    invariant, brute-force parity on the picked ids."""
+    import hashlib
+
+    from ci_log_processing_ray.ops.curation import temperature_mix
+
+    rows = ([{"doc_id": i, "g": "big"} for i in range(100)]
+            + [{"doc_id": 1000 + i, "g": "mid"} for i in range(10)]
+            + [{"doc_id": 2000 + i, "g": "tiny"} for i in range(2)])
+    out = temperature_mix(ray.data.from_items(rows).repartition(5),
+                          "g", "doc_id").to_pandas()
+    sizes = out.groupby("g").size().to_dict()
+    assert sizes == {"big": 10, "mid": 3, "tiny": 1}
+    # brute-force md5-order pick per group must match exactly
+    import pandas as pd_
+    df = pd_.DataFrame(rows)
+    df["mk"] = df["doc_id"].map(
+        lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    want = set()
+    for g, grp in df.groupby("g"):
+        q = int(len(grp) ** 0.5)
+        want |= set(grp.sort_values(["mk", "doc_id"])
+                    .head(q)["doc_id"])
+    assert set(out["doc_id"]) == want
+    # partitioning-invariant
+    again = temperature_mix(ray.data.from_items(rows).repartition(2),
+                            "g", "doc_id").to_pandas()
+    assert set(out.doc_id) == set(again.doc_id)
+    # quota_fn override: keep everything
+    full = temperature_mix(ray.data.from_items(rows), "g", "doc_id",
+                           quota_fn=lambda n: n).to_pandas()
+    assert len(full) == len(rows)
+
+
 def test_pack_bins_ffd_invariants(ray_session):
     from ci_log_processing_ray.ops.pack import pack_bins_ffd
 
