@@ -2065,6 +2065,17 @@ def q_cap_source(sf_dir: str):
     return cap_per_group(ds, "source", "doc_id", 20)
 
 
+def q_length_batches(sf_dir: str):
+    """Length-sorted fixed-size micro-batches with per-batch padding
+    waste (n_docs * max_len - sum_len): global rank via
+    order-preserving range buckets + driver prefix sum, mergeable
+    (count, max, sum) partials (ops/pack.py:length_batches)."""
+    from ci_log_processing_ray.ops.pack import length_batches
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return length_batches(ds, "n_chars", "doc_id", batch_size=16)
+
+
 def q_temperature_mix(sf_dir: str):
     """Temperature-weighted source mixing (multilingual-sampling rule,
     alpha=0.5): per-source quota = floor(sqrt(n_source)) docs picked in
@@ -3802,6 +3813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": q_late_events,
         "cap_source": q_cap_source,
         "temperature_mix": q_temperature_mix,
+        "length_batches": q_length_batches,
         "pack_bins": q_pack_bins,
         "jsonl_source": q_jsonl_source,
         "csv_source": q_csv_source,
@@ -4550,6 +4562,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             QUALIFY row_number() OVER (PARTITION BY source
                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20""",
+        "length_batches": """
+            WITH r AS (SELECT doc_id, n_chars,
+                              row_number() OVER (ORDER BY n_chars DESC,
+                                                 doc_id) AS rn
+                       FROM documents)
+            SELECT (rn - 1) // 16 AS batch_id,
+                   COUNT(*) AS n_docs,
+                   MAX(n_chars) AS max_len,
+                   SUM(n_chars) AS sum_len,
+                   COUNT(*) * MAX(n_chars) - SUM(n_chars) AS padding
+            FROM r GROUP BY 1""",
         "temperature_mix": """
             WITH q AS (SELECT source,
                               CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS quota

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "pca_embeddings",
     "temperature_mix",
+    "length_batches",
 ]
 
 

@@ -229,3 +229,67 @@ def pack_bins_ffd(
     keyed = ds.map_batches(add_bucket, batch_format="pyarrow",
                            zero_copy_batch=True)
     return bucketed_groups(keyed, "_pb", pack_many, n_buckets=n_buckets)
+
+
+def length_batches(
+    ds: ray.data.Dataset,
+    len_col: str,
+    id_col: str,
+    *,
+    batch_size: int,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Length-sorted fixed-size micro-batches (the padding-minimizing
+    batching step before training): rank every doc by
+    (length DESC, id ASC), group consecutive ranks into batches of
+    ``batch_size``, and report per-batch stats including the padding
+    waste ``n_docs * max_len - sum_len`` (tokens burned when padding
+    each batch to its own max -- near-zero when lengths are sorted,
+    the whole point of length bucketing).
+
+    Scale shape: the global rank is the row_number_global primitive
+    (order-preserving range buckets + a driver prefix sum over
+    n_buckets integers -- no global sort operator); batch stats are
+    mergeable (count, max, sum) partials through one coarse bucketed
+    exchange keyed on batch_id.  Output: batch_id, n_docs, max_len,
+    sum_len, padding (all int64).
+    """
+    from ci_log_processing_ray.ops.window import (
+        bucketed_groups, row_number_global)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ln = pc.cast(t[len_col].combine_chunks(), pa.int64())
+        return pa.table({
+            id_col: t[id_col],
+            "_len": ln,
+            # negate so ASC row numbering = length DESC
+            "_neg": pc.multiply(ln, pa.scalar(-1, pa.int64())),
+        })
+
+    numbered = row_number_global(
+        ds.map_batches(keyed, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "_neg", tie_cols=[id_col], n_buckets=n_buckets)
+
+    def batch_partial(t: pa.Table) -> pa.Table:
+        rn = t["row_num"].combine_chunks().to_numpy()
+        ln = t["_len"].combine_chunks().to_numpy()
+        bid = (rn - 1) // batch_size
+        df = pd.DataFrame({"batch_id": bid, "_len": ln})
+        g = df.groupby("batch_id", as_index=False).agg(
+            n_docs=("_len", "size"), max_len=("_len", "max"),
+            sum_len=("_len", "sum"))
+        return pa.Table.from_pandas(g.astype(np.int64),
+                                    preserve_index=False)
+
+    partials = numbered.map_batches(batch_partial, batch_format="pyarrow")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("batch_id", as_index=False).agg(
+            n_docs=("n_docs", "sum"), max_len=("max_len", "max"),
+            sum_len=("sum_len", "sum"))
+        out["padding"] = out["n_docs"] * out["max_len"] - out["sum_len"]
+        return out
+
+    return bucketed_groups(partials, "batch_id", finish,
+                           n_buckets=n_buckets)

@@ -1401,6 +1401,32 @@ def test_cap_per_group_quota(ray_session):
     assert set(out.doc_id) == set(again.doc_id)
 
 
+def test_length_batches_padding(ray_session):
+    """Batches of consecutive length-DESC ranks; padding = n*max - sum;
+    partitioning-invariant; ragged final batch handled."""
+    from ci_log_processing_ray.ops.pack import length_batches
+
+    rng = np.random.default_rng(9)
+    lens = rng.integers(1, 500, size=101)
+    rows = [{"doc_id": i, "n": int(l)} for i, l in enumerate(lens)]
+    out = (length_batches(ray.data.from_items(rows).repartition(5),
+                          "n", "doc_id", batch_size=8)
+           .to_pandas().sort_values("batch_id").reset_index(drop=True))
+    order = sorted(range(101), key=lambda i: (-lens[i], i))
+    for b in range(13):
+        seg = [lens[i] for i in order[b * 8:(b + 1) * 8]]
+        row = out.iloc[b]
+        assert row["n_docs"] == len(seg)
+        assert row["max_len"] == max(seg)
+        assert row["sum_len"] == sum(seg)
+        assert row["padding"] == len(seg) * max(seg) - sum(seg)
+    assert out.iloc[12]["n_docs"] == 5  # ragged last batch
+    again = (length_batches(ray.data.from_items(rows).repartition(2),
+                            "n", "doc_id", batch_size=8)
+             .to_pandas().sort_values("batch_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_temperature_mix_quotas(ray_session):
     """floor(sqrt(n)) quota per source, md5-order pick, partitioning-
     invariant, brute-force parity on the picked ids."""
