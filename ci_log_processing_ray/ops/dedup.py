@@ -521,8 +521,19 @@ def minhash_lsh_dedup(
         cand_tbl = cand_a.to_pandas()
         sh_ref = ray.put(dict(zip(cand_tbl["a_id"].to_numpy(),
                                   cand_tbl["sh_a"].to_numpy())))
+        # from_pandas yields ONE block; split so the verify kernel
+        # parallelizes across the pool (a single-block edge list ran
+        # the whole lexsort verify on one core -- 38 s for 22k pairs
+        # of ~2000-shingle docs at sf0.1) and cap batch_size so each
+        # lexsort working set stays bounded
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        n_parts = max(1, min(2 * cpus, len(pairs) // 1024 + 1))
         pairs_ds = ray.data.from_pandas(
-            pairs.astype({"left": np.int64, "right": np.int64}))
+            pairs.astype({"left": np.int64, "right": np.int64})
+        ).repartition(n_parts)
 
         def verify_broadcast(t: pa.Table) -> pa.Table:
             sh = ray.get(sh_ref)
@@ -533,7 +544,8 @@ def minhash_lsh_dedup(
                                 [sh[x] for x in right])
 
         edges = pairs_ds.map_batches(
-            verify_broadcast, batch_format="pyarrow").to_pandas()
+            verify_broadcast, batch_format="pyarrow",
+            batch_size=2048).to_pandas()
     else:
         # shuffle-verify (the 100 TB path): ONE tagged-union bucketed
         # co-partition, with blobs routed per (id, bucket) -- never per
