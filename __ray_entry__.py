@@ -1740,6 +1740,19 @@ def q_heavy_hitters(sf_dir: str):
     return heavy_hitters(ds, "user_id", k=32).head(10)
 
 
+def q_heavy_hitters_exact(sf_dir: str):
+    """EXACT heavy hitters (freq >= n/125 users) via the sketch-for-
+    candidates pattern: Misra-Gries pass 1 (k=256 counters, provable
+    candidate superset since k+1 > 125), broadcast exact-verify pass 2.
+    Unlike q_heavy_hitters this is bit-exact -- binding DuckDB oracle --
+    while still never shuffling more than k counters per block."""
+    from ci_log_processing_ray.ops.sketch import heavy_hitters_exact
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    out = heavy_hitters_exact(ds, "user_id", share_den=125, k=256)
+    return out.rename(columns={"item": "user_id"})
+
+
 def q_chunk_text(sf_dir: str):
     """Overlapping fixed-window chunking (RAG / context-window prep):
     50-word chunks, stride 40.  Pure map; reassembly is one take +
@@ -3727,6 +3740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": q_corpus_curation,
         "duplicate_spans": q_duplicate_spans,
         "heavy_hitters": q_heavy_hitters,
+        "heavy_hitters_exact": q_heavy_hitters_exact,
         "chunk_text": q_chunk_text,
         "decontaminate": q_decontaminate,
         "vocab_coverage": q_vocab_coverage,
@@ -3928,6 +3942,10 @@ def oracle_sql() -> dict[str, str]:
                                  AS BIGINT)) AS BIGINT) AS k_total,
                    count(*) AS n
             FROM events GROUP BY event_type""",
+        "heavy_hitters_exact": """
+            SELECT user_id, count(*) AS cnt
+            FROM events GROUP BY user_id
+            HAVING count(*) * 125 >= (SELECT count(*) FROM events)""",
         "hot_key_salted": """
             SELECT user_id, count(*) AS n,
                    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)

@@ -156,3 +156,62 @@ def heavy_hitters(
     out = pd.DataFrame({"item": items, "est_count": counts})
     return out.sort_values(["est_count", "item"],
                            ascending=[False, True]).reset_index(drop=True)
+
+
+def heavy_hitters_exact(
+    ds: "ray.data.Dataset",
+    col: str,
+    share_den: int = 125,
+    k: int = 256,
+) -> "pd.DataFrame":
+    """EXACT frequent items via sketch-for-candidates + exact verify:
+    every value of ``col`` whose frequency is >= n/share_den, with its
+    exact count.
+
+    Pass 1 is the Misra-Gries summary above with ``k`` counters.  MG
+    guarantees any item with true count > n/(k+1) survives the merge
+    tree, so with k + 1 > share_den the candidate set is a SUPERSET of
+    the answer -- never a miss.  Pass 2 broadcasts the <= k candidates
+    (sorted array, searchsorted membership per block) and sums exact
+    per-block counts; the final threshold filter uses integer
+    arithmetic (cnt * share_den >= n) so the result is bit-exact and
+    oracle-checkable (DuckDB ``HAVING count(*) * share_den >= total``).
+
+    Neither pass shuffles the data: pass 1 moves <= k counters per
+    block, pass 2 moves <= k exact partial counts per block.  At 100 TB
+    the exchange stays kilobytes while a naive GROUP BY ... HAVING
+    would shuffle every distinct key.
+    """
+    if k + 1 <= share_den:
+        raise ValueError(
+            f"k={k} too small for share 1/{share_den}: need k+1 > share_den "
+            "for the Misra-Gries no-miss guarantee")
+    import ray
+
+    cand = heavy_hitters(ds, col, k=k)["item"].to_numpy()
+    if len(cand) == 0:
+        return pd.DataFrame({"item": cand, "cnt": np.array([], np.int64)})
+    cand_ref = ray.put(np.sort(cand))
+    # Exact total row count: metadata-served on Parquet sources, one
+    # streaming count otherwise -- either way no data leaves workers.
+    n = ds.count()
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        vc = t[col].combine_chunks().value_counts()
+        items = vc.field("values").to_numpy(zero_copy_only=False)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cands, items)
+        pos_c = np.minimum(pos, len(cands) - 1)
+        hit = cands[pos_c] == items
+        return pa.table({"item": pa.array(items[hit]),
+                         "cnt": pa.array(counts[hit].astype(np.int64))})
+
+    exact = (ds.map_batches(exact_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("item").sum("cnt").to_pandas()
+             .rename(columns={"sum(cnt)": "cnt"}))
+    exact["cnt"] = exact["cnt"].astype(np.int64)
+    out = exact[exact["cnt"] * share_den >= n]
+    return (out.sort_values(["cnt", "item"], ascending=[False, True])
+            .reset_index(drop=True))

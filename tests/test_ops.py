@@ -846,6 +846,30 @@ def test_heavy_hitters(ray_session):
     assert dict(zip(exact["item"], exact["est_count"])) == {1: 5, 2: 3, 3: 2}
 
 
+def test_heavy_hitters_exact(ray_session):
+    from ci_log_processing_ray.ops.sketch import heavy_hitters_exact
+
+    rng = np.random.default_rng(23)
+    # two planted hitters straddling the threshold; long uniform tail
+    n = 50000
+    vals = rng.integers(10_000, 20_000, size=n)
+    vals[:2000] = 7        # 4% > 1/125
+    vals[2000:2500] = 11   # 1% > 1/125 (500 >= 400 threshold)
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(16)
+    out = heavy_hitters_exact(ds, "v", share_den=125, k=256)
+    got = dict(zip(out["item"], out["cnt"]))
+    assert got[7] == 2000 and got[11] == 500  # EXACT counts
+    # nothing under the threshold sneaks in
+    assert all(c * 125 >= n for c in got.values())
+    # exhaustive vs pandas ground truth
+    vc = pd.Series(vals).value_counts()
+    want = {int(k): int(v) for k, v in vc.items() if v * 125 >= n}
+    assert got == want
+    # guard: k too small for the no-miss guarantee must raise
+    with pytest.raises(ValueError):
+        heavy_hitters_exact(ds, "v", share_den=125, k=64)
+
+
 # ---------------------------------------------------------------------------
 # curation operators
 # ---------------------------------------------------------------------------
