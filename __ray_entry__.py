@@ -696,6 +696,21 @@ def q_ngram_jaccard_maxdf(sf_dir: str):
                                         n=3, threshold_pct=50, max_df=3))
 
 
+def q_prefix_jaccard(sf_dir: str):
+    """Prefix-filtered set-similarity join (AllPairs/PPJoin): the SAME
+    exact pair set as q_ngram_jaccard, but candidate generation ships
+    only each doc's (|s| - ceil(t|s|) + 1)-prefix under the global
+    (df, gram) order -- hot grams sort last and stay out of the
+    exchange, removing the sum(df^2) exposure without max_df's subset
+    contract.  The oracle is the brute-force SQL join, so the hash
+    match PROVES the pruned plan is lossless."""
+    from ci_log_processing_ray.ops.dedup import prefix_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return prefix_jaccard_pairs(ds, "text", "doc_id",
+                                n=3, threshold_pct=50)
+
+
 def q_ccnet_buckets(sf_dir: str):
     """CCNet-style per-source quality buckets (Wenzek et al. 2020,
     arXiv:1911.00359): the corpus bigram-LM doc score
@@ -3685,6 +3700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perf_props_sum": q_perf_props_sum,
         "hot_key_salted": q_hot_key_salted,
         "ngram_jaccard": q_ngram_jaccard,
+        "prefix_jaccard": q_prefix_jaccard,
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
         "quality_score": q_quality_score,
         "gopher_rules": q_gopher_rules,
@@ -3952,6 +3968,26 @@ def oracle_sql() -> dict[str, str]:
                        AS value_cents
             FROM events GROUP BY user_id""",
         "ngram_jaccard": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                           AS grams
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                      FROM documents)
+                WHERE len(ws) >= 3)
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   len(list_intersect(a.grams, b.grams)) AS inter,
+                   len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams)) AS union_sz
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams)) > 0
+              AND 100 * len(list_intersect(a.grams, b.grams))
+                  >= 50 * (len(a.grams) + len(b.grams)
+                           - len(list_intersect(a.grams, b.grams)))""",
+        "prefix_jaccard": """
             WITH g AS (
                 SELECT doc_id,
                        list_distinct(list_transform(

@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "quality_score",
     "dedup_text",
     "ngram_jaccard",
+    "prefix_jaccard",
+    "heavy_hitters_exact",
     "sessionize",
     "knn_bruteforce",
     "hot_key_salted",

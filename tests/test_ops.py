@@ -870,6 +870,51 @@ def test_heavy_hitters_exact(ray_session):
         heavy_hitters_exact(ds, "v", share_den=125, k=64)
 
 
+def test_prefix_jaccard_matches_bruteforce(ray_session):
+    """The prefix-filtered (AllPairs) join must be lossless vs brute
+    force -- including on a corpus with a HOT gram shared by every doc
+    (the exact case the prefix filter exists to keep off the wire)."""
+    from itertools import combinations
+
+    from ci_log_processing_ray.ops.dedup import prefix_jaccard_pairs
+
+    hot = "the quick brown"  # 3-gram present in ALL docs
+    docs = {
+        1: hot + " fox jumps over a lazy dog near a gate",
+        2: hot + " fox jumps over a lazy dog near a fence",
+        3: hot + " cat sits under a warm red roof all day",
+        4: hot + " cat sits under a warm red roof all night",
+        5: hot + " zebra walks through tall dry grass alone today ok",
+        6: "completely different words entirely here now",
+    }
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())})).repartition(3)
+    got = prefix_jaccard_pairs(ds, "text", "doc_id", n=3, threshold_pct=50)
+
+    def grams(s):
+        ws = s.lower().split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    want = []
+    for a, b in combinations(sorted(docs), 2):
+        ga, gb = grams(docs[a]), grams(docs[b])
+        inter, union = len(ga & gb), len(ga | gb)
+        if inter > 0 and 100 * inter >= 50 * union:
+            want.append((a, b, inter, union))
+    got_t = sorted(map(tuple, got.to_numpy()))
+    assert got_t == sorted(want)
+    assert len(want) >= 2  # the two planted near-dup pairs
+    # empty-result corpus: nothing shares a gram
+    ds2 = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["alpha beta gamma delta", "one two three four"]}))
+    out2 = prefix_jaccard_pairs(ds2, "text", "doc_id", n=3,
+                                threshold_pct=50)
+    assert len(out2) == 0
+    assert list(out2.columns) == ["left_id", "right_id", "inter",
+                                  "union_sz"]
+
+
 # ---------------------------------------------------------------------------
 # curation operators
 # ---------------------------------------------------------------------------
