@@ -421,6 +421,100 @@ def _verify_jaccard_batch(left: np.ndarray, right: np.ndarray,
                      "right": pa.array(right[keep].astype(np.int64))})
 
 
+def _shuffle_verify_pairs(
+    blob_ds: ray.data.Dataset,
+    blob_id_col: str,
+    blob_col: str,
+    pairs: "pd.DataFrame",
+    verify_rows,
+    empty: "pd.DataFrame",
+) -> "pd.DataFrame":
+    """Shared 100-TB exact-verify exchange: ONE tagged-union bucketed
+    co-partition, with blobs routed per (id, bucket) -- never per edge.
+    Every edge goes to its RIGHT endpoint's hash bucket, so a right's
+    blob ships exactly once (to its own bucket); a left's blob ships
+    once per DISTINCT partner bucket (the driver-computed need list --
+    edges are already driver-resident as the candidate list).  The
+    superseded two-pass design attached a blob COPY to every edge and
+    shipped it through BOTH exchanges: at the 500k-doc scale proof
+    (2.9M pairs, ~1.7 KB mean blob) that moved ~10 GB of blobs and cost
+    ~300 s; this single exchange moves ~|cand| + |distinct (left,
+    bucket)| blobs (~1.1 GB there) regardless of edge multiplicity.
+
+    ``verify_rows(left, right, blobs_a, blobs_b) -> pd.DataFrame`` is
+    the caller's vectorized pair kernel; ``empty`` fixes the output
+    schema for blob-only buckets.  Used by minhash_lsh_dedup and
+    prefix_jaccard_pairs."""
+    from ci_log_processing_ray.ops.window import (_key_buckets,
+                                                  bucketed_groups,
+                                                  resolve_group_buckets)
+
+    n_buckets = resolve_group_buckets()
+    left_np = pairs["left"].to_numpy(np.int64)
+    right_np = pairs["right"].to_numpy(np.int64)
+    eb = _key_buckets(right_np, n_buckets).astype(np.int64)
+    # extra buckets that need a left's blob beyond its own bucket
+    need = pd.DataFrame({"id": left_np, "b": eb}).drop_duplicates()
+    need = need[need["b"].to_numpy() != _key_buckets(
+        need["id"].to_numpy(), n_buckets).astype(np.int64)]
+    need_ref = ray.put(need.reset_index(drop=True))
+
+    def route_blobs(t: pa.Table) -> pa.Table:
+        """One copy to the id's own bucket + one per needed extra
+        bucket (vectorized: a pandas merge against the broadcast
+        need table, one Arrow take for the blob gather)."""
+        needs = ray.get(need_ref)
+        ids = t[blob_id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        own = _key_buckets(ids, n_buckets).astype(np.int64)
+        m = pd.DataFrame(
+            {"id": ids, "_j": np.arange(len(ids), dtype=np.int64)}
+        ).merge(needs, on="id")
+        idx = np.concatenate([np.arange(len(ids), dtype=np.int64),
+                              m["_j"].to_numpy()])
+        buckets = np.concatenate([own, m["b"].to_numpy(np.int64)])
+        blob = t[blob_col].combine_chunks().take(pa.array(idx))
+        out_ids = pa.array(ids[idx])
+        return pa.table({
+            "key": pa.array(buckets),
+            "left": out_ids,
+            "right": out_ids,
+            "blob": blob,
+            "kind": pa.array(np.zeros(len(idx), np.int32)),
+        })
+
+    blob_rows = blob_ds.map_batches(route_blobs, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    edge_rows = ray.data.from_arrow(pa.table({
+        "key": pa.array(eb),
+        "left": pa.array(left_np),
+        "right": pa.array(right_np),
+        "blob": pa.array([b""] * len(pairs), pa.binary()),
+        "kind": pa.array(np.ones(len(pairs), np.int32)),
+    }))
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        isb = g["kind"].to_numpy() == 0
+        lut = dict(zip(g.loc[isb, "left"], g.loc[isb, "blob"]))
+        e = g[~isb]
+        if not len(e):
+            return empty
+        outs = []
+        # chunk the verify so the lexsort working set stays
+        # cache-friendly (8192 pairs x ~600 elements x 16 B)
+        for i in range(0, len(e), 8192):
+            ch = e.iloc[i:i + 8192]
+            outs.append(verify_rows(
+                ch["left"].to_numpy(np.int64),
+                ch["right"].to_numpy(np.int64),
+                ch["left"].map(lut).to_list(),
+                ch["right"].map(lut).to_list()))
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_groups(blob_rows.union(edge_rows), "key",
+                           verify_bucket).to_pandas()
+
+
 def minhash_lsh_dedup(
     ds: ray.data.Dataset,
     text_col: str,
@@ -547,87 +641,14 @@ def minhash_lsh_dedup(
             verify_broadcast, batch_format="pyarrow",
             batch_size=2048).to_pandas()
     else:
-        # shuffle-verify (the 100 TB path): ONE tagged-union bucketed
-        # co-partition, with blobs routed per (id, bucket) -- never per
-        # edge.  Every edge goes to its RIGHT endpoint's hash bucket, so
-        # a right's blob ships exactly once (to its own bucket); a
-        # left's blob ships once per DISTINCT partner bucket (the
-        # driver-computed need list -- edges are already driver-resident
-        # as the candidate list).  The previous two-pass design attached
-        # a blob COPY to every edge and shipped it through BOTH
-        # exchanges: at the 500k-doc scale proof (2.9M pairs, ~1.7 KB
-        # mean blob) that moved ~10 GB of blobs and cost ~300 s; this
-        # single exchange moves ~|cand| + |distinct (left, bucket)|
-        # blobs (~1.1 GB there) regardless of edge multiplicity.
-        from ci_log_processing_ray.ops.window import (
-            _key_buckets, bucketed_groups, resolve_group_buckets)
-
-        n_buckets = resolve_group_buckets()
-        left_np = pairs["left"].to_numpy(np.int64)
-        right_np = pairs["right"].to_numpy(np.int64)
-        eb = _key_buckets(right_np, n_buckets).astype(np.int64)
-        # extra buckets that need a left's blob beyond its own bucket
-        need = pd.DataFrame({"id": left_np, "b": eb}).drop_duplicates()
-        need = need[need["b"].to_numpy() != _key_buckets(
-            need["id"].to_numpy(), n_buckets).astype(np.int64)]
-        need_ref = ray.put(need.reset_index(drop=True))
-
-        def route_blobs(t: pa.Table) -> pa.Table:
-            """One copy to the id's own bucket + one per needed extra
-            bucket (vectorized: a pandas merge against the broadcast
-            need table, one Arrow take for the blob gather)."""
-            needs = ray.get(need_ref)
-            ids = t["a_id"].combine_chunks().to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            own = _key_buckets(ids, n_buckets).astype(np.int64)
-            m = pd.DataFrame(
-                {"id": ids, "_j": np.arange(len(ids), dtype=np.int64)}
-            ).merge(needs, on="id")
-            idx = np.concatenate([np.arange(len(ids), dtype=np.int64),
-                                  m["_j"].to_numpy()])
-            buckets = np.concatenate([own, m["b"].to_numpy(np.int64)])
-            blob = t["sh_a"].combine_chunks().take(pa.array(idx))
-            out_ids = pa.array(ids[idx])
-            return pa.table({
-                "key": pa.array(buckets),
-                "left": out_ids,
-                "right": out_ids,
-                "blob": blob,
-                "kind": pa.array(np.zeros(len(idx), np.int32)),
-            })
-
-        blob_rows = cand_a.map_batches(route_blobs, batch_format="pyarrow",
-                                       zero_copy_batch=True)
-        edge_rows = ray.data.from_arrow(pa.table({
-            "key": pa.array(eb),
-            "left": pa.array(left_np),
-            "right": pa.array(right_np),
-            "blob": pa.array([b""] * len(pairs), pa.binary()),
-            "kind": pa.array(np.ones(len(pairs), np.int32)),
-        }))
-
-        def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            isb = g["kind"].to_numpy() == 0
-            lut = dict(zip(g.loc[isb, "left"], g.loc[isb, "blob"]))
-            e = g[~isb]
-            if not len(e):
-                return pd.DataFrame({"left": pd.Series(dtype=np.int64),
-                                     "right": pd.Series(dtype=np.int64)})
-            outs = []
-            # chunk the verify so the lexsort working set stays
-            # cache-friendly (8192 pairs x ~600 shingles x 16 B)
-            for i in range(0, len(e), 8192):
-                ch = e.iloc[i:i + 8192]
-                outs.append(_verify_jaccard_batch(
-                    ch["left"].to_numpy(np.int64),
-                    ch["right"].to_numpy(np.int64),
-                    ch["left"].map(lut).to_list(),
-                    ch["right"].map(lut).to_list(),
-                    jaccard_threshold).to_pandas())
-            return pd.concat(outs, ignore_index=True)
-
-        edges = bucketed_groups(blob_rows.union(edge_rows), "key",
-                                verify_bucket).to_pandas()
+        # shuffle-verify (the 100 TB path): the shared tagged-union
+        # bucketed co-partition (see _shuffle_verify_pairs)
+        edges = _shuffle_verify_pairs(
+            cand_a, "a_id", "sh_a", pairs,
+            lambda l, r, ba, bb: _verify_jaccard_batch(
+                l, r, ba, bb, jaccard_threshold).to_pandas(),
+            pd.DataFrame({"left": pd.Series(dtype=np.int64),
+                          "right": pd.Series(dtype=np.int64)}))
 
     if len(edges) > driver_edge_cap:
         # distributed closure: component = min reachable id, exactly the
@@ -836,6 +857,46 @@ def _doc_gram_stream(
     return ids, g[keep], d[keep]
 
 
+def _jaccard_pair_stats(left: np.ndarray, right: np.ndarray,
+                        blobs_a, blobs_b,
+                        threshold_pct: int) -> pa.Table:
+    """Exact per-pair (inter, union) over sorted-unique uint64 gram
+    blobs + integer threshold filter; same lexsort pair kernel as
+    _verify_jaccard_batch but keeps the counts (value-hash oracle
+    columns) instead of just the surviving edge."""
+    m = len(left)
+    empty = pa.table({"left_id": pa.array([], pa.int64()),
+                      "right_id": pa.array([], pa.int64()),
+                      "inter": pa.array([], pa.int64()),
+                      "union_sz": pa.array([], pa.int64())})
+    if m == 0:
+        return empty
+    arrs_a = [np.frombuffer(b, np.uint64) for b in blobs_a]
+    arrs_b = [np.frombuffer(b, np.uint64) for b in blobs_b]
+    na = np.fromiter((len(x) for x in arrs_a), np.int64, m)
+    nb = np.fromiter((len(x) for x in arrs_b), np.int64, m)
+    pair_idx = np.concatenate([
+        np.repeat(np.arange(m, dtype=np.int64), na),
+        np.repeat(np.arange(m, dtype=np.int64), nb)])
+    hashes = np.concatenate([
+        np.concatenate(arrs_a) if len(arrs_a) else np.empty(0, np.uint64),
+        np.concatenate(arrs_b) if len(arrs_b) else np.empty(0, np.uint64)])
+    order = np.lexsort((hashes, pair_idx))
+    ps, hs = pair_idx[order], hashes[order]
+    dup = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
+    inter = np.bincount(ps[1:][dup], minlength=m).astype(np.int64)
+    union = na + nb - inter
+    keep = 100 * inter >= threshold_pct * union
+    left = np.asarray(left)
+    right = np.asarray(right)
+    return pa.table({
+        "left_id": pa.array(left[keep].astype(np.int64)),
+        "right_id": pa.array(right[keep].astype(np.int64)),
+        "inter": pa.array(inter[keep]),
+        "union_sz": pa.array(union[keep]),
+    })
+
+
 def prefix_jaccard_pairs(
     ds: ray.data.Dataset,
     text_col: str,
@@ -876,7 +937,11 @@ def prefix_jaccard_pairs(
       C. candidate ids broadcast -> one corpus pass builds sorted gram
          blobs for candidate docs only -> exact intersection counts via
          the lexsort pair kernel -> integer threshold filter
-         (100*inter >= threshold_pct*union; value-hash safe).
+         (100*inter >= threshold_pct*union; value-hash safe).  Under
+         ``broadcast_cand_cap`` candidates the blob table ships once as
+         a broadcast dict; above it the verify rides the shared
+         :func:`_shuffle_verify_pairs` tagged-union co-partition (the
+         minhash 100 TB path) -- both paths equality-tested.
 
     Returns (left_id, right_id, inter, union_sz), left_id < right_id.
     """
@@ -972,12 +1037,6 @@ def prefix_jaccard_pairs(
     # ---- pass C: exact verify on candidate docs only -----------------
     cand = np.unique(np.concatenate(
         [pairs["left"].to_numpy(np.int64), pairs["right"].to_numpy(np.int64)]))
-    if len(cand) > broadcast_cand_cap:
-        # same escape hatch as minhash_lsh_dedup: route blobs through the
-        # tagged-union bucketed co-partition instead of a broadcast dict
-        raise NotImplementedError(
-            "candidate set exceeds broadcast cap; use minhash_lsh_dedup's "
-            "shuffle-verify or raise broadcast_cand_cap")
     cand_ref = ray.put(cand)
 
     def cand_blobs(t: pa.Table) -> pa.Table:
@@ -997,8 +1056,24 @@ def prefix_jaccard_pairs(
                               for i in sel], pa.binary()),
         })
 
-    blob_tbl = (ds.map_batches(cand_blobs, batch_format="pyarrow",
-                               batch_size=4096).to_pandas())
+    blob_ds = ds.map_batches(cand_blobs, batch_format="pyarrow",
+                             batch_size=4096)
+    pairs2 = pairs[["left", "right"]].astype(
+        {"left": np.int64, "right": np.int64})
+    if len(cand) > broadcast_cand_cap:
+        # 100 TB path: shared tagged-union bucketed co-partition
+        out = _shuffle_verify_pairs(
+            blob_ds, "a_id", "blob", pairs2,
+            lambda l, r, ba, bb: _jaccard_pair_stats(
+                l, r, ba, bb, threshold_pct).to_pandas(),
+            pd.DataFrame({"left_id": pd.Series(dtype=np.int64),
+                          "right_id": pd.Series(dtype=np.int64),
+                          "inter": pd.Series(dtype=np.int64),
+                          "union_sz": pd.Series(dtype=np.int64)}))
+        return out.sort_values(["left_id", "right_id"]).reset_index(
+            drop=True)
+
+    blob_tbl = blob_ds.to_pandas()
     blob_ref = ray.put(dict(zip(blob_tbl["a_id"].to_numpy(),
                                 blob_tbl["blob"].to_numpy())))
     try:
@@ -1006,36 +1081,15 @@ def prefix_jaccard_pairs(
     except Exception:
         cpus = 8
     n_parts = max(1, min(2 * cpus, len(pairs) // 1024 + 1))
-    pairs_ds = ray.data.from_pandas(
-        pairs.astype({"left": np.int64, "right": np.int64})
-    ).repartition(n_parts)
+    pairs_ds = ray.data.from_pandas(pairs2).repartition(n_parts)
 
     def verify(t: pa.Table) -> pa.Table:
         lut = ray.get(blob_ref)
         left = t["left"].to_numpy()
         right = t["right"].to_numpy()
-        m = len(left)
-        arrs_a = [np.frombuffer(lut[x], np.uint64) for x in left]
-        arrs_b = [np.frombuffer(lut[x], np.uint64) for x in right]
-        na = np.fromiter((len(x) for x in arrs_a), np.int64, m)
-        nb = np.fromiter((len(x) for x in arrs_b), np.int64, m)
-        pair_idx = np.concatenate([
-            np.repeat(np.arange(m, dtype=np.int64), na),
-            np.repeat(np.arange(m, dtype=np.int64), nb)])
-        hashes = np.concatenate(
-            [np.concatenate(arrs_a), np.concatenate(arrs_b)])
-        order = np.lexsort((hashes, pair_idx))
-        ps, hs = pair_idx[order], hashes[order]
-        dup = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
-        inter = np.bincount(ps[1:][dup], minlength=m).astype(np.int64)
-        union = na + nb - inter
-        keep = 100 * inter >= threshold_pct * union
-        return pa.table({
-            "left_id": pa.array(left[keep].astype(np.int64)),
-            "right_id": pa.array(right[keep].astype(np.int64)),
-            "inter": pa.array(inter[keep]),
-            "union_sz": pa.array(union[keep]),
-        })
+        return _jaccard_pair_stats(left, right,
+                                   [lut[x] for x in left],
+                                   [lut[x] for x in right], threshold_pct)
 
     out = pairs_ds.map_batches(verify, batch_format="pyarrow",
                                batch_size=2048).to_pandas()

@@ -913,6 +913,10 @@ def test_prefix_jaccard_matches_bruteforce(ray_session):
     assert len(out2) == 0
     assert list(out2.columns) == ["left_id", "right_id", "inter",
                                   "union_sz"]
+    # shuffle-verify (100 TB) path must equal the broadcast path
+    shuf = prefix_jaccard_pairs(ds, "text", "doc_id", n=3,
+                                threshold_pct=50, broadcast_cand_cap=0)
+    pd.testing.assert_frame_equal(got, shuf)
 
 
 # ---------------------------------------------------------------------------
