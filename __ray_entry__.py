@@ -3679,6 +3679,32 @@ def q_moving_sum(sf_dir: str):
     return _ts_us(out)
 
 
+def q_skyline(sf_dir: str):
+    """Per-brand 2-D skyline / Pareto frontier
+    (ops/relational.py:skyline_2d): parts not dominated within their
+    brand by any cheaper-or-equal part of >= size (one strict).  Local
+    per-block skyline shrinks the corpus to frontier-sized candidates
+    BEFORE the single hash(group) exchange (Borzsonyi ICDE'01
+    divide-and-conquer closure), so shuffle volume is bounded by
+    #blocks x frontier width at any corpus size."""
+    from ci_log_processing_ray.ops.relational import skyline_2d
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size",
+                                "p_retailprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "p_brand": t["p_brand"],
+            "p_size": pc.cast(t["p_size"], pa.int64()),
+            "retail_cents": _cents(t["p_retailprice"]),
+        })
+
+    return skyline_2d(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "p_brand", "retail_cents", "p_size")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3850,6 +3876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_sample": q_rate_sample,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
+        "skyline": q_skyline,
     }
 
 
@@ -5461,4 +5488,20 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(ws) >= 5)
             SELECT gram, count(*) AS df
             FROM g GROUP BY gram HAVING count(*) >= 2""",
+        "skyline": """
+            WITH p AS (
+                SELECT p_partkey, p_brand,
+                       CAST(p_size AS BIGINT) AS p_size,
+                       CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                           AS retail_cents
+                FROM part)
+            SELECT p.p_partkey, p.p_brand, p.p_size, p.retail_cents
+            FROM p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p q
+                WHERE q.p_brand = p.p_brand
+                  AND q.retail_cents <= p.retail_cents
+                  AND q.p_size >= p.p_size
+                  AND (q.retail_cents < p.retail_cents
+                       OR q.p_size > p.p_size))""",
     }

@@ -698,3 +698,122 @@ def auto_salted_join(
     return salted_fact.join(
         salted_dim, "inner", num_partitions=n_part,
         on=(fact_key, "_salt"), right_on=(dim_key, "_salt"))
+
+
+def _grouped_prefix_max(vals: np.ndarray, group_ids: np.ndarray) -> np.ndarray:
+    """Inclusive running max of ``vals`` within contiguous ``group_ids``
+    runs (int64 both), fully vectorized via the order-encode trick:
+    ``enc = gid * range + (val - min)`` makes every element of group g
+    larger than every element of any earlier group, so one global
+    ``np.maximum.accumulate`` never leaks a previous group's max.  Falls
+    back to per-group slices if the encoding would overflow int64 (huge
+    value range x many groups) -- the fallback loops over GROUPS, not
+    rows, and callers only hit it on frontier-sized candidate sets."""
+    if len(vals) == 0:
+        return vals.astype(np.int64)
+    lo = int(vals.min())
+    rng = int(vals.max()) - lo + 1
+    n_groups = int(group_ids[-1]) + 1
+    if n_groups * rng < (1 << 62):
+        enc = group_ids * rng + (vals - lo)
+        return np.maximum.accumulate(enc) - group_ids * rng + lo
+    out = np.empty(len(vals), np.int64)
+    starts = np.flatnonzero(np.diff(group_ids, prepend=group_ids[0] - 1))
+    bounds = np.append(starts, len(vals))
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        np.maximum.accumulate(vals[a:b], out=out[a:b])
+    return out
+
+
+def _skyline_keep_mask(group: np.ndarray, minimize: np.ndarray,
+                       maximize: np.ndarray) -> np.ndarray:
+    """Keep mask for the grouped 2-D skyline: row p is DOMINATED within
+    its group iff some q has minimize <= and maximize >= with one strict,
+    i.e. ``(M_lt >= s) | (M_le > s)`` where M_lt / M_le are the group's
+    max of ``maximize`` over rows with strictly-smaller / <= ``minimize``.
+    One lexsort + segment reduceat + grouped prefix max -- no Python
+    per-row work.  Ties (identical points) dominate neither way and are
+    all kept, matching the NOT EXISTS oracle."""
+    n = len(group)
+    if n == 0:
+        return np.zeros(0, bool)
+    _, gid = np.unique(group, return_inverse=True)
+    gid = gid.astype(np.int64)
+    c = minimize.astype(np.int64)
+    s = maximize.astype(np.int64)
+    order = np.lexsort((c, gid))
+    gs, cs, ss = gid[order], c[order], s[order]
+    new_seg = np.empty(n, bool)
+    new_seg[0] = True
+    new_seg[1:] = (gs[1:] != gs[:-1]) | (cs[1:] != cs[:-1])
+    seg_starts = np.flatnonzero(new_seg)
+    seg_max = np.maximum.reduceat(ss, seg_starts)
+    seg_gid = gs[seg_starts]
+    m_le = _grouped_prefix_max(seg_max, seg_gid)
+    first_of_group = np.empty(len(seg_starts), bool)
+    first_of_group[0] = True
+    first_of_group[1:] = seg_gid[1:] != seg_gid[:-1]
+    m_lt = np.empty_like(m_le)
+    m_lt[0] = np.iinfo(np.int64).min
+    m_lt[1:] = m_le[:-1]
+    m_lt[first_of_group] = np.iinfo(np.int64).min
+    row_seg = np.cumsum(new_seg) - 1
+    dominated_sorted = (m_lt[row_seg] >= ss) | (m_le[row_seg] > ss)
+    keep = np.empty(n, bool)
+    keep[order] = ~dominated_sorted
+    return keep
+
+
+def skyline_2d(
+    ds: ray.data.Dataset,
+    group_col: str,
+    min_col: str,
+    max_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Grouped 2-D skyline (Pareto frontier): within each ``group_col``
+    value, keep rows NOT dominated by another row with ``min_col`` <=
+    and ``max_col`` >= (at least one strict).  Integer columns required
+    so the result matches a DuckDB NOT EXISTS oracle bit-for-bit.
+
+    Distributed plan (Borzsonyi et al. ICDE'01, "The Skyline Operator"
+    divide-and-conquer property): skyline(A u B) is a subset of
+    skyline(A) u skyline(B), and every dominated point has a dominator
+    that itself survives locally (strict-dominance chains are finite),
+    so
+
+      stage 1: per-BLOCK local skyline via the vectorized mask -- the
+               corpus shrinks to frontier-sized candidates before any
+               data moves;
+      stage 2: one hash(group) coarse exchange of the candidates
+               (ops/window.py:bucketed_groups, cluster-aware bucket
+               count) + the same kernel per bucket for the exact global
+               answer.
+
+    The exchange carries only local frontiers -- at 100 TB the shuffle
+    volume is bounded by (#blocks x frontier width), not corpus size.
+    Skew note: one group never spans buckets, so a pathological group
+    whose frontier itself is huge would need a min_col range split; log
+    data's frontiers are tiny (documented assumption).
+    """
+
+    def local(t: pa.Table) -> pa.Table:
+        keep = _skyline_keep_mask(
+            t[group_col].combine_chunks().to_numpy(zero_copy_only=False),
+            t[min_col].combine_chunks().to_numpy(zero_copy_only=False),
+            t[max_col].combine_chunks().to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(keep))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keep = _skyline_keep_mask(g[group_col].to_numpy(),
+                                  g[min_col].to_numpy(),
+                                  g[max_col].to_numpy())
+        return g[keep]
+
+    from .window import bucketed_groups
+
+    candidates = ds.map_batches(local, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return bucketed_groups(candidates, group_col, per_bucket,
+                           n_buckets=n_buckets)

@@ -247,3 +247,36 @@ def test_minmax_scale_matches_bruteforce(ray_session, data, parts):
         lo, hi = grp.min(), grp.max()
         want = 0 if hi == lo else (row.x - lo) * 1000 // (hi - lo)
         assert row.s == want
+
+
+@given(data=st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+                               st.integers(min_value=0, max_value=10),
+                               st.integers(min_value=0, max_value=10)),
+                     min_size=1, max_size=60),
+       parts=st.integers(min_value=1, max_value=4))
+@SET
+def test_skyline_matches_bruteforce(ray_session, data, parts):
+    from ci_log_processing_ray.ops.relational import skyline_2d
+
+    df = pd.DataFrame({"g": [f"B{d[0]}" for d in data],
+                       "c": np.array([d[1] for d in data], np.int64),
+                       "s": np.array([d[2] for d in data], np.int64),
+                       "rid": np.arange(len(data), dtype=np.int64)})
+    out = skyline_2d(_ds(df, parts), "g", "c", "s").to_pandas()
+    kept = set(out["rid"])
+    for i, (gk, c, s) in enumerate(data):
+        dominated = any(
+            data[j][0] == gk and data[j][1] <= c and data[j][2] >= s
+            and (data[j][1] < c or data[j][2] > s)
+            for j in range(len(data)))
+        assert (i in kept) == (not dominated), (i, dominated)
+
+
+def test_skyline_overflow_fallback_path():
+    from ci_log_processing_ray.ops.relational import _skyline_keep_mask
+
+    g = np.zeros(4, np.int64)
+    c = np.arange(4, dtype=np.int64)
+    s = np.array([1 << 61, 5, 1 << 60, 7], np.int64)
+    keep = _skyline_keep_mask(g, c, s)
+    assert keep.tolist() == [True, False, False, False]
