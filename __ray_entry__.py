@@ -3705,6 +3705,32 @@ def q_skyline(sf_dir: str):
         "p_brand", "retail_cents", "p_size")
 
 
+def q_zorder_cells(sf_dir: str):
+    """Z-order (Morton) clustering key over events
+    (ops/layout.py:zorder_cell_counts): interleave hour-of-day with the
+    capped integer value into the space-filling-curve cell and count
+    rows per cell.  The bit-spread is five vectorized shift-mask passes
+    per dimension; per-block bincount partials collapse each block to
+    vocabulary-sized (zcell, n) rows before the only exchange.  The
+    same key drives ops/layout.py:zorder_sort (Delta/Iceberg OPTIMIZE
+    ZORDER layout) -- range-partitioned sort, block stats tight in BOTH
+    dimensions."""
+    from ci_log_processing_ray.ops.layout import zorder_cell_counts
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": pc.cast(pc.hour(t["ts"]), pa.int64()),
+            "y": pc.cast(pc.min_element_wise(
+                pc.floor(t["value"].combine_chunks()), 255.0), pa.int64()),
+        })
+
+    return zorder_cell_counts(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "x", "y")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3877,6 +3903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
         "skyline": q_skyline,
+        "zorder_cells": q_zorder_cells,
     }
 
 
@@ -5504,4 +5531,19 @@ def oracle_sql() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.retail_cents < p.retail_cents
                        OR q.p_size > p.p_size))""",
+        "zorder_cells": """
+            WITH e AS (
+                SELECT CAST(hour(ts) AS BIGINT) AS x,
+                       LEAST(CAST(floor(value) AS BIGINT), 255) AS y
+                FROM events),
+            s1 AS (SELECT ((x | (x << 8)) & 16711935) AS xa,
+                          ((y | (y << 8)) & 16711935) AS ya FROM e),
+            s2 AS (SELECT ((xa | (xa << 4)) & 252645135) AS xb,
+                          ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+            s3 AS (SELECT ((xb | (xb << 2)) & 858993459) AS xc,
+                          ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+            s4 AS (SELECT ((xc | (xc << 1)) & 1431655765) AS xd,
+                          ((yc | (yc << 1)) & 1431655765) AS yd FROM s3)
+            SELECT (xd | (yd << 1)) AS zcell, count(*) AS n
+            FROM s4 GROUP BY 1""",
     }

@@ -2447,3 +2447,40 @@ def test_kmeans_checkpoint_resume(ray_session, tmp_path):
                       checkpoint_dir=ck)
     assert np.allclose(sorted(map(tuple, ref_c)),
                        sorted(map(tuple, res_c)))
+
+
+def test_morton2_matches_bit_reference():
+    from ci_log_processing_ray.ops.layout import morton2
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1 << 16, 200)
+    y = rng.integers(0, 1 << 16, 200)
+    got = morton2(x, y)
+    assert got.tolist() == [ref(int(a), int(b)) for a, b in zip(x, y)]
+
+
+def test_zorder_sort_clusters_blocks(ray_session):
+    from ci_log_processing_ray.ops.layout import morton2, zorder_sort
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"x": rng.integers(0, 256, 4096),
+                       "y": rng.integers(0, 256, 4096)})
+    out = zorder_sort(ray.data.from_pandas(df).repartition(8),
+                      "x", "y").to_pandas()
+    z = out["zkey"].to_numpy()
+    assert (np.diff(z) >= 0).all()
+    assert sorted(z.tolist()) == sorted(
+        morton2(df["x"].to_numpy(), df["y"].to_numpy()).tolist())
+    # layout property: a z-contiguous eighth of the data spans a far
+    # smaller (x, y) bounding box than the unclustered input
+    eighth = out.iloc[: len(out) // 8]
+    area = ((eighth["x"].max() - eighth["x"].min() + 1)
+            * (eighth["y"].max() - eighth["y"].min() + 1))
+    assert area <= 256 * 256 // 4
