@@ -497,6 +497,98 @@ def main() -> None:
         ray.shutdown()
 
 
+CORPUS_SKY = "/tmp/skyline_scale_v1"
+SKY_GROUPS = 256
+SKY_F = 64          # frontier points per group
+SKY_B = 1024        # staircase step
+SKY_FILLERS = 20_000_000
+
+
+def build_skyline_corpus() -> int:
+    """Deterministic 20M-row (g, c, s) table with a PLANTED frontier.
+
+    A minimize-c / maximize-s frontier is an antichain, so s must
+    INCREASE with c: each group's planted skyline is the staircase
+    (c = i*B, s = (i+1)*B).  Every filler sits strictly below the step
+    at its own c (s < (c // B + 1) * B), so it is dominated by frontier
+    point c // B and can dominate no frontier point j >= c // B (that
+    would need s >= (j+1)*B).  Closed-form truth: the skyline is
+    EXACTLY the GROUPS x F planted points.  Frontier points are
+    scattered round-robin across shards so the global merge is
+    genuinely cross-block.
+    """
+    import numpy as np
+
+    marker = os.path.join(CORPUS_SKY, ".done")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)["n_rows"]
+    os.makedirs(CORPUS_SKY, exist_ok=True)
+    fg = np.repeat(np.arange(SKY_GROUPS, dtype=np.int64), SKY_F)
+    fi = np.tile(np.arange(SKY_F, dtype=np.int64), SKY_GROUPS)
+    fc = fi * SKY_B
+    fs = (fi + 1) * SKY_B
+    fshard = (fg * SKY_F + fi) % N_SHARDS
+    per_shard = SKY_FILLERS // N_SHARDS
+    n_rows = 0
+    for shard in range(N_SHARDS):
+        rng = np.random.default_rng(9000 + shard)
+        g = rng.integers(0, SKY_GROUPS, per_shard).astype(np.int64)
+        c = rng.integers(0, SKY_F * SKY_B, per_shard).astype(np.int64)
+        s = rng.integers(0, 1 << 62, per_shard) % ((c // SKY_B + 1) * SKY_B)
+        m = fshard == shard
+        out = pa.table({
+            "g": pa.array(np.concatenate([g, fg[m]])),
+            "c": pa.array(np.concatenate([c, fc[m]])),
+            "s": pa.array(np.concatenate([s, fs[m]]))})
+        tmp = os.path.join(CORPUS_SKY, f".tmp-{shard:04d}.parquet")
+        pq.write_table(out, tmp)
+        os.replace(tmp,
+                   os.path.join(CORPUS_SKY, f"part-{shard:04d}.parquet"))
+        n_rows += len(out)
+    with open(marker, "w") as f:
+        json.dump({"n_rows": n_rows}, f)
+    return n_rows
+
+
+def main_skyline() -> None:
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    n_rows = build_skyline_corpus()
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.relational import skyline_2d
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        t0 = time.perf_counter()
+        out = skyline_2d(
+            ray.data.read_parquet(CORPUS_SKY), "g", "c", "s").to_pandas()
+        sec = time.perf_counter() - t0
+
+        assert len(out) == SKY_GROUPS * SKY_F, len(out)
+        c = out["c"].to_numpy()
+        s = out["s"].to_numpy()
+        assert (c % SKY_B == 0).all()
+        assert (s == (c // SKY_B + 1) * SKY_B).all()
+
+        print(json.dumps({
+            "n_rows": n_rows,
+            "num_cpus": NCPU,
+            "ops": {"skyline_2d": {
+                "sec": round(sec, 2),
+                "rows_per_sec": round(n_rows / sec),
+                "out_rows": len(out)}},
+        }))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -504,5 +596,7 @@ if __name__ == "__main__":
         main_embeddings()
     elif len(sys.argv) > 1 and sys.argv[1] == "graph":
         main_graph()
+    elif len(sys.argv) > 1 and sys.argv[1] == "skyline":
+        main_skyline()
     else:
         main()
