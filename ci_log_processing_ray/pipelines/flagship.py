@@ -92,10 +92,16 @@ def build_routed(
     # Ray split blocks MID-FILE at row granularity).  Skew is handled
     # at the LAYOUT level instead: the corpus writer spreads a hot
     # build's files across shards, so no single file dominates.
+    # the read must request the SAME num_cpus as the map chain or Ray
+    # will not fuse it in -- a separate ReadParquet operator ships the
+    # whole decoded corpus (~1 GB at sf0.1) through the object store
+    # between read and parse.  Fused: one operator, zero hop; measured
+    # 2.97 s -> 2.30 s at sf0.1/32 CPUs, identical outputs.
     ds = ray.data.read_parquet(
         paths,
         include_paths=track_partitions,
         override_num_blocks=len(paths),
+        ray_remote_args={"num_cpus": hcpu},
     )
     if track_partitions:
         ds = _attach_partition_ids(ds, list(input_paths), num_cpus=hcpu)
