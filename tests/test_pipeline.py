@@ -333,3 +333,19 @@ def test_partial_failure_resume(ray_session, corpus_dir, tmp_path):
         for p in glob.glob(os.path.join(out, "routed", "**", "*.parquet"),
                            recursive=True))
     assert ondisk == sum(want.values())
+
+
+def test_flagship_plan_fuses_read(ray_session, corpus_dir):
+    """The read must fuse into the map chain (same num_cpus request on
+    every stage): a separate ReadParquet operator re-ships the whole
+    decoded corpus through the object store (measured 2.97 -> 2.30 s at
+    sf0.1/32 when fusion landed).  Guard the plan shape, not timings."""
+    _, info = corpus_dir
+    meta = load_build_meta(info["paths"]["build_meta"])
+    ds = build_routed([info["paths"]["token_sequences"]], meta, CFG,
+                      track_partitions=False).materialize()
+    ops = [line.split(":")[0].split(" ", 2)[-1]
+           for line in ds.stats().splitlines()
+           if line.startswith("Operator")]
+    read_ops = [o for o in ops if "ReadParquet" in o]
+    assert read_ops and all("->" in o for o in read_ops), ops
