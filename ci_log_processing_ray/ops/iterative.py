@@ -592,9 +592,17 @@ def bfs_hops(
         from ci_log_processing_ray.ops.window import resolve_group_buckets
 
         nb = resolve_group_buckets(n_buckets)
+        # adaptive fold width: the fold's inputs are bounded by reached
+        # nodes + the frontier's neighbor volume; for sub-50k frontiers
+        # the full cluster-wide fan-out is pure per-task scheduling cost
+        # (dist is materialized, so count() is free metadata).  Large
+        # frontiers keep the full width -- a hub-heavy expansion then
+        # still spreads across every bucket.
+        nb_round = nb if max(n_front, dist.count()) > 50_000 \
+            else max(16, nb // 8)
         dist = (bucketed_groups(dist.union(cand), "node", min_kern,
-                                n_buckets=nb)
-                .repartition(nb)
+                                n_buckets=nb_round)
+                .repartition(nb_round)
                 .materialize())
         frontier = dist.filter(expr=f"hops == {r + 1}")
 
