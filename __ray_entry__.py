@@ -3705,6 +3705,31 @@ def q_skyline(sf_dir: str):
         "p_brand", "retail_cents", "p_size")
 
 
+def q_dominance_count(sf_dir: str):
+    """Per-part Pareto dominance count within its brand
+    (ops/relational.py:dominance_count_2d): how many same-brand parts
+    are cheaper-or-equal AND larger-or-equal (one strict) -- 0 marks
+    the skyline.  One hash(group) exchange + the vectorized
+    compressed-grid counting kernel (bincount + two directional
+    cumsums), no per-row Python."""
+    from ci_log_processing_ray.ops.relational import dominance_count_2d
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size",
+                                "p_retailprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "p_brand": t["p_brand"],
+            "p_size": pc.cast(t["p_size"], pa.int64()),
+            "retail_cents": _cents(t["p_retailprice"]),
+        })
+
+    return dominance_count_2d(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "p_brand", "retail_cents", "p_size")
+
+
 def q_zorder_cells(sf_dir: str):
     """Z-order (Morton) clustering key over events
     (ops/layout.py:zorder_cell_counts): interleave hour-of-day with the
@@ -3904,6 +3929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_counts": q_flagship_counts,
         "skyline": q_skyline,
         "zorder_cells": q_zorder_cells,
+        "dominance_count": q_dominance_count,
     }
 
 
@@ -5546,4 +5572,19 @@ def oracle_sql() -> dict[str, str]:
                           ((yc | (yc << 1)) & 1431655765) AS yd FROM s3)
             SELECT (xd | (yd << 1)) AS zcell, count(*) AS n
             FROM s4 GROUP BY 1""",
+        "dominance_count": """
+            WITH p AS (
+                SELECT p_partkey, p_brand,
+                       CAST(p_size AS BIGINT) AS p_size,
+                       CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                           AS retail_cents
+                FROM part)
+            SELECT p.p_partkey, p.p_brand, p.p_size, p.retail_cents,
+                   (SELECT count(*) FROM p q
+                    WHERE q.p_brand = p.p_brand
+                      AND q.retail_cents <= p.retail_cents
+                      AND q.p_size >= p.p_size
+                      AND (q.retail_cents < p.retail_cents
+                           OR q.p_size > p.p_size)) AS n_dominators
+            FROM p""",
     }

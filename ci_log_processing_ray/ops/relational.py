@@ -817,3 +817,57 @@ def skyline_2d(
                                 zero_copy_batch=True)
     return bucketed_groups(candidates, group_col, per_bucket,
                            n_buckets=n_buckets)
+
+
+def _dominance_counts(minimize: np.ndarray,
+                      maximize: np.ndarray) -> np.ndarray:
+    """Per-row count of rows (same group, caller pre-partitions) that
+    DOMINATE it: minimize <= and maximize >= with one strict.  Exact
+    2-D dominance counting on the compressed value grid: one bincount
+    + a prefix-cumsum along the minimize axis + a suffix-cumsum along
+    the maximize axis; exact (c, s) ties are subtracted (equal points
+    dominate neither way).  Memory contract: one group's
+    distinct-minimize x distinct-maximize grid must fit a worker --
+    pre-bucket continuous dimensions (same contract as zorder cells)."""
+    c = minimize.astype(np.int64)
+    s = maximize.astype(np.int64)
+    cu, ci = np.unique(c, return_inverse=True)
+    su, si = np.unique(s, return_inverse=True)
+    grid = np.bincount(ci * len(su) + si,
+                       minlength=len(cu) * len(su)).reshape(
+                           len(cu), len(su))
+    acc = np.cumsum(grid, axis=0)              # minimize <=
+    acc = acc[:, ::-1].cumsum(axis=1)[:, ::-1]  # maximize >=
+    return acc[ci, si] - grid[ci, si]
+
+
+def dominance_count_2d(
+    ds: ray.data.Dataset,
+    group_col: str,
+    min_col: str,
+    max_col: str,
+    *,
+    out_col: str = "n_dominators",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-row Pareto dominance count within each group (0 = on the
+    skyline): the NSGA-style rank signal for two-objective selection
+    (e.g. keep documents least dominated on (cost, quality)).  Unlike
+    :func:`skyline_2d` the answer for EVERY row depends on its whole
+    group, so there is no local-closure shrink: ONE hash(group) coarse
+    exchange co-locates each group, then the vectorized grid kernel
+    counts dominators with no per-row Python.  Group count is assumed
+    vocabulary-shaped (the per-bucket kernel dispatches per group);
+    a single huge group is bounded by the grid contract above."""
+    from .window import bucketed_groups
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        out[out_col] = np.int64(0)
+        for _, idx in g.groupby(group_col, sort=False).indices.items():
+            out.iloc[idx, out.columns.get_loc(out_col)] = \
+                _dominance_counts(g[min_col].to_numpy()[idx],
+                                  g[max_col].to_numpy()[idx])
+        return out
+
+    return bucketed_groups(ds, group_col, per_bucket, n_buckets=n_buckets)

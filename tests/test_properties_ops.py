@@ -280,3 +280,27 @@ def test_skyline_overflow_fallback_path():
     s = np.array([1 << 61, 5, 1 << 60, 7], np.int64)
     keep = _skyline_keep_mask(g, c, s)
     assert keep.tolist() == [True, False, False, False]
+
+
+@given(data=st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+                               st.integers(min_value=0, max_value=8),
+                               st.integers(min_value=0, max_value=8)),
+                     min_size=1, max_size=50),
+       parts=st.integers(min_value=1, max_value=4))
+@SET
+def test_dominance_count_matches_bruteforce(ray_session, data, parts):
+    from ci_log_processing_ray.ops.relational import dominance_count_2d
+
+    df = pd.DataFrame({"g": [f"B{d[0]}" for d in data],
+                       "c": np.array([d[1] for d in data], np.int64),
+                       "s": np.array([d[2] for d in data], np.int64),
+                       "rid": np.arange(len(data), dtype=np.int64)})
+    out = dominance_count_2d(_ds(df, parts), "g", "c", "s").to_pandas()
+    got = dict(zip(out["rid"], out["n_dominators"]))
+    for i, (gk, c, s) in enumerate(data):
+        want = sum(1 for j in range(len(data))
+                   if data[j][0] == gk and data[j][1] <= c
+                   and data[j][2] >= s and (data[j][1] < c
+                                            or data[j][2] > s))
+        assert got[i] == want
+        # consistency: zero dominators <=> on the skyline
