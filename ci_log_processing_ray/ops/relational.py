@@ -623,14 +623,26 @@ def auto_salted_join(
     hot_permille: int = 10,
     n_salt: int = 8,
     num_partitions: int | None = None,
+    partition_budget_factor: int = 2,
 ) -> "ray.data.Dataset":
     """Adaptive skew defense: MEASURE the fact side's key histogram
-    first, then salt ONLY keys holding more than ``hot_permille``/1000
-    of the rows -- hot keys spread over ``n_salt`` sub-partitions, cold
+    first, then salt ONLY keys that would actually overflow a reduce
+    partition -- hot keys spread over ``n_salt`` sub-partitions, cold
     keys keep salt 0, and the dim side replicates only its hot rows.
     Result rows are exactly the plain inner join's; the cost of
     salting (dim replication + wider shuffle key) is paid only where
     skew exists.
+
+    A key is hot when its rows exceed BOTH ``hot_permille``/1000 of
+    the total AND ``partition_budget_factor`` x the mean partition
+    load (``total / num_partitions``).  The second term is what the
+    50M-row scale proof taught: keys at 4% of a 50M-row fact side fit
+    a 32-way hash partition comfortably, and the salted plan (wider
+    shuffle key, histogram pass) measured ~3x SLOWER than the plain
+    join it was defending -- salting pays only past the partition
+    budget.  When nothing crosses it, the plain inner join runs
+    directly (no salt columns at all).  Set
+    ``partition_budget_factor=0`` to force share-based detection.
 
     The hot set is bounded by construction (at most 1000/hot_permille
     keys), so its broadcast is always tiny; detection is one
@@ -646,12 +658,16 @@ def auto_salted_join(
         g = tt.group_by(fact_key).aggregate([("_n", "sum")])
         return pa.table({fact_key: g[fact_key], "_n": g["_n_sum"]})
 
+    n_part = num_partitions or max(
+        2, int(ray.cluster_resources().get("CPU", 8)) // 2)
     per_key = bucketed_sum(
         fact.map_batches(count_partial, batch_format="pyarrow",
                          zero_copy_batch=True),
         [fact_key], ["_n"]).materialize()
     total = int(per_key.sum("_n") or 0)
-    cutoff = max(1, total * hot_permille // 1000)
+    cutoff = max(1, total * hot_permille // 1000,
+                 (partition_budget_factor * total) // n_part
+                 if partition_budget_factor else 0)
 
     def hot_partial(df: pd.DataFrame) -> pd.DataFrame:
         if "_n" not in df.columns:  # empty bucket block (schema-less)
@@ -663,6 +679,11 @@ def auto_salted_join(
     # a skew-free input has NO hot keys; the empty frame loses columns
     hot = (hot_df[fact_key].to_numpy() if fact_key in hot_df.columns
            else np.array([], dtype=np.int64))
+    if len(hot) == 0:
+        # nothing crosses the partition budget: the plain hash join IS
+        # the fast plan -- no salt column, no dim replication
+        return fact.join(dim, "inner", num_partitions=n_part,
+                         on=(fact_key,), right_on=(dim_key,))
     hot_ref = ray.put(np.sort(hot))
 
     def add_salt(t: pa.Table) -> pa.Table:
@@ -684,17 +705,17 @@ def auto_salted_join(
         reps = np.where(is_hot, n_salt, 1).astype(np.int64)
         idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), reps))
         rep = t.take(idx)
-        salt = np.concatenate([
-            np.arange(r, dtype=np.int64) for r in reps]) \
-            if len(t) else np.array([], np.int64)
+        # position within each repeat run, vectorized (the per-row
+        # np.arange list comprehension this replaces was a Python loop
+        # over every dim row -- measured dominating a 1M-row dim side)
+        starts = np.repeat(np.cumsum(reps) - reps, reps)
+        salt = np.arange(int(reps.sum()), dtype=np.int64) - starts
         return rep.append_column("_salt", pa.array(salt))
 
     salted_fact = fact.map_batches(add_salt, batch_format="pyarrow",
                                    zero_copy_batch=True)
     salted_dim = dim.map_batches(replicate_hot, batch_format="pyarrow",
                                  zero_copy_batch=True)
-    n_part = num_partitions or max(
-        2, int(ray.cluster_resources().get("CPU", 8)) // 2)
     return salted_fact.join(
         salted_dim, "inner", num_partitions=n_part,
         on=(fact_key, "_salt"), right_on=(dim_key, "_salt"))

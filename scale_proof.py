@@ -589,6 +589,145 @@ def main_skyline() -> None:
         ray.shutdown()
 
 
+CORPUS_J = "/tmp/join_scale_v1"
+J_DIM_KEYS = 1_000_000
+J_HOT_KEYS = 5
+J_HOT_ROWS = 2_000_000       # per hot key
+J_COLD_ROWS = 40_000_000
+
+
+def build_join_corpus() -> dict:
+    """Deterministic 50M-row fact / 1M-row dim join corpus with PLANTED
+    skew: keys 0..4 hold 2M fact rows EACH (10M rows on 5 keys -- the
+    hot-CI-job shape the north rule names), the other 40M rows are
+    uniform over [0, 1M).  fact_val = 3k+1, dim_val = 7k+2, so the
+    joined sum(fact_val + dim_val) = sum over fact rows of (10k + 3)
+    -- a closed form accumulated exactly (Python ints) at build time.
+    """
+    import numpy as np
+
+    marker = os.path.join(CORPUS_J, ".done")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    os.makedirs(CORPUS_J, exist_ok=True)
+    # dim: 8 shards of 125k keys
+    dim_shards = 8
+    per = J_DIM_KEYS // dim_shards
+    for shard in range(dim_shards):
+        k = np.arange(shard * per, (shard + 1) * per, dtype=np.int64)
+        out = pa.table({"dkey": pa.array(k),
+                        "dim_val": pa.array(7 * k + 2)})
+        tmp = os.path.join(CORPUS_J, f".tmp-dim-{shard:04d}.parquet")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(CORPUS_J, f"dim-{shard:04d}.parquet"))
+    # fact: hot rows spread across every shard (a hot CI job's logs land
+    # on many input files; the skew shows up at the JOIN key, not the
+    # file layout)
+    key_sum = 0
+    n_rows = 0
+    hot_per_shard = J_HOT_ROWS // N_SHARDS
+    cold_per_shard = J_COLD_ROWS // N_SHARDS
+    for shard in range(N_SHARDS):
+        rng = np.random.default_rng(11000 + shard)
+        hot = np.repeat(np.arange(J_HOT_KEYS, dtype=np.int64),
+                        hot_per_shard)
+        cold = rng.integers(0, J_DIM_KEYS, cold_per_shard).astype(np.int64)
+        k = np.concatenate([hot, cold])
+        rid = (np.arange(len(k), dtype=np.int64)
+               + shard * (len(k) + 7))  # unique-ish salt source
+        out = pa.table({"key": pa.array(k),
+                        "fact_val": pa.array(3 * k + 1),
+                        "rid": pa.array(rid)})
+        tmp = os.path.join(CORPUS_J, f".tmp-fact-{shard:04d}.parquet")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(CORPUS_J, f"fact-{shard:04d}.parquet"))
+        key_sum += int(k.sum())
+        n_rows += len(k)
+    info = {"n_fact": n_rows, "n_dim": J_DIM_KEYS,
+            "expected_sum": 10 * key_sum + 3 * n_rows}
+    with open(marker, "w") as f:
+        json.dump(info, f)
+    return info
+
+
+def main_join() -> None:
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    info = build_join_corpus()
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.relational import auto_salted_join
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        def read_fact():
+            return ray.data.read_parquet(
+                sorted(__import__("glob").glob(
+                    os.path.join(CORPUS_J, "fact-*.parquet"))))
+
+        def read_dim():
+            return ray.data.read_parquet(
+                sorted(__import__("glob").glob(
+                    os.path.join(CORPUS_J, "dim-*.parquet"))))
+
+        def checksum(joined):
+            # streaming fold: per-batch partial (count, sum) -- Python
+            # ints on the driver, never a full materialization
+            def part(t: pa.Table) -> pa.Table:
+                fv = t["fact_val"].combine_chunks().to_numpy()
+                dv = t["dim_val"].combine_chunks().to_numpy()
+                return pa.table({
+                    "n": pa.array([len(t)], pa.int64()),
+                    "s": pa.array([int(fv.sum()) + int(dv.sum())],
+                                  pa.int64())})
+
+            tot_n = tot_s = 0
+            for b in joined.map_batches(
+                    part, batch_format="pyarrow").iter_batches(
+                        batch_format="pyarrow"):
+                tot_n += int(b["n"].to_numpy().sum())
+                tot_s += int(b["s"].to_numpy().sum())
+            return tot_n, tot_s
+
+        results = {}
+        for name, fn in [
+            # adaptive: detection sees the 2M-row hot keys FIT the
+            # 32-way partition budget and takes the plain-join fast path
+            ("auto_salted_join", lambda: auto_salted_join(
+                read_fact(), read_dim(), "key", "dkey", "rid",
+                hot_permille=10, n_salt=NCPU)),
+            # forced-salt: the full salted plan, for the cost comparison
+            ("forced_salted_join", lambda: auto_salted_join(
+                read_fact(), read_dim(), "key", "dkey", "rid",
+                hot_permille=10, n_salt=NCPU,
+                partition_budget_factor=0)),
+            ("plain_join", lambda: read_fact().join(
+                read_dim(), "inner", num_partitions=NCPU,
+                on=("key",), right_on=("dkey",))),
+        ]:
+            t0 = time.perf_counter()
+            n, s = checksum(fn())
+            sec = time.perf_counter() - t0
+            assert n == info["n_fact"], (name, n)
+            assert s == info["expected_sum"], (name, s)
+            results[name] = {"sec": round(sec, 2),
+                             "rows_per_sec": round(n / sec)}
+
+        print(json.dumps({
+            "n_fact": info["n_fact"], "n_dim": info["n_dim"],
+            "hot_keys": J_HOT_KEYS, "hot_rows_per_key": J_HOT_ROWS,
+            "num_cpus": NCPU, "ops": results,
+        }))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -598,5 +737,7 @@ if __name__ == "__main__":
         main_graph()
     elif len(sys.argv) > 1 and sys.argv[1] == "skyline":
         main_skyline()
+    elif len(sys.argv) > 1 and sys.argv[1] == "join":
+        main_join()
     else:
         main()

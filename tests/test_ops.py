@@ -2416,12 +2416,20 @@ def test_auto_salted_join_planted_skew(ray_session):
         [{"dk": k, "name": f"n{k}"} for k in [7, 0, 1, 2, 3, 4]])
     out = auto_salted_join(fact, dim, "k", "dk", "src",
                            hot_permille=100, n_salt=4,
-                           num_partitions=2).to_pandas()
+                           num_partitions=2,
+                           partition_budget_factor=1).to_pandas()
     # result equals the plain inner join: every fact row matched once
     assert len(out) == 100
     assert (out[out.k == 7].name == "n7").all()
     counts = out.groupby("k").size()
     assert counts[7] == 60
+    # moderate skew under the partition budget: the fast path (plain
+    # join, no salt machinery) must return the identical result
+    out2 = auto_salted_join(fact, dim, "k", "dk", "src",
+                            hot_permille=100, n_salt=4,
+                            num_partitions=2).to_pandas()
+    assert len(out2) == 100
+    assert out2.groupby("k").size().to_dict() == counts.to_dict()
 
 
 def test_kmeans_checkpoint_resume(ray_session, tmp_path):
