@@ -645,40 +645,29 @@ def auto_salted_join(
     ``partition_budget_factor=0`` to force share-based detection.
 
     The hot set is bounded by construction (at most 1000/hot_permille
-    keys), so its broadcast is always tiny; detection is one
-    per-block pre-aggregated count exchange through the coarse-bucket
-    sum kernel."""
+    keys), so its broadcast is always tiny; detection rides the
+    sketch-for-candidates pattern (ops/sketch.py:heavy_hitters_exact):
+    a Misra-Gries pass whose no-miss guarantee covers the permille
+    threshold yields exact counts for <= k candidate keys with
+    KILOBYTE exchanges -- the exact per-key histogram it replaces
+    shipped one row per distinct key per block (measured 8 s at 1M
+    keys on 50M rows; key-cardinality-shaped, the wrong scale class
+    for a detection pass)."""
     import pyarrow.compute as pc
 
-    from .window import bucketed_sum
-
-    def count_partial(t: pa.Table) -> pa.Table:
-        tt = pa.table({fact_key: t[fact_key],
-                       "_n": pa.array(np.ones(len(t), np.int64))})
-        g = tt.group_by(fact_key).aggregate([("_n", "sum")])
-        return pa.table({fact_key: g[fact_key], "_n": g["_n_sum"]})
+    from .sketch import heavy_hitters_exact
 
     n_part = num_partitions or max(
         2, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    per_key = bucketed_sum(
-        fact.map_batches(count_partial, batch_format="pyarrow",
-                         zero_copy_batch=True),
-        [fact_key], ["_n"]).materialize()
-    total = int(per_key.sum("_n") or 0)
+    share_den = max(2, 1000 // max(1, hot_permille))
+    cand = heavy_hitters_exact(fact, fact_key, share_den=share_den,
+                               k=max(256, share_den + 1))
+    total = int(fact.count())
     cutoff = max(1, total * hot_permille // 1000,
                  (partition_budget_factor * total) // n_part
                  if partition_budget_factor else 0)
-
-    def hot_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if "_n" not in df.columns:  # empty bucket block (schema-less)
-            return pd.DataFrame({fact_key: []})
-        return df[df["_n"] > cutoff][[fact_key]]
-
-    hot_df = (per_key.map_batches(hot_partial, batch_format="pandas")
-              .to_pandas())
-    # a skew-free input has NO hot keys; the empty frame loses columns
-    hot = (hot_df[fact_key].to_numpy() if fact_key in hot_df.columns
-           else np.array([], dtype=np.int64))
+    hot = (cand[cand["cnt"] > cutoff]["item"].to_numpy()
+           if len(cand) else np.array([], dtype=np.int64))
     if len(hot) == 0:
         # nothing crosses the partition budget: the plain hash join IS
         # the fast plan -- no salt column, no dim replication
