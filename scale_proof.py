@@ -728,6 +728,131 @@ def main_join() -> None:
         ray.shutdown()
 
 
+CORPUS_W = "/tmp/window_scale_v1"
+W_USERS = 1_000_000
+W_EVENTS = 50                # per user: 10 sessions x 5 events
+W_PER_SESSION = 5
+
+
+def build_window_corpus() -> int:
+    """Deterministic 50M-event telemetry corpus with PER-ROW session
+    truth: user u's event j (j in 0..49) fires at
+    ts = (j // 5) h + (j % 5) s, so with a 30-min session gap the true
+    session id of EVERY row is j // 5 -- a closed form each output row
+    is checked against in a streaming pass (no driver materialization
+    of the 50M-row result).  Rows are round-robin scattered across all
+    32 shards by global index, so every user's events span every
+    shard and the sessionize exchange is genuinely corpus-wide."""
+    import numpy as np
+
+    marker = os.path.join(CORPUS_W, ".done")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)["n_rows"]
+    os.makedirs(CORPUS_W, exist_ok=True)
+    total = W_USERS * W_EVENTS
+    per_shard = total // N_SHARDS
+    n_rows = 0
+    for shard in range(N_SHARDS):
+        idx = shard + N_SHARDS * np.arange(per_shard, dtype=np.int64)
+        u = idx // W_EVENTS
+        j = idx % W_EVENTS
+        ts_us = ((j // W_PER_SESSION) * 3_600_000_000
+                 + (j % W_PER_SESSION) * 1_000_000)
+        out = pa.table({
+            "user": pa.array(u),
+            "j": pa.array(j),
+            "ts": pa.array(ts_us.astype("datetime64[us]")),
+        })
+        tmp = os.path.join(CORPUS_W, f".tmp-{shard:04d}.parquet")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(CORPUS_W, f"part-{shard:04d}.parquet"))
+        n_rows += len(out)
+    with open(marker, "w") as f:
+        json.dump({"n_rows": n_rows}, f)
+    return n_rows
+
+
+def main_window() -> None:
+    import datetime
+
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    n_rows = build_window_corpus()
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.window import (runs_by_group,
+                                                      sessionize)
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        def read():
+            return ray.data.read_parquet(CORPUS_W)
+
+        results = {}
+
+        # sessionize: every output row's session_id must equal j // 5;
+        # verified in a streaming map (per-batch vectorized assert +
+        # count partial), never materializing the 50M-row result
+        t0 = time.perf_counter()
+        out = sessionize(read(), "user", "ts",
+                         gap=datetime.timedelta(minutes=30),
+                         tiebreak_cols=["j"])
+
+        def check(t: pa.Table) -> pa.Table:
+            sid = t["session_id"].combine_chunks().to_numpy()
+            j = t["j"].combine_chunks().to_numpy()
+            assert (sid == j // W_PER_SESSION).all()
+            return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+        n_ok = sum(
+            int(b["n"].to_numpy().sum()) for b in out.map_batches(
+                check, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"))
+        sec = time.perf_counter() - t0
+        assert n_ok == n_rows, n_ok
+        results["sessionize"] = {"sec": round(sec, 2),
+                                 "events_per_sec": round(n_rows / sec)}
+
+        # runs (gaps-and-islands on value = session number): exactly
+        # 10 runs per user, all of length 5
+        t0 = time.perf_counter()
+        runs = runs_by_group(
+            read().map_batches(
+                lambda t: t.append_column(
+                    "sess", pa.array(
+                        t["j"].combine_chunks().to_numpy()
+                        // W_PER_SESSION)),
+                batch_format="pyarrow", zero_copy_batch=True),
+            "user", ["ts", "j"], "sess")
+
+        def check_runs(t: pa.Table) -> pa.Table:
+            nr = t["n_rows"].combine_chunks().to_numpy()
+            assert (nr == W_PER_SESSION).all()
+            return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+        n_runs = sum(
+            int(b["n"].to_numpy().sum()) for b in runs.map_batches(
+                check_runs, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"))
+        sec = time.perf_counter() - t0
+        assert n_runs == W_USERS * (W_EVENTS // W_PER_SESSION), n_runs
+        results["runs_by_group"] = {"sec": round(sec, 2),
+                                    "events_per_sec": round(n_rows / sec)}
+
+        print(json.dumps({
+            "n_events": n_rows, "n_users": W_USERS, "num_cpus": NCPU,
+            "ops": results,
+        }))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -739,5 +864,7 @@ if __name__ == "__main__":
         main_skyline()
     elif len(sys.argv) > 1 and sys.argv[1] == "join":
         main_join()
+    elif len(sys.argv) > 1 and sys.argv[1] == "window":
+        main_window()
     else:
         main()
