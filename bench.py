@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "pca_embeddings",
     "temperature_mix",
     "length_batches",
+    "skyline",
+    "zorder_cells",
+    "dominance_count",
 ]
 
 
