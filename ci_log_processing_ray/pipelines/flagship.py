@@ -97,8 +97,15 @@ def build_routed(
     # whole decoded corpus (~1 GB at sf0.1) through the object store
     # between read and parse.  Fused: one operator, zero hop; measured
     # 2.97 s -> 2.30 s at sf0.1/32 CPUs, identical outputs.
+    #
+    # LPT order: feed the read LARGEST FILE FIRST so a hot build's
+    # 3-4x-mean task starts in wave 1 instead of anchoring the final
+    # wave (classic longest-processing-time makespan fix; partition
+    # ids key on the PATH, so output layout and manifests are
+    # byte-identical).
+    read_order = sorted(paths, key=os.path.getsize, reverse=True)
     ds = ray.data.read_parquet(
-        paths,
+        read_order,
         include_paths=track_partitions,
         override_num_blocks=len(paths),
         ray_remote_args={"num_cpus": hcpu},
