@@ -37,6 +37,24 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_SHARDS = 32
 CORPUS = f"/tmp/llm_scale_corpus_r{REPLICAS}_v1"
 
+def _calib() -> float:
+    """bench.py's host-speed yardstick (min-of-3 single-thread fixed
+    workload), emitted with every proof line so cross-run absolute wall
+    times can be normalized against the box's ~1.5-4x noise waves."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((1024, 1024))
+    x = rng.random(4_000_000)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ a).sum()
+        np.sort(x, kind="stable")
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 
 def build_corpus() -> tuple[int, int]:
     """Replicate documents REPLICAS x with planted duplication.
@@ -240,7 +258,7 @@ def main_embeddings() -> None:
             "corpus_vecs": n_rows,
             "replicas": REPLICAS_E,
             "num_cpus": NCPU,
-            "ops": results,
+            "ops": results, "calib_sec": _calib(),
         }))
     finally:
         ray.shutdown()
@@ -397,7 +415,7 @@ def main_graph() -> None:
             "n_edges": n_edges,
             "n_nodes": n_nodes,
             "num_cpus": NCPU,
-            "ops": results,
+            "ops": results, "calib_sec": _calib(),
         }))
     finally:
         ray.shutdown()
@@ -491,7 +509,7 @@ def main() -> None:
             "corpus_docs": n_rows,
             "replicas": REPLICAS,
             "num_cpus": NCPU,
-            "ops": results,
+            "ops": results, "calib_sec": _calib(),
         }))
     finally:
         ray.shutdown()
@@ -584,6 +602,7 @@ def main_skyline() -> None:
                 "sec": round(sec, 2),
                 "rows_per_sec": round(n_rows / sec),
                 "out_rows": len(out)}},
+            "calib_sec": _calib(),
         }))
     finally:
         ray.shutdown()
@@ -722,7 +741,7 @@ def main_join() -> None:
         print(json.dumps({
             "n_fact": info["n_fact"], "n_dim": info["n_dim"],
             "hot_keys": J_HOT_KEYS, "hot_rows_per_key": J_HOT_ROWS,
-            "num_cpus": NCPU, "ops": results,
+            "num_cpus": NCPU, "ops": results, "calib_sec": _calib(),
         }))
     finally:
         ray.shutdown()
@@ -847,7 +866,7 @@ def main_window() -> None:
 
         print(json.dumps({
             "n_events": n_rows, "n_users": W_USERS, "num_cpus": NCPU,
-            "ops": results,
+            "ops": results, "calib_sec": _calib(),
         }))
     finally:
         ray.shutdown()
