@@ -3705,6 +3705,24 @@ def q_skyline(sf_dir: str):
         "p_brand", "retail_cents", "p_size")
 
 
+def q_containment_join(sf_dir: str):
+    """Exact n-gram CONTAINMENT join (ops/dedup.py:ngram_jaccard_pairs
+    with score="containment"): pairs where inter / min(|A|, |B|) >= 80%
+    -- the superstring-dedup signal (a near-subset doc scores ~100
+    against its superstring even when Jaccard is diluted by the longer
+    side).  Same two-exchange distributed pair counting as
+    ngram_jaccard; only the final integer predicate and denominator
+    column differ.  On this corpus near-dup pairs are near-identical so
+    the PAIR SET matches ngram_jaccard's -- the oracle still binds the
+    containment math through the min_sz column; the asymmetric case is
+    pinned by the planted-substring unit test."""
+    from ci_log_processing_ray.ops.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, "text", "doc_id", n=3,
+                               threshold_pct=80, score="containment")
+
+
 def q_dominance_count(sf_dir: str):
     """Per-part Pareto dominance count within its brand
     (ops/relational.py:dominance_count_2d): how many same-brand parts
@@ -3930,6 +3948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": q_skyline,
         "zorder_cells": q_zorder_cells,
         "dominance_count": q_dominance_count,
+        "containment_join": q_containment_join,
     }
 
 
@@ -5587,4 +5606,22 @@ def oracle_sql() -> dict[str, str]:
                       AND (q.retail_cents < p.retail_cents
                            OR q.p_size > p.p_size)) AS n_dominators
             FROM p""",
+        "containment_join": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                           AS grams
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                      FROM documents)
+                WHERE len(ws) >= 3)
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   len(list_intersect(a.grams, b.grams)) AS inter,
+                   least(len(a.grams), len(b.grams)) AS min_sz
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams)) > 0
+              AND 100 * len(list_intersect(a.grams, b.grams))
+                  >= 80 * least(len(a.grams), len(b.grams))""",
     }

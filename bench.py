@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "skyline",
     "zorder_cells",
     "dominance_count",
+    "containment_join",
 ]
 
 

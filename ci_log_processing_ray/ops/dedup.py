@@ -686,8 +686,17 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold_pct: int = 50,
     max_df: int | None = None,
+    score: str = "jaccard",
 ) -> ray.data.Dataset:
     """All document pairs with word-``n``-gram Jaccard >= threshold.
+
+    ``score="containment"`` switches the final predicate to the
+    CONTAINMENT coefficient inter / min(|A|, |B|) (the
+    superstring-dedup signal: a near-subset document scores ~100
+    against its superstring even when Jaccard is low because the
+    superstring is much longer); everything upstream -- explode,
+    gram-bucket pair counting, combiner -- is shared, and the output's
+    last column becomes ``min_sz``.
 
     Exact and fully distributed -- no driver-side loop, no set shipping:
 
@@ -808,14 +817,20 @@ def ngram_jaccard_pairs(
         agg = g.groupby(["left", "right"], as_index=False).agg(
             inter=("pinter", "sum"), na=("na", "min"), nb=("nb", "min"))
         inter = agg["inter"].to_numpy(dtype=np.int64)
-        union = agg["na"].to_numpy(dtype=np.int64) + \
-            agg["nb"].to_numpy(dtype=np.int64) - inter
-        keep = 100 * inter >= threshold_pct * union
+        na = agg["na"].to_numpy(dtype=np.int64)
+        nb = agg["nb"].to_numpy(dtype=np.int64)
+        if score == "containment":
+            denom = np.minimum(na, nb)
+            denom_name = "min_sz"
+        else:
+            denom = na + nb - inter
+            denom_name = "union_sz"
+        keep = 100 * inter >= threshold_pct * denom
         return pd.DataFrame({
             "left_id": agg["left"].to_numpy()[keep],
             "right_id": agg["right"].to_numpy()[keep],
             "inter": inter[keep],
-            "union_sz": union[keep],
+            denom_name: denom[keep],
         })
 
     return pairs.groupby("pair_bucket").map_groups(

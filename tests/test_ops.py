@@ -2492,3 +2492,27 @@ def test_zorder_sort_clusters_blocks(ray_session):
     area = ((eighth["x"].max() - eighth["x"].min() + 1)
             * (eighth["y"].max() - eighth["y"].min() + 1))
     assert area <= 256 * 256 // 4
+
+
+def test_containment_join_finds_substring_pairs(ray_session):
+    """A short doc embedded verbatim in a much longer one: containment
+    is 100% while Jaccard is diluted below threshold by the long side
+    -- the two scorers must genuinely differ."""
+    from ci_log_processing_ray.ops.dedup import ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [
+        {"doc_id": 1, "text": short},
+        {"doc_id": 2, "text": filler + " " + short + " " + filler},
+        {"doc_id": 3, "text": "zeta eta theta iota kappa"},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    cont = ngram_jaccard_pairs(ds, "text", "doc_id", n=3,
+                               threshold_pct=80,
+                               score="containment").to_pandas()
+    assert set(zip(cont.left_id, cont.right_id)) == {(1, 2)}
+    assert (cont["inter"] == cont["min_sz"]).all()  # full containment
+    jac = ngram_jaccard_pairs(ds, "text", "doc_id", n=3,
+                              threshold_pct=80).to_pandas()
+    assert len(jac) == 0  # jaccard at the same threshold sees nothing
