@@ -382,6 +382,8 @@ def connected_components(
     dst_col: str,
     *,
     boundary_cap: int = 5_000_000,
+    n_buckets: int | None = None,
+    _prev_merges: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed connected components, two-phase local contraction
     (the practical at-scale algorithm; iterative per-hop label
@@ -397,11 +399,20 @@ def connected_components(
        a node seen with k > 1 distinct local roots yields k-1
        (root, root) merge edges -- the contracted boundary graph,
        bounded by cross-block boundary nodes, orders smaller than the
-       input.  The driver closes it with union-find (``boundary_cap``
-       guards the collect; raise it or re-run phase 2 hierarchically
-       for graphs whose boundary exceeds driver memory).
-    3. FINALIZE: the root -> component map broadcasts (``ray.put``)
-       and one pure map relabels the phase-1 mappings.
+       input.  Up to ``boundary_cap`` merge edges the driver closes it
+       with the vectorized min-label kernel and broadcasts the result;
+       ABOVE the cap the closure runs HIERARCHICALLY: one recursive
+       connected_components over the contracted (root, root) graph
+       (strictly smaller than the input -- local contraction has
+       already collapsed every block-internal structure), and the
+       relabel becomes a root-keyed tagged-union co-partition instead
+       of a broadcast, so neither the driver nor any single worker
+       ever holds the full root map.  Recursion continues while the
+       contracted graph STRICTLY SHRINKS (each level collapses every
+       block-internal structure, so depth is logarithmic); a level
+       that fails to shrink raises explicitly instead of looping.
+    3. FINALIZE: relabel phase-1 mappings (broadcast map or the
+       co-partition above) + one coarse bucketed min dedup.
 
     Returns (node, component) with component = min node id reachable.
     """
@@ -426,11 +437,87 @@ def connected_components(
 
     from ci_log_processing_ray.ops.window import bucketed_groups
 
-    merges = bucketed_groups(mapping, "node", boundary_edges).to_pandas()
-    if len(merges) > boundary_cap:
-        raise ValueError(
-            f"boundary graph has {len(merges)} merge edges > boundary_cap; "
-            "raise the cap or contract hierarchically")
+    merges_ds = bucketed_groups(mapping, "node", boundary_edges,
+                                n_buckets=n_buckets).materialize()
+    n_merges = merges_ds.count()
+    if n_merges > boundary_cap:
+        if _prev_merges is not None and n_merges >= _prev_merges:
+            raise ValueError(
+                f"boundary graph has {n_merges} merge edges >= the "
+                f"previous level's {_prev_merges}: the contraction is "
+                "not shrinking (pathological layout); raise the cap "
+                "or repartition the edge input")
+        # coalesce the contracted graph to heap-bounded blocks before
+        # recursing: local contraction strength IS block locality, and
+        # the hash-bucket layout the merges arrive in has none (chains
+        # shrank only ~6%/level).  With ~2M edges per block the next
+        # level's local closure collapses everything that fits one
+        # task -- geometric contraction, usually ONE extra level.
+        nb2 = max(1, -(-n_merges // 2_000_000))
+        sub = connected_components(merges_ds.repartition(nb2), "ra", "rb",
+                                   boundary_cap=boundary_cap,
+                                   n_buckets=n_buckets,
+                                   _prev_merges=n_merges)
+
+        def fin_tag(t: pa.Table) -> pa.Table:
+            n = t["node"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            c = t["component"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ch = n != c  # identity entries resolve by lookup-miss
+            return pa.table({"key": pa.array(n[ch]),
+                             "val": pa.array(c[ch]),
+                             "_side": pa.array(
+                                 np.zeros(ch.sum(), np.int64))})
+
+        def map_tag(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": t["root"].combine_chunks().cast(pa.int64()),
+                "val": t["node"].combine_chunks().cast(pa.int64()),
+                "_side": pa.array(np.ones(len(t), np.int64))})
+
+        tagged = (sub.map_batches(fin_tag, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                  .union(mapping.map_batches(
+                      map_tag, batch_format="pyarrow",
+                      zero_copy_batch=True)))
+
+        def relabel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            f = g[g["_side"] == 0]
+            m = g[g["_side"] == 1]
+            if len(m) == 0:
+                return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                     "component": pd.Series(
+                                         [], dtype=np.int64)})
+            roots = m["key"].to_numpy(np.int64)
+            comp = roots.copy()
+            if len(f):
+                fk = f["key"].to_numpy(np.int64)
+                fv = f["val"].to_numpy(np.int64)
+                order = np.argsort(fk)
+                fk, fv = fk[order], fv[order]
+                pos = np.minimum(np.searchsorted(fk, roots), len(fk) - 1)
+                hit = fk[pos] == roots
+                comp[hit] = fv[pos[hit]]
+            out = pd.DataFrame({"node": m["val"].to_numpy(np.int64),
+                                "component": comp})
+            # per-bucket pre-combine (a node repeats across blocks)
+            return out.groupby("node", as_index=False, sort=False)[
+                "component"].min()
+
+        relabeled = bucketed_groups(tagged, "key", relabel_bucket,
+                                    n_buckets=n_buckets)
+
+        def min_kern(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", as_index=False, sort=False)[
+                "component"].min()
+
+        # a node relabeled under DIFFERENT roots lands in different
+        # key-buckets above; one node-keyed min fold closes it
+        return bucketed_groups(relabeled, "node", min_kern,
+                               n_buckets=n_buckets)
+
+    merges = merges_ds.to_pandas()
 
     # close the contracted boundary graph with the SAME vectorized
     # min-label kernel the blocks use (the per-edge Python union-find
@@ -478,7 +565,7 @@ def connected_components(
     return bucketed_groups(
         mapping.map_batches(relabel, batch_format="pyarrow",
                             zero_copy_batch=True),
-        "node", min_kern)
+        "node", min_kern, n_buckets=n_buckets)
 
 
 def bfs_hops(

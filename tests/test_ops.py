@@ -2516,3 +2516,29 @@ def test_containment_join_finds_substring_pairs(ray_session):
     jac = ngram_jaccard_pairs(ds, "text", "doc_id", n=3,
                               threshold_pct=80).to_pandas()
     assert len(jac) == 0  # jaccard at the same threshold sees nothing
+
+
+def test_connected_components_hierarchical_matches_driver_path(ray_session):
+    """Force the over-cap hierarchical closure (recursive CC on the
+    contracted boundary graph + co-partitioned relabel) and check it
+    returns exactly the driver-path answer on multi-block chains."""
+    import numpy as np
+    from ci_log_processing_ray.ops.iterative import connected_components
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for fam in range(12):  # 12 chains of 20 nodes, scrambled order
+        base = fam * 100
+        for i in range(19):
+            rows.append({"s": base + i, "d": base + i + 1})
+    rng.shuffle(rows)
+    ds = ray.data.from_items(rows).repartition(8)
+    want = connected_components(ds, "s", "d").to_pandas()
+    got = connected_components(ds, "s", "d", boundary_cap=30,
+                               n_buckets=8).to_pandas()
+    w = want.sort_values("node").reset_index(drop=True)
+    g = got.sort_values("node").reset_index(drop=True)
+    assert (w["node"].to_numpy() == g["node"].to_numpy()).all()
+    assert (w["component"].to_numpy() == g["component"].to_numpy()).all()
+    assert (g["component"].to_numpy()
+            == (g["node"].to_numpy() // 100) * 100).all()
