@@ -576,6 +576,7 @@ def bfs_hops(
     *,
     n_rounds: int,
     n_buckets: int | None = None,
+    broadcast_cap: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Multi-source BFS, ``n_rounds`` frontier expansions: shortest hop
     distance (0 = seed) from any seed node over the UNDIRECTED graph;
@@ -637,13 +638,11 @@ def bfs_hops(
     # pure edge-side map -- no per-round edge re-shuffle.  The tagged
     # union co-partition remains the path for frontiers too large to
     # broadcast (billion-node graphs).
-    BROADCAST_CAP = 5_000_000
-
     for r in range(n_rounds):
         n_front = frontier.count()
         if n_front == 0:  # exhausted: no further rounds
             break
-        if n_front <= BROADCAST_CAP:
+        if n_front <= broadcast_cap:
             fset_ref = ray.put(np.sort(
                 frontier.to_pandas()["node"].to_numpy(np.int64)))
 

@@ -2542,3 +2542,24 @@ def test_connected_components_hierarchical_matches_driver_path(ray_session):
     assert (w["component"].to_numpy() == g["component"].to_numpy()).all()
     assert (g["component"].to_numpy()
             == (g["node"].to_numpy() // 100) * 100).all()
+
+
+def test_bfs_hops_fallback_matches_broadcast_path(ray_session):
+    """Force the tagged-union co-partition fallback (frontier above the
+    broadcast cap) and check it returns exactly the broadcast path's
+    hop distances."""
+    import numpy as np
+    from ci_log_processing_ray.ops.iterative import bfs_hops
+
+    rng = np.random.default_rng(9)
+    rows = [{"a": int(rng.integers(0, 40)), "b": int(rng.integers(0, 40))}
+            for _ in range(150)]
+    edges = ray.data.from_items(rows).repartition(5)
+    seeds = ray.data.from_items([{"node": 0}, {"node": 17}])
+    want = bfs_hops(edges, "a", "b", seeds, n_rounds=3,
+                    n_buckets=8).to_pandas()
+    got = bfs_hops(edges, "a", "b", seeds, n_rounds=3, n_buckets=8,
+                   broadcast_cap=0).to_pandas()
+    w = dict(zip(want["node"], want["hops"]))
+    g = dict(zip(got["node"], got["hops"]))
+    assert w == g and len(w) > 2
