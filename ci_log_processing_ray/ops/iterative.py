@@ -38,6 +38,7 @@ def kmeans(
     seed: int = 42,
     sample_size: int = 1024,
     checkpoint_dir: str | None = None,
+    combine_threshold: int = 256,
 ) -> tuple[np.ndarray, "pd.DataFrame"]:
     """Lloyd's k-means over a ``list<float>`` column.
 
@@ -131,7 +132,7 @@ def kmeans(
         # blocks x k x dim, so fall back to the distributed combine.
         part_ds = ds.map_batches(partials, batch_format="pyarrow",
                                  zero_copy_batch=True)
-        if n_blocks <= 256:
+        if n_blocks <= combine_threshold:
             agg = part_ds.to_pandas()
         else:
             from ray.data.aggregate import Sum

@@ -2563,3 +2563,21 @@ def test_bfs_hops_fallback_matches_broadcast_path(ray_session):
     w = dict(zip(want["node"], want["hops"]))
     g = dict(zip(got["node"], got["hops"]))
     assert w == g and len(w) > 2
+
+
+def test_kmeans_distributed_combine_matches_driver_combine(ray_session):
+    """Force the >combine_threshold distributed per-round groupby and
+    check centroids match the driver-combine path exactly (both fold
+    the same per-block partials; only the reduction route differs)."""
+    import numpy as np
+    from ci_log_processing_ray.ops.iterative import kmeans
+
+    rng = np.random.default_rng(12)
+    blobs = np.concatenate([rng.normal(c, 0.05, (40, 3))
+                            for c in (0.0, 4.0, -4.0)])
+    rows = [{"v": list(map(float, b))} for b in blobs]
+    ds = ray.data.from_items(rows).repartition(6)
+    c1, n1 = kmeans(ds, "v", k=3, n_iter=3, tol=0.0)
+    c2, n2 = kmeans(ds, "v", k=3, n_iter=3, tol=0.0, combine_threshold=1)
+    assert np.allclose(np.sort(c1, axis=0), np.sort(c2, axis=0))
+    assert sorted(n1["count"]) == sorted(n2["count"])
