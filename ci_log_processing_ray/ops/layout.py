@@ -47,7 +47,14 @@ def _part1by1(x: np.ndarray) -> np.ndarray:
 def morton2(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Interleave two <=16-bit non-negative int vectors into the 2-D
     Morton (Z-order) code: bit i of x lands at position 2i, bit i of y
-    at 2i+1."""
+    at 2i+1.  Out-of-range values raise instead of silently aliasing a
+    wrong curve cell (one vectorized range check -- cheap next to the
+    five spread passes)."""
+    for name, v in (("x", x), ("y", y)):
+        if len(v) and (int(v.min()) < 0 or int(v.max()) >= (1 << 16)):
+            raise ValueError(
+                f"morton2 {name} values must be in [0, 65536); got "
+                f"[{v.min()}, {v.max()}] -- bucket/scale wider domains")
     return _part1by1(x) | (_part1by1(y) << 1)
 
 
