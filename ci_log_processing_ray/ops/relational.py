@@ -843,6 +843,10 @@ def _dominance_counts(minimize: np.ndarray,
     s = maximize.astype(np.int64)
     cu, ci = np.unique(c, return_inverse=True)
     su, si = np.unique(s, return_inverse=True)
+    if len(cu) * len(su) > (1 << 27):  # ~1 GiB of int64 cells
+        raise ValueError(
+            f"dominance grid {len(cu)}x{len(su)} exceeds the per-worker "
+            "budget -- pre-bucket the continuous dimension(s) first")
     grid = np.bincount(ci * len(su) + si,
                        minlength=len(cu) * len(su)).reshape(
                            len(cu), len(su))
