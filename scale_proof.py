@@ -864,6 +864,56 @@ def main_window() -> None:
         results["runs_by_group"] = {"sec": round(sec, 2),
                                     "events_per_sec": round(n_rows / sec)}
 
+        # as-of join at 50M: left = every event, right = one row per
+        # (user, session start) with the session number as payload; the
+        # backward match's payload must equal j // 5 for EVERY row
+        right_dir = "/tmp/window_scale_right_v1"
+        rmarker = os.path.join(right_dir, ".done")
+        if not os.path.exists(rmarker):
+            os.makedirs(right_dir, exist_ok=True)
+            per = W_USERS // 8
+            for shard in range(8):
+                u = np.repeat(np.arange(shard * per, (shard + 1) * per,
+                                        dtype=np.int64),
+                              W_EVENTS // W_PER_SESSION)
+                g = np.tile(np.arange(W_EVENTS // W_PER_SESSION,
+                                      dtype=np.int64), per)
+                out = pa.table({
+                    "user": pa.array(u),
+                    "rts": pa.array((g * 3_600_000_000)
+                                    .astype("datetime64[us]")),
+                    "sess": pa.array(g)})
+                tmp = os.path.join(right_dir, f".tmp-{shard:04d}.parquet")
+                pq.write_table(out, tmp)
+                os.replace(tmp, os.path.join(right_dir,
+                                             f"part-{shard:04d}.parquet"))
+            with open(rmarker, "w") as f:
+                f.write("ok")
+
+        from ci_log_processing_ray.ops.relational import asof_join_grouped
+
+        t0 = time.perf_counter()
+        aj = asof_join_grouped(
+            read(), ray.data.read_parquet(right_dir),
+            key="user", left_on="ts", right_on="rts",
+            left_cols=["j"], right_cols=["sess"])
+
+        def check_asof(t: pa.Table) -> pa.Table:
+            sess = t["sess"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            j = t["j"].combine_chunks().to_numpy(zero_copy_only=False)
+            assert (sess == j // W_PER_SESSION).all()
+            return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+        n_aj = sum(
+            int(b["n"].to_numpy().sum()) for b in aj.map_batches(
+                check_asof, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"))
+        sec = time.perf_counter() - t0
+        assert n_aj == n_rows, n_aj
+        results["asof_join"] = {"sec": round(sec, 2),
+                                "events_per_sec": round(n_rows / sec)}
+
         print(json.dumps({
             "n_events": n_rows, "n_users": W_USERS, "num_cpus": NCPU,
             "ops": results, "calib_sec": _calib(),
