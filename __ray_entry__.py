@@ -4723,8 +4723,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT (rn - 1) // 16 AS batch_id,
                    COUNT(*) AS n_docs,
                    MAX(n_chars) AS max_len,
-                   SUM(n_chars) AS sum_len,
-                   COUNT(*) * MAX(n_chars) - SUM(n_chars) AS padding
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_len,
+                   CAST(COUNT(*) * MAX(n_chars) - SUM(n_chars) AS BIGINT)
+                       AS padding
             FROM r GROUP BY 1""",
         "temperature_mix": """
             WITH q AS (SELECT source,
