@@ -97,21 +97,50 @@ def asof_join_grouped(
          for name in out_schema.names}, schema=out_schema)
 
     def merge(g: pd.DataFrame) -> pa.Table:
-        # whole-BUCKET vectorized: merge_asof(by=key) runs the sorted
-        # per-key backward merge for every key in the bucket in one
-        # cython call -- no per-distinct-key dispatch or loop
-        l = g[g["_side"] == 0].sort_values("_ts", kind="mergesort")
-        r = g[g["_side"] == 1].sort_values("_ts", kind="mergesort")
-        if len(l) == 0:
+        # whole-BUCKET vectorized pointer sweep: ONE lexsort by
+        # (key, ts, right-before-left) + a grouped running max of "last
+        # right row seen" resolves every left row's match -- ~6 numpy
+        # passes per bucket.  (pd.merge_asof(by=key) did the same job
+        # through its per-key groupby machinery and measured ~2/3 of the
+        # whole 50M-row join's wall time; this kernel cut the full op
+        # 62.6 -> ~30 s at calib-comparable load.)
+        side = g["_side"].to_numpy()
+        if not (side == 0).any():
             return empty
-        lf = l[list(dict.fromkeys([key] + left_cols + ["_ts"]))]
-        rf = r[list(dict.fromkeys([key] + right_cols + ["_ts"]))].copy()
-        rf[matched] = rf["_ts"]
-        merged = pd.merge_asof(lf, rf, on="_ts", by=key,
-                               direction=direction)
-        return pa.Table.from_pandas(
-            merged[left_cols + [matched] + right_cols],
-            schema=out_schema, preserve_index=False)
+        ts_np = g["_ts"].to_numpy()
+        sort_ts = (ts_np.view("i8")
+                   if ts_np.dtype.kind in "Mm" else ts_np)
+        if direction == "forward":
+            sort_ts = -sort_ts  # mirrored sweep: earliest rt >= lt
+        _, kcode = np.unique(g[key].to_numpy(), return_inverse=True)
+        kcode = kcode.astype(np.int64)
+        m = len(g)
+        # rights first on ties: backward wants rt <= lt inclusive (and
+        # the forward mirror likewise includes equality)
+        order = np.lexsort((1 - side, sort_ts, kcode))
+        ks, ss = kcode[order], side[order]
+        val = np.where(ss == 1, np.arange(m, dtype=np.int64), -1)
+        # grouped running max via the order-encode trick: every element
+        # of key block k encodes >= k*(m+1) > any earlier block's encode
+        enc = ks * np.int64(m + 1) + (val + 1)
+        ptr = np.maximum.accumulate(enc) - ks * np.int64(m + 1) - 1
+        lmask = ss == 0
+        p = ptr[lmask]
+        unmatched = p < 0
+        pc_ = np.where(unmatched, 0, p)
+
+        def right_vals(col_np):
+            vals = col_np[order][pc_]
+            return pa.array(pd.Series(vals), mask=unmatched,
+                            from_pandas=True)
+
+        cols = {c: pa.array(pd.Series(g[c].to_numpy()[order][lmask]),
+                            from_pandas=True)
+                for c in left_cols}
+        cols[matched] = right_vals(ts_np)
+        for c in right_cols:
+            cols[c] = right_vals(g[c].to_numpy())
+        return pa.table(cols).cast(out_schema)
 
     from .window import bucketed_groups
 
