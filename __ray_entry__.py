@@ -3774,6 +3774,51 @@ def q_zorder_cells(sf_dir: str):
         "x", "y")
 
 
+def q_knn_graph(sf_dir: str):
+    """EXACT k-NN graph (self-similarity join) over the embeddings
+    table: every vector's top-3 other vectors by INTEGER dot product
+    of floor(x*128+0.5)-quantized coordinates, (dot DESC, nn_id ASC)
+    tie-break -- the primitive behind semantic dedup and diversity
+    pruning.  Block-pair matmul tasks with per-side local top-k
+    combiners; integer similarities keep the graph bit-reproducible
+    and SQL-checkable."""
+    from ci_log_processing_ray.ops.similarity import knn_graph
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_graph(ds, "embedding", "vec_id", k=3, scale=128.0,
+                     block_rows=512)
+
+
+def q_knn_graph_ivf(sf_dir: str):
+    """Approximate k-NN graph recall evaluation: the IVF-blocked graph
+    (home-cell candidates, nprobe probed cells) scored against the
+    exact block-pair graph -- recall@3 per thousand, overall coverage
+    (rows-only: the IVF cell assignment is k-means-geometric, not
+    SQL-expressible).  Both graphs are distributed; only the two edge
+    lists meet on the driver."""
+    import pandas as pd
+
+    from ci_log_processing_ray.ops.similarity import (knn_graph,
+                                                      knn_graph_ivf)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    exact = knn_graph(ds, "embedding", "vec_id", k=3, scale=128.0,
+                      block_rows=512).to_pandas()
+    approx = knn_graph_ivf(ds, "embedding", "vec_id", k=3, scale=128.0,
+                           n_centroids=16, nprobe=4).to_pandas()
+    e = exact.groupby("vec_id")["nn_id"].apply(set)
+    a = approx.groupby("vec_id")["nn_id"].apply(set)
+    n_exact = int(e.map(len).sum())
+    n_hits = sum(len(e[v] & a.get(v, set())) for v in e.index)
+    return pd.DataFrame([{
+        "n_vectors": int(len(e)),
+        "n_covered": int(len(a)),
+        "n_exact_edges": n_exact,
+        "n_hit_edges": int(n_hits),
+        "recall_permille": 1000 * int(n_hits) // max(n_exact, 1),
+    }])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3949,6 +3994,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_cells": q_zorder_cells,
         "dominance_count": q_dominance_count,
         "containment_join": q_containment_join,
+        "knn_graph": q_knn_graph,
+        "knn_graph_ivf": q_knn_graph_ivf,
     }
 
 
@@ -5625,4 +5672,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams)) > 0
               AND 100 * len(list_intersect(a.grams, b.grams))
                   >= 80 * least(len(a.grams), len(b.grams))""",
+        # quantize exactly like the engine: q = floor(x*128 + 0.5) in
+        # float64 from the same float32 inputs; dot <= dim*q_max^2 <<
+        # 2^53 so list_inner_product's float64 sum is the exact integer
+        "knn_graph": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                         x -> FLOOR(CAST(x AS DOUBLE) * 128.0 + 0.5)) AS qv
+              FROM embeddings
+            ), d AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                     CAST(list_inner_product(a.qv, b.qv) AS BIGINT) AS dot
+              FROM q a JOIN q b ON a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, CAST(rank AS BIGINT) AS rank, nn_id, dot
+            FROM (SELECT vec_id, nn_id, dot,
+                         row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dot DESC, nn_id) AS rank
+                  FROM d)
+            WHERE rank <= 3""",
     }

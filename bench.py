@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "zorder_cells",
     "dominance_count",
     "containment_join",
+    "knn_graph",
+    "knn_graph_ivf",
 ]
 
 

@@ -171,7 +171,8 @@ def main_embeddings() -> None:
         from ci_log_processing_ray.ops.dedup import (
             embedding_dedup, semdedup)
         from ci_log_processing_ray.ops.similarity import (
-            knn_bruteforce, knn_ivf, pca_project, quantize_embeddings)
+            knn_bruteforce, knn_graph_ivf, knn_ivf, pca_project,
+            quantize_embeddings)
 
         def read():
             return ray.data.read_parquet(CORPUS_E)
@@ -242,6 +243,21 @@ def main_embeddings() -> None:
             lambda: semdedup(read(), "embedding", "vec_id",
                              k=256, cosine_threshold=0.95, n_iter=4),
             check_purity)
+
+        # IVF k-NN graph: family members are near-identical (cosine
+        # ~0.9988 in-family vs 0.601 max cross-family), so each
+        # vector's top-1 must be IN-FAMILY and every vector covered --
+        # the recall contract semantic dedup at corpus scale rests on
+        def check_graph(out):
+            ok = fam(out["vec_id"].to_numpy()) == fam(
+                out["nn_id"].to_numpy())
+            assert ok.mean() >= 0.99, ok.mean()
+            assert len(out) == n_rows, len(out)
+
+        run("knn_graph_ivf",
+            lambda: knn_graph_ivf(read(), "embedding", "vec_id", k=1,
+                                  n_centroids=256, nprobe=2),
+            check_graph)
 
         run("pca_project",
             lambda: pca_project(read(), "embedding", "vec_id",

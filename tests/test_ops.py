@@ -2581,3 +2581,57 @@ def test_kmeans_distributed_combine_matches_driver_combine(ray_session):
     c2, n2 = kmeans(ds, "v", k=3, n_iter=3, tol=0.0, combine_threshold=1)
     assert np.allclose(np.sort(c1, axis=0), np.sort(c2, axis=0))
     assert sorted(n1["count"]) == sorted(n2["count"])
+
+
+def test_knn_graph_matches_numpy_across_blocks(ray_session):
+    """Exact k-NN graph over 4 driver blocks == a single-machine
+    quantized-int brute force with the (dot DESC, nn_id ASC)
+    tie-break; block layout must not change the answer."""
+    from ci_log_processing_ray.ops.similarity import knn_graph
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((120, 16)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in range(120)]
+    got = (knn_graph(ray.data.from_items(rows), "embedding", "vec_id",
+                     k=3, scale=128.0, block_rows=32)
+           .to_pandas().sort_values(["vec_id", "rank"])
+           .reset_index(drop=True))
+    q = np.floor(vecs.astype(np.float64) * 128.0 + 0.5)
+    d = (q @ q.T).astype(np.int64)
+    np.fill_diagonal(d, np.iinfo(np.int64).min // 4)  # negation-safe
+    want = []
+    for i in range(120):
+        order = np.lexsort((np.arange(120), -d[i]))[:3]
+        want += [(i, r + 1, int(j), int(d[i, j]))
+                 for r, j in enumerate(order)]
+    wdf = pd.DataFrame(want, columns=["vec_id", "rank", "nn_id", "dot"])
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  wdf.astype("int64"))
+
+
+def test_knn_graph_ivf_finds_planted_twins(ray_session):
+    """Near-identical vectors share a home k-means cell by
+    construction, so the IVF graph must rank each planted twin as its
+    partner's top-1 -- the recall property semantic dedup relies on."""
+    from ci_log_processing_ray.ops.similarity import knn_graph_ivf
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    twins = {}
+    for a, b in ((0, 100), (1, 101), (2, 102), (3, 103)):
+        vecs[b] = vecs[a] + rng.standard_normal(16).astype(np.float32) * 1e-3
+        twins[a], twins[b] = b, a
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in range(200)]
+    got = (knn_graph_ivf(ray.data.from_items(rows), "embedding",
+                         "vec_id", k=1, scale=128.0, n_centroids=8,
+                         nprobe=2, seed=3)
+           .to_pandas())
+    top1 = dict(zip(got["vec_id"], got["nn_id"]))
+    for a, b in twins.items():
+        assert top1[a] == b, (a, top1.get(a), b)
+    # every vector got at least one neighbor (full cell coverage)
+    assert len(top1) == 200
