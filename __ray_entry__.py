@@ -3819,6 +3819,51 @@ def q_knn_graph_ivf(sf_dir: str):
     }])
 
 
+def q_roc_auc(sf_dir: str):
+    """Grouped ROC-AUC of a score column against a binary label as an
+    exact integer rational (auc_num/auc_den = AUC with tie-averaged
+    ranks) -- the quality-classifier evaluation primitive: here, does
+    order price predict a finished order, per priority class.  Rows
+    collapse to (group, score) count partials before the exchange."""
+    from ci_log_processing_ray.ops.groupagg import grouped_auc
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "pos": pc.cast(pc.equal(t["o_orderstatus"].combine_chunks(),
+                                    "F"), pa.int64()),
+            "score": _cents(t["o_totalprice"]),
+        })
+
+    pre = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return grouped_auc(pre, "o_orderpriority", "pos", "score")
+
+
+def q_trend_slope(sf_dir: str):
+    """Per-event-type OLS slope of daily event volume vs day index as
+    the exact integer rational (slope_num, slope_den) -- flags growing
+    or shrinking log sources without ever shipping a float."""
+    from ci_log_processing_ray.ops.groupagg import grouped_trend_slope
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return grouped_trend_slope(ds, "event_type", "ts")
+
+
+def q_cusum_shift(sf_dir: str):
+    """Per-event-type CUSUM change-point over the daily count series:
+    peak |n*cumsum(y) - k*S| and the first day attaining it, exact
+    integers -- the level-shift locator for a route whose volume
+    steps."""
+    from ci_log_processing_ray.ops.groupagg import grouped_cusum_peak
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return grouped_cusum_peak(ds, "event_type", "ts")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -3996,6 +4041,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_join": q_containment_join,
         "knn_graph": q_knn_graph,
         "knn_graph_ivf": q_knn_graph_ivf,
+        "roc_auc": q_roc_auc,
+        "trend_slope": q_trend_slope,
+        "cusum_shift": q_cusum_shift,
     }
 
 
@@ -5692,4 +5740,74 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY dot DESC, nn_id) AS rank
                   FROM d)
             WHERE rank <= 3""",
+        "roc_auc": """
+            WITH s AS (
+              SELECT o_orderpriority,
+                     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS score
+              FROM orders
+            ), a AS (
+              SELECT o_orderpriority, score,
+                     CAST(SUM(pos) AS BIGINT) AS np,
+                     CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nn
+              FROM s GROUP BY 1, 2
+            ), o AS (
+              SELECT o_orderpriority, np, nn,
+                     COALESCE(SUM(nn) OVER (PARTITION BY o_orderpriority
+                         ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cnn
+              FROM a
+            )
+            SELECT o_orderpriority,
+                   CAST(SUM(np) AS BIGINT) AS n_pos,
+                   CAST(SUM(nn) AS BIGINT) AS n_neg,
+                   CAST(SUM(np * (2 * cnn + nn)) AS BIGINT) AS auc_num,
+                   CAST(2 * SUM(np) * SUM(nn) AS BIGINT) AS auc_den
+            FROM o GROUP BY o_orderpriority""",
+        "trend_slope": """
+            WITH d AS (
+              SELECT event_type,
+                     DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), c AS (
+              SELECT event_type,
+                     day - MIN(day) OVER (PARTITION BY event_type) AS x,
+                     n
+              FROM d
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(COUNT(*) * SUM(x * n) - SUM(x) * SUM(n) AS BIGINT)
+                     AS slope_num,
+                   CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+                     AS slope_den
+            FROM c GROUP BY event_type""",
+        "cusum_shift": """
+            WITH d AS (
+              SELECT event_type,
+                     DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT event_type, day,
+                     SUM(n) OVER (PARTITION BY event_type ORDER BY day)
+                       AS cum,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY day) AS k,
+                     SUM(n) OVER (PARTITION BY event_type) AS s,
+                     COUNT(*) OVER (PARTITION BY event_type) AS nd
+              FROM d
+            )
+            SELECT event_type,
+                   CAST(nd AS BIGINT) AS n_days,
+                   CAST(s AS BIGINT) AS total,
+                   CAST(ABS(nd * cum - k * s) AS BIGINT) AS max_dev,
+                   CAST(day AS BIGINT) AS peak_day
+            FROM w
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY ABS(nd * cum - k * s) DESC, day ASC) = 1""",
     }

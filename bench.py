@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "containment_join",
     "knn_graph",
     "knn_graph_ivf",
+    "roc_auc",
+    "trend_slope",
+    "cusum_shift",
 ]
 
 

@@ -475,3 +475,205 @@ def grouping_sets_counts(
         out[c] = out[c].astype(np.int64)
     return out.sort_values(dims + val_cols, na_position="first").reset_index(
         drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Grouped evaluation / time-series statistics (round-3 additions).
+#
+# All three ops below share one plan shape: a per-block pa.Table
+# ``group_by`` partial collapses rows to (group, unit) pairs BEFORE the
+# exchange, so the shuffle carries block-distinct partials (score or
+# day cardinality, never raw rows), and one coarse hash bucket per
+# group family runs a fully vectorized numpy sweep.  Exact integer
+# outputs throughout so the DuckDB oracles hash bit-for-bit.
+
+
+def _group_segments(keys: np.ndarray) -> np.ndarray:
+    """Start offsets of each run in a SORTED key array (1-D)."""
+    if len(keys) == 0:
+        return np.zeros(0, np.int64)
+    return np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]]).astype(np.int64)
+
+
+def _per_group_exclusive_cumsum(
+        vals: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Exclusive cumulative sum restarting at every segment start."""
+    inc = np.cumsum(vals)
+    lens = np.diff(np.r_[starts, len(vals)])
+    base = np.repeat(np.r_[0, inc[starts[1:] - 1]] if len(starts) else
+                     np.zeros(0, np.int64), lens)
+    return inc - base - vals
+
+
+def grouped_auc(
+    ds: ray.data.Dataset,
+    group_col: str,
+    label_col: str,
+    score_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exact grouped ROC-AUC (Mann-Whitney rank-sum with tie-average)
+    as an integer rational: per group emits ``n_pos``, ``n_neg``,
+    ``auc_num`` = 2U and ``auc_den`` = 2*n_pos*n_neg, so
+    AUC = auc_num/auc_den exactly (the factor 2 absorbs the half-credit
+    for score ties).  This is the standard data-quality-classifier
+    evaluation over corpus-scale scores.
+
+    Scale design: rows collapse to (group, score) -> (pos, neg) count
+    partials inside ``map_batches`` (the exchange is distinct-score
+    sized, not row sized -- scores are integer cents/permille by
+    convention here, so cardinality is range-bounded); one bucket
+    kernel per group family sorts scores once and resolves every
+    group's rank sum with two reduceats.  Overflow bound: requires
+    n_pos * n_neg < 2^62 per group (~2e9 rows balanced) -- quantize or
+    sample above that."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            group_col: t[group_col].combine_chunks(),
+            "score": pc.cast(t[score_col].combine_chunks(), pa.int64()),
+            "pos": pc.cast(t[label_col].combine_chunks(), pa.int64()),
+            "one": pa.array(np.ones(len(t), np.int64)),
+        })
+        g = tt.group_by([group_col, "score"]).aggregate(
+            [("pos", "sum"), ("one", "sum")])
+        return pa.table({
+            group_col: g[group_col], "score": g["score"],
+            "np_": g["pos_sum"],
+            "nn_": pc.subtract(g["one_sum"], g["pos_sum"])})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([group_col, "score"], as_index=False,
+                      sort=False)[["np_", "nn_"]].sum()
+        g = g.sort_values([group_col, "score"], kind="mergesort")
+        keys = g[group_col].to_numpy()
+        npos = g["np_"].to_numpy(np.int64)
+        nneg = g["nn_"].to_numpy(np.int64)
+        starts = _group_segments(keys)
+        cnn_before = _per_group_exclusive_cumsum(nneg, starts)
+        terms = npos * (2 * cnn_before + nneg)
+        two_u = np.add.reduceat(terms, starts)
+        n_pos = np.add.reduceat(npos, starts)
+        n_neg = np.add.reduceat(nneg, starts)
+        return pd.DataFrame({
+            group_col: keys[starts],
+            "n_pos": n_pos, "n_neg": n_neg,
+            "auc_num": two_u, "auc_den": 2 * n_pos * n_neg})
+
+    pre = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return bucketed_groups(pre, group_col, kern, n_buckets=n_buckets)
+
+
+def daily_count_partials(
+    ds: ray.data.Dataset,
+    group_col: str,
+    ts_col: str,
+) -> ray.data.Dataset:
+    """(group, epoch_day) -> partial row count, collapsed per block.
+    ``day`` is int64 days since 1970-01-01 (matches DuckDB
+    ``DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))``)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(pc.cast(
+            pc.cast(t[ts_col].combine_chunks(), pa.timestamp("us")),
+            pa.date32()), pa.int32()), pa.int64())
+        tt = pa.table({group_col: t[group_col].combine_chunks(),
+                       "day": day,
+                       "n": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by([group_col, "day"]).aggregate([("n", "sum")])
+        return pa.table({group_col: g[group_col], "day": g["day"],
+                         "n": g["n_sum"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def grouped_trend_slope(
+    ds: ray.data.Dataset,
+    group_col: str,
+    ts_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group OLS slope of daily row counts vs day index, as the
+    exact integer rational (slope_num, slope_den):
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) over (x = day - min day of
+    the group, y = that day's count).  Centering x per group keeps
+    every product inside int64 (x <= observed span in days; bound:
+    span^2 * total_rows < 2^63).  The trend detector for growing log
+    sources / hot CI jobs.
+
+    One exchange total: per-block (group, day) count partials, then a
+    single bucket kernel folds exact daily counts and the five
+    sufficient sums per group with reduceats."""
+    pre = daily_count_partials(ds, group_col, ts_col)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([group_col, "day"], as_index=False,
+                      sort=False)[["n"]].sum()
+        g = g.sort_values([group_col, "day"], kind="mergesort")
+        keys = g[group_col].to_numpy()
+        day = g["day"].to_numpy(np.int64)
+        y = g["n"].to_numpy(np.int64)
+        starts = _group_segments(keys)
+        lens = np.diff(np.r_[starts, len(keys)])
+        x = day - np.repeat(day[starts], lens)
+        n = lens.astype(np.int64)
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(y, starts)
+        sxy = np.add.reduceat(x * y, starts)
+        sxx = np.add.reduceat(x * x, starts)
+        return pd.DataFrame({
+            group_col: keys[starts], "n_days": n,
+            "slope_num": n * sxy - sx * sy,
+            "slope_den": n * sxx - sx * sx})
+
+    return bucketed_groups(pre, group_col, kern, n_buckets=n_buckets)
+
+
+def grouped_cusum_peak(
+    ds: ray.data.Dataset,
+    group_col: str,
+    ts_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group CUSUM level-shift detector over the daily count
+    series, exact integers: with n observed days and S total rows,
+    dev_k = n*cumsum(y)_k - k*S (the cumulative deviation from the
+    group's own mean, scaled by n to stay integral).  Emits the peak
+    |dev| and the FIRST day attaining it -- the classic change-point
+    locator for a log route whose volume steps up or down.
+
+    Same one-exchange plan as :func:`grouped_trend_slope`; the argmax
+    with first-day tie-break is a masked min-reduceat, no per-group
+    Python."""
+    pre = daily_count_partials(ds, group_col, ts_col)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([group_col, "day"], as_index=False,
+                      sort=False)[["n"]].sum()
+        g = g.sort_values([group_col, "day"], kind="mergesort")
+        keys = g[group_col].to_numpy()
+        day = g["day"].to_numpy(np.int64)
+        y = g["n"].to_numpy(np.int64)
+        starts = _group_segments(keys)
+        lens = np.diff(np.r_[starts, len(keys)])
+        n_rep = np.repeat(lens.astype(np.int64), lens)
+        s = np.add.reduceat(y, starts)
+        s_rep = np.repeat(s, lens)
+        cumy = _per_group_exclusive_cumsum(y, starts) + y
+        k = np.arange(len(y), dtype=np.int64) - np.repeat(starts, lens) + 1
+        dev = np.abs(n_rep * cumy - k * s_rep)
+        peak = np.maximum.reduceat(dev, starts)
+        is_peak = dev == np.repeat(peak, lens)
+        big = np.iinfo(np.int64).max
+        peak_day = np.minimum.reduceat(np.where(is_peak, day, big), starts)
+        return pd.DataFrame({
+            group_col: keys[starts],
+            "n_days": lens.astype(np.int64), "total": s,
+            "max_dev": peak, "peak_day": peak_day})
+
+    return bucketed_groups(pre, group_col, kern, n_buckets=n_buckets)
