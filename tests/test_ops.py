@@ -2635,3 +2635,84 @@ def test_knn_graph_ivf_finds_planted_twins(ray_session):
         assert top1[a] == b, (a, top1.get(a), b)
     # every vector got at least one neighbor (full cell coverage)
     assert len(top1) == 200
+
+
+def test_grouped_auc_matches_bruteforce_with_ties(ray_session):
+    """Planted heavy score ties across blocks: the rank-sum rational
+    must equal the O(n^2) pair count (win=2, tie=1) exactly."""
+    from ci_log_processing_ray.ops.groupagg import grouped_auc
+
+    rng = np.random.default_rng(7)
+    n = 600
+    df = pd.DataFrame({
+        "grp": rng.choice(["a", "b", "c"], n),
+        "label": rng.integers(0, 2, n).astype(np.int64),
+        # only 8 distinct scores -> massive tie groups
+        "score": rng.integers(0, 8, n).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = grouped_auc(ds, "grp", "label", "score").to_pandas()
+    got = got.sort_values("grp").reset_index(drop=True)
+
+    for _, row in got.iterrows():
+        sub = df[df["grp"] == row["grp"]]
+        pos = sub[sub["label"] == 1]["score"].to_numpy()
+        neg = sub[sub["label"] == 0]["score"].to_numpy()
+        two_u = int(2 * (pos[:, None] > neg[None, :]).sum()
+                    + (pos[:, None] == neg[None, :]).sum())
+        assert int(row["auc_num"]) == two_u
+        assert int(row["auc_den"]) == 2 * len(pos) * len(neg)
+        assert int(row["n_pos"]) == len(pos)
+        assert int(row["n_neg"]) == len(neg)
+
+
+def test_grouped_cusum_first_day_tiebreak(ray_session):
+    """A symmetric step series peaks |dev| on two days; the op must
+    report the EARLIER one."""
+    from ci_log_processing_ray.ops.groupagg import grouped_cusum_peak
+
+    # counts per day: 2,2,4,4 -> S=12, n=4; dev_k = 4*cum - k*12:
+    # k=1: 8-12=-4; k=2: 16-24=-8; k=3: 32-36=-4; k=4: 48-48=0
+    # unique peak 8 at day 2.  Add a second group with a genuine tie:
+    # 1,3,3,1 -> S=8, n=4; dev: 4-8=-4; 16-16=0; 28-24=4; 32-32=0
+    # |dev| peaks 4 at k=1 AND k=3 -> must pick day0+0.
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d, cnt in enumerate([2, 2, 4, 4]):
+        rows += [("step", base + datetime.timedelta(days=d))] * cnt
+    for d, cnt in enumerate([1, 3, 3, 1]):
+        rows += [("tie", base + datetime.timedelta(days=d))] * cnt
+    df = pd.DataFrame(rows, columns=["grp", "ts"])
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=3)
+                              ).repartition(4)
+    got = (grouped_cusum_peak(ds, "grp", "ts").to_pandas()
+           .set_index("grp"))
+    day0 = (base.date() - datetime.date(1970, 1, 1)).days
+    assert int(got.loc["step", "max_dev"]) == 8
+    assert int(got.loc["step", "peak_day"]) == day0 + 1
+    assert int(got.loc["tie", "max_dev"]) == 4
+    assert int(got.loc["tie", "peak_day"]) == day0
+    assert int(got.loc["step", "total"]) == 12
+
+
+def test_grouped_trend_slope_exact_line(ray_session):
+    """Counts lying exactly on y = 3x + 2 (with a gap day) must give
+    slope_num/slope_den == 3 exactly; a flat group gives 0."""
+    from ci_log_processing_ray.ops.groupagg import grouped_trend_slope
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    for x in [0, 1, 2, 4, 7]:  # irregular observed days
+        rows += [("lin", base + datetime.timedelta(days=x))] * (3 * x + 2)
+    for x in range(4):
+        rows += [("flat", base + datetime.timedelta(days=x))] * 5
+    df = pd.DataFrame(rows, columns=["grp", "ts"])
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=9)
+                              ).repartition(3)
+    got = (grouped_trend_slope(ds, "grp", "ts").to_pandas()
+           .set_index("grp"))
+    assert int(got.loc["lin", "slope_num"]) == \
+        3 * int(got.loc["lin", "slope_den"])
+    assert int(got.loc["lin", "slope_den"]) > 0
+    assert int(got.loc["lin", "n_days"]) == 5
+    assert int(got.loc["flat", "slope_num"]) == 0
