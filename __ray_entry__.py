@@ -3853,6 +3853,17 @@ def q_trend_slope(sf_dir: str):
     return grouped_trend_slope(ds, "event_type", "ts")
 
 
+def q_distinctive_terms(sf_dir: str):
+    """Source-distinctive vocabulary by exact odds ratio: words whose
+    in-source rate beats the rest-of-corpus rate by more than 13/10,
+    integer cross-multiplied -- keyness mining for corpus curation."""
+    from ci_log_processing_ray.ops.textstats import distinctive_terms
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return distinctive_terms(ds, "text", "source",
+                             min_count=2, ratio_num=13, ratio_den=10)
+
+
 def q_cusum_shift(sf_dir: str):
     """Per-event-type CUSUM change-point over the daily count series:
     peak |n*cumsum(y) - k*S| and the first day attaining it, exact
@@ -4044,6 +4055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roc_auc": q_roc_auc,
         "trend_slope": q_trend_slope,
         "cusum_shift": q_cusum_shift,
+        "distinctive_terms": q_distinctive_terms,
     }
 
 
@@ -5810,4 +5822,27 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
                 ORDER BY ABS(nd * cum - k * s) DESC, day ASC) = 1""",
+        "distinctive_terms": """
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9_]+')) AS word
+              FROM documents
+            ), c AS (
+              SELECT source, word, CAST(count(*) AS BIGINT) AS a
+              FROM w GROUP BY 1, 2
+            ), tot AS (
+              SELECT source, CAST(sum(a) AS BIGINT) AS ts
+              FROM c GROUP BY 1
+            ), wt AS (
+              SELECT word, CAST(sum(a) AS BIGINT) AS tw
+              FROM c GROUP BY 1
+            ), g AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM c)
+            SELECT c.source, c.word, a,
+                   CAST(a * (n - tw - ts + a) AS BIGINT) AS or_num,
+                   CAST((tw - a) * (ts - a) AS BIGINT) AS or_den
+            FROM c JOIN tot USING (source) JOIN wt USING (word)
+                 CROSS JOIN g
+            WHERE a >= 2
+              AND 10 * a * (n - tw - ts + a) > 13 * (tw - a) * (ts - a)""",
     }

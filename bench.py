@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "roc_auc",
     "trend_slope",
     "cusum_shift",
+    "distinctive_terms",
 ]
 
 

@@ -689,3 +689,62 @@ def gopher_rules(
 
     return ds.map_batches(rules, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def distinctive_terms(
+    ds: ray.data.Dataset,
+    text_col: str,
+    group_col: str,
+    *,
+    min_count: int = 2,
+    ratio_num: int = 13,
+    ratio_den: int = 10,
+) -> pd.DataFrame:
+    """Keyness mining: for every (group, word), the exact odds ratio of
+    the 2x2 contingency table (word in group vs word elsewhere) as an
+    integer rational -- or_num = a*d, or_den = b*c with a = in-group
+    occurrences, b = elsewhere occurrences, c/d = the complements.
+    Keeps words with ``a >= min_count`` whose ratio exceeds
+    ``ratio_num/ratio_den`` via cross-multiplied integer comparison
+    (a word exclusive to the group has or_den = 0 and is kept) -- the
+    corpus-curation primitive for source-distinctive vocabulary.
+
+    Scale shape: per-block (group, word) count partials collapse the
+    token stream BEFORE the exchange (vocabulary x groups sized, never
+    rows); the final fold is one driver pandas pass over that
+    vocabulary-sized table.  Overflow bound: a*d < 2^63 requires total
+    corpus tokens < ~3e9 per run -- compute over a sampled or per-shard
+    window above that."""
+    from .curation import _word_stream
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, n_words = _word_stream(t[text_col])
+        grp = np.repeat(
+            t[group_col].combine_chunks().to_numpy(zero_copy_only=False),
+            n_words)
+        tt = pa.table({group_col: pa.array(grp, pa.string()),
+                       "word": flat,
+                       "n": pa.array(np.ones(len(flat), np.int64))})
+        g = tt.group_by([group_col, "word"]).aggregate([("n", "sum")])
+        return pa.table({group_col: g[group_col], "word": g["word"],
+                         "n": g["n_sum"]})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby([group_col, "word"]).sum("n").to_pandas()
+           .rename(columns={"sum(n)": "a"}))
+    a = agg["a"].to_numpy(np.int64)
+    ts = agg.groupby(group_col)["a"].transform("sum").to_numpy(np.int64)
+    tw = agg.groupby("word")["a"].transform("sum").to_numpy(np.int64)
+    n = int(a.sum())
+    b = tw - a
+    c = ts - a
+    d = n - tw - ts + a
+    or_num = a * d
+    or_den = b * c
+    keep = (a >= min_count) & (ratio_den * or_num > ratio_num * or_den)
+    out = pd.DataFrame({
+        group_col: agg[group_col].to_numpy()[keep],
+        "word": agg["word"].to_numpy()[keep],
+        "a": a[keep], "or_num": or_num[keep], "or_den": or_den[keep]})
+    return out.reset_index(drop=True)
