@@ -3853,6 +3853,18 @@ def q_trend_slope(sf_dir: str):
     return grouped_trend_slope(ds, "event_type", "ts")
 
 
+def q_max_dup_span(sf_dir: str):
+    """Per-document longest duplicated word span (exact substring
+    dedup signal, Lee et al. 2022): length of the longest contiguous
+    stretch covered by 5-grams occurring in >= 2 distinct docs; 0 for
+    clean or short docs.  Gram blocking over duplicate_spans + one
+    vectorized run sweep per batch."""
+    from ci_log_processing_ray.ops.dedup import max_duplicate_span
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return max_duplicate_span(ds, "text", "doc_id", n=5)
+
+
 def q_distinctive_terms(sf_dir: str):
     """Source-distinctive vocabulary by exact odds ratio: words whose
     in-source rate beats the rest-of-corpus rate by more than 13/10,
@@ -4056,6 +4068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trend_slope": q_trend_slope,
         "cusum_shift": q_cusum_shift,
         "distinctive_terms": q_distinctive_terms,
+        "max_dup_span": q_max_dup_span,
     }
 
 
@@ -5845,4 +5858,34 @@ def oracle_sql() -> dict[str, str]:
                  CROSS JOIN g
             WHERE a >= 2
               AND 10 * a * (n - tw - ts + a) > 13 * (tw - a) * (ts - a)""",
+        "max_dup_span": """
+            WITH words AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS i,
+                     array_to_string(list_slice(ws, i, i + 4), ' ')
+                       AS gram
+              FROM words, unnest(range(1, len(ws) - 3)) AS t(i)
+            ), dup AS (
+              SELECT gram FROM pos
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), flag AS (
+              SELECT p.doc_id, p.i FROM pos p JOIN dup USING (gram)
+            ), runs AS (
+              SELECT doc_id,
+                     i - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY i) AS rk
+              FROM flag
+            ), best AS (
+              SELECT doc_id, MAX(cnt) AS mr FROM (
+                SELECT doc_id, rk, count(*) AS cnt
+                FROM runs GROUP BY doc_id, rk)
+              GROUP BY doc_id
+            )
+            SELECT w.doc_id AS id,
+                   CAST(COALESCE(best.mr + 4, 0) AS BIGINT)
+                     AS max_dup_span
+            FROM words w LEFT JOIN best ON w.doc_id = best.doc_id""",
     }

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "trend_slope",
     "cusum_shift",
     "distinctive_terms",
+    "max_dup_span",
 ]
 
 

@@ -1396,3 +1396,174 @@ def duplicate_spans(
         return agg[agg["df"] >= 2]
 
     return bucketed_groups(partials, "gram", finish)
+
+
+def _positional_grams(
+    texts: pa.Array, ids: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """(doc, pos, gram) for EVERY full n-gram start position (no
+    dedup, positions 0-based and consecutive per doc) -- the
+    positional variant of :func:`_doc_ngrams`, same gather plan."""
+    import pyarrow.compute as pc
+
+    from ci_log_processing_ray.ops.curation import (_gather_windows,
+                                                    _word_stream)
+
+    flat, n_words = _word_stream(texts)
+    doc_idx, win_idx, win_len, gather = _gather_windows(n_words, n, 1)
+    full = win_len == n
+    if not full.any():
+        return (np.array([], np.int64), np.array([], np.int64),
+                pa.array([], pa.string()))
+    gather = gather[np.repeat(full, win_len)]
+    k = int(full.sum())
+    offs = np.arange(0, (k + 1) * n, n, dtype=np.int32)
+    lists = pa.ListArray.from_arrays(
+        pa.array(offs), flat.take(pa.array(gather)))
+    grams = pc.binary_join(lists, " ")
+    return ids[doc_idx[full]], win_idx[full], grams
+
+
+def _max_flagged_runs(doc: np.ndarray, isdup: np.ndarray,
+                      n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per doc, the longest run of flagged CONSECUTIVE gram positions,
+    converted to a word-span length (run + n - 1; 0 when no flags).
+    ``doc`` must be grouped (each doc contiguous) with positions
+    consecutive within it -- the `_positional_grams` layout."""
+    if len(doc) == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    run_starts = np.flatnonzero(np.r_[
+        True, (doc[1:] != doc[:-1]) | (isdup[1:] != isdup[:-1])])
+    run_len = np.diff(np.r_[run_starts, len(doc)])
+    run_doc = doc[run_starts]
+    flagged_len = np.where(isdup[run_starts], run_len, 0)
+    doc_starts = np.flatnonzero(np.r_[True, run_doc[1:] != run_doc[:-1]])
+    max_run = np.maximum.reduceat(flagged_len, doc_starts)
+    span = np.where(max_run > 0, max_run + n - 1, 0).astype(np.int64)
+    return run_doc[doc_starts], span
+
+
+def max_duplicate_span(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 5,
+    mode: str = "broadcast",
+) -> "ray.data.Dataset":
+    """Per-document longest duplicated word span: the length (in
+    words) of the longest contiguous stretch fully covered by word
+    ``n``-grams that occur in >= 2 distinct documents -- the per-doc
+    removal signal of exact substring dedup (Lee et al. 2022; there
+    via suffix arrays over the concatenated corpus, here via gram
+    blocking on top of :func:`duplicate_spans`).  Docs shorter than
+    ``n`` words or with no duplicated gram report 0.  Output:
+    (id, max_dup_span), one row per input doc.
+
+    Two membership plans:
+
+    * ``mode="broadcast"`` (default): the df>=2 gram set is collected
+      once and ``ray.put`` -- membership is one ``pc.is_in`` per
+      batch and the run sweep stays inside the same map (docs never
+      span batches).  Contract: the duplicated-gram set must fit the
+      driver (gram-vocabulary sized; on log/telemetry corpora that is
+      template-shaped, far below corpus size).
+    * ``mode="shuffle"`` (the 100-TB path): positions and dup grams
+      meet in ONE tagged-union hash(gram) co-partition (nothing is
+      driver-resident), flagged positions re-bucket by doc for the
+      run sweep, and the dup-doc-sized result broadcasts back onto
+      the corpus for the zero-fill.  Use when the dup-gram set
+      exceeds driver memory."""
+    import pyarrow.compute as pc
+
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    dup = duplicate_spans(ds, text_col, id_col, n=n)
+
+    if mode == "broadcast":
+        grams = pa.array(dup.to_pandas()["gram"].to_numpy(),
+                         type=pa.string())
+        gram_ref = ray.put(grams)
+
+        def scan(t: pa.Table) -> pa.Table:
+            ids = t[id_col].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            d, _pos, g = _positional_grams(t[text_col], ids, n)
+            if len(d):
+                isdup = pc.is_in(
+                    g, value_set=ray.get(gram_ref)).to_numpy(
+                    zero_copy_only=False)
+                run_doc, span = _max_flagged_runs(d, isdup, n)
+                lut = pd.Series(span, index=run_doc)
+                out = lut.reindex(ids, fill_value=0).to_numpy(np.int64)
+            else:
+                out = np.zeros(len(ids), np.int64)
+            return pa.table({"id": pa.array(ids),
+                             "max_dup_span": pa.array(out)})
+
+        return ds.map_batches(scan, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # mode == "shuffle": tagged-union co-partition by gram
+    def pos_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d, p, g = _positional_grams(t[text_col], ids, n)
+        return pa.table({"gram": g, "id": pa.array(d),
+                         "pos": pa.array(p),
+                         "kind": pa.array(
+                             np.zeros(len(d), np.int32))})
+
+    def dup_rows(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "gram": g["gram"].to_numpy(),
+            "id": np.full(len(g), -1, np.int64),
+            "pos": np.full(len(g), -1, np.int64),
+            "kind": np.ones(len(g), np.int32)})
+
+    tagged = ds.map_batches(pos_rows, batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+        dup.map_batches(dup_rows, batch_format="pandas"))
+
+    def flag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        isd = g["kind"].to_numpy() == 1
+        dupset = set(g.loc[isd, "gram"])
+        p = g[~isd]
+        keep = p["gram"].isin(dupset).to_numpy()
+        return p.loc[keep, ["id", "pos"]]
+
+    flagged = bucketed_groups(tagged, "gram", flag_bucket)
+
+    def runs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["id", "pos"], kind="mergesort")
+        ids = g["id"].to_numpy(np.int64)
+        pos = g["pos"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        lens = np.diff(np.r_[starts, len(ids)])
+        rank = np.arange(len(ids), dtype=np.int64) - np.repeat(starts, lens)
+        runkey = pos - rank
+        rs = np.flatnonzero(np.r_[True, (ids[1:] != ids[:-1]) |
+                                  (runkey[1:] != runkey[:-1])])
+        rlen = np.diff(np.r_[rs, len(ids)])
+        rdoc = ids[rs]
+        dstart = np.flatnonzero(np.r_[True, rdoc[1:] != rdoc[:-1]])
+        return pd.DataFrame({
+            "id": rdoc[dstart],
+            "max_dup_span": np.maximum.reduceat(rlen, dstart)
+            + n - 1})
+
+    res = bucketed_groups(flagged, "id", runs_bucket).to_pandas()
+    res_ref = ray.put(pd.Series(
+        res["max_dup_span"].to_numpy(np.int64),
+        index=res["id"].to_numpy(np.int64)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lut = ray.get(res_ref)
+        out = lut.reindex(ids, fill_value=0).to_numpy(np.int64)
+        return pa.table({"id": pa.array(ids),
+                         "max_dup_span": pa.array(out)})
+
+    return ds.map_batches(attach, batch_format="pyarrow",
+                          zero_copy_batch=True)

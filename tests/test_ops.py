@@ -2716,3 +2716,32 @@ def test_grouped_trend_slope_exact_line(ray_session):
     assert int(got.loc["lin", "slope_den"]) > 0
     assert int(got.loc["lin", "n_days"]) == 5
     assert int(got.loc["flat", "slope_num"]) == 0
+
+
+def test_max_duplicate_span_paths_agree(ray_session):
+    """Planted shared substrings: the broadcast and shuffle membership
+    plans must emit identical per-doc spans, including zeros."""
+    from ci_log_processing_ray.ops.dedup import max_duplicate_span
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            f"one two {shared} three four",          # span 7
+            f"nine ten {shared} eleven twelve",      # span 7
+            "totally unique words only here friend",  # 0
+            "short doc",                              # < n words -> 0
+            f"{shared} {shared}",                     # overlapping: 14
+            f"{shared} {shared}",                     # same text: 14
+        ],
+    })
+    ds = ray.data.from_pandas(docs).repartition(3)
+    b = (max_duplicate_span(ds, "text", "doc_id", n=5, mode="broadcast")
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    s = (max_duplicate_span(ds, "text", "doc_id", n=5, mode="shuffle")
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(b, s)
+    spans = dict(zip(b["id"], b["max_dup_span"]))
+    assert spans[2] == 0 and spans[3] == 0
+    assert spans[0] == 7 and spans[1] == 7
+    assert spans[4] == 14 and spans[5] == 14
