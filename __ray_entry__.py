@@ -3853,6 +3853,16 @@ def q_trend_slope(sf_dir: str):
     return grouped_trend_slope(ds, "event_type", "ts")
 
 
+def q_vocab_drift(sf_dir: str):
+    """Per-source vocabulary drift vs the rest of the corpus: exact
+    total-variation distance as an integer rational (tv_num, tv_den)
+    -- the content-shift score for a log source or crawl snapshot."""
+    from ci_log_processing_ray.ops.textstats import vocab_drift
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return vocab_drift(ds, "text", "source")
+
+
 def q_max_dup_span(sf_dir: str):
     """Per-document longest duplicated word span (exact substring
     dedup signal, Lee et al. 2022): length of the longest contiguous
@@ -4069,6 +4079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_shift": q_cusum_shift,
         "distinctive_terms": q_distinctive_terms,
         "max_dup_span": q_max_dup_span,
+        "vocab_drift": q_vocab_drift,
     }
 
 
@@ -5888,4 +5899,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(best.mr + 4, 0) AS BIGINT)
                      AS max_dup_span
             FROM words w LEFT JOIN best ON w.doc_id = best.doc_id""",
+        "vocab_drift": """
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9_]+')) AS word
+              FROM documents
+            ), c AS (
+              SELECT source, word, CAST(count(*) AS BIGINT) AS a
+              FROM w GROUP BY 1, 2
+            ), tot AS (
+              SELECT source, CAST(sum(a) AS BIGINT) AS ts
+              FROM c GROUP BY 1
+            ), wt AS (
+              SELECT word, CAST(sum(a) AS BIGINT) AS tw
+              FROM c GROUP BY 1
+            ), g AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM c),
+            p AS (
+              SELECT c.source,
+                     ABS(a * (n - ts) - (tw - a) * ts) AS term,
+                     tw, ts, n
+              FROM c JOIN tot USING (source) JOIN wt USING (word)
+                   CROSS JOIN g
+            )
+            SELECT source,
+                   CAST(SUM(term) + (MAX(n) - SUM(tw)) * MAX(ts)
+                        AS BIGINT) AS tv_num,
+                   CAST(2 * MAX(ts) * (MAX(n) - MAX(ts)) AS BIGINT)
+                     AS tv_den
+            FROM p GROUP BY source""",
     }

@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "cusum_shift",
     "distinctive_terms",
     "max_dup_span",
+    "vocab_drift",
 ]
 
 

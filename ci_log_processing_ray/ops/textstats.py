@@ -748,3 +748,61 @@ def distinctive_terms(
         "word": agg["word"].to_numpy()[keep],
         "a": a[keep], "or_num": or_num[keep], "or_den": or_den[keep]})
     return out.reset_index(drop=True)
+
+
+def vocab_drift(
+    ds: ray.data.Dataset,
+    text_col: str,
+    group_col: str,
+) -> pd.DataFrame:
+    """Distribution drift per group: the total-variation distance
+    between each group's word distribution and the REST of the
+    corpus's, as an exact integer rational --
+    TV = tv_num / tv_den with tv_num = sum_w |a_w*(N-ts) - b_w*ts|
+    and tv_den = 2*ts*(N-ts) (a_w in-group count, b_w elsewhere count,
+    ts group total, N corpus total).  0 = identical mix, 1 = disjoint
+    vocabularies; the drift score for a log source or crawl snapshot
+    whose content shifted.
+
+    Same scale shape as :func:`distinctive_terms`: per-block
+    (group, word) count partials, one vocabulary-sized driver fold.
+    Overflow bound: a_w * N < 2^63."""
+    from .curation import _word_stream
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, n_words = _word_stream(t[text_col])
+        grp = np.repeat(
+            t[group_col].combine_chunks().to_numpy(zero_copy_only=False),
+            n_words)
+        tt = pa.table({group_col: pa.array(grp, pa.string()),
+                       "word": flat,
+                       "n": pa.array(np.ones(len(flat), np.int64))})
+        g = tt.group_by([group_col, "word"]).aggregate([("n", "sum")])
+        return pa.table({group_col: g[group_col], "word": g["word"],
+                         "n": g["n_sum"]})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby([group_col, "word"]).sum("n").to_pandas()
+           .rename(columns={"sum(n)": "a"}))
+    a = agg["a"].to_numpy(np.int64)
+    ts = agg.groupby(group_col)["a"].transform("sum").to_numpy(np.int64)
+    tw = agg.groupby("word")["a"].transform("sum").to_numpy(np.int64)
+    n = int(a.sum())
+    # per observed (group, word): |a*(N-ts) - (tw-a)*ts|; words absent
+    # from the group contribute b_w*ts -- fold them in via the word
+    # total: sum over absent w of tw*ts = (N - sum of tw present)*ts
+    term = np.abs(a * (n - ts) - (tw - a) * ts)
+    df = pd.DataFrame({group_col: agg[group_col].to_numpy(),
+                       "term": term, "tw": tw, "ts": ts})
+    g = df.groupby(group_col, as_index=False).agg(
+        present=("term", "sum"), tw_seen=("tw", "sum"),
+        ts=("ts", "first"))
+    absent = (n - g["tw_seen"].to_numpy(np.int64)) * g["ts"].to_numpy(
+        np.int64)
+    ts_v = g["ts"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        group_col: g[group_col].to_numpy(),
+        "tv_num": g["present"].to_numpy(np.int64) + absent,
+        "tv_den": 2 * ts_v * (n - ts_v)})
+    return out.reset_index(drop=True)
