@@ -938,6 +938,169 @@ def main_window() -> None:
         ray.shutdown()
 
 
+CORPUS_AUC = "/tmp/stats_scale_auc_v1"
+CORPUS_CUSUM = "/tmp/stats_scale_cusum_v1"
+S_GROUPS = 1_250_000          # AUC groups x 40 rows = 50M
+S_PER_SCORE = 20              # scores 0..19, one pos + one neg each
+C_GROUPS = 2_500_000          # CUSUM groups x 20 rows = 50M
+C_HALF = 5                    # days 0..9: counts 1,1,1,1,1,3,3,3,3,3
+
+
+def build_stats_corpora() -> tuple[int, int]:
+    """Two deterministic 50M-row corpora with PER-GROUP closed-form
+    truths, rows round-robin scattered across all 32 shards:
+
+    * AUC: group g holds 20 (pos, neg) pairs; EVEN groups tie each
+      pair at the same score (2U = S^2 = 400, AUC exactly 1/2), ODD
+      groups shift every positive +20 (complete separation,
+      2U = 2*S^2 = 800, AUC exactly 1).
+    * CUSUM/trend: group g sees days 0..9 with counts 1 (first half)
+      and 3 (second half): max |n*cum - k*S| = 2h^2 = 50 uniquely at
+      day h-1 = 4, and the OLS slope over (x, count) is exactly
+      250/825."""
+    import numpy as np
+
+    n_auc = S_GROUPS * 2 * S_PER_SCORE
+    marker = os.path.join(CORPUS_AUC, ".done")
+    if not os.path.exists(marker):
+        os.makedirs(CORPUS_AUC, exist_ok=True)
+        per = n_auc // N_SHARDS
+        for shard in range(N_SHARDS):
+            idx = shard + N_SHARDS * np.arange(per, dtype=np.int64)
+            grp = idx // (2 * S_PER_SCORE)
+            r = idx % (2 * S_PER_SCORE)
+            lab = r % 2
+            score = r // 2 + lab * S_PER_SCORE * (grp % 2)
+            out = pa.table({"grp": pa.array(grp),
+                            "label": pa.array(lab),
+                            "score": pa.array(score)})
+            tmp = os.path.join(CORPUS_AUC, f".tmp-{shard:04d}.parquet")
+            pq.write_table(out, tmp)
+            os.replace(tmp, os.path.join(CORPUS_AUC,
+                                         f"part-{shard:04d}.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    n_cusum = C_GROUPS * 4 * C_HALF
+    marker = os.path.join(CORPUS_CUSUM, ".done")
+    if not os.path.exists(marker):
+        os.makedirs(CORPUS_CUSUM, exist_ok=True)
+        per = n_cusum // N_SHARDS
+        day_of_r = np.concatenate([
+            np.arange(C_HALF, dtype=np.int64),
+            C_HALF + np.repeat(np.arange(C_HALF, dtype=np.int64), 3)])
+        for shard in range(N_SHARDS):
+            idx = shard + N_SHARDS * np.arange(per, dtype=np.int64)
+            grp = idx // (4 * C_HALF)
+            day = day_of_r[idx % (4 * C_HALF)]
+            ts_us = (20_000 + day) * 86_400_000_000
+            out = pa.table({"grp": pa.array(grp),
+                            "ts": pa.array(
+                                ts_us.astype("datetime64[us]"))})
+            tmp = os.path.join(CORPUS_CUSUM, f".tmp-{shard:04d}.parquet")
+            pq.write_table(out, tmp)
+            os.replace(tmp, os.path.join(CORPUS_CUSUM,
+                                         f"part-{shard:04d}.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return n_auc, n_cusum
+
+
+def main_stats() -> None:
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    n_auc, n_cusum = build_stats_corpora()
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.groupagg import (
+            grouped_auc, grouped_cusum_peak, grouped_trend_slope)
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+        results = {}
+
+        def stream_assert(out, check):
+            """Per-batch vectorized assert + count partial; never
+            materializes the per-group result on the driver."""
+            return sum(
+                int(b["n"].to_numpy().sum()) for b in out.map_batches(
+                    check, batch_format="pyarrow").iter_batches(
+                        batch_format="pyarrow"))
+
+        t0 = time.perf_counter()
+        auc = grouped_auc(
+            ray.data.read_parquet(CORPUS_AUC), "grp", "label", "score")
+
+        def check_auc(t: pa.Table) -> pa.Table:
+            g = t["grp"].combine_chunks().to_numpy(zero_copy_only=False)
+            num = t["auc_num"].combine_chunks().to_numpy()
+            assert (t["n_pos"].combine_chunks().to_numpy()
+                    == S_PER_SCORE).all()
+            assert (t["auc_den"].combine_chunks().to_numpy()
+                    == 2 * S_PER_SCORE * S_PER_SCORE).all()
+            want = S_PER_SCORE * S_PER_SCORE * (1 + (g % 2))
+            assert (num == want).all()
+            return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+        n_groups = stream_assert(auc, check_auc)
+        sec = time.perf_counter() - t0
+        assert n_groups == S_GROUPS, n_groups
+        results["grouped_auc"] = {"sec": round(sec, 2),
+                                  "rows_per_sec": round(n_auc / sec)}
+
+        t0 = time.perf_counter()
+        cus = grouped_cusum_peak(
+            ray.data.read_parquet(CORPUS_CUSUM), "grp", "ts")
+
+        def check_cusum(t: pa.Table) -> pa.Table:
+            assert (t["n_days"].combine_chunks().to_numpy()
+                    == 2 * C_HALF).all()
+            assert (t["total"].combine_chunks().to_numpy()
+                    == 4 * C_HALF).all()
+            assert (t["max_dev"].combine_chunks().to_numpy()
+                    == 2 * C_HALF * C_HALF).all()
+            assert (t["peak_day"].combine_chunks().to_numpy()
+                    == 20_000 + C_HALF - 1).all()
+            return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+        n_groups = stream_assert(cus, check_cusum)
+        sec = time.perf_counter() - t0
+        assert n_groups == C_GROUPS, n_groups
+        results["grouped_cusum_peak"] = {
+            "sec": round(sec, 2), "rows_per_sec": round(n_cusum / sec)}
+
+        # trend slope on the same step series: exactly 250/825
+        t0 = time.perf_counter()
+        tr = grouped_trend_slope(
+            ray.data.read_parquet(CORPUS_CUSUM), "grp", "ts")
+
+        def check_trend(t: pa.Table) -> pa.Table:
+            assert (t["slope_num"].combine_chunks().to_numpy()
+                    == 250).all()
+            assert (t["slope_den"].combine_chunks().to_numpy()
+                    == 825).all()
+            assert (t["n_days"].combine_chunks().to_numpy()
+                    == 2 * C_HALF).all()
+            return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+        n_groups = stream_assert(tr, check_trend)
+        sec = time.perf_counter() - t0
+        assert n_groups == C_GROUPS, n_groups
+        results["grouped_trend_slope"] = {
+            "sec": round(sec, 2), "rows_per_sec": round(n_cusum / sec)}
+
+        print(json.dumps({
+            "n_rows_auc": n_auc, "n_rows_cusum": n_cusum,
+            "num_cpus": NCPU, "ops": results, "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -951,5 +1114,7 @@ if __name__ == "__main__":
         main_join()
     elif len(sys.argv) > 1 and sys.argv[1] == "window":
         main_window()
+    elif len(sys.argv) > 1 and sys.argv[1] == "stats":
+        main_stats()
     else:
         main()
