@@ -3853,6 +3853,16 @@ def q_trend_slope(sf_dir: str):
     return grouped_trend_slope(ds, "event_type", "ts")
 
 
+def q_rolling_active(sf_dir: str):
+    """Rolling 7-day distinct active users per grid day (the WAU
+    primitive) without per-day distinct recounts: per-user coverage
+    intervals -> +1/-1 deltas -> one cumulative sum."""
+    from ci_log_processing_ray.ops.window import rolling_active_users
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return rolling_active_users(ds, "user_id", "ts", window_days=7)
+
+
 def q_vocab_drift(sf_dir: str):
     """Per-source vocabulary drift vs the rest of the corpus: exact
     total-variation distance as an integer rational (tv_num, tv_den)
@@ -4080,6 +4090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms": q_distinctive_terms,
         "max_dup_span": q_max_dup_span,
         "vocab_drift": q_vocab_drift,
+        "rolling_active": q_rolling_active,
     }
 
 
@@ -5928,4 +5939,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 * MAX(ts) * (MAX(n) - MAX(ts)) AS BIGINT)
                      AS tv_den
             FROM p GROUP BY source""",
+        "rolling_active": """
+            WITH pairs AS (
+              SELECT DISTINCT user_id,
+                     DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day
+              FROM events
+            ), b AS (
+              SELECT CAST(min(day) AS BIGINT) AS dmin,
+                     CAST(max(day) AS BIGINT) AS dmax
+              FROM pairs
+            ), grid AS (
+              SELECT CAST(unnest(range(dmin, dmax + 1)) AS BIGINT) AS day
+              FROM b
+            )
+            SELECT g.day,
+                   CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+            FROM grid g LEFT JOIN pairs p
+              ON p.day BETWEEN g.day - 6 AND g.day
+            GROUP BY g.day""",
     }

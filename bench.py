@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "distinctive_terms",
     "max_dup_span",
     "vocab_drift",
+    "rolling_active",
 ]
 
 

@@ -2745,3 +2745,31 @@ def test_max_duplicate_span_paths_agree(ray_session):
     assert spans[2] == 0 and spans[3] == 0
     assert spans[0] == 7 and spans[1] == 7
     assert spans[4] == 14 and spans[5] == 14
+
+
+def test_rolling_active_users_gap_and_merge(ray_session):
+    """A user gap longer than the window must drop WAU to zero on the
+    uncovered grid days, and back-to-back activity must merge into one
+    coverage interval (no double count)."""
+    from ci_log_processing_ray.ops.window import rolling_active_users
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (1, base),                                  # day 0
+        (1, base + datetime.timedelta(days=1)),     # merges with day 0
+        (2, base),                                  # day 0
+        (1, base + datetime.timedelta(days=20)),    # isolated late run
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = rolling_active_users(
+        ray.data.from_pandas(df).repartition(2), "user_id", "ts",
+        window_days=3).set_index("day")
+    day0 = (base.date() - datetime.date(1970, 1, 1)).days
+    assert len(out) == 21                      # grid day0..day20
+    assert out.loc[day0, "wau"] == 2           # both users
+    assert out.loc[day0 + 2, "wau"] == 2       # day0 still in reach
+    assert out.loc[day0 + 3, "wau"] == 1       # only user 1's day1
+    assert out.loc[day0 + 4, "wau"] == 0       # gap
+    assert out.loc[day0 + 19, "wau"] == 0
+    assert out.loc[day0 + 20, "wau"] == 1      # late run
+    assert int(out["wau"].min()) == 0
