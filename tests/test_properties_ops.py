@@ -304,3 +304,69 @@ def test_dominance_count_matches_bruteforce(ray_session, data, parts):
                                             or data[j][2] > s))
         assert got[i] == want
         # consistency: zero dominators <=> on the skyline
+
+
+auc_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # group
+        st.integers(min_value=0, max_value=1),   # label
+        st.integers(min_value=0, max_value=6),   # score (heavy ties)
+    ),
+    min_size=1, max_size=80,
+)
+
+
+@given(data=auc_st, parts=st.integers(min_value=1, max_value=4))
+@SET
+def test_grouped_auc_matches_pair_count(ray_session, data, parts):
+    """2U must equal the brute-force pair count (2*win + tie) on any
+    random tied input, at any partitioning."""
+    from ci_log_processing_ray.ops.groupagg import grouped_auc
+
+    df = pd.DataFrame(data, columns=["g", "lab", "score"]).astype(
+        {"g": np.int64, "lab": np.int64, "score": np.int64})
+    out = grouped_auc(_ds(df, parts), "g", "lab", "score").to_pandas()
+    assert len(out) == df["g"].nunique()
+    for _, row in out.iterrows():
+        sub = df[df["g"] == row["g"]]
+        pos = sub.loc[sub["lab"] == 1, "score"].to_numpy()
+        neg = sub.loc[sub["lab"] == 0, "score"].to_numpy()
+        two_u = int(2 * (pos[:, None] > neg[None, :]).sum()
+                    + (pos[:, None] == neg[None, :]).sum())
+        assert int(row["auc_num"]) == two_u
+        assert int(row["auc_den"]) == 2 * len(pos) * len(neg)
+
+
+wau_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),    # user
+        st.integers(min_value=0, max_value=25),   # day offset
+    ),
+    min_size=1, max_size=60,
+)
+
+
+@given(data=wau_st, window=st.integers(min_value=1, max_value=9),
+       parts=st.integers(min_value=1, max_value=4))
+@SET
+def test_rolling_active_matches_bruteforce(ray_session, data, window,
+                                           parts):
+    """Interval-delta WAU must equal the per-day distinct recount on
+    any random sparse activity pattern and window size."""
+    from ci_log_processing_ray.ops.window import rolling_active_users
+
+    df = pd.DataFrame(data, columns=["user_id", "off"])
+    df["ts"] = (pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(df["off"], unit="D"))
+    out = rolling_active_users(
+        _ds(df[["user_id", "ts"]], parts), "user_id", "ts",
+        window_days=window).set_index("day")
+    day0 = (pd.Timestamp("2024-01-01")
+            - pd.Timestamp("1970-01-01")).days
+    days = day0 + df["off"].to_numpy()
+    lo, hi = int(days.min()), int(days.max())
+    assert list(out.index) == list(range(lo, hi + 1))
+    for d in range(lo, hi + 1):
+        active = df.loc[(days <= d) & (days > d - window),
+                        "user_id"].nunique()
+        assert int(out.loc[d, "wau"]) == active, d
