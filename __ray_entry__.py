@@ -3853,6 +3853,44 @@ def q_trend_slope(sf_dir: str):
     return grouped_trend_slope(ds, "event_type", "ts")
 
 
+def q_compact_sink(sf_dir: str):
+    """Sink compaction preserves every routed row: events fan out to
+    a FRAGMENTED routed tree (16 shard dirs x sink=<event_type>, the
+    streaming writer's natural small-files layout, cached per sf),
+    compact_routed coalesces each sink to ~one file, and the oracle
+    pins the per-sink row counts straight against the source table --
+    any row lost or duplicated in the rewrite breaks the hash."""
+    from ci_log_processing_ray.pipelines.compact import compact_routed
+
+    frag = _export_cache_dir(sf_dir, "events", "fragmented_v1")
+    marker = os.path.join(frag, ".done")
+    if not os.path.exists(marker):
+        os.makedirs(frag, exist_ok=True)
+        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "event_type", "value"])
+        eid = tbl["event_id"].combine_chunks().to_numpy()
+        shard = (eid % 16).astype(np.int64)
+        types = tbl["event_type"].combine_chunks()
+        for s in range(16):
+            smask = shard == s
+            part = tbl.filter(pa.array(smask))
+            for et in pc.unique(types).to_pylist():
+                sub = part.filter(pc.equal(part["event_type"], et))
+                if len(sub) == 0:
+                    continue
+                d = os.path.join(frag, f"shard-{s:02d}", f"sink={et}")
+                os.makedirs(d, exist_ok=True)
+                tmp = os.path.join(d, f".tmp.{os.getpid()}")
+                pq.write_table(sub, tmp)
+                os.replace(tmp, os.path.join(d, "part-0.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    out_dir = frag + "-compact"
+    stats = compact_routed(frag, out_dir)
+    return stats[["sink", "n_rows"]].reset_index(drop=True)
+
+
 def q_rolling_active(sf_dir: str):
     """Rolling 7-day distinct active users per grid day (the WAU
     primitive) without per-day distinct recounts: per-user coverage
@@ -4091,6 +4129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_dup_span": q_max_dup_span,
         "vocab_drift": q_vocab_drift,
         "rolling_active": q_rolling_active,
+        "compact_sink": q_compact_sink,
     }
 
 
@@ -5958,4 +5997,8 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g LEFT JOIN pairs p
               ON p.day BETWEEN g.day - 6 AND g.day
             GROUP BY g.day""",
+        "compact_sink": """
+            SELECT event_type AS sink,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY event_type""",
     }

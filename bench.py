@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "max_dup_span",
     "vocab_drift",
     "rolling_active",
+    "compact_sink",
 ]
 
 

@@ -349,3 +349,51 @@ def test_flagship_plan_fuses_read(ray_session, corpus_dir):
            if line.startswith("Operator")]
     read_ops = [o for o in ops if "ReadParquet" in o]
     assert read_ops and all("->" in o for o in read_ops), ops
+
+
+def test_compact_routed_layout_and_idempotency(ray_session, tmp_path):
+    """Compaction must (a) preserve every row per sink, (b) reduce the
+    file count to the FFD bin count, (c) respect target_bytes, and
+    (d) skip every finished bin on a re-run with identical stats."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ci_log_processing_ray.pipelines.compact import compact_routed
+
+    routed = tmp_path / "routed"
+    rows_per_sink = {}
+    for shard in range(6):
+        for sink in ["a", "b"]:
+            d = routed / f"part-{shard:02d}" / f"sink={sink}"
+            d.mkdir(parents=True)
+            n = 10 * (shard + 1)
+            t = pa.table({"x": list(range(n)),
+                          "s": [sink] * n})
+            pq.write_table(t, d / "part-0.parquet")
+            rows_per_sink[sink] = rows_per_sink.get(sink, 0) + n
+
+    out = tmp_path / "compact"
+    s1 = compact_routed(str(routed), str(out),
+                        target_bytes=1 << 30).set_index("sink")
+    for sink in ["a", "b"]:
+        assert int(s1.loc[sink, "n_rows"]) == rows_per_sink[sink]
+        assert int(s1.loc[sink, "n_files_in"]) == 6
+        assert int(s1.loc[sink, "n_files_out"]) == 1
+        assert int(s1.loc[sink, "n_skipped"]) == 0
+        files = list((out / f"sink={sink}").glob("*.parquet"))
+        assert len(files) == 1
+        assert pq.read_metadata(files[0]).num_rows == rows_per_sink[sink]
+
+    # re-run: every bin already exists -> all skipped, stats identical
+    s2 = compact_routed(str(routed), str(out),
+                        target_bytes=1 << 30).set_index("sink")
+    assert (s2["n_skipped"] == s2.index.map(
+        lambda s: 1)).all()
+    assert s2["n_rows"].equals(s1["n_rows"])
+
+    # tiny target: every input file lands in its own bin
+    out2 = tmp_path / "compact2"
+    s3 = compact_routed(str(routed), str(out2),
+                        target_bytes=1).set_index("sink")
+    assert int(s3.loc["a", "n_files_out"]) == 6
+    assert int(s3.loc["a", "n_rows"]) == rows_per_sink["a"]
