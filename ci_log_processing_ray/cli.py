@@ -46,6 +46,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="job names to scrape (live mode; default: all)")
     p.add_argument("--max-builds", type=int, default=100,
                    help="builds per job per tick (live mode)")
+    p.add_argument("--compact-dir",
+                   help="compact mode: coalesce an existing routed "
+                        "tree's per-(shard, sink) small files into "
+                        "~target-size files under --out "
+                        "(pipelines/compact.py; idempotent)")
+    p.add_argument("--target-bytes", type=int, default=128 << 20,
+                   help="compact mode: max bytes per output file")
     p.add_argument("--out", required=True, help="output root directory")
     p.add_argument("--skip-debug", action="store_true",
                    help="drop lines containing DEBUG (logsender --skip-debug)")
@@ -102,6 +109,20 @@ def main(argv: list[str] | None = None) -> int:
 
         cfg = PipelineConfig(skip_debug=args.skip_debug,
                              fill_mode=args.fill_mode)
+
+        if args.compact_dir:
+            from .pipelines.compact import compact_routed
+
+            stats = compact_routed(args.compact_dir, args.out,
+                                   target_bytes=args.target_bytes)
+            print(json.dumps({
+                "sinks": stats.to_dict(orient="records"),
+                "n_files_in": int(stats["n_files_in"].sum()),
+                "n_files_out": int(stats["n_files_out"].sum()),
+                "n_rows": int(stats["n_rows"].sum()),
+                "n_skipped": int(stats["n_skipped"].sum()),
+            }))
+            return 0
 
         if args.live:
             if not args.zuul_url:

@@ -397,3 +397,45 @@ def test_compact_routed_layout_and_idempotency(ray_session, tmp_path):
                         target_bytes=1).set_index("sink")
     assert int(s3.loc["a", "n_files_out"]) == 6
     assert int(s3.loc["a", "n_rows"]) == rows_per_sink["a"]
+
+
+def test_cli_compact_mode(corpus_dir, tmp_path):
+    """--compact-dir coalesces a routed tree produced by the batch CLI
+    and preserves the routed totals; second invocation skips all."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    _, info = corpus_dir
+    routed = str(tmp_path / "cli_routed")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    base = [sys.executable, "-m", "ci_log_processing_ray",
+            "--num-cpus", "2"]
+    r = subprocess.run(base + [
+        "--inputs", info["paths"]["token_sequences"],
+        "--build-meta", info["paths"]["build_meta"],
+        "--out", routed, "--skip-debug"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    total = sum(c["doc_count"] for c in json.loads(
+        r.stdout.strip().splitlines()[-1])["counts"])
+
+    out = str(tmp_path / "cli_compacted")
+    cmd = base + ["--compact-dir", os.path.join(routed, "routed"),
+                  "--out", out]
+    c1 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=300)
+    assert c1.returncode == 0, c1.stderr[-2000:]
+    d1 = json.loads(c1.stdout.strip().splitlines()[-1])
+    assert d1["n_rows"] == total
+    # the fixture corpus is a single input shard, so each sink already
+    # holds one file; reduction on fragmented trees is pinned by
+    # test_compact_routed_layout_and_idempotency
+    assert d1["n_files_out"] <= d1["n_files_in"]
+    assert d1["n_skipped"] == 0
+    c2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=300)
+    d2 = json.loads(c2.stdout.strip().splitlines()[-1])
+    assert d2["n_rows"] == total
+    assert d2["n_skipped"] == d2["n_files_out"]
