@@ -1481,8 +1481,11 @@ def max_duplicate_span(
     dup = duplicate_spans(ds, text_col, id_col, n=n)
 
     if mode == "broadcast":
-        grams = pa.array(dup.to_pandas()["gram"].to_numpy(),
-                         type=pa.string())
+        dup_df = dup.to_pandas()
+        # to_pandas() on an empty pandas-block dataset drops columns
+        gram_vals = (dup_df["gram"].to_numpy()
+                     if "gram" in dup_df.columns else [])
+        grams = pa.array(gram_vals, type=pa.string())
         gram_ref = ray.put(grams)
 
         def scan(t: pa.Table) -> pa.Table:
@@ -1515,11 +1518,14 @@ def max_duplicate_span(
                              np.zeros(len(d), np.int32))})
 
     def dup_rows(g: pd.DataFrame) -> pd.DataFrame:
+        # empty pandas blocks arrive column-less; emit the full schema
+        vals = g["gram"].to_numpy() if "gram" in g.columns else []
+        n_g = len(vals)
         return pd.DataFrame({
-            "gram": g["gram"].to_numpy(),
-            "id": np.full(len(g), -1, np.int64),
-            "pos": np.full(len(g), -1, np.int64),
-            "kind": np.ones(len(g), np.int32)})
+            "gram": pd.Series(vals, dtype=object),
+            "id": np.full(n_g, -1, np.int64),
+            "pos": np.full(n_g, -1, np.int64),
+            "kind": np.ones(n_g, np.int32)})
 
     tagged = ds.map_batches(pos_rows, batch_format="pyarrow",
                             zero_copy_batch=True).union(
@@ -1553,9 +1559,15 @@ def max_duplicate_span(
             + n - 1})
 
     res = bucketed_groups(flagged, "id", runs_bucket).to_pandas()
-    res_ref = ray.put(pd.Series(
-        res["max_dup_span"].to_numpy(np.int64),
-        index=res["id"].to_numpy(np.int64)))
+    if len(res) == 0:
+        # no duplicated gram anywhere: to_pandas() on the empty result
+        # drops columns, so build the empty lookup explicitly
+        res_ref = ray.put(pd.Series(np.array([], np.int64),
+                                    index=np.array([], np.int64)))
+    else:
+        res_ref = ray.put(pd.Series(
+            res["max_dup_span"].to_numpy(np.int64),
+            index=res["id"].to_numpy(np.int64)))
 
     def attach(t: pa.Table) -> pa.Table:
         ids = t[id_col].combine_chunks().to_numpy(

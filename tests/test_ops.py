@@ -2773,3 +2773,21 @@ def test_rolling_active_users_gap_and_merge(ray_session):
     assert out.loc[day0 + 19, "wau"] == 0
     assert out.loc[day0 + 20, "wau"] == 1      # late run
     assert int(out["wau"].min()) == 0
+
+
+def test_max_duplicate_span_all_clean_both_paths(ray_session):
+    """A corpus with NO duplicated grams must report all zeros in both
+    membership plans (the shuffle path's empty-result edge)."""
+    from ci_log_processing_ray.ops.dedup import max_duplicate_span
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["aa bb cc dd ee ff gg",
+                 "hh ii jj kk ll mm nn",
+                 "oo pp qq rr ss tt uu"],
+    })
+    ds = ray.data.from_pandas(docs).repartition(2)
+    for mode in ["broadcast", "shuffle"]:
+        out = max_duplicate_span(ds, "text", "doc_id", n=5,
+                                 mode=mode).to_pandas()
+        assert len(out) == 3 and (out["max_dup_span"] == 0).all(), mode
