@@ -733,6 +733,12 @@ def distinctive_terms(
                           zero_copy_batch=True)
            .groupby([group_col, "word"]).sum("n").to_pandas()
            .rename(columns={"sum(n)": "a"}))
+    if "a" not in agg.columns:   # empty corpus: columns dropped
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "word": pd.Series([], dtype=object),
+                             "a": pd.Series([], dtype=np.int64),
+                             "or_num": pd.Series([], dtype=np.int64),
+                             "or_den": pd.Series([], dtype=np.int64)})
     a = agg["a"].to_numpy(np.int64)
     ts = agg.groupby(group_col)["a"].transform("sum").to_numpy(np.int64)
     tw = agg.groupby("word")["a"].transform("sum").to_numpy(np.int64)
@@ -785,6 +791,10 @@ def vocab_drift(
                           zero_copy_batch=True)
            .groupby([group_col, "word"]).sum("n").to_pandas()
            .rename(columns={"sum(n)": "a"}))
+    if "a" not in agg.columns:   # empty corpus: columns dropped
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "tv_num": pd.Series([], dtype=np.int64),
+                             "tv_den": pd.Series([], dtype=np.int64)})
     a = agg["a"].to_numpy(np.int64)
     ts = agg.groupby(group_col)["a"].transform("sum").to_numpy(np.int64)
     tw = agg.groupby("word")["a"].transform("sum").to_numpy(np.int64)

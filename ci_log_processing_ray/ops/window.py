@@ -1022,6 +1022,9 @@ def rolling_active_users(
 
     dd = bucketed_groups(pre, user_col, deltas,
                          n_buckets=n_buckets).to_pandas()
+    if "delta" not in dd.columns:   # empty corpus: columns dropped
+        return pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                             "wau": pd.Series([], dtype=np.int64)})
     sign = dd["delta"].to_numpy(np.int64)
     raw_days = dd["day"].to_numpy(np.int64)
     # grid bounds: opens sit AT observed days, closes reach+1 past a
