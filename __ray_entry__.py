@@ -3853,6 +3853,39 @@ def q_trend_slope(sf_dir: str):
     return grouped_trend_slope(ds, "event_type", "ts")
 
 
+def q_label_prop(sf_dir: str):
+    """Community detection via deterministic synchronous label
+    propagation (rows-only: iterative fixpoint, not SQL-expressible):
+    doc-id decades wired as near-cliques (i -> i-1, i-2, i-3 within
+    the decade) with ONE weak bridge between consecutive decades --
+    LPA must keep the decades as separate communities despite the
+    bridges.  Returns per-community sizes."""
+    from ci_log_processing_ray.ops.iterative import label_propagation
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def decade_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        srcs, dsts = [], []
+        for back in (1, 2, 3):
+            keep = ids % 10 >= back
+            srcs.append(ids[keep])
+            dsts.append(ids[keep] - back)
+        bridge = ids % 10 == 0
+        srcs.append(ids[bridge & (ids > 0)])
+        dsts.append(ids[bridge & (ids > 0)] - 1)
+        return pa.table({"src": pa.array(np.concatenate(srcs)),
+                         "dst": pa.array(np.concatenate(dsts))})
+
+    edges = ds.map_batches(decade_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    labels = label_propagation(edges, "src", "dst", n_rounds=6)
+    sizes = (labels.groupby("label")
+             .aggregate(Count(alias_name="n_nodes")))
+    return _collect(sizes).to_pandas().sort_values(
+        ["label"]).reset_index(drop=True)
+
+
 def q_compact_sink(sf_dir: str):
     """Sink compaction preserves every routed row: events fan out to
     a FRAGMENTED routed tree (16 shard dirs x sink=<event_type>, the
@@ -4130,6 +4163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_drift": q_vocab_drift,
         "rolling_active": q_rolling_active,
         "compact_sink": q_compact_sink,
+        "label_prop": q_label_prop,
     }
 
 

@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "vocab_drift",
     "rolling_active",
     "compact_sink",
+    "label_prop",
 ]
 
 

@@ -2791,3 +2791,34 @@ def test_max_duplicate_span_all_clean_both_paths(ray_session):
         out = max_duplicate_span(ds, "text", "doc_id", n=5,
                                  mode=mode).to_pandas()
         assert len(out) == 3 and (out["max_dup_span"] == 0).all(), mode
+
+
+def test_label_propagation_planted_communities(ray_session):
+    """Two 8-cliques joined by ONE bridge edge: LPA must converge to
+    one label per clique (different across cliques) despite the
+    bridge, identically on the broadcast and co-partition paths, and
+    deterministically across runs."""
+    from ci_log_processing_ray.ops.iterative import label_propagation
+
+    def clique(base):
+        return [(base + i, base + j)
+                for i in range(8) for j in range(i + 1, 8)]
+
+    edges = pd.DataFrame(clique(0) + clique(100) + [(7, 100)],
+                         columns=["src", "dst"])
+    ds = ray.data.from_pandas(edges).repartition(3)
+
+    outs = []
+    for cap in [5_000_000, 1]:  # broadcast path, then forced co-partition
+        out = (label_propagation(ds, "src", "dst", n_rounds=6,
+                                 broadcast_cap=cap)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        assert len(out) == 16
+        a = out[out["node"] < 100]["label"].unique()
+        b = out[out["node"] >= 100]["label"].unique()
+        assert len(a) == 1 and len(b) == 1 and a[0] != b[0], cap
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    rerun = (label_propagation(ds, "src", "dst", n_rounds=6)
+             .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], rerun)
