@@ -1101,6 +1101,97 @@ def main_stats() -> None:
         ray.shutdown()
 
 
+CORPUS_LPA = "/tmp/lpa_scale_v1"
+L_CLIQUES = 1_000_000        # 8M nodes, 28M intra + ~1M bridge edges
+
+
+def build_lpa_corpus() -> int:
+    """1M planted 8-cliques (node ids c*8..c*8+7) with ONE bridge
+    from each clique's +7 node to the next clique's base.  Synchronous
+    min-tie LPA provably converges by round 2 to label == clique min
+    id for EVERY node (round 1: non-base nodes take the base id, base
+    takes the bridge neighbor; round 2: the 7-vs-1 internal majority
+    snaps everyone to the base id) -- a per-ROW closed form:
+    label == (node // 8) * 8."""
+    import numpy as np
+
+    marker = os.path.join(CORPUS_LPA, ".done")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)["n_edges"]
+    os.makedirs(CORPUS_LPA, exist_ok=True)
+    per = L_CLIQUES // N_SHARDS
+    pairs = np.array([(i, j) for i in range(8)
+                      for j in range(i + 1, 8)], np.int64)
+    n_edges = 0
+    for shard in range(N_SHARDS):
+        c = np.arange(shard * per, (shard + 1) * per, dtype=np.int64)
+        base = (c * 8)[:, None]
+        src_ids = (base + pairs[None, :, 0]).ravel()
+        dst_ids = (base + pairs[None, :, 1]).ravel()
+        has_next = c < L_CLIQUES - 1
+        bsrc = c[has_next] * 8 + 7
+        bdst = (c[has_next] + 1) * 8
+        out = pa.table({
+            "src": pa.array(np.concatenate([src_ids, bsrc])),
+            "dst": pa.array(np.concatenate([dst_ids, bdst]))})
+        tmp = os.path.join(CORPUS_LPA, f".tmp-{shard:04d}.parquet")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(CORPUS_LPA,
+                                     f"part-{shard:04d}.parquet"))
+        n_edges += len(out)
+    with open(marker, "w") as f:
+        json.dump({"n_edges": n_edges}, f)
+    return n_edges
+
+
+def main_lpa() -> None:
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    n_edges = build_lpa_corpus()
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.iterative import label_propagation
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+        results = {}
+        n_nodes = L_CLIQUES * 8
+
+        def check(t: pa.Table) -> pa.Table:
+            node = t["node"].combine_chunks().to_numpy()
+            lab = t["label"].combine_chunks().to_numpy()
+            assert (lab == (node // 8) * 8).all()
+            return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+        # 8M nodes > the 5M default broadcast cap -> this exercises the
+        # tagged-union co-partition label lookup (the 100-TB path) at
+        # scale; rounds=4 (provable convergence by 2 + early-exit check)
+        t0 = time.perf_counter()
+        labels = label_propagation(
+            ray.data.read_parquet(CORPUS_LPA), "src", "dst", n_rounds=4)
+        n_ok = sum(
+            int(b["n"].to_numpy().sum()) for b in labels.map_batches(
+                check, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"))
+        sec = time.perf_counter() - t0
+        assert n_ok == n_nodes, n_ok
+        results["label_propagation"] = {
+            "sec": round(sec, 2),
+            "edges_per_sec_per_round": round(n_edges * 4 / sec)}
+
+        print(json.dumps({
+            "n_edges": n_edges, "n_nodes": n_nodes, "num_cpus": NCPU,
+            "ops": results, "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -1116,5 +1207,7 @@ if __name__ == "__main__":
         main_window()
     elif len(sys.argv) > 1 and sys.argv[1] == "stats":
         main_stats()
+    elif len(sys.argv) > 1 and sys.argv[1] == "lpa":
+        main_lpa()
     else:
         main()
