@@ -1184,6 +1184,24 @@ def main_lpa() -> None:
             "sec": round(sec, 2),
             "edges_per_sec_per_round": round(n_edges * 4 / sec)}
 
+        # resident (Pregel-shape) variant: edges land in actors once,
+        # each round exchanges only node-shaped vote partials -- same
+        # per-row truth asserted on the returned frame
+        from ci_log_processing_ray.ops.iterative import (
+            label_propagation_resident)
+
+        t0 = time.perf_counter()
+        lr = label_propagation_resident(
+            ray.data.read_parquet(CORPUS_LPA), "src", "dst",
+            n_rounds=4, n_shards=NCPU)
+        sec = time.perf_counter() - t0
+        node = lr["node"].to_numpy()
+        assert (lr["label"].to_numpy() == (node // 8) * 8).all()
+        assert len(lr) == n_nodes, len(lr)
+        results["label_propagation_resident"] = {
+            "sec": round(sec, 2),
+            "edges_per_sec_per_round": round(n_edges * 4 / sec)}
+
         print(json.dumps({
             "n_edges": n_edges, "n_nodes": n_nodes, "num_cpus": NCPU,
             "ops": results, "calib_sec": _calib(),

@@ -2822,3 +2822,32 @@ def test_label_propagation_planted_communities(ray_session):
     rerun = (label_propagation(ds, "src", "dst", n_rounds=6)
              .to_pandas().sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], rerun)
+
+
+def test_label_propagation_resident_parity(ray_session):
+    """The partition-resident (Pregel-shape) LPA must produce labels
+    identical to the dataset-native implementation on the planted
+    cliques AND on a random graph, across shard counts."""
+    from ci_log_processing_ray.ops.iterative import (
+        label_propagation, label_propagation_resident)
+
+    def clique(base):
+        return [(base + i, base + j)
+                for i in range(8) for j in range(i + 1, 8)]
+
+    rng = np.random.default_rng(11)
+    rand = list(zip(rng.integers(0, 40, 120).tolist(),
+                    rng.integers(0, 40, 120).tolist()))
+    rand = [(a, b) for a, b in rand if a != b]
+
+    for edges_list in [clique(0) + clique(100) + [(7, 100)], rand]:
+        edges = pd.DataFrame(edges_list, columns=["src", "dst"])
+        ds = ray.data.from_pandas(edges).repartition(3)
+        want = (label_propagation(ds, "src", "dst", n_rounds=5)
+                .to_pandas().sort_values("node").reset_index(drop=True)
+                .astype({"node": np.int64, "label": np.int64}))
+        for n_shards in [2, 5]:
+            got = label_propagation_resident(
+                ds, "src", "dst", n_rounds=5, n_shards=n_shards
+            ).astype({"node": np.int64, "label": np.int64})
+            pd.testing.assert_frame_equal(got, want), n_shards
