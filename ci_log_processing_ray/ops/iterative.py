@@ -827,6 +827,33 @@ def label_propagation(
     return labels
 
 
+def _route_edges_to_shards(edges, src_col, dst_col, shards,
+                           n_shards) -> None:
+    """Route the BIDIRECTIONAL edge table into resident shard actors
+    by hash(u), FROM the read workers: edge rows go worker -> object
+    store -> actor, the driver sees only per-block row counts.  Shared
+    by the resident LPA and BFS."""
+
+    def route(t: pa.Table) -> pa.Table:
+        u = np.concatenate([
+            t[src_col].combine_chunks().cast(pa.int64()).to_numpy(),
+            t[dst_col].combine_chunks().cast(pa.int64()).to_numpy()])
+        v = np.concatenate([
+            t[dst_col].combine_chunks().cast(pa.int64()).to_numpy(),
+            t[src_col].combine_chunks().cast(pa.int64()).to_numpy()])
+        ub = (pd.util.hash_array(u) % n_shards).astype(np.int32)
+        refs = []
+        for s in range(n_shards):
+            m = ub == s
+            if m.any():
+                refs.append(shards[s].load.remote(u[m], v[m]))
+        ray.get(refs)
+        return pa.table({"n": pa.array([len(u)], pa.int64())})
+
+    edges.map_batches(route, batch_format="pyarrow",
+                      zero_copy_batch=True).count()
+
+
 def label_propagation_resident(
     edges: ray.data.Dataset,
     src_col: str,
@@ -947,27 +974,7 @@ def label_propagation_resident(
         4, min(64, resolve_group_buckets(None) // 4))
     shards = [_Shard.remote(i, n_shards) for i in range(n_shards)]
 
-    # route the bidirectional edges into the shards once, FROM the
-    # read workers: edge rows go worker -> object store -> actor, the
-    # driver sees only per-block row counts
-    def route(t: pa.Table) -> pa.Table:
-        u = np.concatenate([
-            t[src_col].combine_chunks().cast(pa.int64()).to_numpy(),
-            t[dst_col].combine_chunks().cast(pa.int64()).to_numpy()])
-        v = np.concatenate([
-            t[dst_col].combine_chunks().cast(pa.int64()).to_numpy(),
-            t[src_col].combine_chunks().cast(pa.int64()).to_numpy()])
-        ub = (pd.util.hash_array(u) % n_shards).astype(np.int32)
-        refs = []
-        for s in range(n_shards):
-            m = ub == s
-            if m.any():
-                refs.append(shards[s].load.remote(u[m], v[m]))
-        ray.get(refs)
-        return pa.table({"n": pa.array([len(u)], pa.int64())})
-
-    edges.map_batches(route, batch_format="pyarrow",
-                      zero_copy_batch=True).count()
+    _route_edges_to_shards(edges, src_col, dst_col, shards, n_shards)
     ray.get([s.finalize.remote() for s in shards])
 
     for _r in range(n_rounds):
@@ -982,5 +989,117 @@ def label_propagation_resident(
         if sum(ray.get(applies)) == 0:
             break
     out = pd.concat(ray.get([s.get_labels.remote() for s in shards]),
+                    ignore_index=True)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def bfs_hops_resident(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    seeds: ray.data.Dataset,
+    *,
+    n_rounds: int,
+    n_shards: int | None = None,
+) -> "pd.DataFrame":
+    """Partition-resident multi-source BFS (same semantics as
+    :func:`bfs_hops`): the bidirectional edge table lands in stateful
+    shard actors once, each round ships only the frontier's UNIQUE
+    neighbor ids per target shard as object refs -- no per-round edge
+    exchange and no edge-table fold.  The distance table lives sharded
+    in the actors; the driver moves refs and change counts only.
+    Returns the reached (node, hops) frame (reached-set sized)."""
+
+    @ray.remote
+    class _BfsShard:
+        def __init__(self, shard_id: int, n_shards: int):
+            self.sid = shard_id
+            self.n = n_shards
+            self._cu = []
+            self._cv = []
+
+        def load(self, u: np.ndarray, v: np.ndarray) -> int:
+            self._cu.append(u)
+            self._cv.append(v)
+            return len(u)
+
+        def finalize(self) -> int:
+            self.u = (np.concatenate(self._cu)
+                      if self._cu else np.array([], np.int64))
+            self.v = (np.concatenate(self._cv)
+                      if self._cv else np.array([], np.int64))
+            self._cu = self._cv = None
+            self.nodes = np.unique(self.u)
+            self.dist = np.full(len(self.nodes), -1, np.int64)
+            order = np.argsort(self.u, kind="stable")
+            self.u = self.u[order]
+            self.v = self.v[order]
+            self.vbucket = (pd.util.hash_array(self.v)
+                            % self.n).astype(np.int32)
+            self.lonely_seeds = np.array([], np.int64)
+            return len(self.nodes)
+
+        def seed(self, s: np.ndarray) -> int:
+            idx = np.searchsorted(self.nodes, s)
+            idx_c = np.clip(idx, 0, max(len(self.nodes) - 1, 0))
+            found = (len(self.nodes) > 0) & (self.nodes[idx_c] == s)
+            self.dist[idx_c[found]] = 0
+            # seeds absent from the edge table still appear at hops 0
+            self.lonely_seeds = np.unique(s[~found])
+            return int(found.sum())
+
+        def expand(self, r: int) -> list:
+            frontier = self.nodes[self.dist == r]
+            if len(frontier) == 0:
+                return [None] * self.n
+            m = np.isin(self.u, frontier)
+            out = []
+            for b in range(self.n):
+                vb = self.v[m & (self.vbucket == b)]
+                out.append(ray.put(np.unique(vb)) if len(vb) else None)
+            return out
+
+        def apply(self, r: int, pieces: list) -> int:
+            cand = [ray.get(p) for p in pieces if p is not None]
+            if not cand:
+                return 0
+            c = np.unique(np.concatenate(cand))
+            idx = np.searchsorted(self.nodes, c)
+            new = self.dist[idx] == -1
+            self.dist[idx[new]] = r + 1
+            return int(new.sum())
+
+        def get_dist(self):
+            m = self.dist >= 0
+            return pd.DataFrame({
+                "node": np.concatenate([self.nodes[m],
+                                        self.lonely_seeds]),
+                "hops": np.concatenate([
+                    self.dist[m],
+                    np.zeros(len(self.lonely_seeds), np.int64)])})
+
+    from ci_log_processing_ray.ops.window import resolve_group_buckets
+
+    n_shards = n_shards or max(
+        4, min(64, resolve_group_buckets(None) // 4))
+    shards = [_BfsShard.remote(i, n_shards) for i in range(n_shards)]
+    _route_edges_to_shards(edges, src_col, dst_col, shards, n_shards)
+    ray.get([s.finalize.remote() for s in shards])
+
+    seed_nodes = np.unique(
+        seeds.to_pandas()["node"].to_numpy(np.int64))
+    sb = (pd.util.hash_array(seed_nodes) % n_shards).astype(np.int32)
+    ray.get([shards[s].seed.remote(seed_nodes[sb == s])
+             for s in range(n_shards)])
+
+    for r in range(n_rounds):
+        per_shard = [ray.get(f) for f in
+                     [s.expand.remote(r) for s in shards]]
+        applies = [shards[b].apply.remote(
+            r, [per_shard[s][b] for s in range(n_shards)])
+            for b in range(n_shards)]
+        if sum(ray.get(applies)) == 0:
+            break
+    out = pd.concat(ray.get([s.get_dist.remote() for s in shards]),
                     ignore_index=True)
     return out.sort_values("node").reset_index(drop=True)

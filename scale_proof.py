@@ -415,6 +415,23 @@ def main_graph() -> None:
                              n_rounds=4),
             check_bfs)
 
+        # partition-resident variant: edges land in shard actors once,
+        # rounds exchange only frontier-neighbor ids; same truth
+        from ci_log_processing_ray.ops.iterative import bfs_hops_resident
+
+        def check_bfs_frame(out):
+            got = dict(zip(out["node"].to_numpy(),
+                           out["hops"].to_numpy()))
+            assert got == {i: i for i in range(5)}, got
+
+        t0 = time.perf_counter()
+        frame = bfs_hops_resident(read(), "src", "dst",
+                                  ray.data.from_items([{"node": 0}]),
+                                  n_rounds=4, n_shards=NCPU)
+        sec = time.perf_counter() - t0
+        check_bfs_frame(frame)
+        results["bfs_hops_resident"] = round(sec, 2)
+
         # 3 fixed-point rounds; min rank >= the teleport floor term
         scale = 10 ** 12
 

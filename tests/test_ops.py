@@ -2851,3 +2851,35 @@ def test_label_propagation_resident_parity(ray_session):
                 ds, "src", "dst", n_rounds=5, n_shards=n_shards
             ).astype({"node": np.int64, "label": np.int64})
             pd.testing.assert_frame_equal(got, want), n_shards
+
+
+def test_bfs_hops_resident_parity(ray_session):
+    """The partition-resident BFS must match bfs_hops exactly on a
+    random graph, a chain, and with an isolated seed, across shard
+    counts."""
+    from ci_log_processing_ray.ops.iterative import (bfs_hops,
+                                                     bfs_hops_resident)
+
+    rng = np.random.default_rng(23)
+    rand = [(a, b) for a, b in zip(rng.integers(0, 30, 90).tolist(),
+                                   rng.integers(0, 30, 90).tolist())
+            if a != b]
+    chain = [(i, i + 1) for i in range(12)]
+
+    for edges_list, seed_nodes in [
+            (rand, [0, 999]),          # 999 is isolated (no edges)
+            (chain, [0]),
+            (chain, [5, 11])]:
+        edges = pd.DataFrame(edges_list, columns=["src", "dst"])
+        ds = ray.data.from_pandas(edges).repartition(3)
+        seeds = ray.data.from_items(
+            [{"node": n} for n in seed_nodes])
+        want = (bfs_hops(ds, "src", "dst", seeds, n_rounds=4)
+                .to_pandas().sort_values("node").reset_index(drop=True)
+                .astype({"node": np.int64, "hops": np.int64}))
+        for n_shards in [2, 4]:
+            got = bfs_hops_resident(
+                ds, "src", "dst", seeds, n_rounds=4,
+                n_shards=n_shards
+            ).astype({"node": np.int64, "hops": np.int64})
+            pd.testing.assert_frame_equal(got, want)
