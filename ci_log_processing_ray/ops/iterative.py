@@ -1103,3 +1103,146 @@ def bfs_hops_resident(
     out = pd.concat(ray.get([s.get_dist.remote() for s in shards]),
                     ignore_index=True)
     return out.sort_values("node").reset_index(drop=True)
+
+
+def pagerank_resident(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    *,
+    n_iter: int = 3,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    n_shards: int | None = None,
+) -> "pd.DataFrame":
+    """Partition-resident PageRank, bit-identical to
+    :func:`pagerank_fixedpoint` (same int64 floor arithmetic, same
+    non-redistributed dangling mass): the rank vector is SHARDED into
+    the same actors that hold the hash(src)-partitioned DIRECTED edge
+    lists, and each round exchanges only per-dst contribution partials
+    as object refs -- the exact remedy the fixedpoint docstring
+    prescribes for graphs whose node state exceeds driver/broadcast
+    memory.  Per-edge out-degrees are resolved once at finalize; no
+    per-round rank broadcast, no per-round edge movement.  Returns
+    (node, rank_fp)."""
+
+    @ray.remote
+    class _PrShard:
+        def __init__(self, shard_id: int, n_shards: int):
+            self.sid = shard_id
+            self.n = n_shards
+            self._cs = []
+            self._cd = []
+            self._cn = []
+
+        def load(self, s: np.ndarray, d: np.ndarray) -> int:
+            self._cs.append(s)
+            self._cd.append(d)
+            return len(s)
+
+        def announce(self, nodes: np.ndarray) -> int:
+            self._cn.append(nodes)
+            return len(nodes)
+
+        def finalize(self, scale: int) -> int:
+            self.src = (np.concatenate(self._cs)
+                        if self._cs else np.array([], np.int64))
+            self.dst = (np.concatenate(self._cd)
+                        if self._cd else np.array([], np.int64))
+            self.nodes = (np.unique(np.concatenate(self._cn))
+                          if self._cn else np.array([], np.int64))
+            self._cs = self._cd = self._cn = None
+            order = np.argsort(self.src, kind="stable")
+            self.src = self.src[order]
+            self.dst = self.dst[order]
+            self.dbucket = (pd.util.hash_array(self.dst)
+                            % self.n).astype(np.int32)
+            # per-edge out-degree, resolved once: every edge of a src
+            # lives in this shard, so local counts ARE the out-degrees
+            u, inv, cnt = np.unique(self.src, return_inverse=True,
+                                    return_counts=True)
+            self.edge_deg = cnt[inv].astype(np.int64)
+            self.src_idx = np.searchsorted(self.nodes, self.src)
+            return len(self.nodes)
+
+        def init_ranks(self, n_total: int, scale: int,
+                       teleport: int) -> int:
+            self.ranks = np.full(len(self.nodes), scale // n_total,
+                                 np.int64)
+            self.teleport = teleport
+            return 0
+
+        def compute_contribs(self, damp_num: int, damp_den: int) -> list:
+            c = (damp_num * self.ranks[self.src_idx]) // (
+                damp_den * self.edge_deg)
+            out = []
+            for b in range(self.n):
+                m = self.dbucket == b
+                if not m.any():
+                    out.append(None)
+                    continue
+                d = self.dst[m]
+                order = np.argsort(d)
+                ds_, cs_ = d[order], c[m][order]
+                starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+                out.append(ray.put(
+                    (ds_[starts],
+                     np.add.reduceat(cs_, starts))))
+            return out
+
+        def apply_contribs(self, pieces: list) -> int:
+            new = np.full(len(self.nodes), self.teleport, np.int64)
+            for p in pieces:
+                if p is None:
+                    continue
+                d, c = ray.get(p)
+                new[np.searchsorted(self.nodes, d)] += c
+            self.ranks = new
+            return 0
+
+        def get_ranks(self):
+            return pd.DataFrame({"node": self.nodes,
+                                 "rank_fp": self.ranks})
+
+    from ci_log_processing_ray.ops.window import resolve_group_buckets
+
+    n_shards = n_shards or max(
+        4, min(64, resolve_group_buckets(None) // 4))
+    shards = [_PrShard.remote(i, n_shards) for i in range(n_shards)]
+
+    def route(t: pa.Table) -> pa.Table:
+        s = t[src_col].combine_chunks().cast(pa.int64()).to_numpy()
+        d = t[dst_col].combine_chunks().cast(pa.int64()).to_numpy()
+        sb = (pd.util.hash_array(s) % n_shards).astype(np.int32)
+        alln = np.unique(np.concatenate([s, d]))
+        nb = (pd.util.hash_array(alln) % n_shards).astype(np.int32)
+        refs = []
+        for sh in range(n_shards):
+            m = sb == sh
+            if m.any():
+                refs.append(shards[sh].load.remote(s[m], d[m]))
+            mn = nb == sh
+            if mn.any():
+                refs.append(shards[sh].announce.remote(alln[mn]))
+        ray.get(refs)
+        return pa.table({"n": pa.array([len(s)], pa.int64())})
+
+    edges.map_batches(route, batch_format="pyarrow",
+                      zero_copy_batch=True).count()
+    counts = ray.get([s.finalize.remote(scale) for s in shards])
+    n_total = int(sum(counts))
+    teleport = (15 * scale) // (100 * n_total)
+    ray.get([s.init_ranks.remote(n_total, scale, teleport)
+             for s in shards])
+
+    for _ in range(n_iter):
+        per_shard = [ray.get(f) for f in
+                     [s.compute_contribs.remote(damp_num, damp_den)
+                      for s in shards]]
+        ray.get([shards[b].apply_contribs.remote(
+            [per_shard[s][b] for s in range(n_shards)])
+            for b in range(n_shards)])
+    out = pd.concat(ray.get([s.get_ranks.remote() for s in shards]),
+                    ignore_index=True)
+    return out.sort_values("node").reset_index(drop=True)

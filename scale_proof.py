@@ -444,6 +444,19 @@ def main_graph() -> None:
                                         scale=scale),
             check_pr)
 
+        # sharded-rank variant: bit-identical semantics, no per-round
+        # rank broadcast or edge movement; same teleport-floor truth
+        from ci_log_processing_ray.ops.iterative import pagerank_resident
+
+        t0 = time.perf_counter()
+        pr = pagerank_resident(read(), "src", "dst", n_iter=3,
+                               scale=scale, n_shards=NCPU)
+        sec = time.perf_counter() - t0
+        assert int(pr["rank_fp"].min()) >= (15 * scale) // (
+            100 * n_nodes)
+        assert len(pr) == n_nodes
+        results["pagerank_3r_resident"] = round(sec, 2)
+
         print(json.dumps({
             "n_edges": n_edges,
             "n_nodes": n_nodes,

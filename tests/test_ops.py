@@ -2883,3 +2883,27 @@ def test_bfs_hops_resident_parity(ray_session):
                 n_shards=n_shards
             ).astype({"node": np.int64, "hops": np.int64})
             pd.testing.assert_frame_equal(got, want)
+
+
+def test_pagerank_resident_parity(ray_session):
+    """Sharded-rank PageRank must be bit-identical to the fixed-point
+    broadcast implementation, including dangling nodes and
+    multi-edges, across shard counts."""
+    from ci_log_processing_ray.ops.iterative import (pagerank_fixedpoint,
+                                                     pagerank_resident)
+
+    rng = np.random.default_rng(31)
+    e = [(a, b) for a, b in zip(rng.integers(0, 25, 80).tolist(),
+                                rng.integers(0, 30, 80).tolist())
+         if a != b]
+    e += e[:7]  # planted multi-edges; dsts 25..29 are dangling
+    edges = pd.DataFrame(e, columns=["src", "dst"])
+    ds = ray.data.from_pandas(edges).repartition(3)
+    want = (pagerank_fixedpoint(ds, "src", "dst", n_iter=3)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+            .astype({"node": np.int64, "rank_fp": np.int64}))
+    for n_shards in [2, 5]:
+        got = pagerank_resident(
+            ds, "src", "dst", n_iter=3, n_shards=n_shards
+        ).astype({"node": np.int64, "rank_fp": np.int64})
+        pd.testing.assert_frame_equal(got, want)
