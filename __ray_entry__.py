@@ -3886,6 +3886,38 @@ def q_label_prop(sf_dir: str):
         ["label"]).reset_index(drop=True)
 
 
+def q_kcore(sf_dir: str):
+    """Full k-core decomposition (coreness per node) via the
+    partition-resident h-index fixpoint
+    (ops/iterative.py:kcore_resident): doc ids wired as PATH-POWER
+    blocks -- within each block of 100 ids, doc i links to i+1..i+p
+    where the power p = 1 + (block % 4) cycles 1,2,3,4 -- and the
+    p-th power of a path on >= p+1 nodes has coreness exactly p at
+    every node (every consecutive (p+1)-window is a clique, and the
+    graph is p-degenerate), so the decomposition is oracle-exact in
+    closed form.  Edges are deliberately fed directed and the op
+    canonicalizes to the simple undirected graph; the estimate
+    exchange ships node ids once at setup and values-only per round."""
+    from ci_log_processing_ray.ops.iterative import kcore_resident
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def block_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        p = 1 + (ids // 100) % 4
+        srcs, dsts = [], []
+        for j in (1, 2, 3, 4):
+            keep = (j <= p) & ((ids + j) // 100 == ids // 100)
+            srcs.append(ids[keep])
+            dsts.append(ids[keep] + j)
+        return pa.table({"src": pa.array(np.concatenate(srcs)),
+                         "dst": pa.array(np.concatenate(dsts))})
+
+    edges = ds.map_batches(block_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return kcore_resident(edges, "src", "dst")
+
+
 def q_compact_sink(sf_dir: str):
     """Sink compaction preserves every routed row: events fan out to
     a FRAGMENTED routed tree (16 shard dirs x sink=<event_type>, the
@@ -4164,6 +4196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active": q_rolling_active,
         "compact_sink": q_compact_sink,
         "label_prop": q_label_prop,
+        "kcore": q_kcore,
     }
 
 
@@ -4992,6 +5025,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM c JOIN m USING (event_type)
             GROUP BY c.event_type""",
+        "kcore": """
+            -- path-power construction: block of 100, power p =
+            -- 1 + (block % 4); coreness of P_n^p is exactly p
+            SELECT doc_id AS node,
+                   CAST(1 + ((doc_id // 100) % 4) AS BIGINT) AS core
+            FROM documents""",
         "connected_components": """
             WITH n AS (
                 SELECT DISTINCT node FROM (

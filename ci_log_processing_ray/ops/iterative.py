@@ -1248,3 +1248,177 @@ def pagerank_resident(
     out = pd.concat(ray.get([s.get_ranks.remote() for s in shards]),
                     ignore_index=True)
     return out.sort_values("node").reset_index(drop=True)
+
+
+def kcore_resident(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    *,
+    max_rounds: int = 64,
+    n_shards: int | None = None,
+) -> "pd.DataFrame":
+    """Full k-core decomposition (coreness per node) of the UNDIRECTED
+    simple graph induced by the edge table, in the partition-resident
+    (BSP/Pregel) family shape of :func:`label_propagation_resident` /
+    :func:`bfs_hops_resident`.
+
+    Algorithm: the distributed h-index fixpoint (Montresor, De Pellegrini,
+    Miorandi, "Distributed k-Core Decomposition", 2011 -- public
+    literature): every node starts at ``est = degree`` and each
+    synchronous round sets ``est(v) = H({est(u) : u in N(v)})`` where H
+    is the h-index (the largest h such that at least h neighbors have
+    est >= h).  The sequence is monotone non-increasing, bounded below
+    by the true coreness, and its fixpoint IS the coreness -- so the
+    loop runs to no-change (``max_rounds`` is a backstop, typically
+    converges in < 10 rounds on real graphs).
+
+    Input contract: edges may arrive directed, duplicated, and with
+    self-loops; the op canonicalizes to the simple undirected graph
+    (self-loops dropped, parallel edges collapsed) BEFORE computing
+    degrees, because every edge of a node lands in that node's single
+    hash(u) shard, so in-shard dedup is global dedup.  Isolated nodes
+    (only self-loops) do not appear in the output.
+
+    Scale shape: the bidirectional edge table hash(u)-partitions into
+    stateful actors ONCE (routed worker -> actor, never via the
+    driver).  At finalize each shard registers, per owner shard, the
+    UNIQUE neighbor ids it needs -- node ids cross the wire exactly
+    once.  Each round then exchanges only the VALUES of those
+    registered estimates as object refs (sum-of-unique-cross-shard-
+    neighbors sized, never edge sized), and the per-shard kernel is one
+    lexsort + reduceat over its resident edges.  The driver moves refs
+    and change counts only.  Cross-shard traffic is n_shards^2 refs per
+    round -- fine to a few hundred shards; interpose a tree exchange
+    beyond that.  Returns the (node, core) frame (node-table sized).
+    """
+
+    @ray.remote
+    class _CoreShard:
+        def __init__(self, shard_id: int, n_shards: int):
+            self.sid = shard_id
+            self.n = n_shards
+            self._cu = []
+            self._cv = []
+            # per requester shard: positions into self.nodes whose est
+            # values that requester needs each round
+            self.req_idx = [None] * n_shards
+
+        def load(self, u: np.ndarray, v: np.ndarray) -> int:
+            self._cu.append(u)
+            self._cv.append(v)
+            return len(u)
+
+        def finalize(self) -> int:
+            u = (np.concatenate(self._cu)
+                 if self._cu else np.array([], np.int64))
+            v = (np.concatenate(self._cv)
+                 if self._cv else np.array([], np.int64))
+            self._cu = self._cv = None
+            # canonicalize: drop self-loops, collapse parallel edges
+            keep = u != v
+            u, v = u[keep], v[keep]
+            order = np.lexsort((v, u))
+            u, v = u[order], v[order]
+            if len(u):
+                first = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+                u, v = u[first], v[first]
+            self.u, self.v = u, v
+            # owned nodes + degree = per-u segment lengths (u sorted)
+            self.seg_starts = (np.flatnonzero(
+                np.r_[True, u[1:] != u[:-1]]) if len(u)
+                else np.array([], np.int64))
+            self.nodes = u[self.seg_starts] if len(u) else u
+            seg_ends = np.r_[self.seg_starts[1:], len(u)]
+            self.est = (seg_ends - self.seg_starts).astype(np.int64)
+            # neighbor-estimate plumbing: unique v list, per-edge
+            # position into it, and per-owner request slices
+            self.vneed = np.unique(v)
+            self.v_pos = np.searchsorted(self.vneed, v)
+            self.est_vneed = np.zeros(len(self.vneed), np.int64)
+            self.need_pos_by_owner = []
+            owner = (pd.util.hash_array(self.vneed)
+                     % self.n).astype(np.int32)
+            for b in range(self.n):
+                self.need_pos_by_owner.append(
+                    np.flatnonzero(owner == b))
+            return len(self.nodes)
+
+        def get_requests(self) -> list:
+            """Per owner shard: the node ids whose estimates this shard
+            needs -- shipped ONCE at setup, as refs."""
+            out = []
+            for b in range(self.n):
+                ids = self.vneed[self.need_pos_by_owner[b]]
+                out.append(ray.put(ids) if len(ids) else None)
+            return out
+
+        def register_requests(self, requester: int, ids) -> int:
+            # passed as a BARE arg (not nested in a list), so Ray
+            # auto-resolves the ref actor-side -- ids is the array here
+            if ids is None:
+                self.req_idx[requester] = None
+                return 0
+            self.req_idx[requester] = np.searchsorted(self.nodes, ids)
+            return len(ids)
+
+        def publish(self) -> list:
+            """Per requester shard: current est VALUES aligned to its
+            registered request order."""
+            return [None if idx is None
+                    else ray.put(self.est[idx])
+                    for idx in self.req_idx]
+
+        def step(self, pieces: list) -> int:
+            """One h-index round over the resident edges; returns how
+            many owned estimates changed."""
+            for b in range(self.n):
+                if pieces[b] is None:
+                    continue
+                self.est_vneed[self.need_pos_by_owner[b]] = (
+                    ray.get(pieces[b]))
+            if not len(self.u):
+                return 0
+            ev = self.est_vneed[self.v_pos]
+            # desc-sort neighbor estimates within each u segment
+            order = np.lexsort((-ev, self.u))
+            ev = ev[order]
+            idx = np.arange(len(ev), dtype=np.int64)
+            seg_of = np.repeat(
+                np.arange(len(self.seg_starts), dtype=np.int64),
+                np.diff(np.r_[self.seg_starts, len(ev)]))
+            pos = idx - self.seg_starts[seg_of]
+            cand = np.minimum(ev, pos + 1)
+            h = np.maximum.reduceat(cand, self.seg_starts)
+            new = np.minimum(self.est, h)
+            changed = int((new != self.est).sum())
+            self.est = new
+            return changed
+
+        def get_cores(self):
+            return pd.DataFrame({"node": self.nodes, "core": self.est})
+
+    from ci_log_processing_ray.ops.window import resolve_group_buckets
+
+    n_shards = n_shards or max(
+        4, min(64, resolve_group_buckets(None) // 4))
+    shards = [_CoreShard.remote(i, n_shards) for i in range(n_shards)]
+    _route_edges_to_shards(edges, src_col, dst_col, shards, n_shards)
+    ray.get([s.finalize.remote() for s in shards])
+
+    # one-time request registration: node ids cross the wire once
+    reqs = [ray.get(f) for f in [s.get_requests.remote() for s in shards]]
+    ray.get([shards[b].register_requests.remote(s, reqs[s][b])
+             for s in range(n_shards) for b in range(n_shards)])
+
+    for _r in range(max_rounds):
+        per_shard = [ray.get(f) for f in
+                     [s.publish.remote() for s in shards]]
+        steps = [shards[b].step.remote(
+            [per_shard[s][b] for s in range(n_shards)])
+            for b in range(n_shards)]
+        if sum(ray.get(steps)) == 0:
+            break
+    out = pd.concat(ray.get([s.get_cores.remote() for s in shards]),
+                    ignore_index=True)
+    return out.sort_values("node").reset_index(drop=True)

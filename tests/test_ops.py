@@ -2907,3 +2907,76 @@ def test_pagerank_resident_parity(ray_session):
             ds, "src", "dst", n_iter=3, n_shards=n_shards
         ).astype({"node": np.int64, "rank_fp": np.int64})
         pd.testing.assert_frame_equal(got, want)
+
+
+def _peel_core_numbers(pairs):
+    """Reference k-core decomposition by textbook min-degree peeling
+    (heap-based; treats input as an undirected simple graph, dropping
+    self-loops and parallel edges)."""
+    import collections
+    import heapq
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    cur = {n: len(s) for n, s in adj.items()}
+    heap = [(d, n) for n, d in cur.items()]
+    heapq.heapify(heap)
+    core, removed, k = {}, set(), 0
+    while heap:
+        d, n = heapq.heappop(heap)
+        if n in removed or d != cur[n]:
+            continue
+        k = max(k, d)
+        core[n] = k
+        removed.add(n)
+        for m in adj[n]:
+            if m not in removed:
+                cur[m] -= 1
+                heapq.heappush(heap, (cur[m], m))
+    return core
+
+
+def test_kcore_resident_matches_peeling(ray_session):
+    """The h-index fixpoint must equal textbook peeling coreness on
+    random multigraphs (duplicate edges, both orientations, self-loops)
+    across shard counts."""
+    from ci_log_processing_ray.ops.iterative import kcore_resident
+
+    rng = np.random.default_rng(41)
+    for n_nodes, n_edges in [(40, 100), (150, 600), (200, 150)]:
+        u = rng.integers(0, n_nodes, n_edges)
+        v = rng.integers(0, n_nodes, n_edges)
+        # duplicates, reversed duplicates, and self-loops on purpose
+        u2 = np.r_[u, v[:15], np.arange(4)]
+        v2 = np.r_[v, u[:15], np.arange(4)]
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"src": u2, "dst": v2})).repartition(3)
+        want = _peel_core_numbers(zip(u2.tolist(), v2.tolist()))
+        for n_shards in [2, 5]:
+            got = kcore_resident(ds, "src", "dst", n_shards=n_shards)
+            gd = dict(zip(got["node"].tolist(), got["core"].tolist()))
+            assert gd == want, (n_nodes, n_shards)
+
+
+def test_kcore_resident_closed_forms(ray_session):
+    """Known corenesses: a clique K_n is (n-1)-core everywhere, a chain
+    is 1-core, a star is 1-core, and a path power P^p is p-core."""
+    from ci_log_processing_ray.ops.iterative import kcore_resident
+
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    chain = [(i, i + 1) for i in range(10, 25)]
+    star = [(100, 100 + i) for i in range(1, 9)]
+    power3 = [(200 + i, 200 + i + j)
+              for i in range(12) for j in (1, 2, 3) if i + j < 13]
+    edges = pd.DataFrame(clique + chain + star + power3,
+                         columns=["src", "dst"])
+    ds = ray.data.from_pandas(edges).repartition(2)
+    got = kcore_resident(ds, "src", "dst", n_shards=3)
+    gd = dict(zip(got["node"].tolist(), got["core"].tolist()))
+    assert all(gd[n] == 5 for n in range(6))
+    assert all(gd[n] == 1 for n in range(10, 26))
+    assert all(gd[100 + i] == 1 for i in range(9))
+    assert all(gd[200 + i] == 3 for i in range(13))
