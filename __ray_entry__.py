@@ -3918,6 +3918,33 @@ def q_kcore(sf_dir: str):
     return kcore_resident(edges, "src", "dst")
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient
+    (ops/relational.py:clustering_coefficients) over a user-offset
+    graph (user u links to u + 1 + event_id % 7, so offsets 1..7 give
+    every node bounded degree <= 14 and scale-stable triangle
+    density): distinct-neighbor degree, incident triangles counted as
+    CLOSED wedges at their center, and the exact integer permille
+    coefficient -- all through edge/node-shaped bucketed exchanges,
+    closed against the SQL wedge-join oracle bit-for-bit."""
+    from ci_log_processing_ray.ops.relational import (
+        clustering_coefficients)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        eid = t["event_id"].combine_chunks().to_numpy()
+        return pa.table({"src": pa.array(uid),
+                         "dst": pa.array(uid + 1 + eid % 7)})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return _collect(clustering_coefficients(edges, "src", "dst")
+                    ).to_pandas().sort_values("node").reset_index(
+                        drop=True)
+
+
 def q_compact_sink(sf_dir: str):
     """Sink compaction preserves every routed row: events fan out to
     a FRAGMENTED routed tree (16 shard dirs x sink=<event_type>, the
@@ -4197,6 +4224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_sink": q_compact_sink,
         "label_prop": q_label_prop,
         "kcore": q_kcore,
+        "clustering_coeff": q_clustering_coeff,
     }
 
 
@@ -5025,6 +5053,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM c JOIN m USING (event_type)
             GROUP BY c.event_type""",
+        "clustering_coeff": """
+            WITH raw AS (SELECT user_id AS s,
+                                user_id + 1 + (event_id % 7) AS d
+                         FROM events),
+            e AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+                  FROM raw WHERE s <> d),
+            bi AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT a AS node, COUNT(*) AS deg FROM bi GROUP BY a),
+            tri AS (SELECT w1.a AS node, COUNT(*) AS tri
+                    FROM bi w1
+                    JOIN bi w2 ON w1.a = w2.a AND w1.b < w2.b
+                    JOIN e ON e.a = w1.b AND e.b = w2.b
+                    GROUP BY w1.a)
+            SELECT d.node,
+                   CAST(d.deg AS BIGINT) AS deg,
+                   CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+                   CAST(CASE WHEN d.deg >= 2
+                        THEN (2000 * COALESCE(t.tri, 0))
+                             // (d.deg * (d.deg - 1))
+                        ELSE 0 END AS BIGINT) AS coeff_permille
+            FROM deg d LEFT JOIN tri t ON t.node = d.node""",
         "kcore": """
             -- path-power construction: block of 100, power p =
             -- 1 + (block % 4); coreness of P_n^p is exactly p

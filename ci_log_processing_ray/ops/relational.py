@@ -914,3 +914,121 @@ def dominance_count_2d(
         return out
 
     return bucketed_groups(ds, group_col, per_bucket, n_buckets=n_buckets)
+
+
+def clustering_coefficients(
+    edges: "ray.data.Dataset",
+    src_col: str,
+    dst_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-node local clustering coefficient of the undirected simple
+    graph induced by the edge table: for each node, its distinct-
+    neighbor degree, the number of triangles incident to it, and the
+    coefficient as an exact integer permille
+    ``(2000 * tri) // (deg * (deg - 1))`` (0 when deg < 2) -- all-int
+    outputs so the DuckDB oracle compares bit-for-bit.
+
+    Semantics: self-loops dropped, parallel edges and orientations
+    collapsed before degrees are counted.  Each triangle {a, b, c}
+    contributes exactly 1 to each member's count -- the member is the
+    center of exactly one wedge of that triangle, so counting CLOSED
+    wedges grouped by center is the per-node triangle count (the
+    per-node refinement of :func:`triangle_count`).
+
+    Scale shape: three coarse bucketed exchanges, all edge- or
+    node-shaped -- (1) canonical distinct edges, (2) wedges generated
+    per center bucket then CLOSED against the edge set by a tagged
+    co-partition on the wedge's far pair (no Acero join: pandas-block
+    inputs with maybe-empty blocks break Dataset.join key resolution),
+    (3) a node-keyed combine of degree rows and triangle partials.
+    Wedge volume is sum(deg^2)-shaped: for skewed degree, cap or
+    support-threshold upstream exactly as :func:`triangle_count`
+    documents."""
+    from .window import bucketed_distinct, bucketed_groups, bucketed_sum
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t[src_col].combine_chunks().cast(pa.int64()).to_numpy()
+        d = t[dst_col].combine_chunks().cast(pa.int64()).to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        df = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    e = bucketed_distinct(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["a", "b"], n_buckets=n_buckets)
+
+    def both_dirs(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ctr": np.r_[g["a"].to_numpy(), g["b"].to_numpy()],
+            "nbr": np.r_[g["b"].to_numpy(), g["a"].to_numpy()]})
+
+    bi = e.map_batches(both_dirs, batch_format="pandas")
+
+    def wedge_kern(g: pd.DataFrame) -> pd.DataFrame:
+        # per center: a degree row + every canonical neighbor pair
+        deg = g.groupby("ctr", as_index=False, sort=False).size()
+        m = g.merge(g, on="ctr", suffixes=("_1", "_2"))
+        m = m[m["nbr_1"] < m["nbr_2"]]
+        wedges = pd.DataFrame({
+            "x": m["nbr_1"].to_numpy(np.int64),
+            "y": m["nbr_2"].to_numpy(np.int64),
+            "center": m["ctr"].to_numpy(np.int64),
+            "side": np.int8(1)})
+        degrows = pd.DataFrame({
+            "x": deg["ctr"].to_numpy(np.int64),
+            "y": deg["size"].to_numpy(np.int64),
+            "center": np.int64(-1),
+            "side": np.int8(2)})
+        return pd.concat([wedges, degrows], ignore_index=True)
+
+    tagged = bucketed_groups(bi, "ctr", wedge_kern, n_buckets=n_buckets)
+
+    def edge_side(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "x": g["a"].to_numpy(np.int64),
+            "y": g["b"].to_numpy(np.int64),
+            "center": np.int64(-1),
+            "side": np.int8(0)})
+
+    unioned = tagged.union(e.map_batches(edge_side,
+                                         batch_format="pandas"))
+
+    def close_kern(g: pd.DataFrame) -> pd.DataFrame:
+        # deg rows pass through node-keyed; wedges close against edges
+        degrows = g[g["side"] == 2]
+        out = [pd.DataFrame({"node": degrows["x"].to_numpy(np.int64),
+                             "deg": degrows["y"].to_numpy(np.int64),
+                             "tri": np.int64(0)})]
+        w = g[g["side"] == 1]
+        eg = g[g["side"] == 0][["x", "y"]]
+        if len(w) and len(eg):
+            closed = w.merge(eg, on=["x", "y"])
+            tri = (closed.groupby("center", as_index=False, sort=False)
+                   .size())
+            out.append(pd.DataFrame({
+                "node": tri["center"].to_numpy(np.int64),
+                "deg": np.int64(0),
+                "tri": tri["size"].to_numpy(np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    parts = bucketed_groups(unioned, "x", close_kern,
+                            n_buckets=n_buckets)
+    combined = bucketed_sum(parts, ["node"], ["deg", "tri"],
+                            n_buckets=n_buckets)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        deg = g["deg"].to_numpy(np.int64)
+        tri = g["tri"].to_numpy(np.int64)
+        denom = deg * (deg - 1)
+        coeff = np.where(denom > 0, (2000 * tri) // np.maximum(denom, 1),
+                         0).astype(np.int64)
+        return pd.DataFrame({"node": g["node"].to_numpy(np.int64),
+                             "deg": deg, "tri": tri,
+                             "coeff_permille": coeff})
+
+    return combined.map_batches(finish, batch_format="pandas")

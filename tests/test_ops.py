@@ -2980,3 +2980,46 @@ def test_kcore_resident_closed_forms(ray_session):
     assert all(gd[n] == 1 for n in range(10, 26))
     assert all(gd[100 + i] == 1 for i in range(9))
     assert all(gd[200 + i] == 3 for i in range(13))
+
+
+def test_clustering_coefficients_closed_forms(ray_session):
+    """Known coefficients: a triangle is 1000 permille everywhere, a
+    clique K_5 is 1000, a star center is 0 (leaves deg 1 -> 0), and a
+    square-with-one-diagonal splits 333 / 1000 by corner; parallel
+    edges, both orientations, and self-loops must not change counts."""
+    from ci_log_processing_ray.ops.relational import (
+        clustering_coefficients)
+
+    tri = [(0, 1), (1, 2), (2, 0)]
+    k5 = [(10 + i, 10 + j) for i in range(5) for j in range(i + 1, 5)]
+    star = [(100, 100 + i) for i in range(1, 6)]
+    # square 200-201-202-203 with diagonal 200-202
+    sq = [(200, 201), (201, 202), (202, 203), (203, 200), (200, 202)]
+    noise = [(1, 0), (0, 1), (5, 5), (201, 200)]  # dup/reverse/self
+    edges = pd.DataFrame(tri + k5 + star + sq + noise,
+                         columns=["src", "dst"])
+    ds = ray.data.from_pandas(edges).repartition(3)
+    got = (clustering_coefficients(ds, "src", "dst", n_buckets=7)
+           .to_pandas().set_index("node"))
+    for n in (0, 1, 2):
+        assert got.loc[n, "deg"] == 2 and got.loc[n, "tri"] == 1
+        assert got.loc[n, "coeff_permille"] == 1000
+    for i in range(5):
+        assert got.loc[10 + i, "deg"] == 4
+        assert got.loc[10 + i, "tri"] == 6
+        assert got.loc[10 + i, "coeff_permille"] == 1000
+    assert got.loc[100, "deg"] == 5 and got.loc[100, "tri"] == 0
+    assert got.loc[100, "coeff_permille"] == 0
+    for i in range(1, 6):
+        assert got.loc[100 + i, "deg"] == 1
+        assert got.loc[100 + i, "coeff_permille"] == 0
+    # diagonal endpoints: deg 3, 1 triangle each of the two -> 2 tri?
+    # node 200 neighbors {201, 202, 203}: edges (201,202),(202,203)
+    # -> tri=2, coeff = 2000*2 // 6 = 666
+    assert got.loc[200, "deg"] == 3 and got.loc[200, "tri"] == 2
+    assert got.loc[200, "coeff_permille"] == 666
+    # node 201 neighbors {200, 202}: edge (200,202) -> tri=1, 1000
+    assert got.loc[201, "deg"] == 2 and got.loc[201, "tri"] == 1
+    assert got.loc[201, "coeff_permille"] == 1000
+    # node 5 had only a self-loop: absent entirely
+    assert 5 not in got.index
