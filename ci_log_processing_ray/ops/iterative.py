@@ -1411,6 +1411,7 @@ def kcore_resident(
     ray.get([shards[b].register_requests.remote(s, reqs[s][b])
              for s in range(n_shards) for b in range(n_shards)])
 
+    converged = False
     for _r in range(max_rounds):
         per_shard = [ray.get(f) for f in
                      [s.publish.remote() for s in shards]]
@@ -1418,7 +1419,19 @@ def kcore_resident(
             [per_shard[s][b] for s in range(n_shards)])
             for b in range(n_shards)]
         if sum(ray.get(steps)) == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        # rounds-to-fixpoint is bounded by the graph's peeling depth
+        # (a bare 100-node chain already needs ~50); estimates at the
+        # cap are UPPER bounds on coreness, so never fail silently
+        warnings.warn(
+            f"kcore_resident hit max_rounds={max_rounds} before the "
+            "h-index fixpoint; returned cores are upper bounds -- "
+            "raise max_rounds for deep peeling structures",
+            RuntimeWarning, stacklevel=2)
     out = pd.concat(ray.get([s.get_cores.remote() for s in shards]),
                     ignore_index=True)
     return out.sort_values("node").reset_index(drop=True)

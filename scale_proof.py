@@ -1240,6 +1240,95 @@ def main_lpa() -> None:
         ray.shutdown()
 
 
+CORPUS_KC = "/tmp/llm_scale_kcore_v1"
+KC_BLOCK = 100
+KC_N_NODES = 4_000_000
+
+
+def build_kcore_corpus() -> tuple[int, int]:
+    """Deterministic path-power graph with per-row closed-form
+    coreness: node ids partition into blocks of 100; block b is the
+    p-th power of a path with p = 1 + (b % 8), i.e. node i links to
+    i+1..i+p within its block.  Coreness of P_n^p is exactly p for
+    every node (every consecutive (p+1)-window is a clique; the graph
+    is p-degenerate), so the truth core = 1 + (node // 100) % 8 is
+    assertable over all 4M output rows.  Edge rows are round-robin
+    scattered across the 32 parquet shards so the resident routing
+    exchange is real, and every 10th edge is planted REVERSED as a
+    duplicate to exercise canonicalization at scale.  ~18M distinct
+    edges (~20M rows fed)."""
+    marker = os.path.join(CORPUS_KC, ".done")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            d = json.load(f)
+            return d["n_rows"], d["n_nodes"]
+    os.makedirs(CORPUS_KC, exist_ok=True)
+    ids = np.arange(KC_N_NODES, dtype=np.int64)
+    p = 1 + (ids // KC_BLOCK) % 8
+    srcs, dsts = [], []
+    for j in range(1, 9):
+        keep = (j <= p) & ((ids + j) // KC_BLOCK == ids // KC_BLOCK)
+        srcs.append(ids[keep])
+        dsts.append(ids[keep] + j)
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    dup = np.arange(len(src)) % 10 == 0
+    src, dst = (np.concatenate([src, dst[dup]]),
+                np.concatenate([dst, src[dup]]))
+    n_rows = len(src)
+    order = np.arange(n_rows)
+    for shard in range(N_SHARDS):
+        m = order % N_SHARDS == shard
+        out = pa.table({"src": pa.array(src[m]),
+                        "dst": pa.array(dst[m])})
+        tmp = os.path.join(CORPUS_KC, f".tmp-{shard:04d}.parquet")
+        pq.write_table(out, tmp)
+        os.replace(tmp,
+                   os.path.join(CORPUS_KC, f"part-{shard:04d}.parquet"))
+    with open(marker, "w") as f:
+        json.dump({"n_rows": n_rows, "n_nodes": KC_N_NODES}, f)
+    return n_rows, KC_N_NODES
+
+
+def main_kcore() -> None:
+    import ray
+    from ray.data import DataContext
+
+    n_rows, n_nodes = build_kcore_corpus()
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.iterative import kcore_resident
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        t0 = time.perf_counter()
+        out = kcore_resident(
+            ray.data.read_parquet(CORPUS_KC), "src", "dst",
+            n_shards=NCPU)
+        sec = time.perf_counter() - t0
+
+        node = out["node"].to_numpy()
+        core = out["core"].to_numpy()
+        assert len(out) == n_nodes, len(out)
+        want = 1 + (node // KC_BLOCK) % 8
+        assert (core == want).all(), int((core != want).sum())
+
+        print(json.dumps({
+            "n_edge_rows": n_rows, "n_nodes": n_nodes,
+            "num_cpus": NCPU,
+            "ops": {"kcore_resident": {
+                "sec": round(sec, 2),
+                "edge_rows_per_sec": round(n_rows / sec),
+                "truth": "core == 1 + (node//100)%8 on all 4M rows"}},
+            "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -1257,5 +1346,7 @@ if __name__ == "__main__":
         main_stats()
     elif len(sys.argv) > 1 and sys.argv[1] == "lpa":
         main_lpa()
+    elif len(sys.argv) > 1 and sys.argv[1] == "kcore":
+        main_kcore()
     else:
         main()

@@ -3023,3 +3023,24 @@ def test_clustering_coefficients_closed_forms(ray_session):
     assert got.loc[201, "coeff_permille"] == 1000
     # node 5 had only a self-loop: absent entirely
     assert 5 not in got.index
+
+
+def test_kcore_resident_warns_at_round_cap(ray_session):
+    """A max_rounds cap below the peeling depth must warn (returned
+    estimates are only upper bounds), and a sufficient cap must not."""
+    import warnings
+
+    from ci_log_processing_ray.ops.iterative import kcore_resident
+
+    chain = pd.DataFrame([(i, i + 1) for i in range(30)],
+                         columns=["src", "dst"])
+    ds = ray.data.from_pandas(chain).repartition(2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        kcore_resident(ds, "src", "dst", max_rounds=3, n_shards=2)
+        assert any("upper bounds" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = kcore_resident(ds, "src", "dst", max_rounds=40, n_shards=2)
+        assert not any("upper bounds" in str(x.message) for x in w)
+    assert (got["core"] == 1).all()
