@@ -2047,6 +2047,37 @@ def q_csv_source(sf_dir: str):
                 Sum("cents", alias_name="cents")))
 
 
+def q_orc_source(sf_dir: str):
+    """ORC source coverage (sources/readers.py:read_orc): documents
+    exported once to two multi-stripe ORC files (cached per sf; small
+    stripe/batch sizes force ~8 stripes each so the STRIPE-granular
+    fan-out is real), read back column-pruned through the footer-only
+    driver listing, aggregated per source against the parquet oracle."""
+    from ci_log_processing_ray.sources.readers import read_orc
+
+    out = _export_cache_dir(sf_dir, "documents", "orc_v1")
+    marker = os.path.join(out, ".done")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        from pyarrow import orc as paorc
+
+        tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "source", "n_chars"])
+        half = tbl.num_rows // 2
+        for i, part in enumerate([tbl.slice(0, half), tbl.slice(half)]):
+            tmp = os.path.join(out, f".tmp-{i}.{os.getpid()}")
+            w = paorc.ORCWriter(tmp, batch_size=64, stripe_size=1024)
+            w.write(part)
+            w.close()
+            os.replace(tmp, os.path.join(out, f"part-{i}.orc"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    ds = read_orc(out, columns=["source", "n_chars"])
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"))
+
+
 def q_pack_bins(sf_dir: str):
     """Bin packing without document splitting (best-fit-style FFD per
     hash bucket, globally unique bin ids): docs -> bins of <= 512
@@ -4205,6 +4236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_bins": q_pack_bins,
         "jsonl_source": q_jsonl_source,
         "csv_source": q_csv_source,
+        "orc_source": q_orc_source,
         "rate_sample": q_rate_sample,
         "approx_quantile": q_approx_quantile,
         "flagship_counts": q_flagship_counts,
@@ -4975,6 +5007,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang""",
+        "orc_source": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source""",
         "csv_source": """
             SELECT event_type, count(*) AS n,
                    CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents

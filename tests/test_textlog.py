@@ -252,3 +252,35 @@ def test_subunit_missing_timestamps_survive():
     rec = json.loads(rows[0])
     assert rec["test_name"] == "pkg.T.test_x"
     assert rec["start"] is None and rec["end"] is None
+
+
+def test_read_orc_stripe_fanout(ray_session, tmp_path):
+    """read_orc must see every stripe of every file exactly once, with
+    column pruning applied at the stripe read."""
+    import numpy as np
+    import pyarrow as pa
+    from pyarrow import orc as paorc
+
+    from ci_log_processing_ray.sources.readers import read_orc
+
+    rng = np.random.default_rng(5)
+    n = 700
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                  "v": pa.array(rng.integers(0, 100, n)),
+                  "s": pa.array([f"s{i%3}" for i in range(n)])})
+    for i, part in enumerate([t.slice(0, 300), t.slice(300)]):
+        w = paorc.ORCWriter(str(tmp_path / f"p{i}.orc"),
+                            batch_size=64, stripe_size=512)
+        w.write(part)
+        w.close()
+    n_stripes = sum(paorc.ORCFile(str(tmp_path / f"p{i}.orc")).nstripes
+                    for i in range(2))
+    assert n_stripes > 4  # the fan-out is real, not one-blob-per-file
+
+    ds = read_orc(str(tmp_path), columns=["k", "v"])
+    got = ds.to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(got.columns) == ["k", "v"]
+    assert len(got) == n
+    assert got["k"].tolist() == list(range(n))
+    assert int(got["v"].sum()) == int(pa.Table.from_arrays(
+        [t["v"]], names=["v"])["v"].to_pandas().sum())
