@@ -3949,6 +3949,40 @@ def q_kcore(sf_dir: str):
     return kcore_resident(edges, "src", "dst")
 
 
+def q_sssp(sf_dir: str):
+    """Bounded-hop weighted shortest paths
+    (ops/iterative.py:sssp_weighted_resident): doc ids wired as a
+    weighted digraph (i -> i+1 with weight 1 + i%3, plus a skip edge
+    i -> i+10 with weight 5), seeded at every block start
+    (doc_id % 100 == 0); 4 Bellman-Ford rounds == the oracle's 4
+    chained min-relaxation CTEs exactly -- frontier-only relaxation is
+    proven equivalent to the relax-from-everyone recurrence in the op
+    docstring, so the distance table is value-hash exact."""
+    from ci_log_processing_ray.ops.iterative import sssp_weighted_resident
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        src = np.concatenate([ids, ids])
+        dst = np.concatenate([ids + 1, ids + 10])
+        w = np.concatenate([1 + ids % 3,
+                            np.full(len(ids), 5, np.int64)])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                         "w": pa.array(w)})
+
+    def mk_seeds(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        return pa.table({"node": pa.array(ids[ids % 100 == 0])})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    seeds = ds.map_batches(mk_seeds, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return sssp_weighted_resident(edges, "src", "dst", "w", seeds,
+                                  n_rounds=4)
+
+
 def q_clustering_coeff(sf_dir: str):
     """Per-node local clustering coefficient
     (ops/relational.py:clustering_coefficients) over a user-offset
@@ -4255,6 +4289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active": q_rolling_active,
         "compact_sink": q_compact_sink,
         "label_prop": q_label_prop,
+        "sssp": q_sssp,
         "kcore": q_kcore,
         "clustering_coeff": q_clustering_coeff,
     }
@@ -5110,6 +5145,40 @@ def oracle_sql() -> dict[str, str]:
                              // (d.deg * (d.deg - 1))
                         ELSE 0 END AS BIGINT) AS coeff_permille
             FROM deg d LEFT JOIN tri t ON t.node = d.node""",
+        "sssp": """
+            -- 4 chained Bellman-Ford rounds == sssp n_rounds=4
+            WITH e AS (
+                SELECT doc_id AS src, doc_id + 1 AS dst,
+                       1 + doc_id % 3 AS w FROM documents
+                UNION ALL
+                SELECT doc_id, doc_id + 10, 5 FROM documents),
+            r0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+                   FROM documents WHERE doc_id % 100 = 0),
+            r1 AS (SELECT node, MIN(dist) AS dist FROM (
+                    SELECT node, dist FROM r0
+                    UNION ALL
+                    SELECT e.dst AS node, r0.dist + e.w AS dist
+                    FROM r0 JOIN e ON e.src = r0.node)
+                GROUP BY node),
+            r2 AS (SELECT node, MIN(dist) AS dist FROM (
+                    SELECT node, dist FROM r1
+                    UNION ALL
+                    SELECT e.dst AS node, r1.dist + e.w AS dist
+                    FROM r1 JOIN e ON e.src = r1.node)
+                GROUP BY node),
+            r3 AS (SELECT node, MIN(dist) AS dist FROM (
+                    SELECT node, dist FROM r2
+                    UNION ALL
+                    SELECT e.dst AS node, r2.dist + e.w AS dist
+                    FROM r2 JOIN e ON e.src = r2.node)
+                GROUP BY node),
+            r4 AS (SELECT node, MIN(dist) AS dist FROM (
+                    SELECT node, dist FROM r3
+                    UNION ALL
+                    SELECT e.dst AS node, r3.dist + e.w AS dist
+                    FROM r3 JOIN e ON e.src = r3.node)
+                GROUP BY node)
+            SELECT node, CAST(dist AS BIGINT) AS dist FROM r4""",
         "kcore": """
             -- path-power construction: block of 100, power p =
             -- 1 + (block % 4); coreness of P_n^p is exactly p

@@ -1435,3 +1435,187 @@ def kcore_resident(
     out = pd.concat(ray.get([s.get_cores.remote() for s in shards]),
                     ignore_index=True)
     return out.sort_values("node").reset_index(drop=True)
+
+
+_SSSP_INF = np.int64(1) << 62
+
+
+def sssp_weighted_resident(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    weight_col: str,
+    seeds: ray.data.Dataset,
+    *,
+    n_rounds: int,
+    n_shards: int | None = None,
+) -> "pd.DataFrame":
+    """Bounded-hop weighted single-source(s) shortest paths over a
+    DIRECTED graph with non-negative int64 weights, in the
+    partition-resident family shape: after k rounds the distance table
+    is EXACTLY ``min over paths from any seed using <= k edges`` --
+    the Bellman-Ford recurrence ``d_{i+1}(v) = min(d_i(v),
+    min_u(d_i(u) + w(u,v)))`` unrolled k times, which is what the
+    DuckDB oracle evaluates as k chained CTE rounds.
+
+    Relaxation is frontier-only (each round relaxes out-edges of nodes
+    whose distance improved last round), which equals the relax-from-
+    everyone recurrence by induction: a node u last improved at round
+    j <= i already pushed ``d_j(u) + w = d_i(u) + w`` to its neighbors
+    at round j+1, and distances never increase -- so skipping
+    unimproved sources drops only dominated proposals.
+
+    Scale shape: directed edges hash(src)-partition into stateful
+    actors once (dst endpoints announced to their owner shard so pure
+    sinks have owners); each round ships per-dst MIN-preaggregated
+    candidate partials as object refs, frontier-edge sized, never the
+    edge table.  Early exit when no distance improves.  Returns the
+    reached (node, dist) frame; unreached nodes are absent, seeds
+    always present at dist 0."""
+
+    @ray.remote
+    class _SpShard:
+        def __init__(self, shard_id: int, n_shards: int):
+            self.sid = shard_id
+            self.n = n_shards
+            self._cs, self._cd, self._cw, self._cn = [], [], [], []
+
+        def load(self, s, d, w) -> int:
+            self._cs.append(s)
+            self._cd.append(d)
+            self._cw.append(w)
+            return len(s)
+
+        def announce(self, nodes) -> int:
+            self._cn.append(nodes)
+            return len(nodes)
+
+        def finalize(self) -> int:
+            self.src = (np.concatenate(self._cs)
+                        if self._cs else np.array([], np.int64))
+            self.dst = (np.concatenate(self._cd)
+                        if self._cd else np.array([], np.int64))
+            self.w = (np.concatenate(self._cw)
+                      if self._cw else np.array([], np.int64))
+            self.nodes = (np.unique(np.concatenate(self._cn))
+                          if self._cn else np.array([], np.int64))
+            self._cs = self._cd = self._cw = self._cn = None
+            order = np.argsort(self.src, kind="stable")
+            self.src = self.src[order]
+            self.dst = self.dst[order]
+            self.w = self.w[order]
+            self.dbucket = (pd.util.hash_array(self.dst)
+                            % self.n).astype(np.int32)
+            self.src_idx = np.searchsorted(self.nodes, self.src)
+            self.dist = np.full(len(self.nodes), _SSSP_INF, np.int64)
+            self.improved = np.zeros(len(self.nodes), bool)
+            self.lonely_seeds = np.array([], np.int64)
+            return len(self.nodes)
+
+        def seed(self, s: np.ndarray) -> int:
+            idx = np.searchsorted(self.nodes, s)
+            idx_c = np.clip(idx, 0, max(len(self.nodes) - 1, 0))
+            found = (len(self.nodes) > 0) & (self.nodes[idx_c] == s)
+            self.dist[idx_c[found]] = 0
+            self.improved[idx_c[found]] = True
+            self.lonely_seeds = np.unique(s[~found])
+            return int(found.sum())
+
+        def relax(self) -> list:
+            m = self.improved[self.src_idx]
+            if not m.any():
+                return [None] * self.n
+            cand = self.dist[self.src_idx[m]] + self.w[m]
+            d = self.dst[m]
+            db = self.dbucket[m]
+            out = []
+            for b in range(self.n):
+                mb = db == b
+                if not mb.any():
+                    out.append(None)
+                    continue
+                dd, cc = d[mb], cand[mb]
+                order = np.argsort(dd, kind="stable")
+                dd, cc = dd[order], cc[order]
+                starts = np.flatnonzero(np.r_[True, dd[1:] != dd[:-1]])
+                out.append(ray.put(
+                    (dd[starts], np.minimum.reduceat(cc, starts))))
+            return out
+
+        def apply(self, pieces: list) -> int:
+            self.improved[:] = False
+            ds_, cs_ = [], []
+            for p in pieces:
+                if p is None:
+                    continue
+                d, c = ray.get(p)
+                ds_.append(d)
+                cs_.append(c)
+            if not ds_:
+                return 0
+            d = np.concatenate(ds_)
+            c = np.concatenate(cs_)
+            order = np.argsort(d, kind="stable")
+            d, c = d[order], c[order]
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            du = d[starts]
+            cu = np.minimum.reduceat(c, starts)
+            idx = np.searchsorted(self.nodes, du)
+            better = cu < self.dist[idx]
+            self.dist[idx[better]] = cu[better]
+            self.improved[idx[better]] = True
+            return int(better.sum())
+
+        def get_dist(self):
+            m = self.dist < _SSSP_INF
+            return pd.DataFrame({
+                "node": np.concatenate([self.nodes[m],
+                                        self.lonely_seeds]),
+                "dist": np.concatenate([
+                    self.dist[m],
+                    np.zeros(len(self.lonely_seeds), np.int64)])})
+
+    from ci_log_processing_ray.ops.window import resolve_group_buckets
+
+    n_shards = n_shards or max(
+        4, min(64, resolve_group_buckets(None) // 4))
+    shards = [_SpShard.remote(i, n_shards) for i in range(n_shards)]
+
+    def route(t: pa.Table) -> pa.Table:
+        s = t[src_col].combine_chunks().cast(pa.int64()).to_numpy()
+        d = t[dst_col].combine_chunks().cast(pa.int64()).to_numpy()
+        w = t[weight_col].combine_chunks().cast(pa.int64()).to_numpy()
+        sb = (pd.util.hash_array(s) % n_shards).astype(np.int32)
+        alln = np.unique(np.concatenate([s, d]))
+        nb = (pd.util.hash_array(alln) % n_shards).astype(np.int32)
+        refs = []
+        for sh in range(n_shards):
+            m = sb == sh
+            if m.any():
+                refs.append(shards[sh].load.remote(s[m], d[m], w[m]))
+            mn = nb == sh
+            if mn.any():
+                refs.append(shards[sh].announce.remote(alln[mn]))
+        ray.get(refs)
+        return pa.table({"n": pa.array([len(s)], pa.int64())})
+
+    edges.map_batches(route, batch_format="pyarrow",
+                      zero_copy_batch=True).count()
+    ray.get([s.finalize.remote() for s in shards])
+
+    seed_nodes = np.unique(seeds.to_pandas()["node"].to_numpy(np.int64))
+    sb = (pd.util.hash_array(seed_nodes) % n_shards).astype(np.int32)
+    ray.get([shards[s].seed.remote(seed_nodes[sb == s])
+             for s in range(n_shards)])
+
+    for _r in range(n_rounds):
+        per_shard = [ray.get(f) for f in
+                     [s.relax.remote() for s in shards]]
+        applies = [shards[b].apply.remote(
+            [per_shard[s][b] for s in range(n_shards)])
+            for b in range(n_shards)]
+        if sum(ray.get(applies)) == 0:
+            break
+    out = pd.concat(ray.get([s.get_dist.remote() for s in shards]),
+                    ignore_index=True)
+    return out.sort_values("node").reset_index(drop=True)

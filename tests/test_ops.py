@@ -3044,3 +3044,42 @@ def test_kcore_resident_warns_at_round_cap(ray_session):
         got = kcore_resident(ds, "src", "dst", max_rounds=40, n_shards=2)
         assert not any("upper bounds" in str(x.message) for x in w)
     assert (got["core"] == 1).all()
+
+
+def test_sssp_weighted_resident_matches_bellman_ford(ray_session):
+    """Frontier-only relaxation must equal the relax-from-everyone
+    k-round Bellman-Ford recurrence on random weighted digraphs, for
+    several hop bounds and shard counts, with an isolated seed."""
+    from ci_log_processing_ray.ops.iterative import sssp_weighted_resident
+
+    def local_bf(triples, seed_nodes, k):
+        dist = {s: 0 for s in seed_nodes}
+        for _ in range(k):
+            new = dict(dist)
+            for a, b, w in triples:
+                if a in dist and dist[a] + w < new.get(b, 1 << 62):
+                    new[b] = dist[a] + w
+            if new == dist:
+                break
+            dist = new
+        return dist
+
+    rng = np.random.default_rng(3)
+    for n, m in [(30, 90), (80, 300)]:
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        w = rng.integers(0, 20, m).astype(np.int64)
+        seed_nodes = sorted(set(rng.integers(0, n, 3).tolist()) | {999})
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"s": a, "d": b, "w": w})).repartition(3)
+        sd = ray.data.from_items([{"node": int(s)} for s in seed_nodes])
+        triples = list(zip(a.tolist(), b.tolist(), w.tolist()))
+        for k in (1, 3, 6):
+            want = local_bf(triples, seed_nodes, k)
+            for n_shards in (2, 4):
+                got = sssp_weighted_resident(
+                    ds, "s", "d", "w", sd, n_rounds=k,
+                    n_shards=n_shards)
+                gd = dict(zip(got["node"].tolist(),
+                              got["dist"].tolist()))
+                assert gd == want, (n, k, n_shards)
