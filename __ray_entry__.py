@@ -3983,6 +3983,21 @@ def q_sssp(sf_dir: str):
                                   n_rounds=4)
 
 
+def q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood dedup candidates
+    (ops/dedup.py:sorted_neighborhood_pairs): documents ordered by
+    (n_chars, doc_id), every pair within 4 positions emitted exactly
+    once with its length gap -- the classic entity-resolution blocking
+    pass, generated span-bucketed with a window-sized fringe instead
+    of a global sort, against the ROW_NUMBER self-join oracle."""
+    from ci_log_processing_ray.ops.dedup import sorted_neighborhood_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return _collect(sorted_neighborhood_pairs(
+        ds, "n_chars", "doc_id", window=4)).to_pandas().sort_values(
+            ["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_clustering_coeff(sf_dir: str):
     """Per-node local clustering coefficient
     (ops/relational.py:clustering_coefficients) over a user-offset
@@ -4289,6 +4304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active": q_rolling_active,
         "compact_sink": q_compact_sink,
         "label_prop": q_label_prop,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "sssp": q_sssp,
         "kcore": q_kcore,
         "clustering_coeff": q_clustering_coeff,
@@ -5145,6 +5161,14 @@ def oracle_sql() -> dict[str, str]:
                              // (d.deg * (d.deg - 1))
                         ELSE 0 END AS BIGINT) AS coeff_permille
             FROM deg d LEFT JOIN tri t ON t.node = d.node""",
+        "sorted_neighborhood": """
+            WITH r AS (SELECT doc_id, n_chars,
+                              ROW_NUMBER() OVER (ORDER BY n_chars,
+                                                 doc_id) AS rn
+                       FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(b.n_chars - a.n_chars AS BIGINT) AS key_gap
+            FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3""",
         "sssp": """
             -- 4 chained Bellman-Ford rounds == sssp n_rounds=4
             WITH e AS (

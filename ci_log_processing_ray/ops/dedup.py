@@ -1579,3 +1579,88 @@ def max_duplicate_span(
 
     return ds.map_batches(attach, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def sorted_neighborhood_pairs(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    id_col: str,
+    *,
+    window: int,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Sorted-neighborhood method (SNM) candidate generation -- the
+    classic entity-resolution blocking technique: order the corpus by
+    a sort key and emit every pair of records within ``window``
+    positions of each other (0 < rank_b - rank_a < window), i.e.
+    exactly the pairs a ROW_NUMBER self-join
+    ``b.rn - a.rn BETWEEN 1 AND window-1`` produces.  ``key_col`` must
+    be int64 and (key, id) unique; ordering is (key, id) so the pair
+    set is deterministic.
+
+    Scale shape: global dense ranks come from
+    :func:`..window.row_number_global` (range buckets + driver prefix
+    counts -- no global sort); rows then land in SPAN buckets of B
+    consecutive ranks, with only the ``window - 1`` rows at each span
+    start replicated to the previous span as lookahead, so the
+    exchange is corpus-sized + a window-sized fringe per span.  Each
+    pair is generated exactly once, in the span owning its LEFT
+    member; within a span ranks are dense, so the kernel is
+    ``window - 1`` numpy shift-alignments, no per-row loop.  Returns
+    (id_a, id_b, key_gap = key_b - key_a >= 0)."""
+    from .window import bucketed_groups, row_number_global
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    span = max(window * 16, 256)
+
+    numbered = row_number_global(ds, key_col, tie_cols=[id_col],
+                                 out_col="_rn", n_buckets=n_buckets)
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        rn = g["_rn"].to_numpy(np.int64) - 1  # 0-based
+        gid = rn // span
+        out = [pd.DataFrame({"_g": gid,
+                             "_rn": rn,
+                             id_col: g[id_col].to_numpy(),
+                             key_col: g[key_col].to_numpy()})]
+        look = (rn - gid * span) < (window - 1)
+        look &= gid > 0
+        if look.any():
+            out.append(pd.DataFrame({
+                "_g": gid[look] - 1,
+                "_rn": rn[look],
+                id_col: g[id_col].to_numpy()[look],
+                key_col: g[key_col].to_numpy()[look]}))
+        return pd.concat(out, ignore_index=True)
+
+    spanned = numbered.map_batches(emit, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for gid, gg in g.groupby("_g", sort=False):
+            gg = gg.sort_values("_rn", kind="mergesort")
+            rn = gg["_rn"].to_numpy(np.int64)
+            ids = gg[id_col].to_numpy()
+            keys = gg[key_col].to_numpy(np.int64)
+            lo = int(gid) * span
+            n = len(gg)
+            # ranks are dense here, so distance-d partners align by
+            # a plain slice shift
+            for d in range(1, window):
+                if n <= d:
+                    break
+                left_in_span = rn[: n - d] < lo + span
+                out.append(pd.DataFrame({
+                    "id_a": ids[: n - d][left_in_span],
+                    "id_b": ids[d:][left_in_span],
+                    "key_gap": (keys[d:][left_in_span]
+                                - keys[: n - d][left_in_span])}))
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "key_gap": pd.Series([],
+                                                      dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_groups(spanned, "_g", pairs, n_buckets=n_buckets)

@@ -3083,3 +3083,31 @@ def test_sssp_weighted_resident_matches_bellman_ford(ray_session):
                 gd = dict(zip(got["node"].tolist(),
                               got["dist"].tolist()))
                 assert gd == want, (n, k, n_shards)
+
+
+def test_sorted_neighborhood_pairs_exact(ray_session):
+    """Every within-window pair exactly once, across span boundaries:
+    brute-force reference over a shuffled key table, several windows."""
+    from ci_log_processing_ray.ops.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(17)
+    n = 600  # > 2 spans at window=4 (span=256)
+    keys = rng.integers(0, 200, n).astype(np.int64)
+    ids = rng.permutation(n).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "i": ids})
+    order = df.sort_values(["k", "i"]).reset_index(drop=True)
+    ds = ray.data.from_pandas(df).repartition(4)
+    for w in (2, 4, 7):
+        want = set()
+        for d in range(1, w):
+            for p in range(n - d):
+                want.add((int(order["i"][p]), int(order["i"][p + d])))
+        got = (sorted_neighborhood_pairs(ds, "k", "i", window=w)
+               .to_pandas())
+        pairs = set(zip(got["id_a"].tolist(), got["id_b"].tolist()))
+        assert len(got) == len(pairs), "duplicated pair"
+        assert pairs == want, (w, len(pairs), len(want))
+        # key_gap is non-negative and matches the key difference
+        kd = dict(zip(df["i"], df["k"]))
+        for a, b, g in zip(got["id_a"], got["id_b"], got["key_gap"]):
+            assert g == kd[b] - kd[a] >= 0
