@@ -3998,6 +3998,31 @@ def q_sorted_neighborhood(sf_dir: str):
             ["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_link_prediction(sf_dir: str):
+    """Common-neighbor link prediction
+    (ops/relational.py:common_neighbors_link_prediction) over the same
+    bounded-degree user-offset graph as q_clustering_coeff: every
+    non-adjacent pair sharing >= 2 neighbors, with the count -- wedges
+    grouped by their FAR pair and killed by edge markers in one tagged
+    co-partition, vs the SQL wedge-join + NOT EXISTS oracle."""
+    from ci_log_processing_ray.ops.relational import (
+        common_neighbors_link_prediction)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        eid = t["event_id"].combine_chunks().to_numpy()
+        return pa.table({"src": pa.array(uid),
+                         "dst": pa.array(uid + 1 + eid % 7)})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return _collect(common_neighbors_link_prediction(
+        edges, "src", "dst", min_common=2)).to_pandas().sort_values(
+            ["node_a", "node_b"]).reset_index(drop=True)
+
+
 def q_clustering_coeff(sf_dir: str):
     """Per-node local clustering coefficient
     (ops/relational.py:clustering_coefficients) over a user-offset
@@ -4308,6 +4333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": q_sssp,
         "kcore": q_kcore,
         "clustering_coeff": q_clustering_coeff,
+        "link_prediction": q_link_prediction,
     }
 
 
@@ -5140,6 +5166,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM c JOIN m USING (event_type)
             GROUP BY c.event_type""",
+        "link_prediction": """
+            WITH raw AS (SELECT user_id AS s,
+                                user_id + 1 + (event_id % 7) AS d
+                         FROM events),
+            e AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+                  FROM raw WHERE s <> d),
+            bi AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            cn AS (SELECT w1.b AS node_a, w2.b AS node_b,
+                          COUNT(*) AS n_common
+                   FROM bi w1
+                   JOIN bi w2 ON w1.a = w2.a AND w1.b < w2.b
+                   GROUP BY 1, 2)
+            SELECT node_a, node_b, CAST(n_common AS BIGINT) AS n_common
+            FROM cn
+            WHERE n_common >= 2
+              AND NOT EXISTS (SELECT 1 FROM e
+                              WHERE e.a = cn.node_a
+                                AND e.b = cn.node_b)""",
         "clustering_coeff": """
             WITH raw AS (SELECT user_id AS s,
                                 user_id + 1 + (event_id % 7) AS d

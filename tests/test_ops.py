@@ -3111,3 +3111,41 @@ def test_sorted_neighborhood_pairs_exact(ray_session):
         kd = dict(zip(df["i"], df["k"]))
         for a, b, g in zip(got["id_a"], got["id_b"], got["key_gap"]):
             assert g == kd[b] - kd[a] >= 0
+
+
+def test_common_neighbors_link_prediction(ray_session):
+    """Closed forms: in a 5-path a-b-c-d-e, (a,c)/(b,d)/(c,e) share 1
+    neighbor; in K_4 minus one edge, the missing pair shares 2; a full
+    clique yields NOTHING (all pairs adjacent); dup/self-loop noise
+    must not change counts."""
+    from ci_log_processing_ray.ops.relational import (
+        common_neighbors_link_prediction)
+
+    path = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    # K4 on 10..13 minus the (12, 13) edge
+    k4m = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13)]
+    k5 = [(20 + i, 20 + j) for i in range(5) for j in range(i + 1, 5)]
+    noise = [(1, 0), (2, 2), (12, 10)]
+    edges = pd.DataFrame(path + k4m + k5 + noise,
+                         columns=["src", "dst"])
+    ds = ray.data.from_pandas(edges).repartition(3)
+
+    got = (common_neighbors_link_prediction(ds, "src", "dst",
+                                            min_common=1, n_buckets=5)
+           .to_pandas())
+    d = {(a, b): n for a, b, n in zip(got["node_a"], got["node_b"],
+                                      got["n_common"])}
+    assert d[(0, 2)] == 1 and d[(1, 3)] == 1 and d[(2, 4)] == 1
+    assert (0, 3) not in d  # 0-3 share nobody
+    assert d[(12, 13)] == 2
+    # no K5 pair appears (all adjacent), no adjacent pair anywhere
+    eset = {(min(a, b), max(a, b)) for a, b in path + k4m + k5}
+    assert not (set(d) & eset)
+    assert not any(20 <= a < 25 for a, _ in d)
+
+    got2 = (common_neighbors_link_prediction(ds, "src", "dst",
+                                             min_common=2, n_buckets=3)
+            .to_pandas())
+    d2 = {(a, b): n for a, b, n in zip(got2["node_a"], got2["node_b"],
+                                       got2["n_common"])}
+    assert d2 == {(12, 13): 2}
