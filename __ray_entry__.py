@@ -4023,6 +4023,31 @@ def q_link_prediction(sf_dir: str):
             ["node_a", "node_b"]).reset_index(drop=True)
 
 
+def q_random_walks(sf_dir: str):
+    """Deterministic random-walk corpus
+    (ops/iterative.py:deterministic_random_walks): one 3-step walk
+    from every node of the user-offset graph, each step the
+    md5-argmin neighbor -- the node2vec/DeepWalk input stage with an
+    oracle-replayable coin; walk state co-partitions with edges once
+    per step, never the whole corpus."""
+    from ci_log_processing_ray.ops.iterative import (
+        deterministic_random_walks)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        eid = t["event_id"].combine_chunks().to_numpy()
+        return pa.table({"src": pa.array(uid),
+                         "dst": pa.array(uid + 1 + eid % 7)})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return _collect(deterministic_random_walks(
+        edges, "src", "dst", walk_len=3)).to_pandas().sort_values(
+            ["start", "step"]).reset_index(drop=True)
+
+
 def q_clustering_coeff(sf_dir: str):
     """Per-node local clustering coefficient
     (ops/relational.py:clustering_coefficients) over a user-offset
@@ -4333,6 +4358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": q_sssp,
         "kcore": q_kcore,
         "clustering_coeff": q_clustering_coeff,
+        "random_walks": q_random_walks,
         "link_prediction": q_link_prediction,
     }
 
@@ -5184,6 +5210,48 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM e
                               WHERE e.a = cn.node_a
                                 AND e.b = cn.node_b)""",
+        "random_walks": """
+            WITH raw AS (SELECT user_id AS s,
+                                user_id + 1 + (event_id % 7) AS d
+                         FROM events),
+            e AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+                  FROM raw WHERE s <> d),
+            bi AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            w0 AS (SELECT DISTINCT a AS start, a AS cur FROM bi),
+            w1 AS (SELECT start, cur FROM (
+                    SELECT w0.start, bi.b AS cur,
+                           ROW_NUMBER() OVER (PARTITION BY w0.start
+                               ORDER BY md5(CAST(w0.cur AS VARCHAR)
+                                            || ':' ||
+                                            CAST(bi.b AS VARCHAR)
+                                            || ':1'), bi.b) AS rk
+                    FROM w0 JOIN bi ON bi.a = w0.cur)
+                WHERE rk = 1),
+            w2 AS (SELECT start, cur FROM (
+                    SELECT w1.start, bi.b AS cur,
+                           ROW_NUMBER() OVER (PARTITION BY w1.start
+                               ORDER BY md5(CAST(w1.cur AS VARCHAR)
+                                            || ':' ||
+                                            CAST(bi.b AS VARCHAR)
+                                            || ':2'), bi.b) AS rk
+                    FROM w1 JOIN bi ON bi.a = w1.cur)
+                WHERE rk = 1),
+            w3 AS (SELECT start, cur FROM (
+                    SELECT w2.start, bi.b AS cur,
+                           ROW_NUMBER() OVER (PARTITION BY w2.start
+                               ORDER BY md5(CAST(w2.cur AS VARCHAR)
+                                            || ':' ||
+                                            CAST(bi.b AS VARCHAR)
+                                            || ':3'), bi.b) AS rk
+                    FROM w2 JOIN bi ON bi.a = w2.cur)
+                WHERE rk = 1)
+            SELECT start, CAST(0 AS BIGINT) AS step, cur AS node FROM w0
+            UNION ALL
+            SELECT start, CAST(1 AS BIGINT) AS step, cur AS node FROM w1
+            UNION ALL
+            SELECT start, CAST(2 AS BIGINT) AS step, cur AS node FROM w2
+            UNION ALL
+            SELECT start, CAST(3 AS BIGINT) AS step, cur AS node FROM w3""",
         "clustering_coeff": """
             WITH raw AS (SELECT user_id AS s,
                                 user_id + 1 + (event_id % 7) AS d

@@ -1619,3 +1619,110 @@ def sssp_weighted_resident(
     out = pd.concat(ray.get([s.get_dist.remote() for s in shards]),
                     ignore_index=True)
     return out.sort_values("node").reset_index(drop=True)
+
+
+def deterministic_random_walks(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    *,
+    walk_len: int,
+    n_buckets: int | None = None,
+) -> "pd.DataFrame":
+    """Random-walk corpus generation (the node2vec/DeepWalk input
+    stage) made DETERMINISTIC so it is oracle-checkable: one walk
+    starts at every node of the undirected simple graph, and each step
+    moves to the neighbor minimizing
+    ``md5(f"{cur}:{nbr}:{step}")`` (ties -- md5 collisions -- broken
+    by neighbor id).  The md5 "coin" gives the unbiasedness of a real
+    random walk while DuckDB can replay every step exactly with k
+    chained argmin CTEs.
+
+    Scale shape: per step, ONE tagged co-partition of the walk-state
+    table (start, cur) with the bidirectional edge table on
+    hash(cur) -- walk state is node-shaped, edges move once per step
+    (pre-partitioning edges into resident actors is the noted step-up
+    at real scale, as for BFS/LPA).  The md5-per-candidate loop inside
+    the kernel exists solely to match DuckDB's md5() -- swap in
+    pd.util.hash_array for a non-oracle production walk.  Dead ends
+    stop early exactly like the SQL.  Returns (start, step, node) for
+    steps 0..walk_len."""
+    import hashlib
+
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t[src_col].combine_chunks().cast(pa.int64()).to_numpy()
+        d = t[dst_col].combine_chunks().cast(pa.int64()).to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        df = pd.DataFrame({"a": np.r_[s, d], "b": np.r_[d, s]})
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    bi = edges.map_batches(canon, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    # walks start at every node; state rows are (start, cur)
+    def init_states(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(g["a"].to_numpy(np.int64))
+        return pd.DataFrame({"start": nodes, "cur": nodes})
+
+    # in-bucket dedup is global: a node's full adjacency (and thus its
+    # presence as "a") lands in one hash bucket
+    states = bucketed_groups(bi, "a", init_states,
+                             n_buckets=n_buckets).materialize()
+
+    def labeler(step: int):
+        def label(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "start": g["start"].to_numpy(np.int64),
+                "step": np.full(len(g), step, np.int64),
+                "node": g["cur"].to_numpy(np.int64)})
+        return label
+
+    out_ds = states.map_batches(labeler(0), batch_format="pandas")
+
+    for step in range(1, walk_len + 1):
+        def tag_state(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"key": g["cur"].to_numpy(np.int64),
+                                 "other": g["start"].to_numpy(np.int64),
+                                 "side": np.int64(0)})
+
+        def tag_edge(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"key": g["a"].to_numpy(np.int64),
+                                 "other": g["b"].to_numpy(np.int64),
+                                 "side": np.int64(1)})
+
+        unioned = states.map_batches(tag_state, batch_format="pandas"
+                                     ).union(
+            bi.map_batches(tag_edge, batch_format="pandas"))
+
+        def advance(g: pd.DataFrame, _step=step) -> pd.DataFrame:
+            st = g[g["side"] == 0]
+            eg = g[g["side"] == 1]
+            if not len(st) or not len(eg):
+                return pd.DataFrame({
+                    "start": pd.Series([], dtype=np.int64),
+                    "cur": pd.Series([], dtype=np.int64)})
+            # per current node: the md5-argmin neighbor, computed once
+            # per (cur, nbr) -- the loop mirrors the oracle's md5()
+            best: dict = {}
+            for cur, nbr in zip(eg["key"].to_numpy(np.int64),
+                                eg["other"].to_numpy(np.int64)):
+                h = hashlib.md5(
+                    f"{cur}:{nbr}:{_step}".encode()).hexdigest()
+                cand = (h, int(nbr))
+                if cur not in best or cand < best[cur]:
+                    best[cur] = cand
+            nxt = st["key"].map(lambda c: best[c][1])
+            return pd.DataFrame({
+                "start": st["other"].to_numpy(np.int64),
+                "cur": nxt.to_numpy(np.int64)})
+
+        states = bucketed_groups(unioned, "key", advance,
+                                 n_buckets=n_buckets).materialize()
+        out_ds = out_ds.union(states.map_batches(labeler(step),
+                                                 batch_format="pandas"))
+
+    return out_ds

@@ -3149,3 +3149,43 @@ def test_common_neighbors_link_prediction(ray_session):
     d2 = {(a, b): n for a, b, n in zip(got2["node_a"], got2["node_b"],
                                        got2["n_common"])}
     assert d2 == {(12, 13): 2}
+
+
+def test_deterministic_random_walks(ray_session):
+    """Walk invariants on a known graph: every consecutive (node,
+    next) pair is an edge, step-0 node == start, one walk per node,
+    dead ends impossible on a bidirectional graph, and the whole table
+    is reproducible run-to-run and across bucket counts."""
+    from ci_log_processing_ray.ops.iterative import (
+        deterministic_random_walks)
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 25, 60)
+    b = rng.integers(0, 25, 60)
+    keep = a != b
+    edges = pd.DataFrame({"src": a[keep], "dst": b[keep]})
+    ds = ray.data.from_pandas(edges).repartition(3)
+    adj = set()
+    for x, y in zip(edges["src"], edges["dst"]):
+        adj.add((int(x), int(y)))
+        adj.add((int(y), int(x)))
+    nodes = {n for p in adj for n in p}
+
+    w1 = (deterministic_random_walks(ds, "src", "dst", walk_len=4,
+                                     n_buckets=5)
+          .to_pandas().sort_values(["start", "step"])
+          .reset_index(drop=True))
+    w2 = (deterministic_random_walks(ds, "src", "dst", walk_len=4,
+                                     n_buckets=3)
+          .to_pandas().sort_values(["start", "step"])
+          .reset_index(drop=True))
+    pd.testing.assert_frame_equal(w1, w2)
+
+    assert set(w1[w1["step"] == 0]["start"]) == nodes
+    for s, g in w1.groupby("start"):
+        g = g.sort_values("step")
+        assert g["step"].tolist() == [0, 1, 2, 3, 4]
+        path = g["node"].tolist()
+        assert path[0] == s
+        for i in range(4):
+            assert (path[i], path[i + 1]) in adj
