@@ -4048,6 +4048,27 @@ def q_random_walks(sf_dir: str):
             ["start", "step"]).reset_index(drop=True)
 
 
+def q_decayed_sum(sf_dir: str):
+    """Recency-weighted grouped sum
+    (ops/groupagg.py:decayed_sum_by_group): per event type, cents
+    halved every 3 days of age back from the corpus max day -- exact
+    int64 bit-shift decay instead of float exp(), so the trending
+    aggregate value-hashes against DuckDB's integer division."""
+    from ci_log_processing_ray.ops.groupagg import decayed_sum_by_group
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "ts": t["ts"],
+                         "cents": _cents(t["value"])})
+
+    return decayed_sum_by_group(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "event_type", "ts", "cents", half_life_days=3)
+
+
 def q_clustering_coeff(sf_dir: str):
     """Per-node local clustering coefficient
     (ops/relational.py:clustering_coefficients) over a user-offset
@@ -4358,6 +4379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": q_sssp,
         "kcore": q_kcore,
         "clustering_coeff": q_clustering_coeff,
+        "decayed_sum": q_decayed_sum,
         "random_walks": q_random_walks,
         "link_prediction": q_link_prediction,
     }
@@ -5252,6 +5274,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT start, CAST(2 AS BIGINT) AS step, cur AS node FROM w2
             UNION ALL
             SELECT start, CAST(3 AS BIGINT) AS step, cur AS node FROM w3""",
+        "decayed_sum": """
+            WITH mx AS (SELECT MAX(epoch_us(ts) // 86400000000) AS m
+                        FROM events)
+            SELECT event_type,
+                   CAST(SUM(
+                       CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       // (CAST(1 AS BIGINT) << CAST(LEAST(
+                           ((SELECT m FROM mx)
+                            - epoch_us(ts) // 86400000000) // 3,
+                           62) AS BIGINT))) AS BIGINT) AS decayed_cents,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type""",
         "clustering_coeff": """
             WITH raw AS (SELECT user_id AS s,
                                 user_id + 1 + (event_id % 7) AS d

@@ -132,6 +132,14 @@ BENCH_QUERIES = [
     "rolling_active",
     "compact_sink",
     "label_prop",
+    # session-6 additions
+    "kcore",
+    "clustering_coeff",
+    "sssp",
+    "sorted_neighborhood",
+    "link_prediction",
+    "random_walks",
+    "orc_source",
 ]
 
 

@@ -677,3 +677,70 @@ def grouped_cusum_peak(
             "max_dev": peak, "peak_day": peak_day})
 
     return bucketed_groups(pre, group_col, kern, n_buckets=n_buckets)
+
+
+def decayed_sum_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    ts_col: str,
+    cents_col: str,
+    *,
+    half_life_days: int,
+) -> "ray.data.Dataset":
+    """Recency-weighted (exponentially decayed) grouped sum, EXACT in
+    int64: each row's non-negative integer cents are right-shifted by
+    ``age_days // half_life_days`` (capped at 62) where age is
+    measured back from the corpus's max day -- bit-shift halving
+    instead of float ``exp(-age/tau)``, so the result value-hashes
+    against DuckDB's integer division bit-for-bit.  The recency
+    weighting every leaderboard/trending aggregate needs, without the
+    float-determinism trap.
+
+    Two passes: a one-row MAX(day) aggregate (the anchor must be
+    global), then a pure map partial + vocabulary-sized final sum.
+    ``cents_col`` must be non-negative (shift == floor-division only
+    holds there); negative rows raise.  Returns
+    (group, decayed_cents, n)."""
+    from ray.data.aggregate import Max, Sum
+
+    US_PER_DAY = 86_400_000_000
+    mx = ds.aggregate(Max(ts_col))[f"max({ts_col})"]
+    max_day = int(_ts_to_us_int(mx)) // US_PER_DAY
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = t[cents_col].combine_chunks().to_numpy()
+        if len(cents) and int(cents.min()) < 0:
+            raise ValueError("decayed_sum_by_group needs cents >= 0")
+        ts = pc.cast(t[ts_col].combine_chunks(),
+                     pa.int64()).to_numpy()
+        age = max_day - ts // US_PER_DAY
+        shift = np.minimum(age // half_life_days, 62).astype(np.int64)
+        tt = pa.table({
+            group_col: t[group_col],
+            "w": pa.array(cents >> shift),
+            "one": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by(group_col).aggregate([("w", "sum"),
+                                              ("one", "sum")])
+        return pa.table({group_col: g[group_col],
+                         "decayed_cents": g["w_sum"],
+                         "n": g["one_sum"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        group_col).aggregate(Sum("decayed_cents",
+                                 alias_name="decayed_cents"),
+                             Sum("n", alias_name="n"))
+
+
+def _ts_to_us_int(v) -> int:
+    """Normalize an aggregate-returned timestamp (pandas Timestamp,
+    numpy datetime64, or already-int64 microseconds) to epoch us."""
+    if hasattr(v, "value"):  # pandas Timestamp: ns since epoch
+        return int(v.value) // 1000
+    if isinstance(v, np.datetime64):
+        return int(v.astype("datetime64[us]").astype(np.int64))
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch) / _dt.timedelta(microseconds=1))
+    return int(v)

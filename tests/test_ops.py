@@ -3189,3 +3189,30 @@ def test_deterministic_random_walks(ray_session):
         assert path[0] == s
         for i in range(4):
             assert (path[i], path[i + 1]) in adj
+
+
+def test_decayed_sum_by_group(ray_session):
+    """Hand-computed decay: with half_life_days=1, rows 0/1/2 days old
+    weigh cents, cents>>1, cents>>2; negatives raise."""
+    from ci_log_processing_ray.ops.groupagg import decayed_sum_by_group
+
+    day = 86_400_000_000
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "b"],
+        "ts": np.array([2 * day, 1 * day, 0, 2 * day], np.int64),
+        "cents": np.array([100, 101, 103, 7], np.int64)})
+    ds = ray.data.from_pandas(df).repartition(2)
+    got = (decayed_sum_by_group(ds, "g", "ts", "cents",
+                                half_life_days=1)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert got["decayed_cents"].tolist() == [100 + 50 + 25, 7]
+    assert got["n"].tolist() == [3, 1]
+
+    bad = ray.data.from_pandas(pd.DataFrame({
+        "g": ["a"], "ts": np.array([0], np.int64),
+        "cents": np.array([-1], np.int64)}))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decayed_sum_by_group(bad, "g", "ts", "cents",
+                             half_life_days=1).to_pandas()
