@@ -457,6 +457,31 @@ def main_graph() -> None:
         assert len(pr) == n_nodes
         results["pagerank_3r_resident"] = round(sec, 2)
 
+        # bounded-hop weighted SSSP: weights synthesized per edge as
+        # 1 + src % 3; family 0 is a pure chain, so from seed 0 the
+        # 4-round distances are the exact weight prefix sums
+        from ci_log_processing_ray.ops.iterative import (
+            sssp_weighted_resident)
+
+        def read_weighted():
+            def add_w(t: pa.Table) -> pa.Table:
+                s = t["src"].combine_chunks().to_numpy()
+                return t.append_column("w", pa.array(1 + s % 3))
+            return ray.data.read_parquet(CORPUS_G).map_batches(
+                add_w, batch_format="pyarrow", zero_copy_batch=True)
+
+        t0 = time.perf_counter()
+        sp = sssp_weighted_resident(
+            read_weighted(), "src", "dst", "w",
+            ray.data.from_items([{"node": 0}]),
+            n_rounds=4, n_shards=NCPU)
+        sec = time.perf_counter() - t0
+        got_sp = dict(zip(sp["node"].to_numpy(), sp["dist"].to_numpy()))
+        pref = np.cumsum(1 + np.arange(4) % 3)
+        want_sp = {0: 0} | {i + 1: int(pref[i]) for i in range(4)}
+        assert got_sp == want_sp, got_sp
+        results["sssp_4r_resident"] = round(sec, 2)
+
         print(json.dumps({
             "n_edges": n_edges,
             "n_nodes": n_nodes,
