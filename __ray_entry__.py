@@ -4048,6 +4048,19 @@ def q_random_walks(sf_dir: str):
             ["start", "step"]).reset_index(drop=True)
 
 
+def q_running_distinct(sf_dir: str):
+    """Cumulative novelty (ops/window.py:running_distinct_by_group):
+    per event, how many DISTINCT event types its user has produced up
+    to and including it -- the COUNT(DISTINCT) OVER emulation
+    (first-occurrence flag + windowed sum), one bucketed exchange."""
+    from ci_log_processing_ray.ops.window import running_distinct_by_group
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    return running_distinct_by_group(
+        ds, "user_id", ["ts", "event_id"], "event_type", "event_id")
+
+
 def q_decayed_sum(sf_dir: str):
     """Recency-weighted grouped sum
     (ops/groupagg.py:decayed_sum_by_group): per event type, cents
@@ -4380,6 +4393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": q_kcore,
         "clustering_coeff": q_clustering_coeff,
         "decayed_sum": q_decayed_sum,
+        "running_distinct": q_running_distinct,
         "random_walks": q_random_walks,
         "link_prediction": q_link_prediction,
     }
@@ -5274,6 +5288,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT start, CAST(2 AS BIGINT) AS step, cur AS node FROM w2
             UNION ALL
             SELECT start, CAST(3 AS BIGINT) AS step, cur AS node FROM w3""",
+        "running_distinct": """
+            WITH f AS (SELECT event_id, user_id, ts, event_type,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rocc
+                       FROM events)
+            SELECT event_id,
+                   CAST(SUM(CASE WHEN rocc = 1 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS running_distinct
+            FROM f""",
         "decayed_sum": """
             WITH mx AS (SELECT MAX(epoch_us(ts) // 86400000000) AS m
                         FROM events)

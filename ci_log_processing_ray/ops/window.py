@@ -1038,3 +1038,41 @@ def rolling_active_users(
     inb = days <= dmax
     np.add.at(dv, days[inb] - dmin, agg["delta"].to_numpy(np.int64)[inb])
     return pd.DataFrame({"day": grid, "wau": np.cumsum(dv)})
+
+
+def running_distinct_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    id_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Running DISTINCT count per group -- for each row, how many
+    distinct ``value_col`` values its group has seen up to and
+    including it in ``order_cols`` order (cumulative novelty: distinct
+    event types so far, distinct pages visited, vocabulary growth).
+    SQL has no ``COUNT(DISTINCT) OVER``; the standard emulation is a
+    first-occurrence flag (ROW_NUMBER over (group, value) == 1)
+    running-summed over the group window, and that is exactly what the
+    kernel vectorizes.  The (group, *order_cols) tuple must order rows
+    uniquely for determinism.
+
+    Scale shape: one bucketed key-hash exchange; per-bucket kernel is
+    one mergesort + pandas duplicated() + segment-masked cumsum, no
+    per-key dispatch.  Returns (id, running_distinct)."""
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col] + order_cols, kind="mergesort")
+        first = (~g.duplicated([group_col, value_col])).to_numpy()
+        key = g[group_col].to_numpy()
+        newkey = np.r_[True, key[1:] != key[:-1]]
+        run = np.cumsum(first)
+        base = np.maximum.accumulate(
+            np.where(newkey, run - first, 0))
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "running_distinct": (run - base).astype(np.int64)})
+
+    return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)

@@ -3216,3 +3216,20 @@ def test_decayed_sum_by_group(ray_session):
     with _pytest.raises(Exception):
         decayed_sum_by_group(bad, "g", "ts", "cents",
                              half_life_days=1).to_pandas()
+
+
+def test_running_distinct_by_group(ray_session):
+    """Hand-checked novelty curve with interleaved groups and ties
+    broken by id."""
+    from ci_log_processing_ray.ops.window import running_distinct_by_group
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 2, 2, 2],
+        "ts": np.array([10, 20, 20, 30, 10, 10, 40], np.int64),
+        "i": np.array([1, 2, 3, 4, 5, 6, 7], np.int64),
+        "v": ["a", "a", "b", "a", "x", "x", "y"]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (running_distinct_by_group(ds, "u", ["ts", "i"], "v", "i",
+                                     n_buckets=4)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    assert got["running_distinct"].tolist() == [1, 1, 2, 2, 1, 1, 2]
