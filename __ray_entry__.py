@@ -4109,15 +4109,11 @@ def q_clustering_coeff(sf_dir: str):
                         drop=True)
 
 
-def q_compact_sink(sf_dir: str):
-    """Sink compaction preserves every routed row: events fan out to
-    a FRAGMENTED routed tree (16 shard dirs x sink=<event_type>, the
-    streaming writer's natural small-files layout, cached per sf),
-    compact_routed coalesces each sink to ~one file, and the oracle
-    pins the per-sink row counts straight against the source table --
-    any row lost or duplicated in the rewrite breaks the hash."""
-    from ci_log_processing_ray.pipelines.compact import compact_routed
-
+def _fragmented_events_dir(sf_dir: str) -> str:
+    """Build (once per sf, cached) the FRAGMENTED routed tree -- 16
+    shard dirs x sink=<event_type>, the streaming fan-out writer's
+    natural small-files layout -- shared by the compaction and
+    partition-pruning queries."""
     frag = _export_cache_dir(sf_dir, "events", "fragmented_v1")
     marker = os.path.join(frag, ".done")
     if not os.path.exists(marker):
@@ -4141,7 +4137,48 @@ def q_compact_sink(sf_dir: str):
                 os.replace(tmp, os.path.join(d, "part-0.parquet"))
         with open(marker, "w") as f:
             f.write("ok")
+    return frag
 
+
+def q_partition_prune(sf_dir: str):
+    """Hive-style partition pruning at the READ: of the 16x5 routed
+    ``sink=<event_type>`` tree, ONLY the click and error partition
+    directories are listed and read (the glob never touches the other
+    three sinks' files -- file-list pruning, the cheapest shuffle of
+    all), then per-sink count + cents; the oracle filters the full
+    table, so a row escaping the prune OR a partition missed by the
+    glob breaks the hash."""
+    import glob as _glob
+
+    frag = _fragmented_events_dir(sf_dir)
+    keep = ["click", "error"]
+    files = sorted(f for et in keep for f in _glob.glob(
+        os.path.join(frag, "shard-*", f"sink={et}", "*.parquet")))
+    ds = ray.data.read_parquet(files,
+                               columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "sink": t["event_type"],
+            "n": pa.array(np.ones(len(t), np.int64)),
+            "cents": _cents(t["value"])})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("sink").aggregate(
+                Sum("n", alias_name="n"),
+                Sum("cents", alias_name="cents")))
+
+
+def q_compact_sink(sf_dir: str):
+    """Sink compaction preserves every routed row: events fan out to
+    a FRAGMENTED routed tree (16 shard dirs x sink=<event_type>, the
+    streaming writer's natural small-files layout, cached per sf),
+    compact_routed coalesces each sink to ~one file, and the oracle
+    pins the per-sink row counts straight against the source table --
+    any row lost or duplicated in the rewrite breaks the hash."""
+    from ci_log_processing_ray.pipelines.compact import compact_routed
+
+    frag = _fragmented_events_dir(sf_dir)
     out_dir = frag + "-compact"
     stats = compact_routed(frag, out_dir)
     return stats[["sink", "n_rows"]].reset_index(drop=True)
@@ -4387,6 +4424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_drift": q_vocab_drift,
         "rolling_active": q_rolling_active,
         "compact_sink": q_compact_sink,
+        "partition_prune": q_partition_prune,
         "label_prop": q_label_prop,
         "sorted_neighborhood": q_sorted_neighborhood,
         "sssp": q_sssp,
@@ -5301,6 +5339,12 @@ def oracle_sql() -> dict[str, str]:
                               ROWS UNBOUNDED PRECEDING)
                         AS BIGINT) AS running_distinct
             FROM f""",
+        "partition_prune": """
+            SELECT event_type AS sink, COUNT(*) AS n,
+                   CAST(SUM(floor(value * 100 + 0.5)) AS BIGINT) AS cents
+            FROM events
+            WHERE event_type IN ('click', 'error')
+            GROUP BY event_type""",
         "decayed_sum": """
             WITH mx AS (SELECT MAX(epoch_us(ts) // 86400000000) AS m
                         FROM events)
