@@ -2536,6 +2536,37 @@ def q_pagerank(sf_dir: str):
     return pagerank_fixedpoint(edges, "src", "dst", n_iter=3)
 
 
+def q_ppr(sf_dir: str):
+    """Personalized PageRank (random walk with restart,
+    ops/iterative.py:personalized_pagerank_fixedpoint): same event
+    graph and int64 floor arithmetic as q_pagerank, but ALL restart
+    mass concentrates on the seed users (user_id % 10 == 0), so ranks
+    measure proximity to the seeds -- the recommendation variant,
+    still value-hash exact against 3 unrolled SQL rounds with a
+    seed-conditional teleport."""
+    from ci_log_processing_ray.ops.iterative import (
+        personalized_pagerank_fixedpoint)
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].combine_chunks().to_numpy()
+        return pa.table({
+            "src": t["user_id"].combine_chunks(),
+            "dst": pa.array(eid % 500)})
+
+    def mk_seeds(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        return pa.table({"node": pa.array(uid[uid % 10 == 0])})
+
+    edges = ev.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    seeds = ev.map_batches(mk_seeds, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return personalized_pagerank_fixedpoint(edges, "src", "dst", seeds,
+                                            n_iter=3)
+
+
 def q_asof_forward(sf_dir: str):
     """FORWARD as-of join: each event matched to the EARLIEST order of
     the same user at or after the event time (same co-partitioning
@@ -4337,6 +4368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q_kmeans,
         "connected_components": q_connected_components,
         "pagerank": q_pagerank,
+        "ppr": q_ppr,
         "funnel": q_funnel,
         "profile": q_profile,
         "snapshot_diff": q_snapshot_diff,
@@ -5435,6 +5467,60 @@ def oracle_sql() -> dict[str, str]:
                     SELECT doc_id - 1 AS node FROM documents
                     WHERE doc_id % 10 <> 0))
             SELECT node, (node // 10) * 10 AS component FROM n""",
+        "ppr": """
+            WITH e AS (SELECT user_id AS src, event_id % 500 AS dst
+                       FROM events),
+            deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst AS node FROM e),
+            seeds AS (SELECT DISTINCT user_id AS node FROM events
+                      WHERE user_id % 10 = 0),
+            ns AS (SELECT COUNT(*) AS n FROM seeds),
+            r0 AS (SELECT node,
+                          CASE WHEN node IN (SELECT node FROM seeds)
+                               THEN 1000000000000 // (SELECT n FROM ns)
+                               ELSE 0 END AS r
+                   FROM nodes),
+            i1 AS (SELECT nd.node, CAST(
+                          CASE WHEN nd.node IN (SELECT node FROM seeds)
+                               THEN (15 * 1000000000000)
+                                    // (100 * (SELECT n FROM ns))
+                               ELSE 0 END
+                          + COALESCE(SUM((85 * r0.r)
+                                         // (100 * deg.d)), 0)
+                          AS BIGINT) AS r
+                   FROM nodes nd
+                   LEFT JOIN e ON e.dst = nd.node
+                   LEFT JOIN deg ON deg.src = e.src
+                   LEFT JOIN r0 ON r0.node = e.src
+                   GROUP BY nd.node),
+            i2 AS (SELECT nd.node, CAST(
+                          CASE WHEN nd.node IN (SELECT node FROM seeds)
+                               THEN (15 * 1000000000000)
+                                    // (100 * (SELECT n FROM ns))
+                               ELSE 0 END
+                          + COALESCE(SUM((85 * i1.r)
+                                         // (100 * deg.d)), 0)
+                          AS BIGINT) AS r
+                   FROM nodes nd
+                   LEFT JOIN e ON e.dst = nd.node
+                   LEFT JOIN deg ON deg.src = e.src
+                   LEFT JOIN i1 ON i1.node = e.src
+                   GROUP BY nd.node),
+            i3 AS (SELECT nd.node, CAST(
+                          CASE WHEN nd.node IN (SELECT node FROM seeds)
+                               THEN (15 * 1000000000000)
+                                    // (100 * (SELECT n FROM ns))
+                               ELSE 0 END
+                          + COALESCE(SUM((85 * i2.r)
+                                         // (100 * deg.d)), 0)
+                          AS BIGINT) AS r
+                   FROM nodes nd
+                   LEFT JOIN e ON e.dst = nd.node
+                   LEFT JOIN deg ON deg.src = e.src
+                   LEFT JOIN i2 ON i2.node = e.src
+                   GROUP BY nd.node)
+            SELECT node, r AS rank_fp FROM i3""",
         "pagerank": """
             WITH e AS (SELECT user_id AS src, event_id % 500 AS dst
                        FROM events),

@@ -1726,3 +1726,114 @@ def deterministic_random_walks(
                                                  batch_format="pandas"))
 
     return out_ds
+
+
+def personalized_pagerank_fixedpoint(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    seeds: ray.data.Dataset,
+    *,
+    n_iter: int = 3,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> ray.data.Dataset:
+    """Personalized PageRank (random walk with restart to a SEED set)
+    in the same oracle-exact int64 floor arithmetic as
+    :func:`pagerank_fixedpoint` -- the recommendation / local-relevance
+    variant: all restart mass concentrates on the seeds, so ranks
+    measure proximity to them instead of global importance.
+
+    * r0(v)     = scale // |S| for v in S, else 0
+    * r_{t+1}(v) = [v in S] * (15 * scale) // (100 * |S|)
+                 + sum over in-edges (u, v) of
+                   (damp_num * r_t(u)) // (damp_den * outdeg(u))
+
+    Same model-broadcast shape, dangling-mass and multi-edge semantics,
+    and broadcast-sized node-state contract as the global fixedpoint
+    (shard the rank vector a la :func:`pagerank_resident` beyond
+    that).  Seeds absent from the edge set are ignored.  Returns
+    (node, rank_fp)."""
+    from ci_log_processing_ray.ops.window import (
+        bucketed_distinct, bucketed_sum)
+
+    edges = edges.map_batches(
+        lambda t: pa.table({
+            "src": t[src_col].combine_chunks().cast(pa.int64()),
+            "dst": t[dst_col].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["src"].combine_chunks().to_numpy(),
+                         return_counts=True)
+        return pa.table({"src": pa.array(u),
+                         "d": pa.array(c.astype(np.int64))})
+
+    deg_df = bucketed_sum(
+        edges.map_batches(deg_partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["src"], ["d"]).to_pandas()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["src"].combine_chunks().to_numpy(),
+            t["dst"].combine_chunks().to_numpy()]))
+        return pa.table({"node": pa.array(u)})
+
+    nodes = np.sort(
+        bucketed_distinct(
+            edges.map_batches(node_partial, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            ["node"])
+        .to_pandas()["node"].to_numpy().astype(np.int64))
+    n = len(nodes)
+    deg = np.zeros(n, dtype=np.int64)
+    pos = np.searchsorted(nodes, deg_df["src"].to_numpy().astype(np.int64))
+    deg[pos] = deg_df["d"].to_numpy().astype(np.int64)
+
+    seed_ids = np.unique(
+        seeds.to_pandas()["node"].to_numpy(np.int64))
+    sidx = np.searchsorted(nodes, seed_ids)
+    sidx_c = np.clip(sidx, 0, max(n - 1, 0))
+    present = (n > 0) & (nodes[sidx_c] == seed_ids)
+    sidx = sidx_c[present]
+    ns = len(sidx)
+    if ns == 0:
+        raise ValueError("no seed appears in the edge set")
+
+    teleport_vec = np.zeros(n, dtype=np.int64)
+    teleport_vec[sidx] = (15 * scale) // (100 * ns)
+    ranks = np.zeros(n, dtype=np.int64)
+    ranks[sidx] = scale // ns
+
+    for _round in range(n_iter):
+        state_ref = ray.put((nodes, ranks, deg))
+
+        def contrib(t: pa.Table, _ref=state_ref) -> pa.Table:
+            nd, r, dg = ray.get(_ref)
+            s = t["src"].combine_chunks().to_numpy()
+            d = t["dst"].combine_chunks().to_numpy()
+            si = np.searchsorted(nd, s)
+            c = (damp_num * r[si]) // (damp_den * dg[si])
+            order = np.argsort(d)
+            ds_, cs_ = d[order], c[order]
+            starts = np.flatnonzero(
+                np.r_[True, ds_[1:] != ds_[:-1]]) if len(ds_) \
+                else np.array([], np.int64)
+            return pa.table({
+                "dst": pa.array(ds_[starts]),
+                "c": pa.array(np.add.reduceat(cs_, starts)
+                              if len(starts) else cs_[:0])})
+
+        agg = bucketed_sum(
+            edges.map_batches(contrib, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            ["dst"], ["c"]).to_pandas()
+        new = teleport_vec.copy()
+        di = np.searchsorted(nodes, agg["dst"].to_numpy().astype(np.int64))
+        new[di] += agg["c"].to_numpy().astype(np.int64)
+        ranks = new
+
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes), "rank_fp": pa.array(ranks)}))

@@ -3233,3 +3233,31 @@ def test_running_distinct_by_group(ray_session):
                                      n_buckets=4)
            .to_pandas().sort_values("i").reset_index(drop=True))
     assert got["running_distinct"].tolist() == [1, 1, 2, 2, 1, 1, 2]
+
+
+def test_personalized_pagerank(ray_session):
+    """PPR sanity: mass concentrates near seeds -- on two disjoint
+    stars, seeding only star A gives every star-B node rank 0; seeds
+    absent from the edges raise."""
+    from ci_log_processing_ray.ops.iterative import (
+        personalized_pagerank_fixedpoint)
+
+    star_a = [(0, i) for i in range(1, 6)]
+    star_b = [(100, 100 + i) for i in range(1, 6)]
+    edges = pd.DataFrame(star_a + star_b, columns=["src", "dst"])
+    ds = ray.data.from_pandas(edges).repartition(2)
+    seeds = ray.data.from_items([{"node": 0}])
+    got = (personalized_pagerank_fixedpoint(ds, "src", "dst", seeds,
+                                            n_iter=3)
+           .to_pandas().set_index("node")["rank_fp"])
+    scale = 10 ** 12
+    assert got[0] == (15 * scale) // 100  # teleport only (no in-edges)
+    assert all(got[i] > 0 for i in range(1, 6))
+    assert all(got[100 + i] == 0 for i in range(0, 6))
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        personalized_pagerank_fixedpoint(
+            ds, "src", "dst", ray.data.from_items([{"node": 777}]),
+            n_iter=1)
