@@ -3952,7 +3952,7 @@ def q_kcore(sf_dir: str):
     """Full k-core decomposition (coreness per node) via the
     partition-resident h-index fixpoint
     (ops/iterative.py:kcore_resident): doc ids wired as PATH-POWER
-    blocks -- within each block of 100 ids, doc i links to i+1..i+p
+    blocks -- within each block of 20 ids, doc i links to i+1..i+p
     where the power p = 1 + (block % 4) cycles 1,2,3,4 -- and the
     p-th power of a path on >= p+1 nodes has coreness exactly p at
     every node (every consecutive (p+1)-window is a clique, and the
@@ -3966,10 +3966,10 @@ def q_kcore(sf_dir: str):
 
     def block_edges(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].combine_chunks().to_numpy()
-        p = 1 + (ids // 100) % 4
+        p = 1 + (ids // 20) % 4
         srcs, dsts = [], []
         for j in (1, 2, 3, 4):
-            keep = (j <= p) & ((ids + j) // 100 == ids // 100)
+            keep = (j <= p) & ((ids + j) // 20 == ids // 20)
             srcs.append(ids[keep])
             dsts.append(ids[keep] + j)
         return pa.table({"src": pa.array(np.concatenate(srcs)),
@@ -3977,7 +3977,11 @@ def q_kcore(sf_dir: str):
 
     edges = ds.map_batches(block_edges, batch_format="pyarrow",
                            zero_copy_batch=True)
-    return kcore_resident(edges, "src", "dst")
+    # blocks of 20 keep the h-index peeling depth ~10 rounds, and 8
+    # shards keep the n_shards^2 per-round ref exchange proportionate
+    # to this node-table-sized graph (the 4M-node scale proof runs the
+    # default sizing)
+    return kcore_resident(edges, "src", "dst", n_shards=8)
 
 
 def q_sssp(sf_dir: str):
@@ -5453,10 +5457,10 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY node)
             SELECT node, CAST(dist AS BIGINT) AS dist FROM r4""",
         "kcore": """
-            -- path-power construction: block of 100, power p =
+            -- path-power construction: block of 20, power p =
             -- 1 + (block % 4); coreness of P_n^p is exactly p
             SELECT doc_id AS node,
-                   CAST(1 + ((doc_id // 100) % 4) AS BIGINT) AS core
+                   CAST(1 + ((doc_id // 20) % 4) AS BIGINT) AS core
             FROM documents""",
         "connected_components": """
             WITH n AS (

@@ -140,6 +140,10 @@ BENCH_QUERIES = [
     "link_prediction",
     "random_walks",
     "orc_source",
+    "decayed_sum",
+    "running_distinct",
+    "partition_prune",
+    "ppr",
 ]
 
 
