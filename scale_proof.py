@@ -1354,6 +1354,154 @@ def main_kcore() -> None:
         ray.shutdown()
 
 
+
+CORPUS_WEDGE = "/tmp/llm_scale_wedge_v1"
+WG_BLOCK = 100
+WG_N_NODES = 1_000_000
+
+
+def build_wedge_corpus() -> tuple[int, int]:
+    """Path-power corpus for the wedge-family ops (per-node clustering
+    coefficients, common-neighbor link prediction): 1M nodes in blocks
+    of 100, block power p = 1 + (block % 4).  Blocks are DISJOINT and
+    structurally identical per power, so brute-forcing ONE 100-node
+    template block per power yields an exact per-row truth for the
+    whole corpus -- every node's (deg, tri, coeff) must equal its
+    (power, offset) template entry, and every predicted pair's count
+    must equal its (power, offset_a, offset_b) template entry.
+    ~6.2M directed edge rows, every 10th planted reversed."""
+    marker = os.path.join(CORPUS_WEDGE, ".done")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            d = json.load(f)
+            return d["n_rows"], d["n_nodes"]
+    os.makedirs(CORPUS_WEDGE, exist_ok=True)
+    ids = np.arange(WG_N_NODES, dtype=np.int64)
+    p = 1 + (ids // WG_BLOCK) % 4
+    srcs, dsts = [], []
+    for j in range(1, 5):
+        keep = (j <= p) & ((ids + j) // WG_BLOCK == ids // WG_BLOCK)
+        srcs.append(ids[keep])
+        dsts.append(ids[keep] + j)
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    dup = np.arange(len(src)) % 10 == 0
+    src, dst = (np.concatenate([src, dst[dup]]),
+                np.concatenate([dst, src[dup]]))
+    n_rows = len(src)
+    order = np.arange(n_rows)
+    for shard in range(N_SHARDS):
+        m = order % N_SHARDS == shard
+        out = pa.table({"src": pa.array(src[m]),
+                        "dst": pa.array(dst[m])})
+        tmp = os.path.join(CORPUS_WEDGE, f".tmp-{shard:04d}.parquet")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(
+            CORPUS_WEDGE, f"part-{shard:04d}.parquet"))
+    with open(marker, "w") as f:
+        json.dump({"n_rows": n_rows, "n_nodes": WG_N_NODES}, f)
+    return n_rows, WG_N_NODES
+
+
+def _wedge_templates():
+    """Brute-force the 100-node template block for each power: per-
+    offset (deg, tri, coeff_permille) and per-offset-pair common-
+    neighbor counts (>= 2, non-adjacent) -- exact references for every
+    block of the corpus."""
+    import collections
+    import itertools
+
+    node_t, pair_t = {}, {}
+    for p in range(1, 5):
+        E = set()
+        for i in range(WG_BLOCK):
+            for j in range(1, p + 1):
+                if i + j < WG_BLOCK:
+                    E.add((i, i + j))
+        adj = collections.defaultdict(set)
+        for a, b in E:
+            adj[a].add(b)
+            adj[b].add(a)
+        for n in range(WG_BLOCK):
+            tri = sum(1 for x, y in itertools.combinations(
+                sorted(adj[n]), 2) if (min(x, y), max(x, y)) in E)
+            d = len(adj[n])
+            coeff = (2000 * tri) // (d * (d - 1)) if d >= 2 else 0
+            node_t[(p, n)] = (d, tri, coeff)
+        cn = collections.Counter()
+        for a in range(WG_BLOCK):
+            for x, y in itertools.combinations(sorted(adj[a]), 2):
+                cn[(x, y)] += 1
+        for (x, y), c in cn.items():
+            if c >= 2 and (x, y) not in E:
+                pair_t[(p, x, y)] = c
+    return node_t, pair_t
+
+
+def main_wedge() -> None:
+    import ray
+    from ray.data import DataContext
+
+    n_rows, n_nodes = build_wedge_corpus()
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.relational import (
+            clustering_coefficients, common_neighbors_link_prediction)
+
+        node_t, pair_t = _wedge_templates()
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+        results = {}
+
+        def read():
+            return ray.data.read_parquet(CORPUS_WEDGE)
+
+        t0 = time.perf_counter()
+        cc = clustering_coefficients(read(), "src", "dst").to_pandas()
+        sec = time.perf_counter() - t0
+        assert len(cc) == n_nodes, len(cc)
+        node = cc["node"].to_numpy()
+        pw = 1 + (node // WG_BLOCK) % 4
+        off = node % WG_BLOCK
+        want = np.array([node_t[(p, o)] for p, o in zip(pw, off)])
+        assert (cc["deg"].to_numpy() == want[:, 0]).all()
+        assert (cc["tri"].to_numpy() == want[:, 1]).all()
+        assert (cc["coeff_permille"].to_numpy() == want[:, 2]).all()
+        results["clustering_coefficients"] = {
+            "sec": round(sec, 2),
+            "nodes_per_sec": round(n_nodes / sec),
+            "truth": "per-row (deg, tri, coeff) == template block"}
+
+        t0 = time.perf_counter()
+        lp = common_neighbors_link_prediction(
+            read(), "src", "dst", min_common=2).to_pandas()
+        sec = time.perf_counter() - t0
+        a = lp["node_a"].to_numpy()
+        b = lp["node_b"].to_numpy()
+        assert (a // WG_BLOCK == b // WG_BLOCK).all()  # never crosses
+        pwp = 1 + (a // WG_BLOCK) % 4
+        offa, offb = a % WG_BLOCK, b % WG_BLOCK
+        wantn = np.array([pair_t[(p, x, y)]
+                          for p, x, y in zip(pwp, offa, offb)])
+        assert (lp["n_common"].to_numpy() == wantn).all()
+        n_expected = sum(
+            len([1 for (p, _, _) in pair_t if p == pp]) * 2500
+            for pp in range(1, 5))
+        assert len(lp) == n_expected, (len(lp), n_expected)
+        results["link_prediction"] = {
+            "sec": round(sec, 2),
+            "pairs": int(len(lp)),
+            "truth": "per-pair count == template block, exact pair set"}
+
+        print(json.dumps({
+            "n_edge_rows": n_rows, "n_nodes": n_nodes,
+            "num_cpus": NCPU, "ops": results, "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
 if __name__ == "__main__":
     import sys
 
@@ -1373,5 +1521,7 @@ if __name__ == "__main__":
         main_lpa()
     elif len(sys.argv) > 1 and sys.argv[1] == "kcore":
         main_kcore()
+    elif len(sys.argv) > 1 and sys.argv[1] == "wedge":
+        main_wedge()
     else:
         main()
