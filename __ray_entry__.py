@@ -4096,6 +4096,21 @@ def q_running_distinct(sf_dir: str):
         ds, "user_id", ["ts", "event_id"], "event_type", "event_id")
 
 
+def q_seq_mining(sf_dir: str):
+    """Sequential pattern mining, order-2 supports
+    (ops/groupagg.py:sequential_pair_support): for every ordered event
+    type pair (t1, t2), the number of users with t1 strictly before
+    t2 -- the GSP/PrefixSpan first-generation support table, computed
+    via per-user first/last positions (one sort, never the quadratic
+    self-join the oracle runs)."""
+    from ci_log_processing_ray.ops.groupagg import sequential_pair_support
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    return sequential_pair_support(ds, "user_id", ["ts", "event_id"],
+                                   "event_type")
+
+
 def q_decayed_sum(sf_dir: str):
     """Recency-weighted grouped sum
     (ops/groupagg.py:decayed_sum_by_group): per event type, cents
@@ -4467,6 +4482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": q_kcore,
         "clustering_coeff": q_clustering_coeff,
         "decayed_sum": q_decayed_sum,
+        "seq_mining": q_seq_mining,
         "running_distinct": q_running_distinct,
         "random_walks": q_random_walks,
         "link_prediction": q_link_prediction,
@@ -5381,6 +5397,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IN ('click', 'error')
             GROUP BY event_type""",
+        "seq_mining": """
+            WITH p AS (
+                SELECT DISTINCT e1.user_id,
+                       e1.event_type AS t1, e2.event_type AS t2
+                FROM events e1
+                JOIN events e2 ON e1.user_id = e2.user_id
+                 AND (e2.ts > e1.ts
+                      OR (e2.ts = e1.ts AND e2.event_id > e1.event_id)))
+            SELECT t1, t2, COUNT(*) AS support
+            FROM p GROUP BY t1, t2""",
         "decayed_sum": """
             WITH mx AS (SELECT MAX(epoch_us(ts) // 86400000000) AS m
                         FROM events)

@@ -744,3 +744,45 @@ def _ts_to_us_int(v) -> int:
         epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
         return int((v - epoch) / _dt.timedelta(microseconds=1))
     return int(v)
+
+
+def sequential_pair_support(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_cols: list[str],
+    type_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Sequential pattern mining, order-2 support counting: for every
+    ordered type pair (t1, t2), in how many groups does t1 occur
+    STRICTLY before t2 (by the total order ``order_cols``) -- the
+    support table the classic GSP/PrefixSpan algorithms build their
+    first generation from.  t1 == t2 counts groups with >= 2
+    occurrences, exactly like the SQL DISTINCT self-join.
+
+    Scale shape: one bucketed group-hash exchange; the per-bucket
+    kernel reduces each group to first/last POSITION per type (one
+    mergesort + two drop_duplicates -- never the quadratic self-join),
+    then emits the vocabulary-sized pair partials that a tiny final
+    sum folds.  Returns (t1, t2, support)."""
+    from ray.data.aggregate import Sum
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col] + order_cols, kind="mergesort")
+        pos = np.arange(len(g), dtype=np.int64)
+        gg = pd.DataFrame({"k": g[group_col].to_numpy(),
+                           "t": g[type_col].to_numpy(),
+                           "pos": pos})
+        first = gg.drop_duplicates(["k", "t"], keep="first")
+        last = gg.drop_duplicates(["k", "t"], keep="last")
+        m = first.merge(last, on="k", suffixes=("_1", "_2"))
+        m = m[m["pos_1"] < m["pos_2"]]
+        out = (m.groupby(["t_1", "t_2"], as_index=False, sort=False)
+               .size())
+        return pd.DataFrame({"t1": out["t_1"], "t2": out["t_2"],
+                             "support": out["size"].astype(np.int64)})
+
+    parts = bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
+    return parts.groupby(["t1", "t2"]).aggregate(
+        Sum("support", alias_name="support"))

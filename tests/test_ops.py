@@ -3261,3 +3261,21 @@ def test_personalized_pagerank(ray_session):
         personalized_pagerank_fixedpoint(
             ds, "src", "dst", ray.data.from_items([{"node": 777}]),
             n_iter=1)
+
+
+def test_sequential_pair_support(ray_session):
+    """Hand-checked supports incl. the t1==t2 (>=2 occurrences) rule
+    and the strict-order tie-break by id."""
+    from ci_log_processing_ray.ops.groupagg import sequential_pair_support
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2, 3, 3],
+        "ts": np.array([1, 2, 3, 5, 5, 7, 8], np.int64),
+        "i": np.array([1, 2, 3, 4, 5, 6, 7], np.int64),
+        "t": ["a", "b", "a", "b", "a", "a", "a"]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (sequential_pair_support(ds, "u", ["ts", "i"], "t")
+           .to_pandas().set_index(["t1", "t2"])["support"].to_dict())
+    # u1: a,b,a -> (a,b),(b,a),(a,a); u2 ties broken by id: b then a
+    # -> (b,a); u3: a,a -> (a,a)
+    assert got == {("a", "b"): 1, ("b", "a"): 2, ("a", "a"): 2}
