@@ -4111,6 +4111,33 @@ def q_seq_mining(sf_dir: str):
                                    "event_type")
 
 
+def q_neighbor_agg(sf_dir: str):
+    """GNN feature-propagation preprocessing
+    (ops/iterative.py:neighbor_feature_agg): hop-1 and hop-2 (path
+    multiset, (A^T)^2 x) in-neighbor sums/counts of n_chars over a
+    directed doc graph (i -> i+1, i -> i+7) -- two edge co-partition
+    exchanges, feature tables stay node-shaped, exact int64 against
+    the two-join SQL oracle."""
+    from ci_log_processing_ray.ops.iterative import neighbor_feature_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        return pa.table({
+            "src": pa.array(np.concatenate([ids, ids])),
+            "dst": pa.array(np.concatenate([ids + 1, ids + 7]))})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    feats = ds.map_batches(
+        lambda t: pa.table({"node": t["doc_id"],
+                            "f": t["n_chars"]}),
+        batch_format="pyarrow")
+    return neighbor_feature_agg(edges, "src", "dst", feats,
+                                "node", "f")
+
+
 def q_decayed_sum(sf_dir: str):
     """Recency-weighted grouped sum
     (ops/groupagg.py:decayed_sum_by_group): per event type, cents
@@ -4483,6 +4510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": q_clustering_coeff,
         "decayed_sum": q_decayed_sum,
         "seq_mining": q_seq_mining,
+        "neighbor_agg": q_neighbor_agg,
         "running_distinct": q_running_distinct,
         "random_walks": q_random_walks,
         "link_prediction": q_link_prediction,
@@ -5397,6 +5425,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IN ('click', 'error')
             GROUP BY event_type""",
+        "neighbor_agg": """
+            WITH e AS (SELECT doc_id AS u, doc_id + 1 AS v
+                       FROM documents
+                       UNION ALL
+                       SELECT doc_id, doc_id + 7 FROM documents),
+            f AS (SELECT doc_id AS node, n_chars AS f FROM documents),
+            h1 AS (SELECT e.v AS node,
+                          CAST(SUM(f.f) AS BIGINT) AS h1_sum,
+                          COUNT(*) AS h1_n
+                   FROM e JOIN f ON f.node = e.u GROUP BY e.v),
+            h2 AS (SELECT e.v AS node,
+                          CAST(SUM(h1.h1_sum) AS BIGINT) AS h2_sum,
+                          CAST(SUM(h1.h1_n) AS BIGINT) AS h2_n
+                   FROM e JOIN h1 ON h1.node = e.u GROUP BY e.v)
+            SELECT COALESCE(h1.node, h2.node) AS node,
+                   COALESCE(h1_sum, 0) AS h1_sum,
+                   COALESCE(h1_n, 0) AS h1_n,
+                   COALESCE(h2_sum, 0) AS h2_sum,
+                   COALESCE(h2_n, 0) AS h2_n
+            FROM h1 FULL OUTER JOIN h2 ON h1.node = h2.node""",
         "seq_mining": """
             WITH p AS (
                 SELECT DISTINCT e1.user_id,

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "running_distinct",
     "partition_prune",
     "ppr",
+    "neighbor_agg",
 ]
 
 

@@ -1837,3 +1837,113 @@ def personalized_pagerank_fixedpoint(
 
     return ray.data.from_arrow(
         pa.table({"node": pa.array(nodes), "rank_fp": pa.array(ranks)}))
+
+
+def neighbor_feature_agg(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    feats: ray.data.Dataset,
+    node_col: str,
+    feat_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """GNN-style neighbor feature aggregation (the GraphSAGE /
+    feature-propagation preprocessing primitive) over the DIRECTED
+    edge table, exact in int64: for every destination node, the sum
+    and count of its in-neighbors' integer features at hop 1, and at
+    hop 2 with PATH-MULTISET semantics (one contribution per length-2
+    path, i.e. (A^T)^2 x -- the linear-algebra form, which is also
+    what two SQL joins compute; revisits and cycles contribute per
+    path, documented).
+
+    Scale shape: hop 1 is one tagged co-partition of features with
+    edges on hash(src) followed by a bucketed per-dst sum; hop 2
+    re-runs the same exchange feeding the hop-1 sums back as features
+    (feature tables are node-shaped; edges move once per hop).
+    Returns (node, h1_sum, h1_n, h2_sum, h2_n) for nodes with >= 1
+    in-path of that length; missing hops fill 0."""
+    from ci_log_processing_ray.ops.window import (
+        bucketed_groups, bucketed_sum)
+
+    def canon_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": t[src_col].combine_chunks().cast(pa.int64()),
+            "v": t[dst_col].combine_chunks().cast(pa.int64())})
+
+    e = edges.map_batches(canon_edges, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    def one_hop(feat_ds: ray.data.Dataset, fcol: str, ncol: str
+                ) -> ray.data.Dataset:
+        """sum/count of source features per dst: features tagged into
+        the same hash(u) co-partition as the edges."""
+
+        def tag_feat(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "key": g[ncol].to_numpy(np.int64),
+                "val": g[fcol].to_numpy(np.int64),
+                "cnt": g["_cnt"].to_numpy(np.int64)
+                if "_cnt" in g.columns
+                else np.ones(len(g), np.int64),
+                "side": np.int64(0)})
+
+        def tag_edge(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "key": g["u"].to_numpy(np.int64),
+                "val": g["v"].to_numpy(np.int64),
+                "cnt": np.zeros(len(g), np.int64),
+                "side": np.int64(1)})
+
+        unioned = feat_ds.map_batches(tag_feat, batch_format="pandas"
+                                      ).union(
+            e.map_batches(tag_edge, batch_format="pandas"))
+
+        def kern(g: pd.DataFrame) -> pd.DataFrame:
+            f = g[g["side"] == 0]
+            eg = g[g["side"] == 1]
+            if not len(f) or not len(eg):
+                return pd.DataFrame({
+                    "node": pd.Series([], dtype=np.int64),
+                    "s": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64)})
+            m = eg[["key", "val"]].merge(
+                f[["key", "val", "cnt"]].rename(
+                    columns={"val": "fv"}), on="key")
+            out = (m.groupby("val", as_index=False, sort=False)
+                   .agg(s=("fv", "sum"), n=("cnt", "sum")))
+            return pd.DataFrame({"node": out["val"].to_numpy(np.int64),
+                                 "s": out["s"].to_numpy(np.int64),
+                                 "n": out["n"].to_numpy(np.int64)})
+
+        return bucketed_sum(
+            bucketed_groups(unioned, "key", kern, n_buckets=n_buckets),
+            ["node"], ["s", "n"], n_buckets=n_buckets)
+
+    h1 = one_hop(feats, feat_col, node_col).materialize()
+
+    def as_feat(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": g["node"].to_numpy(np.int64),
+                             "f": g["s"].to_numpy(np.int64),
+                             "_cnt": g["n"].to_numpy(np.int64)})
+
+    h2 = one_hop(h1.map_batches(as_feat, batch_format="pandas"),
+                 "f", "node")
+
+    def tag_h(which: int):
+        def t(g: pd.DataFrame) -> pd.DataFrame:
+            z = np.zeros(len(g), np.int64)
+            return pd.DataFrame({
+                "node": g["node"].to_numpy(np.int64),
+                "h1_sum": g["s"].to_numpy(np.int64) if which == 1 else z,
+                "h1_n": g["n"].to_numpy(np.int64) if which == 1 else z,
+                "h2_sum": g["s"].to_numpy(np.int64) if which == 2 else z,
+                "h2_n": g["n"].to_numpy(np.int64) if which == 2 else z})
+        return t
+
+    both = h1.map_batches(tag_h(1), batch_format="pandas").union(
+        h2.map_batches(tag_h(2), batch_format="pandas"))
+    return bucketed_sum(both, ["node"],
+                        ["h1_sum", "h1_n", "h2_sum", "h2_n"],
+                        n_buckets=n_buckets)

@@ -3279,3 +3279,32 @@ def test_sequential_pair_support(ray_session):
     # u1: a,b,a -> (a,b),(b,a),(a,a); u2 ties broken by id: b then a
     # -> (b,a); u3: a,a -> (a,a)
     assert got == {("a", "b"): 1, ("b", "a"): 2, ("a", "a"): 2}
+
+
+def test_neighbor_feature_agg(ray_session):
+    """Hand-checked hop-1/hop-2 on a tiny DAG with a diamond: path
+    multiset semantics mean the diamond's sink counts BOTH length-2
+    paths."""
+    from ci_log_processing_ray.ops.iterative import neighbor_feature_agg
+
+    # 0 -> 1 -> 3, 0 -> 2 -> 3 (diamond), plus 3 -> 4
+    edges = pd.DataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)],
+        columns=["src", "dst"])
+    feats = pd.DataFrame({"node": [0, 1, 2, 3, 4],
+                          "f": np.array([10, 20, 30, 40, 50],
+                                        np.int64)})
+    got = (neighbor_feature_agg(
+        ray.data.from_pandas(edges).repartition(2), "src", "dst",
+        ray.data.from_pandas(feats).repartition(2), "node", "f",
+        n_buckets=3).to_pandas().set_index("node"))
+    # h1: 1<-{0}=10, 2<-{0}=10, 3<-{1,2}=50, 4<-{3}=40
+    assert got.loc[1, "h1_sum"] == 10 and got.loc[1, "h1_n"] == 1
+    assert got.loc[3, "h1_sum"] == 50 and got.loc[3, "h1_n"] == 2
+    assert got.loc[4, "h1_sum"] == 40 and got.loc[4, "h1_n"] == 1
+    # h2: 3 <- paths 0-1-3 and 0-2-3 = f(0)*2 = 20, n=2
+    assert got.loc[3, "h2_sum"] == 20 and got.loc[3, "h2_n"] == 2
+    # 4 <- paths 1-3-4 and 2-3-4 = f(1)+f(2) = 50, n=2
+    assert got.loc[4, "h2_sum"] == 50 and got.loc[4, "h2_n"] == 2
+    # 1 and 2 have no length-2 in-paths
+    assert got.loc[1, "h2_n"] == 0 and got.loc[2, "h2_n"] == 0
