@@ -3851,6 +3851,21 @@ def q_knn_graph(sf_dir: str):
                      block_rows=512)
 
 
+def q_knn_label_agreement(sf_dir: str):
+    """Label-noise scoring by k-NN label agreement
+    (ops/similarity.py:knn_label_agreement): per vector, how many of
+    its 5 exact nearest other vectors (quantized integer dot, the
+    knn_graph contract) share its label -- the confident-learning
+    review signal.  The n^2 work stays in knn_graph's block-pair
+    combiners; label attachment is two node-shaped tagged
+    co-partition exchanges, all-int64 outputs."""
+    from ci_log_processing_ray.ops.similarity import knn_label_agreement
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return knn_label_agreement(ds, "embedding", "vec_id", "label",
+                               k=5, scale=128.0, block_rows=512)
+
+
 def q_knn_graph_ivf(sf_dir: str):
     """Approximate k-NN graph recall evaluation: the IVF-blocked graph
     (home-cell candidates, nprobe probed cells) scored against the
@@ -4493,6 +4508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominance_count": q_dominance_count,
         "containment_join": q_containment_join,
         "knn_graph": q_knn_graph,
+        "knn_label_agreement": q_knn_label_agreement,
         "knn_graph_ivf": q_knn_graph_ivf,
         "roc_auc": q_roc_auc,
         "trend_slope": q_trend_slope,
@@ -6458,6 +6474,36 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY dot DESC, nn_id) AS rank
                   FROM d)
             WHERE rank <= 3""",
+        "knn_label_agreement": """
+            WITH q AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                         x -> FLOOR(CAST(x AS DOUBLE) * 128.0 + 0.5)) AS qv
+              FROM embeddings
+            ), d AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                     CAST(list_inner_product(a.qv, b.qv) AS BIGINT) AS dot
+              FROM q a JOIN q b ON a.vec_id <> b.vec_id
+            ), nn AS (
+              SELECT vec_id, nn_id
+              FROM (SELECT vec_id, nn_id,
+                           row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dot DESC, nn_id) AS rank
+                    FROM d)
+              WHERE rank <= 5
+            )
+            SELECT nn.vec_id,
+                   CAST(MAX(e1.label) AS BIGINT) AS label,
+                   CAST(SUM(CASE WHEN e1.label = e2.label
+                            THEN 1 ELSE 0 END) AS BIGINT) AS k_agree,
+                   CAST(COUNT(*) AS BIGINT) AS k_n,
+                   CAST(SUM(CASE WHEN e1.label = e2.label
+                            THEN 1 ELSE 0 END) * 1000
+                        // COUNT(*) AS BIGINT) AS agree_permille
+            FROM nn
+            JOIN q e1 ON e1.vec_id = nn.vec_id
+            JOIN q e2 ON e2.vec_id = nn.nn_id
+            GROUP BY nn.vec_id""",
         "roc_auc": """
             WITH s AS (
               SELECT o_orderpriority,

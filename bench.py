@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "partition_prune",
     "ppr",
     "neighbor_agg",
+    "knn_label_agreement",
 ]
 
 

@@ -662,3 +662,113 @@ def knn_graph_ivf(
         return g[[id_col, "rank", "nn_id", "dot"]]
 
     return bucketed_groups(partials, id_col, fold, n_buckets=n_buckets)
+
+
+def knn_label_agreement(
+    ds: ray.data.Dataset,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    *,
+    k: int = 5,
+    scale: float = 128.0,
+    block_rows: int = 16384,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Label-noise scoring by k-NN label agreement (the confident-
+    learning / deep-kNN noisy-label signal): for every vector, among
+    its ``k`` exact nearest OTHER vectors (integer-quantized dot
+    product, the :func:`knn_graph` contract) count how many share its
+    label.  Rows whose neighborhoods disagree are relabel/review
+    candidates before the corpus reaches training.
+
+    Output: (id, label, k_agree, k_n, agree_permille) with
+    ``agree_permille = k_agree * 1000 // k_n`` -- all int64, exact vs
+    SQL.  ``k_n`` is the realized neighbor count (``min(k, n-1)``).
+
+    Scale shape: the n^2 work lives in :func:`knn_graph`'s block-pair
+    combiner tasks; everything after is node-shaped -- two tagged
+    hash(key) co-partitions attach the neighbor's label (key nn_id)
+    then the row's own label (key id), each one bucketed exchange of
+    (id, label)-sized rows.  Labels ride the exchanges, never a
+    broadcast, so corpus-sized label tables are fine."""
+    from .window import bucketed_groups
+
+    edges = knn_graph(
+        ds.map_batches(
+            lambda t: t.select([id_col, vec_col]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        vec_col, id_col, k=k, scale=scale, block_rows=block_rows,
+        n_buckets=n_buckets)
+
+    def labels_tagged(key_name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": t[id_col].combine_chunks().cast(pa.int64()),
+                "a": t[label_col].combine_chunks().cast(pa.int64()),
+                "b": pa.nulls(len(t), pa.int64()),
+                "side": pa.array(
+                    np.zeros(len(t), np.int8))})
+        return fn
+
+    labels = ds.map_batches(labels_tagged("key"),
+                            batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    # exchange 1: key = nn_id -> emit (id, nn_label)
+    def edge_tagged(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["nn_id"].combine_chunks().cast(pa.int64()),
+            "a": pa.nulls(len(t), pa.int64()),
+            "b": t[id_col].combine_chunks().cast(pa.int64()),
+            "side": pa.array(np.ones(len(t), np.int8))})
+
+    def attach_nn_label(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["side"] == 0]
+        ed = g[g["side"] == 1]
+        if not len(lab) or not len(ed):
+            return pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                                 "a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "side": pd.Series([], dtype=np.int8)})
+        m = ed[["key", "b"]].merge(
+            lab[["key", "a"]], on="key")
+        # re-tag for exchange 2: key = the edge's own id, a = nn label
+        return pd.DataFrame({"key": m["b"].to_numpy(np.int64),
+                             "a": m["a"].to_numpy(np.int64),
+                             "b": np.full(len(m), -1, np.int64),
+                             "side": np.full(len(m), 1, np.int8)})
+
+    nn_labeled = bucketed_groups(
+        labels.union(edges.map_batches(edge_tagged,
+                                       batch_format="pyarrow")),
+        "key", attach_nn_label, n_buckets=n_buckets)
+
+    # exchange 2: key = id; side 0 = own labels, side 1 = nn labels
+    def agree(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["side"] == 0]
+        nn = g[g["side"] == 1]
+        if not len(lab) or not len(nn):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                "label": pd.Series([], dtype=np.int64),
+                "k_agree": pd.Series([], dtype=np.int64),
+                "k_n": pd.Series([], dtype=np.int64),
+                "agree_permille": pd.Series([], dtype=np.int64)})
+        m = nn[["key", "a"]].merge(
+            lab[["key", "a"]].rename(columns={"a": "own"}), on="key")
+        m["ag"] = (m["a"].to_numpy(np.int64)
+                   == m["own"].to_numpy(np.int64)).astype(np.int64)
+        out = (m.groupby("key", as_index=False, sort=False)
+               .agg(label=("own", "first"), k_agree=("ag", "sum"),
+                    k_n=("ag", "size")))
+        ka = out["k_agree"].to_numpy(np.int64)
+        kn = out["k_n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            id_col: out["key"].to_numpy(np.int64),
+            "label": out["label"].to_numpy(np.int64),
+            "k_agree": ka, "k_n": kn,
+            "agree_permille": ka * 1000 // kn})
+
+    return bucketed_groups(nn_labeled.union(labels), "key", agree,
+                           n_buckets=n_buckets)

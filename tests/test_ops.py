@@ -3308,3 +3308,35 @@ def test_neighbor_feature_agg(ray_session):
     assert got.loc[4, "h2_sum"] == 50 and got.loc[4, "h2_n"] == 2
     # 1 and 2 have no length-2 in-paths
     assert got.loc[1, "h2_n"] == 0 and got.loc[2, "h2_n"] == 0
+
+
+def test_knn_label_agreement(ray_session):
+    """Planted noisy label: two tight clusters; the mislabeled vector
+    gets agree=0 while clean vectors only lose agreement to it."""
+    from ci_log_processing_ray.ops.similarity import knn_label_agreement
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 0.01, (4, 8)) + np.array([1.0] + [0.0] * 7)
+    b = rng.normal(0, 0.01, (4, 8)) + np.array([0.0, 1.0] + [0.0] * 6)
+    vecs = np.vstack([a, b]).astype(np.float32)
+    # vec 7 sits in cluster B but carries label 0 (noisy)
+    labels = np.array([0, 0, 0, 0, 1, 1, 1, 0], np.int64)
+    df = pd.DataFrame({"vec_id": np.arange(8, dtype=np.int64),
+                       "embedding": list(vecs),
+                       "label": labels})
+    got = (knn_label_agreement(
+        ray.data.from_pandas(df).repartition(3), "embedding", "vec_id",
+        "label", k=3, block_rows=3, n_buckets=3)
+        .to_pandas().set_index("vec_id").sort_index())
+    assert (got["k_n"] == 3).all()
+    # noisy vec 7: its 3 NNs are all cluster B (label 1) -> 0 agreement
+    assert got.loc[7, "k_agree"] == 0
+    assert got.loc[7, "agree_permille"] == 0
+    # clean cluster-A vectors agree with all 3 of their A neighbors
+    for i in range(4):
+        assert got.loc[i, "k_agree"] == 3
+        assert got.loc[i, "agree_permille"] == 1000
+    # cluster-B vectors: 2 clean B neighbors agree, vec 7 disagrees
+    for i in range(4, 7):
+        assert got.loc[i, "k_agree"] == 2
+        assert got.loc[i, "agree_permille"] == 666
