@@ -2634,6 +2634,18 @@ def q_tfidf(sf_dir: str):
     return tfidf_top_terms(ds, "text", "doc_id", k=3)
 
 
+def q_bm25(sf_dir: str):
+    """Top-3 BM25 terms per doc (ops/textstats.py:bm25_top_terms):
+    the k1=1.2/b=0.75 retrieval scorer with exact integer rational
+    arithmetic (idf ratio x1000, denominators cleared) so the result
+    hashes bit-for-bit against the SQL mirror; one vocabulary-sized
+    DF+corpus-total exchange then broadcast + pure-map top-k."""
+    from ci_log_processing_ray.ops.textstats import bm25_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_top_terms(ds, "text", "doc_id", k=3)
+
+
 def q_salted_join(sf_dir: str):
     """Skew-defused large join: fact-side salt spreads hot customer
     keys over 8 sub-partitions, dim replicated per salt, join on
@@ -4420,6 +4432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": q_bloom_semi_join,
         "epoch_shuffle": q_epoch_shuffle,
         "tfidf": q_tfidf,
+        "bm25": q_bm25,
         "salted_join": q_salted_join,
         "asof_forward": q_asof_forward,
         "window_dedup": q_window_dedup,
@@ -6361,6 +6374,35 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN df USING (word), nd
             QUALIFY row_number() OVER (PARTITION BY doc_id
                 ORDER BY tf * n // df DESC, word) <= 3""",
+        "bm25": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                           AS word
+                FROM documents),
+            tf AS (SELECT doc_id, word, count(*) AS tf
+                   FROM w GROUP BY doc_id, word),
+            dl AS (SELECT doc_id, count(*) AS dl
+                   FROM w GROUP BY doc_id),
+            df AS (SELECT word, count(*) AS df
+                   FROM (SELECT DISTINCT doc_id, word FROM w)
+                   GROUP BY word),
+            nd AS (SELECT count(*) AS n FROM documents),
+            av AS (SELECT 1000 * (SELECT count(*) FROM w) // n
+                       AS avgdl_milli FROM nd),
+            sc AS (SELECT tf.doc_id, tf.word, tf.tf, dl.dl,
+                          (1000 * (2*n - 2*df + 1) // (2*df + 1))
+                              * 44 * avgdl_milli * tf.tf
+                              // (20 * avgdl_milli * tf.tf
+                                  + 6 * avgdl_milli + 18000 * dl.dl)
+                              AS score
+                   FROM tf JOIN dl USING (doc_id)
+                           JOIN df USING (word), nd, av)
+            SELECT doc_id, word AS term, CAST(tf AS BIGINT) AS tf,
+                   CAST(dl AS BIGINT) AS dl, CAST(score AS BIGINT) AS score
+            FROM sc
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, word) <= 3""",
         "salted_join": """
             SELECT c_mktsegment, count(*) AS n_orders,
                    CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT)

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "ppr",
     "neighbor_agg",
     "knn_label_agreement",
+    "bm25",
 ]
 
 

@@ -816,3 +816,95 @@ def vocab_drift(
         "tv_num": g["present"].to_numpy(np.int64) + absent,
         "tv_den": 2 * ts_v * (n - ts_v)})
     return out.reset_index(drop=True)
+
+
+def bm25_top_terms(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+) -> ray.data.Dataset:
+    """Top-``k`` BM25 terms per document, integer-exact (the retrieval
+    scorer behind search-based curation and query-document relevance
+    mining; Robertson/Sparck Jones, k1=1.2 b=0.75).
+
+    Engine-exact integer contract (no transcendental log in the hash
+    path): with N docs, avgdl_milli = 1000*W//N for W total words,
+    idf_scaled = 1000*(2N-2df+1) // (2df+1) (the BM25 idf RATIO x1000,
+    log dropped the way tfidf_top_terms drops it), and k1=6/5, b=3/4
+    cleared of denominators::
+
+        score = idf_scaled * 44 * avgdl_milli * tf
+                // (20*avgdl_milli*tf + 6*avgdl_milli + 18000*dl)
+
+    (exact rational arithmetic; production at web scale would swap the
+    scaled idf for float log idf OUTSIDE the oracle path -- magnitudes
+    here hold to ~1e12 docs before int64 pressure).
+
+    Scale shape: one corpus pass builds the document-frequency table
+    plus the corpus word total (vocabulary-sized shuffle; the W total
+    rides the same exchange as a sentinel row), the DF table broadcasts
+    via ``ray.put`` (vocabulary contract, same as tfidf), and a second
+    pure-map pass scores and picks top-k per doc.  Output: id, term,
+    tf, dl, score (all int64)."""
+    from ci_log_processing_ray.ops.curation import _word_stream
+
+    n_docs = ds.count()
+    _TOTAL = "\x00__corpus_total__"
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        flat, n_words = _word_stream(t[text_col])
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), n_words)
+        d = pd.DataFrame({"word": flat.to_numpy(zero_copy_only=False),
+                          "doc": ids[doc_idx]}).drop_duplicates()
+        vc = d.groupby("word", sort=False).size()
+        words = np.concatenate([vc.index.to_numpy(), [_TOTAL]])
+        cnts = np.concatenate([vc.to_numpy().astype(np.int64),
+                               [np.int64(n_words.sum())]])
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "df": pa.array(cnts)})
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("word").aggregate(Sum("df", alias_name="df"))
+              .to_pandas())
+    dfm = dict(zip(df_tbl["word"], df_tbl["df"]))
+    w_total = int(dfm.pop(_TOTAL))
+    avgdl_milli = 1000 * w_total // max(n_docs, 1)
+    df_ref = ray.put(dfm)
+
+    def topk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        flat, n_words = _word_stream(t[text_col])
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), n_words)
+        d = pd.DataFrame({"word": flat.to_numpy(zero_copy_only=False),
+                          "doc": ids[doc_idx]})
+        tf = d.groupby(["doc", "word"], sort=False).size().reset_index(
+            name="tf")
+        dl_by_doc = dict(zip(ids, n_words))
+        dfv = tf["word"].map(ray.get(df_ref)).to_numpy().astype(np.int64)
+        tfv = tf["tf"].to_numpy().astype(np.int64)
+        dlv = tf["doc"].map(dl_by_doc).to_numpy().astype(np.int64)
+        am = np.int64(avgdl_milli)
+        nn = np.int64(n_docs)
+        idf = 1000 * (2 * nn - 2 * dfv + 1) // (2 * dfv + 1)
+        tf["dl"] = dlv
+        tf["score"] = (idf * 44 * am * tfv
+                       // (20 * am * tfv + 6 * am + 18000 * dlv))
+        tf = tf.sort_values(["doc", "score", "word"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        top = tf.groupby("doc", sort=False).head(k)
+        return pa.table({
+            id_col: pa.array(top["doc"].to_numpy()),
+            "term": pa.array(top["word"].to_numpy(), pa.string()),
+            "tf": pa.array(top["tf"].to_numpy().astype(np.int64)),
+            "dl": pa.array(top["dl"].to_numpy().astype(np.int64)),
+            "score": pa.array(top["score"].to_numpy().astype(np.int64))})
+
+    return ds.map_batches(topk, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -3340,3 +3340,34 @@ def test_knn_label_agreement(ray_session):
     for i in range(4, 7):
         assert got.loc[i, "k_agree"] == 2
         assert got.loc[i, "agree_permille"] == 666
+
+
+def test_bm25_top_terms(ray_session):
+    """BM25 semantics the tfidf score lacks: equal tf scores HIGHER in
+    the shorter doc (length normalization), and tf saturates."""
+    from ci_log_processing_ray.ops.textstats import bm25_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["apple banana",                       # short, tf=1
+                 "apple banana cherry cherry cherry "
+                 "cherry cherry cherry cherry cherry",  # long, tf=1
+                 "plum plum plum plum"]})
+    got = bm25_top_terms(
+        ray.data.from_pandas(docs).repartition(2), "text", "doc_id",
+        k=5).to_pandas()
+    g = got.set_index(["doc_id", "term"])
+    # length normalization: same tf=1 for 'apple', shorter doc wins
+    assert (g.loc[(0, "apple"), "score"]
+            > g.loc[(1, "apple"), "score"])
+    # dl carried through
+    assert g.loc[(0, "apple"), "dl"] == 2
+    assert g.loc[(1, "apple"), "dl"] == 10
+    # rare term beats common term at same tf within a doc:
+    # df(cherry)=1 < df(apple)=2 -> higher idf
+    assert (g.loc[(1, "cherry"), "score"]
+            > g.loc[(1, "apple"), "score"])
+    # saturation: tf=8 'cherry' scores less than 8x the tf=1 'apple'
+    # in the same doc despite higher idf
+    assert (g.loc[(1, "cherry"), "score"]
+            < 8 * g.loc[(0, "apple"), "score"])
