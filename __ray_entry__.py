@@ -2646,6 +2646,30 @@ def q_bm25(sf_dir: str):
     return bm25_top_terms(ds, "text", "doc_id", k=3)
 
 
+def q_rrf(sf_dir: str):
+    """Reciprocal rank fusion (ops/window.py:rrf_fuse) of two document
+    rankings -- by n_chars and by word count, both DESC with doc_id
+    tie-break -- the lexical+semantic list-merge primitive:
+    rrf_micro = 1e6//(60+r1) + 1e6//(60+r2), all int64.  Each ranking
+    is range-bucketed ROW_NUMBER (no global sort); fusion is one
+    node-shaped bucketed sum."""
+    from ci_log_processing_ray.ops.curation import _word_stream
+    from ci_log_processing_ray.ops.window import rrf_fuse
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        _, n_words = _word_stream(t["text"])
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_chars": t["n_chars"],
+                         "n_words": pa.array(n_words)})
+
+    return rrf_fuse(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "doc_id", "n_chars", "n_words")
+
+
 def q_salted_join(sf_dir: str):
     """Skew-defused large join: fact-side salt spreads hot customer
     keys over 8 sub-partitions, dim replicated per salt, join on
@@ -4433,6 +4457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": q_epoch_shuffle,
         "tfidf": q_tfidf,
         "bm25": q_bm25,
+        "rrf": q_rrf,
         "salted_join": q_salted_join,
         "asof_forward": q_asof_forward,
         "window_dedup": q_window_dedup,
@@ -6403,6 +6428,24 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             QUALIFY row_number() OVER (PARTITION BY doc_id
                 ORDER BY score DESC, word) <= 3""",
+        "rrf": """
+            WITH base AS (
+                SELECT doc_id, n_chars,
+                       len(list_filter(string_split_regex(lower(text),
+                           '[^a-z0-9_]+'), x -> x != '')) AS n_words
+                FROM documents),
+            r AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                         AS rank_a,
+                     row_number() OVER (ORDER BY n_words DESC, doc_id)
+                         AS rank_b
+                  FROM base)
+            SELECT doc_id, CAST(rank_a AS BIGINT) AS rank_a,
+                   CAST(rank_b AS BIGINT) AS rank_b,
+                   CAST(1000000 // (60 + rank_a)
+                        + 1000000 // (60 + rank_b) AS BIGINT)
+                       AS rrf_micro
+            FROM r""",
         "salted_join": """
             SELECT c_mktsegment, count(*) AS n_orders,
                    CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT)

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "neighbor_agg",
     "knn_label_agreement",
     "bm25",
+    "rrf",
 ]
 
 

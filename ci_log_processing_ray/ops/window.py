@@ -1076,3 +1076,117 @@ def running_distinct_by_group(
             "running_distinct": (run - base).astype(np.int64)})
 
     return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
+
+
+def rrf_fuse(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    col_a: str,
+    col_b: str,
+    *,
+    k_rrf: int = 60,
+    micro: int = 1_000_000,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Reciprocal rank fusion (Cormack/Clarke/Buettcher) of TWO
+    rankings of the same corpus -- the standard way to merge lexical
+    and semantic retrieval lists before curation or eval.  Each item
+    is ranked by ``col_a`` DESC then by ``col_b`` DESC (ties broken by
+    ``id_col`` ASC -> unique ROW_NUMBER ranks, engine-exact), and::
+
+        rrf_micro = micro // (k_rrf + rank_a) + micro // (k_rrf + rank_b)
+
+    all int64 (floored reciprocal x1e6; no floats in the hash path).
+
+    Scale shape, per ranking: equi-width range buckets on the negated
+    int64 key (global order without a global sort -- rank_global's
+    pattern), per-bucket counts prefix-summed on the driver, one
+    bucketed shuffle whose kernel sorts (key, id) and offsets
+    ROW_NUMBERs; the fusion itself is a node-shaped tagged union +
+    bucketed sum on id.  Output: id, rank_a, rank_b, rrf_micro."""
+    from ray.data.aggregate import Max, Min
+
+    n_buckets = resolve_group_buckets(n_buckets)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": t[id_col].combine_chunks().cast(pa.int64()),
+            "ka": pc.multiply(
+                t[col_a].combine_chunks().cast(pa.int64()),
+                pa.scalar(-1, pa.int64())),
+            "kb": pc.multiply(
+                t[col_b].combine_chunks().cast(pa.int64()),
+                pa.scalar(-1, pa.int64()))})
+
+    base = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    def row_number_desc(key: str) -> "ray.data.Dataset":
+        stats = base.aggregate(Min(key), Max(key))
+        lo, hi = int(stats[f"min({key})"]), int(stats[f"max({key})"])
+        width = max((hi - lo) // n_buckets + 1, 1)
+
+        def bucket_count(t: pa.Table) -> pa.Table:
+            b = pc.divide(pc.cast(pc.subtract(
+                t[key].combine_chunks(), lo), pa.int64()),
+                pa.scalar(width, pa.int64()))
+            g = pa.table({"_b": b, "_n": pa.array(
+                np.ones(len(t), np.int64))}).group_by("_b").aggregate(
+                [("_n", "sum")])
+            return pa.table({"_b": g["_b"], "_n": g["_n_sum"]})
+
+        counts = (base.map_batches(bucket_count, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                  .groupby("_b").sum("_n").to_pandas())
+        by_b = dict(zip(counts["_b"].astype(int), counts["sum(_n)"]))
+        offsets = np.zeros(n_buckets + 2, dtype=np.int64)
+        run = 0
+        for b in range(n_buckets + 2):
+            offsets[b] = run
+            run += int(by_b.get(b, 0))
+        off_ref = ray.put(offsets)
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "id": t["id"], key: t[key],
+                "_b": pc.divide(pc.cast(pc.subtract(
+                    t[key].combine_chunks(), lo), pa.int64()),
+                    pa.scalar(width, pa.int64()))})
+
+        def rn_kern(g: pd.DataFrame) -> pd.DataFrame:
+            basei = ray.get(off_ref)[int(g["_b"].iloc[0])]
+            g = g.sort_values([key, "id"], kind="mergesort")
+            return pd.DataFrame({
+                "id": g["id"].to_numpy(np.int64),
+                "rn": basei + 1 + np.arange(len(g), dtype=np.int64)})
+
+        return (base.map_batches(add_bucket, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .groupby("_b").map_groups(rn_kern,
+                                          batch_format="pandas"))
+
+    kr = np.int64(k_rrf)
+    mi = np.int64(micro)
+
+    def tag(which: str):
+        def t(g: pd.DataFrame) -> pd.DataFrame:
+            rn = g["rn"].to_numpy(np.int64)
+            z = np.zeros(len(g), np.int64)
+            return pd.DataFrame({
+                "id": g["id"].to_numpy(np.int64),
+                "rank_a": rn if which == "a" else z,
+                "rank_b": rn if which == "b" else z,
+                "rrf_micro": mi // (kr + rn)})
+        return t
+
+    both = (row_number_desc("ka")
+            .map_batches(tag("a"), batch_format="pandas")
+            .union(row_number_desc("kb")
+                   .map_batches(tag("b"), batch_format="pandas")))
+    fused = bucketed_sum(both, ["id"],
+                         ["rank_a", "rank_b", "rrf_micro"],
+                         n_buckets=n_buckets)
+    return fused.map_batches(
+        lambda t: t.rename_columns([id_col, "rank_a", "rank_b",
+                                    "rrf_micro"]),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -3371,3 +3371,29 @@ def test_bm25_top_terms(ray_session):
     # in the same doc despite higher idf
     assert (g.loc[(1, "cherry"), "score"]
             < 8 * g.loc[(0, "apple"), "score"])
+
+
+def test_rrf_fuse(ray_session):
+    """Hand-checked RRF: item best on list A, worst on list B, vs a
+    consistent middle item; ranks are unique row numbers."""
+    from ci_log_processing_ray.ops.window import rrf_fuse
+
+    df = pd.DataFrame({
+        "item": np.arange(4, dtype=np.int64),
+        "a": np.array([100, 50, 50, 10], np.int64),
+        "b": np.array([10, 90, 90, 100], np.int64)})
+    got = (rrf_fuse(ray.data.from_pandas(df).repartition(2),
+                    "item", "a", "b", n_buckets=3)
+           .to_pandas().set_index("item").sort_index())
+    # ranks by a desc, id asc: 0->1, 1->2, 2->3, 3->4
+    assert got["rank_a"].tolist() == [1, 2, 3, 4]
+    # ranks by b desc, id asc: 3->1, 1->2, 2->3, 0->4
+    assert got["rank_b"].tolist() == [4, 2, 3, 1]
+    m = 1_000_000
+    for i in range(4):
+        assert got.loc[i, "rrf_micro"] == (
+            m // (60 + got.loc[i, "rank_a"])
+            + m // (60 + got.loc[i, "rank_b"]))
+    # the consistent item (id 1: ranks 2,2) beats the split item
+    # (id 0: ranks 1,4) under RRF
+    assert got.loc[1, "rrf_micro"] > got.loc[0, "rrf_micro"]
