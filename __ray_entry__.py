@@ -2646,6 +2646,32 @@ def q_bm25(sf_dir: str):
     return bm25_top_terms(ds, "text", "doc_id", k=3)
 
 
+def q_isotonic(sf_dir: str):
+    """Classifier-calibration isotonic fit
+    (ops/inference.py:isotonic_calibrate): P(order status 'F') as a
+    monotone function of total price in whole dollars (quantized to
+    bound the level-set count -- the calibration contract).  ROWS-ONLY
+    by design: PAV's sequential pooling recurrence is not
+    SQL-expressible; exactness is proven by the sequential-reference
+    parity test and closed-form unit tests (tests/test_ops.py)."""
+    from ci_log_processing_ray.ops.inference import isotonic_calibrate
+
+    ds = _read(sf_dir, "orders", ["o_totalprice", "o_orderstatus"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        dollars = pc.divide(_cents(t["o_totalprice"]),
+                            pa.scalar(100, pa.int64()))
+        return pa.table({
+            "score": dollars,
+            "label": pc.cast(pc.equal(t["o_orderstatus"], "F"),
+                             pa.int64())})
+
+    return isotonic_calibrate(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "score", "label")
+
+
 def q_rrf(sf_dir: str):
     """Reciprocal rank fusion (ops/window.py:rrf_fuse) of two document
     rankings -- by n_chars and by word count, both DESC with doc_id
@@ -4458,6 +4484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": q_tfidf,
         "bm25": q_bm25,
         "rrf": q_rrf,
+        "isotonic": q_isotonic,
         "salted_join": q_salted_join,
         "asof_forward": q_asof_forward,
         "window_dedup": q_window_dedup,

@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "knn_label_agreement",
     "bm25",
     "rrf",
+    "isotonic",
 ]
 
 

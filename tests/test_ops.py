@@ -3397,3 +3397,62 @@ def test_rrf_fuse(ray_session):
     # the consistent item (id 1: ranks 2,2) beats the split item
     # (id 0: ranks 1,4) under RRF
     assert got.loc[1, "rrf_micro"] > got.loc[0, "rrf_micro"]
+
+
+def _ref_pav(scores, labels):
+    """Sequential reference PAV over raw rows (ties pre-aggregated),
+    canonical maximal merge (>=)."""
+    agg = {}
+    for s, l in zip(scores, labels):
+        p, n = agg.get(s, (0, 0))
+        agg[s] = (p + l, n + 1)
+    st = []
+    for s, (p, n) in sorted(agg.items()):
+        st.append([s, s, p, n])
+        while (len(st) > 1
+               and st[-2][2] * st[-1][3] >= st[-1][2] * st[-2][3]):
+            _lo, hi, p2, n2 = st.pop()
+            st[-1][1] = hi
+            st[-1][2] += p2
+            st[-1][3] += n2
+    return [tuple(b) for b in st]
+
+
+def test_isotonic_calibrate_closed_form(ray_session):
+    """Violation pools; equal rates merge; output strictly increasing."""
+    from ci_log_processing_ray.ops.inference import isotonic_calibrate
+
+    df = pd.DataFrame({
+        "score": np.array([1, 2, 3, 3, 4, 5], np.int64),
+        "label": np.array([1, 0, 1, 1, 1, 1], np.int64)})
+    got = isotonic_calibrate(
+        ray.data.from_pandas(df).repartition(2), "score", "label",
+        n_buckets=3).to_pandas()
+    # scores 1,2 violate (1 then 0) -> pooled to rate 500; 3..5 all
+    # rate 1000 -> one merged block
+    assert got[["score_lo", "score_hi", "pos", "n"]].values.tolist() \
+        == [[1, 2, 1, 2], [3, 5, 4, 4]]
+    assert got["rate_permille"].tolist() == [500, 1000]
+    assert got["rate_permille"].is_monotonic_increasing
+
+
+def test_isotonic_calibrate_parity(ray_session):
+    """Distributed PAV == sequential reference on random data across
+    partitionings and bucket counts."""
+    from ci_log_processing_ray.ops.inference import isotonic_calibrate
+
+    rng = np.random.default_rng(11)
+    for trial, (nb, parts) in enumerate([(3, 2), (7, 5), (16, 3)]):
+        n = 400
+        scores = rng.integers(0, 60, n).astype(np.int64)
+        labels = (rng.random(n) < np.clip(scores / 80 + rng.normal(
+            0, 0.3, n), 0, 1)).astype(np.int64)
+        df = pd.DataFrame({"score": scores, "label": labels})
+        got = isotonic_calibrate(
+            ray.data.from_pandas(df).repartition(parts), "score",
+            "label", n_buckets=nb).to_pandas()
+        want = _ref_pav(scores, labels)
+        assert got[["score_lo", "score_hi", "pos", "n"]].values \
+            .tolist() == [list(b) for b in want], trial
+        r = got["rate_permille"].to_numpy()
+        assert (r[1:] > r[:-1]).all(), trial
