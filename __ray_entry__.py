@@ -624,6 +624,19 @@ def q_lang_id(sf_dir: str):
     return pred.groupby(["lang", "lang_pred"]).count()
 
 
+def q_lang_kappa(sf_dir: str):
+    """Cohen's kappa of the lang_id heuristic against the true lang
+    column (ops/textstats.py:prediction_kappa) -- chance-corrected
+    agreement in exact integer permille; blocks collapse to
+    classes^2 confusion partials, kappa arithmetic runs on the tiny
+    merged matrix only."""
+    from ci_log_processing_ray.ops.textstats import prediction_kappa
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return prediction_kappa(language_id(ds, "text"), "lang",
+                            "lang_pred")
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: deterministic binary payloads -> actor-pool
     decode -> typed metadata (rows-only; no codec libs available)."""
@@ -4446,6 +4459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": q_dsir_select,
         "pca_embeddings": q_pca_embeddings,
         "lang_id": q_lang_id,
+        "lang_kappa": q_lang_kappa,
         "multimodal_decode": q_multimodal_decode,
         "multiline_join": q_multiline_join,
         "grok_fields": q_grok_fields,
@@ -4970,6 +4984,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, lang_pred,
                    CAST(count(*) AS BIGINT) AS "count()"
             FROM p GROUP BY 1, 2""",
+        "lang_kappa": """
+            WITH l AS (SELECT lang,
+                    list_filter(string_split_regex(lower(text),
+                                '[^a-z0-9_]+'), x -> x != '') AS w
+                FROM documents),
+            c AS (SELECT lang,
+                len(list_filter(w, x -> x IN ('the','a','of','and',
+                    'to','in','is','it'))) AS c_en,
+                len(list_filter(w, x -> x IN ('el','la','de','y',
+                    'que','en','un','es'))) AS c_es,
+                len(list_filter(w, x -> x IN ('der','die','das','und',
+                    'zu','in','ist','ein'))) AS c_de,
+                len(list_filter(w, x -> x IN ('le','la','de','et',
+                    'que','en','un','est'))) AS c_fr
+                FROM l),
+            p AS (SELECT lang,
+                CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0
+                         THEN 'other'
+                     WHEN c_en = greatest(c_en, c_es, c_de, c_fr)
+                         THEN 'en'
+                     WHEN c_es = greatest(c_en, c_es, c_de, c_fr)
+                         THEN 'es'
+                     WHEN c_de = greatest(c_en, c_es, c_de, c_fr)
+                         THEN 'de'
+                     ELSE 'fr' END AS lang_pred
+                FROM c),
+            conf AS (SELECT lang, lang_pred, count(*) AS cnt
+                     FROM p GROUP BY 1, 2),
+            tot AS (SELECT SUM(cnt) AS n FROM conf),
+            ag AS (SELECT COALESCE(SUM(cnt), 0) AS a FROM conf
+                   WHERE lang = lang_pred),
+            rm AS (SELECT lang AS k, SUM(cnt) AS r FROM conf
+                   GROUP BY 1),
+            cm AS (SELECT lang_pred AS k, SUM(cnt) AS cc FROM conf
+                   GROUP BY 1),
+            sx AS (SELECT COALESCE(SUM(r * cc), 0) AS s
+                   FROM rm JOIN cm USING (k))
+            SELECT CAST(n AS BIGINT) AS n, CAST(a AS BIGINT) AS agree,
+                   -- floor division for signed numerators (DuckDB //
+                   -- truncates; Python floors): subtract the
+                   -- non-negative remainder first
+                   CAST((1000 * (n * a - s)
+                         - (((1000 * (n * a - s)) % (n * n - s)
+                             + (n * n - s)) % (n * n - s)))
+                        // (n * n - s) AS BIGINT) AS kappa_permille
+            FROM tot, ag, sx""",
         "pivot_counts": """
             SELECT user_id,
                    CAST(count(*) FILTER (event_type = 'click') AS BIGINT)

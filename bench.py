@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "bm25",
     "rrf",
     "isotonic",
+    "lang_kappa",
 ]
 
 

@@ -908,3 +908,50 @@ def bm25_top_terms(
 
     return ds.map_batches(topk, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def prediction_kappa(
+    ds: ray.data.Dataset,
+    true_col: str,
+    pred_col: str,
+) -> ray.data.Dataset:
+    """Cohen's kappa between a predicted and a true categorical column
+    -- chance-corrected agreement, the label-quality / annotator-audit
+    metric (raw accuracy flatters skewed label sets; kappa does not).
+
+    Exact integer contract: with n rows, A agreements and
+    S = sum_k rowmarg_k * colmarg_k,
+    ``kappa_permille = 1000*(n*A - S) // (n*n - S)`` (floor; Python
+    ints on the driver, no float in the hash path).  Undefined when
+    pe = 1 (a single class on both sides) -- raises.
+
+    Scale shape: one map_batches pass collapses each block to its
+    confusion-matrix partial (classes^2-sized, vocabulary contract);
+    a native groupby-sum merges them; kappa arithmetic touches only
+    the final tiny matrix.  Output: one row (n, agree,
+    kappa_permille)."""
+
+    def conf_partial(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby([true_col, pred_col], sort=False)
+               .size().reset_index(name="c"))
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    conf = (ds.map_batches(conf_partial, batch_format="pandas")
+            .groupby([true_col, pred_col]).sum("c").to_pandas())
+    n = int(conf["sum(c)"].sum())
+    agree = int(conf.loc[conf[true_col] == conf[pred_col],
+                         "sum(c)"].sum())
+    rm = conf.groupby(true_col)["sum(c)"].sum()
+    cm = conf.groupby(pred_col)["sum(c)"].sum()
+    s = int(sum(int(rm[k]) * int(cm[k])
+                for k in rm.index if k in cm.index))
+    denom = n * n - s
+    if denom == 0:
+        raise ValueError("kappa undefined: chance agreement is 1 "
+                         "(single class on both sides)")
+    kappa_permille = 1000 * (n * agree - s) // denom
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "agree": pa.array([agree], pa.int64()),
+        "kappa_permille": pa.array([kappa_permille], pa.int64())}))

@@ -3456,3 +3456,27 @@ def test_isotonic_calibrate_parity(ray_session):
             .tolist() == [list(b) for b in want], trial
         r = got["rate_permille"].to_numpy()
         assert (r[1:] > r[:-1]).all(), trial
+
+
+def test_prediction_kappa(ray_session):
+    """Hand-checked kappa: 2x2 confusion [[3,1],[1,3]]: po=6/8,
+    pe=1/2 -> kappa=0.5 -> 500 permille; perfect agreement -> 1000;
+    one-class degenerate raises."""
+    from ci_log_processing_ray.ops.textstats import prediction_kappa
+
+    df = pd.DataFrame({
+        "t": ["a"] * 4 + ["b"] * 4,
+        "p": ["a", "a", "a", "b", "b", "b", "b", "a"]})
+    got = prediction_kappa(
+        ray.data.from_pandas(df).repartition(3), "t", "p").to_pandas()
+    assert got.values.tolist() == [[8, 6, 500]]
+
+    perf = pd.DataFrame({"t": ["a", "b", "c"], "p": ["a", "b", "c"]})
+    got2 = prediction_kappa(
+        ray.data.from_pandas(perf), "t", "p").to_pandas()
+    assert got2["kappa_permille"].tolist() == [1000]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        one = pd.DataFrame({"t": ["a", "a"], "p": ["a", "a"]})
+        prediction_kappa(ray.data.from_pandas(one), "t", "p")
