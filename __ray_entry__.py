@@ -2659,6 +2659,42 @@ def q_bm25(sf_dir: str):
     return bm25_top_terms(ds, "text", "doc_id", k=3)
 
 
+def q_interval_union(sf_dir: str):
+    """Per-user interval UNION coverage
+    (ops/window.py:interval_union_by_group): spans [ts, ts + value*100
+    seconds] merged gaps-and-islands style (touching spans merge, a
+    span counts once however deeply nested) -- total covered
+    microseconds + merged-island count, exact int64.  One hash(user)
+    bucketed exchange, whole-bucket vectorized kernel."""
+    from ci_log_processing_ray.ops.window import interval_union_by_group
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["ts"].combine_chunks(), pa.int64())
+        dur = pc.multiply(_cents(t["value"]),
+                          pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"user_id": t["user_id"], "s": s,
+                         "e": pc.add(s, dur)})
+
+    return interval_union_by_group(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", "s", "e")
+
+
+def q_gini(sf_dir: str):
+    """Per-source Gini impurity of the language mix
+    (ops/groupagg.py:gini_impurity_by_group): exact rational purity
+    permille = 1000*(n^2 - sum c^2)//n^2 -- the label-mix audit,
+    no transcendental in the hash path; (source,lang) count partials
+    then a groups-sized fold."""
+    from ci_log_processing_ray.ops.groupagg import gini_impurity_by_group
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    return gini_impurity_by_group(ds, "source", "lang")
+
+
 def q_isotonic(sf_dir: str):
     """Classifier-calibration isotonic fit
     (ops/inference.py:isotonic_calibrate): P(order status 'F') as a
@@ -4499,6 +4535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25": q_bm25,
         "rrf": q_rrf,
         "isotonic": q_isotonic,
+        "interval_union": q_interval_union,
+        "gini": q_gini,
         "salted_join": q_salted_join,
         "asof_forward": q_asof_forward,
         "window_dedup": q_window_dedup,
@@ -6515,6 +6553,46 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             QUALIFY row_number() OVER (PARTITION BY doc_id
                 ORDER BY score DESC, word) <= 3""",
+        "interval_union": """
+            WITH iv AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS s,
+                       CAST(epoch_us(ts) AS BIGINT)
+                           + CAST(floor(value * 100 + 0.5) AS BIGINT)
+                             * 1000000 AS e
+                FROM events),
+            m AS (SELECT user_id, s, e,
+                         MAX(e) OVER (PARTITION BY user_id
+                             ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_max
+                  FROM iv),
+            fl AS (SELECT user_id, s, e,
+                          CASE WHEN prev_max IS NULL OR s > prev_max
+                               THEN 1 ELSE 0 END AS new_island
+                   FROM m),
+            isl AS (SELECT user_id, s, e,
+                           SUM(new_island) OVER (PARTITION BY user_id
+                               ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+                    FROM fl),
+            g AS (SELECT user_id, island,
+                         MAX(e) - MIN(s) AS cov
+                  FROM isl GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_islands,
+                   CAST(SUM(cov) AS BIGINT) AS covered
+            FROM g GROUP BY user_id""",
+        "gini": """
+            WITH c AS (SELECT source, lang, count(*) AS cnt
+                       FROM documents GROUP BY 1, 2),
+            g AS (SELECT source, SUM(cnt) AS n,
+                         SUM(cnt * cnt) AS ss
+                  FROM c GROUP BY source)
+            SELECT source, CAST(n AS BIGINT) AS n,
+                   CAST(1000 * (n * n - ss) // (n * n) AS BIGINT)
+                       AS gini_permille
+            FROM g""",
         "rrf": """
             WITH base AS (
                 SELECT doc_id, n_chars,

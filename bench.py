@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "rrf",
     "isotonic",
     "lang_kappa",
+    "interval_union",
+    "gini",
 ]
 
 

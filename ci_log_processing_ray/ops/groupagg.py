@@ -786,3 +786,42 @@ def sequential_pair_support(
     parts = bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
     return parts.groupby(["t1", "t2"]).aggregate(
         Sum("support", alias_name="support"))
+
+
+def gini_impurity_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    label_col: str,
+) -> "ray.data.Dataset":
+    """Per-group Gini impurity of a categorical label -- the exact-
+    rational purity metric (entropy needs a log; Gini does not):
+    ``gini_permille = 1000 * (n^2 - sum_c c^2) // n^2`` with n rows
+    and per-class counts c.  0 = pure group, -> 1000*(1-1/k) uniform.
+    The per-source label-mix audit before sampling weights are set.
+
+    Scale shape: blocks collapse to (group, label, cnt) partials
+    (vocabulary contract: groups x classes), one native groupby-sum
+    merge, then a groups-sized fold computes the rational.  Output:
+    group, n, gini_permille (all int64)."""
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby([group_col, label_col], sort=False)
+               .size().reset_index(name="cnt"))
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    conf = (ds.map_batches(partial, batch_format="pandas")
+            .groupby([group_col, label_col]).sum("cnt"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["sum(cnt)"].to_numpy(np.int64)
+        n = int(c.sum())
+        ss = int((c.astype(object) ** 2).sum())  # Python ints: no wrap
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            "n": np.array([n], np.int64),
+            "gini_permille": np.array(
+                [1000 * (n * n - ss) // (n * n)], np.int64)})
+
+    return conf.groupby(group_col).map_groups(fold,
+                                              batch_format="pandas")

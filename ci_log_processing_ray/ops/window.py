@@ -1190,3 +1190,55 @@ def rrf_fuse(
         lambda t: t.rename_columns([id_col, "rank_a", "rank_b",
                                     "rrf_micro"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def interval_union_by_group(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-key interval UNION (gaps-and-islands merge of overlapping
+    [start, end] spans): total covered length and merged-island count
+    -- the activity-coverage / uptime primitive (distinct from
+    sessionize's gap windows: spans here have real extents and nesting
+    counts once).
+
+    Semantics match the SQL islands idiom exactly: spans sorted by
+    (start, end) per key; a span starts a new island iff its start is
+    STRICTLY greater than the running max end of all previous spans
+    (touching spans merge).  Output: key, n_islands, covered (int64,
+    same unit as the inputs).
+
+    Scale shape: one hash(key) bucketed exchange; the kernel is whole-
+    bucket vectorized (one sort, grouped cummax + shift, island cumsum,
+    one groupby-agg) -- no per-key Python."""
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, start_col, end_col],
+                          kind="mergesort")
+        grp = g.groupby(key_col, sort=False)
+        prev_max = grp[end_col].cummax().groupby(
+            g[key_col], sort=False).shift(1)
+        new_island = (prev_max.isna()
+                      | (g[start_col] > prev_max)).to_numpy()
+        island = np.cumsum(new_island)
+        agg = pd.DataFrame({
+            "k": g[key_col].to_numpy(),
+            "i": island,
+            "s": g[start_col].to_numpy(np.int64),
+            "e": g[end_col].to_numpy(np.int64)})
+        isl = (agg.groupby(["k", "i"], as_index=False, sort=False)
+               .agg(s=("s", "min"), e=("e", "max")))
+        cov = isl["e"].to_numpy(np.int64) - isl["s"].to_numpy(np.int64)
+        isl["cov"] = cov
+        out = (isl.groupby("k", as_index=False, sort=False)
+               .agg(n_islands=("cov", "size"), covered=("cov", "sum")))
+        return pd.DataFrame({
+            key_col: out["k"].to_numpy(np.int64),
+            "n_islands": out["n_islands"].to_numpy(np.int64),
+            "covered": out["covered"].to_numpy(np.int64)})
+
+    return bucketed_groups(ds, key_col, kern, n_buckets=n_buckets)

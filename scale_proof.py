@@ -482,6 +482,51 @@ def main_graph() -> None:
         assert got_sp == want_sp, got_sp
         results["sssp_4r_resident"] = round(sec, 2)
 
+        # GNN neighbor aggregation with f(node) = node id.  Truths:
+        # (a) family 0 is a pure chain with no in-edges from anywhere
+        #     else, so h1(v)=(v-1,1) for v in 1..99 and h2(v)=(v-2,1)
+        #     for v in 2..99 (node 1: no length-2 in-path);
+        # (b) global identities: sum(h1_n) == |E| (one path per edge)
+        #     and sum(h1_sum) == sum over edges of src -- both checked
+        #     against an independent DuckDB scan of the corpus.
+        from ci_log_processing_ray.ops.iterative import (
+            neighbor_feature_agg)
+
+        import duckdb
+
+        eck = duckdb.sql(
+            f"SELECT SUM(src), COUNT(*) FROM '{CORPUS_G}/*.parquet'"
+        ).fetchone()
+        sum_src, cnt_e = int(eck[0]), int(eck[1])
+        assert cnt_e == n_edges
+
+        def mk_feats():
+            def f(t: pa.Table) -> pa.Table:
+                ids = t["id"].combine_chunks().cast(pa.int64())
+                return pa.table({"node": ids, "f": ids})
+            return ray.data.range(
+                n_nodes, override_num_blocks=NCPU * 4).map_batches(
+                f, batch_format="pyarrow", zero_copy_batch=True)
+
+        def check_nagg(out):
+            assert int(out["h1_n"].sum()) == n_edges
+            assert int(out["h1_sum"].sum()) == sum_src
+            fam0 = out[out["node"] < FAM_C].sort_values("node")
+            v = fam0["node"].to_numpy()
+            assert (v == np.arange(1, FAM_C)).all()
+            assert (fam0["h1_sum"].to_numpy() == v - 1).all()
+            assert (fam0["h1_n"].to_numpy() == 1).all()
+            h2n = fam0["h2_n"].to_numpy()
+            h2s = fam0["h2_sum"].to_numpy()
+            assert h2n[0] == 0 and h2s[0] == 0  # node 1
+            assert (h2n[1:] == 1).all()
+            assert (h2s[1:] == v[1:] - 2).all()
+
+        run("neighbor_agg_2hop",
+            lambda: neighbor_feature_agg(read(), "src", "dst",
+                                         mk_feats(), "node", "f"),
+            check_nagg)
+
         print(json.dumps({
             "n_edges": n_edges,
             "n_nodes": n_nodes,

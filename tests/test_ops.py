@@ -3480,3 +3480,40 @@ def test_prediction_kappa(ray_session):
     with _pytest.raises(ValueError):
         one = pd.DataFrame({"t": ["a", "a"], "p": ["a", "a"]})
         prediction_kappa(ray.data.from_pandas(one), "t", "p")
+
+
+def test_interval_union_by_group(ray_session):
+    """Hand-checked islands: overlap merges, touching merges, nesting
+    counts once, disjoint splits."""
+    from ci_log_processing_ray.ops.window import interval_union_by_group
+
+    df = pd.DataFrame({
+        "k": np.array([1, 1, 1, 1, 2, 2], np.int64),
+        # k=1: [0,10] + [5,20] overlap; [20,30] touches -> one island
+        #      [0,30]; [100,101] separate.  k=2: [5,50] nests [10,20].
+        "s": np.array([0, 5, 20, 100, 5, 10], np.int64),
+        "e": np.array([10, 20, 30, 101, 50, 20], np.int64)})
+    got = (interval_union_by_group(
+        ray.data.from_pandas(df).repartition(3), "k", "s", "e",
+        n_buckets=3).to_pandas().set_index("k").sort_index())
+    assert got.loc[1, "n_islands"] == 2
+    assert got.loc[1, "covered"] == 31  # (30-0) + (101-100)
+    assert got.loc[2, "n_islands"] == 1
+    assert got.loc[2, "covered"] == 45  # nested span adds nothing
+
+
+def test_gini_impurity_by_group(ray_session):
+    """Pure group -> 0; uniform 2-class -> 500; 3:1 mix -> 375."""
+    from ci_log_processing_ray.ops.groupagg import gini_impurity_by_group
+
+    df = pd.DataFrame({
+        "g": ["p"] * 4 + ["u"] * 4 + ["m"] * 4,
+        "lab": ["a"] * 4 + ["a", "a", "b", "b"]
+        + ["a", "a", "a", "b"]})
+    got = (gini_impurity_by_group(
+        ray.data.from_pandas(df).repartition(3), "g", "lab")
+        .to_pandas().set_index("g"))
+    assert got.loc["p", "gini_permille"] == 0
+    assert got.loc["u", "gini_permille"] == 500
+    assert got.loc["m", "gini_permille"] == 375
+    assert (got["n"] == 4).all()
