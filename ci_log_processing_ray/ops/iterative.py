@@ -1875,34 +1875,44 @@ def neighbor_feature_agg(
     e = edges.map_batches(canon_edges, batch_format="pyarrow",
                           zero_copy_batch=True).materialize()
 
-    def one_hop(feat_ds: ray.data.Dataset, fcol: str, ncol: str
+    def one_hop(feat_ds: ray.data.Dataset, fcol: str, ncol: str,
+                cnt_col: str | None, *, final_sum: bool
                 ) -> ray.data.Dataset:
         """sum/count of source features per dst: features tagged into
-        the same hash(u) co-partition as the edges."""
+        the same hash(u) co-partition as the edges.  All tagging
+        stages emit ARROW tables (zero-copy into the exchange's
+        pyarrow bucketing -- pandas blocks here cost a conversion per
+        batch at exchange time).  With ``final_sum=False`` the
+        per-bucket partials are returned unsummed so the caller can
+        fold them into its own exchange (saves one full node-shaped
+        exchange for hop 2)."""
 
-        def tag_feat(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "key": g[ncol].to_numpy(np.int64),
-                "val": g[fcol].to_numpy(np.int64),
-                "cnt": g["_cnt"].to_numpy(np.int64)
-                if "_cnt" in g.columns
-                else np.ones(len(g), np.int64),
-                "side": np.int64(0)})
+        def tag_feat(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table({
+                "key": t[ncol].combine_chunks().cast(pa.int64()),
+                "val": t[fcol].combine_chunks().cast(pa.int64()),
+                "cnt": (t[cnt_col].combine_chunks().cast(pa.int64())
+                        if cnt_col is not None
+                        else pa.array(np.ones(n, np.int64))),
+                "side": pa.array(np.zeros(n, np.int8))})
 
-        def tag_edge(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "key": g["u"].to_numpy(np.int64),
-                "val": g["v"].to_numpy(np.int64),
-                "cnt": np.zeros(len(g), np.int64),
-                "side": np.int64(1)})
+        def tag_edge(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table({
+                "key": t["u"], "val": t["v"],
+                "cnt": pa.array(np.zeros(n, np.int64)),
+                "side": pa.array(np.ones(n, np.int8))})
 
-        unioned = feat_ds.map_batches(tag_feat, batch_format="pandas"
-                                      ).union(
-            e.map_batches(tag_edge, batch_format="pandas"))
+        unioned = feat_ds.map_batches(
+            tag_feat, batch_format="pyarrow", zero_copy_batch=True
+        ).union(e.map_batches(tag_edge, batch_format="pyarrow",
+                              zero_copy_batch=True))
 
         def kern(g: pd.DataFrame) -> pd.DataFrame:
-            f = g[g["side"] == 0]
-            eg = g[g["side"] == 1]
+            side = g["side"].to_numpy()
+            f = g[side == 0]
+            eg = g[side == 1]
             if not len(f) or not len(eg):
                 return pd.DataFrame({
                     "node": pd.Series([], dtype=np.int64),
@@ -1917,19 +1927,24 @@ def neighbor_feature_agg(
                                  "s": out["s"].to_numpy(np.int64),
                                  "n": out["n"].to_numpy(np.int64)})
 
-        return bucketed_sum(
-            bucketed_groups(unioned, "key", kern, n_buckets=n_buckets),
-            ["node"], ["s", "n"], n_buckets=n_buckets)
+        partials = bucketed_groups(unioned, "key", kern,
+                                   n_buckets=n_buckets)
+        if not final_sum:
+            return partials
+        return bucketed_sum(partials, ["node"], ["s", "n"],
+                            n_buckets=n_buckets)
 
-    h1 = one_hop(feats, feat_col, node_col).materialize()
+    h1 = one_hop(feats, feat_col, node_col, None,
+                 final_sum=True).materialize()
 
     def as_feat(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": g["node"].to_numpy(np.int64),
                              "f": g["s"].to_numpy(np.int64),
                              "_cnt": g["n"].to_numpy(np.int64)})
 
+    # hop 2 partials stay unsummed: the final fusion exchange sums them
     h2 = one_hop(h1.map_batches(as_feat, batch_format="pandas"),
-                 "f", "node")
+                 "f", "node", "_cnt", final_sum=False)
 
     def tag_h(which: int):
         def t(g: pd.DataFrame) -> pd.DataFrame:

@@ -1193,8 +1193,44 @@ def main_stats() -> None:
         results["grouped_trend_slope"] = {
             "sec": round(sec, 2), "rows_per_sec": round(n_cusum / sec)}
 
+        # isotonic PAV at 50M rows, synthesized from the row index:
+        # score s in 0..999 holds exactly K rows with pos_s = 50*s,
+        # so the empirical rates s/1000 are strictly increasing and
+        # the exact fit is closed-form: one block per score,
+        # (s, s, 50*s, K), rate_permille = s.
+        from ci_log_processing_ray.ops.inference import isotonic_calibrate
+
+        K = 50_000
+        n_iso = 1000 * K
+
+        def mk_iso():
+            def f(t: pa.Table) -> pa.Table:
+                idx = t["id"].combine_chunks().to_numpy()
+                score = idx // K
+                lab = ((idx % K) < 50 * score).astype(np.int64)
+                return pa.table({"score": pa.array(score),
+                                 "label": pa.array(lab)})
+            return ray.data.range(
+                n_iso, override_num_blocks=NCPU * 8).map_batches(
+                f, batch_format="pyarrow", zero_copy_batch=True)
+
+        t0 = time.perf_counter()
+        iso = isotonic_calibrate(mk_iso(), "score", "label").to_pandas()
+        sec = time.perf_counter() - t0
+        iso = iso.sort_values("block_id")
+        s = np.arange(1000, dtype=np.int64)
+        assert len(iso) == 1000, len(iso)
+        assert (iso["score_lo"].to_numpy() == s).all()
+        assert (iso["score_hi"].to_numpy() == s).all()
+        assert (iso["pos"].to_numpy() == 50 * s).all()
+        assert (iso["n"].to_numpy() == K).all()
+        assert (iso["rate_permille"].to_numpy() == s).all()
+        results["isotonic_pav"] = {
+            "sec": round(sec, 2), "rows_per_sec": round(n_iso / sec)}
+
         print(json.dumps({
             "n_rows_auc": n_auc, "n_rows_cusum": n_cusum,
+            "n_rows_isotonic": n_iso,
             "num_cpus": NCPU, "ops": results, "calib_sec": _calib(),
         }))
     finally:
