@@ -2659,6 +2659,32 @@ def q_bm25(sf_dir: str):
     return bm25_top_terms(ds, "text", "doc_id", k=3)
 
 
+def q_ks_drift(sf_dir: str):
+    """Two-sample distribution drift between click and error event
+    values (ops/groupagg.py:ks_wasserstein_two_sample): exact integer
+    KS statistic AND 1-D Wasserstein-1 over value cents -- per-value
+    count collapse, range-bucketed driver-prefix cums, cross-bucket
+    gap terms folded in Python ints."""
+    from ci_log_processing_ray.ops.groupagg import (
+        ks_wasserstein_two_sample)
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks()
+        keep = pc.is_in(et, value_set=pa.array(["click", "error"]))
+        t = t.filter(keep)
+        et = t["event_type"].combine_chunks()
+        return pa.table({
+            "v": _cents(t["value"]),
+            "side": pc.cast(pc.equal(et, "error"), pa.int64())})
+
+    return ks_wasserstein_two_sample(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "v", "side")
+
+
 def q_interval_union(sf_dir: str):
     """Per-user interval UNION coverage
     (ops/window.py:interval_union_by_group): spans [ts, ts + value*100
@@ -4537,6 +4563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isotonic": q_isotonic,
         "interval_union": q_interval_union,
         "gini": q_gini,
+        "ks_drift": q_ks_drift,
         "salted_join": q_salted_join,
         "asof_forward": q_asof_forward,
         "window_dedup": q_window_dedup,
@@ -6553,6 +6580,35 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             QUALIFY row_number() OVER (PARTITION BY doc_id
                 ORDER BY score DESC, word) <= 3""",
+        "ks_drift": """
+            WITH s AS (
+                SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                       CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                           END AS side
+                FROM events
+                WHERE event_type IN ('click', 'error')),
+            c AS (SELECT v,
+                         COUNT(*) FILTER (side = 0) AS c1,
+                         COUNT(*) FILTER (side = 1) AS c2
+                  FROM s GROUP BY v),
+            t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM c),
+            cum AS (SELECT v,
+                           SUM(c1) OVER (ORDER BY v) AS cc1,
+                           SUM(c2) OVER (ORDER BY v) AS cc2,
+                           LEAD(v) OVER (ORDER BY v) AS nxt
+                    FROM c)
+            SELECT CAST(n1 AS BIGINT) AS n1,
+                   CAST(n2 AS BIGINT) AS n2,
+                   CAST(MAX(ABS(n2 * cc1 - n1 * cc2)) AS BIGINT)
+                       AS ks_num,
+                   CAST(COALESCE(SUM(ABS(n2 * cc1 - n1 * cc2)
+                                     * (nxt - v))
+                                 FILTER (nxt IS NOT NULL), 0)
+                        AS BIGINT) AS w1_num,
+                   CAST(n1 * n2 AS BIGINT) AS den,
+                   CAST(1000 * MAX(ABS(n2 * cc1 - n1 * cc2))
+                        // (n1 * n2) AS BIGINT) AS ks_permille
+            FROM cum, t GROUP BY n1, n2""",
         "interval_union": """
             WITH iv AS (
                 SELECT user_id,

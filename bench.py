@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "lang_kappa",
     "interval_union",
     "gini",
+    "ks_drift",
 ]
 
 

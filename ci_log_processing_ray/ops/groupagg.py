@@ -825,3 +825,142 @@ def gini_impurity_by_group(
 
     return conf.groupby(group_col).map_groups(fold,
                                               batch_format="pandas")
+
+
+def ks_wasserstein_two_sample(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    side_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Two-sample Kolmogorov-Smirnov statistic AND 1-D Wasserstein-1
+    (earth mover's) distance between the int64 ``value_col``
+    distributions of side 0 and side 1 -- the train/serve /
+    shard-vs-shard distribution-drift detectors, both as EXACT integer
+    rationals (no floats in the hash path)::
+
+        KS  = max_v |n2*C1(v) - n1*C2(v)| / (n1*n2)
+        W1  = sum over adjacent distinct values (v, v') of
+              |n2*C1(v) - n1*C2(v)| * (v' - v) / (n1*n2)
+
+    with C_i the inclusive cumulative counts at each distinct value.
+    Output: one row (n1, n2, ks_num, w1_num, den = n1*n2,
+    ks_permille).
+
+    Scale shape (no global sort): (1) one bucketed exchange collapses
+    the corpus to per-distinct-value (c1, c2) counts; (2) equi-width
+    RANGE buckets over the value domain -- a per-bucket aggregate
+    returns (bucket, n1, n2, vmin, vmax), the driver prefix-sums side
+    offsets in bucket order (the rank_global two-pass idea); (3) each
+    bucket's kernel gets its entry cums + the previous bucket's last
+    value and computes its local max and gap-weighted sum, INCLUDING
+    the cross-bucket entry gap; the driver folds bucket partials with
+    Python ints (wrap-safe).  Magnitudes: |num| <= n1*n2*range --
+    int64-safe for corpus counts up to ~2^31 at cent-scale ranges;
+    beyond that the fold already holds Python ints, widen the kernel
+    to object dtype."""
+    import pyarrow.compute as pc_
+
+    import ray
+
+    from ci_log_processing_ray.ops.window import (bucketed_sum,
+                                                  resolve_group_buckets)
+
+    n_buckets = resolve_group_buckets(n_buckets)
+
+    def prep(t: pa.Table) -> pa.Table:
+        side = t[side_col].combine_chunks().cast(pa.int64())
+        ones = np.ones(len(t), np.int64)
+        s = side.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "v": t[value_col].combine_chunks().cast(pa.int64()),
+            "c1": pa.array(np.where(s == 0, ones, 0)),
+            "c2": pa.array(np.where(s == 1, ones, 0))})
+
+    per_value = bucketed_sum(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["v"], ["c1", "c2"], n_buckets=n_buckets).materialize()
+
+    from ray.data.aggregate import Max, Min
+
+    mm = per_value.aggregate(Min("v"), Max("v"))
+    lo, hi = int(mm["min(v)"]), int(mm["max(v)"])
+    width = max((hi - lo) // n_buckets + 1, 1)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_b", pc_.divide(pc_.cast(pc_.subtract(
+                t["v"].combine_chunks(), lo), pa.int64()),
+                pa.scalar(width, pa.int64())))
+
+    bucketed = per_value.map_batches(
+        add_bucket, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    def bstats(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "_b": t["_b"], "n1": t["c1"], "n2": t["c2"],
+            "vmin": t["v"], "vmax": t["v"]})
+        g = tt.group_by("_b").aggregate(
+            [("n1", "sum"), ("n2", "sum"),
+             ("vmin", "min"), ("vmax", "max")])
+        return g.rename_columns(["_b", "n1", "n2", "vmin", "vmax"])
+
+    bs = (bucketed.map_batches(bstats, batch_format="pyarrow",
+                               zero_copy_batch=True)
+          .to_pandas()
+          .groupby("_b")
+          .agg(n1=("n1", "sum"), n2=("n2", "sum"),
+               vmin=("vmin", "min"), vmax=("vmax", "max"))
+          .sort_index())
+    n1 = int(bs["n1"].sum())
+    n2 = int(bs["n2"].sum())
+    if n1 == 0 or n2 == 0:
+        raise ValueError("both sides need at least one row")
+    # driver prefix: entry cums and previous bucket's last value
+    entry1, entry2, prev_last = {}, {}, {}
+    run1 = run2 = 0
+    last_v = None
+    for b, row in bs.iterrows():
+        entry1[int(b)], entry2[int(b)] = run1, run2
+        prev_last[int(b)] = last_v
+        run1 += int(row["n1"])
+        run2 += int(row["n2"])
+        last_v = int(row["vmax"])
+    ctx = ray.put((entry1, entry2, prev_last, n1, n2))
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        e1, e2, pl, nn1, nn2 = ray.get(ctx)
+        b = int(g["_b"].iloc[0])
+        g = g.sort_values("v", kind="mergesort")
+        v = g["v"].to_numpy(np.int64)
+        cum1 = e1[b] + np.cumsum(g["c1"].to_numpy(np.int64))
+        cum2 = e2[b] + np.cumsum(g["c2"].to_numpy(np.int64))
+        dev = np.abs(nn2 * cum1 - nn1 * cum2)
+        ks = int(dev.max()) if len(dev) else 0
+        # gaps inside the bucket
+        w1 = int((dev[:-1] * np.diff(v)).sum()) if len(v) > 1 else 0
+        # entry gap from the previous bucket's last value: the step
+        # level there equals this bucket's ENTRY cums
+        if pl[b] is not None:
+            dev_in = abs(nn2 * e1[b] - nn1 * e2[b])
+            w1 += dev_in * (int(v[0]) - pl[b])
+        # local KS must also consider the entry level (a max could
+        # sit on a run ending exactly at the bucket boundary)
+        return pd.DataFrame({"ks": np.array([ks], np.int64),
+                             "w1": np.array([w1], np.int64)})
+
+    parts = (bucketed.groupby("_b")
+             .map_groups(kern, batch_format="pandas").to_pandas())
+    ks_num = int(parts["ks"].max())
+    w1_num = sum(int(x) for x in parts["w1"])  # Python-int fold
+    den = n1 * n2
+    return ray.data.from_arrow(pa.table({
+        "n1": pa.array([n1], pa.int64()),
+        "n2": pa.array([n2], pa.int64()),
+        "ks_num": pa.array([ks_num], pa.int64()),
+        "w1_num": pa.array([w1_num], pa.int64()),
+        "den": pa.array([den], pa.int64()),
+        "ks_permille": pa.array([1000 * ks_num // den], pa.int64())}))

@@ -3517,3 +3517,44 @@ def test_gini_impurity_by_group(ray_session):
     assert got.loc["u", "gini_permille"] == 500
     assert got.loc["m", "gini_permille"] == 375
     assert (got["n"] == 4).all()
+
+
+def test_ks_wasserstein_two_sample(ray_session):
+    """Parity vs a brute-force numpy reference on random two-sample
+    data across partitionings/bucket counts, plus a shifted closed
+    form: side1 = side0 + 7 -> KS = n^2 (max dev), W1 = 7*n^2."""
+    from ci_log_processing_ray.ops.groupagg import (
+        ks_wasserstein_two_sample)
+
+    def ref(v, s):
+        vals = np.unique(v)
+        c1 = np.array([(v[s == 0] == x).sum() for x in vals])
+        c2 = np.array([(v[s == 1] == x).sum() for x in vals])
+        n1, n2 = int(c1.sum()), int(c2.sum())
+        dev = np.abs(n2 * np.cumsum(c1) - n1 * np.cumsum(c2))
+        ks = int(dev.max())
+        w1 = int((dev[:-1] * np.diff(vals)).sum())
+        return n1, n2, ks, w1
+
+    rng = np.random.default_rng(3)
+    for nb, parts in [(4, 2), (9, 5)]:
+        v = rng.integers(-50, 200, 500).astype(np.int64)
+        s = rng.integers(0, 2, 500).astype(np.int64)
+        got = ks_wasserstein_two_sample(
+            ray.data.from_pandas(pd.DataFrame({"v": v, "side": s}))
+            .repartition(parts), "v", "side", n_buckets=nb).to_pandas()
+        n1, n2, ks, w1 = ref(v, s)
+        assert got[["n1", "n2", "ks_num", "w1_num"]].values.tolist() \
+            == [[n1, n2, ks, w1]]
+        assert got["den"].tolist() == [n1 * n2]
+
+    # disjoint shift: n=5 each, side1 = side0 + 7
+    base = np.array([1, 2, 3, 4, 5], np.int64)
+    v = np.concatenate([base, base + 7])
+    s = np.concatenate([np.zeros(5, np.int64), np.ones(5, np.int64)])
+    got = ks_wasserstein_two_sample(
+        ray.data.from_pandas(pd.DataFrame({"v": v, "side": s})),
+        "v", "side", n_buckets=3).to_pandas()
+    assert got["ks_num"].tolist() == [25]       # full separation
+    assert got["w1_num"].tolist() == [7 * 25]   # shift * n1 * n2
+    assert got["ks_permille"].tolist() == [1000]
