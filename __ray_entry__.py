@@ -4290,6 +4290,31 @@ def q_neighbor_agg(sf_dir: str):
                                 "node", "f")
 
 
+def q_assortativity(sf_dir: str):
+    """Directed out-in degree assortativity sufficient stats
+    (ops/iterative.py:degree_assortativity) over a synthetic doc graph
+    with varying out-degree (i->i+1, i->i+7, plus i->i+3 for even i):
+    exact int64 m/sx/sy/sxx/syy/sxy and the Pearson pieces r_num,
+    r_den1, r_den2 -- degree tables by bucketed count, degrees
+    attached via two tagged co-partitions, Python-int driver fold."""
+    from ci_log_processing_ray.ops.iterative import degree_assortativity
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        ev = ids[ids % 2 == 0]
+        return pa.table({
+            "src": pa.array(np.concatenate([ids, ids, ev])),
+            "dst": pa.array(np.concatenate([ids + 1, ids + 7,
+                                            ev + 3]))})
+
+    return degree_assortativity(
+        ds.map_batches(mk_edges, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "src", "dst")
+
+
 def q_decayed_sum(sf_dir: str):
     """Recency-weighted grouped sum
     (ops/groupagg.py:decayed_sum_by_group): per event type, cents
@@ -4671,6 +4696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_sum": q_decayed_sum,
         "seq_mining": q_seq_mining,
         "neighbor_agg": q_neighbor_agg,
+        "assortativity": q_assortativity,
         "running_distinct": q_running_distinct,
         "random_walks": q_random_walks,
         "link_prediction": q_link_prediction,
@@ -5631,6 +5657,31 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IN ('click', 'error')
             GROUP BY event_type""",
+        "assortativity": """
+            WITH e AS (
+                SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+                UNION ALL
+                SELECT doc_id, doc_id + 7 FROM documents
+                UNION ALL
+                SELECT doc_id, doc_id + 3 FROM documents
+                WHERE doc_id % 2 = 0),
+            od AS (SELECT u AS node, COUNT(*) AS d FROM e GROUP BY u),
+            idg AS (SELECT v AS node, COUNT(*) AS d FROM e GROUP BY v),
+            j AS (SELECT od.d AS x, idg.d AS y
+                  FROM e JOIN od ON od.node = e.u
+                         JOIN idg ON idg.node = e.v),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x * x) AS BIGINT) AS sxx,
+                         CAST(SUM(y * y) AS BIGINT) AS syy,
+                         CAST(SUM(x * y) AS BIGINT) AS sxy
+                  FROM j)
+            SELECT m, sx, sy, sxx, syy, sxy,
+                   CAST(m * sxy - sx * sy AS BIGINT) AS r_num,
+                   CAST(m * sxx - sx * sx AS BIGINT) AS r_den1,
+                   CAST(m * syy - sy * sy AS BIGINT) AS r_den2
+            FROM s""",
         "neighbor_agg": """
             WITH e AS (SELECT doc_id AS u, doc_id + 1 AS v
                        FROM documents

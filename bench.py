@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "interval_union",
     "gini",
     "ks_drift",
+    "assortativity",
 ]
 
 

@@ -1962,3 +1962,134 @@ def neighbor_feature_agg(
     return bucketed_sum(both, ["node"],
                         ["h1_sum", "h1_n", "h2_sum", "h2_n"],
                         n_buckets=n_buckets)
+
+
+def degree_assortativity(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Directed (out-in) degree assortativity SUFFICIENT STATISTICS,
+    exact in int64: per edge, x = out-degree(src) and y =
+    in-degree(dst); output one row with m (#edges), sx, sy, sxx, syy,
+    sxy plus the exact Pearson pieces r_num = m*sxy - sx*sy and
+    r_den1 = m*sxx - sx^2, r_den2 = m*syy - sy^2
+    (r = r_num / sqrt(r_den1*r_den2); the square root stays OUT of
+    the exact contract so the oracle hashes bit-for-bit -- compute the
+    float r downstream if wanted).  Positive r_num = hubs feed hubs
+    (assortative mixing), negative = hubs feed leaves.
+
+    Scale shape: degree tables are two bucketed count exchanges
+    (node-shaped); degrees attach to edges via two tagged hash(key)
+    co-partitions (degree rows ride the exchange, never a broadcast);
+    suffstat partials collapse per bucket and the driver folds them in
+    Python ints (per-bucket int64 partials hold to ~1M-edge buckets at
+    degree ~1e3; beyond that widen the kernel to object dtype).
+    Self-loops and multi-edges count per edge row, as in the SQL
+    mirror."""
+    from ci_log_processing_ray.ops.window import (bucketed_groups,
+                                                  bucketed_sum)
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": t[src_col].combine_chunks().cast(pa.int64()),
+            "v": t[dst_col].combine_chunks().cast(pa.int64())})
+
+    e = edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    def deg_of(col: str, out_name: str) -> ray.data.Dataset:
+        def ones(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t[col],
+                out_name: pa.array(np.ones(len(t), np.int64))})
+        return bucketed_sum(
+            e.map_batches(ones, batch_format="pyarrow",
+                          zero_copy_batch=True),
+            ["node"], [out_name], n_buckets=n_buckets)
+
+    outdeg = deg_of("u", "deg")
+    indeg = deg_of("v", "deg")
+
+    def attach(edge_ds: ray.data.Dataset, deg_ds: ray.data.Dataset,
+               key: str, carry: str, out: str) -> ray.data.Dataset:
+        """Tagged co-partition: per edge row keyed by ``key``, attach
+        that node's degree as column ``out`` (carrying ``carry``)."""
+
+        def tag_deg(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "key": g["node"].to_numpy(np.int64),
+                "a": g["deg"].to_numpy(np.int64),
+                "side": np.int8(0)})
+
+        def tag_edge(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "key": g[key].to_numpy(np.int64),
+                "a": g[carry].to_numpy(np.int64),
+                "side": np.int8(1)})
+
+        def kern(g: pd.DataFrame) -> pd.DataFrame:
+            side = g["side"].to_numpy()
+            d = g[side == 0]
+            ed = g[side == 1]
+            if not len(d) or not len(ed):
+                return pd.DataFrame({
+                    key: pd.Series([], dtype=np.int64),
+                    carry: pd.Series([], dtype=np.int64),
+                    out: pd.Series([], dtype=np.int64)})
+            m = ed[["key", "a"]].merge(
+                d[["key", "a"]].rename(columns={"a": "deg"}), on="key")
+            return pd.DataFrame({
+                key: m["key"].to_numpy(np.int64),
+                carry: m["a"].to_numpy(np.int64),
+                out: m["deg"].to_numpy(np.int64)})
+
+        unioned = deg_ds.map_batches(
+            tag_deg, batch_format="pandas").union(
+            edge_ds.map_batches(tag_edge, batch_format="pandas"))
+        return bucketed_groups(unioned, "key", kern,
+                               n_buckets=n_buckets)
+
+    # pass 1: key=src, carry dst, attach x=outdeg(src)
+    with_x = attach(e, outdeg, "u", "v", "x")
+    # pass 2: key=dst (now in column "v"... rename roles): key v,
+    # carry x, attach y=indeg(dst)
+    def flip(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": g["v"].to_numpy(np.int64),
+                             "x": g["x"].to_numpy(np.int64)})
+
+    with_xy = attach(
+        with_x.map_batches(flip, batch_format="pandas"),
+        indeg, "u", "x", "y")
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["x"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "m": np.array([len(g)], np.int64),
+            "sx": np.array([x.sum()], np.int64),
+            "sy": np.array([y.sum()], np.int64),
+            "sxx": np.array([(x * x).sum()], np.int64),
+            "syy": np.array([(y * y).sum()], np.int64),
+            "sxy": np.array([(x * y).sum()], np.int64)})
+
+    parts = with_xy.map_batches(
+        partial, batch_format="pandas").to_pandas()
+    m = int(parts["m"].sum())
+    sx = int(parts["sx"].sum())
+    sy = int(parts["sy"].sum())
+    sxx = int(parts["sxx"].sum())
+    syy = int(parts["syy"].sum())
+    sxy = int(parts["sxy"].sum())
+    return ray.data.from_arrow(pa.table({
+        "m": pa.array([m], pa.int64()),
+        "sx": pa.array([sx], pa.int64()),
+        "sy": pa.array([sy], pa.int64()),
+        "sxx": pa.array([sxx], pa.int64()),
+        "syy": pa.array([syy], pa.int64()),
+        "sxy": pa.array([sxy], pa.int64()),
+        "r_num": pa.array([m * sxy - sx * sy], pa.int64()),
+        "r_den1": pa.array([m * sxx - sx * sx], pa.int64()),
+        "r_den2": pa.array([m * syy - sy * sy], pa.int64())}))

@@ -3558,3 +3558,38 @@ def test_ks_wasserstein_two_sample(ray_session):
     assert got["ks_num"].tolist() == [25]       # full separation
     assert got["w1_num"].tolist() == [7 * 25]   # shift * n1 * n2
     assert got["ks_permille"].tolist() == [1000]
+
+
+def test_degree_assortativity(ray_session):
+    """Star graph hub->leaves: x constant (outdeg k), y constant 1 ->
+    zero variance both sides; two-star mix gives hand-checkable sums;
+    parity vs brute-force numpy on a random multigraph."""
+    from ci_log_processing_ray.ops.iterative import degree_assortativity
+
+    def ref(s, d):
+        od = pd.Series(s).value_counts()
+        idg = pd.Series(d).value_counts()
+        x = od[s].to_numpy(np.int64)
+        y = idg[d].to_numpy(np.int64)
+        m = len(s)
+        return [m, x.sum(), y.sum(), (x * x).sum(), (y * y).sum(),
+                (x * y).sum(), m * (x * y).sum() - x.sum() * y.sum(),
+                m * (x * x).sum() - x.sum() ** 2,
+                m * (y * y).sum() - y.sum() ** 2]
+
+    # star: hub 0 -> 1..4
+    s = np.zeros(4, np.int64)
+    d = np.arange(1, 5, dtype=np.int64)
+    got = degree_assortativity(
+        ray.data.from_pandas(pd.DataFrame({"src": s, "dst": d}))
+        .repartition(2), "src", "dst", n_buckets=3).to_pandas()
+    assert got.values.tolist() == [[4, 16, 4, 64, 4, 16, 0, 0, 0]]
+
+    # random multigraph incl. self-loops
+    rng = np.random.default_rng(5)
+    s = rng.integers(0, 30, 300).astype(np.int64)
+    d = rng.integers(0, 30, 300).astype(np.int64)
+    got = degree_assortativity(
+        ray.data.from_pandas(pd.DataFrame({"src": s, "dst": d}))
+        .repartition(4), "src", "dst", n_buckets=5).to_pandas()
+    assert got.values.tolist() == [[int(v) for v in ref(s, d)]]
