@@ -1228,9 +1228,44 @@ def main_stats() -> None:
         results["isotonic_pav"] = {
             "sec": round(sec, 2), "rows_per_sec": round(n_iso / sec)}
 
+        # KS + Wasserstein-1 at 50M rows: side 0 = uniform over
+        # 0..999 (K2 rows per value), side 1 = the same shifted +100.
+        # Closed form: n1 = n2 = 1000*K2, max |C1-C2| = 100*K2 (the
+        # shift region) -> ks_num = n1*100*K2; sum_v |C1-C2| =
+        # (4950 + 900*100 + 5050)*K2 = 100000*K2 (ramp + plateau +
+        # ramp) -> w1_num = n1*100000*K2.
+        from ci_log_processing_ray.ops.groupagg import (
+            ks_wasserstein_two_sample)
+
+        K2 = 25_000
+        n_ks = 2 * 1000 * K2
+
+        def mk_ks():
+            def f(t: pa.Table) -> pa.Table:
+                idx = t["id"].combine_chunks().to_numpy()
+                side = (idx >= 1000 * K2).astype(np.int64)
+                val = idx % 1000 + 100 * side
+                return pa.table({"v": pa.array(val.astype(np.int64)),
+                                 "side": pa.array(side)})
+            return ray.data.range(
+                n_ks, override_num_blocks=NCPU * 8).map_batches(
+                f, batch_format="pyarrow", zero_copy_batch=True)
+
+        t0 = time.perf_counter()
+        ks = ks_wasserstein_two_sample(mk_ks(), "v", "side").to_pandas()
+        sec = time.perf_counter() - t0
+        n_side = 1000 * K2
+        assert ks["n1"].tolist() == [n_side]
+        assert ks["n2"].tolist() == [n_side]
+        assert ks["ks_num"].tolist() == [n_side * 100 * K2]
+        assert ks["w1_num"].tolist() == [n_side * 100_000 * K2]
+        assert ks["ks_permille"].tolist() == [100]
+        results["ks_wasserstein"] = {
+            "sec": round(sec, 2), "rows_per_sec": round(n_ks / sec)}
+
         print(json.dumps({
             "n_rows_auc": n_auc, "n_rows_cusum": n_cusum,
-            "n_rows_isotonic": n_iso,
+            "n_rows_isotonic": n_iso, "n_rows_ks": n_ks,
             "num_cpus": NCPU, "ops": results, "calib_sec": _calib(),
         }))
     finally:
