@@ -4315,6 +4315,42 @@ def q_assortativity(sf_dir: str):
         "src", "dst")
 
 
+def q_reciprocity(sf_dir: str):
+    """Directed-graph reciprocity (ops/iterative.py:edge_reciprocity)
+    over a doc graph with planted mutual links (i->i+1 for all i,
+    i+1->i for i%3==0, i->i+7): fraction of distinct non-loop directed
+    edges whose reverse exists, exact permille -- one hash(pair)
+    bucketed exchange of per-block-deduped (lo,hi,bit) rows."""
+    from ci_log_processing_ray.ops.iterative import edge_reciprocity
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        rev = ids[ids % 3 == 0]
+        return pa.table({
+            "src": pa.array(np.concatenate([ids, rev + 1, ids])),
+            "dst": pa.array(np.concatenate([ids + 1, rev, ids + 7]))})
+
+    return edge_reciprocity(
+        ds.map_batches(mk_edges, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "src", "dst")
+
+
+def q_lexical_richness(sf_dir: str):
+    """Per-source lexical richness
+    (ops/textstats.py:lexical_richness_by_group): token/type/hapax
+    counts + TTR and hapax-share permille, exact int64 -- the
+    template-spam audit; (group,word) count partials, ONE hash(group)
+    bucketed exchange whose kernel merges counts and folds metrics."""
+    from ci_log_processing_ray.ops.textstats import (
+        lexical_richness_by_group)
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+    return lexical_richness_by_group(ds, "text", "source")
+
+
 def q_decayed_sum(sf_dir: str):
     """Recency-weighted grouped sum
     (ops/groupagg.py:decayed_sum_by_group): per event type, cents
@@ -4697,6 +4733,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_mining": q_seq_mining,
         "neighbor_agg": q_neighbor_agg,
         "assortativity": q_assortativity,
+        "reciprocity": q_reciprocity,
+        "lexical_richness": q_lexical_richness,
         "running_distinct": q_running_distinct,
         "random_walks": q_random_walks,
         "link_prediction": q_link_prediction,
@@ -5657,6 +5695,49 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IN ('click', 'error')
             GROUP BY event_type""",
+        "reciprocity": """
+            WITH e AS (
+                SELECT DISTINCT u, v FROM (
+                    SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1, doc_id FROM documents
+                    WHERE doc_id % 3 = 0
+                    UNION ALL
+                    SELECT doc_id, doc_id + 7 FROM documents)
+                WHERE u <> v),
+            r AS (SELECT COUNT(*) AS m,
+                         SUM(CASE WHEN EXISTS (
+                             SELECT 1 FROM e e2
+                             WHERE e2.u = e.v AND e2.v = e.u)
+                             THEN 1 ELSE 0 END) AS mr
+                  FROM e)
+            SELECT CAST(m AS BIGINT) AS m,
+                   CAST(mr AS BIGINT) AS m_recip,
+                   CAST(1000 * mr // m AS BIGINT) AS recip_permille
+            FROM r""",
+        "lexical_richness": """
+            WITH w AS (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9_]+')) AS word
+                FROM documents),
+            pw AS (SELECT source, word, count(*) AS cnt
+                   FROM w GROUP BY 1, 2),
+            g AS (SELECT source,
+                         SUM(cnt) AS n_tokens,
+                         COUNT(*) AS n_types,
+                         SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                             AS n_hapax
+                  FROM pw GROUP BY source)
+            SELECT source,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_types AS BIGINT) AS n_types,
+                   CAST(n_hapax AS BIGINT) AS n_hapax,
+                   CAST(1000 * n_types // n_tokens AS BIGINT)
+                       AS ttr_permille,
+                   CAST(1000 * n_hapax // n_types AS BIGINT)
+                       AS hapax_permille
+            FROM g""",
         "assortativity": """
             WITH e AS (
                 SELECT doc_id AS u, doc_id + 1 AS v FROM documents

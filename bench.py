@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "gini",
     "ks_drift",
     "assortativity",
+    "reciprocity",
+    "lexical_richness",
 ]
 
 

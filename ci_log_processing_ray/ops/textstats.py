@@ -955,3 +955,67 @@ def prediction_kappa(
         "n": pa.array([n], pa.int64()),
         "agree": pa.array([agree], pa.int64()),
         "kappa_permille": pa.array([kappa_permille], pa.int64())}))
+
+
+def lexical_richness_by_group(
+    ds: ray.data.Dataset,
+    text_col: str,
+    group_col: str,
+) -> ray.data.Dataset:
+    """Per-group lexical-richness metrics, exact int64: token count,
+    type count (distinct words), hapax count (words occurring exactly
+    once in the group), type-token ratio and hapax share as permille
+    rationals -- the template-spam / vocabulary-collapse audit (a
+    boilerplate source shows low TTR and a near-zero hapax share).
+
+    Scale shape: blocks collapse to (group, word, cnt) partials, one
+    vocabulary-sized bucketed sum merges them, and a per-group fold
+    over the (group's) vocabulary computes the three counts.  Output:
+    group, n_tokens, n_types, n_hapax, ttr_permille =
+    1000*n_types//n_tokens, hapax_permille = 1000*n_hapax//n_types."""
+    from ci_log_processing_ray.ops.curation import _word_stream
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    def partial(t: pa.Table) -> pa.Table:
+        grp = t[group_col].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        flat, n_words = _word_stream(t[text_col])
+        gidx = np.repeat(np.arange(len(grp), dtype=np.int64), n_words)
+        d = pd.DataFrame({
+            "g": grp[gidx],
+            "word": flat.to_numpy(zero_copy_only=False)})
+        vc = (d.groupby(["g", "word"], sort=False)
+              .size().reset_index(name="cnt"))
+        return pa.table({
+            "g": pa.array(vc["g"].to_numpy()),
+            "word": pa.array(vc["word"].to_numpy(), pa.string()),
+            "cnt": pa.array(vc["cnt"].to_numpy().astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # ONE exchange: hash(g) bucketing co-locates every (g, word)
+    # partial of a group, so the kernel merges the word counts AND
+    # folds the richness metrics in the same pass
+    def fold_vec(g: pd.DataFrame) -> pd.DataFrame:
+        pw = (g.groupby(["g", "word"], as_index=False, sort=False)
+              ["cnt"].sum())
+        cnt = pw["cnt"].to_numpy(np.int64)
+        tmp = pd.DataFrame({"g": pw["g"].to_numpy(),
+                            "tok": cnt,
+                            "hap": (cnt == 1).astype(np.int64)})
+        out = (tmp.groupby("g", as_index=False, sort=False)
+               .agg(n_tokens=("tok", "sum"), n_types=("tok", "size"),
+                    n_hapax=("hap", "sum")))
+        toks = out["n_tokens"].to_numpy(np.int64)
+        typs = out["n_types"].to_numpy(np.int64)
+        haps = out["n_hapax"].to_numpy(np.int64)
+        out["ttr_permille"] = 1000 * typs // toks
+        out["hapax_permille"] = 1000 * haps // typs
+        return out
+
+    return bucketed_groups(partials, "g", fold_vec).map_batches(
+        lambda t: t.rename_columns(
+            [group_col, "n_tokens", "n_types", "n_hapax",
+             "ttr_permille", "hapax_permille"]),
+        batch_format="pyarrow", zero_copy_batch=True)

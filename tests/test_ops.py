@@ -3593,3 +3593,33 @@ def test_degree_assortativity(ray_session):
         ray.data.from_pandas(pd.DataFrame({"src": s, "dst": d}))
         .repartition(4), "src", "dst", n_buckets=5).to_pandas()
     assert got.values.tolist() == [[int(v) for v in ref(s, d)]]
+
+
+def test_edge_reciprocity(ray_session):
+    """Hand-checked: 2-cycle + one-way edge + self-loop + duplicate
+    rows -> m=3 distinct non-loop edges, 2 reciprocated."""
+    from ci_log_processing_ray.ops.iterative import edge_reciprocity
+
+    df = pd.DataFrame({
+        "src": np.array([1, 2, 1, 3, 3, 1], np.int64),
+        "dst": np.array([2, 1, 2, 4, 3, 2], np.int64)})
+    got = edge_reciprocity(
+        ray.data.from_pandas(df).repartition(3), "src", "dst",
+        n_buckets=3).to_pandas()
+    assert got.values.tolist() == [[3, 2, 666]]
+
+
+def test_lexical_richness_by_group(ray_session):
+    """Hand-checked: group A 'x x y' -> 3 tokens, 2 types, 1 hapax;
+    group B all-distinct -> TTR 1000, hapax 1000."""
+    from ci_log_processing_ray.ops.textstats import (
+        lexical_richness_by_group)
+
+    df = pd.DataFrame({
+        "text": ["x x y", "x", "a b c", "d"],
+        "g": ["A", "A", "B", "B"]})
+    got = (lexical_richness_by_group(
+        ray.data.from_pandas(df).repartition(3), "text", "g")
+        .to_pandas().set_index("g").sort_index())
+    assert got.loc["A"].tolist() == [4, 2, 1, 500, 500]
+    assert got.loc["B"].tolist() == [4, 4, 4, 1000, 1000]
