@@ -4315,6 +4315,34 @@ def q_assortativity(sf_dir: str):
         "src", "dst")
 
 
+def q_msf(sf_dir: str):
+    """Distributed Boruvka minimum spanning forest
+    (ops/iterative.py:minimum_spanning_forest) over a doc graph built
+    so the forest has a CLOSED FORM the SQL oracle can state: chain
+    edges i->i+1 (w=1000+i) plus heavy extras i->i+7 (w=1000000+i).
+    Every extra whose far end lies on the chain closes a cycle as its
+    heaviest edge (excluded); the last 6 extras are bridges to
+    off-chain nodes (included).  Generic correctness is pinned by the
+    Kruskal-parity unit test; this instance keeps the oracle binding."""
+    from ci_log_processing_ray.ops.iterative import (
+        minimum_spanning_forest)
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        return pa.table({
+            "src": pa.array(np.concatenate([ids, ids])),
+            "dst": pa.array(np.concatenate([ids + 1, ids + 7])),
+            "w": pa.array(np.concatenate([1000 + ids,
+                                          1_000_000 + ids]))})
+
+    return minimum_spanning_forest(
+        ds.map_batches(mk_edges, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "src", "dst", "w")
+
+
 def q_reciprocity(sf_dir: str):
     """Directed-graph reciprocity (ops/iterative.py:edge_reciprocity)
     over a doc graph with planted mutual links (i->i+1 for all i,
@@ -4735,6 +4763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": q_assortativity,
         "reciprocity": q_reciprocity,
         "lexical_richness": q_lexical_richness,
+        "msf": q_msf,
         "running_distinct": q_running_distinct,
         "random_walks": q_random_walks,
         "link_prediction": q_link_prediction,
@@ -5695,6 +5724,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IN ('click', 'error')
             GROUP BY event_type""",
+        "msf": """
+            WITH mx AS (SELECT MAX(doc_id) AS m FROM documents)
+            SELECT doc_id AS u, doc_id + 1 AS v,
+                   CAST(1000 + doc_id AS BIGINT) AS w
+            FROM documents
+            UNION ALL
+            SELECT doc_id, doc_id + 7,
+                   CAST(1000000 + doc_id AS BIGINT)
+            FROM documents, mx WHERE doc_id >= m - 5""",
         "reciprocity": """
             WITH e AS (
                 SELECT DISTINCT u, v FROM (

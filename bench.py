@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "assortativity",
     "reciprocity",
     "lexical_richness",
+    "msf",
 ]
 
 

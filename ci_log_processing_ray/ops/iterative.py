@@ -2157,3 +2157,263 @@ def edge_reciprocity(
         "m": pa.array([m], pa.int64()),
         "m_recip": pa.array([mr], pa.int64()),
         "recip_permille": pa.array([1000 * mr // m], pa.int64())}))
+
+
+def minimum_spanning_forest(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    weight_col: str,
+    *,
+    max_rounds: int = 16,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Distributed minimum spanning forest via Boruvka's algorithm --
+    the clustering / network-design primitive (single-linkage
+    clustering IS the MSF).  Edges are undirected (u,v,w int64,
+    self-loops dropped); ties break by total (w, min, max) order, so
+    the result is deterministic on ANY weights and provably unique
+    when weights are distinct.  Returns the forest's edge list
+    (u, v, w) with u < v.
+
+    Boruvka rounds (components at least halve per round -> <= log2 n
+    rounds):
+    1. RELABEL: each endpoint's current component label attaches via
+       a node-shaped tagged hash(node) co-partition (labels ride the
+       exchange, never a broadcast); intra-component edges drop.
+    2. SELECT: every edge is exploded to both endpoint components; a
+       bucketed min per component picks its lightest incident edge
+       (the Boruvka-safe choice); selections dedup by (u,v).
+    3. CONTRACT: the selected edges form a component-level graph whose
+       connected components (the in-repo two-phase
+       :func:`connected_components`, hierarchical above its boundary
+       cap) become the new labels; node labels compose via one more
+       tagged co-partition.  Terminates when no cross-component edge
+       remains; raises if ``max_rounds`` was too small (forest would
+       be incomplete).
+    """
+    from ci_log_processing_ray.ops.window import (bucketed_distinct,
+                                                  bucketed_groups)
+
+    def canon(t: pa.Table) -> pa.Table:
+        u = t[src_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = t[dst_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        w = t[weight_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = u != v
+        u, v, w = u[keep], v[keep], w[keep]
+        return pa.table({"eu": pa.array(np.minimum(u, v)),
+                         "ev": pa.array(np.maximum(u, v)),
+                         "w": pa.array(w)})
+
+    e = edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    def attach_label(ds_in, key: str, labels, out: str):
+        """Tagged co-partition on ``key``: attach that node's current
+        component label as ``out``.  ``labels`` None -> identity."""
+        if labels is None:
+            def ident(t: pa.Table) -> pa.Table:
+                return t.append_column(out, t[key])
+            return ds_in.map_batches(ident, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+        def tag_lab(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": t["node"], "la": t["component"],
+                "eu": pa.nulls(len(t), pa.int64()),
+                "ev": pa.nulls(len(t), pa.int64()),
+                "w": pa.nulls(len(t), pa.int64()),
+                "cu" if out == "cv" else "cv":
+                    pa.nulls(len(t), pa.int64()),
+                "side": pa.array(np.zeros(len(t), np.int8))})
+
+        def tag_edge(t: pa.Table) -> pa.Table:
+            cols = {"key": t[key], "la": pa.nulls(len(t), pa.int64()),
+                    "eu": t["eu"], "ev": t["ev"], "w": t["w"],
+                    "side": pa.array(np.ones(len(t), np.int8))}
+            other = "cu" if out == "cv" else "cv"
+            cols[other] = (t[other] if other in t.column_names
+                           else pa.nulls(len(t), pa.int64()))
+            return pa.table(cols)
+
+        other = "cu" if out == "cv" else "cv"
+
+        def kern(g: pd.DataFrame) -> pd.DataFrame:
+            side = g["side"].to_numpy()
+            lab = g[side == 0]
+            ed = g[side == 1]
+            cols = ["eu", "ev", "w", other, out]
+            if not len(ed):
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype=np.int64) for c in cols})
+            lk = lab["key"].to_numpy(np.int64)
+            la = lab["la"].to_numpy(np.int64)
+            order = np.argsort(lk, kind="stable")
+            lk, la = lk[order], la[order]
+            ek = ed["key"].to_numpy(np.int64)
+            pos = np.searchsorted(lk, ek)
+            pos_c = np.minimum(pos, max(len(lk) - 1, 0))
+            found = (len(lk) > 0) & (lk[pos_c] == ek)
+            # a node with no label row keeps itself (isolated since
+            # the start or never relabeled)
+            out_lab = np.where(found, la[pos_c], ek)
+            res = {"eu": ed["eu"].to_numpy(np.int64),
+                   "ev": ed["ev"].to_numpy(np.int64),
+                   "w": ed["w"].to_numpy(np.int64),
+                   out: out_lab}
+            ov = ed[other].to_numpy(np.float64)
+            res[other] = np.where(np.isnan(ov), -1,
+                                  ov).astype(np.int64)
+            return pd.DataFrame({c: res[c] for c in cols})
+
+        unioned = labels.map_batches(
+            tag_lab, batch_format="pyarrow").union(
+            ds_in.map_batches(tag_edge, batch_format="pyarrow"))
+        return bucketed_groups(unioned, "key", kern,
+                               n_buckets=n_buckets)
+
+    labels = None  # node -> component; None = identity
+    forest_parts: list[ray.data.Dataset] = []
+
+    for _round in range(max_rounds):
+        # 1. relabel both endpoints
+        with_cu = attach_label(e, "eu", labels, "cu")
+        with_cv = attach_label(with_cu, "ev", labels, "cv")
+
+        def live_only(t: pa.Table) -> pa.Table:
+            cu = t["cu"].combine_chunks().to_numpy(zero_copy_only=False)
+            cv = t["cv"].combine_chunks().to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(cu != cv))
+
+        live = with_cv.map_batches(
+            live_only, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+        if live.count() == 0:
+            return _msf_finalize(forest_parts, n_buckets)
+
+        # 2. explode to both endpoint components, min per component
+        def explode(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "comp": pa.chunked_array([t["cu"].combine_chunks(),
+                                          t["cv"].combine_chunks()]),
+                "eu": pa.chunked_array([t["eu"].combine_chunks()] * 2),
+                "ev": pa.chunked_array([t["ev"].combine_chunks()] * 2),
+                "w": pa.chunked_array([t["w"].combine_chunks()] * 2),
+                "cu": pa.chunked_array([t["cu"].combine_chunks()] * 2),
+                "cv": pa.chunked_array([t["cv"].combine_chunks()] * 2)})
+
+        def pick_min(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["comp", "w", "eu", "ev"],
+                              kind="mergesort")
+            return g.groupby("comp", sort=False).head(1)
+
+        sel = bucketed_groups(
+            live.map_batches(explode, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            "comp", pick_min, n_buckets=n_buckets)
+        sel_edges = bucketed_distinct(
+            sel.map_batches(
+                lambda t: t.select(["eu", "ev", "w", "cu", "cv"]),
+                batch_format="pyarrow", zero_copy_batch=True),
+            ["eu", "ev", "w", "cu", "cv"],
+            n_buckets=n_buckets).materialize()
+        forest_parts.append(sel_edges)
+
+        # 3. contract: CC over the component-level selected graph,
+        # then compose node labels through it
+        comp_cc = connected_components(
+            sel_edges, "cu", "cv",
+            n_buckets=n_buckets).materialize()
+        if labels is None:
+            labels = comp_cc
+        else:
+            def lab_as_edges(t: pa.Table) -> pa.Table:
+                # reuse attach machinery: rows (eu=node, key=old comp)
+                return pa.table({
+                    "eu": t["node"], "ev": t["node"],
+                    "w": pa.nulls(len(t), pa.int64()),
+                    "key": t["component"]})
+
+            def tag_cc(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "eu": pa.nulls(len(t), pa.int64()),
+                    "ev": pa.nulls(len(t), pa.int64()),
+                    "w": pa.nulls(len(t), pa.int64()),
+                    "key": t["node"],
+                    "la": t["component"],
+                    "side": pa.array(np.zeros(len(t), np.int8))})
+
+            def tag_old(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "eu": t["eu"], "ev": t["ev"], "w": t["w"],
+                    "key": t["key"],
+                    "la": pa.nulls(len(t), pa.int64()),
+                    "side": pa.array(np.ones(len(t), np.int8))})
+
+            def compose_kern(g: pd.DataFrame) -> pd.DataFrame:
+                side = g["side"].to_numpy()
+                cc = g[side == 0]
+                old = g[side == 1]
+                if not len(old):
+                    return pd.DataFrame({
+                        "node": pd.Series([], dtype=np.int64),
+                        "component": pd.Series([], dtype=np.int64)})
+                ck = cc["key"].to_numpy(np.int64)
+                ca = cc["la"].to_numpy(np.int64)
+                order = np.argsort(ck, kind="stable")
+                ck, ca = ck[order], ca[order]
+                ok = old["key"].to_numpy(np.int64)
+                pos = np.searchsorted(ck, ok)
+                pos_c = np.minimum(pos, max(len(ck) - 1, 0))
+                found = (len(ck) > 0) & (ck[pos_c] == ok)
+                new_lab = np.where(found, ca[pos_c], ok)
+                return pd.DataFrame({
+                    "node": old["eu"].to_numpy(np.int64),
+                    "component": new_lab})
+
+            unioned = comp_cc.map_batches(
+                tag_cc, batch_format="pyarrow").union(
+                labels.map_batches(
+                    lab_as_edges, batch_format="pyarrow",
+                    zero_copy_batch=True
+                ).map_batches(tag_old, batch_format="pyarrow"))
+            labels = bucketed_groups(unioned, "key", compose_kern,
+                                     n_buckets=n_buckets).materialize()
+
+    # max_rounds exhausted: check completion
+    with_cu = attach_label(e, "eu", labels, "cu")
+    with_cv = attach_label(with_cu, "ev", labels, "cv")
+    rem = with_cv.map_batches(
+        lambda t: t.filter(pa.array(
+            t["cu"].combine_chunks().to_numpy(zero_copy_only=False)
+            != t["cv"].combine_chunks().to_numpy(
+                zero_copy_only=False))),
+        batch_format="pyarrow", zero_copy_batch=True).count()
+    if rem:
+        raise ValueError(
+            f"minimum_spanning_forest: {rem} cross-component edges "
+            f"remain after {max_rounds} rounds; raise max_rounds")
+    return _msf_finalize(forest_parts, n_buckets)
+
+
+def _msf_finalize(parts, n_buckets):
+    from ci_log_processing_ray.ops.window import bucketed_distinct
+
+    if not parts:
+        return ray.data.from_arrow(pa.table({
+            "u": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64())}))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.union(p)
+    out = bucketed_distinct(
+        allp.map_batches(
+            lambda t: pa.table({"u": t["eu"], "v": t["ev"],
+                                "w": t["w"]}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["u", "v", "w"], n_buckets=n_buckets)
+    return out

@@ -3623,3 +3623,71 @@ def test_lexical_richness_by_group(ray_session):
         .to_pandas().set_index("g").sort_index())
     assert got.loc["A"].tolist() == [4, 2, 1, 500, 500]
     assert got.loc["B"].tolist() == [4, 4, 4, 1000, 1000]
+
+
+def _kruskal(u, v, w):
+    """Reference MSF with the same (w, min, max) total order."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    lo = np.minimum(u, v)
+    hi = np.maximum(u, v)
+    order = np.lexsort((hi, lo, w))
+    for i in order:
+        if lo[i] == hi[i]:
+            continue
+        ra, rb = find(int(lo[i])), find(int(hi[i]))
+        if ra != rb:
+            parent[ra] = rb
+            out.append((int(lo[i]), int(hi[i]), int(w[i])))
+    return sorted(out)
+
+
+def test_minimum_spanning_forest(ray_session):
+    """Cycle closed form (heaviest edge dropped), multi-component
+    forest, and Kruskal parity on a random graph across
+    partitionings."""
+    from ci_log_processing_ray.ops.iterative import (
+        minimum_spanning_forest)
+
+    # 4-cycle with unique weights: drops the heaviest (3-0, w=40)
+    df = pd.DataFrame({
+        "src": np.array([0, 1, 2, 3], np.int64),
+        "dst": np.array([1, 2, 3, 0], np.int64),
+        "w": np.array([10, 20, 30, 40], np.int64)})
+    got = (minimum_spanning_forest(
+        ray.data.from_pandas(df).repartition(2), "src", "dst", "w",
+        n_buckets=3).to_pandas().sort_values(["u", "v"]))
+    assert got[["u", "v", "w"]].values.tolist() == [
+        [0, 1, 10], [1, 2, 20], [2, 3, 30]]
+
+    # two components stay two trees
+    df2 = pd.DataFrame({
+        "src": np.array([0, 1, 0, 10, 11, 10], np.int64),
+        "dst": np.array([1, 2, 2, 11, 12, 12], np.int64),
+        "w": np.array([1, 2, 3, 4, 5, 6], np.int64)})
+    got2 = (minimum_spanning_forest(
+        ray.data.from_pandas(df2).repartition(3), "src", "dst", "w",
+        n_buckets=3).to_pandas().sort_values(["u", "v"]))
+    assert got2[["u", "v", "w"]].values.tolist() == [
+        [0, 1, 1], [1, 2, 2], [10, 11, 4], [11, 12, 5]]
+
+    # random graph parity vs Kruskal (unique weights via permutation)
+    rng = np.random.default_rng(17)
+    m = 400
+    u = rng.integers(0, 80, m).astype(np.int64)
+    v = rng.integers(0, 80, m).astype(np.int64)
+    w = rng.permutation(m).astype(np.int64) + 1
+    got3 = (minimum_spanning_forest(
+        ray.data.from_pandas(pd.DataFrame(
+            {"src": u, "dst": v, "w": w})).repartition(5),
+        "src", "dst", "w", n_buckets=4).to_pandas())
+    want = _kruskal(u, v, w)
+    assert sorted(map(tuple, got3[["u", "v", "w"]].values.tolist())) \
+        == want
