@@ -2220,26 +2220,27 @@ def minimum_spanning_forest(
             return ds_in.map_batches(ident, batch_format="pyarrow",
                                      zero_copy_batch=True)
 
+        other = "cu" if out == "cv" else "cv"
+
+        # IDENTICAL column order on both union sides: blocks of a
+        # union feed the same sort exchange, and schema-order drift
+        # between producers corrupts the concatenation at scale
         def tag_lab(t: pa.Table) -> pa.Table:
             return pa.table({
                 "key": t["node"], "la": t["component"],
                 "eu": pa.nulls(len(t), pa.int64()),
                 "ev": pa.nulls(len(t), pa.int64()),
                 "w": pa.nulls(len(t), pa.int64()),
-                "cu" if out == "cv" else "cv":
-                    pa.nulls(len(t), pa.int64()),
+                other: pa.nulls(len(t), pa.int64()),
                 "side": pa.array(np.zeros(len(t), np.int8))})
 
         def tag_edge(t: pa.Table) -> pa.Table:
-            cols = {"key": t[key], "la": pa.nulls(len(t), pa.int64()),
-                    "eu": t["eu"], "ev": t["ev"], "w": t["w"],
-                    "side": pa.array(np.ones(len(t), np.int8))}
-            other = "cu" if out == "cv" else "cv"
-            cols[other] = (t[other] if other in t.column_names
-                           else pa.nulls(len(t), pa.int64()))
-            return pa.table(cols)
-
-        other = "cu" if out == "cv" else "cv"
+            return pa.table({
+                "key": t[key], "la": pa.nulls(len(t), pa.int64()),
+                "eu": t["eu"], "ev": t["ev"], "w": t["w"],
+                other: (t[other] if other in t.column_names
+                        else pa.nulls(len(t), pa.int64())),
+                "side": pa.array(np.ones(len(t), np.int8))})
 
         def kern(g: pd.DataFrame) -> pd.DataFrame:
             side = g["side"].to_numpy()

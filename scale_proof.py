@@ -1618,6 +1618,93 @@ def main_wedge() -> None:
     finally:
         ray.shutdown()
 
+def main_msf() -> None:
+    """Boruvka MSF at ~16M edge rows with a per-row closed-form
+    forest: 8M nodes in 1024-node path families (chain edge i->i+1
+    with w=1000+i except across family boundaries), plus heavy
+    within-family extras i->i+7 (w=10^9+i) that each close a cycle as
+    its heaviest edge.  The forest is EXACTLY the chain edges; path
+    length 1024 bounds Boruvka at ~11 rounds."""
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    FAM = 1024
+    N_FAMS = 7813
+    n_nodes = FAM * N_FAMS
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.iterative import (
+            minimum_spanning_forest)
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        def mk_edges():
+            def f(t: pa.Table) -> pa.Table:
+                i = t["id"].combine_chunks().to_numpy()
+                chain = i[(i % FAM) != FAM - 1]
+                extra = i[(i % FAM) <= FAM - 8]
+                return pa.table({
+                    "src": pa.array(np.concatenate([chain, extra])),
+                    "dst": pa.array(np.concatenate([chain + 1,
+                                                    extra + 7])),
+                    "w": pa.array(np.concatenate(
+                        [1000 + chain, 10**9 + extra]))})
+            return ray.data.range(
+                n_nodes, override_num_blocks=NCPU * 8).map_batches(
+                f, batch_format="pyarrow", zero_copy_batch=True)
+
+        n_chain = n_nodes - N_FAMS
+        n_extra = (FAM - 7) * N_FAMS
+        n_edges = n_chain + n_extra
+
+        t0 = time.perf_counter()
+        msf = minimum_spanning_forest(mk_edges(), "src", "dst", "w",
+                                      max_rounds=16)
+
+        # stream-verify: every forest row must be a chain edge with
+        # its exact weight; count + weight checksum close the set
+        def check(t: pa.Table) -> pa.Table:
+            u = t["u"].combine_chunks().to_numpy()
+            v = t["v"].combine_chunks().to_numpy()
+            w = t["w"].combine_chunks().to_numpy()
+            assert (v == u + 1).all()
+            assert (w == 1000 + u).all()
+            assert ((u % FAM) != FAM - 1).all()
+            return pa.table({
+                "n": pa.array([len(t)], pa.int64()),
+                "ws": pa.array([int(w.sum())], pa.int64())})
+
+        # iter_batches COALESCES the one-row per-block partials into
+        # multi-row batches -- fold every row, not row 0 of each batch
+        parts = [(int(n), int(ws))
+                 for b in msf.map_batches(
+                     check, batch_format="pyarrow").iter_batches(
+                     batch_format="pyarrow")
+                 for n, ws in zip(b["n"].to_pylist(),
+                                  b["ws"].to_pylist())]
+        sec = time.perf_counter() - t0
+        n_rows = sum(p[0] for p in parts)
+        wsum = sum(p[1] for p in parts)  # Python-int fold
+        assert n_rows == n_chain, (n_rows, n_chain)
+        # sum over chain edges of (1000+i): closed form via total sum
+        # minus the boundary terms i = 1024f + 1023
+        tot = 1000 * n_chain + (n_nodes * (n_nodes - 1)) // 2 - sum(
+            FAM * f + FAM - 1 for f in range(N_FAMS))
+        assert wsum == tot, (wsum, tot)
+        print(json.dumps({
+            "n_edge_rows": n_edges, "n_nodes": n_nodes,
+            "msf_rows": n_rows, "num_cpus": NCPU,
+            "sec": round(sec, 2),
+            "edge_rows_per_sec": round(n_edges / sec),
+            "calib_sec": _calib()}))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -1639,5 +1726,7 @@ if __name__ == "__main__":
         main_kcore()
     elif len(sys.argv) > 1 and sys.argv[1] == "wedge":
         main_wedge()
+    elif len(sys.argv) > 1 and sys.argv[1] == "msf":
+        main_msf()
     else:
         main()
