@@ -2580,6 +2580,33 @@ def q_ppr(sf_dir: str):
                                             n_iter=3)
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs/authorities (ops/iterative.py:hits_fixedpoint): 2
+    exact-integer iterations over the deterministic user->page event
+    graph (page = 10^6 + event_id mod 500) plus reverse page->user
+    edges for event_id % 7 == 0, so both scores are non-trivial on
+    both node classes and edge MULTIPLICITY (repeat user-page visits)
+    drives the values.  Unnormalized fixed-iteration HITS is pure
+    int64 sums, so the DuckDB oracle (2 unrolled join+aggregate
+    rounds) reproduces it bit-for-bit."""
+    from ci_log_processing_ray.ops.iterative import hits_fixedpoint
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        eid = t["event_id"].combine_chunks().to_numpy()
+        page = 10**6 + eid % 500
+        rev = eid % 7 == 0
+        return pa.table({
+            "src": pa.array(np.concatenate([uid, page[rev]])),
+            "dst": pa.array(np.concatenate([page, uid[rev]]))})
+
+    edges = ev.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return hits_fixedpoint(edges, "src", "dst", n_iter=2)
+
+
 def q_asof_forward(sf_dir: str):
     """FORWARD as-of join: each event matched to the EARLIEST order of
     the same user at or after the event time (same co-partitioning
@@ -4663,6 +4690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q_connected_components,
         "pagerank": q_pagerank,
         "ppr": q_ppr,
+        "hits": q_hits,
         "funnel": q_funnel,
         "profile": q_profile,
         "snapshot_diff": q_snapshot_diff,
@@ -5705,6 +5733,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT start, CAST(2 AS BIGINT) AS step, cur AS node FROM w2
             UNION ALL
             SELECT start, CAST(3 AS BIGINT) AS step, cur AS node FROM w3""",
+        "hits": """
+            WITH e AS (
+                SELECT user_id AS src,
+                       1000000 + event_id % 500 AS dst FROM events
+                UNION ALL
+                SELECT 1000000 + event_id % 500 AS src,
+                       user_id AS dst
+                FROM events WHERE event_id % 7 = 0),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst AS node FROM e),
+            a1 AS (SELECT nd.node,
+                          CAST(COALESCE(COUNT(e.src), 0) AS BIGINT) AS a
+                   FROM nodes nd LEFT JOIN e ON e.dst = nd.node
+                   GROUP BY nd.node),
+            h1 AS (SELECT nd.node,
+                          CAST(COALESCE(SUM(a1.a), 0) AS BIGINT) AS h
+                   FROM nodes nd LEFT JOIN e ON e.src = nd.node
+                   LEFT JOIN a1 ON a1.node = e.dst
+                   GROUP BY nd.node),
+            a2 AS (SELECT nd.node,
+                          CAST(COALESCE(SUM(h1.h), 0) AS BIGINT) AS a
+                   FROM nodes nd LEFT JOIN e ON e.dst = nd.node
+                   LEFT JOIN h1 ON h1.node = e.src
+                   GROUP BY nd.node),
+            h2 AS (SELECT nd.node,
+                          CAST(COALESCE(SUM(a2.a), 0) AS BIGINT) AS h
+                   FROM nodes nd LEFT JOIN e ON e.src = nd.node
+                   LEFT JOIN a2 ON a2.node = e.dst
+                   GROUP BY nd.node)
+            SELECT h2.node, h2.h AS hub, a2.a AS auth
+            FROM h2 JOIN a2 ON a2.node = h2.node""",
         "running_distinct": """
             WITH f AS (SELECT event_id, user_id, ts, event_type,
                               ROW_NUMBER() OVER (

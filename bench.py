@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "kmeans",
     "connected_components",
     "pagerank",
+    "hits",
     "funnel",
     "profile",
     "snapshot_diff",

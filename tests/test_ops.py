@@ -1616,6 +1616,39 @@ def test_pagerank_fixedpoint_vs_dense_reference(ray_session):
     assert 0 < out["rank_fp"].sum() <= scale
 
 
+def test_hits_fixedpoint_vs_dense_reference(ray_session):
+    from ci_log_processing_ray.ops.iterative import hits_fixedpoint
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 30, size=400)
+    dst = rng.integers(0, 30, size=400)
+    edges = ray.data.from_items(
+        [{"s": int(a), "d": int(b)} for a, b in zip(src, dst)]
+    ).repartition(5)
+    out = hits_fixedpoint(edges, "s", "d", n_iter=2).to_pandas()
+    out = out.sort_values("node").reset_index(drop=True)
+
+    # independent dense reference: same unnormalized integer semantics
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    h = np.ones(n, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(2):
+        a = np.zeros(n, dtype=np.int64)
+        for u, v in zip(src, dst):
+            a[idx[int(v)]] += h[idx[int(u)]]
+        h = np.zeros(n, dtype=np.int64)
+        for u, v in zip(src, dst):
+            h[idx[int(u)]] += a[idx[int(v)]]
+    assert (out["node"].to_numpy() == nodes).all()
+    assert (out["hub"].to_numpy() == h).all()
+    assert (out["auth"].to_numpy() == a).all()
+    # multi-edges must contribute per occurrence: total a1 mass equals
+    # the edge count after one half-round by construction
+    assert a.sum() > 0 and h.sum() > 0
+
+
 def test_funnel_first_conversion_boundaries(ray_session):
     import datetime as dt
 
