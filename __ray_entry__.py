@@ -607,6 +607,19 @@ def q_semdedup(sf_dir: str):
                     cosine_threshold=0.92)
 
 
+def q_max_coverage(sf_dir: str):
+    """Greedy maximum-coverage document selection
+    (ops/curation.py:greedy_max_coverage): 4 rounds of exact
+    marginal-gain greedy over distinct word trigrams -- the submodular
+    data-curation primitive (coverage-based subset selection).  Picks,
+    tie-breaks (smallest doc_id) and integer gains all match the
+    DuckDB 4-round unrolled CTE oracle exactly."""
+    from ci_log_processing_ray.ops.curation import greedy_max_coverage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return greedy_max_coverage(ds, "doc_id", "text", k=4, ngram=3)
+
+
 def q_dsir_select(sf_dir: str):
     """DSIR importance selection (arXiv:2302.03169,
     ops/curation.py:dsir_select): top-100 docs most 'src3'-like by
@@ -4635,6 +4648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
+        "max_coverage": q_max_coverage,
         "pca_embeddings": q_pca_embeddings,
         "lang_id": q_lang_id,
         "lang_kappa": q_lang_kappa,
@@ -5733,6 +5747,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT start, CAST(2 AS BIGINT) AS step, cur AS node FROM w2
             UNION ALL
             SELECT start, CAST(3 AS BIGINT) AS step, cur AS node FROM w3""",
+        "max_coverage": """
+            WITH l AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text),
+                              '[^a-z0-9_]+'), x -> x != '') AS w
+                       FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                         u.g[1] || ' ' || u.g[2] || ' ' || u.g[3] AS gram
+                  FROM l, LATERAL (SELECT unnest(
+                      list_zip(w, w[2:], w[3:])) AS g) u
+                  WHERE u.g[3] IS NOT NULL),
+            p1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM g GROUP BY doc_id),
+            s1 AS (SELECT doc_id, c FROM p1
+                   ORDER BY c DESC, doc_id LIMIT 1),
+            cov1 AS (SELECT DISTINCT gram FROM g
+                     WHERE doc_id = (SELECT doc_id FROM s1)),
+            p2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM g
+                   WHERE gram NOT IN (SELECT gram FROM cov1)
+                   GROUP BY doc_id),
+            s2 AS (SELECT doc_id, c FROM p2
+                   ORDER BY c DESC, doc_id LIMIT 1),
+            cov2 AS (SELECT gram FROM cov1 UNION
+                     SELECT gram FROM g
+                     WHERE doc_id = (SELECT doc_id FROM s2)),
+            p3 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM g
+                   WHERE gram NOT IN (SELECT gram FROM cov2)
+                   GROUP BY doc_id),
+            s3 AS (SELECT doc_id, c FROM p3
+                   ORDER BY c DESC, doc_id LIMIT 1),
+            cov3 AS (SELECT gram FROM cov2 UNION
+                     SELECT gram FROM g
+                     WHERE doc_id = (SELECT doc_id FROM s3)),
+            p4 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM g
+                   WHERE gram NOT IN (SELECT gram FROM cov3)
+                   GROUP BY doc_id),
+            s4 AS (SELECT doc_id, c FROM p4
+                   ORDER BY c DESC, doc_id LIMIT 1)
+            SELECT CAST(1 AS BIGINT) AS pick, doc_id, c AS gain FROM s1
+            UNION ALL SELECT 2, doc_id, c FROM s2
+            UNION ALL SELECT 3, doc_id, c FROM s3
+            UNION ALL SELECT 4, doc_id, c FROM s4""",
         "hits": """
             WITH e AS (
                 SELECT user_id AS src,

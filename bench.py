@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "apache_fields",
     "logdate_normalize",
     "dsir_select",
+    "max_coverage",
     "semdedup",
     "gopher_rules",
     "ccnet_buckets",

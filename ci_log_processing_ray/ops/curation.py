@@ -892,3 +892,122 @@ def dsir_select(
                             zero_copy_batch=True)
     return pruned.sort(["score", id_col],
                        descending=[True, False]).limit(k)
+
+
+def greedy_max_coverage(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 4,
+    ngram: int = 3,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Greedy maximum-coverage document selection -- the classic
+    submodular data-curation primitive (Nemhauser 1-1/e guarantee):
+    pick ``k`` documents, each round taking the one covering the most
+    word ``ngram``-grams NOT covered by earlier picks.  Deterministic:
+    ties break by smallest doc id; documents with zero uncovered grams
+    never win, and selection stops early once nothing is uncovered
+    (matching the SQL formulation, which drops empty-gain docs from
+    each round's ranking).
+
+    Scale shape: the distinct (doc, gram) pair table builds ONCE from
+    the flattened word stream (Arrow ``binary_join_element_wise`` gram
+    concat -- no per-row Python), pre-shrunk by an in-block Arrow
+    distinct before one hash(doc) bucketed exchange, then materializes.
+    Each of the <= k rounds is one broadcast-filtered pass over the
+    pair table emitting per-block (doc, partial-count) rows, a
+    doc-shaped ``bucketed_sum``, a per-block top-1 partial, and a tiny
+    winner-gram fetch.  The covered set grows by at most one document's
+    grams per round, so the broadcast stays k * doc_len-sized; no
+    stage ships the corpus after the initial build.
+
+    Returns a Dataset of (pick, doc_id, gain) with pick 1-based in
+    selection order and gain the exact marginal covered-gram count.
+    """
+    from ci_log_processing_ray.ops.window import (bucketed_distinct,
+                                                  bucketed_sum)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        flat, n_words = _word_stream(t[text_col])
+        total = len(flat)
+        if total < ngram:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string())})
+        doc_idx = np.repeat(np.arange(len(ids)), n_words)
+        m = total - (ngram - 1)
+        # a gram is valid only when all ngram positions fall in the
+        # same document of the flattened stream
+        same = doc_idx[:m] == doc_idx[ngram - 1:]
+        grams = pc.binary_join_element_wise(
+            *[flat.slice(j, m) for j in range(ngram)], " ")
+        tbl = pa.table({
+            "doc_id": pa.array(ids[doc_idx[:m][same]]),
+            "gram": grams.filter(pa.array(same))})
+        # in-block distinct pre-shrink (C-speed Arrow hash group-by)
+        return tbl.group_by(["doc_id", "gram"]).aggregate([])
+
+    pairs = bucketed_distinct(
+        ds.map_batches(pair_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["doc_id", "gram"], n_buckets=n_buckets).materialize()
+
+    covered: set = set()
+    out_pick: list[int] = []
+    out_doc: list[int] = []
+    out_gain: list[int] = []
+
+    _empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                           "c": pd.Series([], dtype=np.int64)})
+
+    for _round in range(k):
+        cov_ref = ray.put(sorted(covered))
+
+        def part(g: pd.DataFrame, _ref=cov_ref) -> pd.DataFrame:
+            cov = ray.get(_ref)
+            if len(cov):
+                g = g[~g["gram"].isin(cov)]
+            if not len(g):
+                return _empty
+            return g.groupby("doc_id", sort=False).size().reset_index(
+                name="c")
+
+        totals = bucketed_sum(
+            pairs.map_batches(part, batch_format="pandas"),
+            ["doc_id"], ["c"], n_buckets=n_buckets)
+
+        # per-block top-1 partial (max of maxes is the max, so block
+        # boundaries cannot change the winner), tiny driver fold
+        def top1(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g):
+                return _empty
+            best = g["c"].max()
+            doc = g.loc[g["c"] == best, "doc_id"].min()
+            return pd.DataFrame({"doc_id": [int(doc)],
+                                 "c": [int(best)]})
+
+        cands = totals.map_batches(
+            top1, batch_format="pandas").to_pandas()
+        if not len(cands):  # empty Dataset.to_pandas() drops columns
+            break
+        cands = cands[cands["c"] > 0]
+        if not len(cands):
+            break
+        best = int(cands["c"].max())
+        doc = int(cands.loc[cands["c"] == best, "doc_id"].min())
+
+        wg = pairs.map_batches(
+            lambda g, _d=doc: g.loc[g["doc_id"] == _d, ["gram"]],
+            batch_format="pandas").to_pandas()["gram"]
+        covered.update(wg.tolist())
+        out_pick.append(_round + 1)
+        out_doc.append(doc)
+        out_gain.append(best)
+
+    return ray.data.from_arrow(pa.table({
+        "pick": pa.array(out_pick, pa.int64()),
+        "doc_id": pa.array(out_doc, pa.int64()),
+        "gain": pa.array(out_gain, pa.int64())}))

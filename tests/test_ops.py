@@ -1616,6 +1616,29 @@ def test_pagerank_fixedpoint_vs_dense_reference(ray_session):
     assert 0 < out["rank_fp"].sum() <= scale
 
 
+def test_greedy_max_coverage_marginal_gains(ray_session):
+    from ci_log_processing_ray.ops.curation import greedy_max_coverage
+
+    rows = [
+        {"doc_id": 1, "text": "a b c d e f"},   # abc bcd cde def
+        {"doc_id": 2, "text": "a b c d e"},     # strict subset of doc 1
+        {"doc_id": 3, "text": "x y z w"},       # xyz yzw
+        {"doc_id": 4, "text": "c d e x y z"},   # cde dex exy xyz
+    ]
+    out = greedy_max_coverage(
+        ray.data.from_items(rows).repartition(3),
+        "doc_id", "text", k=4, ngram=3, n_buckets=4).to_pandas()
+    out = out.sort_values("pick").reset_index(drop=True)
+    # round 1: docs 1 and 4 both cover 4 grams -> tie breaks to doc 1;
+    # round 2: doc 4's marginal gain is 3 (cde already covered) --
+    # naive top-k would rank doc 2 (3 grams) here, greedy must not;
+    # round 3: doc 3 gains only yzw (xyz covered by doc 4);
+    # round 4: doc 2 has zero uncovered grams -> early stop, 3 rows.
+    assert out["pick"].tolist() == [1, 2, 3]
+    assert out["doc_id"].tolist() == [1, 4, 3]
+    assert out["gain"].tolist() == [4, 3, 1]
+
+
 def test_hits_fixedpoint_vs_dense_reference(ray_session):
     from ci_log_processing_ray.ops.iterative import hits_fixedpoint
 
