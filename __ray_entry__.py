@@ -1447,6 +1447,31 @@ def q_flagship_counts(sf_dir: str):
     return res.counts.to_pandas()
 
 
+def q_autocorr(sf_dir: str):
+    """Per-user lag-1 autocorrelation of event values in exact permille
+    (ops/window.py:autocorr_by_group): serial-dependence feature over
+    each user's (ts, event_id)-ordered cents series -- one coarse
+    bucketed exchange, masked-reduceat sufficient statistics, exact
+    Python-int num/den assembly (n^2 * sum(x_t * x_{t+1}) overflows
+    int64 on long series; the DuckDB oracle runs the same formula in
+    HUGEINT)."""
+    from ci_log_processing_ray.ops.window import autocorr_by_group
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"].combine_chunks(),
+            "ts": t["ts"].combine_chunks(),
+            "event_id": t["event_id"].combine_chunks(),
+            "cents": _cents(t["value"])})
+
+    return autocorr_by_group(
+        ds.map_batches(to_cents, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", ["ts", "event_id"], "cents", lag=1)
+
+
 def q_lag_gap(sf_dir: str):
     """lag()-style window: microseconds since the previous event of the
     same user (sentinel -1 for each user's first event).  One coarse
@@ -4658,6 +4683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apache_fields": q_apache_fields,
         "logdate_normalize": q_logdate_normalize,
         "lag_gap": q_lag_gap,
+        "autocorr": q_autocorr,
         "explode_embeddings": q_explode_embeddings,
         "quantile_qty": q_quantile_qty,
         "repetition_score": q_repetition_score,
@@ -5747,6 +5773,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT start, CAST(2 AS BIGINT) AS step, cur AS node FROM w2
             UNION ALL
             SELECT start, CAST(3 AS BIGINT) AS step, cur AS node FROM w3""",
+        "autocorr": """
+            WITH b AS (SELECT user_id,
+                              CAST(floor(value*100 + 0.5) AS BIGINT) AS x,
+                              ts, event_id FROM events),
+            o AS (SELECT user_id, x,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS rn,
+                         COUNT(*) OVER (PARTITION BY user_id) AS n
+                  FROM b),
+            p AS (SELECT o.user_id,
+                         SUM(CAST(o.x AS HUGEINT) * o2.x) AS pp
+                  FROM o JOIN o o2 ON o2.user_id = o.user_id
+                                  AND o2.rn = o.rn + 1
+                  GROUP BY o.user_id),
+            s AS (SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+                         SUM(CAST(x AS HUGEINT)) AS ss,
+                         SUM(CAST(x AS HUGEINT) * x) AS qq,
+                         SUM(CASE WHEN rn <= 1
+                                  THEN CAST(x AS HUGEINT) ELSE 0 END) AS hh,
+                         SUM(CASE WHEN rn > n - 1
+                                  THEN CAST(x AS HUGEINT) ELSE 0 END) AS tt
+                  FROM o GROUP BY user_id),
+            f AS (SELECT s.user_id, s.n,
+                         s.n*s.n*p.pp - s.n*s.ss*(2*s.ss - s.tt - s.hh)
+                           + (s.n-1)*s.ss*s.ss AS num,
+                         s.n*s.n*s.qq - s.n*s.ss*s.ss AS den
+                  FROM s JOIN p ON p.user_id = s.user_id
+                  WHERE s.n > 1)
+            SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+                   CAST(CASE WHEN num < 0 THEN -((1000*(-num)) // den)
+                             ELSE (1000*num) // den END AS BIGINT)
+                       AS acf_permille
+            FROM f WHERE den > 0""",
         "max_coverage": """
             WITH l AS (SELECT doc_id,
                           list_filter(string_split_regex(lower(text),

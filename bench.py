@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "logdate_normalize",
     "dsir_select",
     "max_coverage",
+    "autocorr",
     "semdedup",
     "gopher_rules",
     "ccnet_buckets",

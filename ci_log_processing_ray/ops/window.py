@@ -222,6 +222,96 @@ def lag_diff_by_group(
     return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
 
 
+def autocorr_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    lag: int = 1,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-group lag-``k`` sample autocorrelation, EXACT in permille --
+    the serial-dependence / behavioral-regularity feature (is a user's
+    next value predictable from the current one?).  For the group's
+    series x_1..x_n in ``order_cols`` order (int64 values):
+
+        num = sum_{t<=n-k} (n*x_t - S)(n*x_{t+k} - S)
+        den = sum_{t<=n}   (n*x_t - S)^2        (S = sum x)
+        acf_permille = sign(num) * (1000*|num|) // den
+
+    (the usual acf with the mean cleared of division by scaling both
+    factors by n; truncation toward zero is part of the contract so a
+    SQL engine agrees bit-for-bit).  Groups with n <= lag or den = 0
+    (constant series) are dropped.
+
+    Scale shape: one coarse hash(group) bucketed exchange (the
+    corpus-shaped-group contract of :func:`lag_diff_by_group` -- groups
+    must fit a bucket, the natural shape for per-user/per-session
+    series).  Inside the bucket everything is sort-once + masked
+    ``np.add.reduceat`` per-group partials (P = lagged products,
+    S, Q, head/tail sums) -- no per-row Python; the final num/den
+    assembly runs per GROUP in exact Python ints because n^2 * P
+    overflows int64 on long series (group-count-shaped, same class as
+    the documented md5-per-key loops).
+
+    Returns (group_col, n_obs, acf_permille), all int64.
+    """
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            group_col: pd.Series([], dtype=np.int64),
+            "n_obs": pd.Series([], dtype=np.int64),
+            "acf_permille": pd.Series([], dtype=np.int64)})
+        if not len(g):
+            return empty
+        g = g.sort_values([group_col] + order_cols, kind="mergesort")
+        key = g[group_col].to_numpy()
+        x = g[value_col].to_numpy().astype(np.int64)
+        m = len(x)
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], m]
+        n = (ends - starts).astype(np.int64)
+        S = np.add.reduceat(x, starts)
+        Q = np.add.reduceat(x * x, starts)
+        prod = np.zeros(m, np.int64)
+        if m > lag:
+            valid = key[:-lag] == key[lag:]
+            prod[:m - lag] = np.where(valid, x[:-lag] * x[lag:], 0)
+        P = np.add.reduceat(prod, starts)
+        pos = np.arange(m) - np.repeat(starts, n)
+        H = np.add.reduceat(np.where(pos < lag, x, 0), starts)
+        T = np.add.reduceat(
+            np.where(pos >= np.repeat(n, n) - lag, x, 0), starts)
+        out_k: list[int] = []
+        out_n: list[int] = []
+        out_a: list[int] = []
+        for i in range(len(starts)):
+            ni = int(n[i])
+            if ni <= lag:
+                continue
+            Si, Pi, Qi = int(S[i]), int(P[i]), int(Q[i])
+            Hi, Ti = int(H[i]), int(T[i])
+            num = (ni * ni * Pi - ni * Si * (2 * Si - Ti - Hi)
+                   + (ni - lag) * Si * Si)
+            den = ni * ni * Qi - ni * Si * Si
+            if den <= 0:
+                continue
+            acf = (-((1000 * -num) // den) if num < 0
+                   else (1000 * num) // den)
+            out_k.append(int(key[starts[i]]))
+            out_n.append(ni)
+            out_a.append(acf)
+        return pd.DataFrame({
+            group_col: np.array(out_k, np.int64),
+            "n_obs": np.array(out_n, np.int64),
+            "acf_permille": np.array(out_a, np.int64)})
+
+    return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
+
+
 def running_total_by_group(
     ds: "ray.data.Dataset",
     group_col: str,

@@ -1616,6 +1616,37 @@ def test_pagerank_fixedpoint_vs_dense_reference(ray_session):
     assert 0 < out["rank_fp"].sum() <= scale
 
 
+def test_autocorr_by_group_exact(ray_session):
+    from ci_log_processing_ray.ops.window import autocorr_by_group
+
+    series = {
+        1: [10, 20, 30, 40, 50],       # rising -> positive acf
+        2: [10, 50, 10, 50, 10, 50],   # alternating -> negative acf
+        3: [7, 7, 7],                  # constant -> den=0, dropped
+        4: [99],                       # n <= lag, dropped
+    }
+    rows = [{"g": g, "ord": i, "x": v}
+            for g, xs in series.items() for i, v in enumerate(xs)]
+    out = autocorr_by_group(
+        ray.data.from_items(rows).repartition(4),
+        "g", ["ord"], "x", lag=1, n_buckets=4).to_pandas()
+    out = out.sort_values("g").reset_index(drop=True)
+
+    def ref(xs, k=1):
+        n, S = len(xs), sum(xs)
+        num = sum((n * xs[t] - S) * (n * xs[t + k] - S)
+                  for t in range(n - k))
+        den = sum((n * x - S) ** 2 for x in xs)
+        return (-((1000 * -num) // den) if num < 0
+                else (1000 * num) // den)
+
+    assert out["g"].tolist() == [1, 2]
+    assert out["n_obs"].tolist() == [5, 6]
+    assert out["acf_permille"].tolist() == [ref(series[1]),
+                                            ref(series[2])]
+    assert out["acf_permille"].iloc[0] > 0 > out["acf_permille"].iloc[1]
+
+
 def test_greedy_max_coverage_marginal_gains(ray_session):
     from ci_log_processing_ray.ops.curation import greedy_max_coverage
 
