@@ -1472,6 +1472,18 @@ def q_autocorr(sf_dir: str):
         "user_id", ["ts", "event_id"], "cents", lag=1)
 
 
+def q_hhi(sf_dir: str):
+    """Per-user Herfindahl-Hirschman event-type concentration in exact
+    permille (ops/groupagg.py:hhi_by_group): the is-this-entity's-mix-
+    single-typed audit; corpus-shaped groups, so per-block partial
+    counts + one coarse bucketed exchange (never the native
+    per-distinct-group merge)."""
+    from ci_log_processing_ray.ops.groupagg import hhi_by_group
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return hhi_by_group(ds, "user_id", "event_type")
+
+
 def q_lag_gap(sf_dir: str):
     """lag()-style window: microseconds since the previous event of the
     same user (sentinel -1 for each user's first event).  One coarse
@@ -4684,6 +4696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logdate_normalize": q_logdate_normalize,
         "lag_gap": q_lag_gap,
         "autocorr": q_autocorr,
+        "hhi": q_hhi,
         "explode_embeddings": q_explode_embeddings,
         "quantile_qty": q_quantile_qty,
         "repetition_score": q_repetition_score,
@@ -5773,6 +5786,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT start, CAST(2 AS BIGINT) AS step, cur AS node FROM w2
             UNION ALL
             SELECT start, CAST(3 AS BIGINT) AS step, cur AS node FROM w3""",
+        "hhi": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM events GROUP BY user_id, event_type),
+            a AS (SELECT user_id,
+                         CAST(SUM(cnt) AS BIGINT) AS n,
+                         CAST(SUM(cnt*cnt) AS BIGINT) AS s2
+                  FROM c GROUP BY user_id)
+            SELECT user_id, n,
+                   CAST((1000 * s2) // (n * n) AS BIGINT)
+                       AS hhi_permille
+            FROM a""",
         "autocorr": """
             WITH b AS (SELECT user_id,
                               CAST(floor(value*100 + 0.5) AS BIGINT) AS x,

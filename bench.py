@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "max_coverage",
     "autocorr",
+    "hhi",
     "semdedup",
     "gopher_rules",
     "ccnet_buckets",

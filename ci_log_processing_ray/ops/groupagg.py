@@ -827,6 +827,62 @@ def gini_impurity_by_group(
                                               batch_format="pandas")
 
 
+def hhi_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    label_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-group Herfindahl-Hirschman concentration of a categorical
+    label, exact permille: ``hhi_permille = (1000 * sum_c c^2) // n^2``
+    with per-class counts c and n rows -- 1000 = all mass on one class,
+    ~1000/k = uniform over k classes.  The single-denominator dual of
+    :func:`gini_impurity_by_group` (hhi = 1000 - gini up to
+    truncation), kept separate because consumers threshold on
+    concentration directly (e.g. "is this user's event mix
+    single-typed?").
+
+    Scale shape: unlike gini's vocabulary-keyed native groupby, groups
+    here are CORPUS-shaped (per-user/per-session), so blocks collapse
+    to (group, label, cnt) partials and ONE coarse hash(group) bucketed
+    exchange finishes both the (group,label) sum and the per-group
+    rational -- the ops/window.py rule for corpus-shaped keys.  The
+    int64 bound is n < ~3e6 rows per group (1000 * n^2 < 2^63);
+    per-entity groups sit far below it at any corpus size.
+
+    Output: (group_col, n, hhi_permille), all int64."""
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby([group_col, label_col], sort=False)
+               .size().reset_index(name="cnt"))
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                group_col: pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "hhi_permille": pd.Series([], dtype=np.int64)})
+        c = (g.groupby([group_col, label_col], sort=False)["cnt"]
+             .sum().reset_index())
+        c["sq"] = c["cnt"] * c["cnt"]
+        agg = (c.groupby(group_col, sort=False)
+               .agg(n=("cnt", "sum"), s2=("sq", "sum")).reset_index())
+        n = agg["n"].to_numpy(np.int64)
+        s2 = agg["s2"].to_numpy(np.int64)
+        return pd.DataFrame({
+            group_col: agg[group_col].to_numpy(np.int64),
+            "n": n,
+            "hhi_permille": (1000 * s2) // (n * n)})
+
+    return bucketed_groups(
+        ds.map_batches(partial, batch_format="pandas"),
+        group_col, kern, n_buckets=n_buckets)
+
+
 def ks_wasserstein_two_sample(
     ds: "ray.data.Dataset",
     value_col: str,

@@ -1705,6 +1705,68 @@ def main_msf() -> None:
         ray.shutdown()
 
 
+
+def main_cov() -> None:
+    """Greedy max-coverage at ~1M docs with a closed-form pick
+    sequence: every doc = 12 shared words (10 shared trigrams) + a
+    doc-unique word run, so round-1 gain is L_i + 10 and every later
+    gain is exactly L_i (the shared grams are covered by pick 1,
+    the 2 boundary grams + L_i - 2 interior grams stay doc-unique).
+    8 planted long docs (L = 100..107 at known ids) dominate the
+    L <= 59 background, so the greedy order, ids AND exact integer
+    gains are all known in closed form."""
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    N_DOCS = 1_000_000
+    K = 8
+    SPECIAL = {13 + 125_000 * j: 107 - j for j in range(K)}
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.curation import greedy_max_coverage
+
+        shared = " ".join(f"s{t}" for t in range(12))
+
+        def mk_docs(t: pa.Table) -> pa.Table:
+            ids = t["id"].combine_chunks().to_numpy()
+            texts = []
+            for i in ids:
+                L = SPECIAL.get(int(i), 10 + int(i) % 50)
+                texts.append(shared + " " + " ".join(
+                    f"u{i}_{t}" for t in range(L)))
+            return pa.table({"doc_id": pa.array(ids),
+                             "text": pa.array(texts, pa.string())})
+
+        docs = ray.data.range(
+            N_DOCS, override_num_blocks=NCPU * 8).map_batches(
+            mk_docs, batch_format="pyarrow", zero_copy_batch=True)
+
+        t0 = time.perf_counter()
+        out = greedy_max_coverage(docs, "doc_id", "text",
+                                  k=K, ngram=3).to_pandas()
+        sec = time.perf_counter() - t0
+
+        order = sorted(SPECIAL.items(), key=lambda kv: -kv[1])
+        exp_ids = [d for d, _ in order]
+        exp_gains = [order[0][1] + 10] + [L for _, L in order[1:]]
+        assert out["pick"].tolist() == list(range(1, K + 1)), out
+        assert out["doc_id"].tolist() == exp_ids, (out, exp_ids)
+        assert out["gain"].tolist() == exp_gains, (out, exp_gains)
+        # ~34.5 distinct grams per background doc + the shared block
+        n_pairs = sum(
+            (SPECIAL.get(i, 10 + i % 50) + 12) for i in range(N_DOCS))
+        print(json.dumps({
+            "n_docs": N_DOCS, "n_pair_rows": n_pairs, "k": K,
+            "num_cpus": NCPU, "sec": round(sec, 2),
+            "docs_per_sec": round(N_DOCS / sec),
+            "calib_sec": _calib()}))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -1728,5 +1790,7 @@ if __name__ == "__main__":
         main_wedge()
     elif len(sys.argv) > 1 and sys.argv[1] == "msf":
         main_msf()
+    elif len(sys.argv) > 1 and sys.argv[1] == "cov":
+        main_cov()
     else:
         main()

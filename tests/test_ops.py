@@ -1616,6 +1616,26 @@ def test_pagerank_fixedpoint_vs_dense_reference(ray_session):
     assert 0 < out["rank_fp"].sum() <= scale
 
 
+def test_hhi_by_group_pure_and_uniform(ray_session):
+    from ci_log_processing_ray.ops.groupagg import hhi_by_group
+
+    rows = (
+        # group 1: pure -> 1000
+        [{"g": 1, "lab": "a"}] * 5
+        # group 2: uniform over 4 classes -> (1000*4*9)//(36) = 250
+        + [{"g": 2, "lab": l} for l in "abcd" for _ in range(3)]
+        # group 3: skewed 3/1 -> (1000*(9+1))//16 = 625
+        + [{"g": 3, "lab": "a"}] * 3 + [{"g": 3, "lab": "b"}]
+    )
+    out = hhi_by_group(
+        ray.data.from_items(rows).repartition(4),
+        "g", "lab", n_buckets=4).to_pandas()
+    out = out.sort_values("g").reset_index(drop=True)
+    assert out["g"].tolist() == [1, 2, 3]
+    assert out["n"].tolist() == [5, 12, 4]
+    assert out["hhi_permille"].tolist() == [1000, 250, 625]
+
+
 def test_autocorr_by_group_exact(ray_session):
     from ci_log_processing_ray.ops.window import autocorr_by_group
 
