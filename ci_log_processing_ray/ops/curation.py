@@ -999,9 +999,14 @@ def greedy_max_coverage(
         best = int(cands["c"].max())
         doc = int(cands.loc[cands["c"] == best, "doc_id"].min())
 
+        def fetch(g: pd.DataFrame, _d=doc) -> pa.Table:
+            # Arrow out: pandas 0-row object frames trip Ray's block
+            # size estimator (vectorize-on-empty log noise)
+            vals = g.loc[g["doc_id"] == _d, "gram"]
+            return pa.table({"gram": pa.array(vals, pa.string())})
+
         wg = pairs.map_batches(
-            lambda g, _d=doc: g.loc[g["doc_id"] == _d, ["gram"]],
-            batch_format="pandas").to_pandas()["gram"]
+            fetch, batch_format="pandas").to_pandas()["gram"]
         covered.update(wg.tolist())
         out_pick.append(_round + 1)
         out_doc.append(doc)
