@@ -1767,6 +1767,84 @@ def main_cov() -> None:
         ray.shutdown()
 
 
+
+def main_acf() -> None:
+    """Lag-1 autocorrelation at ~40M rows / 1000 groups, each group a
+    SAWTOOTH x_t = t mod m_g with per-group period m_g = 2 + (g % 97)
+    and n_g = m_g * (40000 // m_g) rows -- the acf varies strongly
+    with the period (m=2 alternating ~ -1000, long ramps ~ +990), and
+    every group has an exact closed-form truth (per-cycle Faulhaber
+    sums; cycle-boundary lag products are zero by construction).
+    Verifies all 1000 (group, n_obs, acf_permille) rows."""
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    G = 1000
+    m_g = np.array([2 + (g % 97) for g in range(G)], np.int64)
+    n_g = m_g * (40000 // m_g)
+    bounds = np.concatenate([[0], np.cumsum(n_g)])
+    total = int(bounds[-1])
+
+    def expected(m: int, n: int) -> int:
+        r = n // m
+        T1 = m * (m - 1) // 2                       # sum j, j<m
+        T2 = (m - 1) * m * (2 * m - 1) // 6         # sum j^2, j<m
+        T1p = (m - 2) * (m - 1) // 2                # sum j, j<=m-2
+        T2p = (m - 2) * (m - 1) * (2 * m - 3) // 6  # sum j^2, j<=m-2
+        S = r * T1
+        Q = r * T2
+        P = r * (T2p + T1p)         # sum j(j+1), j = 0..m-2, per cycle
+        H, T = 0, m - 1             # first and last element (lag 1)
+        num = n * n * P - n * S * (2 * S - T - H) + (n - 1) * S * S
+        den = n * n * Q - n * S * S
+        return (-((1000 * -num) // den) if num < 0
+                else (1000 * num) // den)
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.window import autocorr_by_group
+
+        b_ref = ray.put((bounds, m_g))
+
+        def mk(t: pa.Table, _ref=b_ref) -> pa.Table:
+            bd, mm = ray.get(_ref)
+            rid = t["id"].combine_chunks().to_numpy()
+            g = (np.searchsorted(bd, rid, side="right") - 1).astype(
+                np.int64)
+            x = (rid - bd[g]) % mm[g]
+            return pa.table({"g": pa.array(g), "ord": pa.array(rid),
+                             "x": pa.array(x)})
+
+        ds = ray.data.range(
+            total, override_num_blocks=NCPU * 8).map_batches(
+            mk, batch_format="pyarrow", zero_copy_batch=True)
+
+        t0 = time.perf_counter()
+        out = autocorr_by_group(ds, "g", ["ord"], "x",
+                                lag=1).to_pandas()
+        sec = time.perf_counter() - t0
+        out = out.sort_values("g").reset_index(drop=True)
+        assert len(out) == G, len(out)
+        assert (out["g"].to_numpy() == np.arange(G)).all()
+        assert (out["n_obs"].to_numpy() == n_g).all()
+        exp = np.array([expected(int(m), int(n))
+                        for m, n in zip(m_g, n_g)], np.int64)
+        assert (out["acf_permille"].to_numpy() == exp).all(), (
+            out["acf_permille"].to_numpy()[:5], exp[:5])
+        print(json.dumps({
+            "n_rows": total, "n_groups": G, "num_cpus": NCPU,
+            "sec": round(sec, 2),
+            "rows_per_sec": round(total / sec),
+            "acf_min": int(exp.min()), "acf_max": int(exp.max()),
+            "n_distinct_acf": int(len(set(exp.tolist()))),
+            "calib_sec": _calib()}))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -1792,5 +1870,7 @@ if __name__ == "__main__":
         main_msf()
     elif len(sys.argv) > 1 and sys.argv[1] == "cov":
         main_cov()
+    elif len(sys.argv) > 1 and sys.argv[1] == "acf":
+        main_acf()
     else:
         main()
