@@ -1484,6 +1484,45 @@ def q_hhi(sf_dir: str):
     return hhi_by_group(ds, "user_id", "event_type")
 
 
+def q_benford(sf_dir: str):
+    """Benford first-digit audit (ops/profile.py:benford_deviation)
+    over lineitem extended-price cents -- the fabricated-data /
+    unit-mixup detector; per-block Arrow leading-digit counts, one
+    9-key vocabulary groupby, fixed integer Benford constants shared
+    verbatim with the oracle."""
+    from ci_log_processing_ray.ops.profile import benford_deviation
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"x": _cents(t["l_extendedprice"])})
+
+    return benford_deviation(
+        ds.map_batches(cents, batch_format="pyarrow",
+                       zero_copy_batch=True), "x")
+
+
+def q_fano(sf_dir: str):
+    """Per-user burstiness (ops/groupagg.py:fano_by_group): exact
+    permille Fano factor of daily event counts over observed days --
+    corpus-shaped groups, per-block (user, day, cnt) partials + one
+    coarse bucketed exchange."""
+    from ci_log_processing_ray.ops.groupagg import fano_by_group
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"].combine_chunks(),
+            "day": pa.array(us // 86_400_000_000)})
+
+    return fano_by_group(
+        ds.map_batches(day, batch_format="pyarrow",
+                       zero_copy_batch=True), "user_id", "day")
+
+
 def q_lag_gap(sf_dir: str):
     """lag()-style window: microseconds since the previous event of the
     same user (sentinel -1 for each user's first event).  One coarse
@@ -4697,6 +4736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_gap": q_lag_gap,
         "autocorr": q_autocorr,
         "hhi": q_hhi,
+        "benford": q_benford,
+        "fano": q_fano,
         "explode_embeddings": q_explode_embeddings,
         "quantile_qty": q_quantile_qty,
         "repetition_score": q_repetition_score,
@@ -5786,6 +5827,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT start, CAST(2 AS BIGINT) AS step, cur AS node FROM w2
             UNION ALL
             SELECT start, CAST(3 AS BIGINT) AS step, cur AS node FROM w3""",
+        "benford": """
+            WITH v AS (SELECT CAST(floor(l_extendedprice*100 + 0.5)
+                                   AS BIGINT) AS x FROM lineitem),
+            d AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1)
+                              AS BIGINT) AS dig FROM v WHERE x > 0),
+            c AS (SELECT dig, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM d GROUP BY dig),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+            b(dig, bp) AS (VALUES (1, 301), (2, 176), (3, 124),
+                                  (4, 96), (5, 79), (6, 66),
+                                  (7, 57), (8, 51), (9, 45))
+            SELECT c.dig AS digit, c.n,
+                   CAST((1000 * c.n) // t.nn AS BIGINT) AS obs_permille,
+                   CAST(b.bp AS BIGINT) AS benford_permille,
+                   CAST(abs((1000 * c.n) // t.nn - b.bp) AS BIGINT)
+                       AS abs_dev_permille
+            FROM c, t JOIN b ON b.dig = c.dig""",
+        "fano": """
+            WITH c AS (SELECT user_id,
+                              CAST(ts AS DATE) AS d,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM events GROUP BY user_id, d),
+            a AS (SELECT user_id,
+                         CAST(COUNT(*) AS BIGINT) AS n_units,
+                         CAST(SUM(cnt) AS BIGINT) AS s,
+                         CAST(SUM(cnt*cnt) AS BIGINT) AS q
+                  FROM c GROUP BY user_id)
+            SELECT user_id, n_units, s AS n_events,
+                   CAST((1000 * (n_units*q - s*s)) // (n_units*s)
+                        AS BIGINT) AS fano_permille
+            FROM a""",
         "hhi": """
             WITH c AS (SELECT user_id, event_type,
                               CAST(COUNT(*) AS BIGINT) AS cnt

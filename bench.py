@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "max_coverage",
     "autocorr",
     "hhi",
+    "benford",
+    "fano",
     "semdedup",
     "gopher_rules",
     "ccnet_buckets",

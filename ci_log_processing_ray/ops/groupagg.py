@@ -883,6 +883,67 @@ def hhi_by_group(
         group_col, kern, n_buckets=n_buckets)
 
 
+def fano_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    unit_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-group burstiness (Fano factor) of event counts per unit
+    (e.g. per day), exact permille: with per-unit counts c over the
+    group's n observed units and S = total events,
+
+        fano_permille = (1000 * (n * sum(c^2) - S^2)) // (n * S)
+
+    (population variance-to-mean; ~1000 = Poisson-like, >>1000 =
+    bursty, ->0 = metronomic).  Cauchy-Schwarz keeps the numerator
+    non-negative, so truncation equals floor and SQL agrees exactly.
+    Units are OBSERVED units only (zero-count units need a calendar
+    grid -- compose with resample_grid when that is the contract).
+
+    Scale shape: per-block (group, unit, cnt) partials + one coarse
+    hash(group) bucketed exchange finishing the (group,unit) sum and
+    the per-group rational (corpus-shaped groups).  int64 bound:
+    n * sum(c^2) < 2^63 -- safe while any group's event count stays
+    under ~3e6 per unit.
+
+    Output: (group_col, n_units, n_events, fano_permille), int64."""
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby([group_col, unit_col], sort=False)
+               .size().reset_index(name="cnt"))
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                group_col: pd.Series([], dtype=np.int64),
+                "n_units": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "fano_permille": pd.Series([], dtype=np.int64)})
+        c = (g.groupby([group_col, unit_col], sort=False)["cnt"]
+             .sum().reset_index())
+        c["sq"] = c["cnt"] * c["cnt"]
+        agg = (c.groupby(group_col, sort=False)
+               .agg(n=("cnt", "size"), s=("cnt", "sum"),
+                    q=("sq", "sum")).reset_index())
+        n = agg["n"].to_numpy(np.int64)
+        s = agg["s"].to_numpy(np.int64)
+        q = agg["q"].to_numpy(np.int64)
+        return pd.DataFrame({
+            group_col: agg[group_col].to_numpy(np.int64),
+            "n_units": n,
+            "n_events": s,
+            "fano_permille": (1000 * (n * q - s * s)) // (n * s)})
+
+    return bucketed_groups(
+        ds.map_batches(partial, batch_format="pandas"),
+        group_col, kern, n_buckets=n_buckets)
+
+
 def ks_wasserstein_two_sample(
     ds: "ray.data.Dataset",
     value_col: str,

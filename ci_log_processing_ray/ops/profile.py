@@ -202,3 +202,58 @@ def dataset_checksum(
     return pa.table({
         "n_rows": pa.array([int(parts["n"].sum())], pa.int64()),
         "checksum": pa.array([checksum], pa.int64())})
+
+
+# floor(1000 * log10(1 + 1/d)) for d = 1..9 -- fixed integer contract
+# (hardcoded so the engine and any SQL oracle share EXACT constants
+# rather than each re-deriving floats)
+BENFORD_PERMILLE = (301, 176, 124, 96, 79, 66, 57, 51, 45)
+
+
+def benford_deviation(
+    ds: ray.data.Dataset,
+    value_col: str,
+) -> ray.data.Dataset:
+    """First-digit Benford's-law audit of a positive int64 column --
+    the classic fabricated-data / unit-mixup detector for financial
+    and measurement fields.  Emits one row per leading digit 1..9:
+    observed count, observed permille (floor), the fixed Benford
+    permille constant, and the absolute deviation.
+
+    Scale shape: embarrassingly parallel -- per-block leading-digit
+    counts (Arrow cast-to-string + slice, no per-row Python), one
+    9-key vocabulary-sized groupby sum, constants applied in a final
+    tiny kernel.  Non-positive values are excluded (Benford is
+    defined on positive magnitudes).
+
+    Output: (digit, n, obs_permille, benford_permille,
+    abs_dev_permille), all int64.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[value_col].combine_chunks()
+        x = x.filter(pc.greater(x, 0))
+        lead = pc.utf8_slice_codeunits(
+            pc.cast(x, pa.string()), 0, 1)
+        dig = pc.cast(lead, pa.int64())
+        vc = dig.value_counts()
+        return pa.table({"digit": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("digit").sum("n").to_pandas())
+    dig = counts["digit"].to_numpy().astype(np.int64)
+    n = counts["sum(n)"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    obs = (1000 * n) // max(total, 1)
+    bp = np.array([BENFORD_PERMILLE[d - 1] for d in dig], np.int64)
+    order = np.argsort(dig)
+    return ray.data.from_arrow(pa.table({
+        "digit": pa.array(dig[order]),
+        "n": pa.array(n[order]),
+        "obs_permille": pa.array(obs[order]),
+        "benford_permille": pa.array(bp[order]),
+        "abs_dev_permille": pa.array(np.abs(obs - bp)[order])}))

@@ -1616,6 +1616,43 @@ def test_pagerank_fixedpoint_vs_dense_reference(ray_session):
     assert 0 < out["rank_fp"].sum() <= scale
 
 
+def test_benford_deviation_counts(ray_session):
+    from ci_log_processing_ray.ops.profile import benford_deviation
+
+    vals = [1, 19, 250, 2, 29, 35, 9999, 1, 111, 0, -7]  # 0/-7 dropped
+    out = benford_deviation(
+        ray.data.from_items([{"x": v} for v in vals]).repartition(3),
+        "x").to_pandas()
+    got = dict(zip(out["digit"], out["n"]))
+    assert got == {1: 4, 2: 3, 3: 1, 9: 1}
+    row1 = out[out["digit"] == 1].iloc[0]
+    assert row1["obs_permille"] == (1000 * 4) // 9
+    assert row1["benford_permille"] == 301
+    assert row1["abs_dev_permille"] == abs((1000 * 4) // 9 - 301)
+
+
+def test_fano_by_group_burstiness(ray_session):
+    from ci_log_processing_ray.ops.groupagg import fano_by_group
+
+    rows = (
+        # group 1: 2 events on each of 3 days -> variance 0 -> fano 0
+        [{"g": 1, "d": d} for d in (10, 11, 12) for _ in range(2)]
+        # group 2: counts [1,1,4] -> (1000*(3*18-36))//(3*6) = 1000
+        + [{"g": 2, "d": 20}, {"g": 2, "d": 21}]
+        + [{"g": 2, "d": 22}] * 4
+        # group 3: single day -> fano 0
+        + [{"g": 3, "d": 30}] * 5
+    )
+    out = fano_by_group(
+        ray.data.from_items(rows).repartition(4),
+        "g", "d", n_buckets=4).to_pandas()
+    out = out.sort_values("g").reset_index(drop=True)
+    assert out["g"].tolist() == [1, 2, 3]
+    assert out["n_units"].tolist() == [3, 3, 1]
+    assert out["n_events"].tolist() == [6, 6, 5]
+    assert out["fano_permille"].tolist() == [0, 1000, 0]
+
+
 def test_hhi_by_group_pure_and_uniform(ray_session):
     from ci_log_processing_ray.ops.groupagg import hhi_by_group
 
