@@ -196,25 +196,56 @@ def repetition_score(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.da
     word-bigram count, distinct-bigram count, and integer duplicate
     percentage ``100*(n - n_distinct) // max(n, 1)``.
 
-    All-integer outputs (value-hash safe).  Tokenization is the shared
-    WORD_RE so the SQL oracle (regexp_extract_all + list_transform +
+    All-integer outputs (value-hash safe).  Tokenization splits on
+    non-word runs (identical token stream to the shared WORD_RE
+    findall) so the SQL oracle (regexp_extract_all + list_transform +
     list_distinct) agrees exactly.  Embarrassingly parallel -- no
-    shuffle; the per-doc set build runs in-worker over the found-word
-    lists."""
+    shuffle; the whole batch runs as ONE flattened word stream --
+    dictionary-encode words to int codes, pack (doc, c1, c2) into one
+    int64 key and count distinct via a single np.unique (exact, no
+    hashing-only shortcut; ~1.8x over the per-document Python set
+    builds on 100-word docs, BASELINE.md session 8).  Blocks whose
+    docs * vocab^2 would overflow the packed key fall back to an Arrow
+    hash-distinct over the string triple."""
 
     def score(t: pa.Table) -> pa.Table:
-        ser = pd.Series(pc.utf8_lower(t[text_col].combine_chunks()).to_pandas())
-        words = ser.str.findall(WORD_RE)
-
-        def counts(ws: list) -> tuple[int, int]:
-            n = max(len(ws) - 1, 0)
-            if n == 0:
-                return (0, 0)
-            return (n, len(set(zip(ws, ws[1:]))))
-
-        pairs = words.map(counts)
-        n = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
-        nd = np.fromiter((p[1] for p in pairs), dtype=np.int64, count=len(pairs))
+        texts = pc.utf8_lower(t[text_col].combine_chunks())
+        wl = pc.split_pattern_regex(pc.fill_null(texts, ""),
+                                    pattern=r"[^a-z0-9_]+")
+        raw = np.diff(wl.offsets.to_numpy())
+        flat = wl.flatten()
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        cv = np.concatenate([[0], np.cumsum(keep_np)])
+        offs = np.concatenate([[0], np.cumsum(raw)])
+        n_words = (cv[offs[1:]] - cv[offs[:-1]]).astype(np.int64)
+        flat = flat.filter(keep)
+        total = int(len(flat))
+        n = np.maximum(n_words - 1, 0)
+        nd = np.zeros(len(n_words), np.int64)
+        if total >= 2:
+            doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64),
+                                n_words)
+            m = total - 1
+            same = doc_idx[:m] == doc_idx[1:]
+            codes = pc.cast(flat.dictionary_encode().indices,
+                            pa.int64()).to_numpy()
+            V = int(codes.max()) + 1
+            if len(n_words) * V * V < 2**62:  # Python-int check
+                key = (doc_idx[:m] * V + codes[:m]) * V + codes[1:]
+                uk = np.unique(key[same])
+                d = uk // (V * V)
+                starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+                nd[d[starts]] = np.diff(np.r_[starts, len(d)])
+            else:
+                pairs = pa.table({
+                    "d": pa.array(doc_idx[:m][same]),
+                    "w1": flat.slice(0, m).filter(pa.array(same)),
+                    "w2": flat.slice(1, m).filter(pa.array(same))})
+                dist = pairs.group_by(["d", "w1", "w2"]).aggregate([])
+                vc = dist["d"].combine_chunks().value_counts()
+                nd[vc.field("values").to_numpy()] = pc.cast(
+                    vc.field("counts"), pa.int64()).to_numpy()
         dup_pct = (100 * (n - nd)) // np.maximum(n, 1)
         return pa.table({
             id_col: t[id_col],
