@@ -1845,6 +1845,87 @@ def main_acf() -> None:
         ray.shutdown()
 
 
+
+def main_hits() -> None:
+    """HITS at ~20M edges with per-row closed-form scores: N users
+    A_i each point at page B_(i mod P), plus one hub user H pointing
+    at every page.  With r = N // P (N chosen divisible by P):
+
+        a1(B_j) = r + 1                     h1(A_i) = r + 1
+        h1(H)   = P * (r + 1)
+        a2(B_j) = r * (r + 1) + P * (r + 1) = (r + P) * (r + 1)
+        h2(A_i) = a2                        h2(H) = P * a2
+
+    Verifies every one of the N + P + 1 node rows (hub AND auth)
+    against the closed form."""
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    P = 1000
+    N = 20_000_000
+    r = N // P
+    HUB = 3_000_000_000          # ids: users 0..N-1, pages 2e9+j
+    PAGE0 = 2_000_000_000
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.iterative import hits_fixedpoint
+
+        def mk(t: pa.Table) -> pa.Table:
+            i = t["id"].combine_chunks().to_numpy()
+            src = i.copy()
+            dst = PAGE0 + (i % P)
+            # fold the hub's P edges into block 0 deterministically
+            if i.min() == 0:
+                src = np.concatenate([src,
+                                      np.full(P, HUB, np.int64)])
+                dst = np.concatenate([dst,
+                                      PAGE0 + np.arange(P)])
+            return pa.table({"src": pa.array(src),
+                             "dst": pa.array(dst)})
+
+        edges = ray.data.range(
+            N, override_num_blocks=NCPU * 8).map_batches(
+            mk, batch_format="pyarrow", zero_copy_batch=True)
+
+        t0 = time.perf_counter()
+        out = hits_fixedpoint(edges, "src", "dst", n_iter=2)
+
+        a2 = (r + P) * (r + 1)
+
+        def check(t: pa.Table) -> pa.Table:
+            nd = t["node"].combine_chunks().to_numpy()
+            hub = t["hub"].combine_chunks().to_numpy()
+            auth = t["auth"].combine_chunks().to_numpy()
+            users = nd < PAGE0
+            pages = (nd >= PAGE0) & (nd < HUB)
+            hubrow = nd == HUB
+            assert (hub[users] == a2).all()
+            assert (auth[users] == 0).all()
+            assert (hub[pages] == 0).all()
+            assert (auth[pages] == a2).all()
+            assert (hub[hubrow] == P * a2).all()
+            assert (auth[hubrow] == 0).all()
+            return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+        n_rows = sum(
+            int(x) for b in out.map_batches(
+                check, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow")
+            for x in b["n"].to_pylist())
+        sec = time.perf_counter() - t0
+        assert n_rows == N + P + 1, n_rows
+        print(json.dumps({
+            "n_edges": N + P, "n_nodes": n_rows, "num_cpus": NCPU,
+            "sec": round(sec, 2),
+            "edges_per_sec": round((N + P) / sec),
+            "calib_sec": _calib()}))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -1872,5 +1953,7 @@ if __name__ == "__main__":
         main_cov()
     elif len(sys.argv) > 1 and sys.argv[1] == "acf":
         main_acf()
+    elif len(sys.argv) > 1 and sys.argv[1] == "hits":
+        main_hits()
     else:
         main()
