@@ -1523,6 +1523,28 @@ def q_fano(sf_dir: str):
                        zero_copy_batch=True), "user_id", "day")
 
 
+def q_gini_value(sf_dir: str):
+    """Per-event-type Gini COEFFICIENT of value cents in exact permille
+    (ops/quantile.py:gini_coefficient_by_group): inequality of the
+    continuous magnitude (the dual of the categorical hhi/gini pair).
+    The corpus collapses to per-(group, distinct cents) count partials
+    -- value-DOMAIN-bounded -- and the rank-run identity folds in exact
+    Python ints, wrap-safe at any row count."""
+    from ci_log_processing_ray.ops.quantile import (
+        gini_coefficient_by_group)
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"].combine_chunks(),
+            "cents": _cents(t["value"])})
+
+    return gini_coefficient_by_group(
+        ds.map_batches(cents, batch_format="pyarrow",
+                       zero_copy_batch=True), "event_type", "cents")
+
+
 def q_lag_gap(sf_dir: str):
     """lag()-style window: microseconds since the previous event of the
     same user (sentinel -1 for each user's first event).  One coarse
@@ -4738,6 +4760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi": q_hhi,
         "benford": q_benford,
         "fano": q_fano,
+        "gini_value": q_gini_value,
         "explode_embeddings": q_explode_embeddings,
         "quantile_qty": q_quantile_qty,
         "repetition_score": q_repetition_score,
@@ -5827,6 +5850,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT start, CAST(2 AS BIGINT) AS step, cur AS node FROM w2
             UNION ALL
             SELECT start, CAST(3 AS BIGINT) AS step, cur AS node FROM w3""",
+        "gini_value": """
+            WITH v AS (SELECT event_type,
+                              CAST(floor(value*100 + 0.5) AS BIGINT)
+                                  AS x FROM events),
+            o AS (SELECT event_type, x,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY x) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM v)
+            SELECT event_type,
+                   CAST(MAX(n) AS BIGINT) AS n_obs,
+                   CAST((1000 * SUM(CAST(2*rn - n - 1 AS HUGEINT) * x))
+                        // (CAST(MAX(n) AS HUGEINT)
+                            * SUM(CAST(x AS HUGEINT))) AS BIGINT)
+                       AS gini_permille
+            FROM o GROUP BY event_type
+            HAVING SUM(x) > 0""",
         "benford": """
             WITH v AS (SELECT CAST(floor(l_extendedprice*100 + 0.5)
                                    AS BIGINT) AS x FROM lineitem),

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "hhi",
     "benford",
     "fano",
+    "gini_value",
     "semdedup",
     "gopher_rules",
     "ccnet_buckets",

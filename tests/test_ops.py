@@ -1616,6 +1616,38 @@ def test_pagerank_fixedpoint_vs_dense_reference(ray_session):
     assert 0 < out["rank_fp"].sum() <= scale
 
 
+def test_gini_coefficient_by_group(ray_session):
+    from ci_log_processing_ray.ops.quantile import (
+        gini_coefficient_by_group)
+
+    rows = (
+        # group 1: perfectly equal -> 0
+        [{"g": 1, "x": 7}] * 6
+        # group 2: one owner -> (n-1)/n = 750 permille at n=4
+        + [{"g": 2, "x": 0}] * 3 + [{"g": 2, "x": 100}]
+        # group 3: [1,2,3,4] -> num = -3-1+1*3+3*4 = 2*?; brute below
+        + [{"g": 3, "x": v} for v in (3, 1, 4, 2)]
+        # group 4: all zero -> dropped (S = 0)
+        + [{"g": 4, "x": 0}] * 2
+    )
+
+    def brute(xs):
+        xs = sorted(xs)
+        n, S = len(xs), sum(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        return (1000 * num) // (n * S)
+
+    out = gini_coefficient_by_group(
+        ray.data.from_items(rows).repartition(4),
+        "g", "x", n_buckets=4).to_pandas()
+    out = out.sort_values("g").reset_index(drop=True)
+    assert out["g"].tolist() == [1, 2, 3]
+    assert out["n_obs"].tolist() == [6, 4, 4]
+    assert out["gini_permille"].tolist() == [
+        0, brute([0, 0, 0, 100]), brute([1, 2, 3, 4])]
+    assert out["gini_permille"].iloc[1] == 750
+
+
 def test_benford_deviation_counts(ray_session):
     from ci_log_processing_ray.ops.profile import benford_deviation
 
