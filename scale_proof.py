@@ -1926,6 +1926,76 @@ def main_hits() -> None:
         ray.shutdown()
 
 
+
+def main_gini() -> None:
+    """Gini coefficient at ~50M rows / 500 groups: group g holds
+    r_g = 2000 + 4*g copies of EACH value in 1..m_g (m_g = 10 + g),
+    so the exact permille has a closed form via the same rank-run
+    identity the operator uses -- computed independently here from
+    (m, r) alone, never from the data.  All 500 rows asserted."""
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    G = 500
+    m_g = np.array([10 + g for g in range(G)], np.int64)
+    r_g = np.array([2000 + 4 * g for g in range(G)], np.int64)
+    n_g = m_g * r_g
+    bounds = np.concatenate([[0], np.cumsum(n_g)])
+    total = int(bounds[-1])
+
+    def expected(m: int, r: int) -> int:
+        n = m * r
+        S = r * m * (m + 1) // 2
+        num, C = 0, 0
+        for v in range(1, m + 1):
+            num += v * r * (2 * C + r - n)
+            C += r
+        return (1000 * num) // (n * S)
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.quantile import (
+            gini_coefficient_by_group)
+
+        b_ref = ray.put((bounds, m_g))
+
+        def mk(t: pa.Table, _ref=b_ref) -> pa.Table:
+            bd, mm = ray.get(_ref)
+            rid = t["id"].combine_chunks().to_numpy()
+            g = (np.searchsorted(bd, rid, side="right") - 1).astype(
+                np.int64)
+            x = 1 + (rid - bd[g]) % mm[g]
+            return pa.table({"g": pa.array(g), "x": pa.array(x)})
+
+        ds = ray.data.range(
+            total, override_num_blocks=NCPU * 8).map_batches(
+            mk, batch_format="pyarrow", zero_copy_batch=True)
+
+        t0 = time.perf_counter()
+        out = gini_coefficient_by_group(ds, "g", "x").to_pandas()
+        sec = time.perf_counter() - t0
+        out = out.sort_values("g").reset_index(drop=True)
+        assert len(out) == G, len(out)
+        assert (out["g"].to_numpy() == np.arange(G)).all()
+        assert (out["n_obs"].to_numpy() == n_g).all()
+        exp = np.array([expected(int(m), int(r))
+                        for m, r in zip(m_g, r_g)], np.int64)
+        assert (out["gini_permille"].to_numpy() == exp).all(), (
+            out["gini_permille"].to_numpy()[:5], exp[:5])
+        print(json.dumps({
+            "n_rows": total, "n_groups": G, "num_cpus": NCPU,
+            "sec": round(sec, 2),
+            "rows_per_sec": round(total / sec),
+            "gini_min": int(exp.min()), "gini_max": int(exp.max()),
+            "n_distinct_gini": int(len(set(exp.tolist()))),
+            "calib_sec": _calib()}))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -1955,5 +2025,7 @@ if __name__ == "__main__":
         main_acf()
     elif len(sys.argv) > 1 and sys.argv[1] == "hits":
         main_hits()
+    elif len(sys.argv) > 1 and sys.argv[1] == "gini":
+        main_gini()
     else:
         main()
