@@ -4195,6 +4195,30 @@ def q_roc_auc(sf_dir: str):
     return grouped_auc(pre, "o_orderpriority", "pos", "score")
 
 
+def q_spearman(sf_dir: str):
+    """Grouped Spearman rank correlation between order quantity and
+    the 100-dollar price bucket, per return flag, as exact integer
+    sufficient statistics (rho = sxy/sqrt(sxx*syy) with tie-averaged
+    doubled-centered ranks) -- the monotone-association screen run
+    over corpus feature pairs.  Rows collapse to distinct
+    (group, x, y) cells before the exchange."""
+    from ci_log_processing_ray.ops.groupagg import spearman_by_group
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"].combine_chunks(),
+            "x": pc.cast(t["l_quantity"].combine_chunks(), pa.int64()),
+            "y": pc.divide(_cents(t["l_extendedprice"]), 10000),
+        })
+
+    pre = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return spearman_by_group(pre, "l_returnflag", "x", "y")
+
+
 def q_trend_slope(sf_dir: str):
     """Per-event-type OLS slope of daily event volume vs day index as
     the exact integer rational (slope_num, slope_den) -- flags growing
@@ -4889,6 +4913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_agreement": q_knn_label_agreement,
         "knn_graph_ivf": q_knn_graph_ivf,
         "roc_auc": q_roc_auc,
+        "spearman": q_spearman,
         "trend_slope": q_trend_slope,
         "cusum_shift": q_cusum_shift,
         "distinctive_terms": q_distinctive_terms,
@@ -7315,6 +7340,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(np * (2 * cnn + nn)) AS BIGINT) AS auc_num,
                    CAST(2 * SUM(np) * SUM(nn) AS BIGINT) AS auc_den
             FROM o GROUP BY o_orderpriority""",
+        "spearman": """
+            WITH s AS (
+              SELECT l_returnflag,
+                     CAST(l_quantity AS BIGINT) AS x,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       // 10000 AS y
+              FROM lineitem
+            ), r AS (
+              SELECT l_returnflag,
+                     CAST(2 * RANK() OVER (PARTITION BY l_returnflag
+                                           ORDER BY x)
+                          + COUNT(*) OVER (PARTITION BY l_returnflag, x)
+                          - 2
+                          - COUNT(*) OVER (PARTITION BY l_returnflag)
+                          AS BIGINT) AS dx,
+                     CAST(2 * RANK() OVER (PARTITION BY l_returnflag
+                                           ORDER BY y)
+                          + COUNT(*) OVER (PARTITION BY l_returnflag, y)
+                          - 2
+                          - COUNT(*) OVER (PARTITION BY l_returnflag)
+                          AS BIGINT) AS dy
+              FROM s
+            )
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs,
+                   CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+                   CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                   CAST(SUM(dy * dy) AS BIGINT) AS syy
+            FROM r GROUP BY l_returnflag""",
         "trend_slope": """
             WITH d AS (
               SELECT event_type,

@@ -1081,3 +1081,99 @@ def ks_wasserstein_two_sample(
         "w1_num": pa.array([w1_num], pa.int64()),
         "den": pa.array([den], pa.int64()),
         "ks_permille": pa.array([1000 * ks_num // den], pa.int64())}))
+
+
+def _doubled_centered_ranks(
+        v: np.ndarray, c: np.ndarray, n: int) -> np.ndarray:
+    """Per-cell doubled, centered, tie-averaged rank.
+
+    ``v`` are a group's distinct-cell values (any order) with row
+    counts ``c``; returns, aligned per cell, ``2*avg_rank(v) - (n+1)``
+    where ``avg_rank`` is the tie-averaged rank of that value over all
+    ``n`` rows.  Doubling keeps tie averages integral; centering by the
+    exact doubled-rank mean ``n+1`` makes per-group sums of products
+    directly usable as correlation sufficient statistics (and keeps
+    magnitudes <= n so sums stay inside int64 for n < 2^21)."""
+    order = np.argsort(v, kind="stable")
+    sv = v[order]
+    sc = c[order]
+    starts = _group_segments(sv)
+    cnt = np.add.reduceat(sc, starts) if len(sv) else \
+        np.zeros(0, np.int64)
+    cum_excl = np.cumsum(cnt) - cnt
+    d_distinct = 2 * (1 + cum_excl) + cnt - 1 - (n + 1)
+    # map each sorted cell to its distinct-run index, then un-permute
+    run_id = np.cumsum(np.r_[False, sv[1:] != sv[:-1]])
+    d_sorted = d_distinct[run_id] if len(sv) else sv
+    out = np.empty(len(v), np.int64)
+    out[order] = d_sorted
+    return out
+
+
+def spearman_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exact grouped Spearman rank correlation as integer sufficient
+    statistics: per group emits ``n_obs`` and the centered doubled-rank
+    sums ``sxy = sum(dx*dy)``, ``sxx = sum(dx^2)``, ``syy = sum(dy^2)``
+    (tie-averaged ranks), so rho = sxy / sqrt(sxx*syy) exactly -- the
+    monotone-association screen for corpus feature pairs, no float
+    ever crosses the wire.
+
+    Scale design: rows collapse to distinct (group, x, y) cells with
+    counts inside ``map_batches`` before the exchange (both columns are
+    integer-quantized by convention here, so cell cardinality is
+    value-domain-bounded, never row-bounded); one coarse hash bucket
+    per group family resolves every group with two argsort+reduceat
+    rank sweeps.  Overflow bound: |d| <= n so the sums are < n^3;
+    requires n < 2^21 rows per group -- quantize coarser or sample
+    above that (the kernel raises rather than wrap)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            group_col: t[group_col].combine_chunks(),
+            "x": pc.cast(t[x_col].combine_chunks(), pa.int64()),
+            "y": pc.cast(t[y_col].combine_chunks(), pa.int64()),
+            "n": pa.array(np.ones(len(t), np.int64)),
+        })
+        g = tt.group_by([group_col, "x", "y"]).aggregate([("n", "sum")])
+        return pa.table({group_col: g[group_col], "x": g["x"],
+                         "y": g["y"], "n": g["n_sum"]})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([group_col, "x", "y"], as_index=False,
+                      sort=False)["n"].sum()
+        g = g.sort_values([group_col, "x", "y"], kind="mergesort")
+        keys = g[group_col].to_numpy()
+        xs = g["x"].to_numpy(np.int64)
+        ys = g["y"].to_numpy(np.int64)
+        cs = g["n"].to_numpy(np.int64)
+        starts = _group_segments(keys)
+        ends = np.r_[starts[1:], len(g)]
+        rows = []
+        for s, e in zip(starts, ends):  # loop over GROUPS, not rows
+            c = cs[s:e]
+            n = int(c.sum())
+            if n >= 1 << 21:
+                raise ValueError(
+                    f"spearman_by_group: group {keys[s]!r} has {n} rows"
+                    " (>= 2^21); int64 rank sums would overflow --"
+                    " quantize coarser or sample first")
+            dx = _doubled_centered_ranks(xs[s:e], c, n)
+            dy = _doubled_centered_ranks(ys[s:e], c, n)
+            rows.append((keys[s], n, int((c * dx * dy).sum()),
+                         int((c * dx * dx).sum()),
+                         int((c * dy * dy).sum())))
+        return pd.DataFrame(rows, columns=[
+            group_col, "n_obs", "sxy", "sxx", "syy"]).astype(
+            {"n_obs": np.int64, "sxy": np.int64, "sxx": np.int64,
+             "syy": np.int64})
+
+    pre = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return bucketed_groups(pre, group_col, kern, n_buckets=n_buckets)

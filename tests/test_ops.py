@@ -3867,3 +3867,40 @@ def test_minimum_spanning_forest(ray_session):
     want = _kruskal(u, v, w)
     assert sorted(map(tuple, got3[["u", "v", "w"]].values.tolist())) \
         == want
+
+
+def test_spearman_by_group_matches_pandas_ranks(ray_session):
+    """Heavy ties across blocks: the cell-collapsed doubled-rank sums
+    must equal pandas tie-averaged ranks (doubled, centered) exactly,
+    including a perfectly monotone group (rho == 1)."""
+    from ci_log_processing_ray.ops.groupagg import spearman_by_group
+
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame({
+        "grp": rng.choice(["a", "b"], n),
+        "x": rng.integers(0, 7, n).astype(np.int64),
+        "y": rng.integers(0, 5, n).astype(np.int64),
+    })
+    mono = pd.DataFrame({
+        "grp": "m", "x": np.arange(40, dtype=np.int64),
+        "y": np.arange(40, dtype=np.int64) * 3 + 1})
+    df = pd.concat([df, mono], ignore_index=True)
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=2)
+                              ).repartition(5)
+    got = (spearman_by_group(ds, "grp", "x", "y").to_pandas()
+           .set_index("grp"))
+
+    for grp, sub in df.groupby("grp"):
+        dn = len(sub) + 1
+        dx = (2 * sub["x"].rank(method="average")).astype(np.int64) - dn
+        dy = (2 * sub["y"].rank(method="average")).astype(np.int64) - dn
+        row = got.loc[grp]
+        assert int(row["n_obs"]) == len(sub)
+        assert int(row["sxy"]) == int((dx * dy).sum())
+        assert int(row["sxx"]) == int((dx * dx).sum())
+        assert int(row["syy"]) == int((dy * dy).sum())
+    # monotone group: rho exactly 1 -> sxy^2 == sxx*syy and sxy > 0
+    m = got.loc["m"]
+    assert int(m["sxy"]) ** 2 == int(m["sxx"]) * int(m["syy"])
+    assert int(m["sxy"]) > 0
