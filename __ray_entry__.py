@@ -4219,6 +4219,29 @@ def q_spearman(sf_dir: str):
     return spearman_by_group(pre, "l_returnflag", "x", "y")
 
 
+def q_kendall(sf_dir: str):
+    """Grouped Kendall tau-b between event hour-of-day and the
+    10-dollar value bucket, per event type, as exact integer pair
+    counts (concordant / discordant / tied) -- the heavy-tie ordinal
+    association check.  The kernel never enumerates row pairs: cells
+    sweep once with a running per-y count table."""
+    from ci_log_processing_ray.ops.groupagg import kendall_by_group
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"].combine_chunks(), pa.timestamp("us"))
+        return pa.table({
+            "event_type": t["event_type"].combine_chunks(),
+            "x": pc.cast(pc.hour(ts), pa.int64()),
+            "y": pc.divide(_cents(t["value"]), 1000),
+        })
+
+    pre = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return kendall_by_group(pre, "event_type", "x", "y")
+
+
 def q_trend_slope(sf_dir: str):
     """Per-event-type OLS slope of daily event volume vs day index as
     the exact integer rational (slope_num, slope_den) -- flags growing
@@ -4913,6 +4936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_agreement": q_knn_label_agreement,
         "knn_graph_ivf": q_knn_graph_ivf,
         "roc_auc": q_roc_auc,
+        "kendall": q_kendall,
         "spearman": q_spearman,
         "trend_slope": q_trend_slope,
         "cusum_shift": q_cusum_shift,
@@ -7340,6 +7364,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(np * (2 * cnn + nn)) AS BIGINT) AS auc_num,
                    CAST(2 * SUM(np) * SUM(nn) AS BIGINT) AS auc_den
             FROM o GROUP BY o_orderpriority""",
+        "kendall": """
+            WITH s AS (
+              SELECT event_type,
+                     CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000
+                       AS y
+              FROM events
+            ), c AS (
+              SELECT event_type, x, y, CAST(COUNT(*) AS BIGINT) AS n
+              FROM s GROUP BY 1, 2, 3
+            ), p AS (
+              SELECT a.event_type,
+                     CAST(SUM(CASE WHEN b.y > a.y THEN a.n * b.n
+                              ELSE 0 END) AS BIGINT) AS conc,
+                     CAST(SUM(CASE WHEN b.y < a.y THEN a.n * b.n
+                              ELSE 0 END) AS BIGINT) AS disc
+              FROM c a JOIN c b
+                ON a.event_type = b.event_type AND a.x < b.x
+              GROUP BY a.event_type
+            ), m AS (
+              SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_obs
+              FROM c GROUP BY event_type
+            ), tx AS (
+              SELECT event_type,
+                     CAST(SUM(cx * (cx - 1) // 2) AS BIGINT) AS tied_x
+              FROM (SELECT event_type, x, SUM(n) AS cx
+                    FROM c GROUP BY 1, 2) GROUP BY event_type
+            ), ty AS (
+              SELECT event_type,
+                     CAST(SUM(cy * (cy - 1) // 2) AS BIGINT) AS tied_y
+              FROM (SELECT event_type, y, SUM(n) AS cy
+                    FROM c GROUP BY 1, 2) GROUP BY event_type
+            )
+            SELECT m.event_type, m.n_obs,
+                   COALESCE(p.conc, 0) AS conc,
+                   COALESCE(p.disc, 0) AS disc,
+                   tx.tied_x, ty.tied_y
+            FROM m
+            LEFT JOIN p ON p.event_type = m.event_type
+            JOIN tx ON tx.event_type = m.event_type
+            JOIN ty ON ty.event_type = m.event_type""",
         "spearman": """
             WITH s AS (
               SELECT l_returnflag,

@@ -1177,3 +1177,85 @@ def spearman_by_group(
     pre = ds.map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True)
     return bucketed_groups(pre, group_col, kern, n_buckets=n_buckets)
+
+
+def kendall_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exact grouped Kendall tau-b sufficient statistics: per group
+    emits ``n_obs``, concordant and discordant pair counts and the
+    x-/y-tied pair counts, so
+    tau_b = (conc - disc) / sqrt((n0 - tied_x) * (n0 - tied_y)) with
+    n0 = n*(n-1)/2 -- the ordinal-association companion to
+    :func:`spearman_by_group`, robust to heavy ties.
+
+    Scale design: rows collapse to distinct (group, x, y) cells with
+    counts before the exchange (integer-quantized columns by
+    convention, so the exchange is value-domain-sized); the kernel
+    sweeps each group's cells once in (x, y) order keeping a running
+    per-y-value count table, so pair counts cost
+    O(cells * distinct_y) adds, never O(n^2) row pairs.  Overflow
+    bound: pair counts < n^2/2, so n < 2^31 rows per group."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            group_col: t[group_col].combine_chunks(),
+            "x": pc.cast(t[x_col].combine_chunks(), pa.int64()),
+            "y": pc.cast(t[y_col].combine_chunks(), pa.int64()),
+            "n": pa.array(np.ones(len(t), np.int64)),
+        })
+        g = tt.group_by([group_col, "x", "y"]).aggregate([("n", "sum")])
+        return pa.table({group_col: g[group_col], "x": g["x"],
+                         "y": g["y"], "n": g["n_sum"]})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([group_col, "x", "y"], as_index=False,
+                      sort=False)["n"].sum()
+        g = g.sort_values([group_col, "x", "y"], kind="mergesort")
+        keys = g[group_col].to_numpy()
+        xs = g["x"].to_numpy(np.int64)
+        ys = g["y"].to_numpy(np.int64)
+        cs = g["n"].to_numpy(np.int64)
+        starts = _group_segments(keys)
+        ends = np.r_[starts[1:], len(g)]
+        rows = []
+        for s, e in zip(starts, ends):  # loop over GROUPS
+            x_, y_, c_ = xs[s:e], ys[s:e], cs[s:e]
+            n = int(c_.sum())
+            yv, yinv = np.unique(y_, return_inverse=True)
+            cum = np.zeros(len(yv), np.int64)
+            xstarts = _group_segments(x_)
+            xends = np.r_[xstarts[1:], len(x_)]
+            conc = disc = 0
+            tot_prev = 0
+            # loop over DISTINCT x values (value-domain bounded)
+            for bs, be in zip(xstarts, xends):
+                cj, yj = c_[bs:be], yinv[bs:be]
+                if tot_prev:
+                    pref = np.cumsum(cum)
+                    less = np.where(yj > 0, pref[yj - 1], 0)
+                    greater = tot_prev - pref[yj]
+                    conc += int((cj * less).sum())
+                    disc += int((cj * greater).sum())
+                np.add.at(cum, yj, cj)
+                tot_prev += int(cj.sum())
+            cx = np.add.reduceat(c_, xstarts)
+            tied_x = int((cx * (cx - 1) // 2).sum())
+            cy = np.zeros(len(yv), np.int64)
+            np.add.at(cy, yinv, c_)
+            tied_y = int((cy * (cy - 1) // 2).sum())
+            rows.append((keys[s], n, conc, disc, tied_x, tied_y))
+        return pd.DataFrame(rows, columns=[
+            group_col, "n_obs", "conc", "disc", "tied_x",
+            "tied_y"]).astype({
+                "n_obs": np.int64, "conc": np.int64, "disc": np.int64,
+                "tied_x": np.int64, "tied_y": np.int64})
+
+    pre = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return bucketed_groups(pre, group_col, kern, n_buckets=n_buckets)

@@ -3904,3 +3904,41 @@ def test_spearman_by_group_matches_pandas_ranks(ray_session):
     m = got.loc["m"]
     assert int(m["sxy"]) ** 2 == int(m["sxx"]) * int(m["syy"])
     assert int(m["sxy"]) > 0
+
+
+def test_kendall_by_group_matches_bruteforce(ray_session):
+    """Heavy-tie random data across blocks: conc/disc/tied pair counts
+    must equal the O(n^2) brute force exactly."""
+    from ci_log_processing_ray.ops.groupagg import kendall_by_group
+
+    rng = np.random.default_rng(17)
+    n = 400
+    df = pd.DataFrame({
+        "grp": rng.choice(["a", "b"], n),
+        "x": rng.integers(0, 6, n).astype(np.int64),
+        "y": rng.integers(0, 4, n).astype(np.int64),
+    })
+    # degenerate group: single x value -> zero conc/disc
+    df = pd.concat([df, pd.DataFrame({
+        "grp": "one", "x": np.zeros(9, np.int64),
+        "y": np.arange(9, dtype=np.int64) % 3})], ignore_index=True)
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=4)
+                              ).repartition(5)
+    got = (kendall_by_group(ds, "grp", "x", "y").to_pandas()
+           .set_index("grp"))
+
+    for grp, sub in df.groupby("grp"):
+        x = sub["x"].to_numpy()[:, None]
+        y = sub["y"].to_numpy()[:, None]
+        dx = np.sign(x - x.T)
+        dy = np.sign(y - y.T)
+        conc = int(((dx * dy) > 0).sum()) // 2
+        disc = int(((dx * dy) < 0).sum()) // 2
+        tied_x = int((dx == 0).sum() - len(sub)) // 2
+        tied_y = int((dy == 0).sum() - len(sub)) // 2
+        row = got.loc[grp]
+        assert int(row["n_obs"]) == len(sub)
+        assert int(row["conc"]) == conc
+        assert int(row["disc"]) == disc
+        assert int(row["tied_x"]) == tied_x
+        assert int(row["tied_y"]) == tied_y
