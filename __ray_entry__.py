@@ -4219,6 +4219,18 @@ def q_spearman(sf_dir: str):
     return spearman_by_group(pre, "l_returnflag", "x", "y")
 
 
+def q_theilsen(sf_dir: str):
+    """Robust per-event-type trend over daily volumes: Mann-Kendall S
+    plus the Theil-Sen lower-median pair slope in milli-units/day --
+    the log-storm-proof growth detector (one crazy day cannot move
+    the median pair slope, unlike OLS).  Day pairs only, never row
+    pairs."""
+    from ci_log_processing_ray.ops.groupagg import theilsen_mk_by_group
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return theilsen_mk_by_group(ds, "event_type", "ts")
+
+
 def q_kendall(sf_dir: str):
     """Grouped Kendall tau-b between event hour-of-day and the
     10-dollar value bucket, per event type, as exact integer pair
@@ -4937,6 +4949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_ivf": q_knn_graph_ivf,
         "roc_auc": q_roc_auc,
         "kendall": q_kendall,
+        "theilsen": q_theilsen,
         "spearman": q_spearman,
         "trend_slope": q_trend_slope,
         "cusum_shift": q_cusum_shift,
@@ -7364,6 +7377,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(np * (2 * cnn + nn)) AS BIGINT) AS auc_num,
                    CAST(2 * SUM(np) * SUM(nn) AS BIGINT) AS auc_den
             FROM o GROUP BY o_orderpriority""",
+        "theilsen": """
+            WITH d AS (
+              SELECT event_type,
+                     DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), p AS (
+              SELECT a.event_type,
+                     CAST(CASE WHEN b.n > a.n THEN 1
+                               WHEN b.n < a.n THEN -1
+                               ELSE 0 END AS BIGINT) AS sgn,
+                     CAST((1000 * (b.n - a.n)) // (b.day - a.day)
+                          AS BIGINT) AS sp
+              FROM d a JOIN d b
+                ON a.event_type = b.event_type AND b.day > a.day
+            ), agg AS (
+              SELECT event_type,
+                     CAST(SUM(sgn) AS BIGINT) AS mk_s,
+                     CAST(COUNT(*) AS BIGINT) AS n_pairs
+              FROM p GROUP BY event_type
+            ), med AS (
+              SELECT event_type, sp AS ts_slope_milli
+              FROM (SELECT event_type, sp,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                                              ORDER BY sp) AS r,
+                           COUNT(*) OVER (PARTITION BY event_type)
+                             AS cnt
+                    FROM p)
+              WHERE r = (cnt - 1) // 2 + 1
+            ), nd AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+              FROM d GROUP BY event_type HAVING COUNT(*) >= 2
+            )
+            SELECT nd.event_type, nd.n_days, agg.n_pairs, agg.mk_s,
+                   med.ts_slope_milli
+            FROM nd
+            JOIN agg ON agg.event_type = nd.event_type
+            JOIN med ON med.event_type = nd.event_type""",
         "kendall": """
             WITH s AS (
               SELECT event_type,

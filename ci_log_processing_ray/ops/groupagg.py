@@ -1259,3 +1259,59 @@ def kendall_by_group(
     pre = ds.map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True)
     return bucketed_groups(pre, group_col, kern, n_buckets=n_buckets)
+
+
+def theilsen_mk_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    ts_col: str,
+    *,
+    slope_scale: int = 1000,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Robust per-group volume trend over daily counts: the
+    Mann-Kendall S statistic (sum over day pairs of
+    sign(count_later - count_earlier)) plus the Theil-Sen slope as the
+    LOWER MEDIAN of the per-pair integer slopes
+    ``(slope_scale * dn) // dd`` (division truncating toward zero,
+    matching DuckDB's ``//``) -- the outlier-proof alternative to
+    :func:`grouped_trend_slope`'s OLS, undisturbed by one log-storm
+    day.  Groups with fewer than two observed days are omitted.
+
+    Scale design: rows collapse to (group, day) count partials inside
+    ``map_batches`` (the exchange is day-count sized); the kernel
+    enumerates DAY pairs, never row pairs -- m observed days cost
+    m*(m-1)/2 integer ops, so years-long spans stay trivial (3650 days
+    = 6.7M pairs) while row count is unbounded."""
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([group_col, "day"], as_index=False,
+                      sort=False)["n"].sum()
+        g = g.sort_values([group_col, "day"], kind="mergesort")
+        keys = g[group_col].to_numpy()
+        days = g["day"].to_numpy(np.int64)
+        ns = g["n"].to_numpy(np.int64)
+        starts = _group_segments(keys)
+        ends = np.r_[starts[1:], len(g)]
+        rows = []
+        for s, e in zip(starts, ends):  # loop over GROUPS
+            m = e - s
+            if m < 2:
+                continue
+            d, n = days[s:e], ns[s:e]
+            i, j = np.triu_indices(m, k=1)
+            dn = n[j] - n[i]
+            dd = d[j] - d[i]
+            mk_s = int(np.sign(dn).sum())
+            sp = np.sign(dn) * ((slope_scale * np.abs(dn)) // dd)
+            p = len(sp)
+            med = int(np.partition(sp, (p - 1) // 2)[(p - 1) // 2])
+            rows.append((keys[s], m, p, mk_s, med))
+        return pd.DataFrame(rows, columns=[
+            group_col, "n_days", "n_pairs", "mk_s",
+            "ts_slope_milli"]).astype({
+                "n_days": np.int64, "n_pairs": np.int64,
+                "mk_s": np.int64, "ts_slope_milli": np.int64})
+
+    pre = daily_count_partials(ds, group_col, ts_col)
+    return bucketed_groups(pre, group_col, kern, n_buckets=n_buckets)

@@ -3942,3 +3942,35 @@ def test_kendall_by_group_matches_bruteforce(ray_session):
         assert int(row["disc"]) == disc
         assert int(row["tied_x"]) == tied_x
         assert int(row["tied_y"]) == tied_y
+
+
+def test_theilsen_mk_outlier_robust_and_trunc_division(ray_session):
+    """A perfect 5/day line with one 1000x outlier day must still give
+    slope 5000 milli/day (median pair slope ignores the storm);
+    a decreasing group with a gap day pins the toward-zero division
+    (DuckDB //): 1000*(-7)//3 = -2333, not floor's -2334."""
+    from ci_log_processing_ray.ops.groupagg import theilsen_mk_by_group
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    counts = [10, 15, 20, 25, 5000, 35]  # day 4 is the log storm
+    for d, cnt in enumerate(counts):
+        rows += [("lin", base + datetime.timedelta(days=d))] * cnt
+    # decr: counts 9 on day 0, 2 on day 3 -> single pair,
+    # slope = 1000*(-7)//3 -> trunc toward zero = -2333
+    rows += [("decr", base)] * 9
+    rows += [("decr", base + datetime.timedelta(days=3))] * 2
+    rows += [("single", base)] * 4  # one day -> omitted
+    df = pd.DataFrame(rows, columns=["grp", "ts"])
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=6)
+                              ).repartition(4)
+    got = (theilsen_mk_by_group(ds, "grp", "ts").to_pandas()
+           .set_index("grp"))
+
+    assert int(got.loc["lin", "ts_slope_milli"]) == 5000
+    # every pair increases except (storm day, day 5): 14 - 1 = 13
+    assert int(got.loc["lin", "mk_s"]) == 13
+    assert int(got.loc["lin", "n_pairs"]) == 15
+    assert int(got.loc["decr", "ts_slope_milli"]) == -2333
+    assert int(got.loc["decr", "mk_s"]) == -1
+    assert "single" not in got.index
