@@ -4219,6 +4219,30 @@ def q_spearman(sf_dir: str):
     return spearman_by_group(pre, "l_returnflag", "x", "y")
 
 
+def q_decision_stump(sf_dir: str):
+    """Train an error-minimizing decision stump per order priority:
+    does a single total-price threshold (thousand-dollar buckets)
+    predict order completion?  Exact integer error counts, smallest
+    threshold on ties -- the weak-learner / slice-diagnostic
+    primitive."""
+    from ci_log_processing_ray.ops.groupagg import decision_stump_by_group
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"].combine_chunks(),
+            "x": pc.divide(_cents(t["o_totalprice"]), 100000),
+            "pos": pc.cast(pc.equal(
+                t["o_orderstatus"].combine_chunks(), "F"), pa.int64()),
+        })
+
+    pre = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return decision_stump_by_group(pre, "o_orderpriority", "x", "pos")
+
+
 def q_theilsen(sf_dir: str):
     """Robust per-event-type trend over daily volumes: Mann-Kendall S
     plus the Theil-Sen lower-median pair slope in milli-units/day --
@@ -4948,6 +4972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_agreement": q_knn_label_agreement,
         "knn_graph_ivf": q_knn_graph_ivf,
         "roc_auc": q_roc_auc,
+        "decision_stump": q_decision_stump,
         "kendall": q_kendall,
         "theilsen": q_theilsen,
         "spearman": q_spearman,
@@ -7377,6 +7402,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(np * (2 * cnn + nn)) AS BIGINT) AS auc_num,
                    CAST(2 * SUM(np) * SUM(nn) AS BIGINT) AS auc_den
             FROM o GROUP BY o_orderpriority""",
+        "decision_stump": """
+            WITH s AS (
+              SELECT o_orderpriority,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       // 100000 AS x,
+                     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                       AS pos
+              FROM orders
+            ), c AS (
+              SELECT o_orderpriority, x,
+                     CAST(SUM(pos) AS BIGINT) AS p,
+                     CAST(COUNT(*) - SUM(pos) AS BIGINT) AS q
+              FROM s GROUP BY 1, 2
+            ), w AS (
+              SELECT o_orderpriority, x,
+                     SUM(p) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY x) AS pl,
+                     SUM(q) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY x) AS ql,
+                     SUM(p) OVER (PARTITION BY o_orderpriority) AS pt,
+                     SUM(q) OVER (PARTITION BY o_orderpriority) AS qt
+              FROM c
+            )
+            SELECT o_orderpriority,
+                   CAST(x AS BIGINT) AS threshold,
+                   CAST(LEAST(pl, ql) + LEAST(pt - pl, qt - ql)
+                        AS BIGINT) AS n_errors,
+                   CAST(CASE WHEN pl > ql THEN 1 ELSE 0 END AS BIGINT)
+                     AS left_label,
+                   CAST(CASE WHEN pt - pl > qt - ql THEN 1 ELSE 0 END
+                        AS BIGINT) AS right_label,
+                   CAST(pt + qt AS BIGINT) AS n_obs
+            FROM w
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY o_orderpriority
+              ORDER BY LEAST(pl, ql) + LEAST(pt - pl, qt - ql), x) = 1""",
         "theilsen": """
             WITH d AS (
               SELECT event_type,

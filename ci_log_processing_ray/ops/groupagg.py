@@ -1315,3 +1315,76 @@ def theilsen_mk_by_group(
 
     pre = daily_count_partials(ds, group_col, ts_col)
     return bucketed_groups(pre, group_col, kern, n_buckets=n_buckets)
+
+
+def decision_stump_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    feature_col: str,
+    label_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Train a one-split decision stump per group on an integer
+    feature and a 0/1 label, minimizing exact TRAINING ERROR COUNT
+    (min(pos,neg) on each side) -- the classic weak learner / data-slice
+    diagnostic, with a fully integer objective so the result hashes
+    bit-for-bit.  Emits the best threshold t (left = feature <= t),
+    its error count, the majority label of each side (ties -> 0; an
+    empty right side -> 0) and n_obs.  Ties on error pick the SMALLEST
+    threshold; t = max(feature) encodes "no split" (right side empty),
+    so the stump never does worse than the majority baseline.
+
+    Scale design: rows collapse to (group, feature) -> (pos, neg)
+    count partials inside ``map_batches`` (exchange is value-domain
+    sized); the kernel resolves every group with one sort + two
+    cumsums over its distinct feature values."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            group_col: t[group_col].combine_chunks(),
+            "x": pc.cast(t[feature_col].combine_chunks(), pa.int64()),
+            "pos": pc.cast(t[label_col].combine_chunks(), pa.int64()),
+            "one": pa.array(np.ones(len(t), np.int64)),
+        })
+        g = tt.group_by([group_col, "x"]).aggregate(
+            [("pos", "sum"), ("one", "sum")])
+        return pa.table({
+            group_col: g[group_col], "x": g["x"],
+            "p": g["pos_sum"],
+            "q": pc.subtract(g["one_sum"], g["pos_sum"])})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([group_col, "x"], as_index=False,
+                      sort=False)[["p", "q"]].sum()
+        g = g.sort_values([group_col, "x"], kind="mergesort")
+        keys = g[group_col].to_numpy()
+        xs = g["x"].to_numpy(np.int64)
+        ps = g["p"].to_numpy(np.int64)
+        qs = g["q"].to_numpy(np.int64)
+        starts = _group_segments(keys)
+        pl = _per_group_exclusive_cumsum(ps, starts) + ps
+        ql = _per_group_exclusive_cumsum(qs, starts) + qs
+        pt = np.repeat(np.add.reduceat(ps, starts),
+                       np.diff(np.r_[starts, len(g)]))
+        qt = np.repeat(np.add.reduceat(qs, starts),
+                       np.diff(np.r_[starts, len(g)]))
+        err = np.minimum(pl, ql) + np.minimum(pt - pl, qt - ql)
+        # argmin per group with (error, threshold) lexical tie-break:
+        # the frame is already sorted by (group, x), so the FIRST
+        # minimal error per segment is the smallest-threshold winner
+        best = starts + np.array(
+            [int(np.argmin(err[s:e])) for s, e in
+             zip(starts, np.r_[starts[1:], len(g)])], np.int64)
+        return pd.DataFrame({
+            group_col: keys[best],
+            "threshold": xs[best],
+            "n_errors": err[best],
+            "left_label": (pl[best] > ql[best]).astype(np.int64),
+            "right_label": ((pt[best] - pl[best]) >
+                            (qt[best] - ql[best])).astype(np.int64),
+            "n_obs": pt[best] + qt[best]})
+
+    pre = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return bucketed_groups(pre, group_col, kern, n_buckets=n_buckets)

@@ -3974,3 +3974,37 @@ def test_theilsen_mk_outlier_robust_and_trunc_division(ray_session):
     assert int(got.loc["decr", "ts_slope_milli"]) == -2333
     assert int(got.loc["decr", "mk_s"]) == -1
     assert "single" not in got.index
+
+
+def test_decision_stump_separable_and_tiebreak(ray_session):
+    """A perfectly separable group must find the exact boundary with 0
+    errors; an error-tie group must pick the SMALLEST threshold; a
+    constant-feature group must fall back to the majority baseline."""
+    from ci_log_processing_ray.ops.groupagg import decision_stump_by_group
+
+    rows = []
+    # sep: x<=4 -> label 1 (30 rows), x>=5 -> label 0 (30 rows)
+    for x in range(10):
+        rows += [("sep", x, 1 if x <= 4 else 0)] * 6
+    # tie: labels alternate regardless of x -> every threshold has the
+    # same error count; smallest x must win
+    for x in range(4):
+        rows += [("tie", x, 0), ("tie", x, 1)]
+    # const: x always 7, labels 3 ones / 1 zero -> errors = 1
+    rows += [("const", 7, 1)] * 3 + [("const", 7, 0)]
+    df = pd.DataFrame(rows, columns=["grp", "x", "pos"])
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=8)
+                              ).repartition(4)
+    got = (decision_stump_by_group(ds, "grp", "x", "pos").to_pandas()
+           .set_index("grp"))
+
+    assert int(got.loc["sep", "threshold"]) == 4
+    assert int(got.loc["sep", "n_errors"]) == 0
+    assert int(got.loc["sep", "left_label"]) == 1
+    assert int(got.loc["sep", "right_label"]) == 0
+    assert int(got.loc["tie", "threshold"]) == 0
+    assert int(got.loc["tie", "n_errors"]) == 4
+    assert int(got.loc["const", "threshold"]) == 7
+    assert int(got.loc["const", "n_errors"]) == 1
+    assert int(got.loc["const", "left_label"]) == 1
+    assert int(got.loc["const", "right_label"]) == 0
