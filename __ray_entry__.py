@@ -4219,6 +4219,62 @@ def q_spearman(sf_dir: str):
     return spearman_by_group(pre, "l_returnflag", "x", "y")
 
 
+def q_delta_aggregate(sf_dir: str):
+    """Incremental view maintenance: materialize the per-event-type
+    (count, cents-sum) view over the first 24 days, then apply a
+    delta stream -- the last days as inserts plus retractions of every
+    early sub-dollar row -- WITHOUT rescanning the base.  The oracle
+    recomputes the final state directly; the Ray path must reach it
+    through the maintained view."""
+    import datetime as _dt
+
+    from ci_log_processing_ray.ops.diff import delta_aggregate
+    from ci_log_processing_ray.ops.window import bucketed_sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    cut = pa.scalar(_dt.datetime(2024, 1, 25), pa.timestamp("us"))
+
+    def base_partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"].combine_chunks(), pa.timestamp("us"))
+        keep = pc.less(ts, cut)
+        tt = pa.table({
+            "event_type": t["event_type"].combine_chunks().filter(keep),
+            "sum_cents": _cents(t["value"]).filter(keep)})
+        tt = tt.append_column(
+            "n", pa.array(np.ones(len(tt), np.int64)))
+        g = tt.group_by("event_type").aggregate(
+            [("n", "sum"), ("sum_cents", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "n": g["n_sum"],
+                         "sum_cents": g["sum_cents_sum"]})
+
+    def delta_rows(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"].combine_chunks(), pa.timestamp("us"))
+        cents = _cents(t["value"])
+        et = t["event_type"].combine_chunks()
+        ins = pc.greater_equal(ts, cut)
+        dels = pc.and_(pc.invert(ins), pc.less(cents, 100))
+        n_ins = pc.sum(pc.cast(ins, pa.int64())).as_py() or 0
+        n_del = pc.sum(pc.cast(dels, pa.int64())).as_py() or 0
+        return pa.table({
+            "event_type": pa.chunked_array(
+                [et.filter(ins), et.filter(dels)]),
+            "op": pa.array(np.r_[np.ones(n_ins, np.int64),
+                                 -np.ones(n_del, np.int64)]),
+            "sum_cents": pa.chunked_array(
+                [cents.filter(ins), cents.filter(dels)]),
+        })
+
+    view = bucketed_sum(
+        ds.map_batches(base_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type"], ["n", "sum_cents"])
+    delta = ds.map_batches(delta_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return delta_aggregate(view, delta, ["event_type"],
+                           count_col="n", sum_cols=("sum_cents",))
+
+
 def q_decision_stump(sf_dir: str):
     """Train an error-minimizing decision stump per order priority:
     does a single total-price threshold (thousand-dollar buckets)
@@ -4973,6 +5029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_ivf": q_knn_graph_ivf,
         "roc_auc": q_roc_auc,
         "decision_stump": q_decision_stump,
+        "delta_aggregate": q_delta_aggregate,
         "kendall": q_kendall,
         "theilsen": q_theilsen,
         "spearman": q_spearman,
@@ -7402,6 +7459,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(np * (2 * cnn + nn)) AS BIGINT) AS auc_num,
                    CAST(2 * SUM(np) * SUM(nn) AS BIGINT) AS auc_den
             FROM o GROUP BY o_orderpriority""",
+        "delta_aggregate": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events
+            WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-25'
+               OR CAST(floor(value * 100 + 0.5) AS BIGINT) >= 100
+            GROUP BY event_type""",
         "decision_stump": """
             WITH s AS (
               SELECT o_orderpriority,

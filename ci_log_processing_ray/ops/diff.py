@@ -118,3 +118,75 @@ def merge_upsert(
         return merged.select_columns(cols)
     return (merged.filter(expr="_del == 0")
             .select_columns(cols))
+
+
+def delta_aggregate(
+    view: ray.data.Dataset,
+    delta: ray.data.Dataset,
+    key_cols: list[str],
+    *,
+    count_col: str = "n",
+    sum_cols: tuple[str, ...] = (),
+    op_col: str = "op",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Incremental view maintenance for a grouped COUNT/SUM view:
+    apply an insert/delete delta stream (``op_col`` = +1 insert,
+    -1 delete/retraction) to a previously materialized aggregate
+    WITHOUT rescanning the base data -- the streaming-refresh
+    primitive.  ``view`` carries ``key_cols + count_col + sum_cols``
+    (the old aggregate rows); ``delta`` carries ``key_cols + op_col``
+    plus, for each sum column, a SAME-NAMED per-row value column.
+    Groups whose maintained count reaches zero are dropped; a negative
+    count (a delete with no matching base rows) raises rather than
+    silently corrupting the view.
+
+    Scale design: delta rows collapse to per-block (key -> sum(op),
+    sum(op*value)) partials inside ``map_batches``, then ONE bucketed
+    exchange over view-rows + delta-partials -- cost scales with view
+    size + delta distinct keys, never with the base row count the view
+    summarizes."""
+    import numpy as np
+    import pandas as pd
+
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    sums = list(sum_cols)
+    agg_cols = [count_col] + sums
+
+    def dpart(t: pa.Table) -> pa.Table:
+        op = pc.cast(t[op_col].combine_chunks(), pa.int64())
+        cols = {k: t[k].combine_chunks() for k in key_cols}
+        cols[count_col] = op
+        for s in sums:
+            cols[s] = pc.multiply(
+                op, pc.cast(t[s].combine_chunks(), pa.int64()))
+        tt = pa.table(cols)
+        g = tt.group_by(key_cols).aggregate(
+            [(c, "sum") for c in agg_cols])
+        return pa.table({**{k: g[k] for k in key_cols},
+                         **{c: g[f"{c}_sum"] for c in agg_cols}})
+
+    def tidy(t: pa.Table) -> pa.Table:
+        return pa.table({
+            **{k: t[k].combine_chunks() for k in key_cols},
+            **{c: pc.cast(t[c].combine_chunks(), pa.int64())
+               for c in agg_cols}})
+
+    dp = delta.map_batches(dpart, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    both = view.map_batches(tidy, batch_format="pyarrow",
+                            zero_copy_batch=True).union(dp)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key_cols, as_index=False, sort=False)[
+            agg_cols].sum()
+        neg = out[count_col].to_numpy(np.int64) < 0
+        if neg.any():
+            bad = out[key_cols][neg].iloc[0].to_dict()
+            raise ValueError(
+                f"delta_aggregate: maintained count went negative at"
+                f" key {bad} -- delete without matching base rows")
+        return out[out[count_col].to_numpy(np.int64) > 0]
+
+    return bucketed_groups(both, key_cols[0], kern, n_buckets=n_buckets)

@@ -4008,3 +4008,35 @@ def test_decision_stump_separable_and_tiebreak(ray_session):
     assert int(got.loc["const", "n_errors"]) == 1
     assert int(got.loc["const", "left_label"]) == 1
     assert int(got.loc["const", "right_label"]) == 0
+
+
+def test_delta_aggregate_maintains_counts_and_guards(ray_session):
+    """Inserts and deletes maintain count+sum exactly; a group deleted
+    down to zero disappears; over-deleting raises instead of
+    corrupting the view."""
+    from ci_log_processing_ray.ops.diff import delta_aggregate
+
+    view = ray.data.from_pandas(pd.DataFrame({
+        "k": ["a", "b", "c"],
+        "n": np.array([3, 2, 1], np.int64),
+        "s": np.array([30, 20, 10], np.int64)}))
+    delta = ray.data.from_pandas(pd.DataFrame({
+        "k": ["a", "a", "b", "b", "c", "d"],
+        "op": np.array([1, -1, -1, -1, -1, 1], np.int64),
+        "s": np.array([7, 10, 5, 15, 10, 4], np.int64)})).repartition(3)
+    got = (delta_aggregate(view, delta, ["k"], count_col="n",
+                           sum_cols=("s",)).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    # a: 3+1-1=3 rows, 30+7-10=27; b: 2-2=0 -> dropped; c: 1-1=0 ->
+    # dropped; d: net-new 1 row sum 4
+    assert got["k"].tolist() == ["a", "d"]
+    assert got["n"].tolist() == [3, 1]
+    assert got["s"].tolist() == [27, 4]
+
+    bad = ray.data.from_pandas(pd.DataFrame({
+        "k": ["a"] * 5, "op": np.array([-1] * 5, np.int64),
+        "s": np.array([1] * 5, np.int64)}))
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="negative"):
+        delta_aggregate(view, bad, ["k"], count_col="n",
+                        sum_cols=("s",)).to_pandas()
