@@ -4219,6 +4219,43 @@ def q_spearman(sf_dir: str):
     return spearman_by_group(pre, "l_returnflag", "x", "y")
 
 
+def q_ktruss(sf_dir: str):
+    """4-truss of a planted decade graph over doc ids (each decade: a
+    K5, a pendant path, a pendant triangle, plus weak bridges between
+    decades): peeling must dissolve paths, bridges and lone triangles
+    and keep exactly the K5s (and the partial-decade K4, support 2,
+    when the id count is not a multiple of 10).  The graph converges
+    in two rounds, so the DuckDB oracle unrolls two peel iterations
+    exactly."""
+    from ci_log_processing_ray.ops.iterative import ktruss
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def decade_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy().astype(np.int64)
+        srcs, dsts = [], []
+        m = ids % 10
+        for back in (1, 2, 3, 4):  # K5 within the decade head
+            keep = (m >= back) & (m <= 4)
+            srcs.append(ids[keep] - back)
+            dsts.append(ids[keep])
+        chain = m >= 5  # path 4-5-6-7 then triangle sides 7-8, 8-9
+        srcs.append(ids[chain] - 1)
+        dsts.append(ids[chain])
+        tri = m == 9  # close the 7-8-9 triangle
+        srcs.append(ids[tri] - 2)
+        dsts.append(ids[tri])
+        bridge = (m == 0) & (ids > 0)  # weak inter-decade bridge
+        srcs.append(ids[bridge] - 1)
+        dsts.append(ids[bridge])
+        return pa.table({"src": pa.array(np.concatenate(srcs)),
+                         "dst": pa.array(np.concatenate(dsts))})
+
+    edges = ds.map_batches(decade_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return ktruss(edges, "src", "dst", 4)
+
+
 def q_delta_aggregate(sf_dir: str):
     """Incremental view maintenance: materialize the per-event-type
     (count, cents-sum) view over the first 24 days, then apply a
@@ -5031,6 +5068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decision_stump": q_decision_stump,
         "delta_aggregate": q_delta_aggregate,
         "kendall": q_kendall,
+        "ktruss": q_ktruss,
         "theilsen": q_theilsen,
         "spearman": q_spearman,
         "trend_slope": q_trend_slope,
@@ -7504,6 +7542,45 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
               PARTITION BY o_orderpriority
               ORDER BY LEAST(pl, ql) + LEAST(pt - pl, qt - ql), x) = 1""",
+        "ktruss": """
+            WITH ids AS (
+              SELECT CAST(doc_id AS BIGINT) AS i FROM documents
+            ), e0 AS (
+              SELECT i - back AS a, i AS b
+              FROM ids, (VALUES (1), (2), (3), (4)) AS t(back)
+              WHERE i % 10 BETWEEN 1 AND 4 AND back <= i % 10
+              UNION ALL
+              SELECT i - 1, i FROM ids WHERE i % 10 >= 5
+              UNION ALL
+              SELECT i - 2, i FROM ids WHERE i % 10 = 9
+              UNION ALL
+              SELECT i - 1, i FROM ids WHERE i % 10 = 0 AND i > 0
+            ), t0 AS (
+              SELECT x.a AS a, x.b AS b, y.b AS c
+              FROM e0 x
+              JOIN e0 y ON y.a = x.a AND y.b > x.b
+              JOIN e0 z ON z.a = x.b AND z.b = y.b
+            ), s0 AS (
+              SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+                SELECT a, b FROM t0
+                UNION ALL SELECT a, c AS b FROM t0
+                UNION ALL SELECT b AS a, c AS b FROM t0
+              ) GROUP BY a, b
+            ), e1 AS (
+              SELECT a, b FROM s0 WHERE sup >= 2
+            ), t1 AS (
+              SELECT x.a AS a, x.b AS b, y.b AS c
+              FROM e1 x
+              JOIN e1 y ON y.a = x.a AND y.b > x.b
+              JOIN e1 z ON z.a = x.b AND z.b = y.b
+            ), s1 AS (
+              SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+                SELECT a, b FROM t1
+                UNION ALL SELECT a, c AS b FROM t1
+                UNION ALL SELECT b AS a, c AS b FROM t1
+              ) GROUP BY a, b
+            )
+            SELECT a, b, sup AS support FROM s1 WHERE sup >= 2""",
         "theilsen": """
             WITH d AS (
               SELECT event_type,

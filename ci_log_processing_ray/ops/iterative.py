@@ -2518,3 +2518,124 @@ def _msf_finalize(parts, n_buckets):
             batch_format="pyarrow", zero_copy_batch=True),
         ["u", "v", "w"], n_buckets=n_buckets)
     return out
+
+
+def ktruss(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    *,
+    max_rounds: int = 30,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """k-truss decomposition: iteratively peel every edge supported by
+    fewer than ``k - 2`` triangles until fixpoint, returning the
+    surviving edges as canonical ``(a, b, support)`` rows with their
+    final in-truss support -- the standard cohesive-subgraph mining
+    step (a k-truss is the edge analogue of the k-core, much stricter
+    about tie strength).
+
+    Scale design: edges canonicalize (min, max) and dedup once; each
+    peel round is three coarse-bucket exchanges, all graph-sized --
+    (1) wedges per lower endpoint via one per-bucket self-merge,
+    (2) closure of wedges against the edge set via a tagged-union
+    (u, v) co-partition (each closed triangle credits its 3 edges),
+    (3) support fold + threshold filter.  No per-round driver state
+    beyond the edge COUNT; the edge table re-materializes per round
+    (graph-sized, same contract as relational.triangle_count).  Wedge
+    volume is sum(deg_low^2) of the CURRENT graph -- peeling itself is
+    the skew guard, but degree-cap upstream for pathological hubs.
+    Rounds are bounded by ``max_rounds``; hitting the cap without
+    fixpoint warns and returns the cap-round graph (a superset of the
+    true truss)."""
+    import warnings
+
+    from ci_log_processing_ray.ops.window import (bucketed_distinct,
+                                                  bucketed_groups)
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t[src_col].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t[dst_col].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"a": pa.array(np.minimum(s, d)),
+                         "b": pa.array(np.maximum(s, d))})
+
+    cur = bucketed_distinct(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["a", "b"], n_buckets=n_buckets).materialize()
+    n_cur = cur.count()
+    min_support = k - 2
+
+    def wedge_kern(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="a")
+        m = m[m["b_x"] < m["b_y"]]
+        return pd.DataFrame({
+            "u": m["b_x"].to_numpy(np.int64),
+            "v": m["b_y"].to_numpy(np.int64),
+            "wa": m["a"].to_numpy(np.int64)})
+
+    def close_kern(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["tag"] == 0]
+        e = g[g["tag"] == 1][["u", "v"]]
+        closed = w.merge(e, on=["u", "v"])
+        parts = pd.concat([
+            pd.DataFrame({"a": closed["wa"], "b": closed["u"]}),
+            pd.DataFrame({"a": closed["wa"], "b": closed["v"]}),
+            pd.DataFrame({"a": closed["u"], "b": closed["v"]})])
+        if parts.empty:
+            return pd.DataFrame({"a": np.zeros(0, np.int64),
+                                 "b": np.zeros(0, np.int64),
+                                 "n": np.zeros(0, np.int64)})
+        out = parts.groupby(["a", "b"], as_index=False).size()
+        return pd.DataFrame({"a": out["a"].to_numpy(np.int64),
+                             "b": out["b"].to_numpy(np.int64),
+                             "n": out["size"].to_numpy(np.int64)})
+
+    def thresh_kern(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False)["n"].sum()
+        out = out[out["n"].to_numpy(np.int64) >= min_support]
+        return pd.DataFrame({
+            "a": out["a"].to_numpy(np.int64),
+            "b": out["b"].to_numpy(np.int64),
+            "support": out["n"].to_numpy(np.int64)})
+
+    for _ in range(max_rounds):
+        if n_cur == 0:
+            return ray.data.from_arrow(pa.table({
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "support": pa.array([], pa.int64())}))
+        wedges = bucketed_groups(cur, "a", wedge_kern,
+                                 n_buckets=n_buckets)
+        tag_w = wedges.map_batches(
+            lambda t: t.append_column(
+                "tag", pa.array(np.zeros(len(t), np.int8))),
+            batch_format="pyarrow")
+        tag_e = cur.map_batches(
+            lambda t: pa.table({
+                "u": t["a"], "v": t["b"],
+                "wa": pa.array(np.full(len(t), -1, np.int64)),
+                "tag": pa.array(np.ones(len(t), np.int8))}),
+            batch_format="pyarrow")
+        support = bucketed_groups(tag_w.union(tag_e), "u", close_kern,
+                                  n_buckets=n_buckets)
+        tag_z = cur.map_batches(
+            lambda t: pa.table({
+                "a": t["a"], "b": t["b"],
+                "n": pa.array(np.zeros(len(t), np.int64))}),
+            batch_format="pyarrow")
+        nxt = bucketed_groups(support.union(tag_z), "a", thresh_kern,
+                              n_buckets=n_buckets).materialize()
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            return nxt
+        cur = nxt.map_batches(lambda t: t.select(["a", "b"]),
+                              batch_format="pyarrow").materialize()
+        n_cur = n_nxt
+    warnings.warn(
+        f"ktruss: no fixpoint within max_rounds={max_rounds}; "
+        "returning the cap-round graph (a superset of the k-truss)")
+    return nxt

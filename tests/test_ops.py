@@ -4040,3 +4040,39 @@ def test_delta_aggregate_maintains_counts_and_guards(ray_session):
     with _pytest.raises(Exception, match="negative"):
         delta_aggregate(view, bad, ["k"], count_col="n",
                         sum_cols=("s",)).to_pandas()
+
+
+def test_ktruss_peels_to_planted_clique(ray_session):
+    """K5 + a path + a lone triangle + a triangle ladder: the 4-truss
+    must peel everything but the K5 (cascading the ladder away over
+    multiple rounds); the 3-truss keeps every triangle-supported
+    edge."""
+    from itertools import combinations
+
+    from ci_log_processing_ray.ops.iterative import ktruss
+
+    edges = []
+    edges += list(combinations(range(5), 2))            # K5
+    edges += [(10, 11), (11, 12), (12, 13)]             # path
+    edges += [(20, 21), (21, 22), (20, 22)]             # triangle
+    ladder = [(i, i + 1) for i in range(30, 35)] + \
+             [(i, i + 2) for i in range(30, 34)]        # ladder
+    edges += ladder
+    df = pd.DataFrame(edges, columns=["s", "d"])
+    # feed duplicates + reversed + self loops: must canonicalize
+    rev = df.rename(columns={"s": "d", "d": "s"})
+    loops = pd.DataFrame({"s": [1, 20], "d": [1, 20]})
+    ds = ray.data.from_pandas(pd.concat([df, rev, loops])
+                              ).repartition(4)
+
+    t4 = ktruss(ds, "s", "d", 4).to_pandas().sort_values(
+        ["a", "b"]).reset_index(drop=True)
+    assert [tuple(r) for r in t4[["a", "b"]].to_numpy()] == \
+        list(combinations(range(5), 2))
+    assert (t4["support"] == 3).all()
+
+    t3 = ktruss(ds, "s", "d", 3).to_pandas()
+    got = {tuple(r) for r in t3[["a", "b"]].to_numpy()}
+    want = set(combinations(range(5), 2)) | \
+        {(20, 21), (20, 22), (21, 22)} | set(ladder)
+    assert got == want
