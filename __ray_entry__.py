@@ -4870,6 +4870,75 @@ def q_cusum_shift(sf_dir: str):
     return grouped_cusum_peak(ds, "event_type", "ts")
 
 
+def q_tree_closure(sf_dir: str):
+    """Hierarchy flattening (ops/iterative.py:tree_closure): ancestor
+    transitive closure with depth over the event-id halving forest
+    (parent = id // 2 for ids >= 16, roots 8..15) -- pointer DOUBLING,
+    ceil(log2 depth) tagged co-partition rounds, no dedup exchange
+    (first-2^k-steps decomposition is unique on a forest), vs the
+    WITH RECURSIVE DuckDB oracle."""
+    from ci_log_processing_ray.ops.iterative import tree_closure
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].combine_chunks().to_numpy().astype(np.int64)
+        ids = ids[ids >= 16]
+        return pa.table({"node": pa.array(ids),
+                         "parent": pa.array(ids // 2)})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return tree_closure(edges, "node", "parent")
+
+
+def q_tree_stats(sf_dir: str):
+    """Org-chart rollup triple (ops/iterative.py:tree_stats) over the
+    same halving forest as q_tree_closure: per node, depth below its
+    root, the root id, and the subtree size -- pointer-doubling closure
+    plus three node-shaped bucketed exchanges (argmax-depth, pre-shrunk
+    descendant counts, one stitching co-partition)."""
+    from ci_log_processing_ray.ops.iterative import tree_stats
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].combine_chunks().to_numpy().astype(np.int64)
+        ids = ids[ids >= 16]
+        return pa.table({"node": pa.array(ids),
+                         "parent": pa.array(ids // 2)})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return tree_stats(edges, "node", "parent")
+
+
+def q_mannwhitney(sf_dir: str):
+    """Per-returnflag Mann-Whitney rank-sum statistic
+    (ops/groupagg.py:mann_whitney_u) between odd and even line numbers
+    over integer quantities: u2 = 2*#(a>b) + #(a==b), exact int64 via
+    per-(group, side, value) count collapse + one per-group cumulative
+    kernel -- no pair enumeration, vs the SQL pair-count-join oracle."""
+    from ci_log_processing_ray.ops.groupagg import mann_whitney_u
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linenumber", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ln = t["l_linenumber"].combine_chunks().to_numpy().astype(
+            np.int64)
+        return pa.table({
+            "grp": t["l_returnflag"],
+            "side": pa.array(ln % 2),
+            "val": pc.cast(pc.round(t["l_quantity"].combine_chunks()),
+                           pa.int64())})
+
+    return mann_whitney_u(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "grp", "side", "val")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -5094,6 +5163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": q_running_distinct,
         "random_walks": q_random_walks,
         "link_prediction": q_link_prediction,
+        "tree_closure": q_tree_closure,
+        "tree_stats": q_tree_stats,
+        "mannwhitney": q_mannwhitney,
     }
 
 
@@ -7840,4 +7912,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS sink,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM events GROUP BY event_type""",
+        "tree_closure": """
+            WITH RECURSIVE e AS (
+              SELECT event_id AS node, event_id // 2 AS parent
+              FROM events WHERE event_id >= 16
+            ), a AS (
+              SELECT node, parent AS anc, CAST(1 AS BIGINT) AS depth
+              FROM e
+              UNION ALL
+              SELECT a.node, e.parent, a.depth + 1
+              FROM a JOIN e ON e.node = a.anc
+            )
+            SELECT node, anc, depth FROM a""",
+        "tree_stats": """
+            WITH RECURSIVE e AS (
+              SELECT event_id AS node, event_id // 2 AS parent
+              FROM events WHERE event_id >= 16
+            ), a AS (
+              SELECT node, parent AS anc, CAST(1 AS BIGINT) AS depth
+              FROM e
+              UNION ALL
+              SELECT a.node, e.parent, a.depth + 1
+              FROM a JOIN e ON e.node = a.anc
+            ), d AS (
+              SELECT node, MAX(depth) AS depth,
+                     arg_max(anc, depth) AS root
+              FROM a GROUP BY node
+            ), s AS (
+              SELECT anc AS node, COUNT(*) AS cnt FROM a GROUP BY anc
+            ), u AS (
+              -- explicit DISTINCT: inside a WITH RECURSIVE block this
+              -- DuckDB treats a bare UNION as the recursive union and
+              -- skips the dedup
+              SELECT DISTINCT node FROM (
+                SELECT node FROM e UNION ALL SELECT parent FROM e)
+            )
+            SELECT u.node AS node,
+                   CAST(COALESCE(d.depth, 0) AS BIGINT) AS depth,
+                   CAST(COALESCE(d.root, u.node) AS BIGINT) AS root,
+                   CAST(1 + COALESCE(s.cnt, 0) AS BIGINT)
+                       AS subtree_size
+            FROM u LEFT JOIN d ON d.node = u.node
+                   LEFT JOIN s ON s.node = u.node""",
+        "mannwhitney": """
+            WITH c AS (
+              SELECT l_returnflag AS grp,
+                     l_linenumber % 2 AS side,
+                     CAST(round(l_quantity) AS BIGINT) AS val,
+                     COUNT(*) AS n
+              FROM lineitem GROUP BY 1, 2, 3
+            ), p AS (
+              SELECT a.grp AS grp,
+                     SUM(CASE WHEN a.val > b.val THEN 2 * a.n * b.n
+                              WHEN a.val = b.val THEN a.n * b.n
+                              ELSE 0 END) AS u2
+              FROM c a JOIN c b
+                ON a.grp = b.grp AND a.side = 0 AND b.side = 1
+              GROUP BY 1
+            ), t AS (
+              SELECT grp,
+                     SUM(CASE WHEN side = 0 THEN n ELSE 0 END) AS n_a,
+                     SUM(CASE WHEN side = 1 THEN n ELSE 0 END) AS n_b
+              FROM c GROUP BY grp
+            )
+            SELECT t.grp AS grp,
+                   CAST(t.n_a AS BIGINT) AS n_a,
+                   CAST(t.n_b AS BIGINT) AS n_b,
+                   CAST(COALESCE(p.u2, 0) AS BIGINT) AS u2
+            FROM t LEFT JOIN p ON p.grp = t.grp""",
     }

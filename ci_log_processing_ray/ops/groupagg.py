@@ -1388,3 +1388,76 @@ def decision_stump_by_group(
     pre = ds.map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True)
     return bucketed_groups(pre, group_col, kern, n_buckets=n_buckets)
+
+
+def mann_whitney_u(
+    ds: ray.data.Dataset,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group two-sample Mann-Whitney rank-sum statistic as an EXACT
+    integer: for each group, over all (a, b) pairs with a from side 0
+    and b from side 1,
+
+        u2 = 2 * #(a > b) + #(a == b)      (= 2 * U_A with ties at 1/2)
+
+    plus the side sizes (n_a, n_b) -- the standard nonparametric
+    "did this segment's distribution shift up?" test statistic (compare
+    u2 against n_a*n_b: equal distributions hover at u2 ~= n_a*n_b).
+    Doubling clears the half-credit ties, so the hash path stays
+    integer-exact against the SQL pair-count oracle.
+
+    Scale shape: one ``map_batches`` pass collapses the corpus to
+    per-(group, side, value) counts (value-domain-sized partials, the
+    ks_wasserstein_two_sample collapse), then ONE bucketed exchange on
+    hash(group) computes every group's statistic from its count table
+    via sort + per-side cumulative sums -- no pair enumeration
+    anywhere; cost is O(distinct values) per group.  Groups are assumed
+    vocabulary-shaped (each group's distinct-value table fits a reduce
+    task); magnitudes: u2 <= 2*n_a*n_b, int64-safe to ~2^31 rows per
+    group per side."""
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    def collapse(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "grp": t[group_col],
+            "side": t[side_col].combine_chunks().cast(pa.int64()),
+            "val": t[value_col].combine_chunks().cast(pa.int64())})
+        g = tt.group_by(["grp", "side", "val"]).aggregate([([], "count_all")])
+        return g.rename_columns(["grp", "side", "val", "n"])
+
+    pre = ds.map_batches(collapse, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["grp", "side", "val"], as_index=False,
+                      sort=False)["n"].sum()
+        side = g["side"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        piv = pd.DataFrame({
+            "grp": g["grp"], "val": g["val"].to_numpy(np.int64),
+            "na": np.where(side == 0, n, 0),
+            "nb": np.where(side == 1, n, 0)})
+        piv = piv.groupby(["grp", "val"], as_index=False, sort=False).sum()
+        piv = piv.sort_values(["grp", "val"], kind="mergesort")
+        na = piv["na"].to_numpy(np.int64)
+        nb = piv["nb"].to_numpy(np.int64)
+        grp = piv["grp"]
+        # per-group exclusive cumsum of side-1 counts below each value
+        cum_b = piv.groupby("grp", sort=False)["nb"].cumsum().to_numpy(
+            np.int64) - nb
+        gt2 = 2 * na * cum_b
+        eq = na * nb
+        out = pd.DataFrame({"grp": grp, "u2": gt2 + eq,
+                            "na": na, "nb": nb})
+        out = out.groupby("grp", as_index=False, sort=False).sum()
+        return pd.DataFrame({
+            "grp": out["grp"],
+            "n_a": out["na"].to_numpy(np.int64),
+            "n_b": out["nb"].to_numpy(np.int64),
+            "u2": out["u2"].to_numpy(np.int64)})
+
+    return bucketed_groups(pre, "grp", kern, n_buckets=n_buckets)

@@ -2552,7 +2552,17 @@ def ktruss(
     import warnings
 
     from ci_log_processing_ray.ops.window import (bucketed_distinct,
-                                                  bucketed_groups)
+                                                  bucketed_groups,
+                                                  resolve_group_buckets)
+
+    # per-round block-count bound: the map_groups reduce keeps its
+    # input's block count, so three chained exchanges + two unions per
+    # round would otherwise ~3x the block count EVERY round -- measured
+    # 2.9k -> 8.6k sort-input blocks in two rounds on a 10M-edge graph,
+    # at which point the driver's all-to-all bookkeeping (not the
+    # workers) becomes the bottleneck.  One cheap split/merge
+    # repartition per round resets it.
+    n_part = resolve_group_buckets(n_buckets)
 
     def canon(t: pa.Table) -> pa.Table:
         s = t[src_col].combine_chunks().to_numpy(zero_copy_only=False)
@@ -2565,7 +2575,8 @@ def ktruss(
     cur = bucketed_distinct(
         edges.map_batches(canon, batch_format="pyarrow",
                           zero_copy_batch=True),
-        ["a", "b"], n_buckets=n_buckets).materialize()
+        ["a", "b"], n_buckets=n_buckets).repartition(
+            n_part).materialize()
     n_cur = cur.count()
     min_support = k - 2
 
@@ -2628,7 +2639,8 @@ def ktruss(
                 "n": pa.array(np.zeros(len(t), np.int64))}),
             batch_format="pyarrow")
         nxt = bucketed_groups(support.union(tag_z), "a", thresh_kern,
-                              n_buckets=n_buckets).materialize()
+                              n_buckets=n_buckets).repartition(
+                                  n_part).materialize()
         n_nxt = nxt.count()
         if n_nxt == n_cur:
             return nxt
@@ -2639,3 +2651,229 @@ def ktruss(
         f"ktruss: no fixpoint within max_rounds={max_rounds}; "
         "returning the cap-round graph (a superset of the k-truss)")
     return nxt
+
+
+def tree_closure(
+    edges: ray.data.Dataset,
+    node_col: str,
+    parent_col: str,
+    *,
+    max_depth: int | None = None,
+    max_rounds: int = 20,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Transitive ancestor closure of a FOREST (each node has at most
+    one parent): every (node, ancestor, depth >= 1) pair -- the
+    hierarchy-flattening primitive behind org-chart rollups, BOM
+    explosion and category-tree denormalization, the distributed
+    equivalent of a ``WITH RECURSIVE`` ancestor CTE.
+
+    Scale design: pointer DOUBLING, not per-level iteration -- round k
+    composes the frontier (pairs at depth exactly 2^k, at most one per
+    node) with the full closure-so-far via one tagged hash(key)
+    co-partition, producing every pair at depth (2^k, 2^(k+1)] exactly
+    once (the first-2^k-steps decomposition is unique on a forest, so
+    NO dedup exchange is needed).  Depth-D closure finishes in
+    ceil(log2 D) rounds; total bytes exchanged ~ 2x the output.  The
+    loop stops at fixpoint (observed max depth short of the next
+    frontier), at ``max_depth`` (output filtered back to the cap), or
+    at ``max_rounds`` with a warning (returning the partial closure).
+    Self-loops are dropped; duplicate edges collapse in one distinct
+    exchange up front.  Cycles (non-forest input) would never fixpoint
+    -- they hit max_rounds; multi-parent nodes (a DAG) violate the
+    unique-decomposition contract and must be routed to a dedup'ing
+    variant instead."""
+    import warnings
+
+    from ci_log_processing_ray.ops.window import (bucketed_distinct,
+                                                  bucketed_groups,
+                                                  resolve_group_buckets)
+
+    # bound the closure's block count each round: unions + the
+    # count-preserving map_groups reduce would otherwise ~3x the block
+    # count per doubling round, melting the driver's all-to-all
+    # bookkeeping (see the ktruss note); one split/merge repartition
+    # per round resets it
+    n_part = resolve_group_buckets(n_buckets)
+
+    def canon(t: pa.Table) -> pa.Table:
+        n = t[node_col].combine_chunks().cast(pa.int64())
+        p = t[parent_col].combine_chunks().cast(pa.int64())
+        return pa.table({"node": n, "anc": p}).filter(
+            pc.invert(pc.equal(n, p)))
+
+    def with_depth(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"].combine_chunks().cast(pa.int64()),
+            "anc": t["anc"].combine_chunks().cast(pa.int64()),
+            "depth": pa.array(np.ones(len(t), np.int64))})
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "anc": pa.array([], pa.int64()),
+                      "depth": pa.array([], pa.int64())})
+
+    base = bucketed_distinct(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["node", "anc"], n_buckets=n_buckets)
+    R = base.map_batches(with_depth,
+                         batch_format="pyarrow").materialize()
+    if R.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    cur_max = 1
+    for rnd in range(max_rounds):
+        if max_depth is not None and cur_max >= max_depth:
+            break
+
+        def tag_f(t: pa.Table, cm: int = cur_max) -> pa.Table:
+            f = t.filter(pc.equal(t["depth"], pa.scalar(cm, pa.int64())))
+            return pa.table({
+                "key": f["anc"], "a": f["node"], "d": f["depth"],
+                "side": pa.array(np.zeros(len(f), np.int8))})
+
+        def tag_r(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": t["node"], "a": t["anc"], "d": t["depth"],
+                "side": pa.array(np.ones(len(t), np.int8))})
+
+        unioned = R.map_batches(
+            tag_f, batch_format="pyarrow", zero_copy_batch=True
+        ).union(R.map_batches(tag_r, batch_format="pyarrow",
+                              zero_copy_batch=True))
+
+        def kern(g: pd.DataFrame) -> pd.DataFrame:
+            s = g["side"].to_numpy()
+            f = g[s == 0]
+            r = g[s == 1]
+            if not len(f) or not len(r):
+                return pd.DataFrame({
+                    "node": pd.Series([], dtype=np.int64),
+                    "anc": pd.Series([], dtype=np.int64),
+                    "depth": pd.Series([], dtype=np.int64)})
+            m = f[["key", "a", "d"]].merge(
+                r[["key", "a", "d"]].rename(
+                    columns={"a": "a2", "d": "d2"}), on="key")
+            return pd.DataFrame({
+                "node": m["a"].to_numpy(np.int64),
+                "anc": m["a2"].to_numpy(np.int64),
+                "depth": (m["d"].to_numpy(np.int64)
+                          + m["d2"].to_numpy(np.int64))})
+
+        new = bucketed_groups(unioned, "key", kern,
+                              n_buckets=n_buckets).map_batches(
+            lambda t: t, batch_format="pyarrow").materialize()
+        if new.count() == 0:
+            break
+        md = int(new.max("depth"))
+        R = R.union(new).repartition(n_part).materialize()
+        if md < 2 * cur_max:
+            break
+        cur_max *= 2
+    else:
+        warnings.warn(
+            f"tree_closure: max_rounds={max_rounds} reached before "
+            "fixpoint (cycle, or deeper than 2^max_rounds); returning "
+            "the partial closure")
+    if max_depth is not None:
+        R = R.map_batches(
+            lambda t, md=max_depth: t.filter(
+                pc.less_equal(t["depth"], pa.scalar(md, pa.int64()))),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return R
+
+
+def tree_stats(
+    edges: ray.data.Dataset,
+    node_col: str,
+    parent_col: str,
+    *,
+    max_rounds: int = 20,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-node hierarchy analytics over a FOREST edge table: for every
+    node appearing in the edges, its depth below its root (root = 0),
+    its root's id, and its subtree size (itself + all descendants) --
+    the org-chart / category-tree rollup triple, exact in int64.
+
+    Scale shape: one :func:`tree_closure` (pointer doubling,
+    ceil(log2 D) co-partition rounds), then three node-shaped bucketed
+    exchanges -- (1) per-node argmax-depth over the closure gives
+    (depth, root), (2) per-ancestor descendant counts, pre-shrunk to
+    per-block partials inside ``map_batches`` before the exchange,
+    (3) one tagged co-partition stitches universe + depth/root +
+    counts, defaulting roots to (depth 0, root self, size 1 + count)."""
+    from ci_log_processing_ray.ops.window import (bucketed_distinct,
+                                                  bucketed_groups,
+                                                  bucketed_sum)
+
+    clo = tree_closure(edges, node_col, parent_col,
+                       max_rounds=max_rounds,
+                       n_buckets=n_buckets).materialize()
+
+    def dkern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["node", "depth"], kind="mergesort")
+        top = g.drop_duplicates("node", keep="last")
+        return pd.DataFrame({
+            "key": top["node"].to_numpy(np.int64),
+            "d": top["depth"].to_numpy(np.int64),
+            "r": top["anc"].to_numpy(np.int64)})
+
+    d1 = bucketed_groups(clo, "node", dkern, n_buckets=n_buckets)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"key": t["anc"]})
+             .group_by(["key"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["key", "c"])
+
+    d2 = bucketed_sum(
+        clo.map_batches(count_partial, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["key"], ["c"], n_buckets=n_buckets)
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        n = t[node_col].combine_chunks().cast(pa.int64())
+        p = t[parent_col].combine_chunks().cast(pa.int64())
+        keep = pc.invert(pc.equal(n, p))
+        both = pa.concat_arrays([n.filter(keep), p.filter(keep)])
+        return pa.table({"key": both.unique()})
+
+    u = bucketed_distinct(
+        edges.map_batches(uni_partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["key"], n_buckets=n_buckets)
+
+    def tag(side: int, with_dr: bool, with_c: bool):
+        def t(g: pd.DataFrame) -> pd.DataFrame:
+            z = np.zeros(len(g), np.int64)
+            return pd.DataFrame({
+                "key": g["key"].to_numpy(np.int64),
+                "d": g["d"].to_numpy(np.int64) if with_dr else z,
+                "r": g["r"].to_numpy(np.int64) if with_dr else z,
+                "c": g["c"].to_numpy(np.int64) if with_c else z,
+                "side": np.full(len(g), side, np.int8)})
+        return t
+
+    unioned = (u.map_batches(tag(0, False, False),
+                             batch_format="pandas")
+               .union(d1.map_batches(tag(1, True, False),
+                                     batch_format="pandas"))
+               .union(d2.map_batches(tag(2, False, True),
+                                     batch_format="pandas")))
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["side"].to_numpy()
+        un = g[s == 0][["key"]]
+        m1 = g[s == 1][["key", "d", "r"]]
+        m2 = g[s == 2][["key", "c"]]
+        out = un.merge(m1, on="key", how="left").merge(
+            m2, on="key", how="left")
+        key = out["key"].to_numpy(np.int64)
+        d = out["d"].fillna(0).to_numpy(np.int64)
+        have_r = out["r"].notna().to_numpy()
+        r = np.where(have_r, out["r"].fillna(0).to_numpy(np.int64), key)
+        c = out["c"].fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({"node": key, "depth": d, "root": r,
+                             "subtree_size": 1 + c})
+
+    return bucketed_groups(unioned, "key", stitch, n_buckets=n_buckets)

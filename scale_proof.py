@@ -1996,6 +1996,109 @@ def main_gini() -> None:
         ray.shutdown()
 
 
+CORPUS_KT = "/tmp/llm_scale_ktruss_v1"
+KT_BLOCK = 100
+KT_N_NODES = 2_400_000
+
+
+def build_ktruss_corpus() -> tuple[int, int]:
+    """Deterministic path-power graph with a closed-form k-truss:
+    node ids partition into blocks of 100; block b is the p-th power
+    of a path with p = 1 + (b % 6).  P^p is EXACTLY a (p+1)-truss
+    (interior span-j edge support is 2p-j-1, boundary edges bottom out
+    at p-1, and every k-truss is a (k-1)-core so coreness p bounds the
+    trussness above), so running k=5 must keep blocks with p >= 4
+    wholly -- every surviving edge's support has the closed form
+    min(B-1, i+p) - max(0, i+j-p) - 1 in block coordinates -- and must
+    fully dissolve p <= 3 blocks, the p=3 ones only through a
+    multi-round peel cascade (P^3 -> P^2-ish -> empty).  Every 10th
+    edge is planted reversed as a duplicate to exercise
+    canonicalization at scale."""
+    marker = os.path.join(CORPUS_KT, ".done")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            d = json.load(f)
+            return d["n_rows"], d["n_nodes"]
+    os.makedirs(CORPUS_KT, exist_ok=True)
+    ids = np.arange(KT_N_NODES, dtype=np.int64)
+    p = 1 + (ids // KT_BLOCK) % 6
+    srcs, dsts = [], []
+    for j in range(1, 7):
+        keep = (j <= p) & ((ids + j) // KT_BLOCK == ids // KT_BLOCK)
+        srcs.append(ids[keep])
+        dsts.append(ids[keep] + j)
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    dup = np.arange(len(src)) % 10 == 0
+    src, dst = (np.concatenate([src, dst[dup]]),
+                np.concatenate([dst, src[dup]]))
+    n_rows = len(src)
+    order = np.arange(n_rows)
+    for shard in range(N_SHARDS):
+        m = order % N_SHARDS == shard
+        out = pa.table({"src": pa.array(src[m]),
+                        "dst": pa.array(dst[m])})
+        tmp = os.path.join(CORPUS_KT, f".tmp-{shard:04d}.parquet")
+        pq.write_table(out, tmp)
+        os.replace(tmp,
+                   os.path.join(CORPUS_KT, f"part-{shard:04d}.parquet"))
+    with open(marker, "w") as f:
+        json.dump({"n_rows": n_rows, "n_nodes": KT_N_NODES}, f)
+    return n_rows, KT_N_NODES
+
+
+def main_ktruss() -> None:
+    import ray
+    from ray.data import DataContext
+
+    n_rows, n_nodes = build_ktruss_corpus()
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.iterative import ktruss
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        k = 5
+        t0 = time.perf_counter()
+        out = ktruss(ray.data.read_parquet(CORPUS_KT), "src", "dst", k)
+        parts = [b for b in out.iter_batches(batch_format="pyarrow")]
+        sec = time.perf_counter() - t0
+
+        a = np.concatenate([b["a"].to_numpy() for b in parts])
+        bcol = np.concatenate([b["b"].to_numpy() for b in parts])
+        sup = np.concatenate([b["support"].to_numpy() for b in parts])
+        blk = a // KT_BLOCK
+        p = 1 + blk % 6
+        # no edge from a dissolving block may survive
+        assert (p >= k - 1).all(), int((p < k - 1).sum())
+        i = a % KT_BLOCK
+        j = bcol - a
+        want = (np.minimum(KT_BLOCK - 1, i + p)
+                - np.maximum(0, i + j - p) - 1)
+        assert (sup == want).all(), int((sup != want).sum())
+        # exact surviving edge count: blocks cycle p=1..6 uniformly
+        n_blocks = n_nodes // KT_BLOCK
+        want_edges = sum(
+            (n_blocks // 6) * sum(KT_BLOCK - jj for jj in range(1, pp + 1))
+            for pp in range(k - 1, 7))
+        assert len(a) == want_edges, (len(a), want_edges)
+
+        print(json.dumps({
+            "n_edge_rows": n_rows, "n_nodes": n_nodes, "k": k,
+            "surviving_edges": int(len(a)), "num_cpus": NCPU,
+            "sec": round(sec, 2),
+            "edge_rows_per_sec": round(n_rows / sec),
+            "truth": "support == min(99,i+p)-max(0,i+j-p)-1 on every "
+                     "surviving row; p<=3 blocks fully dissolved",
+            "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -2027,5 +2130,7 @@ if __name__ == "__main__":
         main_hits()
     elif len(sys.argv) > 1 and sys.argv[1] == "gini":
         main_gini()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ktruss":
+        main_ktruss()
     else:
         main()

@@ -4076,3 +4076,105 @@ def test_ktruss_peels_to_planted_clique(ray_session):
     want = set(combinations(range(5), 2)) | \
         {(20, 21), (20, 22), (21, 22)} | set(ladder)
     assert got == want
+
+
+def test_tree_closure_matches_bruteforce(ray_session):
+    """Irregular multi-root forest (two binary trees + a deep chain +
+    isolated pair), fed with duplicate edges and a self loop: the
+    doubling closure must equal the walked ancestor set exactly, and
+    max_depth must truncate it."""
+    from ci_log_processing_ray.ops.iterative import tree_closure
+
+    parent = {}
+    for k in range(2, 40):          # binary tree rooted at 1
+        parent[k] = k // 2
+    for k in range(101, 140):       # chain 100 <- 101 <- ... <- 139
+        parent[k] = k - 1
+    parent[200] = 201               # pair
+    df = pd.DataFrame({"n": list(parent), "p": list(parent.values())})
+    dups = df.iloc[::3]
+    loop = pd.DataFrame({"n": [7], "p": [7]})
+    ds = ray.data.from_pandas(pd.concat([df, dups, loop])
+                              ).repartition(4)
+
+    want = set()
+    for k in parent:
+        a, d = k, 0
+        while a in parent:
+            a, d = parent[a], d + 1
+            want.add((k, a, d))
+    clo = tree_closure(ds, "n", "p", n_buckets=4).to_pandas()
+    got = set(map(tuple, clo[["node", "anc", "depth"]]
+                  .itertuples(index=False)))
+    assert got == want
+
+    capped = tree_closure(ds, "n", "p", max_depth=3,
+                          n_buckets=4).to_pandas()
+    got3 = set(map(tuple, capped[["node", "anc", "depth"]]
+                   .itertuples(index=False)))
+    assert got3 == {t for t in want if t[2] <= 3}
+
+
+def test_tree_stats_depth_root_subtree(ray_session):
+    """Same forest: depth/root/subtree_size per node vs brute force,
+    roots included with depth 0 and self root."""
+    from ci_log_processing_ray.ops.iterative import tree_stats
+
+    parent = {}
+    for k in range(2, 40):
+        parent[k] = k // 2
+    for k in range(101, 110):
+        parent[k] = k - 1
+    parent[200] = 201
+    df = pd.DataFrame({"n": list(parent), "p": list(parent.values())})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    nodes = set(parent) | set(parent.values())
+    anc_of = {}
+    for k in nodes:
+        chain, a = [], k
+        while a in parent:
+            a = parent[a]
+            chain.append(a)
+        anc_of[k] = chain
+    desc = {n: 0 for n in nodes}
+    for k in nodes:
+        for a in anc_of[k]:
+            desc[a] += 1
+
+    st = tree_stats(ds, "n", "p", n_buckets=4).to_pandas()
+    assert set(st["node"]) == nodes
+    for _, r in st.iterrows():
+        k = int(r["node"])
+        chain = anc_of[k]
+        assert r["depth"] == len(chain)
+        assert r["root"] == (chain[-1] if chain else k)
+        assert r["subtree_size"] == 1 + desc[k]
+
+
+def test_mann_whitney_exact_pairs(ray_session):
+    """u2 vs brute-force pair enumeration over several groups with
+    heavy ties, including a group with an empty side (u2 = 0)."""
+    import numpy as _np
+
+    from ci_log_processing_ray.ops.groupagg import mann_whitney_u
+
+    rng = _np.random.RandomState(7)
+    rows = []
+    for g, n in (("a", 40), ("b", 25), ("c", 10)):
+        for i in range(n):
+            side = i % 2
+            rows.append((g, side, int(rng.randint(0, 6)) + side))
+    rows += [("lone", 0, 5), ("lone", 0, 7)]   # no side-1 rows
+    df = pd.DataFrame(rows, columns=["g", "s", "v"])
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    out = mann_whitney_u(ds, "g", "s", "v", n_buckets=4).to_pandas()
+    out = out.set_index("grp")
+    for g, sub in df.groupby("g"):
+        a = sub[sub["s"] == 0]["v"].to_numpy()
+        b = sub[sub["s"] == 1]["v"].to_numpy()
+        u2 = int(2 * (a[:, None] > b[None, :]).sum()
+                 + (a[:, None] == b[None, :]).sum()) if len(b) else 0
+        r = out.loc[g]
+        assert (r["n_a"], r["n_b"], r["u2"]) == (len(a), len(b), u2), g
