@@ -164,6 +164,10 @@ BENCH_QUERIES = [
     "reciprocity",
     "lexical_richness",
     "msf",
+    "ktruss",
+    "tree_closure",
+    "tree_stats",
+    "mannwhitney",
 ]
 
 
