@@ -2099,6 +2099,247 @@ def main_ktruss() -> None:
         ray.shutdown()
 
 
+
+def main_tree() -> None:
+    """Pointer-doubling hierarchy closure + rollup at ~3.3M nodes /
+    42.6M closure rows: 100 complete binary trees of 15 levels
+    (tree t = ids t*65536 + k, k in 1..32767, parent = k // 2), so
+    every closure row has the closed form anc = base + (k >> depth),
+    every node's depth is floor(log2 k), its root is base + 1 and its
+    subtree size is 2^(15 - level) - 1.  The closure is verified
+    DISTRIBUTED (per-batch validity + count + an exact key-sum
+    checksum folded in Python ints -- never 42M rows on the driver);
+    the rollup is verified per row batch-by-batch."""
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    T = 100
+    LEVELS = 15
+    PER = (1 << LEVELS) - 1          # 32767 nodes per tree
+    STRIDE = 1 << 16
+    n_edges_per = PER - 1
+
+    k = np.arange(2, PER + 1, dtype=np.int64)
+    lk = np.floor(np.log2(k)).astype(np.int64)   # exact for k < 2^24
+    L1 = int(lk.sum())                            # closure rows per tree
+    # per-tree key-sum of (16*node + depth) over all closure rows
+    A = int((16 * k * lk).sum()) + int((lk * (lk + 1) // 2).sum())
+    want_count = T * L1
+    want_keysum = T * A + 16 * STRIDE * L1 * (T * (T - 1) // 2)
+    node_sum_per = int(k.sum()) + 1               # rollup: ids 1..PER
+    want_node_sum = (T * node_sum_per
+                     + STRIDE * PER * (T * (T - 1) // 2))
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.iterative import (tree_closure,
+                                                         tree_stats)
+
+        def mk(t: pa.Table) -> pa.Table:
+            e = t["id"].combine_chunks().to_numpy()
+            tr, kk = e // n_edges_per, 2 + e % n_edges_per
+            base = tr * STRIDE
+            return pa.table({"node": pa.array(base + kk),
+                             "parent": pa.array(base + kk // 2)})
+
+        def edges():
+            return ray.data.range(
+                T * n_edges_per,
+                override_num_blocks=NCPU * 4).map_batches(
+                mk, batch_format="pyarrow", zero_copy_batch=True)
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        t0 = time.perf_counter()
+        clo = tree_closure(edges(), "node", "parent")
+        n_rows = 0
+        viol = 0
+        keysum = 0
+        for b in clo.iter_batches(batch_format="pyarrow"):
+            node = b["node"].to_numpy()
+            anc = b["anc"].to_numpy()
+            d = b["depth"].to_numpy()
+            kk = node & (STRIDE - 1)
+            base = node - kk
+            ok = ((d >= 1) & ((kk >> d) >= 1)
+                  & (anc == base + (kk >> d)))
+            n_rows += len(node)
+            viol += int((~ok).sum())
+            keysum += int((16 * node + d).sum())
+        sec_clo = time.perf_counter() - t0
+        assert viol == 0, viol
+        assert n_rows == want_count, (n_rows, want_count)
+        assert keysum == want_keysum, (keysum, want_keysum)
+
+        t0 = time.perf_counter()
+        st = tree_stats(edges(), "node", "parent")
+        n_nodes = 0
+        node_sum = 0
+        for b in st.iter_batches(batch_format="pyarrow"):
+            node = b["node"].to_numpy()
+            kk = node & (STRIDE - 1)
+            base = node - kk
+            lvl = np.floor(np.log2(kk)).astype(np.int64)
+            assert (b["depth"].to_numpy() == lvl).all()
+            assert (b["root"].to_numpy() == base + 1).all()
+            assert (b["subtree_size"].to_numpy()
+                    == (1 << (LEVELS - lvl)) - 1).all()
+            n_nodes += len(node)
+            node_sum += int(node.sum())
+        sec_st = time.perf_counter() - t0
+        assert n_nodes == T * PER, (n_nodes, T * PER)
+        assert node_sum == want_node_sum, (node_sum, want_node_sum)
+
+        print(json.dumps({
+            "n_nodes": T * PER, "n_closure_rows": want_count,
+            "depth": LEVELS - 1, "num_cpus": NCPU,
+            "closure_sec": round(sec_clo, 2),
+            "closure_rows_per_sec": round(want_count / sec_clo),
+            "tree_stats_sec": round(sec_st, 2),
+            "truth": "anc == base + (k >> depth) on every closure row "
+                     "(+ exact count + key-sum); depth/root/subtree "
+                     "closed forms on every rollup row",
+            "calib_sec": _calib()}))
+    finally:
+        ray.shutdown()
+
+
+def main_mw() -> None:
+    """Mann-Whitney u2 at ~75M rows / 500 groups: group g holds, per
+    side, 100 copies of each value in [0, m_g) (side 0) and
+    [c_g, c_g + m_g) (side 1) with m_g = 500 + g, c_g = g % 7 -- so
+    #(a>b) = r^2 (m-1-c)(m-c)/2 and #(a==b) = r^2 (m-c), giving the
+    exact closed form u2 = r^2 (m - c)^2.  All 500 output rows
+    asserted bit-exact."""
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    G = 500
+    R = 100
+    m_g = np.array([500 + g for g in range(G)], np.int64)
+    c_g = np.array([g % 7 for g in range(G)], np.int64)
+    side_n = m_g * R
+    grp_n = 2 * side_n
+    bounds = np.concatenate([[0], np.cumsum(grp_n)])
+    total = int(bounds[-1])
+    want_u2 = R * R * (m_g - c_g) ** 2
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.groupagg import mann_whitney_u
+
+        b_ref = ray.put((bounds, m_g, c_g))
+
+        def mk(t: pa.Table, _ref=b_ref) -> pa.Table:
+            bd, mm, cc = ray.get(_ref)
+            rid = t["id"].combine_chunks().to_numpy()
+            g = (np.searchsorted(bd, rid, side="right") - 1).astype(
+                np.int64)
+            pos = rid - bd[g]
+            ns = mm[g] * R
+            side = (pos >= ns).astype(np.int64)
+            ip = pos - side * ns
+            val = ip // R + side * cc[g]
+            return pa.table({"g": pa.array(g), "side": pa.array(side),
+                             "val": pa.array(val)})
+
+        ds = ray.data.range(
+            total, override_num_blocks=NCPU * 8).map_batches(
+            mk, batch_format="pyarrow", zero_copy_batch=True)
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        t0 = time.perf_counter()
+        out = mann_whitney_u(ds, "g", "side", "val").to_pandas()
+        sec = time.perf_counter() - t0
+        out = out.sort_values("grp").reset_index(drop=True)
+        assert len(out) == G, len(out)
+        assert (out["grp"].to_numpy() == np.arange(G)).all()
+        assert (out["n_a"].to_numpy() == side_n).all()
+        assert (out["n_b"].to_numpy() == side_n).all()
+        assert (out["u2"].to_numpy() == want_u2).all(), (
+            out["u2"].to_numpy()[:5], want_u2[:5])
+        print(json.dumps({
+            "n_rows": total, "n_groups": G, "num_cpus": NCPU,
+            "sec": round(sec, 2), "rows_per_sec": round(total / sec),
+            "truth": "u2 == r^2 (m-c)^2 per group, n_a/n_b exact",
+            "calib_sec": _calib()}))
+    finally:
+        ray.shutdown()
+
+
+
+def main_dedup() -> None:
+    """MinHash+LSH near-dup dedup at 1,000,000 docs with 10,000
+    PLANTED exact-duplicate pairs (doc j = 500000 + i carries doc i's
+    text for i < 10000; every other doc's words embed its own id, so
+    cross-doc shingle sets are disjoint and Jaccard is 0): the output
+    must be EXACTLY the planted clusters {(i, i), (500000+i, i)} --
+    no false merges possible past the exact-Jaccard verify, no false
+    misses possible for exact copies (identical signatures collide in
+    every band).  Runs the broadcast_cand_cap=0 SHUFFLE-verify path
+    (the 100 TB path: candidate shingles move through a tagged-union
+    bucketed exchange, never a driver broadcast)."""
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    N = 1_000_000
+    K = 10_000
+    OFF = 500_000
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.dedup import minhash_lsh_dedup
+
+        def mk(t: pa.Table) -> pa.Table:
+            rid = t["id"].combine_chunks().to_numpy()
+            src = np.where((rid >= OFF) & (rid < OFF + K),
+                           rid - OFF, rid)
+            texts = [" ".join(f"w{i}x{j}" for j in range(20))
+                     for i in src]
+            return pa.table({"doc_id": pa.array(rid),
+                             "text": pa.array(texts)})
+
+        ds = ray.data.range(
+            N, override_num_blocks=NCPU * 8).map_batches(
+            mk, batch_format="pyarrow", zero_copy_batch=True)
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        t0 = time.perf_counter()
+        out = minhash_lsh_dedup(ds, "text", "doc_id",
+                                jaccard_threshold=0.8,
+                                broadcast_cand_cap=0)
+        sec = time.perf_counter() - t0
+        got = set(zip(out["doc_id"].astype(np.int64),
+                      out["cluster_rep"].astype(np.int64)))
+        want = {(i, i) for i in range(K)} | {
+            (OFF + i, i) for i in range(K)}
+        assert got == want, (len(got), len(want),
+                             sorted(got - want)[:5],
+                             sorted(want - got)[:5])
+        print(json.dumps({
+            "n_docs": N, "planted_pairs": K, "num_cpus": NCPU,
+            "sec": round(sec, 2), "docs_per_sec": round(N / sec),
+            "truth": "clusters == exactly the planted "
+                     "{(i,i),(500000+i,i)} set, shuffle-verify path",
+            "calib_sec": _calib()}))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -2132,5 +2373,11 @@ if __name__ == "__main__":
         main_gini()
     elif len(sys.argv) > 1 and sys.argv[1] == "ktruss":
         main_ktruss()
+    elif len(sys.argv) > 1 and sys.argv[1] == "tree":
+        main_tree()
+    elif len(sys.argv) > 1 and sys.argv[1] == "mw":
+        main_mw()
+    elif len(sys.argv) > 1 and sys.argv[1] == "dedup":
+        main_dedup()
     else:
         main()
