@@ -4939,6 +4939,32 @@ def q_mannwhitney(sf_dir: str):
         "grp", "side", "val")
 
 
+def q_component_stats(sf_dir: str):
+    """Per-connected-component profile
+    (ops/iterative.py:component_stats) over a decade graph whose
+    components have closed forms: chain edges (i, i-1) except at decade
+    positions 0 and 7 split each id decade into a <=7-node path and a
+    7-8-9 path, and every 3rd decade closes 7-8-9 into a triangle --
+    so (n_nodes, n_edges, cyclomatic) per component is oracle-exact."""
+    from ci_log_processing_ray.ops.iterative import component_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def decade_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy().astype(np.int64)
+        m = ids % 10
+        chain = (m != 0) & (m != 7)
+        tri = (m == 9) & ((ids // 10) % 3 == 0)
+        return pa.table({
+            "src": pa.array(np.concatenate([ids[chain], ids[tri]])),
+            "dst": pa.array(np.concatenate([ids[chain] - 1,
+                                            ids[tri] - 2]))})
+
+    edges = ds.map_batches(decade_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return component_stats(edges, "src", "dst")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "route_daily_counts": q_route_daily_counts,
@@ -5164,6 +5190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": q_random_walks,
         "link_prediction": q_link_prediction,
         "tree_closure": q_tree_closure,
+        "component_stats": q_component_stats,
         "tree_stats": q_tree_stats,
         "mannwhitney": q_mannwhitney,
     }
@@ -7912,6 +7939,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS sink,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM events GROUP BY event_type""",
+        "component_stats": """
+            WITH e0 AS (
+              SELECT doc_id AS x, doc_id - 1 AS y FROM documents
+              WHERE doc_id % 10 NOT IN (0, 7)
+              UNION ALL
+              SELECT doc_id, doc_id - 2 FROM documents
+              WHERE doc_id % 10 = 9 AND (doc_id // 10) % 3 = 0
+            ), e AS (
+              SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+              FROM e0
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            ), comp_of AS (
+              SELECT node,
+                     CASE WHEN node % 10 <= 6 THEN (node // 10) * 10
+                          ELSE (node // 10) * 10 + 7 END AS comp
+              FROM nodes
+            ), nn AS (
+              SELECT comp, COUNT(*) AS n_nodes FROM comp_of
+              GROUP BY comp
+            ), ee AS (
+              SELECT CASE WHEN a % 10 <= 6 THEN (a // 10) * 10
+                          ELSE (a // 10) * 10 + 7 END AS comp,
+                     COUNT(*) AS n_edges
+              FROM e GROUP BY 1
+            )
+            SELECT nn.comp AS component,
+                   CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+                   CAST(COALESCE(ee.n_edges, 0) AS BIGINT) AS n_edges,
+                   CAST(COALESCE(ee.n_edges, 0) - nn.n_nodes + 1
+                        AS BIGINT) AS cyclomatic
+            FROM nn LEFT JOIN ee ON ee.comp = nn.comp""",
         "tree_closure": """
             WITH RECURSIVE e AS (
               SELECT event_id AS node, event_id // 2 AS parent

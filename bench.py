@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "tree_closure",
     "tree_stats",
     "mannwhitney",
+    "component_stats",
 ]
 
 

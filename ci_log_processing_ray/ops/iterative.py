@@ -2877,3 +2877,111 @@ def tree_stats(
                              "subtree_size": 1 + c})
 
     return bucketed_groups(unioned, "key", stitch, n_buckets=n_buckets)
+
+
+def component_stats(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-connected-component profile: (component = min node id,
+    n_nodes, n_edges, cyclomatic = n_edges - n_nodes + 1) -- the
+    cluster-shape report behind dedup-cluster audits and graph-quality
+    gates (cyclomatic 0 = tree, >0 = that many independent cycles).
+
+    Scale shape: one :func:`connected_components` labeling (two-phase
+    local contraction), then the canonical distinct edge set joins its
+    LOWER endpoint's label in one tagged hash(node) co-partition (both
+    endpoints share a label by construction, so one endpoint suffices
+    and edges move once); per-component node and edge counts pre-shrink
+    to per-block partials before their bucketed sums, and a final
+    component-shaped co-partition stitches the triple."""
+    from ci_log_processing_ray.ops.window import (bucketed_distinct,
+                                                  bucketed_groups,
+                                                  bucketed_sum)
+
+    labels = connected_components(edges, src_col, dst_col,
+                                  n_buckets=n_buckets).materialize()
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t[src_col].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t[dst_col].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"a": pa.array(np.minimum(s, d)),
+                         "b": pa.array(np.maximum(s, d))})
+
+    dedup_edges = bucketed_distinct(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["a", "b"], n_buckets=n_buckets)
+
+    def tag_lab(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": g["node"].to_numpy(np.int64),
+            "comp": g["component"].to_numpy(np.int64),
+            "side": np.zeros(len(g), np.int8)})
+
+    def tag_edge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": g["a"].to_numpy(np.int64),
+            "comp": np.zeros(len(g), np.int64),
+            "side": np.ones(len(g), np.int8)})
+
+    unioned = labels.map_batches(
+        tag_lab, batch_format="pandas").union(
+        dedup_edges.map_batches(tag_edge, batch_format="pandas"))
+
+    def edge_comp_kern(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["side"].to_numpy()
+        lab = g[s == 0]
+        eg = g[s == 1]
+        if not len(eg) or not len(lab):
+            return pd.DataFrame({
+                "comp": pd.Series([], dtype=np.int64),
+                "e": pd.Series([], dtype=np.int64)})
+        m = eg[["key"]].merge(lab[["key", "comp"]], on="key")
+        out = m.groupby("comp", as_index=False).size()
+        return pd.DataFrame({"comp": out["comp"].to_numpy(np.int64),
+                             "e": out["size"].to_numpy(np.int64)})
+
+    e_counts = bucketed_sum(
+        bucketed_groups(unioned, "key", edge_comp_kern,
+                        n_buckets=n_buckets),
+        ["comp"], ["e"], n_buckets=n_buckets)
+
+    def node_partial(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("component", as_index=False).size()
+        return pd.DataFrame({"comp": out["component"].to_numpy(np.int64),
+                             "n": out["size"].to_numpy(np.int64)})
+
+    n_counts = bucketed_sum(
+        labels.map_batches(node_partial, batch_format="pandas"),
+        ["comp"], ["n"], n_buckets=n_buckets)
+
+    def tag_n(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "comp": g["comp"].to_numpy(np.int64),
+            "n": g["n"].to_numpy(np.int64),
+            "e": np.zeros(len(g), np.int64)})
+
+    def tag_e(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "comp": g["comp"].to_numpy(np.int64),
+            "n": np.zeros(len(g), np.int64),
+            "e": g["e"].to_numpy(np.int64)})
+
+    both = n_counts.map_batches(tag_n, batch_format="pandas").union(
+        e_counts.map_batches(tag_e, batch_format="pandas"))
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("comp", as_index=False)[["n", "e"]].sum()
+        n = out["n"].to_numpy(np.int64)
+        e = out["e"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "component": out["comp"].to_numpy(np.int64),
+            "n_nodes": n, "n_edges": e, "cyclomatic": e - n + 1})
+
+    return bucketed_groups(both, "comp", stitch, n_buckets=n_buckets)

@@ -2303,11 +2303,17 @@ def main_dedup() -> None:
         from ci_log_processing_ray.ops.dedup import minhash_lsh_dedup
 
         def mk(t: pa.Table) -> pa.Table:
+            # words are hash-derived 8-hex tokens: decimal-id words
+            # (w1110x3 vs w110x3) share most of their CHARACTER
+            # 5-gram shingles, and the exact-Jaccard verify correctly
+            # merges them -- the corpus, not the operator, must keep
+            # non-planted docs shingle-disjoint
             rid = t["id"].combine_chunks().to_numpy()
             src = np.where((rid >= OFF) & (rid < OFF + K),
                            rid - OFF, rid)
-            texts = [" ".join(f"w{i}x{j}" for j in range(20))
-                     for i in src]
+            h = (src[:, None] * 0x9E3779B1
+                 + np.arange(20)[None, :] * 0x85EBCA6B) % (1 << 32)
+            texts = [" ".join(f"{w:08x}" for w in row) for row in h]
             return pa.table({"doc_id": pa.array(rid),
                              "text": pa.array(texts)})
 

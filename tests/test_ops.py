@@ -4178,3 +4178,29 @@ def test_mann_whitney_exact_pairs(ray_session):
                  + (a[:, None] == b[None, :]).sum()) if len(b) else 0
         r = out.loc[g]
         assert (r["n_a"], r["n_b"], r["u2"]) == (len(a), len(b), u2), g
+
+
+def test_component_stats_shapes(ray_session):
+    """Triangle + path + K4 + lone edge, fed with duplicates, reversed
+    edges and a self loop: per-component (n_nodes, n_edges,
+    cyclomatic) must be exact."""
+    from itertools import combinations
+
+    from ci_log_processing_ray.ops.iterative import component_stats
+
+    edges = [(0, 1), (1, 2), (0, 2)]                   # triangle
+    edges += [(10, 11), (11, 12), (12, 13)]            # path
+    edges += list(combinations(range(20, 24), 2))      # K4
+    edges += [(30, 31)]                                # lone edge
+    df = pd.DataFrame(edges, columns=["s", "d"])
+    rev = df.rename(columns={"s": "d", "d": "s"})
+    loops = pd.DataFrame({"s": [2, 30], "d": [2, 30]})
+    ds = ray.data.from_pandas(pd.concat([df, rev, loops])
+                              ).repartition(4)
+
+    out = component_stats(ds, "s", "d", n_buckets=4).to_pandas()
+    got = {int(r["component"]): (int(r["n_nodes"]), int(r["n_edges"]),
+                                 int(r["cyclomatic"]))
+           for _, r in out.iterrows()}
+    assert got == {0: (3, 3, 1), 10: (4, 3, 0),
+                   20: (4, 6, 3), 30: (2, 1, 0)}
