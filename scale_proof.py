@@ -27,6 +27,7 @@ import os
 import time
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -2154,43 +2155,65 @@ def main_tree() -> None:
         ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
             lambda b: b).count()
 
+        def check_clo(b: pa.Table) -> pa.Table:
+            node = b["node"].combine_chunks().to_numpy()
+            anc = b["anc"].combine_chunks().to_numpy()
+            d = b["depth"].combine_chunks().to_numpy()
+            kk = node & (STRIDE - 1)
+            base = node - kk
+            ok = ((d >= 1) & ((kk >> d) >= 1)
+                  & (anc == base + (kk >> d)))
+            return pa.table({
+                "n": pa.array([len(node)], pa.int64()),
+                "viol": pa.array([int((~ok).sum())], pa.int64()),
+                "ks": pa.array([int((16 * node + d).sum())],
+                               pa.int64())})
+
         t0 = time.perf_counter()
         clo = tree_closure(edges(), "node", "parent")
         n_rows = 0
         viol = 0
         keysum = 0
-        for b in clo.iter_batches(batch_format="pyarrow"):
-            node = b["node"].to_numpy()
-            anc = b["anc"].to_numpy()
-            d = b["depth"].to_numpy()
-            kk = node & (STRIDE - 1)
-            base = node - kk
-            ok = ((d >= 1) & ((kk >> d) >= 1)
-                  & (anc == base + (kk >> d)))
-            n_rows += len(node)
-            viol += int((~ok).sum())
-            keysum += int((16 * node + d).sum())
+        # verification runs DISTRIBUTED; only per-block partials
+        # stream to the driver (folded in Python ints, every row of
+        # every coalesced batch)
+        for b in clo.map_batches(check_clo, batch_format="pyarrow"
+                                 ).iter_batches(batch_format="pyarrow",
+                                                batch_size=None):
+            n_rows += int(b["n"].to_numpy().sum())
+            viol += int(b["viol"].to_numpy().sum())
+            keysum += sum(int(x) for x in b["ks"].to_numpy())
         sec_clo = time.perf_counter() - t0
         assert viol == 0, viol
         assert n_rows == want_count, (n_rows, want_count)
         assert keysum == want_keysum, (keysum, want_keysum)
 
+        def check_st(g: pd.DataFrame) -> pd.DataFrame:
+            node = g["node"].to_numpy(np.int64)
+            kk = node & (STRIDE - 1)
+            base = node - kk
+            lvl = np.floor(np.log2(kk)).astype(np.int64)
+            ok = ((g["depth"].to_numpy(np.int64) == lvl)
+                  & (g["root"].to_numpy(np.int64) == base + 1)
+                  & (g["subtree_size"].to_numpy(np.int64)
+                     == (1 << (LEVELS - lvl)) - 1))
+            return pd.DataFrame({
+                "n": [len(node)], "viol": [int((~ok).sum())],
+                "ns": [int(node.sum())]})
+
         t0 = time.perf_counter()
         st = tree_stats(edges(), "node", "parent")
         n_nodes = 0
         node_sum = 0
-        for b in st.iter_batches(batch_format="pyarrow"):
-            node = b["node"].to_numpy()
-            kk = node & (STRIDE - 1)
-            base = node - kk
-            lvl = np.floor(np.log2(kk)).astype(np.int64)
-            assert (b["depth"].to_numpy() == lvl).all()
-            assert (b["root"].to_numpy() == base + 1).all()
-            assert (b["subtree_size"].to_numpy()
-                    == (1 << (LEVELS - lvl)) - 1).all()
-            n_nodes += len(node)
-            node_sum += int(node.sum())
+        viol_st = 0
+        for b in st.map_batches(check_st, batch_format="pandas"
+                                ).iter_batches(batch_format="pyarrow",
+                                               batch_size=None):
+            n_nodes += int(b["n"].to_numpy().sum())
+            viol_st += int(b["viol"].to_numpy().sum())
+            node_sum += sum(int(x) for x in b["ns"].to_numpy())
         sec_st = time.perf_counter() - t0
+        assert viol_st == 0, viol_st
         assert n_nodes == T * PER, (n_nodes, T * PER)
         assert node_sum == want_node_sum, (node_sum, want_node_sum)
 
@@ -2346,6 +2369,78 @@ def main_dedup() -> None:
         ray.shutdown()
 
 
+
+def main_pack() -> None:
+    """GPT-style sequence packing at 100,000,000 docs: doc i has
+    n_tok = 1 + (i % 5), so its exclusive global prefix has the closed
+    form tok_start(i) = i + 10*(i//5) + r(r-1)/2 with r = i % 5, and
+    pack_id / offset_in_pack / spans_boundary (window 1024) are all
+    checked PER ROW batch-by-batch -- the distributed two-pass prefix
+    sum never materializes anything driver-side beyond one row per
+    range bucket."""
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    N = 100_000_000
+    W = 1024
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.pack import pack_fixed_windows
+
+        def mk(t: pa.Table) -> pa.Table:
+            rid = t["id"].combine_chunks().to_numpy()
+            return pa.table({"doc": pa.array(rid),
+                             "n_tok": pa.array(1 + rid % 5)})
+
+        ds = ray.data.range(
+            N, override_num_blocks=NCPU * 8).map_batches(
+            mk, batch_format="pyarrow", zero_copy_batch=True)
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        def check(g: pd.DataFrame) -> pd.DataFrame:
+            i = g["doc"].to_numpy(np.int64)
+            r = i % 5
+            start = i + 10 * (i // 5) + r * (r - 1) // 2
+            ln = 1 + r
+            ok = ((g["tok_start"].to_numpy(np.int64) == start)
+                  & (g["pack_id"].to_numpy(np.int64) == start // W)
+                  & (g["offset_in_pack"].to_numpy(np.int64)
+                     == start % W)
+                  & (g["spans_boundary"].to_numpy(np.int64)
+                     == (start % W + ln > W).astype(np.int64)))
+            return pd.DataFrame({"n": [len(i)],
+                                 "viol": [int((~ok).sum())]})
+
+        t0 = time.perf_counter()
+        out = pack_fixed_windows(ds, "doc", "n_tok", W)
+        n_rows = 0
+        viol = 0
+        # distributed per-row verification; only per-block partials
+        # reach the driver
+        for b in out.map_batches(check, batch_format="pandas"
+                                 ).iter_batches(batch_format="pyarrow",
+                                                batch_size=None):
+            n_rows += int(b["n"].to_numpy().sum())
+            viol += int(b["viol"].to_numpy().sum())
+        sec = time.perf_counter() - t0
+        assert viol == 0, viol
+        assert n_rows == N, n_rows
+        print(json.dumps({
+            "n_docs": N, "window": W, "num_cpus": NCPU,
+            "sec": round(sec, 2), "docs_per_sec": round(N / sec),
+            "truth": "tok_start == i + 10*(i//5) + r(r-1)/2 and "
+                     "pack/offset/spans closed forms on every row",
+            "calib_sec": _calib()}))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -2385,5 +2480,7 @@ if __name__ == "__main__":
         main_mw()
     elif len(sys.argv) > 1 and sys.argv[1] == "dedup":
         main_dedup()
+    elif len(sys.argv) > 1 and sys.argv[1] == "pack":
+        main_pack()
     else:
         main()
