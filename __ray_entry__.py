@@ -3146,6 +3146,19 @@ def q_edit1_pairs(sf_dir: str):
     return edit1_pairs(ds, "p_name")
 
 
+def q_edit_distance_pairs(sf_dir: str):
+    """General-k fuzzy-key detection
+    (ops/curation.py:edit_distance_pairs): all distinct part-name
+    pairs at edit distance <= 2 via PassJoin partition signatures --
+    pigeonhole segment blocking keeps candidates O(vocab * k^2), and
+    the exact verify is a banded DP vectorized ACROSS pairs, never a
+    per-pair loop."""
+    from ci_log_processing_ray.ops.curation import edit_distance_pairs
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    return edit_distance_pairs(ds, "p_name", k=2)
+
+
 def q_lm_score(sf_dir: str):
     """Bigram-LM document quality scoring
     (ops/textstats.py:score_docs_bigram): train corpus bigram permille
@@ -5099,6 +5112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minmax_scale": q_minmax_scale,
         "row_number": q_row_number,
         "edit1_pairs": q_edit1_pairs,
+        "edit_distance_pairs": q_edit_distance_pairs,
         "lm_score": q_lm_score,
         "contract": q_contract,
         "merge_upsert": q_merge_upsert,
@@ -7126,6 +7140,14 @@ def oracle_sql() -> dict[str, str]:
             FROM f a JOIN f b
               ON a.p_name < b.p_name
              AND levenshtein(a.p_name, b.p_name) = 1""",
+        "edit_distance_pairs": """
+            WITH f AS (SELECT DISTINCT p_name FROM part
+                       WHERE len(p_name) BETWEEN 3 AND 40)
+            SELECT a.p_name AS a, b.p_name AS b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+                     AS dist
+            FROM f a JOIN f b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2""",
         "row_number": """
             SELECT o_orderkey,
                    CAST(epoch_us(o_orderdate) AS BIGINT) AS date_us,

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "mad",
     "contract",
     "edit1_pairs",
+    "edit_distance_pairs",
     "bfs_hops",
     "target_encode",
     "kfold",

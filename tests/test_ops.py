@@ -2179,6 +2179,59 @@ def test_edit1_pairs_symspell(ray_session):
     assert len(got) == 3
 
 
+def _lev_ref(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    d = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev = d[:]
+        d[0] = i
+        for j in range(1, lb + 1):
+            d[j] = min(prev[j] + 1, d[j - 1] + 1,
+                       prev[j - 1] + (a[i - 1] != b[j - 1]))
+    return d[lb]
+
+
+def test_banded_levenshtein_kernel_exact():
+    import random
+
+    import pyarrow as pa
+
+    from ci_log_processing_ray.ops.curation import _banded_levenshtein
+
+    random.seed(11)
+    a = ["".join(random.choice("abc") for _ in range(random.randint(0, 9)))
+         for _ in range(1500)]
+    b = ["".join(random.choice("abc") for _ in range(random.randint(0, 9)))
+         for _ in range(1500)]
+    for k in (1, 2, 3):
+        got = _banded_levenshtein(pa.array(a), pa.array(b), k)
+        want = [min(_lev_ref(x, y), k + 1) for x, y in zip(a, b)]
+        assert list(got) == want, k
+
+
+def test_edit_distance_pairs_passjoin(ray_session):
+    import itertools
+    import random
+
+    from ci_log_processing_ray.ops.curation import edit_distance_pairs
+
+    random.seed(3)
+    vocab = sorted({"".join(random.choice("ab")
+                            for _ in range(random.randint(3, 9)))
+                    for _ in range(120)})
+    # corpus with repeats, covering every vocab word
+    rows = ([{"w": w} for w in vocab]
+            + [{"w": random.choice(vocab)} for _ in range(400)])
+    for k in (1, 2):
+        want = {(a, b, _lev_ref(a, b))
+                for a, b in itertools.combinations(vocab, 2)
+                if _lev_ref(a, b) <= k}
+        out = edit_distance_pairs(
+            ray.data.from_items(rows).repartition(5), "w",
+            k=k).to_pandas()
+        assert set(zip(out.a, out.b, out.dist)) == want, k
+
+
 def test_score_docs_bigram_exact_and_topk_cap(ray_session):
     from ci_log_processing_ray.ops.textstats import score_docs_bigram
 
