@@ -3159,6 +3159,18 @@ def q_edit_distance_pairs(sf_dir: str):
     return edit_distance_pairs(ds, "p_name", k=2)
 
 
+def q_nb_classifier(sf_dir: str):
+    """fastText/CCNet-style quality-classifier gate
+    (ops/textstats.py:nb_classifier_score): train class-distinctive
+    word weights for lang='en' vs rest (smoothed rate ratio x1000,
+    log dropped the way bm25 drops it), then score every document as
+    the int64 sum of its occurrence weights; pred = score > 0."""
+    from ci_log_processing_ray.ops.textstats import nb_classifier_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return nb_classifier_score(ds, "text", "doc_id", "lang", "en")
+
+
 def q_lm_score(sf_dir: str):
     """Bigram-LM document quality scoring
     (ops/textstats.py:score_docs_bigram): train corpus bigram permille
@@ -3318,6 +3330,20 @@ def q_triangles(sf_dir: str):
     return triangle_count(ds, "l_orderkey", "l_partkey", min_support=2,
                           num_partitions=_join_partitions(sf_dir,
                                                           "lineitem"))
+
+
+def q_butterflies(sf_dir: str):
+    """Butterfly (bipartite 4-cycle) count of the order-part graph
+    (ops/relational.py:butterfly_count): item-centered wedges combine
+    through one (k1, k2) exchange; C(c, 2) closes per key pair sharing
+    c items.  max_degree=64 exercises the hub-cap wedge-explosion
+    guard ABOVE this corpus's true max item degree (~49), so the
+    oracle (which mirrors the cap) stays binding and exact."""
+    from ci_log_processing_ray.ops.relational import butterfly_count
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return butterfly_count(ds, "l_orderkey", "l_partkey",
+                           max_degree=64)
 
 
 def q_bfs_hops(sf_dir: str):
@@ -5113,6 +5139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_number": q_row_number,
         "edit1_pairs": q_edit1_pairs,
         "edit_distance_pairs": q_edit_distance_pairs,
+        "nb_classifier": q_nb_classifier,
         "lm_score": q_lm_score,
         "contract": q_contract,
         "merge_upsert": q_merge_upsert,
@@ -5123,6 +5150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": q_bpe_train,
         "cooccurrence": q_cooccurrence,
         "triangles": q_triangles,
+        "butterflies": q_butterflies,
         "bfs_hops": q_bfs_hops,
         "transitions": q_transitions,
         "global_rank": q_global_rank,
@@ -7000,6 +7028,20 @@ def oracle_sql() -> dict[str, str]:
                     JOIN e e2 ON e1.b = e2.a
                     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
                      AS n_triangles""",
+        "butterflies": """
+            WITH e AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i
+                       FROM lineitem),
+            f AS (SELECT * FROM e WHERE i IN
+                  (SELECT i FROM e GROUP BY i HAVING count(*) <= 64)),
+            w AS (SELECT a.k AS k1, b.k AS k2,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM f a JOIN f b ON a.i = b.i AND a.k < b.k
+                  GROUP BY 1, 2)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_edges,
+                   CAST(coalesce(sum(c), 0) AS BIGINT) AS n_wedges,
+                   CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+                     AS n_butterflies
+            FROM w""",
         "cooccurrence": """
             WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
             c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
@@ -7107,6 +7149,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'shipdate_null',
                    CAST(count(*) FILTER (WHERE l_shipdate IS NULL)
                         AS BIGINT) FROM lineitem""",
+        "nb_classifier": """
+            WITH tok AS (
+                SELECT doc_id, lang = 'en' AS pos,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9_]+')) AS word
+                FROM documents),
+            cnt AS (SELECT word,
+                           CAST(count(*) FILTER (WHERE pos)
+                                AS BIGINT) AS n_pos,
+                           CAST(count(*) FILTER (WHERE NOT pos)
+                                AS BIGINT) AS n_neg
+                    FROM tok GROUP BY word),
+            tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn,
+                           count(*) AS v FROM cnt),
+            wt AS (SELECT word,
+                          1000 * (n_pos + 1) * (tn + v)
+                            // ((n_neg + 1) * (tp + v)) - 1000 AS wgt
+                   FROM cnt, tot)
+            SELECT t.doc_id, CAST(sum(wgt) AS BIGINT) AS score,
+                   CAST(sum(wgt) > 0 AS BIGINT) AS pred
+            FROM tok t JOIN wt USING (word)
+            GROUP BY t.doc_id""",
         "lm_score": """
             WITH l AS (SELECT doc_id,
                     list_filter(string_split_regex(lower(text),

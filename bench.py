@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "contract",
     "edit1_pairs",
     "edit_distance_pairs",
+    "butterflies",
+    "nb_classifier",
     "bfs_hops",
     "target_encode",
     "kfold",

@@ -642,6 +642,98 @@ def triangle_count(
                      "n_triangles": pa.array([tri.count()], pa.int64())})
 
 
+def butterfly_count(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    item_col: str,
+    *,
+    max_degree: int | None = None,
+    n_buckets: int | None = None,
+) -> pa.Table:
+    """Butterfly (bipartite 4-cycle / 2x2 biclique) count of the
+    key-item graph: the bipartite analogue of the triangle benchmark
+    and the motif behind user-item co-engagement and spam-cluster
+    detection.  Counted as item-centered wedges: every pair of keys
+    sharing an item is one wedge, a key pair sharing ``c`` items closes
+    ``C(c, 2)`` butterflies.  Returns one row
+    (n_edges, n_wedges, n_butterflies), all int64.
+
+    Scale shape: rows collapse to DISTINCT (key, item) blockwise then
+    through one corpus exchange; wedges generate per item-bucket by
+    vectorized self-merge (each item is wholly inside one bucket) and
+    combine through ONE (k1, k2) exchange whose volume is the wedge
+    count -- graph-motif-shaped, not corpus-shaped.  ``max_degree`` is
+    the wedge-explosion guard: a hub item of degree d emits C(d, 2)
+    wedges, so per-bucket joined volume is bounded by
+    max_degree * edges once the cap is set (the standard vertex-cap
+    from the butterfly-counting literature; side choice matters too --
+    center wedges on the side with the smaller sum(deg^2), here the
+    item side).  Per-bucket kept-edge counts ride the pair exchange as
+    (-1, -1) sentinel rows (key ids must therefore be non-negative
+    integers), and final tallies fold through Python ints so 2^63-scale
+    butterfly totals cannot wrap silently."""
+    from .window import bucketed_distinct, bucketed_groups, bucketed_sum
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return (t.select([key_col, item_col])
+                .group_by([key_col, item_col]).aggregate([]))
+
+    distinct = bucketed_distinct(
+        ds.map_batches(distinct_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key_col, item_col], n_buckets=n_buckets)
+
+    def wedge_partial(g: pd.DataFrame) -> pd.DataFrame:
+        if max_degree is not None:
+            deg = g.groupby(item_col, sort=False)[key_col].transform(
+                "size")
+            g = g[deg.to_numpy() <= max_degree]
+        n_edges_kept = len(g)
+        m = g.merge(g, on=item_col, suffixes=("_a", "_b"))
+        m = m[m[f"{key_col}_a"].to_numpy()
+              < m[f"{key_col}_b"].to_numpy()]
+        out = (m.groupby([f"{key_col}_a", f"{key_col}_b"],
+                         as_index=False, sort=False).size()
+               .rename(columns={f"{key_col}_a": "k1",
+                                f"{key_col}_b": "k2", "size": "c"}))
+        sent = pd.DataFrame({"k1": [-1], "k2": [-1],
+                             "c": [n_edges_kept]})
+        out = pd.concat([out, sent], ignore_index=True)
+        out["k1"] = out["k1"].astype(np.int64)
+        out["k2"] = out["k2"].astype(np.int64)
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    pair_sums = bucketed_sum(
+        bucketed_groups(distinct, item_col, wedge_partial,
+                        n_buckets=n_buckets),
+        ["k1", "k2"], ["c"], n_buckets=n_buckets)
+
+    def fold_partial(t: pa.Table) -> pa.Table:
+        k1 = t["k1"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        sent = k1 == -1
+        real = c[~sent].astype(object)  # Python ints: no wrap
+        return pa.table({
+            "n_edges": pa.array([int(c[sent].sum())], pa.int64()),
+            "n_wedges": pa.array([int(real.sum())], pa.int64()),
+            "n_butterflies": pa.array(
+                [int((real * (real - 1) // 2).sum())], pa.int64())})
+
+    parts = pair_sums.map_batches(
+        fold_partial, batch_format="pyarrow").to_pandas()
+    if "n_edges" not in parts.columns:  # fully empty input
+        z = pa.array([0], pa.int64())
+        return pa.table({"n_edges": z, "n_wedges": z,
+                         "n_butterflies": z})
+    return pa.table({
+        "n_edges": pa.array([int(parts["n_edges"].sum())], pa.int64()),
+        "n_wedges": pa.array([int(parts["n_wedges"].sum())],
+                             pa.int64()),
+        "n_butterflies": pa.array(
+            [sum(int(x) for x in parts["n_butterflies"])], pa.int64())})
+
+
 def auto_salted_join(
     fact: "ray.data.Dataset",
     dim: "ray.data.Dataset",

@@ -941,6 +941,100 @@ def bm25_top_terms(
                           zero_copy_batch=True)
 
 
+def nb_classifier_score(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    pos_value: str,
+) -> ray.data.Dataset:
+    """fastText-style bag-of-words quality classifier (multinomial
+    Naive Bayes shape): train class-distinctive word weights against a
+    binary label, then score every document -- the GPT-3/CCNet
+    'looks like the target distribution' curation gate.
+
+    Engine-exact integer contract (no transcendental log in the hash
+    path, the same convention as :func:`bm25_top_terms`): with
+    Laplace-smoothed class-conditional rates
+    p(w|+) = (n_w+ + 1)/(tok+ + V) and p(w|-) likewise, the per-word
+    weight is the smoothed rate RATIO x1000 floored, centered::
+
+        wgt(w) = 1000 * (n_w+ + 1) * (tok- + V)
+                 // ((n_w- + 1) * (tok+ + V)) - 1000
+
+    (sign matches the true per-word log-odds sign; production at web
+    scale would sum float log-odds OUTSIDE the oracle path).  A doc's
+    score is the int64 sum of wgt over its word OCCURRENCES and
+    pred = score > 0.  Unseen-at-train words fall back to the
+    totals-ratio weight (both smoothed rates collapse to 1/(tok+V)).
+
+    Scale shape: pass 1 collapses the corpus to per-block
+    (word, n_pos, n_neg) partials combined through a vocabulary-sized
+    native groupby; weights compute driver-side in Python ints (the
+    1000*(n+1)*(tok+V) product overflows int64 at web scale) and
+    broadcast ONCE via ray.put as a sorted array; pass 2 is pure map
+    -- flat word stream, searchsorted lookup, segment-cumsum per-doc
+    sums (empty-doc safe, unlike reduceat).  No corpus-sized
+    exchange.  Output: id, score, pred (all int64)."""
+    from ray.data.aggregate import Sum
+
+    from ci_log_processing_ray.ops.curation import _word_stream
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        pos = pc.equal(t[label_col].combine_chunks(),
+                       pos_value).to_numpy(zero_copy_only=False)
+        flat, n_words = _word_stream(t[text_col])
+        d = pd.DataFrame({
+            "word": flat.to_numpy(zero_copy_only=False),
+            "np_": np.repeat(pos.astype(np.int64), n_words)})
+        g = (d.groupby("word", sort=False)["np_"]
+             .agg(["sum", "size"]).reset_index())
+        return pa.table({
+            "word": pa.array(g["word"], pa.string()),
+            "n_pos": pa.array(g["sum"].to_numpy().astype(np.int64)),
+            "n_neg": pa.array((g["size"] - g["sum"]).to_numpy()
+                              .astype(np.int64))})
+
+    vocab = (ds.map_batches(count_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("word")
+             .aggregate(Sum("n_pos", alias_name="n_pos"),
+                        Sum("n_neg", alias_name="n_neg"))
+             .to_pandas())
+    v = len(vocab)
+    tp = int(vocab["n_pos"].sum())
+    tn = int(vocab["n_neg"].sum())
+    order = np.argsort(vocab["word"].to_numpy())
+    words_sorted = vocab["word"].to_numpy()[order]
+    npv = vocab["n_pos"].to_numpy().astype(object)[order]
+    nnv = vocab["n_neg"].to_numpy().astype(object)[order]
+    wgt = (1000 * (npv + 1) * (tn + v)
+           // ((nnv + 1) * (tp + v)) - 1000).astype(np.int64)
+    oov = np.int64(1000 * (tn + v) // (tp + v) - 1000)
+    ref = ray.put((words_sorted, wgt))
+
+    def score(t: pa.Table) -> pa.Table:
+        ws, wv = ray.get(ref)
+        ids = t[id_col].combine_chunks()
+        flat, n_words = _word_stream(t[text_col])
+        fw = flat.to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(ws, fw), 0, max(len(ws) - 1, 0))
+        if len(ws):
+            w = np.where(ws[idx] == fw, wv[idx], oov)
+        else:
+            w = np.full(len(fw), oov)
+        cum = np.concatenate([[0], np.cumsum(w, dtype=np.int64)])
+        ends = np.cumsum(n_words)
+        sums = cum[ends] - cum[ends - n_words]
+        return pa.table({
+            id_col: ids,
+            "score": pa.array(sums, pa.int64()),
+            "pred": pa.array((sums > 0).astype(np.int64))})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def prediction_kappa(
     ds: ray.data.Dataset,
     true_col: str,

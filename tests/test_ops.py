@@ -4257,3 +4257,61 @@ def test_component_stats_shapes(ray_session):
            for _, r in out.iterrows()}
     assert got == {0: (3, 3, 1), 10: (4, 3, 0),
                    20: (4, 6, 3), 30: (2, 1, 0)}
+
+
+def test_butterfly_count_closed_form(ray_session):
+    from ci_log_processing_ray.ops.relational import butterfly_count
+
+    # 4 disjoint K_{3,2} blocks (3 keys x 2 items, all edges): each
+    # block has 6 edges, 2 * C(3,2) = 6 item-centered wedges, and
+    # C(3,2) * C(2,2) = 3 butterflies.  Plus one degree-5 hub item
+    # (fresh keys -> no extra butterflies) to exercise max_degree.
+    rows = []
+    for blk in range(4):
+        for k in range(3):
+            for i in range(2):
+                rows.append({"k": 100 * blk + k, "i": 100 * blk + 50 + i})
+    rows += [{"k": 900 + j, "i": 999} for j in range(5)]
+    rows = rows + rows  # duplicates must collapse
+
+    ds = ray.data.from_items(rows).repartition(5)
+    out = butterfly_count(ds, "k", "i", n_buckets=4).to_pandas()
+    assert (int(out.n_edges[0]), int(out.n_wedges[0]),
+            int(out.n_butterflies[0])) == (29, 34, 12)
+
+    capped = butterfly_count(ds, "k", "i", max_degree=4,
+                             n_buckets=4).to_pandas()
+    assert (int(capped.n_edges[0]), int(capped.n_wedges[0]),
+            int(capped.n_butterflies[0])) == (24, 24, 12)
+
+
+def test_nb_classifier_score_exact(ray_session):
+    from collections import Counter
+
+    from ci_log_processing_ray.ops.textstats import nb_classifier_score
+
+    rows = [
+        {"id": 1, "txt": "good good nice", "lab": "en"},
+        {"id": 2, "txt": "bad bad ugly", "lab": "de"},
+        {"id": 3, "txt": "good bad", "lab": "en"},
+        {"id": 4, "txt": "nice ugly ugly", "lab": "de"},
+    ]
+    cp, cn = Counter(), Counter()
+    for r in rows:
+        (cp if r["lab"] == "en" else cn).update(r["txt"].split())
+    vocab = set(cp) | set(cn)
+    v, tp, tn = len(vocab), sum(cp.values()), sum(cn.values())
+
+    def wgt(w):
+        return (1000 * (cp[w] + 1) * (tn + v)
+                // ((cn[w] + 1) * (tp + v)) - 1000)
+
+    want = {r["id"]: sum(wgt(w) for w in r["txt"].split())
+            for r in rows}
+    out = nb_classifier_score(
+        ray.data.from_items(rows).repartition(3),
+        "txt", "id", "lab", "en").to_pandas()
+    got = dict(zip(out["id"], out["score"]))
+    assert got == want
+    assert dict(zip(out["id"], out["pred"])) == {
+        i: int(s > 0) for i, s in want.items()}
