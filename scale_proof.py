@@ -2441,6 +2441,89 @@ def main_pack() -> None:
         ray.shutdown()
 
 
+def main_butterfly() -> None:
+    """Butterfly counting at ~48M edge rows with closed-form truths:
+    M disjoint K_{3,2} blocks (every edge emitted TWICE so the
+    distinct collapse is exercised at scale) -- per block 6 distinct
+    edges, 6 item-centered wedges, 3 butterflies -- plus 1000 hub
+    items of degree 200 on fresh keys (19,900 wedges each, ZERO
+    butterflies).  Run once capped at max_degree=100 (hubs dropped
+    whole) and once uncapped (hub wedges included): both answers have
+    exact closed forms."""
+    import ray
+    from ray.data import DataContext
+
+    M = int(os.environ.get("GRAFT_BF_BLOCKS", "4000000"))
+    HUBS, HUBDEG = 1000, 200
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.relational import butterfly_count
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        def block_edges(b: pa.Table) -> pa.Table:
+            i = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            k = 10 * np.repeat(i, 6) + np.tile(
+                np.array([0, 1, 2, 0, 1, 2], np.int64), len(i))
+            it = 10 * np.repeat(i, 6) + np.tile(
+                np.array([5, 5, 5, 6, 6, 6], np.int64), len(i))
+            return pa.table({"k": np.concatenate([k, k]),
+                             "i": np.concatenate([it, it])})
+
+        def hub_edges(b: pa.Table) -> pa.Table:
+            h = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            it = 10 * M + np.repeat(h, HUBDEG)
+            k = (10 * M + HUBS + HUBDEG * np.repeat(h, HUBDEG)
+                 + np.tile(np.arange(HUBDEG, dtype=np.int64), len(h)))
+            return pa.table({"k": k, "i": it})
+
+        def read():
+            blocks = ray.data.range(
+                M, override_num_blocks=NCPU * 4).map_batches(
+                block_edges, batch_format="pyarrow")
+            hubs = ray.data.range(HUBS, override_num_blocks=4).map_batches(
+                hub_edges, batch_format="pyarrow")
+            return blocks.union(hubs)
+
+        n_rows = 12 * M + HUBS * HUBDEG
+        results = {}
+
+        t0 = time.perf_counter()
+        capped = butterfly_count(read(), "k", "i",
+                                 max_degree=100).to_pandas()
+        sec = time.perf_counter() - t0
+        got = (int(capped.n_edges[0]), int(capped.n_wedges[0]),
+               int(capped.n_butterflies[0]))
+        assert got == (6 * M, 6 * M, 3 * M), got
+        results["butterfly_capped"] = {
+            "sec": round(sec, 2),
+            "edge_rows_per_sec": round(n_rows / sec),
+            "truth": "(6M, 6M, 3M) exact; hubs dropped whole"}
+
+        t0 = time.perf_counter()
+        full = butterfly_count(read(), "k", "i").to_pandas()
+        sec = time.perf_counter() - t0
+        got = (int(full.n_edges[0]), int(full.n_wedges[0]),
+               int(full.n_butterflies[0]))
+        want = (6 * M + HUBS * HUBDEG,
+                6 * M + HUBS * (HUBDEG * (HUBDEG - 1) // 2), 3 * M)
+        assert got == want, (got, want)
+        results["butterfly_uncapped"] = {
+            "sec": round(sec, 2),
+            "edge_rows_per_sec": round(n_rows / sec),
+            "truth": "hub wedges C(200,2) each, zero hub butterflies"}
+
+        print(json.dumps({
+            "n_edge_rows": n_rows, "n_blocks": M, "num_cpus": NCPU,
+            "ops": results, "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -2482,5 +2565,7 @@ if __name__ == "__main__":
         main_dedup()
     elif len(sys.argv) > 1 and sys.argv[1] == "pack":
         main_pack()
+    elif len(sys.argv) > 1 and sys.argv[1] == "butterfly":
+        main_butterfly()
     else:
         main()
