@@ -2625,6 +2625,21 @@ def q_profile(sf_dir: str):
                                 "value"])
 
 
+def q_attribution(sf_dir: str):
+    """Linear multi-touch attribution
+    (ops/window.py:linear_attribution): every purchase splits 1000
+    permille equally across the touches since the user's previous
+    purchase (remainder to the earliest touch), purchases with no
+    prior touches credit 'direct'; per-channel totals combine from
+    user-bucketed partials."""
+    from ci_log_processing_ray.ops.window import linear_attribution
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type"])
+    return linear_attribution(ev, "user_id", "ts", "event_type",
+                              "event_id", conversion="purchase")
+
+
 def q_funnel(sf_dir: str):
     """Two-step funnel (view -> purchase within 30 min, per user):
     one co-partitioning shuffle of (user, ts, side) triples, per-bucket
@@ -5118,6 +5133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "ppr": q_ppr,
         "hits": q_hits,
+        "attribution": q_attribution,
         "funnel": q_funnel,
         "profile": q_profile,
         "snapshot_diff": q_snapshot_diff,
@@ -7338,6 +7354,40 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'value', count(*), count(*) - count(value),
                    count(DISTINCT value) FROM events""",
+        "attribution": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CAST(event_type = 'purchase' AS INT) AS isc
+                FROM events),
+            s AS (
+                SELECT *,
+                       sum(isc) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) - isc
+                         AS seg,
+                       sum(isc) OVER (PARTITION BY user_id) AS nconv
+                FROM e),
+            t AS (SELECT user_id, seg, event_type, ts, event_id
+                  FROM s WHERE isc = 0 AND seg < nconv),
+            w AS (SELECT event_type AS channel,
+                         count(*) OVER (PARTITION BY user_id, seg)
+                           AS n,
+                         row_number() OVER (PARTITION BY user_id, seg
+                                            ORDER BY ts, event_id)
+                           AS rn
+                  FROM t),
+            cr AS (SELECT channel,
+                          1000 // n + CASE WHEN rn = 1 THEN 1000 % n
+                                           ELSE 0 END AS credit
+                   FROM w),
+            d AS (SELECT 'direct' AS channel, 1000 AS credit
+                  FROM s WHERE isc = 1 AND NOT EXISTS
+                    (SELECT 1 FROM t WHERE t.user_id = s.user_id
+                                       AND t.seg = s.seg))
+            SELECT channel, CAST(sum(credit) AS BIGINT) AS credit,
+                   CAST(count(*) AS BIGINT) AS n_touches
+            FROM (SELECT * FROM cr UNION ALL SELECT * FROM d)
+            GROUP BY channel""",
         "funnel": """
             WITH a AS (SELECT user_id, ts FROM events
                        WHERE event_type = 'view'),

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "edit_distance_pairs",
     "butterflies",
     "nb_classifier",
+    "attribution",
     "bfs_hops",
     "target_encode",
     "kfold",

@@ -188,6 +188,77 @@ def sessionize(
     return bucketed_groups(ds, key_col, assign, n_buckets=n_buckets)
 
 
+def linear_attribution(
+    ds: "ray.data.Dataset",
+    user_col: str,
+    ts_col: str,
+    channel_col: str,
+    id_col: str,
+    *,
+    conversion: str,
+    direct_label: str = "direct",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Linear multi-touch attribution: every conversion event splits
+    1000 permille of credit equally across the touch events since the
+    user's previous conversion (the marketing-analytics staple that
+    funnels don't cover -- funnels count step completion, attribution
+    allocates credit).  Exact integer contract: each touch gets
+    ``1000 // n`` with the remainder going to the EARLIEST touch of
+    the window (in (ts, id) order), so every converted window sums to
+    exactly 1000; a conversion with no prior touches credits 1000 to
+    ``direct_label``.  Touches after a user's last conversion earn
+    nothing.
+
+    Scale shape: one user-bucketed exchange
+    (:func:`bucketed_groups`); the kernel is whole-bucket vectorized
+    (one stable sort, grouped cumsums for segment ids, transform-size
+    + cumcount for window splits -- no per-user loop) and collapses
+    each bucket to channel partials, so the final combine is a
+    channel-vocabulary-sized native groupby.  Output: channel, credit,
+    n_touches (direct conversions count one row each), all int64."""
+    from ray.data.aggregate import Sum
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        conv = (g[channel_col] == conversion).to_numpy()
+        u = g[user_col].to_numpy()
+        cs = pd.Series(conv)
+        seg = cs.groupby(u).cumsum().to_numpy() - conv
+        nconv = cs.groupby(u).transform("sum").to_numpy()
+        credited = ~conv & (seg < nconv)
+        t = pd.DataFrame({
+            "user": u[credited], "seg": seg[credited],
+            "channel": g[channel_col].to_numpy()[credited]})
+        grp = t.groupby(["user", "seg"], sort=False)
+        n = grp["channel"].transform("size").to_numpy().astype(np.int64)
+        rn = grp.cumcount().to_numpy()
+        credit = 1000 // n + np.where(rn == 0, 1000 % n, 0)
+        ck = pd.DataFrame({"user": u[conv], "seg": seg[conv]})
+        mrg = ck.merge(t[["user", "seg"]].drop_duplicates(),
+                       on=["user", "seg"], how="left", indicator=True)
+        n_direct = int((mrg["_merge"] == "left_only").sum())
+        out = pd.DataFrame({
+            "channel": np.concatenate([
+                t["channel"].to_numpy(),
+                np.full(n_direct, direct_label, dtype=object)]),
+            "credit": np.concatenate([
+                credit, np.full(n_direct, 1000, np.int64)])})
+        part = (out.groupby("channel", as_index=False)
+                .agg(credit=("credit", "sum"),
+                     n_touches=("credit", "size")))
+        part["credit"] = part["credit"].astype(np.int64)
+        part["n_touches"] = part["n_touches"].astype(np.int64)
+        return part
+
+    parts = bucketed_groups(
+        ds.select_columns([user_col, ts_col, channel_col, id_col]),
+        user_col, kern, n_buckets=n_buckets)
+    return parts.groupby("channel").aggregate(
+        Sum("credit", alias_name="credit"),
+        Sum("n_touches", alias_name="n_touches"))
+
+
 def lag_diff_by_group(
     ds: "ray.data.Dataset",
     group_col: str,

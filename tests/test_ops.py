@@ -4315,3 +4315,35 @@ def test_nb_classifier_score_exact(ray_session):
     assert got == want
     assert dict(zip(out["id"], out["pred"])) == {
         i: int(s > 0) for i, s in want.items()}
+
+
+def test_linear_attribution_exact(ray_session):
+    import datetime
+
+    from ci_log_processing_ray.ops.window import linear_attribution
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, u, ch):
+        return {"event_id": i, "user_id": u,
+                "ts": t0 + datetime.timedelta(minutes=i),
+                "event_type": ch}
+
+    rows = [
+        # user 1: a b c -> buy (334/333/333), buy with no touches
+        # -> direct, trailing a earns nothing
+        ev(1, 1, "a"), ev(2, 1, "b"), ev(3, 1, "c"), ev(4, 1, "buy"),
+        ev(5, 1, "buy"), ev(6, 1, "a"),
+        # user 2: bare conversion -> direct
+        ev(7, 2, "buy"),
+        # user 3: a a -> buy (500 + 500, remainder none)
+        ev(8, 3, "a"), ev(9, 3, "a"), ev(10, 3, "buy"),
+    ]
+    out = linear_attribution(
+        ray.data.from_items(rows).repartition(4),
+        "user_id", "ts", "event_type", "event_id",
+        conversion="buy", n_buckets=3).to_pandas()
+    got = {r["channel"]: (int(r["credit"]), int(r["n_touches"]))
+           for _, r in out.iterrows()}
+    assert got == {"a": (1334, 3), "b": (333, 1), "c": (333, 1),
+                   "direct": (2000, 2)}
