@@ -595,6 +595,29 @@ def q_pca_embeddings(sf_dir: str):
     return pca_project(ds, "embedding", "vec_id", n_components=2)
 
 
+def q_dbscan(sf_dir: str):
+    """Grid-based distributed DBSCAN (ops/iterative.py:dbscan_grid)
+    over the first two embedding dims quantized to int64 milli-units
+    (floor(x*1000) -- the shared exact-integer determinism contract
+    with the oracle's recursive-CTE closure); eps=20 units, min_pts=4
+    yields ~20 clusters plus border and noise points on this corpus."""
+    from ci_log_processing_ray.ops.iterative import dbscan_grid
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        m = np.vstack(t["embedding"].to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "x": pa.array(np.floor(m[:, 0] * 1000.0).astype(np.int64)),
+            "y": pa.array(np.floor(m[:, 1] * 1000.0)
+                          .astype(np.int64))})
+
+    return dbscan_grid(ds.map_batches(quant, batch_format="pyarrow"),
+                       "vec_id", "x", "y", eps=20, min_pts=4)
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup (arXiv:2303.09540): k-means-blocked embedding near-dup
     clusters (ops/dedup.py:semdedup).  EXPECTED EMPTY on the synthetic
@@ -5070,6 +5093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "embedding_dedup": q_embedding_dedup,
         "semdedup": q_semdedup,
+        "dbscan": q_dbscan,
         "dsir_select": q_dsir_select,
         "max_coverage": q_max_coverage,
         "pca_embeddings": q_pca_embeddings,
@@ -7354,6 +7378,42 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'value', count(*), count(*) - count(value),
                    count(DISTINCT value) FROM events""",
+        "dbscan": """
+            WITH RECURSIVE pts AS (
+                SELECT vec_id,
+                       CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000)
+                            AS BIGINT) AS x,
+                       CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000)
+                            AS BIGINT) AS y
+                FROM embeddings),
+            nbr AS (SELECT a.vec_id AS pa, b.vec_id AS pb
+                    FROM pts a JOIN pts b
+                    ON (a.x - b.x) * (a.x - b.x)
+                       + (a.y - b.y) * (a.y - b.y) <= 400),
+            cnt AS (SELECT pa, count(*) AS c FROM nbr GROUP BY pa),
+            core AS (SELECT pa AS id FROM cnt WHERE c >= 4),
+            ce AS (SELECT n.pa AS a, n.pb AS b FROM nbr n
+                   JOIN core c1 ON n.pa = c1.id
+                   JOIN core c2 ON n.pb = c2.id),
+            r(a, lab) AS (
+                SELECT a, b FROM ce
+                UNION
+                SELECT r.a, ce.b FROM r JOIN ce ON ce.a = r.lab),
+            reach AS (SELECT a, min(lab) AS cluster FROM r GROUP BY a),
+            bl AS (SELECT n.pa AS id, min(re.cluster) AS cluster
+                   FROM nbr n JOIN core c ON n.pb = c.id
+                   JOIN reach re ON re.a = n.pb
+                   WHERE n.pa NOT IN (SELECT id FROM core)
+                   GROUP BY n.pa)
+            SELECT a AS vec_id, cluster,
+                   CAST(1 AS BIGINT) AS is_core FROM reach
+            UNION ALL
+            SELECT id, cluster, CAST(0 AS BIGINT) FROM bl
+            UNION ALL
+            SELECT p.vec_id, CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+            FROM pts p
+            WHERE p.vec_id NOT IN (SELECT id FROM core)
+              AND p.vec_id NOT IN (SELECT id FROM bl)""",
         "attribution": """
             WITH e AS (
                 SELECT user_id, ts, event_id, event_type,

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "butterflies",
     "nb_classifier",
     "attribution",
+    "dbscan",
     "bfs_hops",
     "target_encode",
     "kfold",

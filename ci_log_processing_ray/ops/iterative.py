@@ -2985,3 +2985,190 @@ def component_stats(
             "n_nodes": n, "n_edges": e, "cyclomatic": e - n + 1})
 
     return bucketed_groups(both, "comp", stitch, n_buckets=n_buckets)
+
+
+def dbscan_grid(
+    ds: ray.data.Dataset,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    eps: int,
+    min_pts: int,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed DBSCAN over INTEGER 2-D coordinates via the classic
+    eps-grid partitioning (Ester et al., KDD 1996; the grid/halo
+    distribution is the standard MR-DBSCAN shape): density clustering
+    with core points (>= ``min_pts`` neighbors within ``eps``,
+    COUNTING the point itself), border points (non-core with a core
+    neighbor) and noise (``cluster = -1``).
+
+    Determinism contract (shared by the DuckDB oracle): coordinates
+    and ``eps`` are int64, every distance test is the exact integer
+    ``dx*dx + dy*dy <= eps*eps``; a cluster's label is the MIN core
+    id in its core-connectivity component; a border point joins the
+    MIN label among its core neighbors' clusters.
+
+    Scale shape: points land in eps-sized grid cells, each point
+    replicates to the 3x3 halo of its cell (a bounded 9x exchange --
+    the price of never comparing points from far-apart cells), and
+    each cell bucket runs one vectorized home x halo merge; per-cell
+    work is O(density^2), never all-pairs.  Neighbor counts, core-core
+    edges and border-core pairs all come from these cell passes;
+    components close through the in-repo two-phase
+    :func:`connected_components` (self-loop edges keep isolated cores
+    as singleton clusters), and border labels resolve through a
+    node-keyed tagged-union co-partition + bucketed min -- no
+    broadcast of the (corpus-sized) core set or label map.  Output:
+    (id_col, cluster, is_core), all int64.
+    """
+    from .window import bucketed_groups
+
+    _SENT = np.int64(1) << 62
+
+    def _cells(t: pa.Table) -> pa.Table:
+        """Home row + 9 halo rows per point (role 0 = home)."""
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        x = t[x_col].combine_chunks().to_numpy(zero_copy_only=False)
+        y = t[y_col].combine_chunks().to_numpy(zero_copy_only=False)
+        core = (t["is_core"].combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                if "is_core" in t.column_names
+                else np.zeros(len(ids), np.int64))
+        cx, cy = x // eps, y // eps
+        n = len(ids)
+        offs = np.array([(dx, dy) for dx in (-1, 0, 1)
+                         for dy in (-1, 0, 1)], np.int64)
+        hx = np.repeat(cx, 9) + np.tile(offs[:, 0], n)
+        hy = np.repeat(cy, 9) + np.tile(offs[:, 1], n)
+        cell_h = (hx << np.int64(32)) | (hy & np.int64(0xFFFFFFFF))
+        cell_0 = (cx << np.int64(32)) | (cy & np.int64(0xFFFFFFFF))
+        rep = lambda a: np.repeat(a, 9)  # noqa: E731
+        return pa.table({
+            "cell": np.concatenate([cell_0, cell_h]),
+            "role": np.concatenate([np.zeros(n, np.int64),
+                                    np.ones(9 * n, np.int64)]),
+            "pid": np.concatenate([ids, rep(ids)]),
+            "px": np.concatenate([x, rep(x)]),
+            "py": np.concatenate([y, rep(y)]),
+            "pcore": np.concatenate([core, rep(core)])})
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """home x halo rows within eps, vectorized across the bucket."""
+        home = g[g["role"] == 0]
+        halo = g[g["role"] == 1]
+        m = home.merge(halo, on="cell", suffixes=("", "_h"))
+        dx = m["px"].to_numpy() - m["px_h"].to_numpy()
+        dy = m["py"].to_numpy() - m["py_h"].to_numpy()
+        return m[dx * dx + dy * dy <= eps * eps]
+
+    # ---- pass 1: neighbor counts -> core flags (coords carried) ----
+    def count_kern(g: pd.DataFrame) -> pd.DataFrame:
+        m = _pairs(g)
+        cnt = (m.groupby("pid", sort=False)
+               .agg(x=("px", "first"), y=("py", "first"),
+                    c=("pid_h", "size")).reset_index())
+        out = pd.DataFrame({
+            id_col: cnt["pid"].to_numpy(np.int64),
+            x_col: cnt["x"].to_numpy(np.int64),
+            y_col: cnt["y"].to_numpy(np.int64),
+            "is_core": (cnt["c"].to_numpy() >= min_pts)
+            .astype(np.int64)})
+        return out
+
+    flagged = bucketed_groups(
+        ds.map_batches(
+            lambda t: _cells(t.select([id_col, x_col, y_col])),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "cell", count_kern, n_buckets=n_buckets).materialize()
+
+    # ---- pass 2: core-core edges + border-core candidate pairs ----
+    def edge_kern(g: pd.DataFrame) -> pd.DataFrame:
+        m = _pairs(g)
+        a = m["pid"].to_numpy(np.int64)
+        b = m["pid_h"].to_numpy(np.int64)
+        ac = m["pcore"].to_numpy() == 1
+        bc = m["pcore_h"].to_numpy() == 1
+        ee = ac & bc & (a < b)
+        self_loop = ac & (a == b)  # keeps isolated cores
+        bp = ~ac & bc
+        edges = pd.DataFrame({
+            "src": np.concatenate([a[ee], a[self_loop]]),
+            "dst": np.concatenate([b[ee], a[self_loop]]),
+            "tag": np.int64(0)})
+        # border fallback sentinel once per non-core home point
+        nc = m[~ac].drop_duplicates("pid")
+        cand = pd.DataFrame({
+            "src": np.concatenate([a[bp],
+                                   nc["pid"].to_numpy(np.int64)]),
+            "dst": np.concatenate([b[bp], np.full(len(nc), -1,
+                                                  np.int64)]),
+            "tag": np.int64(1)})
+        return pd.concat([edges, cand], ignore_index=True)
+
+    tagged = bucketed_groups(
+        flagged.map_batches(_cells, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        "cell", edge_kern, n_buckets=n_buckets).materialize()
+
+    def pick(tag: int, cols: dict[str, str]):
+        def kern(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["tag"].combine_chunks(), tag))
+            return pa.table({new: t[old] for old, new in cols.items()})
+        return kern
+
+    edges = tagged.map_batches(
+        pick(0, {"src": "src", "dst": "dst"}), batch_format="pyarrow")
+    labels = connected_components(edges, "src", "dst",
+                                  n_buckets=n_buckets)
+
+    # ---- border labels: node-keyed tagged-union co-partition ----
+    lab_rows = labels.map_batches(
+        lambda t: pa.table({"key": t["node"], "val": t["component"],
+                            "side": pa.array(
+                                np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    pair_rows = tagged.map_batches(
+        pick(1, {"dst": "key", "src": "val"}),
+        batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "side", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        lmap = g[g["side"] == 0]
+        pr = g[g["side"] == 1]
+        border = pr["val"].to_numpy(np.int64)   # border point id
+        keys = pr["key"].to_numpy(np.int64)     # core id or -1
+        lk = dict(zip(lmap["key"].to_numpy(np.int64),
+                      lmap["val"].to_numpy(np.int64)))
+        lab = np.where(keys == -1, _SENT,
+                       pd.Series(keys).map(lk).fillna(_SENT)
+                       .to_numpy(np.int64))
+        return pd.DataFrame({"pid": border, "lab": lab})
+
+    def min_kern(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("pid", as_index=False, sort=False)["lab"].min()
+
+    border_min = bucketed_groups(
+        bucketed_groups(lab_rows.union(pair_rows), "key", resolve,
+                        n_buckets=n_buckets),
+        "pid", min_kern, n_buckets=n_buckets)
+
+    core_out = labels.map_batches(
+        lambda t: pa.table({
+            id_col: t["node"], "cluster": t["component"],
+            "is_core": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    border_out = border_min.map_batches(
+        lambda t: pa.table({
+            id_col: t["pid"],
+            "cluster": pa.array(np.where(
+                t["lab"].combine_chunks()
+                .to_numpy(zero_copy_only=False) == _SENT, -1,
+                t["lab"].combine_chunks()
+                .to_numpy(zero_copy_only=False)), pa.int64()),
+            "is_core": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    return core_out.union(border_out)

@@ -4347,3 +4347,31 @@ def test_linear_attribution_exact(ray_session):
            for _, r in out.iterrows()}
     assert got == {"a": (1334, 3), "b": (333, 1), "c": (333, 1),
                    "direct": (2000, 2)}
+
+
+def test_dbscan_grid_scene(ray_session):
+    from ci_log_processing_ray.ops.iterative import dbscan_grid
+
+    pts = [
+        # cluster A: mutual core triangle + one border + one noise
+        (1, 0, 0), (2, 3, 0), (3, 0, 3), (4, 7, 0), (5, 50, 50),
+        # cluster B far away
+        (11, 100, 100), (12, 103, 100), (13, 100, 103),
+        # coincident core triple
+        (21, 200, 200), (22, 200, 200), (23, 200, 200),
+        # isolated core (self-loop path): two borders, never core-core
+        (31, 300, 300), (32, 300, 304), (33, 300, 296),
+    ]
+    ds = ray.data.from_items(
+        [{"id": i, "x": x, "y": y} for i, x, y in pts]).repartition(4)
+    out = dbscan_grid(ds, "id", "x", "y", eps=5, min_pts=3,
+                      n_buckets=4).to_pandas()
+    got = {int(r["id"]): (int(r["cluster"]), int(r["is_core"]))
+           for _, r in out.iterrows()}
+    assert got == {
+        1: (1, 1), 2: (1, 1), 3: (1, 1), 4: (1, 0), 5: (-1, 0),
+        11: (11, 1), 12: (11, 1), 13: (11, 1),
+        21: (21, 1), 22: (21, 1), 23: (21, 1),
+        31: (31, 1), 32: (31, 0), 33: (31, 0),
+    }
+    assert len(out) == len(pts)
