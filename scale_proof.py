@@ -2524,6 +2524,77 @@ def main_butterfly() -> None:
         ray.shutdown()
 
 
+def main_dbscan() -> None:
+    """dbscan_grid at millions of points with per-row closed-form
+    truth: M planted sites on a 1000-unit grid (far beyond eps=20),
+    each site = 4 mutually-in-range core points + 1 border + 1 noise
+    point, ids 6*site+pos.  Expected output is pure id arithmetic
+    (cluster = 6*site for pos 0..4, -1 for pos 5; is_core = pos <= 3),
+    checked PER ROW inside map_batches -- only per-block (count,
+    violations) partials reach the driver."""
+    import ray
+    from ray.data import DataContext
+
+    M = int(os.environ.get("GRAFT_DBSCAN_SITES", "1000000"))
+    G = int(np.ceil(np.sqrt(M)))
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.iterative import dbscan_grid
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        POS = np.array([(0, 0), (10, 0), (0, 10), (10, 10),
+                        (25, 0), (50, 50)], np.int64)
+
+        def gen(b: pa.Table) -> pa.Table:
+            s = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            sx = (s % G) * 1000
+            sy = (s // G) * 1000
+            ids = 6 * np.repeat(s, 6) + np.tile(
+                np.arange(6, dtype=np.int64), len(s))
+            x = np.repeat(sx, 6) + np.tile(POS[:, 0], len(s))
+            y = np.repeat(sy, 6) + np.tile(POS[:, 1], len(s))
+            return pa.table({"id": ids, "x": x, "y": y})
+
+        pts = ray.data.range(M, override_num_blocks=NCPU * 4).map_batches(
+            gen, batch_format="pyarrow")
+        n = 6 * M
+
+        t0 = time.perf_counter()
+        out = dbscan_grid(pts, "id", "x", "y", eps=20, min_pts=4)
+
+        def check(t: pa.Table) -> pa.Table:
+            ids = t["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            cl = t["cluster"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            co = t["is_core"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            pos = ids % 6
+            want_cl = np.where(pos == 5, -1, 6 * (ids // 6))
+            want_co = (pos <= 3).astype(np.int64)
+            bad = int(((cl != want_cl) | (co != want_co)).sum())
+            return pa.table({"n": pa.array([len(ids)], pa.int64()),
+                             "bad": pa.array([bad], pa.int64())})
+
+        parts = out.map_batches(check, batch_format="pyarrow").to_pandas()
+        sec = time.perf_counter() - t0
+        assert int(parts["bad"].sum()) == 0
+        assert int(parts["n"].sum()) == n, (int(parts["n"].sum()), n)
+
+        print(json.dumps({
+            "n_points": n, "n_sites": M, "num_cpus": NCPU,
+            "sec": round(sec, 2),
+            "points_per_sec": round(n / sec),
+            "truth": "per-row cluster/is_core == id arithmetic",
+            "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -2567,5 +2638,7 @@ if __name__ == "__main__":
         main_pack()
     elif len(sys.argv) > 1 and sys.argv[1] == "butterfly":
         main_butterfly()
+    elif len(sys.argv) > 1 and sys.argv[1] == "dbscan2d":
+        main_dbscan()
     else:
         main()
