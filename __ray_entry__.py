@@ -3370,6 +3370,31 @@ def q_triangles(sf_dir: str):
                                                           "lineitem"))
 
 
+def q_caliper_match(sf_dir: str):
+    """Propensity-style 1-NN caliper matching
+    (ops/relational.py:caliper_match): urgent orders match the
+    nearest non-urgent order by total price within $100 (10,000
+    cents), ties to the smaller control key; range-bucketed by
+    score//caliper with a 3x control halo, searchsorted probe, no
+    all-pairs join."""
+    from ci_log_processing_ray.ops.relational import caliper_match
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "cents": _cents(t["o_totalprice"]),
+            "treat": pc.cast(pc.equal(
+                t["o_orderpriority"].combine_chunks(), "1-URGENT"),
+                pa.int64())})
+
+    return caliper_match(ds.map_batches(prep, batch_format="pyarrow"),
+                         "o_orderkey", "cents", "treat",
+                         caliper=10000)
+
+
 def q_butterflies(sf_dir: str):
     """Butterfly (bipartite 4-cycle) count of the order-part graph
     (ops/relational.py:butterfly_count): item-centered wedges combine
@@ -5191,6 +5216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence": q_cooccurrence,
         "triangles": q_triangles,
         "butterflies": q_butterflies,
+        "caliper_match": q_caliper_match,
         "bfs_hops": q_bfs_hops,
         "transitions": q_transitions,
         "global_rank": q_global_rank,
@@ -7068,6 +7094,21 @@ def oracle_sql() -> dict[str, str]:
                     JOIN e e2 ON e1.b = e2.a
                     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
                      AS n_triangles""",
+        "caliper_match": """
+            WITH o AS (SELECT o_orderkey AS id,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS s,
+                              o_orderpriority = '1-URGENT' AS tr
+                       FROM orders),
+            t AS (SELECT * FROM o WHERE tr),
+            c AS (SELECT * FROM o WHERE NOT tr)
+            SELECT treated_id, control_id, dist FROM (
+                SELECT t.id AS treated_id, c.id AS control_id,
+                       abs(t.s - c.s) AS dist,
+                       row_number() OVER (PARTITION BY t.id
+                           ORDER BY abs(t.s - c.s), c.id) AS rn
+                FROM t JOIN c ON abs(t.s - c.s) <= 10000)
+            WHERE rn = 1""",
         "butterflies": """
             WITH e AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i
                        FROM lineitem),

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "nb_classifier",
     "attribution",
     "dbscan",
+    "caliper_match",
     "bfs_hops",
     "target_encode",
     "kfold",

@@ -642,6 +642,93 @@ def triangle_count(
                      "n_triangles": pa.array([tri.count()], pa.int64())})
 
 
+def caliper_match(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    score_col: str,
+    treat_col: str,
+    *,
+    caliper: int,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """1-nearest-neighbor matching with replacement under a caliper
+    (the propensity-score matching step of observational causal
+    inference): each treated row matches the control with the minimum
+    absolute score distance <= ``caliper``, ties broken by the smaller
+    control id; treated rows with no control inside the caliper are
+    dropped.  Scores must be int64 (use cents/permille upstream) so
+    the distance ordering is exact.
+
+    Scale shape: rows range-bucket by ``score // caliper`` -- the
+    nearest in-caliper control of a treated row can only live in the
+    same or an adjacent bucket, so controls replicate to a bounded 3x
+    halo (the same home/halo contract as the DBSCAN eps-grid) and
+    each bucket resolves independently: controls sort once per bucket,
+    treated rows probe via searchsorted (run-start indexing makes the
+    min-id tie-break exact even with duplicate control scores) -- no
+    all-pairs join anywhere.  Output: treated_id, control_id, dist
+    (all int64)."""
+    from .window import bucketed_groups
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        s = t[score_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        treat = t[treat_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(bool)
+        b = s // caliper
+        t_ids, t_s, t_b = ids[treat], s[treat], b[treat]
+        c_ids, c_s, c_b = ids[~treat], s[~treat], b[~treat]
+        rep3 = lambda a: np.repeat(a, 3)  # noqa: E731
+        halo_b = rep3(c_b) + np.tile(
+            np.array([-1, 0, 1], np.int64), len(c_b))
+        return pa.table({
+            "bkt": np.concatenate([t_b, halo_b]),
+            "role": np.concatenate([np.zeros(len(t_b), np.int64),
+                                    np.ones(3 * len(c_b), np.int64)]),
+            "rid": np.concatenate([t_ids, rep3(c_ids)]),
+            "s": np.concatenate([t_s, rep3(c_s)])})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        tr = g[g["role"] == 0]
+        co = g[g["role"] == 1].sort_values(["s", "rid"],
+                                           kind="mergesort")
+        empty = pd.DataFrame({
+            "treated_id": pd.Series([], dtype=np.int64),
+            "control_id": pd.Series([], dtype=np.int64),
+            "dist": pd.Series([], dtype=np.int64)})
+        if not len(tr) or not len(co):
+            return empty
+        cs = co["s"].to_numpy(np.int64)
+        cid = co["rid"].to_numpy(np.int64)
+        ts = tr["s"].to_numpy(np.int64)
+        tid = tr["rid"].to_numpy(np.int64)
+        n = len(cs)
+        big = np.int64(caliper) + 1
+        pos = np.searchsorted(cs, ts, side="left")
+        has_r = pos < n
+        pr = np.clip(pos, 0, n - 1)
+        d_r = np.where(has_r, cs[pr] - ts, big)
+        i_r = cid[pr]
+        has_l = pos > 0
+        pl = np.clip(pos - 1, 0, n - 1)
+        lf = np.searchsorted(cs, cs[pl], side="left")
+        d_l = np.where(has_l, ts - cs[pl], big)
+        i_l = cid[lf]
+        pick_r = (d_r < d_l) | ((d_r == d_l) & (i_r < i_l))
+        d = np.where(pick_r, d_r, d_l)
+        c = np.where(pick_r, i_r, i_l)
+        ok = d <= caliper
+        return pd.DataFrame({"treated_id": tid[ok],
+                             "control_id": c[ok],
+                             "dist": d[ok]})
+
+    return bucketed_groups(
+        ds.map_batches(to_cells, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "bkt", kern, n_buckets=n_buckets)
+
+
 def butterfly_count(
     ds: "ray.data.Dataset",
     key_col: str,

@@ -4375,3 +4375,26 @@ def test_dbscan_grid_scene(ray_session):
         31: (31, 1), 32: (31, 0), 33: (31, 0),
     }
     assert len(out) == len(pts)
+
+
+def test_caliper_match_nearest(ray_session):
+    from ci_log_processing_ray.ops.relational import caliper_match
+
+    rows = [
+        # controls (treat 0)
+        {"id": 101, "s": 10, "tr": 0}, {"id": 102, "s": 10, "tr": 0},
+        {"id": 103, "s": 30, "tr": 0}, {"id": 104, "s": 50, "tr": 0},
+        # treated (treat 1)
+        {"id": 1, "s": 20, "tr": 1},   # tie d=10 both sides -> 101
+        {"id": 2, "s": 29, "tr": 1},   # right d=1 -> 103
+        {"id": 3, "s": 100, "tr": 1},  # nothing in caliper -> drop
+        {"id": 4, "s": 55, "tr": 1},   # left d=5 -> 104
+        {"id": 5, "s": 10, "tr": 1},   # d=0, dup scores -> min id 101
+    ]
+    out = caliper_match(
+        ray.data.from_items(rows).repartition(3), "id", "s", "tr",
+        caliper=15, n_buckets=3).to_pandas()
+    got = {int(r["treated_id"]): (int(r["control_id"]), int(r["dist"]))
+           for _, r in out.iterrows()}
+    assert got == {1: (101, 10), 2: (103, 1), 4: (104, 5),
+                   5: (101, 0)}
