@@ -2595,6 +2595,115 @@ def main_dbscan() -> None:
         ray.shutdown()
 
 
+def main_causal() -> None:
+    """linear_attribution + caliper_match at ~60M rows each, both with
+    closed-form truths.
+
+    Attribution: U users x the fixed sequence [c0 c1 c2 buy c0 buy]
+    -- window 0 splits 1000 as 334/333/333, window 1 gives c0 all
+    1000, so totals are EXACTLY (c0, c1, c2) = (1334U, 333U, 333U)
+    with touch counts (2U, U, U) and zero direct.
+
+    Matching: C unit cells [control@100i id 3i, treatedA@100i+30 id
+    3i+1, treatedB@100i+60 id 3i+2] with caliper 50 -- A matches its
+    own control at dist 30, B matches the NEXT cell's control at dist
+    40 (cross-bucket halo exercised every cell), and the last B is
+    unmatched.  Verified per row by id arithmetic inside map_batches."""
+    import datetime
+
+    import ray
+    from ray.data import DataContext
+
+    U = int(os.environ.get("GRAFT_CAUSAL_USERS", "10000000"))
+    C = int(os.environ.get("GRAFT_CAUSAL_CELLS", "20000000"))
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.relational import caliper_match
+        from ci_log_processing_ray.ops.window import linear_attribution
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+        results = {}
+
+        base = np.int64(1_700_000_000_000_000)  # epoch us
+        chan = np.array(["c0", "c1", "c2", "buy", "c0", "buy"],
+                        object)
+
+        def ev_gen(b: pa.Table) -> pa.Table:
+            u = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = len(u)
+            j = np.tile(np.arange(6, dtype=np.int64), n)
+            return pa.table({
+                "event_id": 6 * np.repeat(u, 6) + j,
+                "user_id": np.repeat(u, 6),
+                "ts": pa.array((base + 60_000_000 * j).view("M8[us]")),
+                "event_type": pa.array(np.tile(chan, n))})
+
+        ev = ray.data.range(U, override_num_blocks=NCPU * 4).map_batches(
+            ev_gen, batch_format="pyarrow")
+        t0 = time.perf_counter()
+        att = linear_attribution(ev, "user_id", "ts", "event_type",
+                                 "event_id",
+                                 conversion="buy").to_pandas()
+        sec = time.perf_counter() - t0
+        got = {r["channel"]: (int(r["credit"]), int(r["n_touches"]))
+               for _, r in att.iterrows()}
+        assert got == {"c0": (1334 * U, 2 * U), "c1": (333 * U, U),
+                       "c2": (333 * U, U)}, got
+        results["linear_attribution"] = {
+            "sec": round(sec, 2), "n_events": 6 * U,
+            "events_per_sec": round(6 * U / sec),
+            "truth": "channel totals == closed form, no direct"}
+
+        def cell_gen(b: pa.Table) -> pa.Table:
+            i = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = len(i)
+            pos = np.tile(np.array([0, 30, 60], np.int64), n)
+            return pa.table({
+                "rid": 3 * np.repeat(i, 3) + np.tile(
+                    np.arange(3, dtype=np.int64), n),
+                "s": 100 * np.repeat(i, 3) + pos,
+                "tr": np.tile(np.array([0, 1, 1], np.int64), n)})
+
+        rows = ray.data.range(C, override_num_blocks=NCPU * 4).map_batches(
+            cell_gen, batch_format="pyarrow")
+        t0 = time.perf_counter()
+        out = caliper_match(rows, "rid", "s", "tr", caliper=50)
+
+        def check(t: pa.Table) -> pa.Table:
+            tid = t["treated_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            cid = t["control_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            d = t["dist"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            cell, pos = tid // 3, tid % 3
+            want_c = np.where(pos == 1, 3 * cell, 3 * (cell + 1))
+            want_d = np.where(pos == 1, 30, 40)
+            bad = int(((cid != want_c) | (d != want_d)
+                       | (pos == 0)).sum())
+            return pa.table({"n": pa.array([len(tid)], pa.int64()),
+                             "bad": pa.array([bad], pa.int64())})
+
+        parts = out.map_batches(check, batch_format="pyarrow").to_pandas()
+        sec = time.perf_counter() - t0
+        assert int(parts["bad"].sum()) == 0
+        assert int(parts["n"].sum()) == 2 * C - 1, int(parts["n"].sum())
+        results["caliper_match"] = {
+            "sec": round(sec, 2), "n_rows": 3 * C,
+            "rows_per_sec": round(3 * C / sec),
+            "truth": "per-row control/dist == id arithmetic; "
+                     "last B unmatched"}
+
+        print(json.dumps({
+            "num_cpus": NCPU, "ops": results, "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -2640,5 +2749,7 @@ if __name__ == "__main__":
         main_butterfly()
     elif len(sys.argv) > 1 and sys.argv[1] == "dbscan2d":
         main_dbscan()
+    elif len(sys.argv) > 1 and sys.argv[1] == "causal":
+        main_causal()
     else:
         main()
