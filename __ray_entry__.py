@@ -3209,6 +3209,18 @@ def q_nb_classifier(sf_dir: str):
     return nb_classifier_score(ds, "text", "doc_id", "lang", "en")
 
 
+def q_quantile_normalize(sf_dir: str):
+    """Quantile normalization (ops/window.py:quantile_normalize):
+    every source's n_chars distribution rank-maps onto src0's --
+    exact integer rank rule 1+(rn-1)*nr//ng, ref lookup via a
+    rank-keyed tagged-union co-partition (never broadcast)."""
+    from ci_log_processing_ray.ops.window import quantile_normalize
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return quantile_normalize(ds, "source", "n_chars", "doc_id",
+                              ref_group="src0")
+
+
 def q_lm_score(sf_dir: str):
     """Bigram-LM document quality scoring
     (ops/textstats.py:score_docs_bigram): train corpus bigram permille
@@ -5205,6 +5217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit1_pairs": q_edit1_pairs,
         "edit_distance_pairs": q_edit_distance_pairs,
         "nb_classifier": q_nb_classifier,
+        "quantile_normalize": q_quantile_normalize,
         "lm_score": q_lm_score,
         "contract": q_contract,
         "merge_upsert": q_merge_upsert,
@@ -7230,6 +7243,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'shipdate_null',
                    CAST(count(*) FILTER (WHERE l_shipdate IS NULL)
                         AS BIGINT) FROM lineitem""",
+        "quantile_normalize": """
+            WITH r AS (SELECT doc_id, source, n_chars,
+                              row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+                              count(*) OVER (PARTITION BY source)
+                                AS ng
+                       FROM documents),
+            ref AS (SELECT n_chars AS v,
+                           row_number() OVER (ORDER BY n_chars,
+                                              doc_id) AS rr
+                    FROM documents WHERE source = 'src0'),
+            nr AS (SELECT count(*) AS c FROM ref)
+            SELECT r.doc_id, r.source, r.n_chars, ref.v AS mapped
+            FROM r, nr
+            JOIN ref ON ref.rr = 1 + (r.rn - 1) * nr.c // r.ng""",
         "nb_classifier": """
             WITH tok AS (
                 SELECT doc_id, lang = 'en' AS pos,

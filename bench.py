@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "attribution",
     "dbscan",
     "caliper_match",
+    "quantile_normalize",
     "bfs_hops",
     "target_encode",
     "kfold",

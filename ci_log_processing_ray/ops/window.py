@@ -451,6 +451,99 @@ def rank_by_group(
     return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
 
 
+def quantile_normalize(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    ref_group,
+    out_col: str = "mapped",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Quantile normalization / distribution alignment: every group's
+    values map onto the REFERENCE group's empirical distribution by
+    rank -- the feature-alignment step for cross-source score
+    calibration (microarray-style quantile normalization, rank-mapped
+    variant).  Exact integer contract: with rn = row_number within
+    the group ordered by (value, id), ng = group size and nr = ref
+    size, a row maps to the ref value of rank ``1 + (rn-1)*nr // ng``
+    (the ref group maps to itself identically).
+
+    Scale shape: pass A ranks rows inside one group-bucketed exchange
+    (whole-group-per-bucket contract, same as :func:`rank_by_group`;
+    swap in a per-group :func:`row_number_global` when single groups
+    outgrow a worker); the ref lookup is a RANK-KEYED tagged-union
+    co-partition -- ref rows key on their rank, probe rows on their
+    target rank -- so the reference distribution is never broadcast
+    or materialized on the driver.  Output:
+    (id_col, group_col, value_col, out_col), value dtype preserved."""
+
+    def rank_kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, value_col, id_col],
+                          kind="mergesort")
+        key = g[group_col].to_numpy()
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        newkey = np.r_[True, key[1:] != key[:-1]]
+        seg = np.maximum.accumulate(np.where(newkey, idx, 0))
+        rn = idx - seg + 1
+        bounds = np.flatnonzero(newkey)
+        sizes = np.diff(np.append(bounds, n))
+        ng = np.repeat(sizes, sizes).astype(np.int64)
+        return pd.DataFrame({
+            "pid": g[id_col].to_numpy(), "grp": key,
+            "val": g[value_col].to_numpy(), "rn": rn, "ng": ng})
+
+    ranked = bucketed_groups(
+        ds.select_columns([id_col, group_col, value_col]),
+        group_col, rank_kern, n_buckets=n_buckets).materialize()
+
+    def count_ref(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["grp"].combine_chunks(), ref_group)
+        return pa.table({"c": pa.array(
+            [int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0)],
+            pa.int64())})
+
+    nr = int(ranked.map_batches(count_ref, batch_format="pyarrow")
+             .to_pandas()["c"].sum())
+    if nr == 0:
+        raise ValueError(f"reference group {ref_group!r} is empty")
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        rn = t["rn"].combine_chunks().to_numpy(zero_copy_only=False)
+        ng = t["ng"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = 1 + (rn - 1) * np.int64(nr) // ng
+        return pa.table({"key": pa.array(key, pa.int64()),
+                         "side": pa.array(np.ones(len(rn), np.int64)),
+                         "pid": t["pid"], "grp": t["grp"],
+                         "val": t["val"]})
+
+    def ref_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["grp"].combine_chunks(), ref_group))
+        return pa.table({"key": t["rn"],
+                         "side": pa.array(np.zeros(t.num_rows,
+                                                   np.int64)),
+                         "pid": t["pid"], "grp": t["grp"],
+                         "val": t["val"]})
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        ref = g[g["side"] == 0]
+        pr = g[g["side"] == 1]
+        lk = dict(zip(ref["key"].to_numpy(), ref["val"].to_numpy()))
+        return pd.DataFrame({
+            id_col: pr["pid"].to_numpy(),
+            group_col: pr["grp"].to_numpy(),
+            value_col: pr["val"].to_numpy(),
+            out_col: pr["key"].map(lk).to_numpy()})
+
+    tagged = (ranked.map_batches(ref_rows, batch_format="pyarrow")
+              .union(ranked.map_batches(probe_rows,
+                                        batch_format="pyarrow")))
+    return bucketed_groups(tagged, "key", resolve,
+                           n_buckets=n_buckets)
+
+
 def rolling_count_by_group(
     ds: "ray.data.Dataset",
     group_col: str,

@@ -4398,3 +4398,24 @@ def test_caliper_match_nearest(ray_session):
            for _, r in out.iterrows()}
     assert got == {1: (101, 10), 2: (103, 1), 4: (104, 5),
                    5: (101, 0)}
+
+
+def test_quantile_normalize_rank_map(ray_session):
+    from ci_log_processing_ray.ops.window import quantile_normalize
+
+    rows = ([{"id": i, "g": "r", "v": 10 * i} for i in (1, 2, 3, 4)]
+            + [{"id": 11, "g": "a", "v": 5}, {"id": 12, "g": "a", "v": 7}]
+            + [{"id": 21, "g": "b", "v": 1}, {"id": 22, "g": "b", "v": 2},
+               {"id": 23, "g": "b", "v": 3}]
+            + [{"id": 31, "g": "c", "v": 9}, {"id": 32, "g": "c", "v": 9}])
+    out = quantile_normalize(
+        ray.data.from_items(rows).repartition(4), "g", "v", "id",
+        ref_group="r", n_buckets=3).to_pandas()
+    got = {int(r["id"]): int(r["mapped"]) for _, r in out.iterrows()}
+    assert got == {
+        1: 10, 2: 20, 3: 30, 4: 40,       # ref maps to itself
+        11: 10, 12: 30,                    # ng=2 -> ranks 1, 3
+        21: 10, 22: 20, 23: 30,            # ng=3 -> ranks 1, 2, 3
+        31: 10, 32: 30,                    # tie broken by id
+    }
+    assert len(out) == len(rows)
