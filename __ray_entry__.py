@@ -3221,6 +3221,39 @@ def q_quantile_normalize(sf_dir: str):
                               ref_group="src0")
 
 
+def q_source_overlap(sf_dir: str):
+    """Pairwise source vocabulary overlap
+    (ops/textstats.py:source_vocab_overlap): exact |A&B| / |A|B|
+    set sizes per source pair via block-distinct (source, word)
+    partials + a word-bucketed self-merge; emits the integer pair so
+    the hash path never divides."""
+    from ci_log_processing_ray.ops.textstats import source_vocab_overlap
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return source_vocab_overlap(ds, "source", "text")
+
+
+def q_trimmed_mean(sf_dir: str):
+    """10% rank-trimmed aggregate per order priority
+    (ops/window.py:trimmed_mean_stats): drops exactly
+    floor(n/10) rows from each end of the (cents, orderkey) order and
+    emits exact (n_kept, sum_kept) sufficient statistics."""
+    from ci_log_processing_ray.ops.window import trimmed_mean_stats
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "cents": _cents(t["o_totalprice"]),
+            "o_orderkey": t["o_orderkey"]})
+
+    return trimmed_mean_stats(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "o_orderpriority", "cents", "o_orderkey", trim_permille=100)
+
+
 def q_lm_score(sf_dir: str):
     """Bigram-LM document quality scoring
     (ops/textstats.py:score_docs_bigram): train corpus bigram permille
@@ -5218,6 +5251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "nb_classifier": q_nb_classifier,
         "quantile_normalize": q_quantile_normalize,
+        "source_overlap": q_source_overlap,
+        "trimmed_mean": q_trimmed_mean,
         "lm_score": q_lm_score,
         "contract": q_contract,
         "merge_upsert": q_merge_upsert,
@@ -7243,6 +7278,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'shipdate_null',
                    CAST(count(*) FILTER (WHERE l_shipdate IS NULL)
                         AS BIGINT) FROM lineitem""",
+        "source_overlap": """
+            WITH sw AS (SELECT DISTINCT source,
+                            unnest(regexp_extract_all(lower(text),
+                                                      '[a-z0-9_]+'))
+                              AS w
+                        FROM documents),
+            sz AS (SELECT source, count(*) AS n FROM sw
+                   GROUP BY source),
+            i AS (SELECT a.source AS sa, b.source AS sb,
+                         count(*) AS inter
+                  FROM sw a JOIN sw b
+                    ON a.w = b.w AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT sa AS src_a, sb AS src_b,
+                   CAST(inter AS BIGINT) AS inter,
+                   CAST(za.n + zb.n - inter AS BIGINT) AS uni
+            FROM i JOIN sz za ON za.source = sa
+                 JOIN sz zb ON zb.source = sb""",
+        "trimmed_mean": """
+            WITH o AS (SELECT o_orderpriority AS grp,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS v,
+                              o_orderkey AS id
+                       FROM orders),
+            r AS (SELECT grp, v,
+                         row_number() OVER (PARTITION BY grp
+                             ORDER BY v, id) - 1 AS rn,
+                         count(*) OVER (PARTITION BY grp) AS ng
+                  FROM o)
+            SELECT grp AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(v) AS BIGINT) AS sum_kept
+            FROM r
+            WHERE rn >= ng * 100 // 1000
+              AND rn < ng - ng * 100 // 1000
+            GROUP BY grp""",
         "quantile_normalize": """
             WITH r AS (SELECT doc_id, source, n_chars,
                               row_number() OVER (PARTITION BY source

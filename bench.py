@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "dbscan",
     "caliper_match",
     "quantile_normalize",
+    "source_overlap",
+    "trimmed_mean",
     "bfs_hops",
     "target_encode",
     "kfold",

@@ -1144,3 +1144,77 @@ def lexical_richness_by_group(
             [group_col, "n_tokens", "n_types", "n_hapax",
              "ttr_permille", "hapax_permille"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_vocab_overlap(
+    ds: ray.data.Dataset,
+    group_col: str,
+    text_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Pairwise vocabulary overlap between sources: for every source
+    pair (a < b), the EXACT intersection and union sizes of their
+    distinct-word sets -- the corpus-mixing diagnostic behind
+    source-similarity matrices (emit the integer pair instead of a
+    float Jaccard so the hash path stays exact; callers divide).
+
+    Scale shape: blocks collapse to block-distinct (source, word)
+    partials, one vocabulary-x-sources-sized distinct exchange, then a
+    word-bucketed self-merge generates co-occurrence pairs (per-word
+    volume is C(#sources-with-word, 2) -- sources are a small set, so
+    this is bounded by vocab * sources^2, never corpus-shaped); sizes
+    ride a per-source count and join driver-side (sources-sized).
+    Output: src_a, src_b, inter, uni (int64)."""
+    from ci_log_processing_ray.ops.curation import _word_stream
+
+    from .window import bucketed_distinct, bucketed_groups, bucketed_sum
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        src = t[group_col].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        flat, n_words = _word_stream(t[text_col])
+        d = pd.DataFrame({
+            "src": np.repeat(src, n_words),
+            "w": flat.to_numpy(zero_copy_only=False)}).drop_duplicates()
+        return pa.table({"src": pa.array(d["src"], pa.string()),
+                         "w": pa.array(d["w"], pa.string())})
+
+    sw = bucketed_distinct(
+        ds.map_batches(distinct_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["w", "src"], n_buckets=n_buckets).materialize()
+
+    sizes = (sw.map_batches(
+        lambda t: pa.table({"src": t["src"],
+                            "one": pa.array(np.ones(t.num_rows,
+                                                    np.int64))}),
+        batch_format="pyarrow")
+        .groupby("src").sum("one").to_pandas())
+    size_of = dict(zip(sizes["src"], sizes["sum(one)"]))
+
+    def pair_kern(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="w", suffixes=("_a", "_b"))
+        m = m[m["src_a"] < m["src_b"]]
+        out = (m.groupby(["src_a", "src_b"], as_index=False,
+                         sort=False).size()
+               .rename(columns={"size": "inter"}))
+        out["inter"] = out["inter"].astype(np.int64)
+        return out
+
+    pairs = bucketed_sum(
+        bucketed_groups(sw, "w", pair_kern, n_buckets=n_buckets),
+        ["src_a", "src_b"], ["inter"], n_buckets=n_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = t["src_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["src_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        inter = t["inter"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        na = np.array([size_of[x] for x in a], np.int64)
+        nb = np.array([size_of[x] for x in b], np.int64)
+        return pa.table({"src_a": t["src_a"], "src_b": t["src_b"],
+                         "inter": t["inter"],
+                         "uni": pa.array(na + nb - inter, pa.int64())})
+
+    return pairs.map_batches(finish, batch_format="pyarrow")

@@ -1496,3 +1496,53 @@ def interval_union_by_group(
             "covered": out["covered"].to_numpy(np.int64)})
 
     return bucketed_groups(ds, key_col, kern, n_buckets=n_buckets)
+
+
+def trimmed_mean_stats(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    trim_permille: int,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Rank-based trimmed aggregate per group: drop EXACTLY
+    ``floor(n * trim_permille / 1000)`` rows from each end of the
+    (value, id) order -- the robust-mean variant that removes
+    outliers instead of clamping them (:func:`winsorize
+    <ci_log_processing_ray.ops.quantile.quantile_disc_by_group>`
+    clamps; rank trimming is what 'X% trimmed mean' means).  Emits
+    exact int64 sufficient statistics (n_kept, sum_kept) so the hash
+    path never divides; callers form the mean.
+
+    Scale shape: one group-bucketed exchange, whole-bucket vectorized
+    kernel (one stable sort, per-group boundary arithmetic, masked
+    groupby sum -- no per-group dispatch).  Whole-group-per-bucket
+    contract, same as :func:`rank_by_group`; swap the rank pass to a
+    per-group :func:`row_number_global` when one group outgrows a
+    worker."""
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, value_col, id_col],
+                          kind="mergesort")
+        key = g[group_col].to_numpy()
+        v = g[value_col].to_numpy()
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        newkey = np.r_[True, key[1:] != key[:-1]]
+        seg = np.maximum.accumulate(np.where(newkey, idx, 0))
+        bounds = np.flatnonzero(newkey)
+        sizes = np.diff(np.append(bounds, n))
+        ng = np.repeat(sizes, sizes).astype(np.int64)
+        rn = idx - seg  # 0-based rank within group
+        k = ng * trim_permille // 1000
+        keep = (rn >= k) & (rn < ng - k)
+        d = pd.DataFrame({"g": key[keep], "v": v[keep]})
+        out = (d.groupby("g", as_index=False, sort=False)
+               .agg(n_kept=("v", "size"), sum_kept=("v", "sum")))
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        out["sum_kept"] = out["sum_kept"].astype(np.int64)
+        return out.rename(columns={"g": group_col})
+
+    return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)

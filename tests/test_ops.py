@@ -4419,3 +4419,36 @@ def test_quantile_normalize_rank_map(ray_session):
         31: 10, 32: 30,                    # tie broken by id
     }
     assert len(out) == len(rows)
+
+
+def test_source_vocab_overlap_exact(ray_session):
+    from ci_log_processing_ray.ops.textstats import source_vocab_overlap
+
+    rows = [
+        {"src": "a", "txt": "x y z"}, {"src": "a", "txt": "x w"},
+        {"src": "b", "txt": "y z q"},
+        {"src": "c", "txt": "q q q"},
+    ]
+    # vocab: a={x,y,z,w}, b={y,z,q}, c={q}
+    out = source_vocab_overlap(
+        ray.data.from_items(rows).repartition(3), "src", "txt",
+        n_buckets=3).to_pandas()
+    got = {(r["src_a"], r["src_b"]): (int(r["inter"]), int(r["uni"]))
+           for _, r in out.iterrows()}
+    assert got == {("a", "b"): (2, 5), ("b", "c"): (1, 3)}
+
+
+def test_trimmed_mean_stats_exact(ray_session):
+    from ci_log_processing_ray.ops.window import trimmed_mean_stats
+
+    rows = ([{"g": "a", "id": i, "v": v} for i, v in
+             enumerate([100, 1, 2, 3, 4, 5, 6, 7, 8, -50])]
+            + [{"g": "b", "id": i, "v": 5} for i in range(3)])
+    # a: n=10, k = 10*200//1000 = 2 -> drop {-50, 1} and {8, 100};
+    # keep 2..7 -> n_kept 6, sum 27.  b: n=3, k=0 -> all kept.
+    out = trimmed_mean_stats(
+        ray.data.from_items(rows).repartition(3), "g", "v", "id",
+        trim_permille=200, n_buckets=2).to_pandas()
+    got = {r["g"]: (int(r["n_kept"]), int(r["sum_kept"]))
+           for _, r in out.iterrows()}
+    assert got == {"a": (6, 27), "b": (3, 15)}
