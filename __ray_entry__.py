@@ -3254,6 +3254,18 @@ def q_trimmed_mean(sf_dir: str):
         "o_orderpriority", "cents", "o_orderkey", trim_permille=100)
 
 
+def q_count_of_counts(sf_dir: str):
+    """Kneser-Ney / Good-Turing smoothing statistics
+    (ops/textstats.py:ngram_count_of_counts): exact N_c histograms
+    for unigrams and bigrams; gram frequencies resolve inside one
+    corpus-shaped bucketed sum and only count-of-count rows reach the
+    combine -- the gram list never leaves the workers."""
+    from ci_log_processing_ray.ops.textstats import ngram_count_of_counts
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return ngram_count_of_counts(ds, "text")
+
+
 def q_lm_score(sf_dir: str):
     """Bigram-LM document quality scoring
     (ops/textstats.py:score_docs_bigram): train corpus bigram permille
@@ -5252,6 +5264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classifier": q_nb_classifier,
         "quantile_normalize": q_quantile_normalize,
         "source_overlap": q_source_overlap,
+        "count_of_counts": q_count_of_counts,
         "trimmed_mean": q_trimmed_mean,
         "lm_score": q_lm_score,
         "contract": q_contract,
@@ -7278,6 +7291,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'shipdate_null',
                    CAST(count(*) FILTER (WHERE l_shipdate IS NULL)
                         AS BIGINT) FROM lineitem""",
+        "count_of_counts": """
+            WITH l AS (SELECT list_filter(
+                           string_split_regex(lower(text),
+                                              '[^a-z0-9_]+'),
+                           x -> x != '') AS w
+                       FROM documents),
+            u AS (SELECT unnest(w) AS g FROM l),
+            uc AS (SELECT g, count(*) AS n FROM u GROUP BY g),
+            b AS (SELECT u2.g[1] AS w1, u2.g[2] AS w2 FROM l,
+                  LATERAL (SELECT unnest(list_zip(w, w[2:])) AS g) u2
+                  WHERE u2.g[2] IS NOT NULL),
+            bc AS (SELECT w1, w2, count(*) AS n FROM b
+                   GROUP BY w1, w2)
+            SELECT CAST(1 AS BIGINT) AS ord, CAST(n AS BIGINT) AS freq,
+                   CAST(count(*) AS BIGINT) AS n_ngrams
+            FROM uc GROUP BY n
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), CAST(n AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM bc GROUP BY n""",
         "source_overlap": """
             WITH sw AS (SELECT DISTINCT source,
                             unnest(regexp_extract_all(lower(text),

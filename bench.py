@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "quantile_normalize",
     "source_overlap",
     "trimmed_mean",
+    "count_of_counts",
     "bfs_hops",
     "target_encode",
     "kfold",

@@ -1218,3 +1218,71 @@ def source_vocab_overlap(
                          "uni": pa.array(na + nb - inter, pa.int64())})
 
     return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_count_of_counts(
+    ds: ray.data.Dataset,
+    text_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Count-of-counts N_c histograms for unigrams and bigrams -- the
+    sufficient statistics of Kneser-Ney / Good-Turing smoothing
+    (language-model training wants N_1, N_2, ... per order, never the
+    gram list itself).  Output: ord (1|2), freq, n_ngrams (int64).
+
+    Scale shape: each block collapses to local (gram, count) partials
+    (bigrams never cross document boundaries; the flat word stream is
+    masked at doc ends); ONE corpus-shaped bucketed sum produces exact
+    global gram frequencies inside the buckets -- the gram list never
+    reaches the driver -- and each bucket collapses to its (ord, freq)
+    histogram partial, so the final native groupby is
+    count-of-count-sized (heavy-tail bound ~O(sqrt(total)))."""
+    from ci_log_processing_ray.ops.curation import _word_stream
+
+    from .window import bucketed_sum
+
+    sep = "\x1f"
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, n_words = _word_stream(t[text_col])
+        w = pd.Series(flat.to_numpy(zero_copy_only=False))
+        ends = np.cumsum(n_words)
+        if len(w) > 1:
+            mask = np.ones(len(w) - 1, bool)
+            cut = ends[:-1] - 1
+            mask[cut[(cut >= 0) & (cut < len(w) - 1)]] = False
+            bg = (w.iloc[:-1].reset_index(drop=True)[mask] + sep
+                  + w.iloc[1:].reset_index(drop=True)[mask])
+        else:
+            bg = pd.Series([], dtype=object)
+        grams = pd.concat(
+            ["1" + sep + w, "2" + sep + bg], ignore_index=True)
+        vc = grams.value_counts(sort=False)
+        return pa.table({
+            "g": pa.array(vc.index.to_numpy(), pa.string()),
+            "c": pa.array(vc.to_numpy().astype(np.int64))})
+
+    summed = bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["g"], ["c"], n_buckets=n_buckets)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t["g"].combine_chunks()
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        ordv = pc.utf8_slice_codeunits(g, 0, 1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = (pd.DataFrame({"ord": ordv, "freq": c})
+             .groupby(["ord", "freq"], as_index=False, sort=False)
+             .size().rename(columns={"size": "n_ngrams"}))
+        return pa.table({"ord": d["ord"].to_numpy(np.int64),
+                         "freq": d["freq"].to_numpy(np.int64),
+                         "n_ngrams": d["n_ngrams"].to_numpy(np.int64)})
+
+    agg = (summed.map_batches(hist_partial, batch_format="pyarrow")
+           .groupby(["ord", "freq"]).sum("n_ngrams"))
+    return agg.map_batches(
+        lambda t: pa.table({"ord": t["ord"], "freq": t["freq"],
+                            "n_ngrams": t["sum(n_ngrams)"]}),
+        batch_format="pyarrow")

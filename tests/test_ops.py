@@ -4452,3 +4452,25 @@ def test_trimmed_mean_stats_exact(ray_session):
     got = {r["g"]: (int(r["n_kept"]), int(r["sum_kept"]))
            for _, r in out.iterrows()}
     assert got == {"a": (6, 27), "b": (3, 15)}
+
+
+def test_ngram_count_of_counts_exact(ray_session):
+    from collections import Counter
+
+    from ci_log_processing_ray.ops.textstats import ngram_count_of_counts
+
+    texts = ["a b a b c", "b c", "a", ""]
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        ws = t.split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    want = (Counter(uni.values()), Counter(bi.values()))
+    out = ngram_count_of_counts(
+        ray.data.from_items([{"txt": t} for t in texts]).repartition(3),
+        "txt", n_buckets=3).to_pandas()
+    got1 = {int(r["freq"]): int(r["n_ngrams"])
+            for _, r in out[out["ord"] == 1].iterrows()}
+    got2 = {int(r["freq"]): int(r["n_ngrams"])
+            for _, r in out[out["ord"] == 2].iterrows()}
+    assert got1 == dict(want[0]) and got2 == dict(want[1])
