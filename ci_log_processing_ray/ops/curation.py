@@ -751,7 +751,15 @@ def edit_distance_pairs(
     Output: ``a, b, dist`` (a < b lexicographically, byte-level
     distance, each pair once).  Distances are byte-wise -- identical
     to character distance for ASCII keys like the part/name columns
-    this targets."""
+    this targets.
+
+    Blocking contract (measured, scale_proof.py passjoin): candidate
+    volume per signature bucket is O(|bucket|^2), so LOW-ENTROPY
+    SEGMENTS (keys sharing long constant prefixes) degenerate the
+    pigeonhole blocking -- 676 distinct first segments over 300k keys
+    measured ~200k-row merges per bucket.  Real key columns carry
+    entropy in every segment; for prefix-heavy domains strip the
+    shared prefix upstream or raise k's segment count."""
     if min_len <= k:
         raise ValueError("min_len must exceed k so every segment is "
                          "non-empty")

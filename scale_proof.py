@@ -2704,6 +2704,105 @@ def main_causal() -> None:
         ray.shutdown()
 
 
+def main_passjoin() -> None:
+    """edit_distance_pairs at a ~1M-string vocabulary over a 9M-row
+    corpus, closed-form pair set: F families of 3 variants
+    [base, base+'q', base+'qq'] where base = 5 base-26 digits each
+    repeated 5x (25 chars) -- cross-family distance >= 3 by the
+    repeated-block construction, in-family distances are EXACTLY the
+    suffix-length differences (1, 2, 1).  Each distinct string appears
+    10x in the corpus (the vocabulary contract: cost follows DISTINCT
+    values, not rows).  Verified per row by the prefix/suffix
+    arithmetic inside map_batches; total count must be exactly 3F."""
+    import ray
+    from ray.data import DataContext
+
+    F = int(os.environ.get("GRAFT_PJ_FAMILIES", "300000"))
+    REP = 10
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.curation import edit_distance_pairs
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        letters = np.frombuffer(
+            b"abcdefghijklmnopqrstuvwxyz", np.uint8)
+
+        def _mix(x: np.ndarray) -> np.ndarray:
+            # splitmix64 finalizer: high-entropy per-position chars so
+            # PassJoin's segment blocking sees realistic key entropy
+            # (digit-block bases degenerate to 676 distinct segments)
+            x = x.astype(np.uint64)
+            with np.errstate(over="ignore"):
+                x ^= x >> np.uint64(30)
+                x *= np.uint64(0xBF58476D1CE4E5B9)
+                x ^= x >> np.uint64(27)
+                x *= np.uint64(0x94D049BB133111EB)
+                x ^= x >> np.uint64(31)
+            return x
+
+        def gen(b: pa.Table) -> pa.Table:
+            f = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = len(f)
+            # 25 pseudo-random chars per family (splitmix64 of
+            # (family, position)): cross-family near-duplicates are
+            # vanishingly unlikely, and the final count assertion
+            # would catch one loudly
+            pos = np.arange(25, dtype=np.uint64)
+            h = _mix(f[:, None].astype(np.uint64) * np.uint64(31)
+                     + pos[None, :])
+            mat = letters[(h % np.uint64(26)).astype(np.int64)]
+            base = mat.view("S25").ravel().astype("U25")
+            v0 = base
+            v1 = np.char.add(base, "q")
+            v2 = np.char.add(base, "qq")
+            allv = np.concatenate([v0, v1, v2])
+            return pa.table({
+                "w": pa.array(np.repeat(allv, REP), pa.string())})
+
+        corpus = ray.data.range(F, override_num_blocks=NCPU * 4).map_batches(
+            gen, batch_format="pyarrow")
+
+        t0 = time.perf_counter()
+        out = edit_distance_pairs(corpus, "w", k=2, max_len=40)
+
+        def check(t: pa.Table) -> pa.Table:
+            a = t["a"].combine_chunks()
+            b = t["b"].combine_chunks()
+            d = t["dist"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            pa_, pb = (pc.utf8_slice_codeunits(a, 0, 25),
+                       pc.utf8_slice_codeunits(b, 0, 25))
+            la = pc.binary_length(a).to_numpy(zero_copy_only=False)
+            lb = pc.binary_length(b).to_numpy(zero_copy_only=False)
+            same_fam = pc.equal(pa_, pb).to_numpy(zero_copy_only=False)
+            want_d = np.abs(la - lb)
+            bad = int((~same_fam | (want_d == 0)
+                       | (d != want_d)).sum())
+            return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                             "bad": pa.array([bad], pa.int64())})
+
+        parts = out.map_batches(check, batch_format="pyarrow").to_pandas()
+        sec = time.perf_counter() - t0
+        assert int(parts["bad"].sum()) == 0
+        got = int(parts["n"].sum())
+        assert got == 3 * F, (got, 3 * F)
+
+        print(json.dumps({
+            "n_rows": 30 * F, "n_distinct": 3 * F, "n_pairs": got,
+            "num_cpus": NCPU, "sec": round(sec, 2),
+            "distinct_per_sec": round(3 * F / sec),
+            "truth": "pair set == planted family variants, "
+                     "dist == suffix delta",
+            "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -2751,5 +2850,7 @@ if __name__ == "__main__":
         main_dbscan()
     elif len(sys.argv) > 1 and sys.argv[1] == "causal":
         main_causal()
+    elif len(sys.argv) > 1 and sys.argv[1] == "passjoin":
+        main_passjoin()
     else:
         main()
