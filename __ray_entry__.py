@@ -618,6 +618,28 @@ def q_dbscan(sf_dir: str):
                        "vec_id", "x", "y", eps=20, min_pts=4)
 
 
+def q_spatial_nn(sf_dir: str):
+    """2-D nearest-neighbor-within-radius spatial self join
+    (ops/iterative.py:spatial_nn) over the quantized first two
+    embedding dims (same milli-unit contract as dbscan), radius 40
+    units -- radius-grid 3x3 halo, per-cell vectorized argmin."""
+    from ci_log_processing_ray.ops.iterative import spatial_nn
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        m = np.vstack(t["embedding"].to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "x": pa.array(np.floor(m[:, 0] * 1000.0).astype(np.int64)),
+            "y": pa.array(np.floor(m[:, 1] * 1000.0)
+                          .astype(np.int64))})
+
+    return spatial_nn(ds.map_batches(quant, batch_format="pyarrow"),
+                      "vec_id", "x", "y", radius=40)
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup (arXiv:2303.09540): k-means-blocked embedding near-dup
     clusters (ops/dedup.py:semdedup).  EXPECTED EMPTY on the synthetic
@@ -5176,6 +5198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,
         "semdedup": q_semdedup,
         "dbscan": q_dbscan,
+        "spatial_nn": q_spatial_nn,
         "dsir_select": q_dsir_select,
         "max_coverage": q_max_coverage,
         "pca_embeddings": q_pca_embeddings,
@@ -7551,6 +7574,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'value', count(*), count(*) - count(value),
                    count(DISTINCT value) FROM events""",
+        "spatial_nn": """
+            WITH pts AS (
+                SELECT vec_id,
+                       CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000)
+                            AS BIGINT) AS x,
+                       CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000)
+                            AS BIGINT) AS y
+                FROM embeddings),
+            p AS (SELECT a.vec_id AS id, b.vec_id AS nn,
+                         (a.x - b.x) * (a.x - b.x)
+                         + (a.y - b.y) * (a.y - b.y) AS d2
+                  FROM pts a JOIN pts b ON a.vec_id <> b.vec_id
+                  WHERE (a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y) <= 1600)
+            SELECT id AS vec_id, nn AS nn_id, CAST(d2 AS BIGINT) AS d2
+            FROM (SELECT *, row_number() OVER (PARTITION BY id
+                      ORDER BY d2, nn) AS rn FROM p)
+            WHERE rn = 1""",
         "dbscan": """
             WITH RECURSIVE pts AS (
                 SELECT vec_id,

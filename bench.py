@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "source_overlap",
     "trimmed_mean",
     "count_of_counts",
+    "spatial_nn",
     "bfs_hops",
     "target_encode",
     "kfold",

@@ -3172,3 +3172,75 @@ def dbscan_grid(
             "is_core": pa.array(np.zeros(t.num_rows, np.int64))}),
         batch_format="pyarrow")
     return core_out.union(border_out)
+
+
+def spatial_nn(
+    ds: ray.data.Dataset,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    radius: int,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """2-D nearest-neighbor-within-radius self join over INTEGER
+    coordinates (the spatial-join primitive: entity conflation,
+    sensor fusion, map matching): each point pairs with the nearest
+    OTHER point at exact integer distance ``dx*dx + dy*dy <=
+    radius*radius``, ties broken by the smaller neighbor id; points
+    with an empty ball are dropped.
+
+    Scale shape: radius-sized grid cells, the same bounded 3x3 halo
+    contract as :func:`dbscan_grid` (every candidate within the
+    radius lives in the 3x3 neighborhood of the home cell); each cell
+    bucket runs one vectorized home x halo merge and collapses to an
+    argmin per home point -- per-cell work is O(density^2) and the
+    exchange is bounded at 10x the input, never all-pairs.  Output:
+    (id_col, nn_id, d2), all int64."""
+    from .window import bucketed_groups
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        x = t[x_col].combine_chunks().to_numpy(zero_copy_only=False)
+        y = t[y_col].combine_chunks().to_numpy(zero_copy_only=False)
+        cx, cy = x // radius, y // radius
+        n = len(ids)
+        offs = np.array([(dx, dy) for dx in (-1, 0, 1)
+                         for dy in (-1, 0, 1)], np.int64)
+        hx = np.repeat(cx, 9) + np.tile(offs[:, 0], n)
+        hy = np.repeat(cy, 9) + np.tile(offs[:, 1], n)
+        rep = lambda a: np.repeat(a, 9)  # noqa: E731
+        return pa.table({
+            "cell": np.concatenate([
+                (cx << np.int64(32)) | (cy & np.int64(0xFFFFFFFF)),
+                (hx << np.int64(32)) | (hy & np.int64(0xFFFFFFFF))]),
+            "role": np.concatenate([np.zeros(n, np.int64),
+                                    np.ones(9 * n, np.int64)]),
+            "pid": np.concatenate([ids, rep(ids)]),
+            "px": np.concatenate([x, rep(x)]),
+            "py": np.concatenate([y, rep(y)])})
+
+    r2 = radius * radius
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        home = g[g["role"] == 0]
+        halo = g[g["role"] == 1]
+        m = home.merge(halo, on="cell", suffixes=("", "_h"))
+        dx = m["px"].to_numpy() - m["px_h"].to_numpy()
+        dy = m["py"].to_numpy() - m["py_h"].to_numpy()
+        d2 = dx * dx + dy * dy
+        keep = (d2 <= r2) & (m["pid"].to_numpy()
+                             != m["pid_h"].to_numpy())
+        m = m[keep]
+        d = pd.DataFrame({
+            id_col: m["pid"].to_numpy(np.int64),
+            "nn_id": m["pid_h"].to_numpy(np.int64),
+            "d2": d2[keep].astype(np.int64)})
+        d = d.sort_values([id_col, "d2", "nn_id"],
+                          kind="mergesort").drop_duplicates(id_col)
+        return d
+
+    return bucketed_groups(
+        ds.map_batches(to_cells, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "cell", kern, n_buckets=n_buckets)

@@ -4474,3 +4474,23 @@ def test_ngram_count_of_counts_exact(ray_session):
     got2 = {int(r["freq"]): int(r["n_ngrams"])
             for _, r in out[out["ord"] == 2].iterrows()}
     assert got1 == dict(want[0]) and got2 == dict(want[1])
+
+
+def test_spatial_nn_exact(ray_session):
+    from ci_log_processing_ray.ops.iterative import spatial_nn
+
+    pts = [
+        (1, 0, 0), (2, 3, 0), (3, 0, 4),      # 1-2 d2=9; 1-3 d2=16
+        (4, 100, 100), (5, 103, 104),         # pair across cells d2=25
+        (6, 500, 500),                        # isolated -> dropped
+        (7, 200, 200), (8, 200, 205), (9, 205, 200),  # tie -> min id
+    ]
+    ds = ray.data.from_items(
+        [{"id": i, "x": x, "y": y} for i, x, y in pts]).repartition(3)
+    out = spatial_nn(ds, "id", "x", "y", radius=30,
+                     n_buckets=4).to_pandas()
+    got = {int(r["id"]): (int(r["nn_id"]), int(r["d2"]))
+           for _, r in out.iterrows()}
+    assert got == {1: (2, 9), 2: (1, 9), 3: (1, 16),
+                   4: (5, 25), 5: (4, 25),
+                   7: (8, 25), 8: (7, 25), 9: (7, 25)}
