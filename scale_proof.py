@@ -2704,6 +2704,71 @@ def main_causal() -> None:
         ray.shutdown()
 
 
+def main_spatialnn() -> None:
+    """spatial_nn at millions of points with per-row closed-form
+    truth: M sites 1000 units apart, each holding a mutual-NN pair
+    [(0,0), (7,0)] (d2 = 49, always same cell or adjacent) plus one
+    stray at (60,60) whose ball (radius 40) is empty -- expected
+    output is pure id arithmetic; strays must be absent."""
+    import ray
+    from ray.data import DataContext
+
+    M = int(os.environ.get("GRAFT_SNN_SITES", "3000000"))
+    G = int(np.ceil(np.sqrt(M)))
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.iterative import spatial_nn
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        POS = np.array([(0, 0), (7, 0), (60, 60)], np.int64)
+
+        def gen(b: pa.Table) -> pa.Table:
+            s = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            ids = 3 * np.repeat(s, 3) + np.tile(
+                np.arange(3, dtype=np.int64), len(s))
+            x = np.repeat((s % G) * 1000, 3) + np.tile(POS[:, 0],
+                                                       len(s))
+            y = np.repeat((s // G) * 1000, 3) + np.tile(POS[:, 1],
+                                                        len(s))
+            return pa.table({"id": ids, "x": x, "y": y})
+
+        pts = ray.data.range(M, override_num_blocks=NCPU * 4).map_batches(
+            gen, batch_format="pyarrow")
+
+        t0 = time.perf_counter()
+        out = spatial_nn(pts, "id", "x", "y", radius=40)
+
+        def check(t: pa.Table) -> pa.Table:
+            ids = t["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            nn = t["nn_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            d2 = t["d2"].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = ids % 3
+            want_nn = np.where(pos == 0, ids + 1, ids - 1)
+            bad = int(((pos == 2) | (nn != want_nn)
+                       | (d2 != 49)).sum())
+            return pa.table({"n": pa.array([len(ids)], pa.int64()),
+                             "bad": pa.array([bad], pa.int64())})
+
+        parts = out.map_batches(check, batch_format="pyarrow").to_pandas()
+        sec = time.perf_counter() - t0
+        assert int(parts["bad"].sum()) == 0
+        assert int(parts["n"].sum()) == 2 * M, int(parts["n"].sum())
+
+        print(json.dumps({
+            "n_points": 3 * M, "num_cpus": NCPU, "sec": round(sec, 2),
+            "points_per_sec": round(3 * M / sec),
+            "truth": "mutual-NN pairs by id arithmetic; strays absent",
+            "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 def main_passjoin() -> None:
     """edit_distance_pairs at a ~1M-string vocabulary over a 9M-row
     corpus, closed-form pair set: F families of 3 variants
@@ -2852,5 +2917,7 @@ if __name__ == "__main__":
         main_causal()
     elif len(sys.argv) > 1 and sys.argv[1] == "passjoin":
         main_passjoin()
+    elif len(sys.argv) > 1 and sys.argv[1] == "spatialnn":
+        main_spatialnn()
     else:
         main()
