@@ -3488,6 +3488,35 @@ def q_butterflies(sf_dir: str):
                            max_degree=64)
 
 
+def q_modularity(sf_dir: str):
+    """Per-community modularity sufficient statistics
+    (ops/iterative.py:partition_modularity) of the part % 7 hash
+    partition over the support>=2 co-purchase graph: community labels
+    attach via two node-keyed tagged-union co-partitions (never
+    broadcast), exact int64 (internal_edges, degree_sum) per
+    community -- Q * 4m^2 = sum(4m*e_c - d_c^2) follows exactly."""
+    from ci_log_processing_ray.ops.iterative import partition_modularity
+    from ci_log_processing_ray.ops.relational import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = (cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+             .filter(expr="n_ab >= 2")
+             .map_batches(lambda t: t.select(["a", "b"]),
+                          batch_format="pyarrow"))
+
+    def comm_fn(t: pa.Table) -> pa.Table:
+        p = np.unique(t["l_partkey"].combine_chunks().to_numpy())
+        return pa.table({"node": pa.array(p),
+                         "c": pa.array(p % 7)})
+
+    from ci_log_processing_ray.ops.window import bucketed_distinct
+
+    comm = bucketed_distinct(
+        li.map_batches(comm_fn, batch_format="pyarrow",
+                       zero_copy_batch=True), ["node", "c"])
+    return partition_modularity(edges, "a", "b", comm, "node", "c")
+
+
 def q_bfs_hops(sf_dir: str):
     """Multi-source BFS over the part co-purchase graph
     (ops/iterative.py:bfs_hops): seeds are parts with key % 97 == 0,
@@ -5300,6 +5329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence": q_cooccurrence,
         "triangles": q_triangles,
         "butterflies": q_butterflies,
+        "modularity": q_modularity,
         "caliper_match": q_caliper_match,
         "bfs_hops": q_bfs_hops,
         "transitions": q_transitions,
@@ -7193,6 +7223,25 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY abs(t.s - c.s), c.id) AS rn
                 FROM t JOIN c ON abs(t.s - c.s) <= 10000)
             WHERE rn = 1""",
+        "modularity": """
+            WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                       FROM lineitem),
+            e AS (SELECT a.p AS a, b.p AS b
+                  FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+            deg AS (SELECT n % 7 AS community,
+                           count(*) AS degree_sum
+                    FROM (SELECT a AS n FROM e
+                          UNION ALL SELECT b FROM e)
+                    GROUP BY 1),
+            ei AS (SELECT a % 7 AS community,
+                          count(*) AS internal_edges
+                   FROM e WHERE a % 7 = b % 7 GROUP BY 1)
+            SELECT deg.community,
+                   CAST(coalesce(ei.internal_edges, 0) AS BIGINT)
+                     AS internal_edges,
+                   CAST(deg.degree_sum AS BIGINT) AS degree_sum
+            FROM deg LEFT JOIN ei USING (community)""",
         "butterflies": """
             WITH e AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i
                        FROM lineitem),

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "trimmed_mean",
     "count_of_counts",
     "spatial_nn",
+    "modularity",
     "bfs_hops",
     "target_encode",
     "kfold",

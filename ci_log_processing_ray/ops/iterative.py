@@ -3244,3 +3244,99 @@ def spatial_nn(
         ds.map_batches(to_cells, batch_format="pyarrow",
                        zero_copy_batch=True),
         "cell", kern, n_buckets=n_buckets)
+
+
+def partition_modularity(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    comm: ray.data.Dataset,
+    node_col: str,
+    comm_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exact per-community modularity sufficient statistics for an
+    ARBITRARY partition (the community-quality evaluator: score the
+    output of LPA / Louvain / a hash prior without re-clustering).
+    For each community c over the simple graph of the given edge rows:
+    ``internal_edges`` = edges with both endpoints in c and
+    ``degree_sum`` = sum of member degrees.  Newman modularity follows
+    exactly as Q * 4m^2 = sum_c (4m * e_c - d_c^2) -- all int64, no
+    division in the hash path.
+
+    Scale shape: community labels attach to endpoints through TWO
+    node-keyed tagged-union co-partitions (src pass, then dst pass) --
+    the label table is never broadcast and never leaves its bucket --
+    and each block then collapses to (community, internal, degree)
+    partials, so the final combine is community-vocabulary-sized.
+    Edges are consumed as given (dedup/canonicalize upstream)."""
+    from ray.data.aggregate import Sum
+
+    from .window import bucketed_groups
+
+    def resolve_pass(tagged, carry_cols):
+        def kern(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[g["side"] == 0]
+            pr = g[g["side"] == 1]
+            lk = dict(zip(lab["key"].to_numpy(),
+                          lab["c"].to_numpy()))
+            out = {c: pr[c].to_numpy() for c in carry_cols}
+            out["c"] = pr["key"].map(lk).to_numpy()
+            return pd.DataFrame(out)
+
+        return bucketed_groups(tagged, "key", kern,
+                               n_buckets=n_buckets)
+
+    lab_rows = comm.map_batches(
+        lambda t: pa.table({
+            "key": t[node_col], "c": t[comm_col],
+            "other": pa.array(np.zeros(t.num_rows, np.int64)),
+            "side": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+
+    e1 = edges.map_batches(
+        lambda t: pa.table({
+            "key": t[src_col], "c": pa.array(
+                np.zeros(t.num_rows, np.int64)),
+            "other": t[dst_col],
+            "side": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    # pass 1: attach c(src); carry dst
+    got1 = resolve_pass(lab_rows.union(e1), ["other"])
+
+    e2 = got1.map_batches(
+        lambda t: pa.table({
+            "key": t["other"], "c": pa.array(
+                np.zeros(t.num_rows, np.int64)),
+            "other": t["c"],  # c_src rides along
+            "side": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    # pass 2: attach c(dst); carry c_src
+    got2 = resolve_pass(lab_rows.union(e2), ["other"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        c_src = t["other"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        c_dst = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        both = np.concatenate([c_src, c_dst])
+        d = (pd.DataFrame({"community": both})
+             .groupby("community", as_index=False, sort=False).size()
+             .rename(columns={"size": "degree_sum"}))
+        ints = c_src[c_src == c_dst]
+        di = (pd.DataFrame({"community": ints})
+              .groupby("community", as_index=False, sort=False).size()
+              .rename(columns={"size": "internal_edges"}))
+        out = d.merge(di, on="community", how="left")
+        out["internal_edges"] = (out["internal_edges"].fillna(0)
+                                 .astype(np.int64))
+        out["degree_sum"] = out["degree_sum"].astype(np.int64)
+        return pa.Table.from_pandas(out[["community", "internal_edges",
+                                         "degree_sum"]],
+                                    preserve_index=False)
+
+    return (got2.map_batches(partials, batch_format="pyarrow")
+            .groupby("community")
+            .aggregate(Sum("internal_edges",
+                           alias_name="internal_edges"),
+                       Sum("degree_sum", alias_name="degree_sum")))

@@ -4494,3 +4494,20 @@ def test_spatial_nn_exact(ray_session):
     assert got == {1: (2, 9), 2: (1, 9), 3: (1, 16),
                    4: (5, 25), 5: (4, 25),
                    7: (8, 25), 8: (7, 25), 9: (7, 25)}
+
+
+def test_partition_modularity_exact(ray_session):
+    from ci_log_processing_ray.ops.iterative import partition_modularity
+
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (2, 3), (4, 5)]
+    comm = [{"node": n, "c": 0 if n <= 2 else 1} for n in range(6)]
+    out = partition_modularity(
+        ray.data.from_items(
+            [{"s": a, "d": b} for a, b in edges]).repartition(3),
+        "s", "d",
+        ray.data.from_items(comm).repartition(2), "node", "c",
+        n_buckets=3).to_pandas()
+    got = {int(r["community"]): (int(r["internal_edges"]),
+                                 int(r["degree_sum"]))
+           for _, r in out.iterrows()}
+    assert got == {0: (3, 7), 1: (2, 5)}
