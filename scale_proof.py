@@ -2704,6 +2704,89 @@ def main_causal() -> None:
         ray.shutdown()
 
 
+def main_textclass() -> None:
+    """nb_classifier_score + ngram_count_of_counts at tens of millions
+    of docs, closed forms: U docs, even ids 'aa bb' labeled en, odd
+    ids 'bb cc' labeled de.  Weights follow the integer contract
+    exactly -- wgt(aa) = 1000*(U/2+1)-1000, wgt(bb) = 0,
+    wgt(cc) = -1000 -- so en docs score 1000*U/2 (pred 1) and de docs
+    score -1000 (pred 0), checked PER ROW.  Count-of-counts: unigram
+    histogram {U/2: 2, U: 1}, bigram histogram {U/2: 2}, exact."""
+    import ray
+    from ray.data import DataContext
+
+    U = int(os.environ.get("GRAFT_TC_DOCS", "30000000"))
+    assert U % 2 == 0
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.textstats import (
+            nb_classifier_score, ngram_count_of_counts)
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+        results = {}
+
+        def gen(b: pa.Table) -> pa.Table:
+            i = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            even = i % 2 == 0
+            return pa.table({
+                "doc_id": i,
+                "text": pa.array(np.where(even, "aa bb", "bb cc")),
+                "lang": pa.array(np.where(even, "en", "de"))})
+
+        def docs():
+            return ray.data.range(
+                U, override_num_blocks=NCPU * 4).map_batches(
+                gen, batch_format="pyarrow")
+
+        t0 = time.perf_counter()
+        out = nb_classifier_score(docs(), "text", "doc_id", "lang",
+                                  "en")
+        w_aa = 1000 * (U // 2 + 1) - 1000
+
+        def check(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            sc = t["score"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            pr = t["pred"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            even = ids % 2 == 0
+            want_s = np.where(even, w_aa, -1000)
+            bad = int(((sc != want_s)
+                       | (pr != even.astype(np.int64))).sum())
+            return pa.table({"n": pa.array([len(ids)], pa.int64()),
+                             "bad": pa.array([bad], pa.int64())})
+
+        parts = out.map_batches(check, batch_format="pyarrow").to_pandas()
+        sec = time.perf_counter() - t0
+        assert int(parts["bad"].sum()) == 0
+        assert int(parts["n"].sum()) == U
+        results["nb_classifier"] = {
+            "sec": round(sec, 2), "docs_per_sec": round(U / sec),
+            "truth": "per-row score/pred == integer-contract closed "
+                     "form"}
+
+        t0 = time.perf_counter()
+        hist = ngram_count_of_counts(docs(), "text").to_pandas()
+        sec = time.perf_counter() - t0
+        got = {(int(r["ord"]), int(r["freq"])): int(r["n_ngrams"])
+               for _, r in hist.iterrows()}
+        assert got == {(1, U // 2): 2, (1, U): 1, (2, U // 2): 2}, got
+        results["count_of_counts"] = {
+            "sec": round(sec, 2), "docs_per_sec": round(U / sec),
+            "truth": "histograms == {U/2: 2, U: 1} / {U/2: 2}"}
+
+        print(json.dumps({
+            "n_docs": U, "num_cpus": NCPU, "ops": results,
+            "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 def main_spatialnn() -> None:
     """spatial_nn at millions of points with per-row closed-form
     truth: M sites 1000 units apart, each holding a mutual-NN pair
@@ -2919,5 +3002,7 @@ if __name__ == "__main__":
         main_passjoin()
     elif len(sys.argv) > 1 and sys.argv[1] == "spatialnn":
         main_spatialnn()
+    elif len(sys.argv) > 1 and sys.argv[1] == "textclass":
+        main_textclass()
     else:
         main()
