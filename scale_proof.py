@@ -2704,6 +2704,97 @@ def main_causal() -> None:
         ray.shutdown()
 
 
+def main_rankops() -> None:
+    """quantile_normalize + trimmed_mean_stats at 30M rows, closed
+    forms: ref group g0 holds values 0..N-1, 56 probe groups hold
+    values 0..S-1, so the rank map is EXACTLY mapped(j) = j*N // S
+    per row, and the 20%-trimmed sums are arithmetic-series closed
+    forms per group."""
+    import ray
+    from ray.data import DataContext
+
+    N = int(os.environ.get("GRAFT_RK_REF", "2000000"))
+    S = int(os.environ.get("GRAFT_RK_SIZE", "500000"))
+    GROUPS = 56
+    BIG = 10**7
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.window import (
+            quantile_normalize, trimmed_mean_stats)
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+        results = {}
+        total = N + GROUPS * S
+
+        def gen(b: pa.Table) -> pa.Table:
+            i = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            g = np.where(i < N, 0, 1 + (i - N) // S)
+            j = np.where(i < N, i, (i - N) % S)
+            return pa.table({
+                "rid": g * BIG + j,
+                "grp": pa.array(
+                    pd.Series(g).map(lambda x: f"g{x}").to_numpy(),
+                    pa.string()),
+                "v": j})
+
+        def rows():
+            return ray.data.range(
+                total, override_num_blocks=NCPU * 4).map_batches(
+                gen, batch_format="pyarrow")
+
+        t0 = time.perf_counter()
+        out = quantile_normalize(rows(), "grp", "v", "rid",
+                                 ref_group="g0")
+
+        def check(t: pa.Table) -> pa.Table:
+            rid = t["rid"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            mp = t["mapped"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            j = rid % BIG
+            is_ref = rid < BIG
+            want = np.where(is_ref, j, j * np.int64(N) // np.int64(S))
+            bad = int((mp != want).sum())
+            return pa.table({"n": pa.array([len(rid)], pa.int64()),
+                             "bad": pa.array([bad], pa.int64())})
+
+        parts = out.map_batches(check, batch_format="pyarrow").to_pandas()
+        sec = time.perf_counter() - t0
+        assert int(parts["bad"].sum()) == 0
+        assert int(parts["n"].sum()) == total
+        results["quantile_normalize"] = {
+            "sec": round(sec, 2), "rows_per_sec": round(total / sec),
+            "truth": "per-row mapped == j*N//S rank arithmetic"}
+
+        t0 = time.perf_counter()
+        tm = trimmed_mean_stats(rows(), "grp", "v", "rid",
+                                trim_permille=200).to_pandas()
+        sec = time.perf_counter() - t0
+
+        def series_sum(n, k):
+            return (n - 1 - k + k) * (n - 2 * k) // 2
+
+        assert len(tm) == GROUPS + 1
+        for _, r in tm.iterrows():
+            n = N if r["grp"] == "g0" else S
+            k = n * 200 // 1000
+            assert int(r["n_kept"]) == n - 2 * k
+            assert int(r["sum_kept"]) == series_sum(n, k), r["grp"]
+        results["trimmed_mean"] = {
+            "sec": round(sec, 2), "rows_per_sec": round(total / sec),
+            "truth": "per-group (n_kept, sum) == arithmetic series"}
+
+        print(json.dumps({
+            "n_rows": total, "num_cpus": NCPU, "ops": results,
+            "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 def main_textclass() -> None:
     """nb_classifier_score + ngram_count_of_counts at tens of millions
     of docs, closed forms: U docs, even ids 'aa bb' labeled en, odd
@@ -3004,5 +3095,7 @@ if __name__ == "__main__":
         main_spatialnn()
     elif len(sys.argv) > 1 and sys.argv[1] == "textclass":
         main_textclass()
+    elif len(sys.argv) > 1 and sys.argv[1] == "rankops":
+        main_rankops()
     else:
         main()
