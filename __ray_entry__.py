@@ -3288,6 +3288,19 @@ def q_count_of_counts(sf_dir: str):
     return ngram_count_of_counts(ds, "text")
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking dedup ratio
+    (ops/dedup.py:cdc_chunk_stats): gear-hash boundaries, polynomial
+    span hashes, chunk bytes never materialized.  rows_only: the
+    rolling-hash boundary scheme is not SQL-expressible; exactness is
+    covered by the pure-Python parity + shift-resilience unit test
+    (tests/test_ops.py::test_cdc_chunk_stats_parity_and_shift)."""
+    from ci_log_processing_ray.ops.dedup import cdc_chunk_stats
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return cdc_chunk_stats(ds, "text", window=16, mask_bits=5)
+
+
 def q_lm_score(sf_dir: str):
     """Bigram-LM document quality scoring
     (ops/textstats.py:score_docs_bigram): train corpus bigram permille
@@ -5317,6 +5330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_normalize": q_quantile_normalize,
         "source_overlap": q_source_overlap,
         "count_of_counts": q_count_of_counts,
+        "cdc_chunks": q_cdc_chunks,
         "trimmed_mean": q_trimmed_mean,
         "lm_score": q_lm_score,
         "contract": q_contract,

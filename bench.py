@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "count_of_counts",
     "spatial_nn",
     "modularity",
+    "cdc_chunks",
     "bfs_hops",
     "target_encode",
     "kfold",

@@ -1664,3 +1664,127 @@ def sorted_neighborhood_pairs(
         return pd.concat(out, ignore_index=True)
 
     return bucketed_groups(spanned, "_g", pairs, n_buckets=n_buckets)
+
+
+_CDC_R = np.uint64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2^64
+
+
+def _inv_u64(r: np.uint64) -> np.uint64:
+    """Modular inverse of an odd uint64 via Newton iteration."""
+    x = r
+    with np.errstate(over="ignore"):
+        for _ in range(6):
+            x = x * (np.uint64(2) - r * x)
+    return x
+
+
+def _cdc_gear_table() -> np.ndarray:
+    """256-entry splitmix64 byte table (deterministic)."""
+    x = np.arange(256, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def cdc_chunk_stats(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    *,
+    window: int = 16,
+    mask_bits: int = 6,
+    n_buckets: int | None = None,
+) -> pa.Table:
+    """Content-defined chunking dedup ratio (the rolling-hash
+    boundary scheme behind backup dedup and chunk-level corpus
+    dedup): a chunk boundary falls after byte i wherever the gear
+    hash of the trailing ``window`` bytes has ``mask_bits`` low zero
+    bits, so INSERTIONS SHIFT BOUNDARIES LOCALLY and shared content
+    keeps identical chunks even when documents are prefixed/edited --
+    the property fixed-size blocking lacks.  Expected chunk length is
+    2^mask_bits bytes.  Returns one row: n_chunks, n_distinct,
+    bytes_total, bytes_distinct (all int64).
+
+    Scale shape: fully vectorized -- the batch collapses to one flat
+    zero-copy UTF-8 stream; the gear hash is ``window`` shifted adds
+    over the whole stream (no per-doc dispatch); chunk identities are
+    O(1) polynomial span hashes from ONE prefix-sum pass (mod 2^64,
+    Newton-inverse power rollback), so chunks are never materialized;
+    the only exchange carries block-distinct ((hash, len) -> count)
+    partials.  Doc boundaries force cuts, and windows crossing a doc
+    start are suppressed, so chunking is per-document exact."""
+    from ci_log_processing_ray.ops.window import bucketed_sum
+
+    gear = _cdc_gear_table()
+    mask = np.uint64((1 << mask_bits) - 1)
+    rinv = _inv_u64(_CDC_R)
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, lens = _utf8_stream(t[text_col].combine_chunks())
+        n = len(flat)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        if n == 0:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "l": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        g = gear[flat]
+        h = np.zeros(n, np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(window):
+                h[j:] += g[:n - j] << np.uint64(j)
+        # suppress boundaries whose window crosses a doc start, and
+        # within the first window-1 bytes of the stream
+        pos = np.arange(n, dtype=np.int64)
+        doc_idx = np.searchsorted(offs, pos, side="right") - 1
+        valid = pos - offs[doc_idx] >= window - 1
+        is_b = ((h & mask) == 0) & valid
+        cuts = np.unique(np.concatenate([
+            pos[is_b] + 1, offs]))  # offs adds doc starts/ends
+        s, e = cuts[:-1], cuts[1:]
+        keep = e > s
+        s, e = s[keep], e[keep]
+        # polynomial span hashes from one prefix pass
+        with np.errstate(over="ignore"):
+            rp = np.multiply.accumulate(
+                np.full(n, _CDC_R, np.uint64)) * rinv  # r^i
+            pref = np.zeros(n + 1, np.uint64)
+            np.cumsum(flat.astype(np.uint64) * rp, out=pref[1:])
+            ip = np.multiply.accumulate(
+                np.full(n, rinv, np.uint64)) * _CDC_R  # r^-i
+            hh = (pref[e] - pref[s]) * ip[s]
+        d = (pd.DataFrame({"h": hh, "l": (e - s).astype(np.int64)})
+             .groupby(["h", "l"], as_index=False, sort=False).size()
+             .rename(columns={"size": "cnt"}))
+        return pa.table({"h": pa.array(d["h"].to_numpy(), pa.uint64()),
+                         "l": pa.array(d["l"].to_numpy(np.int64)),
+                         "cnt": pa.array(d["cnt"].to_numpy(np.int64))})
+
+    summed = bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["h", "l"], ["cnt"], n_buckets=n_buckets)
+
+    def fold(t: pa.Table) -> pa.Table:
+        l = t["l"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = l.astype(object)  # Python ints: no wrap
+        co = c.astype(object)
+        return pa.table({
+            "n_chunks": pa.array([int(co.sum())], pa.int64()),
+            "n_distinct": pa.array([len(l)], pa.int64()),
+            "bytes_total": pa.array([int((lo * co).sum())],
+                                    pa.int64()),
+            "bytes_distinct": pa.array([int(lo.sum())], pa.int64())})
+
+    parts = summed.map_batches(fold, batch_format="pyarrow").to_pandas()
+    if "n_chunks" not in parts.columns:
+        z = pa.array([0], pa.int64())
+        return pa.table({"n_chunks": z, "n_distinct": z,
+                         "bytes_total": z, "bytes_distinct": z})
+    return pa.table({c: pa.array([int(parts[c].sum())], pa.int64())
+                     for c in ("n_chunks", "n_distinct",
+                               "bytes_total", "bytes_distinct")})

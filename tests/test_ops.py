@@ -4511,3 +4511,55 @@ def test_partition_modularity_exact(ray_session):
                                  int(r["degree_sum"]))
            for _, r in out.iterrows()}
     assert got == {0: (3, 7), 1: (2, 5)}
+
+
+def test_cdc_chunk_stats_parity_and_shift(ray_session):
+    import random
+
+    import numpy as np
+
+    from ci_log_processing_ray.ops.dedup import (
+        _cdc_gear_table, cdc_chunk_stats)
+
+    random.seed(7)
+    base = "".join(random.choice("abcdefgh ") for _ in range(3000))
+    docs = [base, "X" + base, base[500:1500],
+            "".join(random.choice("xyz") for _ in range(400))]
+
+    W, MB = 16, 5
+    gear = _cdc_gear_table()
+
+    def ref_chunks(s: str) -> list[str]:
+        b = s.encode()
+        cuts = [0]
+        for i in range(W - 1, len(b)):
+            h = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for j in range(W):
+                    h += gear[b[i - j]] << np.uint64(j)
+            if int(h) & ((1 << MB) - 1) == 0:
+                cuts.append(i + 1)
+        if cuts[-1] != len(b):
+            cuts.append(len(b))
+        return [s[a:c] for a, c in zip(cuts, cuts[1:]) if c > a]
+
+    from collections import Counter
+    allc = Counter()
+    for d in docs:
+        allc.update(ref_chunks(d))
+    want = (sum(allc.values()), len(allc),
+            sum(len(c) * n for c, n in allc.items()),
+            sum(len(c) for c in allc))
+
+    out = cdc_chunk_stats(
+        ray.data.from_items([{"t": d} for d in docs]).repartition(3),
+        "t", window=W, mask_bits=MB, n_buckets=3).to_pandas()
+    got = (int(out.n_chunks[0]), int(out.n_distinct[0]),
+           int(out.bytes_total[0]), int(out.bytes_distinct[0]))
+    assert got == want
+
+    # the CDC property: a one-byte prefix insertion keeps most chunk
+    # bytes shared (fixed-size blocking would share none)
+    c1, c2 = Counter(ref_chunks(base)), Counter(ref_chunks("X" + base))
+    shared = sum(len(c) * min(c1[c], c2[c]) for c in c1 if c in c2)
+    assert shared > 0.5 * len(base)
