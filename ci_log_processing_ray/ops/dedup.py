@@ -1678,6 +1678,37 @@ def _inv_u64(r: np.uint64) -> np.uint64:
     return x
 
 
+_CDC_POW_CACHE: dict = {}
+
+
+def _cdc_pow_lo(r: np.uint64) -> np.ndarray:
+    """r^0..r^65535 (mod 2^64), cached per process."""
+    key = ("lo", int(r))
+    if key not in _CDC_POW_CACHE:
+        t = np.empty(1 << 16, np.uint64)
+        t[0] = 1
+        with np.errstate(over="ignore"):
+            for k in range(1, 1 << 16):
+                t[k] = t[k - 1] * r
+        _CDC_POW_CACHE[key] = t
+    return _CDC_POW_CACHE[key]
+
+
+def _cdc_pow_hi(r: np.uint64) -> np.ndarray:
+    """(r^65536)^0..^65535 (mod 2^64), cached per process."""
+    key = ("hi", int(r))
+    if key not in _CDC_POW_CACHE:
+        lo = _cdc_pow_lo(r)
+        with np.errstate(over="ignore"):
+            step = lo[-1] * r  # r^65536
+            t = np.empty(1 << 16, np.uint64)
+            t[0] = 1
+            for k in range(1, 1 << 16):
+                t[k] = t[k - 1] * step
+        _CDC_POW_CACHE[key] = t
+    return _CDC_POW_CACHE[key]
+
+
 def _cdc_gear_table() -> np.ndarray:
     """256-entry splitmix64 byte table (deterministic)."""
     x = np.arange(256, dtype=np.uint64)
@@ -1731,30 +1762,38 @@ def cdc_chunk_stats(
             return pa.table({"h": pa.array([], pa.uint64()),
                              "l": pa.array([], pa.int64()),
                              "cnt": pa.array([], pa.int64())})
+        # windowed gear hash h_i = sum_j g[b_{i-j}] * r^j via ONE
+        # prefix pass: h_i = (Q_i - Q_{i-W}) * r^i with
+        # Q_i = cumsum(g_k * r^-k) -- O(1) passes instead of W shifted
+        # adds (whole-stream temporaries were page-fault bound)
         g = gear[flat]
-        h = np.zeros(n, np.uint64)
         with np.errstate(over="ignore"):
-            for j in range(window):
-                h[j:] += g[:n - j] << np.uint64(j)
-        # suppress boundaries whose window crosses a doc start, and
-        # within the first window-1 bytes of the stream
-        pos = np.arange(n, dtype=np.int64)
-        doc_idx = np.searchsorted(offs, pos, side="right") - 1
-        valid = pos - offs[doc_idx] >= window - 1
-        is_b = ((h & mask) == 0) & valid
-        cuts = np.unique(np.concatenate([
-            pos[is_b] + 1, offs]))  # offs adds doc starts/ends
+            # r^i and r^-i via two-level gather tables --
+            # multiply.accumulate is a sequential uint64 reduce and
+            # measured ~10x slower than these vectorized gathers
+            i = np.arange(n, dtype=np.int64)
+            lo_i, hi_i = i & 0xFFFF, i >> 16
+            rp = _cdc_pow_lo(_CDC_R)[lo_i] * _cdc_pow_hi(_CDC_R)[hi_i]
+            ip = _cdc_pow_lo(rinv)[lo_i] * _cdc_pow_hi(rinv)[hi_i]
+            qz = np.zeros(n + 1, np.uint64)
+            np.cumsum(g * ip, out=qz[1:])
+            h = qz[1:].copy()
+            h[window:] -= qz[1:n + 1 - window]
+            h *= rp
+        # boundary candidates first, validity (window inside one doc)
+        # filtered on the ~sparse candidate set, not the byte stream
+        cand = np.flatnonzero((h & mask) == 0) + 1
+        di = np.searchsorted(offs, cand, side="right") - 1
+        cand = cand[cand - offs[di] >= window]
+        cuts = np.unique(np.concatenate([cand, offs]))
         s, e = cuts[:-1], cuts[1:]
         keep = e > s
         s, e = s[keep], e[keep]
-        # polynomial span hashes from one prefix pass
+        # polynomial span hashes from one more prefix pass (rp/ip
+        # power tables reused from the boundary pass)
         with np.errstate(over="ignore"):
-            rp = np.multiply.accumulate(
-                np.full(n, _CDC_R, np.uint64)) * rinv  # r^i
             pref = np.zeros(n + 1, np.uint64)
             np.cumsum(flat.astype(np.uint64) * rp, out=pref[1:])
-            ip = np.multiply.accumulate(
-                np.full(n, rinv, np.uint64)) * _CDC_R  # r^-i
             hh = (pref[e] - pref[s]) * ip[s]
         d = (pd.DataFrame({"h": hh, "l": (e - s).astype(np.int64)})
              .groupby(["h", "l"], as_index=False, sort=False).size()

@@ -2704,6 +2704,74 @@ def main_causal() -> None:
         ray.shutdown()
 
 
+def main_cdc() -> None:
+    """cdc_chunk_stats at 10M docs via the replication invariance:
+    200 distinct ~300-byte docs (100 bases + 100 one-byte-prefix
+    variants, splitmix chars), each replicated U times.  With the
+    kernel proven exact by the pure-Python parity unit test, the
+    corpus-scale truth is CLOSED FORM in the small run: n_chunks and
+    bytes_total scale by exactly U, n_distinct and bytes_distinct are
+    INVARIANT -- any exchange/merge bug breaks one of the four."""
+    import random
+
+    import ray
+    from ray.data import DataContext
+
+    U = int(os.environ.get("GRAFT_CDC_REPLICAS", "50000"))
+    random.seed(13)
+    bases = ["".join(random.choice("abcdefgh ") for _ in range(300))
+             for _ in range(100)]
+    docs = bases + ["X" + b for b in bases]
+    K = len(docs)
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.dedup import cdc_chunk_stats
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        small = cdc_chunk_stats(
+            ray.data.from_items([{"t": d} for d in docs]),
+            "t", window=16, mask_bits=5).to_pandas()
+        nc, nd, bt, bd = (int(small.n_chunks[0]),
+                          int(small.n_distinct[0]),
+                          int(small.bytes_total[0]),
+                          int(small.bytes_distinct[0]))
+
+        texts = np.array(docs, object)
+
+        def gen(b: pa.Table) -> pa.Table:
+            i = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({"t": pa.array(texts[i % K])})
+
+        corpus = ray.data.range(
+            U * K, override_num_blocks=NCPU * 4).map_batches(
+            gen, batch_format="pyarrow")
+
+        t0 = time.perf_counter()
+        big = cdc_chunk_stats(corpus, "t", window=16,
+                              mask_bits=5).to_pandas()
+        sec = time.perf_counter() - t0
+        got = (int(big.n_chunks[0]), int(big.n_distinct[0]),
+               int(big.bytes_total[0]), int(big.bytes_distinct[0]))
+        assert got == (U * nc, nd, U * bt, bd), (got, (nc, nd, bt, bd))
+
+        print(json.dumps({
+            "n_docs": U * K, "stream_bytes": U * bt,
+            "num_cpus": NCPU, "sec": round(sec, 2),
+            "docs_per_sec": round(U * K / sec),
+            "mb_per_sec": round(U * bt / sec / 1e6, 1),
+            "truth": "n_chunks/bytes scale by U exactly; distinct "
+                     "set invariant",
+            "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 def main_rankops() -> None:
     """quantile_normalize + trimmed_mean_stats at 30M rows, closed
     forms: ref group g0 holds values 0..N-1, 56 probe groups hold
@@ -3097,5 +3165,7 @@ if __name__ == "__main__":
         main_textclass()
     elif len(sys.argv) > 1 and sys.argv[1] == "rankops":
         main_rankops()
+    elif len(sys.argv) > 1 and sys.argv[1] == "cdc":
+        main_cdc()
     else:
         main()

@@ -4529,15 +4529,18 @@ def test_cdc_chunk_stats_parity_and_shift(ray_session):
     W, MB = 16, 5
     gear = _cdc_gear_table()
 
+    from ci_log_processing_ray.ops.dedup import _CDC_R
+
+    R = int(_CDC_R)
+
     def ref_chunks(s: str) -> list[str]:
         b = s.encode()
         cuts = [0]
         for i in range(W - 1, len(b)):
-            h = np.uint64(0)
-            with np.errstate(over="ignore"):
-                for j in range(W):
-                    h += gear[b[i - j]] << np.uint64(j)
-            if int(h) & ((1 << MB) - 1) == 0:
+            h = 0
+            for j in range(W):
+                h = (h + int(gear[b[i - j]]) * pow(R, j, 2**64)) % 2**64
+            if h & ((1 << MB) - 1) == 0:
                 cuts.append(i + 1)
         if cuts[-1] != len(b):
             cuts.append(len(b))
