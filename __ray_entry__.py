@@ -3530,6 +3530,31 @@ def q_modularity(sf_dir: str):
     return partition_modularity(edges, "a", "b", comm, "node", "c")
 
 
+def q_widest_paths(sf_dir: str):
+    """Multi-source widest (bottleneck) paths
+    (ops/iterative.py:widest_paths): max over paths of the min
+    co-purchase support along the path, 3 frontier rounds from parts
+    with key % 97 == 0 -- the max-min semiring sibling of bfs_hops
+    (broadcast frontier, searchsorted gather, bucketed max fold)."""
+    from ci_log_processing_ray.ops.iterative import widest_paths
+    from ci_log_processing_ray.ops.relational import cooccurrence_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = (cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+             .filter(expr="n_ab >= 2"))
+
+    def seed_fn(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].combine_chunks().to_numpy()
+        return pa.table({"node": pa.array(np.unique(p[p % 97 == 0]))})
+
+    from ci_log_processing_ray.ops.window import bucketed_distinct
+
+    seeds = bucketed_distinct(
+        li.map_batches(seed_fn, batch_format="pyarrow",
+                       zero_copy_batch=True), ["node"])
+    return widest_paths(edges, "a", "b", "n_ab", seeds, n_rounds=3)
+
+
 def q_bfs_hops(sf_dir: str):
     """Multi-source BFS over the part co-purchase graph
     (ops/iterative.py:bfs_hops): seeds are parts with key % 97 == 0,
@@ -5344,6 +5369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": q_triangles,
         "butterflies": q_butterflies,
         "modularity": q_modularity,
+        "widest_paths": q_widest_paths,
         "caliper_match": q_caliper_match,
         "bfs_hops": q_bfs_hops,
         "transitions": q_transitions,
@@ -7237,6 +7263,34 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY abs(t.s - c.s), c.id) AS rn
                 FROM t JOIN c ON abs(t.s - c.s) <= 10000)
             WHERE rn = 1""",
+        "widest_paths": """
+            WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                       FROM lineitem),
+            e AS (SELECT a.p AS a, b.p AS b,
+                         CAST(count(*) AS BIGINT) AS w
+                  FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+            eb AS (SELECT a AS u, b AS v, w FROM e
+                   UNION ALL SELECT b, a, w FROM e),
+            b0 AS (SELECT DISTINCT l_partkey AS n,
+                          CAST(4611686018427387904 AS BIGINT) AS wd
+                   FROM lineitem WHERE l_partkey % 97 = 0),
+            c1 AS (SELECT eb.v AS n, max(least(b0.wd, eb.w)) AS wd
+                   FROM eb JOIN b0 ON eb.u = b0.n GROUP BY 1),
+            b1 AS (SELECT n, max(wd) AS wd FROM
+                   (SELECT * FROM b0 UNION ALL SELECT * FROM c1)
+                   GROUP BY n),
+            c2 AS (SELECT eb.v AS n, max(least(b1.wd, eb.w)) AS wd
+                   FROM eb JOIN b1 ON eb.u = b1.n GROUP BY 1),
+            b2 AS (SELECT n, max(wd) AS wd FROM
+                   (SELECT * FROM b1 UNION ALL SELECT * FROM c2)
+                   GROUP BY n),
+            c3 AS (SELECT eb.v AS n, max(least(b2.wd, eb.w)) AS wd
+                   FROM eb JOIN b2 ON eb.u = b2.n GROUP BY 1),
+            b3 AS (SELECT n, max(wd) AS wd FROM
+                   (SELECT * FROM b2 UNION ALL SELECT * FROM c3)
+                   GROUP BY n)
+            SELECT n AS node, CAST(wd AS BIGINT) AS width FROM b3""",
         "modularity": """
             WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                        FROM lineitem),

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "spatial_nn",
     "modularity",
     "cdc_chunks",
+    "widest_paths",
     "bfs_hops",
     "target_encode",
     "kfold",

@@ -3340,3 +3340,112 @@ def partition_modularity(
             .aggregate(Sum("internal_edges",
                            alias_name="internal_edges"),
                        Sum("degree_sum", alias_name="degree_sum")))
+
+
+WIDEST_SEED_W = np.int64(1) << 62
+
+
+def widest_paths(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    w_col: str,
+    seeds: ray.data.Dataset,
+    *,
+    n_rounds: int,
+    n_buckets: int | None = None,
+    broadcast_cap: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Multi-source WIDEST (bottleneck / max-capacity) paths over the
+    undirected weighted graph: for each node, the maximum over paths
+    from any seed of the MINIMUM edge weight along the path -- the
+    max-min semiring sibling of :func:`bfs_hops` (network capacity,
+    strongest-connectivity routing).  Seeds report the sentinel
+    ``WIDEST_SEED_W``; nodes unreached within ``n_rounds`` are absent.
+    Per-round expansion from the ENTIRE best table and from the
+    improved frontier are equivalent under the max fold (expansion is
+    monotone and idempotent), so a fixed-round SQL unroll reproduces
+    the result exactly.
+
+    Scale shape: same contract as :func:`bfs_hops` -- the frontier
+    (node, width) pairs broadcast once per round via ray.put under
+    ``broadcast_cap`` and the expansion is a vectorized searchsorted
+    gather over the materialized bidirectional edge table (no
+    per-round edge re-shuffle); the fold is one bucketed max kernel
+    per round that also emits the improved flag, so the next frontier
+    costs no extra exchange.  Returns (node, width), int64."""
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    ebi = (edges.map_batches(
+        lambda t: pa.table({
+            "u": pa.concat_arrays([
+                t[src_col].combine_chunks().cast(pa.int64()),
+                t[dst_col].combine_chunks().cast(pa.int64())]),
+            "v": pa.concat_arrays([
+                t[dst_col].combine_chunks().cast(pa.int64()),
+                t[src_col].combine_chunks().cast(pa.int64())]),
+            "w": pa.concat_arrays([
+                t[w_col].combine_chunks().cast(pa.int64())] * 2)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .materialize())
+
+    best = (seeds.map_batches(
+        lambda t: pa.table({
+            "node": t["node"].combine_chunks().cast(pa.int64()),
+            "width": pa.array(np.full(len(t), WIDEST_SEED_W,
+                                      np.int64)),
+            "improved": pa.array(np.ones(len(t), np.int64))}),
+        batch_format="pyarrow").materialize())
+
+    for _ in range(n_rounds):
+        frontier = best.filter(expr="improved == 1")
+        n_front = frontier.count()
+        if n_front == 0:
+            break
+        if n_front > broadcast_cap:
+            raise NotImplementedError(
+                "frontier beyond broadcast_cap: wire the tagged-union "
+                "co-partition exactly as bfs_hops does")
+        fp = frontier.to_pandas()
+        order = np.argsort(fp["node"].to_numpy())
+        ref = ray.put((fp["node"].to_numpy(np.int64)[order],
+                       fp["width"].to_numpy(np.int64)[order]))
+
+        def expand(t: pa.Table, _ref=ref) -> pa.Table:
+            fn, fw = ray.get(_ref)
+            u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(fn, u), 0,
+                          max(len(fn) - 1, 0))
+            hit = fn[idx] == u if len(fn) else np.zeros(len(u), bool)
+            cw = np.minimum(fw[idx],
+                            t["w"].combine_chunks().to_numpy(
+                                zero_copy_only=False))[hit]
+            return pa.table({
+                "node": t["v"].combine_chunks().to_numpy(
+                    zero_copy_only=False)[hit],
+                "width": pa.array(cw, pa.int64()),
+                "improved": pa.array(np.full(hit.sum(), -1,
+                                             np.int64))})
+
+        cand = ebi.map_batches(expand, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            old = g[g["improved"] >= 0]
+            new = g[g["improved"] < 0]
+            om = old.groupby("node", sort=False)["width"].max()
+            nm = new.groupby("node", sort=False)["width"].max()
+            d = pd.concat([om.rename("old"), nm.rename("new")],
+                          axis=1)
+            oldv = d["old"].fillna(-1).to_numpy(np.int64)
+            newv = d["new"].fillna(-1).to_numpy(np.int64)
+            return pd.DataFrame({
+                "node": d.index.to_numpy(np.int64),
+                "width": np.maximum(oldv, newv),
+                "improved": (newv > oldv).astype(np.int64)})
+
+        best = bucketed_groups(best.union(cand), "node", fold,
+                               n_buckets=n_buckets).materialize()
+
+    return best.map_batches(
+        lambda t: t.select(["node", "width"]), batch_format="pyarrow")

@@ -4566,3 +4566,17 @@ def test_cdc_chunk_stats_parity_and_shift(ray_session):
     c1, c2 = Counter(ref_chunks(base)), Counter(ref_chunks("X" + base))
     shared = sum(len(c) * min(c1[c], c2[c]) for c in c1 if c in c2)
     assert shared > 0.5 * len(base)
+
+
+def test_widest_paths_semiring(ray_session):
+    from ci_log_processing_ray.ops.iterative import (
+        WIDEST_SEED_W, widest_paths)
+
+    edges = [{"s": 0, "d": 1, "w": 5}, {"s": 1, "d": 2, "w": 3},
+             {"s": 0, "d": 2, "w": 2}, {"s": 2, "d": 3, "w": 10}]
+    out = widest_paths(
+        ray.data.from_items(edges).repartition(2), "s", "d", "w",
+        ray.data.from_items([{"node": 0}]), n_rounds=3,
+        n_buckets=2).to_pandas()
+    got = {int(r["node"]): int(r["width"]) for _, r in out.iterrows()}
+    assert got == {0: int(WIDEST_SEED_W), 1: 5, 2: 3, 3: 3}
