@@ -3555,6 +3555,30 @@ def q_widest_paths(sf_dir: str):
     return widest_paths(edges, "a", "b", "n_ab", seeds, n_rounds=3)
 
 
+def q_path_counts(sf_dir: str):
+    """Shortest-path counting (Brandes sigma)
+    (ops/iterative.py:shortest_path_counts) over the support>=2
+    co-purchase graph from parts with key % 97 == 0, 3 rounds --
+    the counting-semiring sibling of bfs_hops/widest_paths; exact
+    int64 path multiplicities."""
+    from ci_log_processing_ray.ops.iterative import shortest_path_counts
+    from ci_log_processing_ray.ops.relational import cooccurrence_pairs
+    from ci_log_processing_ray.ops.window import bucketed_distinct
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = (cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+             .filter(expr="n_ab >= 2"))
+
+    def seed_fn(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].combine_chunks().to_numpy()
+        return pa.table({"node": pa.array(np.unique(p[p % 97 == 0]))})
+
+    seeds = bucketed_distinct(
+        li.map_batches(seed_fn, batch_format="pyarrow",
+                       zero_copy_batch=True), ["node"])
+    return shortest_path_counts(edges, "a", "b", seeds, n_rounds=3)
+
+
 def q_bfs_hops(sf_dir: str):
     """Multi-source BFS over the part co-purchase graph
     (ops/iterative.py:bfs_hops): seeds are parts with key % 97 == 0,
@@ -5370,6 +5394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "butterflies": q_butterflies,
         "modularity": q_modularity,
         "widest_paths": q_widest_paths,
+        "path_counts": q_path_counts,
         "caliper_match": q_caliper_match,
         "bfs_hops": q_bfs_hops,
         "transitions": q_transitions,
@@ -7263,6 +7288,34 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY abs(t.s - c.s), c.id) AS rn
                 FROM t JOIN c ON abs(t.s - c.s) <= 10000)
             WHERE rn = 1""",
+        "path_counts": """
+            WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                       FROM lineitem),
+            e AS (SELECT a.p AS a, b.p AS b
+                  FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+            eb AS (SELECT a AS u, b AS v FROM e
+                   UNION ALL SELECT b, a FROM e),
+            a0 AS (SELECT DISTINCT l_partkey AS n,
+                          CAST(0 AS BIGINT) AS h,
+                          CAST(1 AS BIGINT) AS c
+                   FROM lineitem WHERE l_partkey % 97 = 0),
+            c1 AS (SELECT eb.v AS n, CAST(sum(a0.c) AS BIGINT) AS c
+                   FROM eb JOIN a0 ON eb.u = a0.n
+                   WHERE eb.v NOT IN (SELECT n FROM a0) GROUP BY 1),
+            a1 AS (SELECT * FROM a0
+                   UNION ALL SELECT n, 1, c FROM c1),
+            c2 AS (SELECT eb.v AS n, CAST(sum(a1.c) AS BIGINT) AS c
+                   FROM eb JOIN a1 ON eb.u = a1.n
+                   WHERE eb.v NOT IN (SELECT n FROM a1) GROUP BY 1),
+            a2 AS (SELECT * FROM a1
+                   UNION ALL SELECT n, 2, c FROM c2),
+            c3 AS (SELECT eb.v AS n, CAST(sum(a2.c) AS BIGINT) AS c
+                   FROM eb JOIN a2 ON eb.u = a2.n
+                   WHERE eb.v NOT IN (SELECT n FROM a2) GROUP BY 1),
+            a3 AS (SELECT * FROM a2
+                   UNION ALL SELECT n, 3, c FROM c3)
+            SELECT n AS node, h AS hops, c AS paths FROM a3""",
         "widest_paths": """
             WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                        FROM lineitem),

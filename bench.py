@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "modularity",
     "cdc_chunks",
     "widest_paths",
+    "path_counts",
     "bfs_hops",
     "target_encode",
     "kfold",

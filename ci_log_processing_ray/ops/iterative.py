@@ -3449,3 +3449,100 @@ def widest_paths(
 
     return best.map_batches(
         lambda t: t.select(["node", "width"]), batch_format="pyarrow")
+
+
+def shortest_path_counts(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    seeds: ray.data.Dataset,
+    *,
+    n_rounds: int,
+    n_buckets: int | None = None,
+    broadcast_cap: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Multi-source shortest-path COUNTING over the undirected simple
+    graph: (node, hops, paths) where ``paths`` is the exact number of
+    distinct shortest paths from the seed set (sigma of the Brandes
+    betweenness recursion; seeds count 1 at hop 0).  The counting
+    semiring sibling of :func:`bfs_hops` (min-hop) and
+    :func:`widest_paths` (max-min): a node settled at hop r sums the
+    counts of its hop-(r-1) neighbors, exactly and deterministically
+    in int64.  Feed DISTINCT edges -- duplicate rows double-count.
+
+    Scale shape: identical to the siblings -- materialized
+    bidirectional edge table, per-round broadcast of the just-settled
+    frontier's (node, count) pairs, vectorized searchsorted gather,
+    one bucketed fold per round that settles unseen nodes by summing
+    their candidate counts.  Expanding all settled nodes would be
+    equivalent (any settled neighbor of an unsettled node is
+    necessarily on the last frontier), which is what the fixed-round
+    SQL unroll does."""
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    ebi = (edges.map_batches(
+        lambda t: pa.table({
+            "u": pa.concat_arrays([
+                t[src_col].combine_chunks().cast(pa.int64()),
+                t[dst_col].combine_chunks().cast(pa.int64())]),
+            "v": pa.concat_arrays([
+                t[dst_col].combine_chunks().cast(pa.int64()),
+                t[src_col].combine_chunks().cast(pa.int64())])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .materialize())
+
+    best = (seeds.map_batches(
+        lambda t: pa.table({
+            "node": t["node"].combine_chunks().cast(pa.int64()),
+            "hops": pa.array(np.zeros(len(t), np.int64)),
+            "paths": pa.array(np.ones(len(t), np.int64))}),
+        batch_format="pyarrow").materialize())
+
+    for r in range(n_rounds):
+        frontier = best.filter(expr=f"hops == {r}")
+        n_front = frontier.count()
+        if n_front == 0:
+            break
+        if n_front > broadcast_cap:
+            raise NotImplementedError(
+                "frontier beyond broadcast_cap: wire the tagged-union "
+                "co-partition exactly as bfs_hops does")
+        fp = frontier.to_pandas()
+        order = np.argsort(fp["node"].to_numpy())
+        ref = ray.put((fp["node"].to_numpy(np.int64)[order],
+                       fp["paths"].to_numpy(np.int64)[order]))
+
+        def expand(t: pa.Table, _r=r, _ref=ref) -> pa.Table:
+            fn, fc = ray.get(_ref)
+            u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(fn, u), 0,
+                          max(len(fn) - 1, 0))
+            hit = fn[idx] == u if len(fn) else np.zeros(len(u), bool)
+            return pa.table({
+                "node": t["v"].combine_chunks().to_numpy(
+                    zero_copy_only=False)[hit],
+                "hops": pa.array(np.full(int(hit.sum()), _r + 1,
+                                         np.int64)),
+                "paths": pa.array(fc[idx][hit], pa.int64())})
+
+        cand = ebi.map_batches(expand, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+        def fold(g: pd.DataFrame, _r=r) -> pd.DataFrame:
+            settled = g[g["hops"] <= _r]
+            new = g[g["hops"] == _r + 1]
+            new = new[~new["node"].isin(settled["node"])]
+            ns = (new.groupby("node", as_index=False, sort=False)
+                  ["paths"].sum())
+            ns["hops"] = np.int64(_r + 1)
+            out = pd.concat(
+                [settled[["node", "hops", "paths"]],
+                 ns[["node", "hops", "paths"]]], ignore_index=True)
+            out["paths"] = out["paths"].astype(np.int64)
+            out["hops"] = out["hops"].astype(np.int64)
+            return out
+
+        best = bucketed_groups(best.union(cand), "node", fold,
+                               n_buckets=n_buckets).materialize()
+
+    return best

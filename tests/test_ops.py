@@ -4580,3 +4580,21 @@ def test_widest_paths_semiring(ray_session):
         n_buckets=2).to_pandas()
     got = {int(r["node"]): int(r["width"]) for _, r in out.iterrows()}
     assert got == {0: int(WIDEST_SEED_W), 1: 5, 2: 3, 3: 3}
+
+
+def test_shortest_path_counts_diamond(ray_session):
+    from ci_log_processing_ray.ops.iterative import shortest_path_counts
+
+    # diamond 0-{1,2}-3 plus a tail 3-4 and a shortcut making node 5
+    # reachable two ways at hop 1
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (0, 5), (9, 5)]
+    seeds = [{"node": 0}, {"node": 9}]
+    out = shortest_path_counts(
+        ray.data.from_items(
+            [{"s": a, "d": b} for a, b in edges]).repartition(3),
+        "s", "d", ray.data.from_items(seeds), n_rounds=3,
+        n_buckets=2).to_pandas()
+    got = {int(r["node"]): (int(r["hops"]), int(r["paths"]))
+           for _, r in out.iterrows()}
+    assert got == {0: (0, 1), 9: (0, 1), 1: (1, 1), 2: (1, 1),
+                   5: (1, 2), 3: (2, 2), 4: (3, 2)}
