@@ -2704,6 +2704,134 @@ def main_causal() -> None:
         ray.shutdown()
 
 
+def main_semiring() -> None:
+    """widest_paths + shortest_path_counts at ~12M edge rows each,
+    closed forms per planted site.
+
+    Counting: binomial ladders seed->{a,b}->{c,d}->t give paths
+    (1,1,1,2,2,4) at hops (0,1,1,2,2,3).  Widest: chains
+    seed -5- x -3- y -7- z with a direct seed -2- y shortcut give
+    widths (x,y,z) = (5,3,3), with y improving in round 2 and z in
+    round 3 (the improved-frontier path is exercised every site)."""
+    import ray
+    from ray.data import DataContext
+
+    M = int(os.environ.get("GRAFT_SR_SITES", "1500000"))
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.iterative import (
+            WIDEST_SEED_W, shortest_path_counts, widest_paths)
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU).map_batches(
+            lambda b: b).count()
+        results = {}
+
+        # ---- counting: nodes site*6 + [s,a,b,c,d,t] ----
+        CE = np.array([(0, 1), (0, 2), (1, 3), (1, 4), (2, 3),
+                       (2, 4), (3, 5), (4, 5)], np.int64)
+
+        def cgen(b: pa.Table) -> pa.Table:
+            s = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            base = 6 * np.repeat(s, len(CE))
+            return pa.table({
+                "a": base + np.tile(CE[:, 0], len(s)),
+                "b": base + np.tile(CE[:, 1], len(s))})
+
+        cedges = ray.data.range(
+            M, override_num_blocks=NCPU).map_batches(
+            cgen, batch_format="pyarrow")
+        seeds = ray.data.range(
+            M, override_num_blocks=NCPU).map_batches(
+            lambda b: pa.table({
+                "node": 6 * b["id"].combine_chunks().to_numpy(
+                    zero_copy_only=False)}),
+            batch_format="pyarrow")
+
+        HOPS = np.array([0, 1, 1, 2, 2, 3], np.int64)
+        PATHS = np.array([1, 1, 1, 2, 2, 4], np.int64)
+
+        t0 = time.perf_counter()
+        out = shortest_path_counts(cedges, "a", "b", seeds,
+                                   n_rounds=3)
+
+        def check_c(t: pa.Table) -> pa.Table:
+            n = t["node"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            h = t["hops"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            c = t["paths"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            pos = n % 6
+            bad = int(((h != HOPS[pos]) | (c != PATHS[pos])).sum())
+            return pa.table({"n": pa.array([len(n)], pa.int64()),
+                             "bad": pa.array([bad], pa.int64())})
+
+        parts = out.map_batches(check_c, batch_format="pyarrow").to_pandas()
+        sec = time.perf_counter() - t0
+        assert int(parts["bad"].sum()) == 0
+        assert int(parts["n"].sum()) == 6 * M
+        results["shortest_path_counts"] = {
+            "sec": round(sec, 2), "n_edge_rows": 8 * M,
+            "edge_rows_per_sec": round(8 * M / sec),
+            "truth": "per-row (hops, paths) == binomial-ladder form"}
+
+        # ---- widest: nodes site*4 + [s,x,y,z] ----
+        WE = np.array([(0, 1, 5), (1, 2, 3), (2, 3, 7), (0, 2, 2)],
+                      np.int64)
+
+        def wgen(b: pa.Table) -> pa.Table:
+            s = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            base = 4 * np.repeat(s, len(WE))
+            return pa.table({
+                "a": base + np.tile(WE[:, 0], len(s)),
+                "b": base + np.tile(WE[:, 1], len(s)),
+                "w": np.tile(WE[:, 2], len(s))})
+
+        wedges = ray.data.range(
+            M, override_num_blocks=NCPU).map_batches(
+            wgen, batch_format="pyarrow")
+        wseeds = ray.data.range(
+            M, override_num_blocks=NCPU).map_batches(
+            lambda b: pa.table({
+                "node": 4 * b["id"].combine_chunks().to_numpy(
+                    zero_copy_only=False)}),
+            batch_format="pyarrow")
+
+        WID = np.array([0, 5, 3, 3], np.int64)
+
+        t0 = time.perf_counter()
+        wout = widest_paths(wedges, "a", "b", "w", wseeds, n_rounds=3)
+
+        def check_w(t: pa.Table) -> pa.Table:
+            n = t["node"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            w = t["width"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            pos = n % 4
+            want = np.where(pos == 0, WIDEST_SEED_W, WID[pos])
+            bad = int((w != want).sum())
+            return pa.table({"n": pa.array([len(n)], pa.int64()),
+                             "bad": pa.array([bad], pa.int64())})
+
+        parts = wout.map_batches(check_w, batch_format="pyarrow").to_pandas()
+        sec = time.perf_counter() - t0
+        assert int(parts["bad"].sum()) == 0
+        assert int(parts["n"].sum()) == 4 * M
+        results["widest_paths"] = {
+            "sec": round(sec, 2), "n_edge_rows": 4 * M,
+            "edge_rows_per_sec": round(4 * M / sec),
+            "truth": "per-row width == chain closed form; round-2/3 "
+                     "improvements exercised"}
+
+        print(json.dumps({
+            "num_cpus": NCPU, "ops": results, "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 def main_cdc() -> None:
     """cdc_chunk_stats at 10M docs via the replication invariance:
     200 distinct ~300-byte docs (100 bases + 100 one-byte-prefix
@@ -3167,5 +3295,7 @@ if __name__ == "__main__":
         main_rankops()
     elif len(sys.argv) > 1 and sys.argv[1] == "cdc":
         main_cdc()
+    elif len(sys.argv) > 1 and sys.argv[1] == "semiring":
+        main_semiring()
     else:
         main()
