@@ -3371,7 +3371,10 @@ def widest_paths(
     (node, width) pairs broadcast once per round via ray.put under
     ``broadcast_cap`` and the expansion is a vectorized searchsorted
     gather over the materialized bidirectional edge table (no
-    per-round edge re-shuffle); the fold is one bucketed max kernel
+    per-round edge re-shuffle); beyond the cap it falls back to the
+    node-keyed tagged-union co-partition (the bfs_hops contract), so
+    billion-node frontiers never broadcast; the fold is one bucketed
+    max kernel
     per round that also emits the improved flag, so the next frontier
     costs no extra exchange.  Returns (node, width), int64."""
     from ci_log_processing_ray.ops.window import bucketed_groups
@@ -3397,38 +3400,76 @@ def widest_paths(
             "improved": pa.array(np.ones(len(t), np.int64))}),
         batch_format="pyarrow").materialize())
 
+    # tagged edge table for the beyond-broadcast co-partition path,
+    # materialized lazily (broadcast-sized frontiers never pay it)
+    _etag_cache: list = []
+
+    def get_etag():
+        if not _etag_cache:
+            _etag_cache.append(ebi.map_batches(
+                lambda t: pa.table({
+                    "key": t["u"], "v": t["v"], "w": t["w"],
+                    "_side": pa.array(np.zeros(t.num_rows, np.int8))}),
+                batch_format="pyarrow").materialize())
+        return _etag_cache[0]
+
     for _ in range(n_rounds):
         frontier = best.filter(expr="improved == 1")
         n_front = frontier.count()
         if n_front == 0:
             break
-        if n_front > broadcast_cap:
-            raise NotImplementedError(
-                "frontier beyond broadcast_cap: wire the tagged-union "
-                "co-partition exactly as bfs_hops does")
-        fp = frontier.to_pandas()
-        order = np.argsort(fp["node"].to_numpy())
-        ref = ray.put((fp["node"].to_numpy(np.int64)[order],
-                       fp["width"].to_numpy(np.int64)[order]))
+        if n_front <= broadcast_cap:
+            fp = frontier.to_pandas()
+            order = np.argsort(fp["node"].to_numpy())
+            ref = ray.put((fp["node"].to_numpy(np.int64)[order],
+                           fp["width"].to_numpy(np.int64)[order]))
 
-        def expand(t: pa.Table, _ref=ref) -> pa.Table:
-            fn, fw = ray.get(_ref)
-            u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
-            idx = np.clip(np.searchsorted(fn, u), 0,
-                          max(len(fn) - 1, 0))
-            hit = fn[idx] == u if len(fn) else np.zeros(len(u), bool)
-            cw = np.minimum(fw[idx],
-                            t["w"].combine_chunks().to_numpy(
-                                zero_copy_only=False))[hit]
-            return pa.table({
-                "node": t["v"].combine_chunks().to_numpy(
-                    zero_copy_only=False)[hit],
-                "width": pa.array(cw, pa.int64()),
-                "improved": pa.array(np.full(hit.sum(), -1,
-                                             np.int64))})
+            def expand(t: pa.Table, _ref=ref) -> pa.Table:
+                fn, fw = ray.get(_ref)
+                u = t["u"].combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                idx = np.clip(np.searchsorted(fn, u), 0,
+                              max(len(fn) - 1, 0))
+                hit = (fn[idx] == u if len(fn)
+                       else np.zeros(len(u), bool))
+                cw = np.minimum(fw[idx],
+                                t["w"].combine_chunks().to_numpy(
+                                    zero_copy_only=False))[hit]
+                return pa.table({
+                    "node": t["v"].combine_chunks().to_numpy(
+                        zero_copy_only=False)[hit],
+                    "width": pa.array(cw, pa.int64()),
+                    "improved": pa.array(np.full(hit.sum(), -1,
+                                                 np.int64))})
 
-        cand = ebi.map_batches(expand, batch_format="pyarrow",
-                               zero_copy_batch=True)
+            cand = ebi.map_batches(expand, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        else:
+            # node-keyed tagged-union co-partition: frontier rows ride
+            # (key=node, w=width); each bucket maps width onto its
+            # local edges -- the frontier never leaves its bucket
+            ftag = frontier.map_batches(
+                lambda t: pa.table({
+                    "key": t["node"].combine_chunks().cast(pa.int64()),
+                    "v": pa.array(np.full(t.num_rows, -1, np.int64)),
+                    "w": t["width"].combine_chunks().cast(pa.int64()),
+                    "_side": pa.array(np.ones(t.num_rows, np.int8))}),
+                batch_format="pyarrow")
+
+            def cp_expand(g: pd.DataFrame) -> pd.DataFrame:
+                f = g[g["_side"] == 1]
+                e = g[g["_side"] == 0]
+                wm = dict(zip(f["key"].to_numpy(), f["w"].to_numpy()))
+                hit = e[e["key"].isin(wm)]
+                fw = hit["key"].map(wm).to_numpy(np.int64)
+                return pd.DataFrame({
+                    "node": hit["v"].to_numpy(np.int64),
+                    "width": np.minimum(fw,
+                                        hit["w"].to_numpy(np.int64)),
+                    "improved": np.full(len(hit), -1, np.int64)})
+
+            cand = bucketed_groups(get_etag().union(ftag), "key",
+                                   cp_expand, n_buckets=n_buckets)
 
         def fold(g: pd.DataFrame) -> pd.DataFrame:
             old = g[g["improved"] >= 0]
@@ -3472,7 +3513,8 @@ def shortest_path_counts(
 
     Scale shape: identical to the siblings -- materialized
     bidirectional edge table, per-round broadcast of the just-settled
-    frontier's (node, count) pairs, vectorized searchsorted gather,
+    frontier's (node, count) pairs (tagged-union co-partition beyond
+    ``broadcast_cap``), vectorized searchsorted gather,
     one bucketed fold per round that settles unseen nodes by summing
     their candidate counts.  Expanding all settled nodes would be
     equivalent (any settled neighbor of an unsettled node is
@@ -3498,35 +3540,70 @@ def shortest_path_counts(
             "paths": pa.array(np.ones(len(t), np.int64))}),
         batch_format="pyarrow").materialize())
 
+    _etag_cache: list = []
+
+    def get_etag():
+        if not _etag_cache:
+            _etag_cache.append(ebi.map_batches(
+                lambda t: pa.table({
+                    "key": t["u"], "v": t["v"],
+                    "c": pa.array(np.zeros(t.num_rows, np.int64)),
+                    "_side": pa.array(np.zeros(t.num_rows, np.int8))}),
+                batch_format="pyarrow").materialize())
+        return _etag_cache[0]
+
     for r in range(n_rounds):
         frontier = best.filter(expr=f"hops == {r}")
         n_front = frontier.count()
         if n_front == 0:
             break
-        if n_front > broadcast_cap:
-            raise NotImplementedError(
-                "frontier beyond broadcast_cap: wire the tagged-union "
-                "co-partition exactly as bfs_hops does")
-        fp = frontier.to_pandas()
-        order = np.argsort(fp["node"].to_numpy())
-        ref = ray.put((fp["node"].to_numpy(np.int64)[order],
-                       fp["paths"].to_numpy(np.int64)[order]))
+        if n_front <= broadcast_cap:
+            fp = frontier.to_pandas()
+            order = np.argsort(fp["node"].to_numpy())
+            ref = ray.put((fp["node"].to_numpy(np.int64)[order],
+                           fp["paths"].to_numpy(np.int64)[order]))
 
-        def expand(t: pa.Table, _r=r, _ref=ref) -> pa.Table:
-            fn, fc = ray.get(_ref)
-            u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
-            idx = np.clip(np.searchsorted(fn, u), 0,
-                          max(len(fn) - 1, 0))
-            hit = fn[idx] == u if len(fn) else np.zeros(len(u), bool)
-            return pa.table({
-                "node": t["v"].combine_chunks().to_numpy(
-                    zero_copy_only=False)[hit],
-                "hops": pa.array(np.full(int(hit.sum()), _r + 1,
-                                         np.int64)),
-                "paths": pa.array(fc[idx][hit], pa.int64())})
+            def expand(t: pa.Table, _r=r, _ref=ref) -> pa.Table:
+                fn, fc = ray.get(_ref)
+                u = t["u"].combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                idx = np.clip(np.searchsorted(fn, u), 0,
+                              max(len(fn) - 1, 0))
+                hit = (fn[idx] == u if len(fn)
+                       else np.zeros(len(u), bool))
+                return pa.table({
+                    "node": t["v"].combine_chunks().to_numpy(
+                        zero_copy_only=False)[hit],
+                    "hops": pa.array(np.full(int(hit.sum()), _r + 1,
+                                             np.int64)),
+                    "paths": pa.array(fc[idx][hit], pa.int64())})
 
-        cand = ebi.map_batches(expand, batch_format="pyarrow",
-                               zero_copy_batch=True)
+            cand = ebi.map_batches(expand, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        else:
+            # node-keyed tagged-union co-partition (same contract as
+            # bfs_hops / widest_paths): frontier (node, paths) rows
+            # co-locate with their edges, counts gather per bucket
+            ftag = frontier.map_batches(
+                lambda t, _r=r: pa.table({
+                    "key": t["node"].combine_chunks().cast(pa.int64()),
+                    "v": pa.array(np.full(t.num_rows, -1, np.int64)),
+                    "c": t["paths"].combine_chunks().cast(pa.int64()),
+                    "_side": pa.array(np.ones(t.num_rows, np.int8))}),
+                batch_format="pyarrow")
+
+            def cp_expand(g: pd.DataFrame, _r=r) -> pd.DataFrame:
+                f = g[g["_side"] == 1]
+                e = g[g["_side"] == 0]
+                cm = dict(zip(f["key"].to_numpy(), f["c"].to_numpy()))
+                hit = e[e["key"].isin(cm)]
+                return pd.DataFrame({
+                    "node": hit["v"].to_numpy(np.int64),
+                    "hops": np.full(len(hit), _r + 1, np.int64),
+                    "paths": hit["key"].map(cm).to_numpy(np.int64)})
+
+            cand = bucketed_groups(get_etag().union(ftag), "key",
+                                   cp_expand, n_buckets=n_buckets)
 
         def fold(g: pd.DataFrame, _r=r) -> pd.DataFrame:
             settled = g[g["hops"] <= _r]

@@ -4574,12 +4574,14 @@ def test_widest_paths_semiring(ray_session):
 
     edges = [{"s": 0, "d": 1, "w": 5}, {"s": 1, "d": 2, "w": 3},
              {"s": 0, "d": 2, "w": 2}, {"s": 2, "d": 3, "w": 10}]
-    out = widest_paths(
-        ray.data.from_items(edges).repartition(2), "s", "d", "w",
-        ray.data.from_items([{"node": 0}]), n_rounds=3,
-        n_buckets=2).to_pandas()
-    got = {int(r["node"]): int(r["width"]) for _, r in out.iterrows()}
-    assert got == {0: int(WIDEST_SEED_W), 1: 5, 2: 3, 3: 3}
+    for cap in (5_000_000, 0):  # broadcast path AND co-partition path
+        out = widest_paths(
+            ray.data.from_items(edges).repartition(2), "s", "d", "w",
+            ray.data.from_items([{"node": 0}]), n_rounds=3,
+            n_buckets=2, broadcast_cap=cap).to_pandas()
+        got = {int(r["node"]): int(r["width"])
+               for _, r in out.iterrows()}
+        assert got == {0: int(WIDEST_SEED_W), 1: 5, 2: 3, 3: 3}, cap
 
 
 def test_shortest_path_counts_diamond(ray_session):
@@ -4589,12 +4591,13 @@ def test_shortest_path_counts_diamond(ray_session):
     # reachable two ways at hop 1
     edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (0, 5), (9, 5)]
     seeds = [{"node": 0}, {"node": 9}]
-    out = shortest_path_counts(
-        ray.data.from_items(
-            [{"s": a, "d": b} for a, b in edges]).repartition(3),
-        "s", "d", ray.data.from_items(seeds), n_rounds=3,
-        n_buckets=2).to_pandas()
-    got = {int(r["node"]): (int(r["hops"]), int(r["paths"]))
-           for _, r in out.iterrows()}
-    assert got == {0: (0, 1), 9: (0, 1), 1: (1, 1), 2: (1, 1),
-                   5: (1, 2), 3: (2, 2), 4: (3, 2)}
+    for cap in (5_000_000, 0):  # broadcast path AND co-partition path
+        out = shortest_path_counts(
+            ray.data.from_items(
+                [{"s": a, "d": b} for a, b in edges]).repartition(3),
+            "s", "d", ray.data.from_items(seeds), n_rounds=3,
+            n_buckets=2, broadcast_cap=cap).to_pandas()
+        got = {int(r["node"]): (int(r["hops"]), int(r["paths"]))
+               for _, r in out.iterrows()}
+        assert got == {0: (0, 1), 9: (0, 1), 1: (1, 1), 2: (1, 1),
+                       5: (1, 2), 3: (2, 2), 4: (3, 2)}, cap
