@@ -86,3 +86,26 @@ def test_entry_smoke(ray_session):
     df = entrymod.entry()
     assert len(df) > 0
     assert {"sink", "severity", "doc_count"} <= set(df.columns)
+
+
+def test_bench_list_and_coverage_complete():
+    """Guard the cross-file contracts: every BENCH_QUERIES name is a
+    real queries() entry, and every queries() entry is mapped in
+    COVERAGE.md (q:NAME marker)."""
+    import ast
+    import pathlib
+
+    import __ray_entry__ as m
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    tree = ast.parse((root / "bench.py").read_text())
+    names = None
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign)
+                and getattr(node.targets[0], "id", "") == "BENCH_QUERIES"):
+            names = [ast.literal_eval(e) for e in node.value.elts]
+    qs = set(m.queries())
+    assert names and not set(names) - qs, sorted(set(names) - qs)
+    cov = (root / "COVERAGE.md").read_text()
+    unmapped = [q for q in sorted(qs) if f"q:{q}" not in cov]
+    assert not unmapped, unmapped
