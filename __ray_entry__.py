@@ -3301,6 +3301,17 @@ def q_cdc_chunks(sf_dir: str):
     return cdc_chunk_stats(ds, "text", window=16, mask_bits=5)
 
 
+def q_skipgrams(sf_dir: str):
+    """Top-20 positional skip-gram pairs within a 3-word window
+    (ops/textstats.py:skipgram_topk) -- the word2vec/GloVe
+    co-occurrence statistic; flat-stream offset pairing under
+    doc-boundary masks, vocabulary^2-bounded partials."""
+    from ci_log_processing_ray.ops.textstats import skipgram_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return skipgram_topk(ds, "text", window=3, k=20)
+
+
 def q_lm_score(sf_dir: str):
     """Bigram-LM document quality scoring
     (ops/textstats.py:score_docs_bigram): train corpus bigram permille
@@ -5380,6 +5391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": q_source_overlap,
         "count_of_counts": q_count_of_counts,
         "cdc_chunks": q_cdc_chunks,
+        "skipgrams": q_skipgrams,
         "trimmed_mean": q_trimmed_mean,
         "lm_score": q_lm_score,
         "contract": q_contract,
@@ -7484,6 +7496,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'shipdate_null',
                    CAST(count(*) FILTER (WHERE l_shipdate IS NULL)
                         AS BIGINT) FROM lineitem""",
+        "skipgrams": """
+            WITH l AS (SELECT list_filter(
+                           string_split_regex(lower(text),
+                                              '[^a-z0-9_]+'),
+                           x -> x != '') AS w
+                       FROM documents),
+            p AS (
+                SELECT u.g[1] AS w1, u.g[2] AS w2 FROM l,
+                  LATERAL (SELECT unnest(list_zip(w, w[2:])) AS g) u
+                WHERE u.g[2] IS NOT NULL
+                UNION ALL
+                SELECT u.g[1], u.g[2] FROM l,
+                  LATERAL (SELECT unnest(list_zip(w, w[3:])) AS g) u
+                WHERE u.g[2] IS NOT NULL
+                UNION ALL
+                SELECT u.g[1], u.g[2] FROM l,
+                  LATERAL (SELECT unnest(list_zip(w, w[4:])) AS g) u
+                WHERE u.g[2] IS NOT NULL)
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2
+            ORDER BY n DESC, w1, w2 LIMIT 20""",
         "count_of_counts": """
             WITH l AS (SELECT list_filter(
                            string_split_regex(lower(text),

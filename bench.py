@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "widest_paths",
     "path_counts",
+    "skipgrams",
     "bfs_hops",
     "target_encode",
     "kfold",

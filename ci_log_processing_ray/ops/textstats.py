@@ -1286,3 +1286,65 @@ def ngram_count_of_counts(
         lambda t: pa.table({"ord": t["ord"], "freq": t["freq"],
                             "n_ngrams": t["sum(n_ngrams)"]}),
         batch_format="pyarrow")
+
+
+def skipgram_topk(
+    ds: ray.data.Dataset,
+    text_col: str,
+    *,
+    window: int = 3,
+    k: int = 20,
+) -> ray.data.Dataset:
+    """Top-``k`` positional skip-gram pairs: ordered word pairs
+    (w1, w2) with w2 at most ``window`` positions after w1 inside one
+    document -- the co-occurrence statistic word2vec/GloVe train on
+    (doc-level cooccurrence and adjacent-only collocations both miss
+    it).  Exact counts; ties at the k boundary break by
+    (n desc, w1, w2).
+
+    Scale shape: the flat word stream pairs with itself at each of the
+    ``window`` offsets under a doc-boundary mask (no per-doc dispatch);
+    blocks collapse to local pair counts, so the shuffle carries
+    vocabulary^2-bounded partials and the final native groupby + tiny
+    sort stay vocabulary-shaped."""
+    from ray.data.aggregate import Sum
+
+    from ci_log_processing_ray.ops.curation import _word_stream
+
+    sep = "\x1f"
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, n_words = _word_stream(t[text_col])
+        w = pd.Series(flat.to_numpy(zero_copy_only=False))
+        ends = np.cumsum(n_words)
+        parts = []
+        for off in range(1, window + 1):
+            if len(w) <= off:
+                break
+            # pair i with i+off unless i+off crosses a doc end
+            mask = np.ones(len(w) - off, bool)
+            for d in range(1, off + 1):
+                cut = ends - d
+                cut = cut[(cut >= 0) & (cut < len(w) - off)]
+                mask[cut] = False
+            parts.append(w.iloc[:-off].reset_index(drop=True)[mask]
+                         + sep
+                         + w.iloc[off:].reset_index(drop=True)[mask])
+        if not parts:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = pd.concat(parts, ignore_index=True).value_counts(
+            sort=False)
+        pairs = vc.index.to_numpy()
+        spl = pd.Series(pairs).str.split(sep, expand=True)
+        return pa.table({
+            "w1": pa.array(spl[0].to_numpy(), pa.string()),
+            "w2": pa.array(spl[1].to_numpy(), pa.string()),
+            "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n")))
+    return counts.sort(["n", "w1", "w2"],
+                       descending=[True, False, False]).limit(k)

@@ -4601,3 +4601,23 @@ def test_shortest_path_counts_diamond(ray_session):
                for _, r in out.iterrows()}
         assert got == {0: (0, 1), 9: (0, 1), 1: (1, 1), 2: (1, 1),
                        5: (1, 2), 3: (2, 2), 4: (3, 2)}, cap
+
+
+def test_skipgram_topk_exact(ray_session):
+    from collections import Counter
+
+    from ci_log_processing_ray.ops.textstats import skipgram_topk
+
+    texts = ["a b c a", "b a", "c", "a a a"]
+    want = Counter()
+    for t in texts:
+        ws = t.split()
+        for i in range(len(ws)):
+            for off in (1, 2):
+                if i + off < len(ws):
+                    want[(ws[i], ws[i + off])] += 1
+    out = skipgram_topk(
+        ray.data.from_items([{"t": t} for t in texts]).repartition(3),
+        "t", window=2, k=100).to_pandas()
+    got = {(r["w1"], r["w2"]): int(r["n"]) for _, r in out.iterrows()}
+    assert got == dict(want)
