@@ -3498,6 +3498,19 @@ def q_caliper_match(sf_dir: str):
                          caliper=10000)
 
 
+def q_join_audit(sf_dir: str):
+    """Exact join-cardinality audit without executing the join
+    (ops/relational.py:join_size_audit): orders |><| lineitem on
+    orderkey -- per-key count partials, one key-bucketed co-partition,
+    Python-int folds (no wrap on 10^18-row products).  The planner
+    safety check before an all-to-all join at 100 TB."""
+    from ci_log_processing_ray.ops.relational import join_size_audit
+
+    o = _read(sf_dir, "orders", ["o_orderkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return join_size_audit(o, li, "o_orderkey", "l_orderkey")
+
+
 def q_butterflies(sf_dir: str):
     """Butterfly (bipartite 4-cycle) count of the order-part graph
     (ops/relational.py:butterfly_count): item-centered wedges combine
@@ -5408,6 +5421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "widest_paths": q_widest_paths,
         "path_counts": q_path_counts,
         "caliper_match": q_caliper_match,
+        "join_audit": q_join_audit,
         "bfs_hops": q_bfs_hops,
         "transitions": q_transitions,
         "global_rank": q_global_rank,
@@ -7285,6 +7299,19 @@ def oracle_sql() -> dict[str, str]:
                     JOIN e e2 ON e1.b = e2.a
                     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
                      AS n_triangles""",
+        "join_audit": """
+            WITH lc AS (SELECT o_orderkey AS key, count(*) AS nl
+                        FROM orders GROUP BY 1),
+            rc AS (SELECT l_orderkey AS key, count(*) AS nr
+                   FROM lineitem GROUP BY 1),
+            j AS (SELECT lc.key, nl * nr AS amp
+                  FROM lc JOIN rc USING (key))
+            SELECT CAST(sum(amp) AS BIGINT) AS join_rows,
+                   CAST(max(amp) AS BIGINT) AS max_amplification,
+                   (SELECT key FROM j ORDER BY amp DESC, key LIMIT 1)
+                     AS hot_key,
+                   CAST(count(*) AS BIGINT) AS n_shared_keys
+            FROM j""",
         "caliper_match": """
             WITH o AS (SELECT o_orderkey AS id,
                               CAST(floor(o_totalprice * 100 + 0.5)

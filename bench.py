@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "widest_paths",
     "path_counts",
     "skipgrams",
+    "join_audit",
     "bfs_hops",
     "target_encode",
     "kfold",

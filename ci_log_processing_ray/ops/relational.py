@@ -1297,3 +1297,89 @@ def common_neighbors_link_prediction(
                          "n_common": t["n"]})
 
     return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def join_size_audit(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    *,
+    n_buckets: int | None = None,
+) -> pa.Table:
+    """Exact join-cardinality audit WITHOUT executing the join: the
+    planner-style safety check before an all-to-all join at scale
+    (output rows = sum over shared keys of |L_k| * |R_k|; a single
+    hot key can make that explode).  Returns one row: join_rows,
+    max_amplification (the largest per-key |L_k| * |R_k|), hot_key
+    (achieving it, ties to the smaller key), n_shared_keys -- all
+    int64.
+
+    Scale shape: each side collapses blockwise to (key, count)
+    partials, the two count tables co-partition through ONE
+    key-bucketed tagged union (key cardinality is corpus-shaped --
+    bucketed kernels, never a driver materialization), and each
+    bucket emits a 1-row partial; the driver folds n_buckets rows in
+    Python ints (no int64 wrap on 10^18-row products)."""
+    from .window import bucketed_groups
+
+    def side_counts(ds, key, side):
+        def partial(t: pa.Table) -> pa.Table:
+            k = t[key].combine_chunks()
+            vc = k.value_counts()
+            return pa.table({
+                "key": vc.field("values").cast(pa.int64()),
+                "c": pc.cast(vc.field("counts"), pa.int64()),
+                "side": pa.array(np.full(len(vc), side, np.int64))})
+
+        return ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    import pyarrow.compute as pc
+
+    tagged = side_counts(left, left_key, 0).union(
+        side_counts(right, right_key, 1))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["key", "side"], sort=False)["c"].sum()
+               .unstack("side", fill_value=0))
+        if 0 not in agg.columns or 1 not in agg.columns:
+            return pd.DataFrame({
+                "join_rows": [0], "max_amplification": [0],
+                "hot_key": [np.int64(-1)], "n_shared_keys": [0]})
+        nl = agg.get(0).to_numpy(np.int64)
+        nr = agg.get(1).to_numpy(np.int64)
+        shared = (nl > 0) & (nr > 0)
+        amp = (nl[shared].astype(object)
+               * nr[shared].astype(object))  # Python ints: no wrap
+        keys = agg.index.to_numpy(np.int64)[shared]
+        if not len(keys):
+            return pd.DataFrame({
+                "join_rows": [0], "max_amplification": [0],
+                "hot_key": [np.int64(-1)], "n_shared_keys": [0]})
+        order = np.lexsort((keys, [-int(a) for a in amp]))
+        best = order[0]
+        return pd.DataFrame({
+            "join_rows": [int(amp.sum())],
+            "max_amplification": [int(amp[best])],
+            "hot_key": [np.int64(keys[best])],
+            "n_shared_keys": [len(keys)]})
+
+    parts = bucketed_groups(tagged, "key", fold,
+                            n_buckets=n_buckets).to_pandas()
+    if not len(parts):
+        z = pa.array([0], pa.int64())
+        return pa.table({"join_rows": z, "max_amplification": z,
+                         "hot_key": pa.array([-1], pa.int64()),
+                         "n_shared_keys": z})
+    amp = parts["max_amplification"].to_numpy()
+    keys = parts["hot_key"].to_numpy()
+    order = np.lexsort((keys, -amp))
+    best = order[0]
+    return pa.table({
+        "join_rows": pa.array(
+            [sum(int(x) for x in parts["join_rows"])], pa.int64()),
+        "max_amplification": pa.array([int(amp[best])], pa.int64()),
+        "hot_key": pa.array([int(keys[best])], pa.int64()),
+        "n_shared_keys": pa.array(
+            [int(parts["n_shared_keys"].sum())], pa.int64())})

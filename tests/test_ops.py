@@ -4621,3 +4621,22 @@ def test_skipgram_topk_exact(ray_session):
         "t", window=2, k=100).to_pandas()
     got = {(r["w1"], r["w2"]): int(r["n"]) for _, r in out.iterrows()}
     assert got == dict(want)
+
+
+def test_join_size_audit_exact(ray_session):
+    from ci_log_processing_ray.ops.relational import join_size_audit
+
+    L = ray.data.from_items([{"k": x} for x in [1, 1, 1, 2, 3]])
+    R = ray.data.from_items([{"j": x} for x in [1, 1, 2, 2, 2, 4]])
+    out = join_size_audit(L.repartition(2), R.repartition(3),
+                          "k", "j", n_buckets=2).to_pandas()
+    assert (int(out.join_rows[0]), int(out.max_amplification[0]),
+            int(out.hot_key[0]), int(out.n_shared_keys[0])) \
+        == (9, 6, 1, 2)
+
+    # amplification tie -> smaller key wins
+    L2 = ray.data.from_items([{"k": x} for x in [5, 5, 6, 6]])
+    R2 = ray.data.from_items([{"j": x} for x in [5, 6]])
+    out2 = join_size_audit(L2, R2, "k", "j", n_buckets=2).to_pandas()
+    assert (int(out2.join_rows[0]), int(out2.max_amplification[0]),
+            int(out2.hot_key[0])) == (4, 2, 5)
