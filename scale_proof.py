@@ -2704,6 +2704,89 @@ def main_causal() -> None:
         ray.shutdown()
 
 
+def main_audit() -> None:
+    """join_size_audit at 2x40M rows + source_vocab_overlap at 24M
+    docs, closed forms.
+
+    Join audit: keys 0..K-1 with left multiplicity 1+(k%3) and right
+    1+(k%5): join_rows = sum over the period-15 cycle (closed form),
+    max_amplification = 15 first achieved at hot_key = 14.
+
+    Overlap: S sources, every doc of source s is 'shared only<s>':
+    every pair has inter = 1, uni = 3, for all C(S,2) pairs -- corpus
+    size is irrelevant to the output (the vocabulary contract)."""
+    import ray
+    from ray.data import DataContext
+
+    K = int(os.environ.get("GRAFT_AU_KEYS", "20000000"))
+    U = int(os.environ.get("GRAFT_AU_DOCS", "24000000"))
+    S = 20
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.relational import join_size_audit
+        from ci_log_processing_ray.ops.textstats import (
+            source_vocab_overlap)
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU).map_batches(
+            lambda b: b).count()
+        results = {}
+
+        def side(mod):
+            def gen(b: pa.Table) -> pa.Table:
+                k = b["id"].combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                reps = 1 + (k % mod)
+                return pa.table({"key": np.repeat(k, reps)})
+            return ray.data.range(
+                K, override_num_blocks=NCPU).map_batches(
+                gen, batch_format="pyarrow")
+
+        t0 = time.perf_counter()
+        out = join_size_audit(side(3), side(5), "key", "key").to_pandas()
+        sec = time.perf_counter() - t0
+        cyc = sum((1 + a % 3) * (1 + a % 5) for a in range(15))
+        tail = sum((1 + a % 3) * (1 + a % 5) for a in range(K % 15))
+        want_rows = (K // 15) * cyc + tail
+        got = (int(out.join_rows[0]), int(out.max_amplification[0]),
+               int(out.hot_key[0]), int(out.n_shared_keys[0]))
+        assert got == (want_rows, 15, 14, K), got
+        nl = K + sum(a % 3 for a in range(15)) * (K // 15)
+        results["join_size_audit"] = {
+            "sec": round(sec, 2),
+            "input_rows": "~2x40M",
+            "rows_per_sec": round(4 * K / sec),
+            "truth": "period-15 closed form; hot_key 14 at amp 15"}
+
+        texts = np.array([f"shared only{s}" for s in range(S)], object)
+
+        def dgen(b: pa.Table) -> pa.Table:
+            i = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({
+                "src": pa.array(pd.Series(i % S).map(
+                    lambda x: f"s{x:02d}").to_numpy(), pa.string()),
+                "text": pa.array(texts[i % S])})
+
+        docs = ray.data.range(U, override_num_blocks=NCPU).map_batches(
+            dgen, batch_format="pyarrow")
+        t0 = time.perf_counter()
+        ov = source_vocab_overlap(docs, "src", "text").to_pandas()
+        sec = time.perf_counter() - t0
+        assert len(ov) == S * (S - 1) // 2
+        assert (ov["inter"] == 1).all() and (ov["uni"] == 3).all()
+        results["source_vocab_overlap"] = {
+            "sec": round(sec, 2), "n_docs": U,
+            "docs_per_sec": round(U / sec),
+            "truth": "C(20,2) pairs, inter=1 uni=3 exactly"}
+
+        print(json.dumps({
+            "num_cpus": NCPU, "ops": results, "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 def main_semiring() -> None:
     """widest_paths + shortest_path_counts at ~12M edge rows each,
     closed forms per planted site.
@@ -3297,5 +3380,7 @@ if __name__ == "__main__":
         main_cdc()
     elif len(sys.argv) > 1 and sys.argv[1] == "semiring":
         main_semiring()
+    elif len(sys.argv) > 1 and sys.argv[1] == "audit":
+        main_audit()
     else:
         main()
