@@ -2685,6 +2685,19 @@ def q_attribution(sf_dir: str):
                               "event_id", conversion="purchase")
 
 
+def q_survival(sf_dir: str):
+    """Kaplan-Meier survival table
+    (ops/window.py:survival_table): days from first signup to first
+    purchase per user, censored at the corpus horizon -- exact
+    integer (n_events, n_at_risk) per event duration; S(t) follows
+    by division outside the hash path."""
+    from ci_log_processing_ray.ops.window import survival_table
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return survival_table(ev, "user_id", "ts", "event_type",
+                          start="signup", event="purchase")
+
+
 def q_funnel(sf_dir: str):
     """Two-step funnel (view -> purchase within 30 min, per user):
     one co-partitioning shuffle of (user, ts, side) triples, per-bucket
@@ -5378,6 +5391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr": q_ppr,
         "hits": q_hits,
         "attribution": q_attribution,
+        "survival": q_survival,
         "funnel": q_funnel,
         "profile": q_profile,
         "snapshot_diff": q_snapshot_diff,
@@ -7858,6 +7872,33 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             WHERE p.vec_id NOT IN (SELECT id FROM core)
               AND p.vec_id NOT IN (SELECT id FROM bl)""",
+        "survival": """
+            WITH u AS (SELECT user_id,
+                              min(ts) FILTER (WHERE event_type =
+                                              'signup') AS t0
+                       FROM events GROUP BY user_id),
+            s AS (SELECT user_id, t0 FROM u WHERE t0 IS NOT NULL),
+            e AS (SELECT s.user_id, s.t0, min(ev.ts) AS te
+                  FROM s LEFT JOIN events ev
+                    ON ev.user_id = s.user_id
+                   AND ev.event_type = 'purchase' AND ev.ts >= s.t0
+                  GROUP BY s.user_id, s.t0),
+            h AS (SELECT max(ts) AS hz FROM events),
+            obs AS (SELECT CASE WHEN te IS NOT NULL
+                        THEN epoch_us(te - t0) // 86400000000
+                        ELSE epoch_us(hz - t0) // 86400000000
+                      END AS dur,
+                      te IS NOT NULL AS ev
+                    FROM e, h),
+            g AS (SELECT dur,
+                         count(*) FILTER (WHERE ev) AS n_events,
+                         count(*) AS n_total
+                  FROM obs GROUP BY dur)
+            SELECT CAST(dur AS BIGINT) AS duration_days,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(sum(n_total) OVER (ORDER BY dur DESC)
+                        AS BIGINT) AS n_at_risk
+            FROM g QUALIFY n_events > 0""",
         "attribution": """
             WITH e AS (
                 SELECT user_id, ts, event_id, event_type,

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "path_counts",
     "skipgrams",
     "join_audit",
+    "survival",
     "bfs_hops",
     "target_encode",
     "kfold",

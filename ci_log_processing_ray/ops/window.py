@@ -1546,3 +1546,80 @@ def trimmed_mean_stats(
         return out.rename(columns={"g": group_col})
 
     return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
+
+
+def survival_table(
+    ds: "ray.data.Dataset",
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    *,
+    start: str,
+    event: str,
+    n_buckets: int | None = None,
+) -> pa.Table:
+    """Kaplan-Meier survival table (time-to-event ingredients, exact
+    int64): per observed EVENT duration d (whole days from a user's
+    first ``start`` to their first ``event`` at-or-after it),
+    ``n_events`` = users converting at d and ``n_at_risk`` = users
+    whose observed duration (event, or censoring at the global max
+    timestamp) is >= d.  S(t) = prod(1 - d_i/n_i) follows exactly;
+    emitting the integer pair keeps the hash path division-free.
+
+    Scale shape: one user-bucketed exchange; the per-bucket kernel is
+    two vectorized merges (first start per user, first at-or-after
+    event per user), so only (user, t0, te) triples leave the
+    buckets; the censoring horizon is one tiny max aggregate, and the
+    day table folds driver-side -- duration cardinality is the study
+    length in days (vocabulary contract), never user-shaped."""
+    from ray.data.aggregate import Max
+
+    sel = ds.select_columns([user_col, ts_col, type_col])
+    horizon = sel.aggregate(Max(ts_col))[f"max({ts_col})"]
+    hz_us = np.datetime64(horizon, "us").astype(np.int64)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g[type_col] == start]
+        u0 = (s.groupby(user_col, as_index=False)[ts_col].min()
+              .rename(columns={ts_col: "t0"}))
+        ev = g[g[type_col] == event].merge(u0, on=user_col)
+        ev = ev[ev[ts_col] >= ev["t0"]]
+        te = (ev.groupby(user_col, as_index=False)[ts_col].min()
+              .rename(columns={ts_col: "te"}))
+        out = u0.merge(te, on=user_col, how="left")
+        t0 = out["t0"].to_numpy("datetime64[us]").astype(np.int64)
+        tev = out["te"].to_numpy("datetime64[us]")
+        conv = ~pd.isna(out["te"]).to_numpy()
+        te_us = np.where(conv, tev.astype(np.int64), 0)
+        de = np.where(conv, (te_us - t0) // 86_400_000_000, -1)
+        dc = (hz_us - t0) // 86_400_000_000
+        return pd.DataFrame({"de": de.astype(np.int64),
+                             "dc": dc.astype(np.int64)})
+
+    per_user = bucketed_groups(sel, user_col, kern,
+                               n_buckets=n_buckets)
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        de = t["de"].combine_chunks().to_numpy(zero_copy_only=False)
+        dc = t["dc"].combine_chunks().to_numpy(zero_copy_only=False)
+        dur = np.where(de >= 0, de, dc)
+        evf = (de >= 0).astype(np.int64)
+        d = (pd.DataFrame({"dur": dur, "ev": evf})
+             .groupby("dur", as_index=False)
+             .agg(n_events=("ev", "sum"), n_total=("ev", "size")))
+        return pa.table({
+            "dur": d["dur"].to_numpy(np.int64),
+            "n_events": d["n_events"].to_numpy(np.int64),
+            "n_total": d["n_total"].to_numpy(np.int64)})
+
+    days = (per_user.map_batches(day_partial, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("dur", as_index=False).sum()
+            .sort_values("dur", ascending=False))
+    at_risk = days["n_total"].cumsum()
+    out = pd.DataFrame({
+        "duration_days": days["dur"].to_numpy(np.int64),
+        "n_events": days["n_events"].to_numpy(np.int64),
+        "n_at_risk": at_risk.to_numpy(np.int64)})
+    out = out[out["n_events"] > 0].sort_values("duration_days")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -4640,3 +4640,35 @@ def test_join_size_audit_exact(ray_session):
     out2 = join_size_audit(L2, R2, "k", "j", n_buckets=2).to_pandas()
     assert (int(out2.join_rows[0]), int(out2.max_amplification[0]),
             int(out2.hot_key[0])) == (4, 2, 5)
+
+
+def test_survival_table_km(ray_session):
+    import datetime
+
+    from ci_log_processing_ray.ops.window import survival_table
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(u, day, ty):
+        return {"u": u, "ts": t0 + datetime.timedelta(days=day),
+                "event_type": ty}
+
+    rows = [
+        ev(1, 0, "signup"), ev(1, 2, "buy"),           # event at d=2
+        ev(2, 0, "signup"), ev(2, 2, "buy"),           # event at d=2
+        ev(3, 1, "signup"), ev(3, 4, "buy"),           # event at d=3
+        ev(4, 0, "signup"),                            # censored d=10
+        ev(5, 3, "buy"), ev(5, 5, "signup"),           # pre-start buy
+                                                       # -> censored 5
+        ev(6, 10, "other"),                            # horizon marker
+    ]
+    out = survival_table(
+        ray.data.from_items(rows).repartition(3), "u", "ts",
+        "event_type", start="signup", event="buy",
+        n_buckets=2).to_pandas()
+    got = {int(r["duration_days"]): (int(r["n_events"]),
+                                     int(r["n_at_risk"]))
+           for _, r in out.iterrows()}
+    # durations: u1=2ev, u2=2ev, u3=3ev, u4=10cens, u5=5cens
+    # at_risk(2)=5, at_risk(3)=3
+    assert got == {2: (2, 5), 3: (1, 3)}
