@@ -2698,6 +2698,73 @@ def q_survival(sf_dir: str):
                           start="signup", event="purchase")
 
 
+def q_rfm(sf_dir: str):
+    """RFM segmentation (recency / frequency / monetary quintiles,
+    the classic CRM scoring): per customer the days since last order
+    (vs the corpus horizon), order count, and cents total; each
+    dimension quintiles against its exact distributed percentile_disc
+    thresholds (ops/quantile.py:quantile_disc_by_group -- the only
+    corpus-shaped exchanges are the per-customer aggregate and the
+    quantile partials; thresholds broadcast as 4 ints per dimension)
+    and rfm_code = 100*rq + 10*fq + mq.  Quintiles ascend with the
+    raw value in ALL dimensions (recency quintile 1 = most recent)."""
+    from ci_log_processing_ray.ops.quantile import quantile_disc_by_group
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cust": t["o_custkey"],
+            "date_us": pc.cast(t["o_orderdate"].combine_chunks()
+                               .cast(pa.timestamp("us")), pa.int64()),
+            "cents": _cents(t["o_totalprice"])})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow")
+    hz = int(rows.aggregate(Max("date_us"))["max(date_us)"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("cust", as_index=False)
+               .agg(last_us=("date_us", "max"),
+                    freq=("date_us", "size"),
+                    monetary_cents=("cents", "sum")))
+        out["r_days"] = ((hz - out["last_us"].to_numpy(np.int64))
+                         // 86_400_000_000)
+        for c in ("last_us", "freq", "monetary_cents", "r_days"):
+            out[c] = out[c].astype(np.int64)
+        return out[["cust", "r_days", "freq", "monetary_cents"]]
+
+    per_cust = bucketed_groups(rows, "cust", agg).materialize()
+
+    def const_g(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(
+            np.zeros(t.num_rows, np.int64)))
+
+    qs = {"q1": 0.2, "q2": 0.4, "q3": 0.6, "q4": 0.8}
+    th = {}
+    for dim in ("r_days", "freq", "monetary_cents"):
+        row = quantile_disc_by_group(
+            per_cust.map_batches(const_g, batch_format="pyarrow"),
+            "g", dim, qs).to_pandas().iloc[0]
+        th[dim] = np.array([row["q1"], row["q2"], row["q3"],
+                            row["q4"]], np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        def q(dim):
+            v = t[dim].combine_chunks().to_numpy(zero_copy_only=False)
+            return 1 + np.searchsorted(th[dim], v,
+                                       side="right").astype(np.int64)
+
+        code = 100 * q("r_days") + 10 * q("freq") + q("monetary_cents")
+        return pa.table({
+            "o_custkey": t["cust"], "r_days": t["r_days"],
+            "freq": t["freq"], "monetary_cents": t["monetary_cents"],
+            "rfm_code": pa.array(code, pa.int64())})
+
+    return per_cust.map_batches(assign, batch_format="pyarrow")
+
+
 def q_funnel(sf_dir: str):
     """Two-step funnel (view -> purchase within 30 min, per user):
     one co-partitioning shuffle of (user, ts, side) triples, per-bucket
@@ -5392,6 +5459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "attribution": q_attribution,
         "survival": q_survival,
+        "rfm": q_rfm,
         "funnel": q_funnel,
         "profile": q_profile,
         "snapshot_diff": q_snapshot_diff,
@@ -7872,6 +7940,49 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             WHERE p.vec_id NOT IN (SELECT id FROM core)
               AND p.vec_id NOT IN (SELECT id FROM bl)""",
+        "rfm": """
+            WITH c AS (SELECT o_custkey, max(o_orderdate) AS last_d,
+                              CAST(count(*) AS BIGINT) AS freq,
+                              CAST(sum(CAST(floor(o_totalprice * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+                                AS monetary_cents
+                       FROM orders GROUP BY 1),
+            h AS (SELECT max(o_orderdate) AS hz FROM orders),
+            r AS (SELECT o_custkey,
+                         epoch_us(hz - last_d) // 86400000000
+                           AS r_days,
+                         freq, monetary_cents
+                  FROM c, h),
+            t AS (SELECT
+                    quantile_disc(r_days, 0.2) AS r1,
+                    quantile_disc(r_days, 0.4) AS r2,
+                    quantile_disc(r_days, 0.6) AS r3,
+                    quantile_disc(r_days, 0.8) AS r4,
+                    quantile_disc(freq, 0.2) AS f1,
+                    quantile_disc(freq, 0.4) AS f2,
+                    quantile_disc(freq, 0.6) AS f3,
+                    quantile_disc(freq, 0.8) AS f4,
+                    quantile_disc(monetary_cents, 0.2) AS m1,
+                    quantile_disc(monetary_cents, 0.4) AS m2,
+                    quantile_disc(monetary_cents, 0.6) AS m3,
+                    quantile_disc(monetary_cents, 0.8) AS m4
+                  FROM r)
+            SELECT o_custkey, CAST(r_days AS BIGINT) AS r_days, freq,
+                   monetary_cents,
+                   CAST(100 * (1 + (r_days >= r1)::INT
+                               + (r_days >= r2)::INT
+                               + (r_days >= r3)::INT
+                               + (r_days >= r4)::INT)
+                        + 10 * (1 + (freq >= f1)::INT
+                                + (freq >= f2)::INT
+                                + (freq >= f3)::INT
+                                + (freq >= f4)::INT)
+                        + (1 + (monetary_cents >= m1)::INT
+                           + (monetary_cents >= m2)::INT
+                           + (monetary_cents >= m3)::INT
+                           + (monetary_cents >= m4)::INT)
+                        AS BIGINT) AS rfm_code
+            FROM r, t""",
         "survival": """
             WITH u AS (SELECT user_id,
                               min(ts) FILTER (WHERE event_type =

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "skipgrams",
     "join_audit",
     "survival",
+    "rfm",
     "bfs_hops",
     "target_encode",
     "kfold",
