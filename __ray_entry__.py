@@ -2765,6 +2765,36 @@ def q_rfm(sf_dir: str):
     return per_cust.map_batches(assign, batch_format="pyarrow")
 
 
+def q_inventory_balance(sf_dir: str):
+    """Clamped running inventory balance per supplier
+    (ops/window.py:clamped_running_balance): returns restock (+qty),
+    shipments deplete (-qty), stock floors at zero -- the
+    non-associative scan resolved by the closed form
+    b = S - min(0, running_min(S)), one grouped cumsum + cummin."""
+    from ci_log_processing_ray.ops.window import clamped_running_balance
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_orderkey",
+                "l_linenumber", "l_quantity", "l_returnflag"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ret = pc.equal(t["l_returnflag"].combine_chunks(),
+                       "R").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "ship_us": pc.cast(t["l_shipdate"].combine_chunks()
+                               .cast(pa.timestamp("us")), pa.int64()),
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "delta": pa.array(np.where(ret, q, -q), pa.int64())})
+
+    return clamped_running_balance(
+        li.map_batches(prep, batch_format="pyarrow"), "l_suppkey",
+        ["ship_us", "l_orderkey", "l_linenumber"], "delta")
+
+
 def q_funnel(sf_dir: str):
     """Two-step funnel (view -> purchase within 30 min, per user):
     one co-partitioning shuffle of (user, ts, side) triples, per-bucket
@@ -5460,6 +5490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution": q_attribution,
         "survival": q_survival,
         "rfm": q_rfm,
+        "inventory_balance": q_inventory_balance,
         "funnel": q_funnel,
         "profile": q_profile,
         "snapshot_diff": q_snapshot_diff,
@@ -7940,6 +7971,28 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             WHERE p.vec_id NOT IN (SELECT id FROM core)
               AND p.vec_id NOT IN (SELECT id FROM bl)""",
+        "inventory_balance": """
+            WITH x AS (SELECT l_suppkey,
+                              CAST(epoch_us(l_shipdate) AS BIGINT)
+                                AS ship_us,
+                              l_orderkey, l_linenumber,
+                              CASE WHEN l_returnflag = 'R'
+                                THEN CAST(l_quantity AS BIGINT)
+                                ELSE -CAST(l_quantity AS BIGINT)
+                              END AS delta
+                       FROM lineitem),
+            s AS (SELECT *, sum(delta) OVER (PARTITION BY l_suppkey
+                      ORDER BY ship_us, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS ps
+                  FROM x),
+            m AS (SELECT *, min(ps) OVER (PARTITION BY l_suppkey
+                      ORDER BY ship_us, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS rm
+                  FROM s)
+            SELECT l_suppkey, ship_us, l_orderkey, l_linenumber,
+                   delta, CAST(ps - least(0, rm) AS BIGINT)
+                     AS balance
+            FROM m""",
         "rfm": """
             WITH c AS (SELECT o_custkey, max(o_orderdate) AS last_d,
                               CAST(count(*) AS BIGINT) AS freq,

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "join_audit",
     "survival",
     "rfm",
+    "inventory_balance",
     "bfs_hops",
     "target_encode",
     "kfold",

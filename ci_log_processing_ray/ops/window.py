@@ -1623,3 +1623,44 @@ def survival_table(
         "n_at_risk": at_risk.to_numpy(np.int64)})
     out = out[out["n_events"] > 0].sort_values("duration_days")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def clamped_running_balance(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_cols: list[str],
+    delta_col: str,
+    *,
+    out_col: str = "balance",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Running balance clamped at zero per group (inventory /
+    stock-level semantics: you cannot ship what you do not have):
+    ``b_i = max(0, b_{i-1} + delta_i)``.  The scan looks
+    non-associative, but clamping at zero has the closed form
+    ``b_i = S_i - min(0, running_min(S_i))`` over the plain prefix
+    sums S -- one cumsum + one cummin, both vectorizable and both
+    SQL window functions, so the oracle stays binding (this identity
+    is the whole point of the operator: a naive engine loops rows).
+
+    Scale shape: one group-bucketed exchange, whole-bucket kernel
+    (one stable sort, boundary-reset cumsum/cummin via the segment
+    trick -- no per-group dispatch).  All int64."""
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col] + order_cols, kind="mergesort")
+        key = g[group_col].to_numpy()
+        d = g[delta_col].to_numpy(np.int64)
+        n = len(g)
+        # per-group prefix sums and running mins: pandas grouped
+        # cumsum/cummin are single C passes (and unlike
+        # maximum.accumulate base tricks, correct when totals
+        # decrease across group boundaries)
+        s = pd.Series(d).groupby(key).cumsum().to_numpy(np.int64)
+        runmin = pd.Series(s).groupby(key).cummin().to_numpy(np.int64)
+        out = g[[group_col] + order_cols].copy()
+        out[delta_col] = d
+        out[out_col] = s - np.minimum(0, runmin)
+        return out
+
+    return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)

@@ -4672,3 +4672,26 @@ def test_survival_table_km(ray_session):
     # durations: u1=2ev, u2=2ev, u3=3ev, u4=10cens, u5=5cens
     # at_risk(2)=5, at_risk(3)=3
     assert got == {2: (2, 5), 3: (1, 3)}
+
+
+def test_clamped_running_balance(ray_session):
+    from ci_log_processing_ray.ops.window import clamped_running_balance
+
+    rows = [
+        # user a: 5, -10 (clamp to 0), 3 -> balances 5, 0, 3
+        {"g": "a", "i": 1, "d": 5}, {"g": "a", "i": 2, "d": -10},
+        {"g": "a", "i": 3, "d": 3},
+        # user b: -4 (clamp), 2, -1 -> 0, 2, 1
+        {"g": "b", "i": 1, "d": -4}, {"g": "b", "i": 2, "d": 2},
+        {"g": "b", "i": 3, "d": -1},
+        # user c: never clamps
+        {"g": "c", "i": 1, "d": 7}, {"g": "c", "i": 2, "d": -3},
+    ]
+    out = clamped_running_balance(
+        ray.data.from_items(rows).repartition(3), "g", ["i"], "d",
+        n_buckets=2).to_pandas()
+    got = {(r["g"], int(r["i"])): int(r["balance"])
+           for _, r in out.iterrows()}
+    assert got == {("a", 1): 5, ("a", 2): 0, ("a", 3): 3,
+                   ("b", 1): 0, ("b", 2): 2, ("b", 3): 1,
+                   ("c", 1): 7, ("c", 2): 4}
