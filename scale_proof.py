@@ -2704,6 +2704,129 @@ def main_causal() -> None:
         ray.shutdown()
 
 
+def main_lifecycle() -> None:
+    """clamped_running_balance at 40M rows + survival_table at 20M
+    users, closed forms per row / per duration.
+
+    Inventory: every supplier sees the delta pattern [+1, -3]
+    repeated -- prefix sums 1, -2, -1, -4, ... so the clamped balance
+    is EXACTLY 1 on even steps and 0 on odd steps (the clamp fires
+    every other row; b = S - min(0, runmin S) per row).
+
+    Survival: user u signs up at day 0 and converts at day u % 30,
+    except every 3rd user (u % 3 == 0) never converts and is censored
+    at the horizon (day 40 marker): n_events(d) and n_at_risk(d) have
+    exact floor-division closed forms."""
+    import ray
+    from ray.data import DataContext
+
+    SUP = int(os.environ.get("GRAFT_LC_SUPPLIERS", "400000"))
+    PER = 100  # rows per supplier
+    U = int(os.environ.get("GRAFT_LC_USERS", "20000000"))
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.window import (
+            clamped_running_balance, survival_table)
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU).map_batches(
+            lambda b: b).count()
+        results = {}
+
+        def inv_gen(b: pa.Table) -> pa.Table:
+            s = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            sup = np.repeat(s, PER)
+            step = np.tile(np.arange(PER, dtype=np.int64), len(s))
+            delta = np.where(step % 2 == 0, 1, -3).astype(np.int64)
+            return pa.table({"sup": sup, "step": step, "delta": delta})
+
+        rows = ray.data.range(SUP, override_num_blocks=NCPU).map_batches(
+            inv_gen, batch_format="pyarrow")
+        t0 = time.perf_counter()
+        out = clamped_running_balance(rows, "sup", ["step"], "delta")
+
+        def check_inv(t: pa.Table) -> pa.Table:
+            step = t["step"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            bal = t["balance"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            want = np.where(step % 2 == 0, 1, 0)
+            bad = int((bal != want).sum())
+            return pa.table({"n": pa.array([len(step)], pa.int64()),
+                             "bad": pa.array([bad], pa.int64())})
+
+        parts = out.map_batches(check_inv,
+                                batch_format="pyarrow").to_pandas()
+        sec = time.perf_counter() - t0
+        assert int(parts["bad"].sum()) == 0
+        assert int(parts["n"].sum()) == SUP * PER
+        results["clamped_running_balance"] = {
+            "sec": round(sec, 2), "n_rows": SUP * PER,
+            "rows_per_sec": round(SUP * PER / sec),
+            "truth": "per-row balance == parity closed form (clamp "
+                     "fires every other row)"}
+
+        day_us = 86_400_000_000
+        base = np.int64(1_700_000_000_000_000)
+
+        def ev_gen(b: pa.Table) -> pa.Table:
+            u = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            conv = u % 3 != 0
+            uu = np.concatenate([u, u[conv]])
+            ty = np.concatenate([
+                np.full(len(u), "signup", object),
+                np.full(int(conv.sum()), "purchase", object)])
+            ts = np.concatenate([
+                np.full(len(u), base),
+                base + (u[conv] % 30) * day_us])
+            return pa.table({"user_id": uu,
+                             "ts": pa.array(ts.view("M8[us]")),
+                             "event_type": pa.array(ty)})
+
+        horizon_marker = ray.data.from_items(
+            [{"user_id": -1,
+              "ts": np.datetime64(int(base + 40 * day_us),
+                                  "us").item(),
+              "event_type": "other"}])
+        ev = ray.data.range(U, override_num_blocks=NCPU).map_batches(
+            ev_gen, batch_format="pyarrow").union(horizon_marker)
+
+        t0 = time.perf_counter()
+        st = survival_table(ev, "user_id", "ts",
+                            "event_type", start="signup",
+                            event="purchase").to_pandas()
+        sec = time.perf_counter() - t0
+
+        got = {int(r["duration_days"]): (int(r["n_events"]),
+                                         int(r["n_at_risk"]))
+               for _, r in st.iterrows()}
+        # closed form: u %% 30 == d forces u %% 3 == d %% 3 (3 | 30),
+        # so durations with d %% 3 == 0 have zero events; otherwise
+        # n_events(d) = U//30 + (U%%30 > d).  Censored users (u%%3==0,
+        # ceil(U/3) of them) observe duration 40.
+        n_ev = {d: U // 30 + (1 if U % 30 > d else 0)
+                for d in range(30) if d % 3 != 0}
+        n_cens = (U + 2) // 3
+        want = {}
+        for d in sorted(n_ev):
+            at_risk = (sum(n for dd, n in n_ev.items() if dd >= d)
+                       + n_cens)
+            want[d] = (n_ev[d], at_risk)
+        assert got == want, (len(got), len(want))
+        results["survival_table"] = {
+            "sec": round(sec, 2), "n_users": U,
+            "users_per_sec": round(U / sec),
+            "truth": "per-duration (n_events, n_at_risk) == modular "
+                     "closed form"}
+
+        print(json.dumps({
+            "num_cpus": NCPU, "ops": results, "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 def main_audit() -> None:
     """join_size_audit at 2x40M rows + source_vocab_overlap at 24M
     docs, closed forms.
@@ -3382,5 +3505,7 @@ if __name__ == "__main__":
         main_semiring()
     elif len(sys.argv) > 1 and sys.argv[1] == "audit":
         main_audit()
+    elif len(sys.argv) > 1 and sys.argv[1] == "lifecycle":
+        main_lifecycle()
     else:
         main()
