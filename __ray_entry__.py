@@ -2795,6 +2795,28 @@ def q_inventory_balance(sf_dir: str):
         ["ship_us", "l_orderkey", "l_linenumber"], "delta")
 
 
+def q_streaks(sf_dir: str):
+    """Longest strictly-increasing value streak per user
+    (ops/window.py:monotone_streaks): boundary-reset run ids over the
+    (ts, event_id) order, whole-bucket vectorized; ties break runs."""
+    from ci_log_processing_ray.ops.window import monotone_streaks
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"].combine_chunks()
+                             .cast(pa.timestamp("us")), pa.int64()),
+            "event_id": t["event_id"],
+            "cents": _cents(t["value"])})
+
+    return monotone_streaks(ev.map_batches(prep,
+                                           batch_format="pyarrow"),
+                            "user_id", ["ts_us", "event_id"], "cents")
+
+
 def q_funnel(sf_dir: str):
     """Two-step funnel (view -> purchase within 30 min, per user):
     one co-partitioning shuffle of (user, ts, side) triples, per-bucket
@@ -5491,6 +5513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "survival": q_survival,
         "rfm": q_rfm,
         "inventory_balance": q_inventory_balance,
+        "streaks": q_streaks,
         "funnel": q_funnel,
         "profile": q_profile,
         "snapshot_diff": q_snapshot_diff,
@@ -7971,6 +7994,27 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             WHERE p.vec_id NOT IN (SELECT id FROM core)
               AND p.vec_id NOT IN (SELECT id FROM bl)""",
+        "streaks": """
+            WITH x AS (SELECT user_id, ts, event_id,
+                              CAST(floor(value * 100 + 0.5)
+                                   AS BIGINT) AS v
+                       FROM events),
+            s AS (SELECT *, CASE WHEN v > lag(v) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id)
+                      THEN 0 ELSE 1 END AS brk
+                  FROM x),
+            r AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                      AS rid
+                  FROM s),
+            l AS (SELECT user_id, rid, count(*) AS len
+                  FROM r GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(max(len) AS BIGINT) AS longest_streak,
+                   CAST(count(*) FILTER (WHERE len >= 2) AS BIGINT)
+                     AS n_streaks,
+                   CAST(sum(len) AS BIGINT) AS n_rows
+            FROM l GROUP BY user_id""",
         "inventory_balance": """
             WITH x AS (SELECT l_suppkey,
                               CAST(epoch_us(l_shipdate) AS BIGINT)

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "survival",
     "rfm",
     "inventory_balance",
+    "streaks",
     "bfs_hops",
     "target_encode",
     "kfold",

@@ -1664,3 +1664,51 @@ def clamped_running_balance(
         return out
 
     return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
+
+
+def monotone_streaks(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Longest strictly-increasing run per group (momentum/streak
+    analytics: consecutive readings that keep rising in event order),
+    plus the number of maximal increasing runs of length >= 2 and the
+    group row count -- all exact int64.  A run breaks on <= (ties
+    break runs).
+
+    Scale shape: one group-bucketed exchange; whole-bucket vectorized
+    kernel -- one stable sort, one diff, boundary-reset run-id cumsum
+    (the sessionize trick), one groupby-max -- no per-group
+    dispatch."""
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col] + order_cols, kind="mergesort")
+        key = g[group_col].to_numpy()
+        v = g[value_col].to_numpy()
+        n = len(g)
+        newkey = np.r_[True, key[1:] != key[:-1]]
+        rising = np.r_[False, v[1:] > v[:-1]] & ~newkey
+        # run id increments whenever the chain breaks
+        run_id = np.cumsum(~rising)
+        # position within run = index - first index of run
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(~rising, idx, 0))
+        run_len = idx - run_start + 1
+        d = pd.DataFrame({"grp": key, "rid": run_id, "len": run_len})
+        per_run = (d.groupby(["grp", "rid"], sort=False)["len"].max()
+                   .reset_index())
+        per_run["ge2"] = (per_run["len"] >= 2).astype(np.int64)
+        out = (per_run.groupby("grp", as_index=False)
+               .agg(longest_streak=("len", "max"),
+                    n_streaks=("ge2", "sum")))
+        sizes = d.groupby("grp", sort=False).size()
+        out["n_rows"] = out["grp"].map(sizes).astype(np.int64)
+        out["longest_streak"] = out["longest_streak"].astype(np.int64)
+        out["n_streaks"] = out["n_streaks"].astype(np.int64)
+        return out.rename(columns={"grp": group_col})
+
+    return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)

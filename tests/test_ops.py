@@ -4695,3 +4695,23 @@ def test_clamped_running_balance(ray_session):
     assert got == {("a", 1): 5, ("a", 2): 0, ("a", 3): 3,
                    ("b", 1): 0, ("b", 2): 2, ("b", 3): 1,
                    ("c", 1): 7, ("c", 2): 4}
+
+
+def test_monotone_streaks_exact(ray_session):
+    from ci_log_processing_ray.ops.window import monotone_streaks
+
+    rows = (
+        # a: 1 2 3 | 2 | 5 7 (longest 3, two runs >= 2)
+        [{"g": "a", "i": i, "v": v}
+         for i, v in enumerate([1, 2, 3, 2, 5, 7])]
+        # b: 4 4 4 -> ties break runs (longest 1, zero runs)
+        + [{"g": "b", "i": i, "v": 4} for i in range(3)]
+        # c: strictly decreasing (longest 1)
+        + [{"g": "c", "i": i, "v": 9 - i} for i in range(4)]
+    )
+    out = monotone_streaks(
+        ray.data.from_items(rows).repartition(3), "g", ["i"], "v",
+        n_buckets=2).to_pandas()
+    got = {r["g"]: (int(r["longest_streak"]), int(r["n_streaks"]),
+                    int(r["n_rows"])) for _, r in out.iterrows()}
+    assert got == {"a": (3, 2, 6), "b": (1, 0, 3), "c": (1, 0, 4)}
