@@ -2817,6 +2817,76 @@ def q_streaks(sf_dir: str):
                             "user_id", ["ts_us", "event_id"], "cents")
 
 
+def q_below_group_avg(sf_dir: str):
+    """TPC-H Q17 shape (ops/relational.py:below_group_avg_sum):
+    revenue of lineitems with quantity below 20% of their part's
+    average quantity, per returnflag; exact cross-multiplied int64
+    comparison (5*qty*cnt < sum_qty), fact table never shuffled on
+    the broadcast path."""
+    from ci_log_processing_ray.ops.relational import below_group_avg_sum
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity",
+                                    "l_extendedprice", "l_returnflag"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "qty": pc.cast(t["l_quantity"].combine_chunks(),
+                           pa.int64()),
+            "val_cents": _cents(t["l_extendedprice"]),
+            "l_returnflag": t["l_returnflag"]})
+
+    return below_group_avg_sum(
+        li.map_batches(prep, batch_format="pyarrow"),
+        "l_partkey", "qty", "val_cents", "l_returnflag",
+        num=1, den=5)
+
+
+def q_group_share(sf_dir: str):
+    """TPC-H Q11 shape (ops/groupagg.py:group_share_filter): customers
+    whose total spend exceeds 1.5x the average customer's (Q11's
+    threshold is scale-relative; so is this), with exact permille
+    share of the grand total; only survivors reach the driver."""
+    from ci_log_processing_ray.ops.groupagg import group_share_filter
+
+    o = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    return group_share_filter(
+        o.map_batches(prep, batch_format="pyarrow"),
+        "o_custkey", "cents", mult_num=3, mult_den=2)
+
+
+def q_drawdown(sf_dir: str):
+    """Maximum drawdown of each user's running signed balance
+    (purchases credit, everything else debits)
+    (ops/window.py:max_drawdown_by_group): two-level grouped scan
+    (cumsum then cummax) in one bucketed exchange."""
+    from ci_log_processing_ray.ops.window import max_drawdown_by_group
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"]).to_numpy()
+        pos = pc.equal(t["event_type"].combine_chunks(),
+                       "purchase").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"].combine_chunks()
+                             .cast(pa.timestamp("us")), pa.int64()),
+            "event_id": t["event_id"],
+            "delta": pa.array(np.where(pos, cents, -cents),
+                              pa.int64())})
+
+    return max_drawdown_by_group(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id", ["ts_us", "event_id"], "delta")
+
+
 def q_funnel(sf_dir: str):
     """Two-step funnel (view -> purchase within 30 min, per user):
     one co-partitioning shuffle of (user, ts, side) triples, per-bucket
@@ -5514,6 +5584,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm": q_rfm,
         "inventory_balance": q_inventory_balance,
         "streaks": q_streaks,
+        "below_group_avg": q_below_group_avg,
+        "group_share": q_group_share,
+        "drawdown": q_drawdown,
         "funnel": q_funnel,
         "profile": q_profile,
         "snapshot_diff": q_snapshot_diff,
@@ -7994,6 +8067,59 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             WHERE p.vec_id NOT IN (SELECT id FROM core)
               AND p.vec_id NOT IN (SELECT id FROM bl)""",
+        "below_group_avg": """
+            WITH a AS (SELECT l_partkey,
+                              SUM(CAST(l_quantity AS BIGINT)) AS sq,
+                              COUNT(*) AS cnt
+                       FROM lineitem GROUP BY 1)
+            SELECT l.l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_below,
+                   CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_val
+            FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+            WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.cnt < 1 * a.sq
+            GROUP BY 1""",
+        "group_share": """
+            WITH g AS (SELECT o_custkey,
+                              SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                       AS BIGINT)) AS s
+                       FROM orders GROUP BY 1),
+            t AS (SELECT SUM(s) AS total, COUNT(*) AS n FROM g)
+            SELECT g.o_custkey,
+                   CAST(g.s AS BIGINT) AS sum_val,
+                   CAST(CAST(g.s AS HUGEINT) * 1000 // t.total
+                        AS BIGINT) AS share_permille
+            FROM g, t
+            WHERE CAST(g.s AS HUGEINT) * 2 * t.n
+                  > 3 * CAST(t.total AS HUGEINT)""",
+        "drawdown": """
+            WITH x AS (SELECT user_id, ts, event_id,
+                              CASE WHEN event_type = 'purchase'
+                                THEN CAST(floor(value * 100 + 0.5)
+                                          AS BIGINT)
+                                ELSE -CAST(floor(value * 100 + 0.5)
+                                           AS BIGINT)
+                              END AS v
+                       FROM events),
+            s AS (SELECT user_id, ts, event_id, v,
+                         SUM(v) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS ps
+                  FROM x),
+            p AS (SELECT user_id, ps,
+                         MAX(ps) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS pk
+                  FROM s),
+            f AS (SELECT user_id, SUM(v) AS fb, COUNT(*) AS n
+                  FROM x GROUP BY 1),
+            m AS (SELECT user_id, MAX(pk - ps) AS md
+                  FROM p GROUP BY 1)
+            SELECT f.user_id,
+                   CAST(m.md AS BIGINT) AS max_drawdown,
+                   CAST(f.fb AS BIGINT) AS final_balance,
+                   CAST(f.n AS BIGINT) AS n_rows
+            FROM f JOIN m ON f.user_id = m.user_id""",
         "streaks": """
             WITH x AS (SELECT user_id, ts, event_id,
                               CAST(floor(value * 100 + 0.5)

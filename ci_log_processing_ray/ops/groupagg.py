@@ -1461,3 +1461,79 @@ def mann_whitney_u(
             "u2": out["u2"].to_numpy(np.int64)})
 
     return bucketed_groups(pre, "grp", kern, n_buckets=n_buckets)
+
+
+def group_share_filter(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    *,
+    mult_num: int = 3,
+    mult_den: int = 2,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Share-of-global-total group filter (the TPC-H Q11 shape): group
+    sums of ``val_col`` by ``key_col``, keeping groups whose sum
+    exceeds ``(mult_num/mult_den) x`` the AVERAGE group sum -- Q11's
+    threshold is scale-relative (``fraction = 0.0001/SF``), so is this
+    (1.5x-average by default survives any corpus size).  Exact: the
+    cutoff cross-multiplies in Python ints
+    (``s * mult_den * n_groups > mult_num * total``), equivalently
+    ``s > (mult_num * total) // (mult_den * n_groups)`` for integer
+    ``s`` in both divisibility cases; no float shares anywhere.
+
+    Plan: one bucketed exchange collapses per-key partials exactly
+    (key cardinality corpus-shaped); per-block ``(sum, count)``
+    partials of THAT small table fold to ``(total, n_groups)`` in
+    Python ints (int64 wrap guard); the threshold broadcasts into a
+    distributed filter so only surviving groups -- the output itself
+    -- reach the driver, where ``share_permille = 1000*s // total``
+    is computed per row in Python ints.
+
+    Reference parity: TPC-H Q11 ``HAVING value > fraction * total``;
+    SURVEY.md §2.5 extension family.
+    """
+    from .window import bucketed_sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            key_col: t[key_col].combine_chunks(),
+            "_v": t[val_col].combine_chunks().cast(pa.int64())})
+        g = tt.group_by(key_col).aggregate([("_v", "sum")])
+        return pa.table({key_col: g[key_col], "_v": g["_v_sum"]})
+
+    g = bucketed_sum(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key_col], ["_v"], n_buckets=n_buckets)
+
+    def totals(frame: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "t": [int(sum(int(x) for x in frame["_v"]))],
+            "n": [len(frame)]})
+
+    tdf = g.map_batches(totals, batch_format="pandas").to_pandas()
+    total = int(sum(int(x) for x in tdf["t"]))
+    n_groups = int(tdf["n"].sum())
+    if n_groups == 0:
+        return pd.DataFrame({key_col: pd.Series([], dtype=np.int64),
+                             "sum_val": pd.Series([], dtype=np.int64),
+                             "share_permille": pd.Series(
+                                 [], dtype=np.int64)})
+    cutoff = (mult_num * total) // (mult_den * n_groups)
+
+    keep = g.map_batches(
+        lambda f: f[f["_v"].to_numpy() > cutoff],
+        batch_format="pandas").to_pandas()
+    if not len(keep) or "_v" not in keep.columns:
+        # empty pandas-block datasets drop columns on to_pandas()
+        return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                             "sum_val": pd.Series([], dtype=np.int64),
+                             "share_permille": pd.Series(
+                                 [], dtype=np.int64)})
+    s = [int(x) for x in keep["_v"]]
+    return pd.DataFrame({
+        key_col: keep[key_col].to_numpy(),
+        "sum_val": np.asarray(s, np.int64),
+        "share_permille": np.asarray(
+            [(1000 * x) // total for x in s], np.int64)})

@@ -1383,3 +1383,132 @@ def join_size_audit(
         "hot_key": pa.array([int(keys[best])], pa.int64()),
         "n_shared_keys": pa.array(
             [int(parts["n_shared_keys"].sum())], pa.int64())})
+
+
+def below_group_avg_sum(
+    fact: ray.data.Dataset,
+    key_col: str,
+    qty_col: str,
+    val_col: str,
+    out_group_col: str,
+    *,
+    num: int = 1,
+    den: int = 5,
+    broadcast_cap: int = 2_000_000,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Correlated group-average filter-aggregate (the TPC-H Q17 shape):
+    sum ``val_col`` (and count rows) over fact rows whose ``qty_col``
+    is strictly below ``(num/den) * avg(qty) OVER (PARTITION BY key)``,
+    grouped by ``out_group_col``.  The comparison cross-multiplies
+    (``den * qty * cnt < num * sum_qty``) so the plan is exact int64
+    arithmetic end-to-end -- no float average, DuckDB-hashable.
+
+    Plan: (1) per-key ``(sum_qty, cnt)`` partials combine inside each
+    block, then ONE bucketed exchange collapses them exactly (key
+    cardinality is corpus-shaped: parts, users); (2) under
+    ``broadcast_cap`` keys the per-key pair ships once via ``ray.put``
+    and a vectorized searchsorted mask filters every fact block IN
+    PLACE -- the fact table itself is never shuffled; above the cap,
+    aggregate rows and fact rows co-partition by hash(key) in ONE
+    tagged-union exchange (the bfs_hops contract) and join per bucket.
+    Either way the final fold is a vocabulary-sized groupby.
+
+    Int64 bounds: ``den * qty * cnt`` must fit int64 -- true for
+    quantity-like values (<=1e4) against per-key row counts <=1e14.
+
+    Reference parity: TPC-H Q17's avg-subquery semantics; the
+    reference engine (logscraper) has no such operator -- SURVEY.md
+    §2.4 extension family.
+    """
+    from .window import bucketed_groups, bucketed_sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        k = t[key_col].combine_chunks()
+        q = t[qty_col].combine_chunks().cast(pa.int64())
+        tt = pa.table({key_col: k, "_sq": q,
+                       "_n": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by(key_col).aggregate([("_sq", "sum"),
+                                            ("_n", "sum")])
+        return pa.table({key_col: g[key_col], "_sq": g["_sq_sum"],
+                         "_n": g["_n_sum"]})
+
+    agg = bucketed_sum(
+        fact.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        [key_col], ["_sq", "_n"], n_buckets=n_buckets)
+
+    def fact_partial(frame: pd.DataFrame, keys, sq, cnt) -> pd.DataFrame:
+        """Vectorized Q17 mask + vocabulary-sized local fold."""
+        k = frame[key_col].to_numpy()
+        idx = np.searchsorted(keys, k)
+        q = frame[qty_col].to_numpy().astype(np.int64)
+        mask = den * q * cnt[idx] < num * sq[idx]
+        sub = frame.loc[mask, [out_group_col, val_col]]
+        out = sub.groupby(out_group_col, as_index=False,
+                          sort=False).agg(
+            n_below=(val_col, "size"), sum_val=(val_col, "sum"))
+        out["n_below"] = out["n_below"].astype(np.int64)
+        out["sum_val"] = out["sum_val"].astype(np.int64)
+        return out
+
+    n_keys = agg.count()
+    if n_keys <= broadcast_cap:
+        adf = agg.to_pandas().sort_values(key_col)
+        ref = ray.put((adf[key_col].to_numpy(),
+                       adf["_sq"].to_numpy().astype(np.int64),
+                       adf["_n"].to_numpy().astype(np.int64)))
+
+        def apply(frame: pd.DataFrame) -> pd.DataFrame:
+            keys, sq, cnt = ray.get(ref)
+            return fact_partial(frame, keys, sq, cnt)
+
+        parts = fact.map_batches(apply,
+                                 batch_format="pandas").to_pandas()
+    else:
+        # tagged union: side 0 = per-key aggregates, side 1 = fact rows
+        def tag_agg(t: pa.Table) -> pa.Table:
+            z = pa.array(np.zeros(len(t), np.int64))
+            e = pa.array([""] * len(t), pa.string())
+            return pa.table({
+                key_col: t[key_col].combine_chunks().cast(pa.int64()),
+                "_sq": t["_sq"], "_n": t["_n"], qty_col: z,
+                val_col: z, out_group_col: e,
+                "_side": pa.array(np.zeros(len(t), np.int8))})
+
+        def tag_fact(t: pa.Table) -> pa.Table:
+            z = pa.array(np.zeros(len(t), np.int64))
+            return pa.table({
+                key_col: t[key_col].combine_chunks().cast(pa.int64()),
+                "_sq": z, "_n": z,
+                qty_col: t[qty_col].combine_chunks().cast(pa.int64()),
+                val_col: t[val_col].combine_chunks().cast(pa.int64()),
+                out_group_col: t[out_group_col],
+                "_side": pa.array(np.ones(len(t), np.int8))})
+
+        tagged = agg.map_batches(
+            tag_agg, batch_format="pyarrow", zero_copy_batch=True
+        ).union(fact.map_batches(tag_fact, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+
+        def bucket_kern(g: pd.DataFrame) -> pd.DataFrame:
+            side = g["_side"].to_numpy()
+            a = g[side == 0].sort_values(key_col)
+            f = g[side == 1]
+            return fact_partial(
+                f, a[key_col].to_numpy(),
+                a["_sq"].to_numpy().astype(np.int64),
+                a["_n"].to_numpy().astype(np.int64))
+
+        parts = bucketed_groups(tagged, key_col, bucket_kern,
+                                n_buckets=n_buckets).to_pandas()
+
+    if not len(parts):
+        return pd.DataFrame({out_group_col: pd.Series([], dtype=object),
+                             "n_below": pd.Series([], dtype=np.int64),
+                             "sum_val": pd.Series([], dtype=np.int64)})
+    out = parts.groupby(out_group_col, as_index=False, sort=False)[
+        ["n_below", "sum_val"]].sum()
+    out["n_below"] = out["n_below"].astype(np.int64)
+    out["sum_val"] = out["sum_val"].astype(np.int64)
+    return out

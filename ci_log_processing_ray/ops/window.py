@@ -1712,3 +1712,43 @@ def monotone_streaks(
         return out.rename(columns={"grp": group_col})
 
     return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
+
+
+def max_drawdown_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_cols: list[str],
+    val_col: str,
+    *,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Maximum drawdown per group: the largest peak-to-trough decline
+    of the RUNNING SUM of ``val_col`` over the ``order_cols`` order --
+    the risk statistic of a balance/inventory/PnL stream, and a
+    two-level scan (cumsum, then cummax of the cumsum) that plain
+    grouped aggregation cannot express.
+
+    One bucketed exchange; the per-bucket kernel sorts once by
+    (group, *order), runs grouped ``cumsum`` and grouped ``cummax``
+    (both C-speed pandas scans), and folds ``max(peak - sum)``,
+    final balance and row count per group.  Emits int64
+    ``(max_drawdown, final_balance, n_rows)``.
+    """
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, *order_cols], kind="mergesort")
+        keys = g[group_col].to_numpy()
+        s = g.groupby(keys, sort=False)[val_col].cumsum()
+        peak = s.groupby(keys, sort=False).cummax()
+        dd = (peak - s).to_numpy()
+        out = pd.DataFrame({group_col: keys, "_dd": dd,
+                            "_s": s.to_numpy()})
+        res = out.groupby(group_col, as_index=False, sort=False).agg(
+            max_drawdown=("_dd", "max"),
+            final_balance=("_s", "last"),
+            n_rows=("_dd", "size"))
+        for c in ("max_drawdown", "final_balance", "n_rows"):
+            res[c] = res[c].astype(np.int64)
+        return res
+
+    return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)

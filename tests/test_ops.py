@@ -4715,3 +4715,60 @@ def test_monotone_streaks_exact(ray_session):
     got = {r["g"]: (int(r["longest_streak"]), int(r["n_streaks"]),
                     int(r["n_rows"])) for _, r in out.iterrows()}
     assert got == {"a": (3, 2, 6), "b": (1, 0, 3), "c": (1, 0, 4)}
+
+
+def test_below_group_avg_both_paths(ray_session):
+    """Q17 shape: broadcast path == co-partition path == hand truth."""
+    from ci_log_processing_ray.ops.relational import below_group_avg_sum
+
+    # part 1: qtys [1, 10, 10] avg 7 -> 0.2*avg = 1.4 -> only qty 1
+    # part 2: qtys [5, 5]      avg 5 -> 0.2*avg = 1   -> none
+    rows = [
+        {"k": 1, "qty": 1, "val": 100, "g": "A"},
+        {"k": 1, "qty": 10, "val": 200, "g": "A"},
+        {"k": 1, "qty": 10, "val": 300, "g": "B"},
+        {"k": 2, "qty": 5, "val": 400, "g": "A"},
+        {"k": 2, "qty": 5, "val": 500, "g": "B"},
+    ]
+    want = {("A", 1, 100)}
+    for cap in (10_000, 0):  # broadcast path, then co-partition path
+        out = below_group_avg_sum(
+            ray.data.from_items(rows), "k", "qty", "val", "g",
+            num=1, den=5, broadcast_cap=cap, n_buckets=4)
+        got = {(r.g, r.n_below, r.sum_val) for r in out.itertuples()}
+        assert got == want, cap
+
+
+def test_group_share_filter_exact_cutoff(ray_session):
+    """Q11 shape: groups above 1.5x the average group sum survive;
+    the cutoff must be exclusive and exact at the boundary."""
+    from ci_log_processing_ray.ops.groupagg import group_share_filter
+
+    # sums: a=30, b=15, c=15 ; total=60, n=3, avg=20, 1.5x avg=30
+    # -> strict > keeps NOTHING at exactly 30; raise a to 31 -> keeps a
+    rows = [{"k": "a", "v": 30}, {"k": "b", "v": 15},
+            {"k": "c", "v": 15}]
+    out = group_share_filter(ray.data.from_items(rows), "k", "v",
+                             mult_num=3, mult_den=2, n_buckets=4)
+    assert len(out) == 0
+    rows[0]["v"] = 31  # total 61, cutoff floor(3*61/6)=30 -> 31 > 30
+    out = group_share_filter(ray.data.from_items(rows), "k", "v",
+                             mult_num=3, mult_den=2, n_buckets=4)
+    got = {(r.k, r.sum_val, r.share_permille) for r in out.itertuples()}
+    assert got == {("a", 31, (1000 * 31) // 61)}
+
+
+def test_max_drawdown_known_sequence(ray_session):
+    from ci_log_processing_ray.ops.window import max_drawdown_by_group
+
+    # deltas 5,-3,-4,10,-2 -> S=5,2,-2,8,6; peak=5,5,5,8,8
+    # dd = 0,3,7,0,2 -> max 7, final 6
+    rows = [{"u": 1, "o": i, "d": d}
+            for i, d in enumerate([5, -3, -4, 10, -2])]
+    rows += [{"u": 2, "o": 0, "d": 4}]  # single row: dd 0, final 4
+    out = max_drawdown_by_group(
+        ray.data.from_items(rows), "u", ["o"], "d",
+        n_buckets=4).to_pandas()
+    got = {(r.u, r.max_drawdown, r.final_balance, r.n_rows)
+           for r in out.itertuples()}
+    assert got == {(1, 7, 6, 5), (2, 0, 4, 1)}
