@@ -2887,6 +2887,54 @@ def q_drawdown(sf_dir: str):
         "user_id", ["ts_us", "event_id"], "delta")
 
 
+def q_custdist(sf_dir: str):
+    """TPC-H Q13 shape (ops/relational.py:count_distribution):
+    distribution of per-customer urgent-order counts INCLUDING the
+    zero bucket -- the outer join is never executed (zero-count
+    customers recovered by subtraction under the validated FK), the
+    fact stream collapses to per-key count partials before one
+    bucketed exchange, and only the tiny histogram reaches the
+    driver."""
+    from ci_log_processing_ray.ops.relational import count_distribution
+
+    o = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.starts_with(t["o_orderpriority"].combine_chunks(),
+                              "1-")
+        return t.select(["o_custkey"]).filter(keep)
+
+    urgent = o.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    return count_distribution(urgent, "o_custkey", n_cust)
+
+
+def q_numwait(sf_dir: str):
+    """TPC-H Q21 shape (ops/relational.py:sole_flag_members): per
+    supplier, the number of multi-supplier orders where it was the
+    SOLE supplier with a returned ('R') line -- grouped
+    exists/not-exists over the fact table done as distinct
+    (order, supplier, any-R) triples + one order-keyed bucketed
+    exchange; lineitem itself is never shuffled."""
+    from ci_log_processing_ray.ops.relational import sole_flag_members
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "flag": pc.cast(pc.equal(t["l_returnflag"].combine_chunks(),
+                                     "R"), pa.int64())})
+
+    return sole_flag_members(
+        li.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "l_orderkey", "l_suppkey", "flag", min_members=2)
+
+
 def q_funnel(sf_dir: str):
     """Two-step funnel (view -> purchase within 30 min, per user):
     one co-partitioning shuffle of (user, ts, side) triples, per-bucket
@@ -5585,6 +5633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inventory_balance": q_inventory_balance,
         "streaks": q_streaks,
         "below_group_avg": q_below_group_avg,
+        "custdist": q_custdist,
+        "numwait": q_numwait,
         "group_share": q_group_share,
         "drawdown": q_drawdown,
         "funnel": q_funnel,
@@ -8067,6 +8117,28 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             WHERE p.vec_id NOT IN (SELECT id FROM core)
               AND p.vec_id NOT IN (SELECT id FROM bl)""",
+        "custdist": """
+            WITH co AS (SELECT c.c_custkey,
+                               count(o.o_orderkey) AS cnt
+                        FROM customer c LEFT JOIN orders o
+                          ON c.c_custkey = o.o_custkey
+                         AND o.o_orderpriority LIKE '1-%'
+                        GROUP BY 1)
+            SELECT CAST(cnt AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM co GROUP BY 1""",
+        "numwait": """
+            WITH t AS (SELECT l_orderkey, l_suppkey,
+                              max(CASE WHEN l_returnflag = 'R'
+                                  THEN 1 ELSE 0 END) AS f
+                       FROM lineitem GROUP BY 1, 2),
+            g AS (SELECT l_orderkey, count(*) AS ns, sum(f) AS nf
+                  FROM t GROUP BY 1)
+            SELECT t.l_suppkey,
+                   CAST(count(*) AS BIGINT) AS numwait
+            FROM t JOIN g USING (l_orderkey)
+            WHERE g.ns >= 2 AND g.nf = 1 AND t.f = 1
+            GROUP BY 1""",
         "below_group_avg": """
             WITH a AS (SELECT l_partkey,
                               SUM(CAST(l_quantity AS BIGINT)) AS sq,

@@ -1512,3 +1512,126 @@ def below_group_avg_sum(
     out["n_below"] = out["n_below"].astype(np.int64)
     out["sum_val"] = out["sum_val"].astype(np.int64)
     return out
+
+
+def count_distribution(
+    fact: ray.data.Dataset,
+    key_col: str,
+    n_entities_total: int,
+    *,
+    out_count: str = "c_count",
+    out_dist: str = "custdist",
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Distribution of per-entity fact counts INCLUDING the zero bucket
+    (the TPC-H Q13 shape: ``customer LEFT JOIN orders`` -> count per
+    customer -> histogram of counts).  Callers pass the qualifying fact
+    rows (the join filter already applied) and the total entity count;
+    the zero bucket is ``n_entities_total - #keys seen`` -- the
+    LEFT-JOIN itself is never executed (aggregate pushdown: Q13's outer
+    join exists only to keep zero-count entities, which a subtraction
+    recovers exactly under the FK assumption that every fact key IS an
+    entity; document/validate that upstream).
+
+    Plan: per-block Arrow count partials per key collapse the fact
+    stream to at most #entities rows before ONE bucketed exchange
+    (key cardinality is corpus-shaped); the per-key count table then
+    collapses per block to a count-of-counts histogram partial (count
+    domain is tiny), merged by a native vocabulary-shaped groupby.
+    Nothing entity-sized ever reaches the driver.
+
+    Reference parity: TPC-H Q13 custdist; SURVEY.md §2.5 family.
+    """
+    from .window import bucketed_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key_col]).group_by(key_col).aggregate(
+            [([], "count_all")])
+        return pa.table({key_col: g[key_col],
+                         "_n": g["count_all"].cast(pa.int64())})
+
+    per_key = bucketed_sum(
+        fact.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        [key_col], ["_n"], n_buckets=n_buckets)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["_n"]).group_by("_n").aggregate([([], "count_all")])
+        return pa.table({out_count: g["_n"],
+                         out_dist: g["count_all"].cast(pa.int64())})
+
+    hist = (per_key.map_batches(hist_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby(out_count).sum(out_dist)).to_pandas()
+    hist = hist.rename(columns={f"sum({out_dist})": out_dist})
+    n_seen = int(hist[out_dist].sum()) if len(hist) else 0
+    zero = int(n_entities_total) - n_seen
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({out_count: [0], out_dist: [zero]})],
+            ignore_index=True)
+    hist[out_count] = hist[out_count].astype(np.int64)
+    hist[out_dist] = hist[out_dist].astype(np.int64)
+    return hist
+
+
+def sole_flag_members(
+    lines: ray.data.Dataset,
+    group_col: str,
+    member_col: str,
+    flag_col: str,
+    *,
+    min_members: int = 2,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-member count of groups where the member is the SOLE flagged
+    one among >= ``min_members`` distinct members (the TPC-H Q21
+    "suppliers who kept orders waiting" shape: orders touched by many
+    suppliers where exactly one supplier failed).
+
+    Plan: per-block Arrow partial collapses lines to distinct
+    ``(group, member, any(flag))`` triples (bounded by group x member,
+    far below line count); ONE bucketed exchange on ``group``
+    co-locates each group's members; the per-bucket kernel is C-speed
+    pandas (size / flag-sum per group, then the flagged row of groups
+    with exactly one flagged member); surviving members collapse to
+    counts in a second member-keyed bucketed exchange.  The fat line
+    table is never shuffled -- only the distinct triples move.
+
+    Reference parity: TPC-H Q21 numwait; SURVEY.md §2.5 family.
+    """
+    from .window import bucketed_groups, bucketed_sum
+
+    def triple_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            group_col: t[group_col].combine_chunks(),
+            member_col: t[member_col].combine_chunks(),
+            "_f": t[flag_col].combine_chunks().cast(pa.int64())})
+        g = tt.group_by([group_col, member_col]).aggregate([("_f", "max")])
+        return pa.table({group_col: g[group_col],
+                         member_col: g[member_col],
+                         "_f": g["_f_max"]})
+
+    triples = lines.map_batches(triple_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def sole_kern(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are (group, member, any_flag); distinct within a block
+        # but possibly duplicated across blocks -> re-collapse first.
+        g = g.groupby([group_col, member_col], as_index=False,
+                      sort=False)["_f"].max()
+        agg = g.groupby(group_col, sort=False)["_f"].agg(["size", "sum"])
+        ok = agg[(agg["size"] >= min_members) & (agg["sum"] == 1)].index
+        hit = g[(g["_f"] == 1) & g[group_col].isin(ok)]
+        return pd.DataFrame({member_col: hit[member_col].to_numpy(),
+                             "_one": np.ones(len(hit), np.int64)})
+
+    sole = bucketed_groups(triples, group_col, sole_kern,
+                           n_buckets=n_buckets)
+    out = bucketed_sum(sole, [member_col], ["_one"],
+                       n_buckets=n_buckets)
+    return out.map_batches(
+        lambda t: pa.table({member_col: t[member_col],
+                            "numwait": t["_one"].combine_chunks()
+                            .cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
