@@ -2935,6 +2935,71 @@ def q_numwait(sf_dir: str):
         "l_orderkey", "l_suppkey", "flag", min_members=2)
 
 
+def q_chi2_lang_source(sf_dir: str):
+    """Chi-squared independence cells for lang x source over the
+    corpus (ops/groupagg.py:chi2_contingency_cells): exact integer
+    expected/term micros so the HUGEINT DuckDB oracle matches
+    bit-for-bit; blocks collapse to cell-count partials before one
+    vocabulary-shaped groupby."""
+    from ci_log_processing_ray.ops.groupagg import chi2_contingency_cells
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return chi2_contingency_cells(ds, "lang", "source")
+
+
+def q_classifier_eval(sf_dir: str):
+    """Per-class precision/recall/F1 permille of the lang_id heuristic
+    against the true lang column (ops/groupagg.py:classifier_eval):
+    the multi-class evaluation primitive over a distributed confusion
+    matrix; -1 sentinel for zero denominators keeps the oracle
+    binding."""
+    from ci_log_processing_ray.ops.groupagg import classifier_eval
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return classifier_eval(language_id(ds, "text"), "lang", "lang_pred")
+
+
+def q_calibration(sf_dir: str):
+    """Reliability-diagram bins: does order price calibrate against
+    order completion?  Fixed $50k score bins with exact integer mean
+    label permille and mean score
+    (ops/groupagg.py:calibration_bins)."""
+    from ci_log_processing_ray.ops.groupagg import calibration_bins
+
+    ds = _read(sf_dir, "orders", ["o_totalprice", "o_orderstatus"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "score": _cents(t["o_totalprice"]),
+            "label": pc.cast(pc.equal(t["o_orderstatus"].combine_chunks(),
+                                      "F"), pa.int64())})
+
+    return calibration_bins(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "score", "label", bin_width=5_000_000)
+
+
+def q_seasonal_index(sf_dir: str):
+    """Day-of-week seasonality profile per event type
+    (ops/groupagg.py:seasonal_index_by_group): exact integer permille
+    index mean_dow/mean_overall, dow from epoch days (locale/TZ-free);
+    the corpus collapses to (type, dow) partials in one pass."""
+    from ci_log_processing_ray.ops.groupagg import seasonal_index_by_group
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "ts": t["ts"],
+                         "cents": _cents(t["value"])})
+
+    return seasonal_index_by_group(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "event_type", "ts", "cents")
+
+
 def q_funnel(sf_dir: str):
     """Two-step funnel (view -> purchase within 30 min, per user):
     one co-partitioning shuffle of (user, ts, side) triples, per-bucket
@@ -5635,6 +5700,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "below_group_avg": q_below_group_avg,
         "custdist": q_custdist,
         "numwait": q_numwait,
+        "chi2_lang_source": q_chi2_lang_source,
+        "classifier_eval": q_classifier_eval,
+        "calibration": q_calibration,
+        "seasonal_index": q_seasonal_index,
         "group_share": q_group_share,
         "drawdown": q_drawdown,
         "funnel": q_funnel,
@@ -8117,6 +8186,107 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             WHERE p.vec_id NOT IN (SELECT id FROM core)
               AND p.vec_id NOT IN (SELECT id FROM bl)""",
+        "chi2_lang_source": """
+            WITH c AS (SELECT lang, source,
+                              CAST(count(*) AS BIGINT) AS o
+                       FROM documents GROUP BY 1, 2),
+            r AS (SELECT lang, sum(o) AS rs FROM c GROUP BY 1),
+            s AS (SELECT source, sum(o) AS cs FROM c GROUP BY 1),
+            n AS (SELECT sum(o) AS nn FROM c)
+            SELECT c.lang, c.source, c.o AS observed,
+                   CAST(CAST(r.rs AS HUGEINT) * s.cs * 1000000 // n.nn
+                        AS BIGINT) AS expected_micros,
+                   CAST((CAST(c.o AS HUGEINT) * n.nn
+                         - CAST(r.rs AS HUGEINT) * s.cs)
+                        * (CAST(c.o AS HUGEINT) * n.nn
+                           - CAST(r.rs AS HUGEINT) * s.cs)
+                        * 1000000
+                        // (CAST(n.nn AS HUGEINT) * r.rs * s.cs)
+                        AS BIGINT) AS term_micros
+            FROM c JOIN r USING (lang) JOIN s USING (source), n""",
+        "classifier_eval": """
+            WITH l AS (SELECT lang,
+                    list_filter(string_split_regex(lower(text),
+                                '[^a-z0-9_]+'), x -> x != '') AS w
+                FROM documents),
+            c AS (SELECT lang,
+                len(list_filter(w, x -> x IN ('the','a','of','and',
+                    'to','in','is','it'))) AS c_en,
+                len(list_filter(w, x -> x IN ('el','la','de','y',
+                    'que','en','un','es'))) AS c_es,
+                len(list_filter(w, x -> x IN ('der','die','das','und',
+                    'zu','in','ist','ein'))) AS c_de,
+                len(list_filter(w, x -> x IN ('le','la','de','et',
+                    'que','en','un','est'))) AS c_fr
+                FROM l),
+            p AS (SELECT lang,
+                CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0
+                         THEN 'other'
+                     WHEN c_en = greatest(c_en, c_es, c_de, c_fr)
+                         THEN 'en'
+                     WHEN c_es = greatest(c_en, c_es, c_de, c_fr)
+                         THEN 'es'
+                     WHEN c_de = greatest(c_en, c_es, c_de, c_fr)
+                         THEN 'de'
+                     ELSE 'fr' END AS lang_pred
+                FROM c),
+            conf AS (SELECT lang AS t, lang_pred AS pr,
+                            count(*) AS n
+                     FROM p GROUP BY 1, 2),
+            cls AS (SELECT DISTINCT t AS cls FROM conf
+                    UNION SELECT DISTINCT pr FROM conf),
+            m AS (SELECT cls,
+                COALESCE((SELECT sum(n) FROM conf
+                          WHERE t = cls AND pr = cls), 0) AS tp,
+                COALESCE((SELECT sum(n) FROM conf
+                          WHERE pr = cls), 0) AS pred_n,
+                COALESCE((SELECT sum(n) FROM conf
+                          WHERE t = cls), 0) AS true_n
+                FROM cls)
+            SELECT cls, CAST(tp AS BIGINT) AS tp,
+                   CAST(pred_n AS BIGINT) AS pred_n,
+                   CAST(true_n AS BIGINT) AS true_n,
+                   CAST(CASE WHEN pred_n = 0 THEN -1
+                        ELSE 1000 * tp // pred_n END AS BIGINT)
+                       AS precision_permille,
+                   CAST(CASE WHEN true_n = 0 THEN -1
+                        ELSE 1000 * tp // true_n END AS BIGINT)
+                       AS recall_permille,
+                   CAST(CASE WHEN pred_n + true_n = 0 THEN -1
+                        ELSE 2000 * tp // (pred_n + true_n)
+                        END AS BIGINT) AS f1_permille
+            FROM m""",
+        "calibration": """
+            WITH x AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS s,
+                              CASE WHEN o_orderstatus = 'F'
+                                   THEN 1 ELSE 0 END AS lab
+                       FROM orders)
+            SELECT CAST(s // 5000000 AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(lab) AS BIGINT) AS n_pos,
+                   CAST(1000 * sum(lab) // count(*) AS BIGINT)
+                       AS mean_label_permille,
+                   CAST(sum(s) // count(*) AS BIGINT) AS mean_score
+            FROM x GROUP BY 1""",
+        "seasonal_index": """
+            WITH x AS (SELECT event_type,
+                        CAST((epoch_us(ts) // 86400000000 + 4) % 7
+                             AS BIGINT) AS dow,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                       FROM events),
+            g AS (SELECT event_type, dow, count(*) AS n,
+                         sum(v) AS sv
+                  FROM x GROUP BY 1, 2),
+            t AS (SELECT event_type, sum(n) AS n_tot,
+                         sum(sv) AS s_tot
+                  FROM g GROUP BY 1)
+            SELECT g.event_type, g.dow, CAST(g.n AS BIGINT) AS n,
+                   CAST(g.sv AS BIGINT) AS sum_val,
+                   CAST(CAST(g.sv AS HUGEINT) * t.n_tot * 1000
+                        // (g.n * t.s_tot) AS BIGINT)
+                       AS index_permille
+            FROM g JOIN t USING (event_type)""",
         "custdist": """
             WITH co AS (SELECT c.c_custkey,
                                count(o.o_orderkey) AS cnt

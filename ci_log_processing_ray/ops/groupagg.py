@@ -1537,3 +1537,213 @@ def group_share_filter(
         "sum_val": np.asarray(s, np.int64),
         "share_permille": np.asarray(
             [(1000 * x) // total for x in s], np.int64)})
+
+
+def chi2_contingency_cells(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+) -> pd.DataFrame:
+    """Chi-squared independence test cells for two categorical columns,
+    in EXACT integer arithmetic: per cell, ``observed``,
+    ``expected_micros = r*c*1e6 // N`` and
+    ``term_micros = ((O*N - r*c)^2 * 1e6) // (N*r*c)`` (the cell's
+    contribution to chi2, scaled by 1e6 -- floor-divided per cell so a
+    SQL oracle reproduces it bit-for-bit; chi2_micros is the sum).
+
+    Plan: blocks collapse to per-(a,b) count partials in Arrow before
+    ONE vocabulary-shaped native groupby; marginals and the per-cell
+    arithmetic run on the tiny merged matrix in Python ints (exact at
+    any corpus size -- O*N fits far inside int128 even at 10^10 rows).
+
+    SURVEY.md §2 training-data analysis family (feature association
+    screens over corpus metadata)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([col_a, col_b]).group_by([col_a, col_b]).aggregate(
+            [([], "count_all")])
+        return pa.table({col_a: g[col_a], col_b: g[col_b],
+                         "_n": g["count_all"].cast(pa.int64())})
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby([col_a, col_b]).sum("_n")).to_pandas()
+    cells = cells.rename(columns={"sum(_n)": "_n"})
+    if not len(cells):
+        return pd.DataFrame({col_a: pd.Series([], dtype=object),
+                             col_b: pd.Series([], dtype=object),
+                             "observed": pd.Series([], dtype=np.int64),
+                             "expected_micros": pd.Series([], dtype=np.int64),
+                             "term_micros": pd.Series([], dtype=np.int64)})
+    o = [int(x) for x in cells["_n"]]
+    row_tot = {k: 0 for k in cells[col_a].unique()}
+    col_tot = {k: 0 for k in cells[col_b].unique()}
+    for a, b, n in zip(cells[col_a], cells[col_b], o):
+        row_tot[a] += n
+        col_tot[b] += n
+    big_n = sum(o)
+    exp, term = [], []
+    for a, b, n in zip(cells[col_a], cells[col_b], o):
+        r, c = row_tot[a], col_tot[b]
+        exp.append(r * c * 1_000_000 // big_n)
+        d = n * big_n - r * c
+        term.append(d * d * 1_000_000 // (big_n * r * c))
+    return pd.DataFrame({
+        col_a: cells[col_a], col_b: cells[col_b],
+        "observed": np.asarray(o, np.int64),
+        "expected_micros": np.asarray(exp, np.int64),
+        "term_micros": np.asarray(term, np.int64)})
+
+
+def classifier_eval(
+    ds: ray.data.Dataset,
+    true_col: str,
+    pred_col: str,
+) -> pd.DataFrame:
+    """Per-class precision / recall / F1 in exact integer permille from
+    a (true, predicted) label dataset -- the multi-class classifier
+    evaluation primitive (permille = 1000*tp // denom; -1 sentinel when
+    a denominator is zero so the SQL oracle stays binding).
+
+    Plan: blocks collapse to classes^2 confusion partials before one
+    vocabulary-shaped groupby; the per-class metrics run on the tiny
+    merged matrix only.  Pairs with ops/textstats.py:prediction_kappa
+    (chance-corrected agreement) over the same confusion shape."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([true_col, pred_col]).group_by(
+            [true_col, pred_col]).aggregate([([], "count_all")])
+        return pa.table({true_col: g[true_col], pred_col: g[pred_col],
+                         "_n": g["count_all"].cast(pa.int64())})
+
+    conf = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby([true_col, pred_col]).sum("_n")).to_pandas()
+    conf = conf.rename(columns={"sum(_n)": "_n"})
+    classes = sorted(set(conf[true_col]) | set(conf[pred_col]))
+    tp = {c: 0 for c in classes}
+    pred_n = {c: 0 for c in classes}
+    true_n = {c: 0 for c in classes}
+    for t_, p_, n in zip(conf[true_col], conf[pred_col], conf["_n"]):
+        n = int(n)
+        true_n[t_] += n
+        pred_n[p_] += n
+        if t_ == p_:
+            tp[t_] += n
+
+    def _pm(num: int, den: int) -> int:
+        return 1000 * num // den if den else -1
+
+    return pd.DataFrame({
+        "cls": classes,
+        "tp": np.asarray([tp[c] for c in classes], np.int64),
+        "pred_n": np.asarray([pred_n[c] for c in classes], np.int64),
+        "true_n": np.asarray([true_n[c] for c in classes], np.int64),
+        "precision_permille": np.asarray(
+            [_pm(tp[c], pred_n[c]) for c in classes], np.int64),
+        "recall_permille": np.asarray(
+            [_pm(tp[c], true_n[c]) for c in classes], np.int64),
+        "f1_permille": np.asarray(
+            [2000 * tp[c] // (pred_n[c] + true_n[c])
+             if (pred_n[c] + true_n[c]) else -1
+             for c in classes], np.int64)})
+
+
+def calibration_bins(
+    ds: ray.data.Dataset,
+    score_col: str,
+    label_col: str,
+    *,
+    bin_width: int,
+) -> ray.data.Dataset:
+    """Reliability-diagram table: fixed-width score bins with exact
+    integer mean label (permille) and mean score -- the probability-
+    calibration check run on model-scored corpora before threshold
+    selection.  ``score_col`` and ``label_col`` must already be int64
+    (cents / 0-1).
+
+    Plan: pure-map binning, per-block (n, n_pos, sum_score) Arrow
+    partials, one vocabulary-shaped groupby (bin count is
+    range/bin_width, corpus-size independent); permille and mean
+    columns are exact floor divisions computed distributed per bin."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t[score_col].combine_chunks().to_numpy()
+        lab = t[label_col].combine_chunks().to_numpy()
+        b = s // bin_width
+        tt = pa.table({"bin": pa.array(b, pa.int64()),
+                       "_one": pa.array(np.ones(len(s), np.int64)),
+                       "_pos": pa.array(lab.astype(np.int64)),
+                       "_s": pa.array(s.astype(np.int64))})
+        g = tt.group_by("bin").aggregate(
+            [("_one", "sum"), ("_pos", "sum"), ("_s", "sum")])
+        return pa.table({"bin": g["bin"], "_one": g["_one_sum"],
+                         "_pos": g["_pos_sum"], "_s": g["_s_sum"]})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bin").sum(["_one", "_pos", "_s"]))
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t["sum(_one)"].combine_chunks().to_numpy().astype(np.int64)
+        pos = t["sum(_pos)"].combine_chunks().to_numpy().astype(np.int64)
+        s = t["sum(_s)"].combine_chunks().to_numpy().astype(np.int64)
+        return pa.table({
+            "bin": t["bin"].combine_chunks().cast(pa.int64()),
+            "n": pa.array(n), "n_pos": pa.array(pos),
+            "mean_label_permille": pa.array(1000 * pos // n),
+            "mean_score": pa.array(s // n)})
+
+    return agg.map_batches(final, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def seasonal_index_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    ts_col: str,
+    val_col: str,
+) -> pd.DataFrame:
+    """Day-of-week seasonality profile per group: for each
+    (group, dow), ``n``, ``sum_val`` and the seasonal index in exact
+    integer permille (``mean_dow / mean_overall``, cross-multiplied as
+    ``sum_w * n_tot * 1000 // (n_w * sum_tot)``).  Day-of-week is
+    computed from epoch days as ``(days + 4) % 7`` (0 = Sunday,
+    locale/TZ-free -- matches DuckDB's dayofweek on naive timestamps).
+
+    Plan: per-block (group, dow) sum/count Arrow partials, one
+    vocabulary-shaped groupby (groups x 7 rows), per-group totals and
+    the permille arithmetic on the tiny merged table in Python ints."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts_col].combine_chunks().cast(
+            pa.timestamp("us")), pa.int64()).to_numpy()
+        dow = (us // 86_400_000_000 + 4) % 7
+        tt = pa.table({
+            group_col: t[group_col].combine_chunks(),
+            "dow": pa.array(dow.astype(np.int64)),
+            "_one": pa.array(np.ones(len(us), np.int64)),
+            "_v": t[val_col].combine_chunks().cast(pa.int64())})
+        g = tt.group_by([group_col, "dow"]).aggregate(
+            [("_one", "sum"), ("_v", "sum")])
+        return pa.table({group_col: g[group_col], "dow": g["dow"],
+                         "_one": g["_one_sum"], "_v": g["_v_sum"]})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby([group_col, "dow"]).sum(["_one", "_v"])).to_pandas()
+    agg = agg.rename(columns={"sum(_one)": "n", "sum(_v)": "sum_val"})
+    tot = agg.groupby(group_col).agg(
+        n_tot=("n", "sum"), s_tot=("sum_val", "sum"))
+    idx = []
+    for g_, n_, s_ in zip(agg[group_col], agg["n"], agg["sum_val"]):
+        n_tot = int(tot.loc[g_, "n_tot"])
+        s_tot = int(tot.loc[g_, "s_tot"])
+        idx.append(int(s_) * n_tot * 1000 // (int(n_) * s_tot)
+                   if int(n_) * s_tot else -1)
+    out = agg[[group_col, "dow", "n", "sum_val"]].copy()
+    out["dow"] = out["dow"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_val"] = out["sum_val"].astype(np.int64)
+    out["index_permille"] = np.asarray(idx, np.int64)
+    return out
