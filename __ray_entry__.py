@@ -2935,6 +2935,81 @@ def q_numwait(sf_dir: str):
         "l_orderkey", "l_suppkey", "flag", min_members=2)
 
 
+def q_kcenter(sf_dir: str):
+    """Greedy k-center coreset selection over the embedding table
+    (ops/similarity.py:kcenter_select): 16 maximally-diverse vectors,
+    exact integer quantized distances, one streaming pass per pick.
+    Rows-only: the greedy argmax chain is not SQL-expressible; a
+    pure-numpy parity test pins the exact selection
+    (tests/test_ops.py)."""
+    from ci_log_processing_ray.ops.similarity import kcenter_select
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kcenter_select(ds, "embedding", "vec_id", k=16)
+
+
+def q_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape ("global sales opportunity"): customers with an
+    above-average positive balance and NO urgent order, rolled up per
+    nation.  Plan: the average is two Python ints folded from one
+    aggregate pass and broadcast into an exact cross-multiplied filter
+    (``bal * n_pos > sum_pos``); the urgent-customer side collapses to
+    distinct keys (block partials + bucketed distinct, re-typed to
+    Arrow blocks -- Acero joins need a real schema) before a hash
+    left_anti join; the nation rollup is dim-sized."""
+    from ci_log_processing_ray.ops.window import bucketed_distinct
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"],
+                         "bal": _cents(t["c_acctbal"])})
+
+    c = cust.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        b = t["bal"].combine_chunks().to_numpy()
+        p = b[b > 0]
+        return pa.table({"s": pa.array([int(p.sum())], pa.int64()),
+                         "n": pa.array([len(p)], pa.int64())})
+
+    tot = c.map_batches(pos_partial, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    sum_pos = int(tot["s"].sum())
+    n_pos = int(tot["n"].sum())
+
+    rich = c.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["bal"].combine_chunks(), n_pos),
+            sum_pos)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    o = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def urgent_partial(t: pa.Table) -> pa.Table:
+        keep = pc.starts_with(t["o_orderpriority"].combine_chunks(),
+                              "1-")
+        return (t.select(["o_custkey"]).filter(keep)
+                .group_by("o_custkey").aggregate([]))
+
+    urgent = bucketed_distinct(
+        o.map_batches(urgent_partial, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["o_custkey"]).map_batches(
+            lambda t: t, batch_format="pyarrow")
+
+    idle = rich.join(urgent, "left_anti",
+                     num_partitions=_join_partitions(
+                         sf_dir, "customer", "orders"),
+                     on=("c_custkey",), right_on=("o_custkey",))
+    out = idle.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_cust"), Sum("bal", alias_name="sum_bal"))
+    return _collect(out)
+
+
 def q_chi2_lang_source(sf_dir: str):
     """Chi-squared independence cells for lang x source over the
     corpus (ops/groupagg.py:chi2_contingency_cells): exact integer
@@ -5700,6 +5775,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "below_group_avg": q_below_group_avg,
         "custdist": q_custdist,
         "numwait": q_numwait,
+        "sales_opportunity": q_sales_opportunity,
+        "kcenter": q_kcenter,
         "chi2_lang_source": q_chi2_lang_source,
         "classifier_eval": q_classifier_eval,
         "calibration": q_calibration,
@@ -8186,6 +8263,22 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             WHERE p.vec_id NOT IN (SELECT id FROM core)
               AND p.vec_id NOT IN (SELECT id FROM bl)""",
+        "sales_opportunity": """
+            WITH pos AS (SELECT c_custkey, c_nationkey,
+                                CAST(floor(c_acctbal * 100 + 0.5)
+                                     AS BIGINT) AS b
+                         FROM customer),
+            t AS (SELECT sum(b) AS s, count(*) AS n
+                  FROM pos WHERE b > 0),
+            u AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE o_orderpriority LIKE '1-%')
+            SELECT p.c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(p.b) AS BIGINT) AS sum_bal
+            FROM pos p, t
+            WHERE p.b * t.n > t.s
+              AND p.c_custkey NOT IN (SELECT o_custkey FROM u)
+            GROUP BY 1""",
         "chi2_lang_source": """
             WITH c AS (SELECT lang, source,
                               CAST(count(*) AS BIGINT) AS o

@@ -772,3 +772,104 @@ def knn_label_agreement(
 
     return bucketed_groups(nn_labeled.union(labels), "key", agree,
                            n_buckets=n_buckets)
+
+
+def kcenter_select(
+    ds: ray.data.Dataset,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int,
+    scale: float = 1e6,
+) -> pd.DataFrame:
+    """Greedy k-center (farthest-point) coreset selection: pick the
+    point farthest from the already-chosen set, ``k`` times -- the
+    classic diversity-sampling primitive for training-data curation
+    (a 2-approximation of the k-center cover).  Deterministic: vectors
+    quantize once to int64 at ``scale`` so distances are exact integer
+    arithmetic (64-dim unit-ish vectors at 1e6 stay far inside int64),
+    the seed is the smallest id, and distance ties break toward the
+    smaller id.
+
+    Plan: the quantized (id, vec) projection materializes once
+    (iterative working set, the ops/iterative.py:kmeans idiom); each
+    of the ``k-1`` rounds is ONE streaming pass -- per-block partial
+    (max-of-min-distance row vs the <=k broadcast centers, carrying
+    its vector) folded to a single row on the driver.  Per-round data
+    movement is k partial rows, never the corpus; at 100 TB the cost
+    is k passes, so callers cap k (coresets are 10s-100s of points).
+
+    Returns (sel_order, id, dist) -- dist is the exact squared
+    quantized distance to the previously-selected set (0 for the
+    seed).
+    """
+    if k < 1:
+        return pd.DataFrame({"sel_order": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "dist": pd.Series([], dtype=np.int64)})
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = np.vstack(t[vec_col].to_numpy(zero_copy_only=False))
+        q = np.rint(v.astype(np.float64) * scale).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col].combine_chunks().cast(pa.int64()),
+            "_q": pa.FixedSizeListArray.from_arrays(
+                pa.array(q.reshape(-1), pa.int64()), q.shape[1])})
+
+    qds = ds.map_batches(quant, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        if not len(ids):
+            return pa.table({id_col: pa.array([], pa.int64())})
+        i = int(ids.argmin())
+        return t.slice(i, 1).select([id_col, "_q"])
+
+    seeds = qds.map_batches(seed_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    if not len(seeds):
+        return pd.DataFrame({"sel_order": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "dist": pd.Series([], dtype=np.int64)})
+    s = seeds.sort_values(id_col).iloc[0]
+    chosen_ids = [int(s[id_col])]
+    chosen_vecs = [np.asarray(s["_q"], np.int64)]
+    dists = [0]
+
+    for _ in range(k - 1):
+        centers = np.vstack(chosen_vecs)          # [c, dim] int64
+        taken = np.asarray(chosen_ids, np.int64)
+
+        def far_partial(t: pa.Table, centers=centers, taken=taken):
+            ids = t[id_col].to_numpy()
+            if not len(ids):
+                return pa.table({id_col: pa.array([], pa.int64())})
+            v = np.vstack(t["_q"].to_numpy(zero_copy_only=False))
+            # exact squared distance to each center; min over centers
+            best = None
+            for c in centers:
+                d = v - c
+                dist = np.einsum("ij,ij->i", d, d)
+                best = dist if best is None else np.minimum(best, dist)
+            best[np.isin(ids, taken)] = -1
+            order = np.lexsort((ids, -best))      # max dist, min id tie
+            i = int(order[0])
+            out = t.slice(i, 1).select([id_col, "_q"])
+            return out.append_column("_d", pa.array([int(best[i])],
+                                                    pa.int64()))
+
+        cand = qds.map_batches(far_partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        cand = cand.sort_values(["_d", id_col],
+                                ascending=[False, True]).iloc[0]
+        if int(cand["_d"]) < 0:
+            break                                  # fewer points than k
+        chosen_ids.append(int(cand[id_col]))
+        chosen_vecs.append(np.asarray(cand["_q"], np.int64))
+        dists.append(int(cand["_d"]))
+
+    return pd.DataFrame({
+        "sel_order": np.arange(len(chosen_ids), dtype=np.int64),
+        id_col: np.asarray(chosen_ids, np.int64),
+        "dist": np.asarray(dists, np.int64)})

@@ -4772,3 +4772,43 @@ def test_max_drawdown_known_sequence(ray_session):
     got = {(r.u, r.max_drawdown, r.final_balance, r.n_rows)
            for r in out.itertuples()}
     assert got == {(1, 7, 6, 5), (2, 0, 4, 1)}
+
+
+def test_kcenter_select_parity(ray_session):
+    """The distributed greedy k-center must equal the pure-numpy greedy
+    (same quantization, same smallest-id tie-break) pick for pick."""
+    import numpy as np
+
+    from ci_log_processing_ray.ops.similarity import kcenter_select
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).astype(np.float64)
+    rows = [{"vid": int(i), "v": vecs[i].tolist()} for i in range(60)]
+    got = kcenter_select(ray.data.from_items(rows), "v", "vid", k=6)
+
+    q = np.rint(vecs * 1e6).astype(np.int64)
+    chosen = [0]  # smallest id seeds
+    dists = [0]
+    for _ in range(5):
+        best = None
+        for c in chosen:
+            d = q - q[c]
+            dist = np.einsum("ij,ij->i", d, d)
+            best = dist if best is None else np.minimum(best, dist)
+        best[np.asarray(chosen)] = -1
+        order = np.lexsort((np.arange(60), -best))
+        chosen.append(int(order[0]))
+        dists.append(int(best[order[0]]))
+
+    assert got["vid"].tolist() == chosen
+    assert got["dist"].tolist() == dists
+    assert got["sel_order"].tolist() == list(range(6))
+
+
+def test_kcenter_select_k_exceeds_n(ray_session):
+    from ci_log_processing_ray.ops.similarity import kcenter_select
+
+    rows = [{"vid": i, "v": [float(i), 0.0]} for i in range(3)]
+    got = kcenter_select(ray.data.from_items(rows), "v", "vid", k=10)
+    assert len(got) == 3
+    assert set(got["vid"]) == {0, 1, 2}
