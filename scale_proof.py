@@ -3444,6 +3444,171 @@ def main_passjoin() -> None:
         ray.shutdown()
 
 
+
+
+def main_shapes() -> None:
+    """The session-12 structural shapes at tens of millions of rows,
+    closed-form truths throughout.
+
+    sole_flag_members (TPC-H Q21 shape): order o has k = (o%4)+1
+    members (member_id = j*1000 + o%997, j < k), member j flagged iff
+    (o+j) % 3 == 0, plus a planted UNFLAGGED duplicate line of member
+    j=0 per order (exercises the any-flag distinct collapse).  The
+    per-member sole-flag counts are periodic in o with period
+    lcm(4,3,997) = 11964, so a one-period numpy simulation scaled by
+    N/11964 is an exact truth.
+
+    count_distribution (TPC-H Q13 shape): key k gets 10 + (k%3) fact
+    rows -> histogram {10: ceil(E/3), 11: ..., 12: ...} exactly, plus
+    a planted zero bucket via n_entities_total = E + ZPAD.
+
+    kcenter_select: 6M near-origin jitter points (quantized distance
+    <= 1e6) + 5 planted axis points at descending magnitudes (min
+    planted distance 9e10), so greedy selection is exactly
+    [0, planted 1..5] with dist = round(a_i*1e6)^2.
+    """
+    import ray
+    from ray.data import DataContext
+
+    MULT = int(os.environ.get("GRAFT_SHAPES_MULT", "1000"))
+    PERIOD = 11964  # lcm(4, 3, 997)
+    N_ORDERS = PERIOD * MULT
+    E = int(os.environ.get("GRAFT_SHAPES_ENTITIES", "5000000"))
+    ZPAD = 123_456
+    NPTS = int(os.environ.get("GRAFT_SHAPES_POINTS", "6000000"))
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.relational import (
+            count_distribution, sole_flag_members)
+        from ci_log_processing_ray.ops.similarity import kcenter_select
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU).map_batches(
+            lambda b: b).count()
+        results = {}
+
+        # --- sole_flag_members -------------------------------------
+        def line_gen(b: pa.Table) -> pa.Table:
+            o = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            k = (o % 4 + 1).astype(np.int64)
+            total = int(k.sum())
+            oo = np.repeat(o, k)
+            # j = position within each order's run
+            ends = np.cumsum(k)
+            starts = ends - k
+            j = np.arange(total, dtype=np.int64) - np.repeat(starts, k)
+            flag = ((oo + j) % 3 == 0).astype(np.int64)
+            member = j * 1000 + oo % 997
+            # planted unflagged duplicate of member j=0 per order
+            oo2 = np.concatenate([oo, o])
+            member2 = np.concatenate([member, o % 997])
+            flag2 = np.concatenate([flag, np.zeros(len(o), np.int64)])
+            return pa.table({"order": oo2, "member": member2,
+                             "flag": flag2})
+
+        lines = ray.data.range(
+            N_ORDERS, override_num_blocks=NCPU).map_batches(
+                line_gen, batch_format="pyarrow")
+        n_lines = N_ORDERS * 10 // 4 + N_ORDERS  # sum(k)=2.5N + dups
+        t0 = time.perf_counter()
+        got = sole_flag_members(lines, "order", "member", "flag",
+                                min_members=2).to_pandas()
+        sec = time.perf_counter() - t0
+
+        # one-period simulation
+        o = np.arange(PERIOD, dtype=np.int64)
+        k = o % 4 + 1
+        oo = np.repeat(o, k)
+        ends = np.cumsum(k)
+        starts = ends - k
+        j = (np.arange(int(k.sum()), dtype=np.int64)
+             - np.repeat(starts, k))
+        flag = (oo + j) % 3 == 0
+        member = j * 1000 + oo % 997
+        nf = np.bincount(oo[flag], minlength=PERIOD)
+        ok = (k >= 2) & (nf == 1)
+        sole = member[flag][ok[oo[flag]]]
+        want = {}
+        for m, c in zip(*np.unique(sole, return_counts=True)):
+            want[int(m)] = int(c) * MULT
+        have = {int(m): int(c) for m, c in zip(got["member"],
+                                               got["numwait"])}
+        assert have == want, (len(have), len(want))
+        results["sole_flag_members"] = {
+            "sec": round(sec, 2), "n_lines": n_lines,
+            "lines_per_sec": round(n_lines / sec),
+            "truth": f"{len(want)} per-member counts == one-period "
+                     "simulation x N/11964"}
+
+        # --- count_distribution ------------------------------------
+        def fact_gen(b: pa.Table) -> pa.Table:
+            kk = b["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            reps = (10 + kk % 3).astype(np.int64)
+            return pa.table({"key": np.repeat(kk, reps)})
+
+        fact = ray.data.range(E, override_num_blocks=NCPU).map_batches(
+            fact_gen, batch_format="pyarrow")
+        t0 = time.perf_counter()
+        hist = count_distribution(fact, "key", E + ZPAD,
+                                  out_count="c_count",
+                                  out_dist="custdist")
+        sec = time.perf_counter() - t0
+        have = {int(r.c_count): int(r.custdist)
+                for r in hist.itertuples()}
+        n10 = (E + 2) // 3
+        n11 = (E + 1) // 3
+        n12 = E // 3
+        assert have == {10: n10, 11: n11, 12: n12, 0: ZPAD}, have
+        n_fact = 10 * n10 + 11 * n11 + 12 * n12
+        results["count_distribution"] = {
+            "sec": round(sec, 2), "n_fact_rows": n_fact,
+            "rows_per_sec": round(n_fact / sec),
+            "truth": "histogram == {10,11,12} thirds + planted zero "
+                     "bucket"}
+
+        # --- kcenter_select ----------------------------------------
+        DIM = 16
+        mags = [0.50, 0.45, 0.40, 0.35, 0.30]
+
+        def pt_gen(b: pa.Table) -> pa.Table:
+            ids = b["id"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            v = np.zeros((len(ids), DIM), np.float64)
+            jit = ((ids * 2654435761) % 2001 - 1000) * 1e-6
+            v[:, 0] = jit
+            for i, m in enumerate(mags):
+                sel = ids == i + 1
+                if sel.any():
+                    v[sel] = 0.0
+                    v[sel, i + 1] = m
+            v[ids == 0] = 0.0
+            return pa.table({
+                "vid": ids,
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(v.reshape(-1), pa.float64()), DIM)})
+
+        pts = ray.data.range(NPTS, override_num_blocks=NCPU).map_batches(
+            pt_gen, batch_format="pyarrow")
+        t0 = time.perf_counter()
+        sel = kcenter_select(pts, "vec", "vid", k=6)
+        sec = time.perf_counter() - t0
+        assert sel["vid"].tolist() == [0, 1, 2, 3, 4, 5], sel
+        want_d = [0] + [int(round(m * 1e6)) ** 2 for m in mags]
+        assert sel["dist"].tolist() == want_d, sel
+        results["kcenter_select"] = {
+            "sec": round(sec, 2), "n_points": NPTS,
+            "points_per_sec": round(NPTS / sec),
+            "truth": "selection == planted axis points in magnitude "
+                     "order, exact quantized distances"}
+
+        print(json.dumps({
+            "num_cpus": NCPU, "ops": results, "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -3507,5 +3672,7 @@ if __name__ == "__main__":
         main_audit()
     elif len(sys.argv) > 1 and sys.argv[1] == "lifecycle":
         main_lifecycle()
+    elif len(sys.argv) > 1 and sys.argv[1] == "shapes":
+        main_shapes()
     else:
         main()
