@@ -2935,6 +2935,122 @@ def q_numwait(sf_dir: str):
         "l_orderkey", "l_suppkey", "flag", min_members=2)
 
 
+def q_late_orders(sf_dir: str):
+    """TPC-H Q4 shape ("order priority checking"): orders whose latest
+    line shipped more than 60 days after the order date, counted per
+    priority.  Plan: lineitem collapses to per-order max-shipdate
+    partials (Arrow block max + one bucketed fold, re-typed to Arrow
+    blocks), hash-joins the orders side, and the late filter +
+    dim-sized priority count run distributed -- the EXISTS subquery
+    becomes an aggregate-pushdown semi-join."""
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def ship_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "l_orderkey": t["l_orderkey"].combine_chunks(),
+            "_ms": pc.cast(t["l_shipdate"].combine_chunks()
+                           .cast(pa.timestamp("us")), pa.int64())})
+        g = tt.group_by("l_orderkey").aggregate([("_ms", "max")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "_ms": g["_ms_max"]})
+
+    def max_kern(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False,
+                         sort=False)["_ms"].max()
+
+    maxship = bucketed_groups(
+        li.map_batches(ship_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "l_orderkey", max_kern).map_batches(
+            lambda t: t, batch_format="pyarrow")
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "_od": pc.cast(t["o_orderdate"].combine_chunks()
+                           .cast(pa.timestamp("us")), pa.int64()),
+            "o_orderpriority": t["o_orderpriority"]})
+
+    joined = o.map_batches(o_prep, batch_format="pyarrow",
+                           zero_copy_batch=True).join(
+        maxship, "inner",
+        num_partitions=_join_partitions(sf_dir, "orders", "lineitem"),
+        on=("o_orderkey",), right_on=("l_orderkey",))
+
+    sixty_days_us = 60 * 86_400_000_000
+    late = joined.map_batches(
+        lambda t: t.filter(pc.greater(
+            t["_ms"].combine_chunks(),
+            pc.add(t["_od"].combine_chunks(), sixty_days_us))),
+        batch_format="pyarrow")
+    return _collect(late.groupby("o_orderpriority").aggregate(
+        Count(alias_name="order_count")))
+
+
+def q_promo_share(sf_dir: str):
+    """TPC-H Q14 shape ("promotion effect"): permille of monthly
+    revenue from PROMO-type parts.  Plan: the promo part keys broadcast
+    once as a sorted array (searchsorted membership per batch, the
+    broadcast-dim idiom), lineitem collapses to per-month
+    (promo_cents, total_cents) partials in one pass, and the permille
+    is an exact floor division on the month-sized aggregate."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def promo_keys(t: pa.Table) -> pa.Table:
+        keep = pc.starts_with(t["p_type"].combine_chunks(), "PROMO")
+        return t.select(["p_partkey"]).filter(keep)
+
+    pk = part.map_batches(promo_keys, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    promo_sorted = np.sort(pk["p_partkey"].to_numpy(np.int64))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_shipdate"])
+
+    def month_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"].combine_chunks()
+                     .cast(pa.timestamp("us")), pa.int64()).to_numpy()
+        months = us.view("M8[us]").astype("M8[M]").astype(np.int64)
+        ship_month = ((1970 + months // 12) * 100
+                      + months % 12 + 1).astype(np.int64)
+        cents = _cents(t["l_extendedprice"]).to_numpy()
+        keys = t["l_partkey"].combine_chunks().to_numpy()
+        idx = np.searchsorted(promo_sorted, keys)
+        idx[idx == len(promo_sorted)] = 0
+        is_promo = (promo_sorted[idx] == keys) if len(promo_sorted) \
+            else np.zeros(len(keys), bool)
+        tt = pa.table({
+            "ship_month": pa.array(ship_month),
+            "_p": pa.array(np.where(is_promo, cents, 0)),
+            "_c": pa.array(cents)})
+        g = tt.group_by("ship_month").aggregate(
+            [("_p", "sum"), ("_c", "sum")])
+        return pa.table({"ship_month": g["ship_month"],
+                         "_p": g["_p_sum"], "_c": g["_c_sum"]})
+
+    agg = (li.map_batches(month_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("ship_month").sum(["_p", "_c"]))
+
+    def final(t: pa.Table) -> pa.Table:
+        p = t["sum(_p)"].combine_chunks().to_numpy().astype(np.int64)
+        c = t["sum(_c)"].combine_chunks().to_numpy().astype(np.int64)
+        return pa.table({
+            "ship_month": t["ship_month"].combine_chunks()
+            .cast(pa.int64()),
+            "promo_cents": pa.array(p),
+            "total_cents": pa.array(c),
+            "promo_permille": pa.array(1000 * p // c)})
+
+    return agg.map_batches(final, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_kcenter(sf_dir: str):
     """Greedy k-center coreset selection over the embedding table
     (ops/similarity.py:kcenter_select): 16 maximally-diverse vectors,
@@ -5777,6 +5893,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numwait": q_numwait,
         "sales_opportunity": q_sales_opportunity,
         "kcenter": q_kcenter,
+        "late_orders": q_late_orders,
+        "promo_share": q_promo_share,
         "chi2_lang_source": q_chi2_lang_source,
         "classifier_eval": q_classifier_eval,
         "calibration": q_calibration,
@@ -8263,6 +8381,29 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             WHERE p.vec_id NOT IN (SELECT id FROM core)
               AND p.vec_id NOT IN (SELECT id FROM bl)""",
+        "late_orders": """
+            WITH m AS (SELECT l_orderkey, max(l_shipdate) AS ms
+                       FROM lineitem GROUP BY 1)
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o JOIN m ON o.o_orderkey = m.l_orderkey
+            WHERE m.ms > o.o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1""",
+        "promo_share": """
+            WITH x AS (SELECT year(l_shipdate) * 100
+                              + month(l_shipdate) AS ship_month,
+                              CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) AS c,
+                              CASE WHEN p.p_type LIKE 'PROMO%'
+                                   THEN 1 ELSE 0 END AS promo
+                       FROM lineitem l
+                       JOIN part p ON l.l_partkey = p.p_partkey)
+            SELECT CAST(ship_month AS BIGINT) AS ship_month,
+                   CAST(sum(c * promo) AS BIGINT) AS promo_cents,
+                   CAST(sum(c) AS BIGINT) AS total_cents,
+                   CAST(1000 * sum(c * promo) // sum(c) AS BIGINT)
+                       AS promo_permille
+            FROM x GROUP BY 1""",
         "sales_opportunity": """
             WITH pos AS (SELECT c_custkey, c_nationkey,
                                 CAST(floor(c_acctbal * 100 + 0.5)

@@ -108,6 +108,16 @@ BENCH_QUERIES = [
     "rfm",
     "inventory_balance",
     "streaks",
+    "custdist",
+    "numwait",
+    "sales_opportunity",
+    "chi2_lang_source",
+    "classifier_eval",
+    "calibration",
+    "seasonal_index",
+    "kcenter",
+    "late_orders",
+    "promo_share",
     "bfs_hops",
     "target_encode",
     "kfold",
