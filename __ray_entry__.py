@@ -2935,6 +2935,44 @@ def q_numwait(sf_dir: str):
         "l_orderkey", "l_suppkey", "flag", min_members=2)
 
 
+def q_scd2(sf_dir: str):
+    """Slowly-changing-dimension type-2 interval build over the event
+    stream (ops/window.py:validity_intervals): each change row gets
+    [valid_from, valid_to) with the key's next change as the end
+    (open sentinel 2100-01-01) -- one key-bucketed exchange, sort-once
+    shifted-compare lead, no per-key Python."""
+    from ci_log_processing_ray.ops.window import validity_intervals
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"].combine_chunks()
+                             .cast(pa.timestamp("us")), pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"]})
+
+    return validity_intervals(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", "ts_us", "event_id", ["event_type"])
+
+
+def q_span_corruption(sf_dir: str):
+    """T5-style span corruption accounting
+    (ops/curation.py:span_corruption_stats): the mask is actually
+    built (whole-batch global token index + modular test + run-start
+    reduceats) while the oracle counts the same mask in closed form,
+    binding the kernel exactly."""
+    from ci_log_processing_ray.ops.curation import span_corruption_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return span_corruption_stats(ds, "text", "doc_id",
+                                 span_len=3, period=5)
+
+
 def q_late_orders(sf_dir: str):
     """TPC-H Q4 shape ("order priority checking"): orders whose latest
     line shipped more than 60 days after the order date, counted per
@@ -5895,6 +5933,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter": q_kcenter,
         "late_orders": q_late_orders,
         "promo_share": q_promo_share,
+        "scd2": q_scd2,
+        "span_corruption": q_span_corruption,
         "chi2_lang_source": q_chi2_lang_source,
         "classifier_eval": q_classifier_eval,
         "calibration": q_calibration,
@@ -8381,6 +8421,38 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             WHERE p.vec_id NOT IN (SELECT id FROM core)
               AND p.vec_id NOT IN (SELECT id FROM bl)""",
+        "scd2": """
+            SELECT user_id, event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS valid_from,
+                   CAST(COALESCE(
+                        lead(epoch_us(ts)) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ts, event_id),
+                        4102444800000000) AS BIGINT) AS valid_to
+            FROM events""",
+        "span_corruption": """
+            WITH x AS (SELECT doc_id,
+                         CAST(len(string_split(text, ' '))
+                              AS BIGINT) AS n,
+                         CAST(doc_id % 15 AS BIGINT) AS d
+                       FROM documents),
+            c AS (SELECT doc_id, n, d,
+                    ((n + d) // 15) * 3 + least(3, (n + d) % 15)
+                    - ((d // 15) * 3 + least(3, d % 15)) AS n_masked,
+                    CASE WHEN n = 0 THEN 0
+                         ELSE greatest(0, (n + d - 1) // 15
+                              - (CASE WHEN d < 3 THEN 0
+                                 ELSE (d - 3) // 15 + 1 END) + 1)
+                    END AS n_spans
+                  FROM x)
+            SELECT doc_id, n AS n_tokens,
+                   CAST(n_masked AS BIGINT) AS n_masked,
+                   CAST(n_spans AS BIGINT) AS n_spans,
+                   CAST(n - n_masked + n_spans AS BIGINT)
+                       AS n_input_tokens,
+                   CAST(n_masked + n_spans AS BIGINT)
+                       AS n_target_tokens
+            FROM c""",
         "late_orders": """
             WITH m AS (SELECT l_orderkey, max(l_shipdate) AS ms
                        FROM lineitem GROUP BY 1)

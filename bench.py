@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "kcenter",
     "late_orders",
     "promo_share",
+    "scd2",
+    "span_corruption",
     "bfs_hops",
     "target_encode",
     "kfold",

@@ -1241,3 +1241,63 @@ def greedy_max_coverage(
         "pick": pa.array(out_pick, pa.int64()),
         "doc_id": pa.array(out_doc, pa.int64()),
         "gain": pa.array(out_gain, pa.int64())}))
+
+
+def span_corruption_stats(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    span_len: int = 3,
+    period: int = 5,
+) -> ray.data.Dataset:
+    """T5-style span-corruption accounting: deterministically mask runs
+    of ``span_len`` tokens every ``span_len * period`` tokens (offset by
+    doc id, so masks differ across docs) and report per doc the exact
+    seq2seq token budget -- ``n_input = n_tokens - n_masked + n_spans``
+    (each span collapses to one sentinel) and
+    ``n_target = n_masked + n_spans`` -- the numbers a span-corruption
+    pretraining pipeline needs for packing and cost estimates.
+
+    The mask is REALLY built (whole-batch: one global token index via
+    cumsum/repeat, one modular test, run starts by a shifted compare,
+    per-doc reduceat sums -- no per-row Python), while the DuckDB
+    oracle counts the same mask in closed form (qualifying j in
+    [d, n+d) with (j // L) % P == 0), so the oracle binds the masking
+    kernel exactly.  Token = single-space split (corpus contract:
+    no empty/double/edge spaces -- validated in TESTDATA probes)."""
+    lp = span_len * period
+
+    def kern(t: pa.Table) -> pa.Table:
+        txt = t[text_col].combine_chunks()
+        ids = t[id_col].combine_chunks().to_numpy().astype(np.int64)
+        n_tok = pc.add(pc.count_substring(txt, " "), 1).to_numpy()
+        n_tok = n_tok.astype(np.int64)
+        total = int(n_tok.sum())
+        ends = np.cumsum(n_tok)
+        starts = ends - n_tok
+        i = np.arange(total, dtype=np.int64) - np.repeat(starts, n_tok)
+        d = np.repeat(ids, n_tok)
+        q = ((i + d) // span_len) % period == 0
+        seg = np.zeros(total, dtype=bool)
+        seg[starts[n_tok > 0]] = True
+        run_start = q & (seg | ~np.roll(q, 1))
+        # reduceat over doc segments (guard zero-length segments)
+        qi = q.astype(np.int64)
+        ri = run_start.astype(np.int64)
+        n_masked = np.zeros(len(ids), np.int64)
+        n_spans = np.zeros(len(ids), np.int64)
+        nz = n_tok > 0
+        if total:
+            n_masked[nz] = np.add.reduceat(qi, starts[nz])
+            n_spans[nz] = np.add.reduceat(ri, starts[nz])
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_tokens": pa.array(n_tok),
+            "n_masked": pa.array(n_masked),
+            "n_spans": pa.array(n_spans),
+            "n_input_tokens": pa.array(n_tok - n_masked + n_spans),
+            "n_target_tokens": pa.array(n_masked + n_spans)})
+
+    return ds.map_batches(kern, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -1752,3 +1752,44 @@ def max_drawdown_by_group(
         return res
 
     return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
+
+
+def validity_intervals(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    attr_cols: list[str],
+    *,
+    open_end_us: int = 4_102_444_800_000_000,  # 2100-01-01
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Slowly-changing-dimension (SCD type 2) interval build: each
+    change row becomes a validity interval ``[valid_from, valid_to)``
+    where ``valid_to`` is the key's NEXT change (``open_end_us`` for
+    the current row) -- the warehouse snapshot primitive.  ``ts_col``
+    and ``tie_col`` must be int64 (us / id); ties order by
+    ``(ts, tie)``.
+
+    Plan: ONE key-bucketed exchange; the per-bucket kernel sorts once
+    by (key, ts, tie) and computes the lead with a single shifted-array
+    compare (segment boundaries get the open sentinel) -- no per-key
+    Python.  Partitioning assumption: one key's change history fits a
+    bucket (change streams are per-entity small; salt by time range if
+    a key is pathologically hot)."""
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col], kind="stable")
+        k = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy(np.int64)
+        nxt = np.empty(len(g), np.int64)
+        if len(g):
+            same = k[1:] == k[:-1]
+            nxt[:-1] = np.where(same, ts[1:], open_end_us)
+            nxt[-1] = open_end_us
+        out = g[[key_col] + attr_cols].copy()
+        out["valid_from"] = ts
+        out["valid_to"] = nxt
+        return out
+
+    return bucketed_groups(ds, key_col, kern, n_buckets=n_buckets)
