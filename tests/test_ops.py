@@ -4812,3 +4812,30 @@ def test_kcenter_select_k_exceeds_n(ray_session):
     got = kcenter_select(ray.data.from_items(rows), "v", "vid", k=10)
     assert len(got) == 3
     assert set(got["vid"]) == {0, 1, 2}
+
+
+def test_sliding_extrema_doubling_kernel(ray_session):
+    """The RMQ doubling kernel must equal a brute-force ROWS window for
+    awkward k (1, power-of-two, k > segment length) and partial heads."""
+    import numpy as np
+
+    from ci_log_processing_ray.ops.window import sliding_extrema_by_group
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for u in range(5):
+        for i in range(int(rng.integers(1, 12))):
+            rows.append({"u": u, "o": i, "v": int(rng.integers(-50, 50))})
+    for k in (1, 2, 4, 5, 8, 20):
+        out = sliding_extrema_by_group(
+            ray.data.from_items(rows), "u", ["o"], "v", k=k,
+            n_buckets=3).to_pandas().sort_values(["u", "o"])
+        byu = {}
+        for r in rows:
+            byu.setdefault(r["u"], []).append(r["v"])
+        for _, row in out.iterrows():
+            seg = byu[row["u"]]
+            lo = max(0, row["o"] - k + 1)
+            win = seg[lo:row["o"] + 1]
+            assert row["roll_max"] == max(win), (k, dict(row))
+            assert row["roll_min"] == min(win), (k, dict(row))
