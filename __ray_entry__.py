@@ -2935,6 +2935,33 @@ def q_numwait(sf_dir: str):
         "l_orderkey", "l_suppkey", "flag", min_members=2)
 
 
+def q_rolling_extrema(sf_dir: str):
+    """ROWS-frame sliding max/min of the last 5 events per user
+    (ops/window.py:sliding_extrema_by_group): RMQ sparse-table
+    doubling -- ceil(log2 k) whole-bucket numpy passes, exact partial
+    head windows, zero per-group dispatch."""
+    from ci_log_processing_ray.ops.window import sliding_extrema_by_group
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"].combine_chunks()
+                             .cast(pa.timestamp("us")), pa.int64()),
+            "event_id": t["event_id"],
+            "cents": _cents(t["value"])})
+
+    out = sliding_extrema_by_group(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", ["ts_us", "event_id"], "cents", k=5)
+    return out.map_batches(
+        lambda df: df[["user_id", "event_id", "cents",
+                       "roll_max", "roll_min"]],
+        batch_format="pandas")
+
+
 def q_scd2(sf_dir: str):
     """Slowly-changing-dimension type-2 interval build over the event
     stream (ops/window.py:validity_intervals): each change row gets
@@ -5935,6 +5962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_share": q_promo_share,
         "scd2": q_scd2,
         "span_corruption": q_span_corruption,
+        "rolling_extrema": q_rolling_extrema,
         "chi2_lang_source": q_chi2_lang_source,
         "classifier_eval": q_classifier_eval,
         "calibration": q_calibration,
@@ -8421,6 +8449,21 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             WHERE p.vec_id NOT IN (SELECT id FROM core)
               AND p.vec_id NOT IN (SELECT id FROM bl)""",
+        "rolling_extrema": """
+            WITH x AS (SELECT user_id, ts, event_id,
+                              CAST(floor(value * 100 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM events)
+            SELECT user_id, event_id, cents,
+                   CAST(max(cents) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS roll_max,
+                   CAST(min(cents) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS roll_min
+            FROM x""",
         "scd2": """
             SELECT user_id, event_type,
                    CAST(epoch_us(ts) AS BIGINT) AS valid_from,

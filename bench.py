@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "promo_share",
     "scd2",
     "span_corruption",
+    "rolling_extrema",
     "bfs_hops",
     "target_encode",
     "kfold",

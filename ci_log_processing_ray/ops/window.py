@@ -1793,3 +1793,67 @@ def validity_intervals(
         return out
 
     return bucketed_groups(ds, key_col, kern, n_buckets=n_buckets)
+
+
+def sliding_extrema_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_cols: list[str],
+    val_col: str,
+    k: int,
+    *,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """ROWS-frame sliding max AND min per group (``ROWS BETWEEN k-1
+    PRECEDING AND CURRENT ROW``), the monitoring/feature primitive
+    pandas ``rolling`` handles per-group but we need whole-bucket
+    vectorized.
+
+    Kernel: sort once by (key, order); within-segment row index ``r``
+    by cumsum-reset; then the RMQ sparse-table trick -- ceil(log2 k)
+    doubling passes build ``M_s[i] = extremum over the last 2^s rows
+    (segment-truncated via an r >= shift mask)``, and the answer is
+    ``op(M_P[i], M_P[i - (k - 2^P)])`` with the shifted term masked at
+    segment boundaries.  Partial head windows come out exactly because
+    r < k - 2^P implies r < 2^P, so M_P alone already covers [0, r].
+    O(n log k) numpy passes, zero per-group dispatch."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col] + order_cols, kind="mergesort")
+        key = g[group_col].to_numpy()
+        v = g[val_col].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            out = g.copy()
+            out["roll_max"] = np.zeros(0, np.int64)
+            out["roll_min"] = np.zeros(0, np.int64)
+            return out
+        seg_start = np.r_[True, key[1:] != key[:-1]]
+        # within-segment index r
+        idx = np.arange(n, dtype=np.int64)
+        base = np.maximum.accumulate(np.where(seg_start, idx, 0))
+        r = idx - base
+
+        def build(vv: np.ndarray, op) -> np.ndarray:
+            m = vv.copy()
+            s = 1
+            while s < k:
+                half = min(s, k - s)  # last doubling may be partial
+                shifted = np.empty_like(m)
+                shifted[:half] = m[:half]  # masked anyway
+                shifted[half:] = m[:-half]
+                valid = r >= half
+                m = np.where(valid, op(m, shifted), m)
+                s += half
+            return m
+
+        roll_max = build(v, np.maximum)
+        roll_min = build(v, np.minimum)
+        out = g.copy()
+        out["roll_max"] = roll_max
+        out["roll_min"] = roll_min
+        return out
+
+    return bucketed_groups(ds, group_col, kern, n_buckets=n_buckets)
