@@ -2935,6 +2935,80 @@ def q_numwait(sf_dir: str):
         "l_orderkey", "l_suppkey", "flag", min_members=2)
 
 
+def q_weighted_median_group(sf_dir: str):
+    """Exact quantity-WEIGHTED median and p90 price per return flag
+    (ops/quantile.py:quantile_disc_by_group weight_col mode): a row
+    counts weight times, identical to percentile_disc over the
+    weight-expanded multiset, with (group, value, weight-sum) partials
+    and no row expansion anywhere."""
+    from ci_log_processing_ray.ops.quantile import quantile_disc_by_group
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "cents": _cents(t["l_extendedprice"]),
+            "qty": pc.cast(t["l_quantity"].combine_chunks(),
+                           pa.int64())})
+
+    return quantile_disc_by_group(
+        li.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "l_returnflag", "cents", {"wmedian": 0.5, "wq90": 0.9},
+        weight_col="qty")
+
+
+def q_dedup_savings(sf_dir: str):
+    """Exact-dedup ROI accounting per source: docs, kept (global
+    first-by-doc_id per text), and characters removed -- the
+    curation-impact report every dedup run needs.  One 8-byte
+    text-hash exchange (payloads never move, the ops/dedup.py exact
+    contract); each removed doc is attributed to ITS source, so
+    cross-source duplicates debit the copier, not the original."""
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "source", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            t["text"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(object)).astype(np.int64)
+        return pa.table({
+            "_h": pa.array(h),
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "n_chars": pc.cast(t["n_chars"].combine_chunks(),
+                               pa.int64())})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        keep_doc = g.groupby("_h")["doc_id"].transform("min")
+        removed = (g["doc_id"] != keep_doc).to_numpy()
+        out = pd.DataFrame({
+            "source": g["source"].to_numpy(),
+            "n_docs": np.ones(len(g), np.int64),
+            "n_kept": (~removed).astype(np.int64),
+            "chars_removed": np.where(removed,
+                                      g["n_chars"].to_numpy(np.int64),
+                                      0)})
+        return out.groupby("source", as_index=False, sort=False).sum()
+
+    parts = bucketed_groups(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "_h", kern)
+    agg = parts.groupby("source").sum(
+        ["n_docs", "n_kept", "chars_removed"]).to_pandas()
+    agg = agg.rename(columns={"sum(n_docs)": "n_docs",
+                              "sum(n_kept)": "n_kept",
+                              "sum(chars_removed)": "chars_removed"})
+    for c in ("n_docs", "n_kept", "chars_removed"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg
+
+
 def q_rolling_extrema(sf_dir: str):
     """ROWS-frame sliding max/min of the last 5 events per user
     (ops/window.py:sliding_extrema_by_group): RMQ sparse-table
@@ -5963,6 +6037,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2": q_scd2,
         "span_corruption": q_span_corruption,
         "rolling_extrema": q_rolling_extrema,
+        "weighted_median_group": q_weighted_median_group,
+        "dedup_savings": q_dedup_savings,
         "chi2_lang_source": q_chi2_lang_source,
         "classifier_eval": q_classifier_eval,
         "calibration": q_calibration,
@@ -8449,6 +8525,38 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             WHERE p.vec_id NOT IN (SELECT id FROM core)
               AND p.vec_id NOT IN (SELECT id FROM bl)""",
+        "weighted_median_group": """
+            WITH w AS (SELECT l_returnflag,
+                              CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) AS v,
+                              CAST(l_quantity AS BIGINT) AS wt
+                       FROM lineitem),
+            c AS (SELECT l_returnflag, v, sum(wt) AS n
+                  FROM w GROUP BY 1, 2),
+            s AS (SELECT l_returnflag, v,
+                         sum(n) OVER (PARTITION BY l_returnflag
+                                      ORDER BY v) AS cum,
+                         sum(n) OVER (PARTITION BY l_returnflag)
+                             AS tot
+                  FROM c)
+            SELECT l_returnflag,
+                   CAST(min(v) FILTER (WHERE 2 * cum >= tot)
+                        AS BIGINT) AS wmedian,
+                   CAST(min(v) FILTER (WHERE 10 * cum >= 9 * tot)
+                        AS BIGINT) AS wq90
+            FROM s GROUP BY 1""",
+        "dedup_savings": """
+            WITH r AS (SELECT source, n_chars,
+                              row_number() OVER (PARTITION BY text
+                                  ORDER BY doc_id) AS rn
+                       FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT)
+                       AS n_kept,
+                   CAST(COALESCE(sum(n_chars) FILTER (WHERE rn > 1),
+                                 0) AS BIGINT) AS chars_removed
+            FROM r GROUP BY 1""",
         "rolling_extrema": """
             WITH x AS (SELECT user_id, ts, event_id,
                               CAST(floor(value * 100 + 0.5)

@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "scd2",
     "span_corruption",
     "rolling_extrema",
+    "weighted_median_group",
+    "dedup_savings",
     "bfs_hops",
     "target_encode",
     "kfold",
