@@ -2614,13 +2614,18 @@ def ktruss(
             "support": out["n"].to_numpy(np.int64)})
 
     for _ in range(max_rounds):
+        # size this round's three exchanges from the KNOWN edge count
+        # (wedge volume can exceed it on skew, but support-thresholded
+        # peeling bounds it; the floor-8 lowering only fires on small
+        # graphs where the all-to-all is pure fixed cost)
+        nb_round = resolve_group_buckets(n_buckets, input_rows=n_cur)
         if n_cur == 0:
             return ray.data.from_arrow(pa.table({
                 "a": pa.array([], pa.int64()),
                 "b": pa.array([], pa.int64()),
                 "support": pa.array([], pa.int64())}))
         wedges = bucketed_groups(cur, "a", wedge_kern,
-                                 n_buckets=n_buckets)
+                                 n_buckets=nb_round)
         tag_w = wedges.map_batches(
             lambda t: t.append_column(
                 "tag", pa.array(np.zeros(len(t), np.int8))),
@@ -2632,15 +2637,15 @@ def ktruss(
                 "tag": pa.array(np.ones(len(t), np.int8))}),
             batch_format="pyarrow")
         support = bucketed_groups(tag_w.union(tag_e), "u", close_kern,
-                                  n_buckets=n_buckets)
+                                  n_buckets=nb_round)
         tag_z = cur.map_batches(
             lambda t: pa.table({
                 "a": t["a"], "b": t["b"],
                 "n": pa.array(np.zeros(len(t), np.int64))}),
             batch_format="pyarrow")
         nxt = bucketed_groups(support.union(tag_z), "a", thresh_kern,
-                              n_buckets=n_buckets).repartition(
-                                  n_part).materialize()
+                              n_buckets=nb_round).repartition(
+                                  min(n_part, nb_round)).materialize()
         n_nxt = nxt.count()
         if n_nxt == n_cur:
             return nxt
@@ -2718,11 +2723,17 @@ def tree_closure(
         ["node", "anc"], n_buckets=n_buckets)
     R = base.map_batches(with_depth,
                          batch_format="pyarrow").materialize()
-    if R.count() == 0:
+    n_rows = R.count()
+    if n_rows == 0:
         return ray.data.from_arrow(empty)
 
     cur_max = 1
     for rnd in range(max_rounds):
+        # size each round's exchange from the KNOWN closure row count
+        # (union input <= 2 * |R|); the default 2*CPU bucket count is
+        # pure per-task fixed cost on small frontiers
+        nb_round = resolve_group_buckets(n_buckets,
+                                         input_rows=2 * n_rows)
         if max_depth is not None and cur_max >= max_depth:
             break
 
@@ -2761,12 +2772,15 @@ def tree_closure(
                           + m["d2"].to_numpy(np.int64))})
 
         new = bucketed_groups(unioned, "key", kern,
-                              n_buckets=n_buckets).map_batches(
+                              n_buckets=nb_round).map_batches(
             lambda t: t, batch_format="pyarrow").materialize()
-        if new.count() == 0:
+        n_new = new.count()
+        if n_new == 0:
             break
         md = int(new.max("depth"))
-        R = R.union(new).repartition(n_part).materialize()
+        n_rows += n_new
+        R = R.union(new).repartition(
+            min(n_part, nb_round)).materialize()
         if md < 2 * cur_max:
             break
         cur_max *= 2
@@ -2805,11 +2819,16 @@ def tree_stats(
     counts, defaulting roots to (depth 0, root self, size 1 + count)."""
     from ci_log_processing_ray.ops.window import (bucketed_distinct,
                                                   bucketed_groups,
-                                                  bucketed_sum)
+                                                  bucketed_sum,
+                                                  resolve_group_buckets)
 
     clo = tree_closure(edges, node_col, parent_col,
                        max_rounds=max_rounds,
                        n_buckets=n_buckets).materialize()
+    # size the downstream node-shaped exchanges from the KNOWN closure
+    # row count (free: clo is materialized) -- see resolve_group_buckets
+    n_buckets = resolve_group_buckets(n_buckets,
+                                      input_rows=clo.count())
 
     def dkern(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["node", "depth"], kind="mergesort")

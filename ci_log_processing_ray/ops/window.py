@@ -29,11 +29,16 @@ DEFAULT_GROUP_BUCKETS = 64
 # input-bytes override of resolve_group_buckets
 TARGET_BUCKET_BYTES = 256 << 20
 
+# don't split a known-small exchange below this many rows per bucket
+# (the input_rows LOWERING override of resolve_group_buckets)
+TARGET_BUCKET_MIN_ROWS = 200_000
+
 
 def resolve_group_buckets(
     n_buckets: int | None = None,
     *,
     input_bytes: int | None = None,
+    input_rows: int | None = None,
 ) -> int:
     """Cluster/size-aware bucket count for every coarse bucketed
     exchange (the round-2 verdict's fix for the fixed 64-bucket cap on
@@ -57,6 +62,14 @@ def resolve_group_buckets(
                 n = max(n, 2 * cpus)
     except Exception:  # resolution must never break the pipeline
         pass
+    if input_rows is not None:
+        # LOWER the default when the caller KNOWS the exchange is small
+        # (iterative ops count their frontier every round): below
+        # TARGET_BUCKET_MIN_ROWS per bucket the all-to-all is pure
+        # per-task fixed cost -- measured 6.5 s -> 2.0 s on the sf0.1
+        # tree closure.  Floor 8 keeps reduce-side parallelism; at
+        # 100-TB row counts this branch never bites.
+        n = min(n, max(8, int(input_rows) // TARGET_BUCKET_MIN_ROWS + 1))
     if input_bytes is not None:
         n = max(n, int(input_bytes) // TARGET_BUCKET_BYTES + 1)
     return n

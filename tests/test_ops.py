@@ -1291,6 +1291,16 @@ def test_resolve_group_buckets_cluster_aware(ray_session, monkeypatch):
     assert window.resolve_group_buckets() == 64  # floor stays 64
     assert window.resolve_group_buckets(input_bytes=1 << 40) == \
         (1 << 40) // window.TARGET_BUCKET_BYTES + 1
+    # input_rows LOWERS a known-small exchange (floor 8), never an
+    # explicit count, and the bytes-based raise still applies after
+    assert window.resolve_group_buckets(input_rows=100) == 8
+    assert window.resolve_group_buckets(input_rows=10_000_000) == 51
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 256})
+    assert window.resolve_group_buckets(input_rows=10**12) == 512
+    assert window.resolve_group_buckets(7, input_rows=100) == 7
+    assert window.resolve_group_buckets(
+        input_rows=100, input_bytes=1 << 40) == \
+        (1 << 40) // window.TARGET_BUCKET_BYTES + 1
 
 
 def test_local_cc_labels_vectorized_kernel():
