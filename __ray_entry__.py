@@ -2935,6 +2935,19 @@ def q_numwait(sf_dir: str):
         "l_orderkey", "l_suppkey", "flag", min_members=2)
 
 
+def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing-family local-minima document fingerprints
+    (ops/dedup.py:local_minima_fingerprints): per doc, windows /
+    selected / checksum from ONE whole-batch rolling hash + two
+    doubling rolling-min passes.  Rows-only (rolling hashes are not
+    SQL-expressible); a brute-force parity test pins the selection
+    rule exactly (tests/test_ops.py)."""
+    from ci_log_processing_ray.ops.dedup import local_minima_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return local_minima_fingerprints(ds, "text", "doc_id", k=8, w=5)
+
+
 def q_weighted_median_group(sf_dir: str):
     """Exact quantity-WEIGHTED median and p90 price per return flag
     (ops/quantile.py:quantile_disc_by_group weight_col mode): a row
@@ -6039,6 +6052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_extrema": q_rolling_extrema,
         "weighted_median_group": q_weighted_median_group,
         "dedup_savings": q_dedup_savings,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "chi2_lang_source": q_chi2_lang_source,
         "classifier_eval": q_classifier_eval,
         "calibration": q_calibration,

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "rolling_extrema",
     "weighted_median_group",
     "dedup_savings",
+    "winnow_fingerprints",
     "bfs_hops",
     "target_encode",
     "kfold",

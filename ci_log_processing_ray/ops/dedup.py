@@ -1827,3 +1827,105 @@ def cdc_chunk_stats(
     return pa.table({c: pa.array([int(parts[c].sum())], pa.int64())
                      for c in ("n_chunks", "n_distinct",
                                "bytes_total", "bytes_distinct")})
+
+
+def local_minima_fingerprints(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    w: int = 5,
+) -> "ray.data.Dataset":
+    """Winnowing-family document fingerprinting by LOCAL-MINIMA
+    selection: over the k-byte rolling-hash stream of each doc, select
+    position i iff its hash is the strict minimum of the
+    (2w-1)-neighborhood [i-w+1, i+w-1] (segment-truncated) -- the
+    content-defined selection scheme shared by MOSS-style winnowing
+    and local-minima chunking, giving position-shift-robust
+    fingerprints at ~1/(2w-1) density (gaps bounded by the
+    neighborhood width; unlike strict winnowing no per-window argmin
+    tie rule is needed, so the spec stays exactly reproducible).
+
+    Plan: pure map -- the shared `_window_hash_stream` front half (one
+    zero-copy UTF-8 pass, ONE rolling hash for the whole batch), then
+    two runs of the ROWS-frame doubling min kernel (forward + reversed
+    stream) and a compare; per-doc (n_windows, n_selected,
+    checksum = sum of selected hashes mod 1e9+7) fold by reduceat.
+    Rows-only (rolling hashes are not SQL-expressible); a brute-force
+    parity test pins the selection rule."""
+
+    def kern(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy().astype(np.int64)
+        sh, counts, seg_starts, n = _window_hash_stream(
+            t[text_col].combine_chunks(), k)
+        if n == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_windows": pa.array([], pa.int64()),
+                "n_selected": pa.array([], pa.int64()),
+                "fp_checksum": pa.array([], pa.int64())})
+        total = len(sh)
+
+        # within-segment index r for the forward pass
+        idx = np.arange(total, dtype=np.int64)
+        starts_mask = np.zeros(total, dtype=bool)
+        starts_mask[seg_starts[counts > 0]] = True
+        base = np.maximum.accumulate(np.where(starts_mask, idx, 0))
+        r = idx - base
+
+        def roll_min(vals: np.ndarray, rr: np.ndarray, win: int):
+            m = vals.copy()
+            s = 1
+            while s < win:
+                half = min(s, win - s)
+                shifted = np.empty_like(m)
+                shifted[:half] = m[:half]
+                shifted[half:] = m[:-half]
+                valid = rr >= half
+                m = np.where(valid, np.minimum(m, shifted), m)
+                s += half
+            return m
+
+        # min over [i-w+1, i] forward; min over [i, i+w-1] via the
+        # reversed stream (segments reverse in place: same r works on
+        # the flipped array because counts are symmetric per segment)
+        fwd = roll_min(sh, r, w)
+        rev = roll_min(sh[::-1], _rev_r(counts, total), w)[::-1]
+        # selected iff h equals BOTH inclusive one-sided minima, i.e.
+        # the (2w-1)-neighborhood minimum; 61-bit hash ties keep all
+        # tied positions (deterministic, parity-tested)
+        sel = (sh == fwd) & (sh == rev)
+
+        seli = sel.astype(np.int64)
+        chk = np.where(sel, sh % np.uint64(1_000_000_007),
+                       np.uint64(0)).astype(np.int64)
+        n_sel = np.zeros(n, np.int64)
+        csum = np.zeros(n, np.int64)
+        nz = counts > 0
+        if total:
+            n_sel[nz] = np.add.reduceat(seli, seg_starts[nz])
+            csum[nz] = np.add.reduceat(chk, seg_starts[nz])
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_windows": pa.array(counts.astype(np.int64)),
+            "n_selected": pa.array(n_sel),
+            "fp_checksum": pa.array(csum)})
+
+    return ds.map_batches(kern, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _rev_r(counts: np.ndarray, total: int) -> np.ndarray:
+    """Within-segment indices for the REVERSED window-hash stream:
+    segment order flips end-to-front, so the reversed stream's segment
+    lengths are counts[::-1] and r is rebuilt from those."""
+    rc = counts[::-1]
+    rc = rc[rc > 0]
+    idx = np.arange(total, dtype=np.int64)
+    starts = np.zeros(len(rc), dtype=np.int64)
+    np.cumsum(rc[:-1], out=starts[1:])
+    starts_mask = np.zeros(total, dtype=bool)
+    starts_mask[starts] = True
+    base = np.maximum.accumulate(np.where(starts_mask, idx, 0))
+    return idx - base

@@ -4849,3 +4849,49 @@ def test_sliding_extrema_doubling_kernel(ray_session):
             win = seg[lo:row["o"] + 1]
             assert row["roll_max"] == max(win), (k, dict(row))
             assert row["roll_min"] == min(win), (k, dict(row))
+
+
+def test_local_minima_fingerprints_parity(ray_session):
+    """The vectorized local-minima selection must equal a brute-force
+    per-doc implementation of the same spec (k-byte polynomial rolling
+    hash, inclusive (2w-1)-neighborhood minimum, ties keep all)."""
+    import numpy as np
+
+    from ci_log_processing_ray.ops.dedup import (_MERSENNE,
+                                                 local_minima_fingerprints)
+
+    rng = np.random.default_rng(11)
+    alpha = "abcdef"
+    texts = ["".join(rng.choice(list(alpha))
+                     for _ in range(int(rng.integers(1, 60))))
+             for _ in range(40)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    k, w = 4, 3
+    got = (local_minima_fingerprints(
+        ray.data.from_items(rows), "text", "doc_id", k=k, w=w)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    def brute(text: str):
+        b = text.encode()
+        if len(b) < k:
+            b = b + bytes(k - len(b))
+        hs = []
+        for i in range(len(b) - k + 1):
+            h = 0
+            for j in range(k):
+                h = (h * 257 + b[i + j]) % _MERSENNE
+            hs.append(h)
+        sel, chk = 0, 0
+        for i, h in enumerate(hs):
+            lo = max(0, i - w + 1)
+            hi = min(len(hs), i + w)
+            if h == min(hs[lo:hi]):
+                sel += 1
+                chk += h % 1_000_000_007
+        return len(hs), sel, chk
+
+    for i, t in enumerate(texts):
+        nw, ns, ck = brute(t)
+        row = got.iloc[i]
+        assert (row["n_windows"], row["n_selected"],
+                row["fp_checksum"]) == (nw, ns, ck), (i, t)
