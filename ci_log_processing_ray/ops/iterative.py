@@ -869,7 +869,11 @@ def label_propagation(
                           kind="mergesort")
         return g.drop_duplicates("node", keep="first")[["node", "label"]]
 
-    nb = resolve_group_buckets(n_buckets)
+    # size the per-round exchanges from the KNOWN bidirectional edge
+    # count (votes pre-aggregate below it) -- see resolve_group_buckets
+    n_edges_bi = ebi.count()
+    nb = resolve_group_buckets(n_buckets,
+                               input_rows=n_edges_bi + n_nodes)
     prev = None
     for _r in range(n_rounds):
         if n_nodes <= broadcast_cap:
@@ -919,10 +923,10 @@ def label_propagation(
                                    as_index=False, sort=False)["n"].sum()
 
             votes = bucketed_groups(etag.union(ltag), "key", co_vote,
-                                    n_buckets=n_buckets)
+                                    n_buckets=nb)
 
         labels = (bucketed_groups(votes, "node", argmax_kern,
-                                  n_buckets=n_buckets)
+                                  n_buckets=nb)
                   .repartition(max(16, nb // 8) if n_nodes <= 50_000
                                else nb)
                   .materialize())
@@ -2392,8 +2396,15 @@ def minimum_spanning_forest(
         live = with_cv.map_batches(
             live_only, batch_format="pyarrow",
             zero_copy_batch=True).materialize()
-        if live.count() == 0:
+        n_live = live.count()
+        if n_live == 0:
             return _msf_finalize(forest_parts, n_buckets)
+        # size this round's exchanges from the KNOWN live edge count
+        # (the contraction shrinks it geometrically; late rounds are
+        # tiny and the cluster-default bucket count is pure fixed cost)
+        from ci_log_processing_ray.ops.window import \
+            resolve_group_buckets as _rgb
+        nb_round = _rgb(n_buckets, input_rows=2 * n_live)
 
         # 2. explode to both endpoint components, min per component
         def explode(t: pa.Table) -> pa.Table:
@@ -2414,20 +2425,20 @@ def minimum_spanning_forest(
         sel = bucketed_groups(
             live.map_batches(explode, batch_format="pyarrow",
                              zero_copy_batch=True),
-            "comp", pick_min, n_buckets=n_buckets)
+            "comp", pick_min, n_buckets=nb_round)
         sel_edges = bucketed_distinct(
             sel.map_batches(
                 lambda t: t.select(["eu", "ev", "w", "cu", "cv"]),
                 batch_format="pyarrow", zero_copy_batch=True),
             ["eu", "ev", "w", "cu", "cv"],
-            n_buckets=n_buckets).materialize()
+            n_buckets=nb_round).materialize()
         forest_parts.append(sel_edges)
 
         # 3. contract: CC over the component-level selected graph,
         # then compose node labels through it
         comp_cc = connected_components(
             sel_edges, "cu", "cv",
-            n_buckets=n_buckets).materialize()
+            n_buckets=nb_round).materialize()
         if labels is None:
             labels = comp_cc
         else:
@@ -2482,7 +2493,7 @@ def minimum_spanning_forest(
                     zero_copy_batch=True
                 ).map_batches(tag_old, batch_format="pyarrow"))
             labels = bucketed_groups(unioned, "key", compose_kern,
-                                     n_buckets=n_buckets).materialize()
+                                     n_buckets=nb_round).materialize()
 
     # max_rounds exhausted: check completion
     with_cu = attach_label(e, "eu", labels, "cu")
@@ -2923,6 +2934,10 @@ def component_stats(
 
     labels = connected_components(edges, src_col, dst_col,
                                   n_buckets=n_buckets).materialize()
+    # node-shaped downstream exchanges: size from the KNOWN label count
+    from ci_log_processing_ray.ops.window import \
+        resolve_group_buckets as _rgb
+    n_buckets = _rgb(n_buckets, input_rows=4 * labels.count())
 
     def canon(t: pa.Table) -> pa.Table:
         s = t[src_col].combine_chunks().to_numpy(zero_copy_only=False)
@@ -3437,6 +3452,11 @@ def widest_paths(
         n_front = frontier.count()
         if n_front == 0:
             break
+        # size this round's exchanges from KNOWN table sizes (best is
+        # materialized, count is metadata) -- see resolve_group_buckets
+        from ci_log_processing_ray.ops.window import \
+            resolve_group_buckets as _rgb
+        nb_round = _rgb(n_buckets, input_rows=best.count() + n_front)
         if n_front <= broadcast_cap:
             fp = frontier.to_pandas()
             order = np.argsort(fp["node"].to_numpy())
@@ -3488,7 +3508,7 @@ def widest_paths(
                     "improved": np.full(len(hit), -1, np.int64)})
 
             cand = bucketed_groups(get_etag().union(ftag), "key",
-                                   cp_expand, n_buckets=n_buckets)
+                                   cp_expand, n_buckets=nb_round)
 
         def fold(g: pd.DataFrame) -> pd.DataFrame:
             old = g[g["improved"] >= 0]
@@ -3505,7 +3525,7 @@ def widest_paths(
                 "improved": (newv > oldv).astype(np.int64)})
 
         best = bucketed_groups(best.union(cand), "node", fold,
-                               n_buckets=n_buckets).materialize()
+                               n_buckets=nb_round).materialize()
 
     return best.map_batches(
         lambda t: t.select(["node", "width"]), batch_format="pyarrow")
@@ -3576,6 +3596,11 @@ def shortest_path_counts(
         n_front = frontier.count()
         if n_front == 0:
             break
+        # size this round's exchanges from KNOWN table sizes (best is
+        # materialized, count is metadata) -- see resolve_group_buckets
+        from ci_log_processing_ray.ops.window import \
+            resolve_group_buckets as _rgb
+        nb_round = _rgb(n_buckets, input_rows=best.count() + n_front)
         if n_front <= broadcast_cap:
             fp = frontier.to_pandas()
             order = np.argsort(fp["node"].to_numpy())
@@ -3622,7 +3647,7 @@ def shortest_path_counts(
                     "paths": hit["key"].map(cm).to_numpy(np.int64)})
 
             cand = bucketed_groups(get_etag().union(ftag), "key",
-                                   cp_expand, n_buckets=n_buckets)
+                                   cp_expand, n_buckets=nb_round)
 
         def fold(g: pd.DataFrame, _r=r) -> pd.DataFrame:
             settled = g[g["hops"] <= _r]
@@ -3639,6 +3664,6 @@ def shortest_path_counts(
             return out
 
         best = bucketed_groups(best.union(cand), "node", fold,
-                               n_buckets=n_buckets).materialize()
+                               n_buckets=nb_round).materialize()
 
     return best
