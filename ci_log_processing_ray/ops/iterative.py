@@ -528,6 +528,11 @@ def connected_components(
 
     mapping = edges.map_batches(local_cc, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
+    # size every node-shaped exchange from the KNOWN mapping count
+    # (materialized; count is metadata) -- see resolve_group_buckets
+    from ci_log_processing_ray.ops.window import \
+        resolve_group_buckets as _rgb
+    nb_map = _rgb(n_buckets, input_rows=mapping.count())
 
     def boundary_edges(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.drop_duplicates(["node", "root"])
@@ -540,7 +545,7 @@ def connected_components(
     from ci_log_processing_ray.ops.window import bucketed_groups
 
     merges_ds = bucketed_groups(mapping, "node", boundary_edges,
-                                n_buckets=n_buckets).materialize()
+                                n_buckets=nb_map).materialize()
     n_merges = merges_ds.count()
     if n_merges > boundary_cap:
         if _prev_merges is not None and n_merges >= _prev_merges:
@@ -608,7 +613,7 @@ def connected_components(
                 "component"].min()
 
         relabeled = bucketed_groups(tagged, "key", relabel_bucket,
-                                    n_buckets=n_buckets)
+                                    n_buckets=nb_map)
 
         def min_kern(g: pd.DataFrame) -> pd.DataFrame:
             return g.groupby("node", as_index=False, sort=False)[
@@ -617,7 +622,7 @@ def connected_components(
         # a node relabeled under DIFFERENT roots lands in different
         # key-buckets above; one node-keyed min fold closes it
         return bucketed_groups(relabeled, "node", min_kern,
-                               n_buckets=n_buckets)
+                               n_buckets=nb_map)
 
     merges = merges_ds.to_pandas()
 
@@ -667,7 +672,7 @@ def connected_components(
     return bucketed_groups(
         mapping.map_batches(relabel, batch_format="pyarrow",
                             zero_copy_batch=True),
-        "node", min_kern, n_buckets=n_buckets)
+        "node", min_kern, n_buckets=nb_map)
 
 
 def bfs_hops(
