@@ -2935,6 +2935,42 @@ def q_numwait(sf_dir: str):
         "l_orderkey", "l_suppkey", "flag", min_members=2)
 
 
+def q_sorted_export(sf_dir: str):
+    """Resumable globally-sorted Parquet export
+    (pipelines/export.py:sorted_export): range-partitioned files with
+    per-range manifests and a monotone min/max chain assertion.
+    Rows-only (cut points come from a DDSketch pass); returns the
+    committed per-range stats.  Resume + order pinned by
+    tests/test_pipeline.py."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ci_log_processing_ray.pipelines.export import sorted_export
+    from ci_log_processing_ray.state.manifest import ManifestStore
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "cents": _cents(t["value"])})
+
+    out = _tf.mkdtemp(prefix="sorted_export_", dir="/tmp")
+    try:
+        sorted_export(ev.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      "cents", out, n_ranges=8)
+        store = ManifestStore(out + "/_manifests")
+        rows = []
+        for m in sorted(store.all(), key=lambda m: m.partition_id):
+            rows.append({"range_id": m.partition_id,
+                         "rows": int(m.row_count),
+                         "min_cents": int(m.per_sink_counts["min"]),
+                         "max_cents": int(m.per_sink_counts["max"])})
+        return pd.DataFrame(rows)
+    finally:
+        _sh.rmtree(out, ignore_errors=True)
+
+
 def q_winnow_fingerprints(sf_dir: str):
     """Winnowing-family local-minima document fingerprints
     (ops/dedup.py:local_minima_fingerprints): per doc, windows /
@@ -6053,6 +6089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_group": q_weighted_median_group,
         "dedup_savings": q_dedup_savings,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "sorted_export": q_sorted_export,
         "chi2_lang_source": q_chi2_lang_source,
         "classifier_eval": q_classifier_eval,
         "calibration": q_calibration,

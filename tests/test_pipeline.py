@@ -439,3 +439,56 @@ def test_cli_compact_mode(corpus_dir, tmp_path):
     d2 = json.loads(c2.stdout.strip().splitlines()[-1])
     assert d2["n_rows"] == total
     assert d2["n_skipped"] == d2["n_files_out"]
+
+
+def test_sorted_export_global_order_and_resume(ray_session, tmp_path):
+    """sorted_export writes range files globally ordered on the sort
+    column, commits per-range manifests, skips everything on re-run,
+    and redoes ONLY a damaged range."""
+    import glob as _glob
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from ci_log_processing_ray.pipelines.export import sorted_export
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 1_000_000, size=20_000)
+    rows = [{"k": int(v), "payload": int(i)} for i, v in enumerate(vals)]
+    ds = ray.data.from_items(rows)
+    out = str(tmp_path / "sorted")
+
+    r1 = sorted_export(ds, "k", out, n_ranges=8)
+    assert r1["written"] == 8 and r1["rows_written"] == 20_000
+
+    files = sorted(_glob.glob(out + "/range-*.parquet"))
+    assert files
+    last = None
+    total = 0
+    for f in files:
+        t = pq.read_table(f)
+        k = t["k"].to_numpy()
+        assert (np.diff(k) >= 0).all(), f  # sorted within file
+        if last is not None:
+            assert k[0] >= last  # ordered across files
+        last = k[-1]
+        total += len(k)
+    assert total == 20_000
+
+    r2 = sorted_export(ds, "k", out, n_ranges=8)
+    assert r2 == {"written": 0, "skipped": 8, "rows_written": 0}
+
+    # damage one range: its manifest + file vanish; only it is redone
+    victim = files[3]
+    os.unlink(victim)
+    mdir = os.path.join(out, "_manifests")
+    os.unlink(os.path.join(mdir, "sorted-range-00003.json"))
+    r3 = sorted_export(ds, "k", out, n_ranges=8)
+    assert r3["written"] == 1 and r3["skipped"] == 7
+    t = pq.read_table(victim)
+    assert (np.diff(t["k"].to_numpy()) >= 0).all()
+    assert sum(pq.ParquetFile(f).metadata.num_rows
+               for f in sorted(_glob.glob(out + "/range-*.parquet"))) \
+        == 20_000
