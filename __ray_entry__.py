@@ -2935,6 +2935,87 @@ def q_numwait(sf_dir: str):
         "l_orderkey", "l_suppkey", "flag", min_members=2)
 
 
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape ("top supplier"): suppliers whose Q1-1996
+    revenue equals the global maximum (ties kept).  Plan: windowed
+    lineitem collapses to per-supplier revenue partials (one bucketed
+    fold); the global max folds from per-block maxima into one Python
+    int broadcast into a distributed equality filter -- only the
+    winners reach the driver."""
+    from ci_log_processing_ray.ops.window import bucketed_sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_shipdate"])
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+
+    def prep(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].combine_chunks().cast(pa.timestamp("us"))
+        keep = pc.and_(pc.greater_equal(sd, lo), pc.less(sd, hi))
+        sub = t.filter(keep)
+        return pa.table({
+            "l_suppkey": sub["l_suppkey"],
+            "_rev": _cents(sub["l_extendedprice"])})
+
+    rev = bucketed_sum(
+        li.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_suppkey"], ["_rev"])
+
+    def block_max(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"m": [int(df["_rev"].max())
+                                   if len(df) else -1]})
+
+    mdf = rev.map_batches(block_max, batch_format="pandas").to_pandas()
+    best = int(mdf["m"].max()) if len(mdf) else -1
+
+    out = rev.map_batches(
+        lambda df: df[df["_rev"] == best], batch_format="pandas")
+    return _collect(out.map_batches(
+        lambda df: df.rename(columns={"_rev": "total_revenue"}),
+        batch_format="pandas"))
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape ("large volume customers"): orders whose total
+    quantity exceeds 200, decorated with customer and price.  Plan:
+    lineitem collapses to per-order (qty, cents) partials + one
+    bucketed fold; the HAVING filter runs distributed BEFORE the
+    join-back, so only qualifying orders (sub-percent of the table)
+    enter the hash join with orders."""
+    from ci_log_processing_ray.ops.window import bucketed_sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "_q": pc.cast(t["l_quantity"].combine_chunks(), pa.int64()),
+            "_c": _cents(t["l_extendedprice"])})
+
+    sums = bucketed_sum(
+        li.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_orderkey"], ["_q", "_c"])
+    big = sums.map_batches(
+        lambda df: df[df["_q"] > 200], batch_format="pandas"
+    ).map_batches(lambda t: t, batch_format="pyarrow")
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = big.join(o, "inner",
+                      num_partitions=_join_partitions(
+                          sf_dir, "orders", "lineitem"),
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+    return _collect(joined.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "sum_qty": t["_q"],
+            "total_cents": t["_c"]}),
+        batch_format="pyarrow"))
+
+
 def q_sorted_export(sf_dir: str):
     """Resumable globally-sorted Parquet export
     (pipelines/export.py:sorted_export): range-partitioned files with
@@ -6090,6 +6171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_savings": q_dedup_savings,
         "winnow_fingerprints": q_winnow_fingerprints,
         "sorted_export": q_sorted_export,
+        "top_supplier": q_top_supplier,
+        "large_orders": q_large_orders,
         "chi2_lang_source": q_chi2_lang_source,
         "classifier_eval": q_classifier_eval,
         "calibration": q_calibration,
@@ -8576,6 +8659,28 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             WHERE p.vec_id NOT IN (SELECT id FROM core)
               AND p.vec_id NOT IN (SELECT id FROM bl)""",
+        "top_supplier": """
+            WITH r AS (SELECT l_suppkey,
+                              SUM(CAST(floor(l_extendedprice * 100
+                                             + 0.5) AS BIGINT)) AS rev
+                       FROM lineitem
+                       WHERE l_shipdate >= DATE '1996-01-01'
+                         AND l_shipdate < DATE '1996-04-01'
+                       GROUP BY 1)
+            SELECT l_suppkey,
+                   CAST(rev AS BIGINT) AS total_revenue
+            FROM r WHERE rev = (SELECT max(rev) FROM r)""",
+        "large_orders": """
+            WITH s AS (SELECT l_orderkey,
+                              SUM(CAST(l_quantity AS BIGINT)) AS q,
+                              SUM(CAST(floor(l_extendedprice * 100
+                                             + 0.5) AS BIGINT)) AS c
+                       FROM lineitem GROUP BY 1
+                       HAVING SUM(CAST(l_quantity AS BIGINT)) > 200)
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(s.q AS BIGINT) AS sum_qty,
+                   CAST(s.c AS BIGINT) AS total_cents
+            FROM s JOIN orders o ON s.l_orderkey = o.o_orderkey""",
         "weighted_median_group": """
             WITH w AS (SELECT l_returnflag,
                               CAST(floor(l_extendedprice * 100 + 0.5)

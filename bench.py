@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "weighted_median_group",
     "dedup_savings",
     "winnow_fingerprints",
+    "top_supplier",
+    "large_orders",
     "bfs_hops",
     "target_encode",
     "kfold",
