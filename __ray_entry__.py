@@ -3016,6 +3016,104 @@ def q_large_orders(sf_dir: str):
         batch_format="pyarrow"))
 
 
+def q_returned_customers(sf_dir: str):
+    """TPC-H Q10 shape ("returned item reporting"): top-20 customers
+    by revenue of returned ('R') lines in H1-1996, deterministic
+    (rev DESC, custkey ASC) tie-break.  Plan: the filtered fact joins
+    orders on orderkey (fact-fact hash join), collapses to per-customer
+    revenue in one bucketed fold, and only the fold output is sorted --
+    a customer-sized table, never lineitem."""
+    from ci_log_processing_ray.ops.window import bucketed_sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_returnflag",
+                "l_shipdate"])
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 7, 1)
+
+    def prep(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].combine_chunks().cast(pa.timestamp("us"))
+        keep = pc.and_(
+            pc.equal(t["l_returnflag"].combine_chunks(), "R"),
+            pc.and_(pc.greater_equal(sd, lo), pc.less(sd, hi)))
+        sub = t.filter(keep)
+        return pa.table({"l_orderkey": sub["l_orderkey"],
+                         "_c": _cents(sub["l_extendedprice"])})
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True).join(
+        o, "inner",
+        num_partitions=_join_partitions(sf_dir, "orders", "lineitem"),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = bucketed_sum(
+        joined.map_batches(
+            lambda t: t.select(["o_custkey", "_c"]),
+            batch_format="pyarrow"),
+        ["o_custkey"], ["_c"])
+    top = (per_cust.map_batches(lambda t: t, batch_format="pyarrow")
+           .sort(["_c", "o_custkey"], descending=[True, False])
+           .limit(20))
+    return _collect(top.map_batches(
+        lambda t: pa.table({"o_custkey": t["o_custkey"],
+                            "revenue": t["_c"].combine_chunks()
+                            .cast(pa.int64())}),
+        batch_format="pyarrow"))
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape ("local supplier volume"): revenue of lineitems
+    whose customer and supplier share a nation, per nation name.
+    Plan: the two dim maps (custkey -> nation, suppkey -> nation)
+    broadcast once as sorted arrays; lineitem joins orders on orderkey
+    (the one fact-fact exchange), then a pure map resolves both
+    nations, keeps the equal ones, and per-block partials collapse to
+    a 25-row nation aggregate decorated from the broadcast nation
+    table."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name"]).to_pandas()
+    ck = cust.sort_values("c_custkey")
+    sk = supp.sort_values("s_suppkey")
+    ck_keys = ck["c_custkey"].to_numpy(np.int64)
+    ck_nat = ck["c_nationkey"].to_numpy(np.int64)
+    sk_keys = sk["s_suppkey"].to_numpy(np.int64)
+    sk_nat = sk["s_nationkey"].to_numpy(np.int64)
+    ref = ray.put((ck_keys, ck_nat, sk_keys, sk_nat))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice"])
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(o, "inner",
+                     num_partitions=_join_partitions(
+                         sf_dir, "orders", "lineitem"),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def resolve(t: pa.Table, _ref=ref) -> pa.Table:
+        cks, ckn, sks, skn = ray.get(_ref)
+        c = t["o_custkey"].combine_chunks().to_numpy()
+        s = t["l_suppkey"].combine_chunks().to_numpy()
+        cn = ckn[np.searchsorted(cks, c)]
+        sn = skn[np.searchsorted(sks, s)]
+        keep = cn == sn
+        cents = _cents(t["l_extendedprice"]).to_numpy()[keep]
+        tt = pa.table({"n_nationkey": pa.array(cn[keep]),
+                       "_c": pa.array(cents)})
+        g = tt.group_by("n_nationkey").aggregate([("_c", "sum")])
+        return pa.table({"n_nationkey": g["n_nationkey"],
+                         "_c": g["_c_sum"]})
+
+    agg = (joined.map_batches(resolve, batch_format="pyarrow")
+           .groupby("n_nationkey").sum("_c")).to_pandas()
+    agg = agg.rename(columns={"sum(_c)": "revenue"})
+    out = agg.merge(nat, on="n_nationkey")[["n_name", "revenue"]]
+    out["revenue"] = out["revenue"].astype(np.int64)
+    return out
+
+
 def q_sorted_export(sf_dir: str):
     """Resumable globally-sorted Parquet export
     (pipelines/export.py:sorted_export): range-partitioned files with
@@ -6173,6 +6271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_export": q_sorted_export,
         "top_supplier": q_top_supplier,
         "large_orders": q_large_orders,
+        "returned_customers": q_returned_customers,
+        "local_supplier_volume": q_local_supplier_volume,
         "chi2_lang_source": q_chi2_lang_source,
         "classifier_eval": q_classifier_eval,
         "calibration": q_calibration,
@@ -8659,6 +8759,29 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p
             WHERE p.vec_id NOT IN (SELECT id FROM core)
               AND p.vec_id NOT IN (SELECT id FROM bl)""",
+        "returned_customers": """
+            WITH r AS (SELECT o.o_custkey,
+                              SUM(CAST(floor(l.l_extendedprice * 100
+                                             + 0.5) AS BIGINT)) AS rev
+                       FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey
+                       WHERE l.l_returnflag = 'R'
+                         AND l.l_shipdate >= DATE '1996-01-01'
+                         AND l.l_shipdate < DATE '1996-07-01'
+                       GROUP BY 1)
+            SELECT o_custkey, CAST(rev AS BIGINT) AS revenue
+            FROM r ORDER BY rev DESC, o_custkey LIMIT 20""",
+        "local_supplier_volume": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY 1""",
         "top_supplier": """
             WITH r AS (SELECT l_suppkey,
                               SUM(CAST(floor(l_extendedprice * 100

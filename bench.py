@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "top_supplier",
     "large_orders",
+    "returned_customers",
+    "local_supplier_volume",
     "bfs_hops",
     "target_encode",
     "kfold",
