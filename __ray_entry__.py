@@ -3114,6 +3114,369 @@ def q_local_supplier_volume(sf_dir: str):
     return out
 
 
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape ("forecasting revenue change"): one-row
+    filter-aggregate -- revenue (price x discount) of low-quantity
+    1996 lines with discount in [5%, 7%].  Exact integers: discount
+    re-quantized to permille, revenue in cent-permille micros; the
+    whole corpus collapses to per-block (sum, count) partials."""
+    li = _read(sf_dir, "lineitem",
+               ["l_extendedprice", "l_discount", "l_quantity",
+                "l_shipdate"])
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].combine_chunks().cast(pa.timestamp("us"))
+        disc = t["l_discount"].combine_chunks().to_numpy()
+        dp = np.floor(disc * 1000 + 0.5).astype(np.int64)
+        qty = t["l_quantity"].combine_chunks().to_numpy()
+        keep = ((dp >= 50) & (dp <= 70) & (qty < 24)
+                & pc.and_(pc.greater_equal(sd, lo),
+                          pc.less(sd, hi)).to_numpy(
+                              zero_copy_only=False))
+        cents = _cents(t["l_extendedprice"]).to_numpy()[keep]
+        return pa.table({
+            "revenue_micros": pa.array(
+                [int((cents * dp[keep]).sum())], pa.int64()),
+            "n_lines": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    return pd.DataFrame({
+        "revenue_micros": np.asarray([parts["revenue_micros"].sum()],
+                                     np.int64),
+        "n_lines": np.asarray([parts["n_lines"].sum()], np.int64)})
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape ("minimum cost supplier"): per part, the
+    cheapest line's supplier (lexicographic (price, suppkey) argmin --
+    deterministic ties), decorated with the supplier's nation.  Plan:
+    per-block (part -> min price, argmin supp) partials pre-shrink the
+    fact table to part cardinality before ONE bucketed fold; the
+    supplier->nation map broadcasts sorted."""
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(np.int64),
+            "c": np.floor(df["l_extendedprice"].to_numpy()
+                          * 100 + 0.5).astype(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64)})
+        df = df.sort_values(["l_partkey", "c", "l_suppkey"],
+                            kind="mergesort")
+        return df.drop_duplicates("l_partkey", keep="first")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_partkey", "c", "l_suppkey"],
+                          kind="mergesort")
+        return g.drop_duplicates("l_partkey", keep="first")
+
+    best = bucketed_groups(
+        li.map_batches(partial, batch_format="pandas"),
+        "l_partkey", fold).to_pandas()
+
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    out = best.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out = out.rename(columns={"c": "min_cents"})[
+        ["l_partkey", "l_suppkey", "min_cents", "s_nationkey"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _li_orders_nations(sf_dir: str, with_orderdate: bool = False):
+    """Shared front half of the Q5/Q7/Q8 shapes: lineitem joined to
+    orders on orderkey, plus broadcast sorted (custkey -> nation,
+    suppkey -> nation) maps."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    ck = cust.sort_values("c_custkey")
+    sk = supp.sort_values("s_suppkey")
+    ref = ray.put((ck["c_custkey"].to_numpy(np.int64),
+                   ck["c_nationkey"].to_numpy(np.int64),
+                   sk["s_suppkey"].to_numpy(np.int64),
+                   sk["s_nationkey"].to_numpy(np.int64)))
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice"])
+    ocols = ["o_orderkey", "o_custkey"] + (
+        ["o_orderdate"] if with_orderdate else [])
+    o = _read(sf_dir, "orders", ocols)
+    joined = li.join(o, "inner",
+                     num_partitions=_join_partitions(
+                         sf_dir, "orders", "lineitem"),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    return joined, ref
+
+
+def q_nation_pair_volume(sf_dir: str):
+    """TPC-H Q7 shape ("volume shipping"): revenue per ORDERED
+    (supplier nation, customer nation) pair, cross-nation pairs only.
+    Same broadcast-dim plan as Q5; the pair aggregate is at most
+    nations^2 rows."""
+    joined, ref = _li_orders_nations(sf_dir)
+
+    def resolve(t: pa.Table, _ref=ref) -> pa.Table:
+        cks, ckn, sks, skn = ray.get(_ref)
+        cn = ckn[np.searchsorted(
+            cks, t["o_custkey"].combine_chunks().to_numpy())]
+        sn = skn[np.searchsorted(
+            sks, t["l_suppkey"].combine_chunks().to_numpy())]
+        keep = cn != sn
+        cents = _cents(t["l_extendedprice"]).to_numpy()[keep]
+        tt = pa.table({"supp_nation": pa.array(sn[keep]),
+                       "cust_nation": pa.array(cn[keep]),
+                       "_c": pa.array(cents)})
+        g = tt.group_by(["supp_nation", "cust_nation"]).aggregate(
+            [("_c", "sum")])
+        return pa.table({"supp_nation": g["supp_nation"],
+                         "cust_nation": g["cust_nation"],
+                         "_c": g["_c_sum"]})
+
+    agg = (joined.map_batches(resolve, batch_format="pyarrow")
+           .groupby(["supp_nation", "cust_nation"])
+           .sum("_c")).to_pandas()
+    agg = agg.rename(columns={"sum(_c)": "revenue"})
+    for c in agg.columns:
+        agg[c] = agg[c].astype(np.int64)
+    return agg
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 shape ("national market share"): per order-year, the
+    permille of total revenue carried by suppliers of nation 0.  Same
+    broadcast-dim plan; the (year, nation-flag) aggregate is
+    years-sized and the permille is an exact floor division."""
+    joined, ref = _li_orders_nations(sf_dir, with_orderdate=True)
+
+    def resolve(t: pa.Table, _ref=ref) -> pa.Table:
+        cks, ckn, sks, skn = ray.get(_ref)
+        sn = skn[np.searchsorted(
+            sks, t["l_suppkey"].combine_chunks().to_numpy())]
+        us = pc.cast(t["o_orderdate"].combine_chunks()
+                     .cast(pa.timestamp("us")), pa.int64()).to_numpy()
+        months = us.view("M8[us]").astype("M8[Y]").astype(np.int64)
+        year = (1970 + months).astype(np.int64)
+        cents = _cents(t["l_extendedprice"]).to_numpy()
+        tt = pa.table({
+            "o_year": pa.array(year),
+            "_t": pa.array(cents),
+            "_n": pa.array(np.where(sn == 0, cents, 0))})
+        g = tt.group_by("o_year").aggregate(
+            [("_t", "sum"), ("_n", "sum")])
+        return pa.table({"o_year": g["o_year"], "_t": g["_t_sum"],
+                         "_n": g["_n_sum"]})
+
+    agg = (joined.map_batches(resolve, batch_format="pyarrow")
+           .groupby("o_year").sum(["_t", "_n"])).to_pandas()
+    agg = agg.rename(columns={"sum(_t)": "total_cents",
+                              "sum(_n)": "nation_cents"})
+    agg["share_permille"] = [
+        int(n) * 1000 // int(t) if int(t) else -1
+        for n, t in zip(agg["nation_cents"], agg["total_cents"])]
+    for c in agg.columns:
+        agg[c] = agg[c].astype(np.int64)
+    return agg
+
+
+def q_priority_class_counts(sf_dir: str):
+    """TPC-H Q12 shape ("shipping modes and order priority", adapted:
+    the schema subset has no shipmode, so lines group by linestatus):
+    among lines shipped >60 days after the order date, per linestatus
+    the count of high-priority (1-URGENT/2-HIGH) vs other orders'
+    lines -- join + conditional aggregate."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linestatus", "l_shipdate"])
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+    joined = li.join(o, "inner",
+                     num_partitions=_join_partitions(
+                         sf_dir, "orders", "lineitem"),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    sixty_us = 60 * 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = pc.cast(t["l_shipdate"].combine_chunks()
+                     .cast(pa.timestamp("us")), pa.int64()).to_numpy()
+        od = pc.cast(t["o_orderdate"].combine_chunks()
+                     .cast(pa.timestamp("us")), pa.int64()).to_numpy()
+        late = sd > od + sixty_us
+        pr = t["o_orderpriority"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        high = (np.char.startswith(pr.astype(str), "1-")
+                | np.char.startswith(pr.astype(str), "2-")) & late
+        low = late & ~high
+        tt = pa.table({
+            "l_linestatus": t["l_linestatus"].combine_chunks(),
+            "_h": pa.array(high.astype(np.int64)),
+            "_l": pa.array(low.astype(np.int64))})
+        g = tt.group_by("l_linestatus").aggregate(
+            [("_h", "sum"), ("_l", "sum")])
+        return pa.table({"l_linestatus": g["l_linestatus"],
+                         "_h": g["_h_sum"], "_l": g["_l_sum"]})
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_linestatus").sum(["_h", "_l"])).to_pandas()
+    agg = agg.rename(columns={"sum(_h)": "high_line_count",
+                              "sum(_l)": "low_line_count"})
+    for c in ("high_line_count", "low_line_count"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg
+
+
+def q_parts_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 shape ("parts/supplier relationship"): per
+    (p_brand, p_size), the count of DISTINCT suppliers shipping that
+    part, excluding a supplier blocklist (names ending in '7' -- the
+    Q16 NOT IN).  Plan: part attrs + the blocklist broadcast sorted;
+    lineitem collapses to distinct (brand, size, supp) block partials
+    before one bucketed distinct; the final count groupby is
+    brand x size sized."""
+    from ci_log_processing_ray.ops.window import bucketed_distinct
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    part = part.sort_values("p_partkey")
+    brands, bcodes = np.unique(part["p_brand"].to_numpy(),
+                               return_inverse=True)
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name"]).to_pandas()
+    bad = np.sort(supp.loc[supp["s_name"].str.endswith("7"),
+                           "s_suppkey"].to_numpy(np.int64))
+    ref = ray.put((part["p_partkey"].to_numpy(np.int64),
+                   bcodes.astype(np.int64),
+                   part["p_size"].to_numpy(np.int64), bad))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def partial(t: pa.Table, _ref=ref) -> pa.Table:
+        pk, bc, sz, badk = ray.get(_ref)
+        p = t["l_partkey"].combine_chunks().to_numpy()
+        s = t["l_suppkey"].combine_chunks().to_numpy()
+        pos = np.searchsorted(pk, p)
+        if len(badk):
+            bpos = np.clip(np.searchsorted(badk, s), 0, len(badk) - 1)
+            keep = badk[bpos] != s
+        else:
+            keep = np.ones(len(s), bool)
+        tt = pa.table({
+            "bs": pa.array(bc[pos][keep] * 1000 + sz[pos][keep]),
+            "supp": pa.array(s[keep])})
+        return tt.group_by(["bs", "supp"]).aggregate([])
+
+    distinct = bucketed_distinct(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["bs", "supp"])
+    cnt = (distinct.map_batches(
+        lambda df: df.groupby("bs", as_index=False, sort=False)
+        .agg(supplier_cnt=("supp", "size")), batch_format="pandas")
+        .groupby("bs").sum("supplier_cnt")).to_pandas()
+    cnt = cnt.rename(columns={"sum(supplier_cnt)": "supplier_cnt"})
+    bs = cnt["bs"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "p_brand": brands[bs // 1000],
+        "p_size": (bs % 1000).astype(np.int64),
+        "supplier_cnt": cnt["supplier_cnt"].astype(np.int64)})
+    return out
+
+
+def q_discounted_revenue(sf_dir: str):
+    """TPC-H Q19 shape ("discounted revenue"): one-row revenue under
+    an OR of three (brand, size-range, quantity-range) branches -- the
+    disjunctive-predicate join.  Part attrs broadcast sorted; the
+    whole predicate evaluates as three vectorized masks per block."""
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    part = part.sort_values("p_partkey")
+    ref = ray.put((part["p_partkey"].to_numpy(np.int64),
+                   part["p_brand"].to_numpy().astype(str),
+                   part["p_size"].to_numpy(np.int64)))
+    branches = [("Brand#12", 1, 25, 1, 20),
+                ("Brand#23", 1, 30, 15, 35),
+                ("Brand#34", 1, 35, 30, 50)]
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table, _ref=ref) -> pa.Table:
+        pk, brand, size = ray.get(_ref)
+        p = t["l_partkey"].combine_chunks().to_numpy()
+        qty = t["l_quantity"].combine_chunks().to_numpy()
+        pos = np.searchsorted(pk, p)
+        b, sz = brand[pos], size[pos]
+        keep = np.zeros(len(p), bool)
+        for br, s_lo, s_hi, q_lo, q_hi in branches:
+            keep |= ((b == br) & (sz >= s_lo) & (sz <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        cents = _cents(t["l_extendedprice"]).to_numpy()[keep]
+        return pa.table({
+            "revenue_cents": pa.array([int(cents.sum())], pa.int64()),
+            "n_lines": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    return pd.DataFrame({
+        "revenue_cents": np.asarray([parts["revenue_cents"].sum()],
+                                    np.int64),
+        "n_lines": np.asarray([parts["n_lines"].sum()], np.int64)})
+
+
+def q_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20 shape ("potential part promotion", adapted to the
+    schema subset): suppliers shipping MORE THAN 20% of some part's
+    total quantity (5*sq > tot -- the nested aggregate-threshold
+    semi-join), with how many parts they dominate.  Plan: per
+    (part, supp) quantity partials collapse in one part-keyed bucketed
+    exchange whose kernel also folds the part totals (both sides
+    co-located by construction); the per-supplier count groupby is
+    supplier-sized."""
+    from ci_log_processing_ray.ops.window import bucketed_groups
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "l_partkey": t["l_partkey"].combine_chunks(),
+            "l_suppkey": t["l_suppkey"].combine_chunks(),
+            "_q": pc.cast(t["l_quantity"].combine_chunks(),
+                          pa.int64())})
+        g = tt.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("_q", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "l_suppkey": g["l_suppkey"],
+                         "_q": g["_q_sum"]})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["l_partkey", "l_suppkey"], as_index=False,
+                      sort=False)["_q"].sum()
+        tot = g.groupby("l_partkey", sort=False)["_q"].transform("sum")
+        hit = g[5 * g["_q"].to_numpy(np.int64)
+                > tot.to_numpy(np.int64)]
+        return pd.DataFrame({
+            "l_suppkey": hit["l_suppkey"].to_numpy(np.int64),
+            "n_dominant_parts": np.ones(len(hit), np.int64)})
+
+    parts = bucketed_groups(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "l_partkey", kern)
+    agg = parts.groupby("l_suppkey").sum("n_dominant_parts").to_pandas()
+    agg = agg.rename(columns={"sum(n_dominant_parts)":
+                              "n_dominant_parts"})
+    agg["l_suppkey"] = agg["l_suppkey"].astype(np.int64)
+    agg["n_dominant_parts"] = agg["n_dominant_parts"].astype(np.int64)
+    return agg
+
+
 def q_sorted_export(sf_dir: str):
     """Resumable globally-sorted Parquet export
     (pipelines/export.py:sorted_export): range-partitioned files with
@@ -6273,6 +6636,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": q_large_orders,
         "returned_customers": q_returned_customers,
         "local_supplier_volume": q_local_supplier_volume,
+        "forecast_revenue": q_forecast_revenue,
+        "min_cost_supplier": q_min_cost_supplier,
+        "nation_pair_volume": q_nation_pair_volume,
+        "market_share": q_market_share,
+        "priority_class_counts": q_priority_class_counts,
+        "parts_supplier_cnt": q_parts_supplier_cnt,
+        "discounted_revenue": q_discounted_revenue,
+        "dominant_suppliers": q_dominant_suppliers,
         "chi2_lang_source": q_chi2_lang_source,
         "classifier_eval": q_classifier_eval,
         "calibration": q_calibration,
@@ -8781,6 +9152,124 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY 1""",
+        "forecast_revenue": """
+            SELECT CAST(COALESCE(SUM(
+                       CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT)
+                       * CAST(floor(l_discount * 1000 + 0.5)
+                              AS BIGINT)), 0) AS BIGINT)
+                       AS revenue_micros,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)
+                      BETWEEN 50 AND 70
+              AND l_quantity < 24
+              AND l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'""",
+        "min_cost_supplier": """
+            WITH c AS (SELECT l_partkey, l_suppkey,
+                              CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM lineitem),
+            r AS (SELECT l_partkey, l_suppkey, cents,
+                         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                             ORDER BY cents, l_suppkey) AS rn
+                  FROM c)
+            SELECT CAST(r.l_partkey AS BIGINT) AS l_partkey,
+                   CAST(r.l_suppkey AS BIGINT) AS l_suppkey,
+                   CAST(r.cents AS BIGINT) AS min_cents,
+                   CAST(s.s_nationkey AS BIGINT) AS s_nationkey
+            FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.rn = 1""",
+        "nation_pair_volume": """
+            SELECT CAST(s.s_nationkey AS BIGINT) AS supp_nation,
+                   CAST(c.c_nationkey AS BIGINT) AS cust_nation,
+                   CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE s.s_nationkey <> c.c_nationkey
+            GROUP BY 1, 2""",
+        "market_share": """
+            WITH j AS (SELECT CAST(year(o.o_orderdate) AS BIGINT)
+                                  AS o_year,
+                              CAST(floor(l.l_extendedprice * 100
+                                         + 0.5) AS BIGINT) AS cents,
+                              s.s_nationkey AS sn
+                       FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey
+                       JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+            SELECT o_year,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(SUM(CASE WHEN sn = 0 THEN cents ELSE 0 END)
+                        AS BIGINT) AS nation_cents,
+                   CAST(CASE WHEN SUM(cents) = 0 THEN -1
+                        ELSE (SUM(CASE WHEN sn = 0 THEN cents
+                                  ELSE 0 END) * 1000) // SUM(cents)
+                        END AS BIGINT) AS share_permille
+            FROM j GROUP BY 1""",
+        "priority_class_counts": """
+            SELECT l.l_linestatus,
+                   CAST(SUM(CASE WHEN l.l_shipdate >
+                                      o.o_orderdate
+                                      + INTERVAL 60 DAY
+                                  AND (o.o_orderpriority LIKE '1-%'
+                                       OR o.o_orderpriority
+                                          LIKE '2-%')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN l.l_shipdate >
+                                      o.o_orderdate
+                                      + INTERVAL 60 DAY
+                                  AND NOT (o.o_orderpriority
+                                           LIKE '1-%'
+                                           OR o.o_orderpriority
+                                              LIKE '2-%')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1""",
+        "parts_supplier_cnt": """
+            SELECT p.p_brand,
+                   CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier
+                   WHERE s_name LIKE '%7')
+            GROUP BY 1, 2""",
+        "discounted_revenue": """
+            SELECT CAST(COALESCE(SUM(
+                       CAST(floor(l.l_extendedprice * 100 + 0.5)
+                            AS BIGINT)), 0) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12'
+                   AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 1 AND 20)
+               OR (p.p_brand = 'Brand#23'
+                   AND p.p_size BETWEEN 1 AND 30
+                   AND l.l_quantity BETWEEN 15 AND 35)
+               OR (p.p_brand = 'Brand#34'
+                   AND p.p_size BETWEEN 1 AND 35
+                   AND l.l_quantity BETWEEN 30 AND 50)""",
+        "dominant_suppliers": """
+            WITH ps AS (SELECT l_partkey, l_suppkey,
+                               SUM(CAST(l_quantity AS BIGINT)) AS q
+                        FROM lineitem GROUP BY 1, 2),
+            t AS (SELECT l_partkey, SUM(q) AS tot FROM ps GROUP BY 1)
+            SELECT CAST(ps.l_suppkey AS BIGINT) AS l_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+            FROM ps JOIN t USING (l_partkey)
+            WHERE 5 * ps.q > t.tot
             GROUP BY 1""",
         "top_supplier": """
             WITH r AS (SELECT l_suppkey,

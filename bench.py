@@ -128,6 +128,14 @@ BENCH_QUERIES = [
     "large_orders",
     "returned_customers",
     "local_supplier_volume",
+    "forecast_revenue",
+    "min_cost_supplier",
+    "nation_pair_volume",
+    "market_share",
+    "priority_class_counts",
+    "parts_supplier_cnt",
+    "discounted_revenue",
+    "dominant_suppliers",
     "bfs_hops",
     "target_encode",
     "kfold",
