@@ -3438,7 +3438,8 @@ def q_dominant_suppliers(sf_dir: str):
     exchange whose kernel also folds the part totals (both sides
     co-located by construction); the per-supplier count groupby is
     supplier-sized."""
-    from ci_log_processing_ray.ops.window import bucketed_groups
+    from ci_log_processing_ray.ops.window import (bucketed_groups,
+                                                  bucketed_sum)
 
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_suppkey", "l_quantity"])
@@ -3469,12 +3470,16 @@ def q_dominant_suppliers(sf_dir: str):
         li.map_batches(partial, batch_format="pyarrow",
                        zero_copy_batch=True),
         "l_partkey", kern)
-    agg = parts.groupby("l_suppkey").sum("n_dominant_parts").to_pandas()
-    agg = agg.rename(columns={"sum(n_dominant_parts)":
-                              "n_dominant_parts"})
+    # supplier count fold: the hit table is (part,supp)-pair shaped
+    # (dominance is COMMON on sparse parts), so the native
+    # Dataset.groupby would pay the per-distinct-group merge cost on
+    # pandas blocks -- bucketed_sum keeps it one C-speed kernel per
+    # bucket (measured 187 s -> 2 s at 1.8M hit rows / 100k suppliers)
+    agg = bucketed_sum(parts, ["l_suppkey"],
+                       ["n_dominant_parts"]).to_pandas()
     agg["l_suppkey"] = agg["l_suppkey"].astype(np.int64)
     agg["n_dominant_parts"] = agg["n_dominant_parts"].astype(np.int64)
-    return agg
+    return agg.reset_index(drop=True)
 
 
 def q_sorted_export(sf_dir: str):
@@ -9183,16 +9188,26 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
             WHERE r.rn = 1""",
         "nation_pair_volume": """
-            SELECT CAST(s.s_nationkey AS BIGINT) AS supp_nation,
-                   CAST(c.c_nationkey AS BIGINT) AS cust_nation,
-                   CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5)
-                                 AS BIGINT)) AS BIGINT) AS revenue
-            FROM lineitem l
-            JOIN orders o ON l.l_orderkey = o.o_orderkey
-            JOIN customer c ON o.o_custkey = c.c_custkey
-            JOIN supplier s ON l.l_suppkey = s.s_suppkey
-            WHERE s.s_nationkey <> c.c_nationkey
-            GROUP BY 1, 2""",
+            -- aggregate to the nations^2 pair table with pure
+            -- equi-joins FIRST, filter the <> pairs after: a WHERE
+            -- s_nationkey <> c_nationkey invites the optimizer to
+            -- inequality-join the two dims directly (measured: disk
+            -- -filling nested loop at 1.5M x 100k dims).  MATERIALIZED
+            -- is the pushdown barrier -- a plain CTE gets flattened
+            -- and the group-key filter pushed straight back down.
+            WITH pair AS MATERIALIZED (
+                SELECT CAST(s.s_nationkey AS BIGINT) AS supp_nation,
+                       CAST(c.c_nationkey AS BIGINT) AS cust_nation,
+                       SUM(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                                AS BIGINT)) AS rev
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                GROUP BY 1, 2)
+            SELECT supp_nation, cust_nation,
+                   CAST(rev AS BIGINT) AS revenue
+            FROM pair WHERE supp_nation <> cust_nation""",
         "market_share": """
             WITH j AS (SELECT CAST(year(o.o_orderdate) AS BIGINT)
                                   AS o_year,

@@ -3609,6 +3609,183 @@ def main_shapes() -> None:
         ray.shutdown()
 
 
+def build_tpch_corpus() -> dict:
+    """Deterministic TPC-H-shaped corpus at ~50M lineitem rows, ONE
+    parquet file per table (matching `_read`'s single-file contract),
+    written once and cached.  Every column is a fixed arithmetic
+    function of the row index, so the corpus is reproducible and all
+    the shipped oracle predicates stay binding by construction:
+    discounts hit the Q6 [50,70] permille band, brands 12/23/34 exist
+    for Q19, 10% of supplier names end in '7' for Q16's blocklist,
+    lines-per-order is (o%4)+3 so Q18's >200-qty HAVING selects a few
+    percent, and key strides are coprime to their table sizes so FK
+    integrity holds with near-uniform fan-in."""
+    n_orders = int(os.environ.get("GRAFT_TPCH_ORDERS", "11000000"))
+    root = f"/tmp/tpch_scale_o{n_orders}_v1"
+    meta_path = os.path.join(root, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    os.makedirs(root, exist_ok=True)
+    NPART, NSUPP, NCUST, NNAT = 8_000_000, 100_000, 1_500_000, 25
+    K = 2654435761  # Knuth multiplicative constant, coprime to sizes
+    base_us = np.datetime64("1995-01-01", "us").astype(np.int64)
+    DAY_US = 86_400_000_000
+
+    nk = np.arange(NNAT, dtype=np.int64)
+    pq.write_table(pa.table({
+        "n_nationkey": nk,
+        "n_name": np.char.add("NATION_", nk.astype(str))}),
+        os.path.join(root, "nation.parquet"))
+    ck = np.arange(NCUST, dtype=np.int64)
+    pq.write_table(pa.table({
+        "c_custkey": ck, "c_nationkey": (ck * 7) % NNAT}),
+        os.path.join(root, "customer.parquet"))
+    sk = np.arange(NSUPP, dtype=np.int64)
+    pq.write_table(pa.table({
+        "s_suppkey": sk,
+        "s_name": np.char.add("Supplier#",
+                              np.char.zfill(sk.astype(str), 9)),
+        "s_nationkey": sk % NNAT}),
+        os.path.join(root, "supplier.parquet"))
+    pk = np.arange(NPART, dtype=np.int64)
+    pq.write_table(pa.table({
+        "p_partkey": pk,
+        "p_brand": np.char.add("Brand#", (11 + pk % 34).astype(str)),
+        "p_size": 1 + pk % 50}),
+        os.path.join(root, "part.parquet"), row_group_size=2_000_000)
+
+    priors = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                       "4-NOT SPECIFIED", "5-LOW"])
+    CHUNK = 1_000_000  # orders per generation chunk
+    o_writer = li_writer = None
+    lut = np.array([0, 0, 1, 3], np.int64)  # cumsum of o%4 in-cycle
+    n_lines = 0
+    for a in range(0, n_orders, CHUNK):
+        o = np.arange(a, min(a + CHUNK, n_orders), dtype=np.int64)
+        odate_us = base_us + ((o * 23) % 2400) * DAY_US
+        ot = pa.table({
+            "o_orderkey": o,
+            "o_custkey": (o * K) % NCUST,
+            "o_orderdate": odate_us.view("M8[us]"),
+            "o_orderpriority": priors[o % 5]})
+        if o_writer is None:
+            o_writer = pq.ParquetWriter(
+                os.path.join(root, "orders.parquet"), ot.schema)
+        o_writer.write_table(ot, row_group_size=1_000_000)
+
+        kk = o % 4 + 3
+        oo = np.repeat(o, kk)
+        ends = np.cumsum(kk)
+        j = np.arange(int(kk.sum()), dtype=np.int64) - np.repeat(
+            ends - kk, kk)
+        i = 3 * oo + (oo // 4) * 6 + lut[oo % 4] + j  # global line id
+        ship_us = (base_us + ((oo * 23) % 2400) * DAY_US
+                   + (1 + (i * 17) % 121) * DAY_US)
+        lt = pa.table({
+            "l_orderkey": oo,
+            "l_partkey": (i * K) % NPART,
+            "l_suppkey": (i * 97) % NSUPP,
+            "l_quantity": (1 + (i * 13) % 50).astype(np.float64),
+            "l_extendedprice": 900.0 + ((i * 31) % 99999) / 100.0,
+            "l_discount": ((i * 7) % 11) / 100.0,
+            "l_shipdate": ship_us.view("M8[us]"),
+            "l_returnflag": np.array(["R", "A", "N"])[i % 3],
+            "l_linestatus": np.array(["O", "F"])[i % 2]})
+        if li_writer is None:
+            li_writer = pq.ParquetWriter(
+                os.path.join(root, "lineitem.parquet"), lt.schema)
+        li_writer.write_table(lt, row_group_size=1_000_000)
+        n_lines += len(oo)
+    o_writer.close()
+    li_writer.close()
+    info = {"root": root, "n_orders": n_orders, "n_lines": n_lines,
+            "n_parts": NPART, "n_suppliers": NSUPP,
+            "n_customers": NCUST}
+    with open(meta_path, "w") as f:
+        json.dump(info, f)
+    return info
+
+
+TPCH_PROOF_QUERIES = [
+    "forecast_revenue", "discounted_revenue", "parts_supplier_cnt",
+    "min_cost_supplier", "dominant_suppliers", "priority_class_counts",
+    "nation_pair_volume", "market_share", "top_supplier",
+    "large_orders", "returned_customers", "local_supplier_volume",
+]
+
+
+def main_tpch() -> None:
+    """Run the SHIPPED TPC-H-shape queries (the exact `queries()`
+    callables the driver grades) on a ~50M-line-row corpus and check
+    each against its own `oracle_sql()` executed by DuckDB over the
+    same files -- the driver's correctness gate re-run at ~100x the
+    sf0.01 row count, with per-query Ray and DuckDB wall times."""
+    import duckdb
+    import ray
+    from ray.data import DataContext
+
+    t0 = time.perf_counter()
+    info = build_tpch_corpus()
+    gen_sec = round(time.perf_counter() - t0, 2)
+    root = info["root"]
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import __ray_entry__ as entrymod
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU).map_batches(
+            lambda b: b).count()
+        con = duckdb.connect()
+        # bounded spill: a pathological oracle plan must fail fast,
+        # not fill the root filesystem (seen once with an inequality
+        # predicate the optimizer turned into a dim x dim nested loop)
+        con.execute("SET memory_limit='24GB'")
+        con.execute("SET temp_directory='/tmp/duck_tpch_tmp'")
+        con.execute("SET max_temp_directory_size='20GB'")
+        for t in ("nation", "customer", "supplier", "part", "orders",
+                  "lineitem"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{root}/{t}.parquet')")
+        qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+        results = {}
+        for name in TPCH_PROOF_QUERIES:
+            t0 = time.perf_counter()
+            got = qs[name](root)
+            ray_sec = time.perf_counter() - t0
+            if hasattr(got, "to_pandas"):
+                got = got.to_pandas()
+            cols = ", ".join(sorted(got.columns))
+            con.register("got_view", got)
+            t0 = time.perf_counter()
+            con.execute(f"CREATE OR REPLACE TEMP TABLE want AS {oracles[name]}")
+            duck_sec = time.perf_counter() - t0
+            want_n = con.execute("SELECT COUNT(*) FROM want").fetchone()[0]
+            n_diff = con.execute(
+                f"SELECT COUNT(*) FROM ("
+                f"(SELECT {cols} FROM got_view EXCEPT ALL"
+                f" SELECT {cols} FROM want) UNION ALL "
+                f"(SELECT {cols} FROM want EXCEPT ALL"
+                f" SELECT {cols} FROM got_view))").fetchone()[0]
+            assert len(got) == want_n and n_diff == 0, (
+                name, len(got), want_n, n_diff)
+            results[name] = {
+                "ray_sec": round(ray_sec, 2),
+                "duckdb_sec": round(duck_sec, 2),
+                "rows": int(want_n),
+                "lines_per_sec": round(info["n_lines"] / ray_sec)}
+        print(json.dumps({
+            "num_cpus": NCPU, "n_lines": info["n_lines"],
+            "n_orders": info["n_orders"], "gen_sec": gen_sec,
+            "truth": "every query row-set == its own oracle_sql() in "
+                     "DuckDB over the same files (EXCEPT ALL empty "
+                     "both ways)",
+            "ops": results, "calib_sec": _calib()}))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -3674,5 +3851,7 @@ if __name__ == "__main__":
         main_lifecycle()
     elif len(sys.argv) > 1 and sys.argv[1] == "shapes":
         main_shapes()
+    elif len(sys.argv) > 1 and sys.argv[1] == "tpch":
+        main_tpch()
     else:
         main()
