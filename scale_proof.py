@@ -3621,7 +3621,7 @@ def build_tpch_corpus() -> dict:
     percent, and key strides are coprime to their table sizes so FK
     integrity holds with near-uniform fan-in."""
     n_orders = int(os.environ.get("GRAFT_TPCH_ORDERS", "11000000"))
-    root = f"/tmp/tpch_scale_o{n_orders}_v1"
+    root = f"/tmp/tpch_scale_o{n_orders}_v2"
     meta_path = os.path.join(root, "_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -3632,14 +3632,24 @@ def build_tpch_corpus() -> dict:
     base_us = np.datetime64("1995-01-01", "us").astype(np.int64)
     DAY_US = 86_400_000_000
 
+    rk = np.arange(5, dtype=np.int64)
+    pq.write_table(pa.table({
+        "r_regionkey": rk,
+        "r_name": np.char.add("REGION_", rk.astype(str))}),
+        os.path.join(root, "region.parquet"))
     nk = np.arange(NNAT, dtype=np.int64)
     pq.write_table(pa.table({
         "n_nationkey": nk,
-        "n_name": np.char.add("NATION_", nk.astype(str))}),
+        "n_name": np.char.add("NATION_", nk.astype(str)),
+        "n_regionkey": nk % 5}),
         os.path.join(root, "nation.parquet"))
+    segs = np.array(["AUTOMOBILE", "BUILDING", "FURNITURE",
+                     "MACHINERY", "HOUSEHOLD"])
     ck = np.arange(NCUST, dtype=np.int64)
     pq.write_table(pa.table({
-        "c_custkey": ck, "c_nationkey": (ck * 7) % NNAT}),
+        "c_custkey": ck, "c_nationkey": (ck * 7) % NNAT,
+        "c_mktsegment": segs[ck % 5],
+        "c_acctbal": ((ck * 37) % 109999 - 9999) / 100.0}),
         os.path.join(root, "customer.parquet"))
     sk = np.arange(NSUPP, dtype=np.int64)
     pq.write_table(pa.table({
@@ -3648,11 +3658,14 @@ def build_tpch_corpus() -> dict:
                               np.char.zfill(sk.astype(str), 9)),
         "s_nationkey": sk % NNAT}),
         os.path.join(root, "supplier.parquet"))
+    ptypes = np.array(["ECONOMY", "LARGE", "STANDARD", "MEDIUM",
+                       "SMALL", "PROMO"])
     pk = np.arange(NPART, dtype=np.int64)
     pq.write_table(pa.table({
         "p_partkey": pk,
         "p_brand": np.char.add("Brand#", (11 + pk % 34).astype(str)),
-        "p_size": 1 + pk % 50}),
+        "p_size": 1 + pk % 50,
+        "p_type": ptypes[pk % 6]}),
         os.path.join(root, "part.parquet"), row_group_size=2_000_000)
 
     priors = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM",
@@ -3668,7 +3681,8 @@ def build_tpch_corpus() -> dict:
             "o_orderkey": o,
             "o_custkey": (o * K) % NCUST,
             "o_orderdate": odate_us.view("M8[us]"),
-            "o_orderpriority": priors[o % 5]})
+            "o_orderpriority": priors[o % 5],
+            "o_totalprice": 1000.0 + ((o * 41) % 900000) / 100.0})
         if o_writer is None:
             o_writer = pq.ParquetWriter(
                 os.path.join(root, "orders.parquet"), ot.schema)
@@ -3712,6 +3726,9 @@ TPCH_PROOF_QUERIES = [
     "min_cost_supplier", "dominant_suppliers", "priority_class_counts",
     "nation_pair_volume", "market_share", "top_supplier",
     "large_orders", "returned_customers", "local_supplier_volume",
+    "pricing_summary", "multiway_join", "profit_by_nation",
+    "region_rollup", "below_group_avg", "group_share", "custdist",
+    "numwait", "late_orders", "promo_share", "sales_opportunity",
 ]
 
 
@@ -3744,8 +3761,8 @@ def main_tpch() -> None:
         con.execute("SET memory_limit='24GB'")
         con.execute("SET temp_directory='/tmp/duck_tpch_tmp'")
         con.execute("SET max_temp_directory_size='20GB'")
-        for t in ("nation", "customer", "supplier", "part", "orders",
-                  "lineitem"):
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{root}/{t}.parquet')")
         qs, oracles = entrymod.queries(), entrymod.oracle_sql()
