@@ -1394,7 +1394,7 @@ def below_group_avg_sum(
     *,
     num: int = 1,
     den: int = 5,
-    broadcast_cap: int = 2_000_000,
+    broadcast_cap: int = 8_000_000,
     n_buckets: int | None = None,
 ) -> pd.DataFrame:
     """Correlated group-average filter-aggregate (the TPC-H Q17 shape):
@@ -1417,6 +1417,16 @@ def below_group_avg_sum(
     Int64 bounds: ``den * qty * cnt`` must fit int64 -- true for
     quantity-like values (<=1e4) against per-key row counts <=1e14.
 
+    ``broadcast_cap`` sizing: the broadcast is three int64 arrays
+    (24 B/key, one plasma copy PER NODE, mapped zero-copy by every
+    worker on it), so 8M keys is ~200 MB/node.  At 49.5M fact rows x
+    8M keys the two paths measure within noise of each other on this
+    4-column fact (24.4 vs 25.2 s -- the shared cost is the key
+    aggregate exchange + two fact passes), but the broadcast path
+    skips the full-fact tagged exchange entirely, so its edge grows
+    with fact row width.  Billions of keys (the true 100-TB regime)
+    still take the co-partition path.
+
     Reference parity: TPC-H Q17's avg-subquery semantics; the
     reference engine (logscraper) has no such operator -- SURVEY.md
     §2.4 extension family.
@@ -1433,10 +1443,15 @@ def below_group_avg_sum(
         return pa.table({key_col: g[key_col], "_sq": g["_sq_sum"],
                          "_n": g["_n_sum"]})
 
+    # materialize the key-sized aggregate ONCE: it is consumed twice
+    # (count() to pick the path, then either to_pandas or the tagged
+    # union), and without pinning, Ray would re-run the whole fact
+    # scan + partials + exchange for each consumer (measured: the Q17
+    # proof at 49.5M rows paid the fact pass twice)
     agg = bucketed_sum(
         fact.map_batches(prep, batch_format="pyarrow",
                          zero_copy_batch=True),
-        [key_col], ["_sq", "_n"], n_buckets=n_buckets)
+        [key_col], ["_sq", "_n"], n_buckets=n_buckets).materialize()
 
     def fact_partial(frame: pd.DataFrame, keys, sq, cnt) -> pd.DataFrame:
         """Vectorized Q17 mask + vocabulary-sized local fold."""
@@ -1459,12 +1474,31 @@ def below_group_avg_sum(
                        adf["_sq"].to_numpy().astype(np.int64),
                        adf["_n"].to_numpy().astype(np.int64)))
 
-        def apply(frame: pd.DataFrame) -> pd.DataFrame:
+        def apply(t: pa.Table) -> pa.Table:
+            # Arrow end-to-end: a pandas batch format here would
+            # convert the out_group string column for EVERY fact row
+            # before the mask drops ~90% of them
             keys, sq, cnt = ray.get(ref)
-            return fact_partial(frame, keys, sq, cnt)
+            k = t[key_col].combine_chunks().to_numpy()
+            idx = np.searchsorted(keys, k)
+            q = (t[qty_col].combine_chunks().to_numpy()
+                 .astype(np.int64))
+            mask = den * q * cnt[idx] < num * sq[idx]
+            sub = t.filter(pa.array(mask))
+            tt = pa.table({
+                out_group_col: sub[out_group_col],
+                "n_below": pa.array(
+                    np.ones(sub.num_rows, np.int64)),
+                "sum_val": sub[val_col]})
+            g = tt.group_by(out_group_col).aggregate(
+                [("n_below", "sum"), ("sum_val", "sum")])
+            return pa.table({out_group_col: g[out_group_col],
+                             "n_below": g["n_below_sum"],
+                             "sum_val": g["sum_val_sum"]})
 
-        parts = fact.map_batches(apply,
-                                 batch_format="pandas").to_pandas()
+        parts = fact.map_batches(
+            apply, batch_format="pyarrow",
+            zero_copy_batch=True).to_pandas()
     else:
         # tagged union: side 0 = per-key aggregates, side 1 = fact rows
         def tag_agg(t: pa.Table) -> pa.Table:

@@ -3621,7 +3621,7 @@ def build_tpch_corpus() -> dict:
     percent, and key strides are coprime to their table sizes so FK
     integrity holds with near-uniform fan-in."""
     n_orders = int(os.environ.get("GRAFT_TPCH_ORDERS", "11000000"))
-    root = f"/tmp/tpch_scale_o{n_orders}_v2"
+    root = f"/tmp/tpch_scale_o{n_orders}_v3"
     meta_path = os.path.join(root, "_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -3682,7 +3682,11 @@ def build_tpch_corpus() -> dict:
             "o_custkey": (o * K) % NCUST,
             "o_orderdate": odate_us.view("M8[us]"),
             "o_orderpriority": priors[o % 5],
-            "o_totalprice": 1000.0 + ((o * 41) % 900000) / 100.0})
+            # right-skewed totals (square of a uniform) so the Q11
+            # 1.5x-average customer filter stays binding when every
+            # customer converges to ~7 orders at full scale
+            "o_totalprice": 1000.0
+            + (((o * 1315423911) % 1000000007) % 1000) ** 2 / 10.0})
         if o_writer is None:
             o_writer = pq.ParquetWriter(
                 os.path.join(root, "orders.parquet"), ot.schema)
@@ -3696,16 +3700,24 @@ def build_tpch_corpus() -> dict:
         i = 3 * oo + (oo // 4) * 6 + lut[oo % 4] + j  # global line id
         ship_us = (base_us + ((oo * 23) % 2400) * DAY_US
                    + (1 + (i * 17) % 121) * DAY_US)
+        # per-line values come from prime-modulus hashes, NOT direct
+        # strides: a part's lines sit 8M apart in i, and any modulus
+        # dividing a multiple of 8M (50, 100000, ...) would make the
+        # column CONSTANT within every part -- the v2 corpus had
+        # one-supplier one-quantity parts, which silenced the Q17
+        # below-average filter and degenerated Q20 dominance
+        h = (i * 1315423911) % 1000000007
+        h2 = (i * 2246822519) % 998244353
         lt = pa.table({
             "l_orderkey": oo,
             "l_partkey": (i * K) % NPART,
-            "l_suppkey": (i * 97) % NSUPP,
-            "l_quantity": (1 + (i * 13) % 50).astype(np.float64),
-            "l_extendedprice": 900.0 + ((i * 31) % 99999) / 100.0,
-            "l_discount": ((i * 7) % 11) / 100.0,
+            "l_suppkey": h2 % NSUPP,
+            "l_quantity": (1 + h % 50).astype(np.float64),
+            "l_extendedprice": 900.0 + ((h // 50) % 99999) / 100.0,
+            "l_discount": ((h // 4_999_950) % 11) / 100.0,
             "l_shipdate": ship_us.view("M8[us]"),
             "l_returnflag": np.array(["R", "A", "N"])[i % 3],
-            "l_linestatus": np.array(["O", "F"])[i % 2]})
+            "l_linestatus": np.array(["O", "F"])[h % 2]})
         if li_writer is None:
             li_writer = pq.ParquetWriter(
                 os.path.join(root, "lineitem.parquet"), lt.schema)
@@ -3787,6 +3799,15 @@ def main_tpch() -> None:
                 f" SELECT {cols} FROM got_view))").fetchone()[0]
             assert len(got) == want_n and n_diff == 0, (
                 name, len(got), want_n, n_diff)
+            # bindingness guard: once parts average multiple lines,
+            # the selective predicates must actually select something
+            # (0 == 0 is a vacuous proof -- the v2 corpus passed that
+            # way, see build_tpch_corpus docstring)
+            if (info["n_lines"] > info["n_parts"]
+                    and name in ("below_group_avg", "group_share",
+                                 "dominant_suppliers", "large_orders",
+                                 "sales_opportunity")):
+                assert want_n > 0, (name, "non-binding at full scale")
             results[name] = {
                 "ray_sec": round(ray_sec, 2),
                 "duckdb_sec": round(duck_sec, 2),
