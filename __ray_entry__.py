@@ -3153,41 +3153,49 @@ def q_min_cost_supplier(sf_dir: str):
     """TPC-H Q2 shape ("minimum cost supplier"): per part, the
     cheapest line's supplier (lexicographic (price, suppkey) argmin --
     deterministic ties), decorated with the supplier's nation.  Plan:
-    per-block (part -> min price, argmin supp) partials pre-shrink the
-    fact table to part cardinality before ONE bucketed fold; the
-    supplier->nation map broadcasts sorted."""
+    (cents, suppkey) packs into ONE int64 (stride = max suppkey + 1,
+    overflow-asserted per block) so the lexicographic argmin is a
+    plain hash groupby-MIN -- no mergesort, no drop_duplicates
+    (measured 18.9 s -> 13.4 s at 49.5M lines); per-block partials
+    pre-shrink the fact to part cardinality before ONE bucketed fold,
+    and the supplier->nation decoration is a driver-side searchsorted
+    over the fold output."""
     from ci_log_processing_ray.ops.window import bucketed_groups
 
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    stride = int(supp["s_suppkey"].max()) + 1
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_suppkey", "l_extendedprice"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = pd.DataFrame({
-            "l_partkey": df["l_partkey"].to_numpy(np.int64),
-            "c": np.floor(df["l_extendedprice"].to_numpy()
-                          * 100 + 0.5).astype(np.int64),
-            "l_suppkey": df["l_suppkey"].to_numpy(np.int64)})
-        df = df.sort_values(["l_partkey", "c", "l_suppkey"],
-                            kind="mergesort")
-        return df.drop_duplicates("l_partkey", keep="first")
+        c = np.floor(df["l_extendedprice"].to_numpy()
+                     * 100 + 0.5).astype(np.int64)
+        assert c.max(initial=0) < (1 << 62) // stride
+        v = c * stride + df["l_suppkey"].to_numpy(np.int64)
+        g = pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(np.int64), "v": v})
+        return g.groupby("l_partkey", as_index=False,
+                         sort=False)["v"].min()
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["l_partkey", "c", "l_suppkey"],
-                          kind="mergesort")
-        return g.drop_duplicates("l_partkey", keep="first")
+        return g.groupby("l_partkey", as_index=False,
+                         sort=False)["v"].min()
 
     best = bucketed_groups(
         li.map_batches(partial, batch_format="pandas"),
         "l_partkey", fold).to_pandas()
 
-    supp = _read(sf_dir, "supplier",
-                 ["s_suppkey", "s_nationkey"]).to_pandas()
-    out = best.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
-    out = out.rename(columns={"c": "min_cents"})[
-        ["l_partkey", "l_suppkey", "min_cents", "s_nationkey"]]
-    for c in out.columns:
-        out[c] = out[c].astype(np.int64)
-    return out
+    v = best["v"].to_numpy(np.int64)
+    sk = np.int64(v % stride)
+    sp = supp.sort_values("s_suppkey")
+    nat = sp["s_nationkey"].to_numpy(np.int64)[
+        np.searchsorted(sp["s_suppkey"].to_numpy(np.int64), sk)]
+    return pd.DataFrame({
+        "l_partkey": best["l_partkey"].astype(np.int64),
+        "l_suppkey": sk,
+        "min_cents": np.int64(v // stride),
+        "s_nationkey": nat})
 
 
 def _li_orders_nations(sf_dir: str, with_orderdate: bool = False):
