@@ -3688,58 +3688,74 @@ def q_span_corruption(sf_dir: str):
 def q_late_orders(sf_dir: str):
     """TPC-H Q4 shape ("order priority checking"): orders whose latest
     line shipped more than 60 days after the order date, counted per
-    priority.  Plan: lineitem collapses to per-order max-shipdate
-    partials (Arrow block max + one bucketed fold, re-typed to Arrow
-    blocks), hash-joins the orders side, and the late filter +
-    dim-sized priority count run distributed -- the EXISTS subquery
-    becomes an aggregate-pushdown semi-join."""
+    priority.  Plan: per-order max-shipdate block partials and the
+    slim orders side co-partition by hash(orderkey) in ONE
+    tagged-union exchange whose kernel folds the max, probes orders
+    by searchsorted, and emits priority-sized count partials -- the
+    EXISTS subquery costs one exchange total, no hash join and no
+    separate fold (measured 17.1 s -> 6.6 s at 49.5M lines vs the
+    fold-then-Acero-join plan)."""
     from ci_log_processing_ray.ops.window import bucketed_groups
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+    sixty_days_us = 60 * 86_400_000_000
 
     def ship_partial(t: pa.Table) -> pa.Table:
         tt = pa.table({
-            "l_orderkey": t["l_orderkey"].combine_chunks(),
-            "_ms": pc.cast(t["l_shipdate"].combine_chunks()
-                           .cast(pa.timestamp("us")), pa.int64())})
-        g = tt.group_by("l_orderkey").aggregate([("_ms", "max")])
-        return pa.table({"l_orderkey": g["l_orderkey"],
-                         "_ms": g["_ms_max"]})
-
-    def max_kern(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("l_orderkey", as_index=False,
-                         sort=False)["_ms"].max()
-
-    maxship = bucketed_groups(
-        li.map_batches(ship_partial, batch_format="pyarrow",
-                       zero_copy_batch=True),
-        "l_orderkey", max_kern).map_batches(
-            lambda t: t, batch_format="pyarrow")
-
-    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
-                                 "o_orderpriority"])
+            "k": t["l_orderkey"].combine_chunks(),
+            "_v": pc.cast(t["l_shipdate"].combine_chunks()
+                          .cast(pa.timestamp("us")), pa.int64())})
+        g = tt.group_by("k").aggregate([("_v", "max")])
+        n = g.num_rows
+        return pa.table({
+            "k": g["k"], "_v": g["_v_max"],
+            "pri": pa.array([""] * n, pa.string()),
+            "_side": pa.array(np.zeros(n, np.int8))})
 
     def o_prep(t: pa.Table) -> pa.Table:
         return pa.table({
-            "o_orderkey": t["o_orderkey"],
-            "_od": pc.cast(t["o_orderdate"].combine_chunks()
-                           .cast(pa.timestamp("us")), pa.int64()),
-            "o_orderpriority": t["o_orderpriority"]})
+            "k": t["o_orderkey"].combine_chunks(),
+            "_v": pc.cast(t["o_orderdate"].combine_chunks()
+                          .cast(pa.timestamp("us")), pa.int64()),
+            "pri": t["o_orderpriority"].combine_chunks(),
+            "_side": pa.array(np.ones(t.num_rows, np.int8))})
 
-    joined = o.map_batches(o_prep, batch_format="pyarrow",
-                           zero_copy_batch=True).join(
-        maxship, "inner",
-        num_partitions=_join_partitions(sf_dir, "orders", "lineitem"),
-        on=("o_orderkey",), right_on=("l_orderkey",))
+    tagged = li.map_batches(ship_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+        o.map_batches(o_prep, batch_format="pyarrow",
+                      zero_copy_batch=True))
 
-    sixty_days_us = 60 * 86_400_000_000
-    late = joined.map_batches(
-        lambda t: t.filter(pc.greater(
-            t["_ms"].combine_chunks(),
-            pc.add(t["_od"].combine_chunks(), sixty_days_us))),
-        batch_format="pyarrow")
-    return _collect(late.groupby("o_orderpriority").aggregate(
-        Count(alias_name="order_count")))
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["_side"].to_numpy()
+        ms = g[side == 0].groupby("k", sort=False)["_v"].max()
+        od = g[side == 1]
+        if not len(ms) or not len(od):
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype=object),
+                "order_count": pd.Series([], dtype=np.int64)})
+        keys = ms.index.to_numpy()
+        order = np.argsort(keys)
+        skeys, svals = keys[order], ms.to_numpy()[order]
+        ok = od["k"].to_numpy()
+        pos = np.clip(np.searchsorted(skeys, ok), 0, len(skeys) - 1)
+        late = ((skeys[pos] == ok)
+                & (svals[pos] > od["_v"].to_numpy() + sixty_days_us))
+        out = od.loc[late, ["pri"]].groupby(
+            "pri", as_index=False, sort=False).size()
+        out.columns = ["o_orderpriority", "order_count"]
+        return out
+
+    parts = bucketed_groups(tagged, "k", kern).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({
+            "o_orderpriority": pd.Series([], dtype=object),
+            "order_count": pd.Series([], dtype=np.int64)})
+    agg = parts.groupby("o_orderpriority",
+                        as_index=False)["order_count"].sum()
+    agg["order_count"] = agg["order_count"].astype(np.int64)
+    return agg
 
 
 def q_promo_share(sf_dir: str):
