@@ -3454,22 +3454,33 @@ def q_parts_supplier_cnt(sf_dir: str):
     sized."""
     from ci_log_processing_ray.ops.window import bucketed_groups
 
-    part = _read(sf_dir, "part",
-                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
-    part = part.sort_values("p_partkey")
-    brands, bcodes = np.unique(part["p_brand"].to_numpy(),
-                               return_inverse=True)
-    supp = _read(sf_dir, "supplier",
-                 ["s_suppkey", "s_name"]).to_pandas()
-    bad = np.sort(supp.loc[supp["s_name"].str.endswith("7"),
-                           "s_suppkey"].to_numpy(np.int64))
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    # Arrow dictionary_encode, NOT np.unique over the string column:
+    # 0.18 s vs 5.8 s on an 8M-part table; remap codes to the sorted
+    # brand order so downstream stays deterministic
+    enc = pc.dictionary_encode(part["p_brand"].combine_chunks())
+    bdict = np.asarray(enc.dictionary.to_pylist())
+    order = np.argsort(bdict)
+    inv = np.empty(len(order), np.int64)
+    inv[order] = np.arange(len(order))
+    brands = bdict[order]
+    bcodes = inv[enc.indices.to_numpy().astype(np.int64)]
+    pk = part["p_partkey"].combine_chunks().to_numpy()
+    srt = np.argsort(pk)
+    pk = pk[srt]
+    bcodes = bcodes[srt]
+    sizes = part["p_size"].combine_chunks().to_numpy()[srt]
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    bad = np.sort(supp.filter(
+        pc.ends_with(supp["s_name"].combine_chunks(), "7"))
+        ["s_suppkey"].combine_chunks().to_numpy())
     # pack stride: one past the max suppkey, so bs*stride+supp is a
     # bijection; brand x size codes stay far below int64 overflow
-    ns = int(supp["s_suppkey"].max()) + 1
+    ns = int(pc.max(supp["s_suppkey"]).as_py()) + 1
     assert (len(brands) * 1000 + 1000) < (1 << 62) // ns
-    ref = ray.put((part["p_partkey"].to_numpy(np.int64),
-                   bcodes.astype(np.int64),
-                   part["p_size"].to_numpy(np.int64), bad))
+    ref = ray.put((pk, bcodes, sizes.astype(np.int64), bad))
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
 
@@ -3508,17 +3519,27 @@ def q_parts_supplier_cnt(sf_dir: str):
 def q_discounted_revenue(sf_dir: str):
     """TPC-H Q19 shape ("discounted revenue"): one-row revenue under
     an OR of three (brand, size-range, quantity-range) branches -- the
-    disjunctive-predicate join.  Part attrs broadcast sorted; the
-    whole predicate evaluates as three vectorized masks per block."""
-    part = _read(sf_dir, "part",
-                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
-    part = part.sort_values("p_partkey")
-    ref = ray.put((part["p_partkey"].to_numpy(np.int64),
-                   part["p_brand"].to_numpy().astype(str),
-                   part["p_size"].to_numpy(np.int64)))
-    branches = [("Brand#12", 1, 25, 1, 20),
-                ("Brand#23", 1, 30, 15, 35),
-                ("Brand#34", 1, 35, 30, 50)]
+    disjunctive-predicate join.  Part attrs broadcast sorted with the
+    brand DICTIONARY-ENCODED driver-side (0.2 s vs 5.8 s np string
+    ops on an 8M-part table), so each branch mask compares int codes,
+    never strings."""
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    enc = pc.dictionary_encode(part["p_brand"].combine_chunks())
+    bdict = np.asarray(enc.dictionary.to_pylist())
+    codes = enc.indices.to_numpy().astype(np.int64)
+    pk = part["p_partkey"].combine_chunks().to_numpy()
+    srt = np.argsort(pk)
+    ref = ray.put((pk[srt], codes[srt],
+                   part["p_size"].combine_chunks().to_numpy()[srt]))
+
+    def brand_code(name: str) -> int:
+        w = np.flatnonzero(bdict == name)
+        return int(w[0]) if len(w) else -1
+
+    branches = [(brand_code("Brand#12"), 1, 25, 1, 20),
+                (brand_code("Brand#23"), 1, 30, 15, 35),
+                (brand_code("Brand#34"), 1, 35, 30, 50)]
 
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_quantity", "l_extendedprice"])
