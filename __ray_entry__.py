@@ -2979,41 +2979,66 @@ def q_top_supplier(sf_dir: str):
 def q_large_orders(sf_dir: str):
     """TPC-H Q18 shape ("large volume customers"): orders whose total
     quantity exceeds 200, decorated with customer and price.  Plan:
-    lineitem collapses to per-order (qty, cents) partials + one
-    bucketed fold; the HAVING filter runs distributed BEFORE the
-    join-back, so only qualifying orders (sub-percent of the table)
-    enter the hash join with orders."""
-    from ci_log_processing_ray.ops.window import bucketed_sum
-
+    per-order (qty, cents) block partials and the slim orders side
+    co-partition in ONE tagged exchange (_copartition_by_key); each
+    bucket kernel folds the sums, applies the HAVING distributed, and
+    probes orders for the customer only on qualifying rows
+    (sub-percent of the table) -- no separate fold and no hash
+    join-back."""
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_quantity", "l_extendedprice"])
-
-    def prep(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "l_orderkey": t["l_orderkey"],
-            "_q": pc.cast(t["l_quantity"].combine_chunks(), pa.int64()),
-            "_c": _cents(t["l_extendedprice"])})
-
-    sums = bucketed_sum(
-        li.map_batches(prep, batch_format="pyarrow",
-                       zero_copy_batch=True),
-        ["l_orderkey"], ["_q", "_c"])
-    big = sums.map_batches(
-        lambda df: df[df["_q"] > 200], batch_format="pandas"
-    ).map_batches(lambda t: t, batch_format="pyarrow")
-
     o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = big.join(o, "inner",
-                      num_partitions=_join_partitions(
-                          sf_dir, "orders", "lineitem"),
-                      on=("l_orderkey",), right_on=("o_orderkey",))
-    return _collect(joined.map_batches(
-        lambda t: pa.table({
-            "o_orderkey": t["l_orderkey"],
-            "o_custkey": t["o_custkey"],
-            "sum_qty": t["_q"],
-            "total_cents": t["_c"]}),
-        batch_format="pyarrow"))
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "k": t["l_orderkey"].combine_chunks(),
+            "a": pc.cast(t["l_quantity"].combine_chunks(), pa.int64()),
+            "b": _cents(t["l_extendedprice"])})
+        g = tt.group_by("k").aggregate([("a", "sum"), ("b", "sum")])
+        return pa.table({"k": g["k"], "a": g["a_sum"],
+                         "b": g["b_sum"]})
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t["o_orderkey"].combine_chunks(),
+            "a": t["o_custkey"].combine_chunks(),
+            "b": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["_side"].to_numpy()
+        ln, od = g[side == 0], g[side == 1]
+        empty = pd.DataFrame({
+            c: pd.Series([], dtype=np.int64)
+            for c in ("o_orderkey", "o_custkey", "sum_qty",
+                      "total_cents")})
+        if not len(ln) or not len(od):
+            return empty
+        sums = ln.groupby("k", as_index=False,
+                          sort=False)[["a", "b"]].sum()
+        big = sums[sums["a"].to_numpy() > 200]
+        if not len(big):
+            return empty
+        bk = big["k"].to_numpy(np.int64)
+        hit, cust = _probe_orders(od, bk, "a")
+        return pd.DataFrame({
+            "o_orderkey": bk[hit],
+            "o_custkey": cust[hit],
+            "sum_qty": big["a"].to_numpy(np.int64)[hit],
+            "total_cents": big["b"].to_numpy(np.int64)[hit]})
+
+    out = _copartition_by_key(
+        li.map_batches(li_prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        o.map_batches(o_prep, batch_format="pyarrow",
+                      zero_copy_batch=True), kern).to_pandas()
+    if not len(out):  # all-empty pandas blocks drop columns
+        return pd.DataFrame({
+            c: pd.Series([], dtype=np.int64)
+            for c in ("o_orderkey", "o_custkey", "sum_qty",
+                      "total_cents")})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
 
 
 def q_returned_customers(sf_dir: str):
