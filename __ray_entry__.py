@@ -3843,8 +3843,6 @@ def q_late_orders(sf_dir: str):
     EXISTS subquery costs one exchange total, no hash join and no
     separate fold (measured 17.1 s -> 6.6 s at 49.5M lines vs the
     fold-then-Acero-join plan)."""
-    from ci_log_processing_ray.ops.window import bucketed_groups
-
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
     o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
                                  "o_orderpriority"])
@@ -3856,24 +3854,16 @@ def q_late_orders(sf_dir: str):
             "_v": pc.cast(t["l_shipdate"].combine_chunks()
                           .cast(pa.timestamp("us")), pa.int64())})
         g = tt.group_by("k").aggregate([("_v", "max")])
-        n = g.num_rows
         return pa.table({
             "k": g["k"], "_v": g["_v_max"],
-            "pri": pa.array([""] * n, pa.string()),
-            "_side": pa.array(np.zeros(n, np.int8))})
+            "pri": pa.array([""] * g.num_rows, pa.string())})
 
     def o_prep(t: pa.Table) -> pa.Table:
         return pa.table({
             "k": t["o_orderkey"].combine_chunks(),
             "_v": pc.cast(t["o_orderdate"].combine_chunks()
                           .cast(pa.timestamp("us")), pa.int64()),
-            "pri": t["o_orderpriority"].combine_chunks(),
-            "_side": pa.array(np.ones(t.num_rows, np.int8))})
-
-    tagged = li.map_batches(ship_partial, batch_format="pyarrow",
-                            zero_copy_batch=True).union(
-        o.map_batches(o_prep, batch_format="pyarrow",
-                      zero_copy_batch=True))
+            "pri": t["o_orderpriority"].combine_chunks()})
 
     def kern(g: pd.DataFrame) -> pd.DataFrame:
         side = g["_side"].to_numpy()
@@ -3895,7 +3885,11 @@ def q_late_orders(sf_dir: str):
         out.columns = ["o_orderpriority", "order_count"]
         return out
 
-    parts = bucketed_groups(tagged, "k", kern).to_pandas()
+    parts = _copartition_by_key(
+        li.map_batches(ship_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        o.map_batches(o_prep, batch_format="pyarrow",
+                      zero_copy_batch=True), kern).to_pandas()
     if not len(parts):
         return pd.DataFrame({
             "o_orderpriority": pd.Series([], dtype=object),
