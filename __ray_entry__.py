@@ -3110,6 +3110,27 @@ def _copartition_by_key(left, right, kern, *, n_buckets=None):
     return bucketed_groups(tagged, "k", kern, n_buckets=n_buckets)
 
 
+def _dense_base(keys: np.ndarray):
+    """For a SORTED UNIQUE key array, return the base offset if the
+    keys are a contiguous integer range (the common dense
+    surrogate-key case), else None.  Dense keys resolve by direct
+    offset instead of binary search -- measured 12.4 s -> 3.4 s for a
+    49.5M-row probe into an 8M-key broadcast, where cache-hostile
+    searchsorted dominated the whole scan."""
+    if len(keys) and int(keys[-1]) - int(keys[0]) + 1 == len(keys):
+        return int(keys[0])
+    return None
+
+
+def _probe_positions(keys: np.ndarray, base, p: np.ndarray):
+    """Positions of ``p`` in sorted-unique ``keys`` under the
+    validated-FK contract (every p present): direct offset when dense
+    (``base`` from _dense_base), binary search otherwise."""
+    if base is not None:
+        return p - base
+    return np.searchsorted(keys, p)
+
+
 def _probe_orders(od: pd.DataFrame, lk: np.ndarray,
                   *cols: str) -> tuple:
     """Bucket-kernel helper: sort the (unique-key) orders side once
@@ -3505,15 +3526,16 @@ def q_parts_supplier_cnt(sf_dir: str):
     # bijection; brand x size codes stay far below int64 overflow
     ns = int(pc.max(supp["s_suppkey"]).as_py()) + 1
     assert (len(brands) * 1000 + 1000) < (1 << 62) // ns
-    ref = ray.put((pk, bcodes, sizes.astype(np.int64), bad))
+    ref = ray.put((pk, _dense_base(pk), bcodes,
+                   sizes.astype(np.int64), bad))
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
 
     def partial(t: pa.Table, _ref=ref) -> pa.Table:
-        pk, bc, sz, badk = ray.get(_ref)
+        pk, base, bc, sz, badk = ray.get(_ref)
         p = t["l_partkey"].combine_chunks().to_numpy()
         s = t["l_suppkey"].combine_chunks().to_numpy()
-        pos = np.searchsorted(pk, p)
+        pos = _probe_positions(pk, base, p)
         if len(badk):
             bpos = np.clip(np.searchsorted(badk, s), 0, len(badk) - 1)
             keep = badk[bpos] != s
@@ -3555,7 +3577,8 @@ def q_discounted_revenue(sf_dir: str):
     codes = enc.indices.to_numpy().astype(np.int64)
     pk = part["p_partkey"].combine_chunks().to_numpy()
     srt = np.argsort(pk)
-    ref = ray.put((pk[srt], codes[srt],
+    pk = pk[srt]
+    ref = ray.put((pk, _dense_base(pk), codes[srt],
                    part["p_size"].combine_chunks().to_numpy()[srt]))
 
     def brand_code(name: str) -> int:
@@ -3570,10 +3593,10 @@ def q_discounted_revenue(sf_dir: str):
                ["l_partkey", "l_quantity", "l_extendedprice"])
 
     def partial(t: pa.Table, _ref=ref) -> pa.Table:
-        pk, brand, size = ray.get(_ref)
+        pk, base, brand, size = ray.get(_ref)
         p = t["l_partkey"].combine_chunks().to_numpy()
         qty = t["l_quantity"].combine_chunks().to_numpy()
-        pos = np.searchsorted(pk, p)
+        pos = _probe_positions(pk, base, p)
         b, sz = brand[pos], size[pos]
         keep = np.zeros(len(p), bool)
         for br, s_lo, s_hi, q_lo, q_hi in branches:

@@ -82,6 +82,25 @@ def test_collect_empty_pandas_blocks(ray_session):
     assert tab.schema.field("doc_a").type == "int64"
 
 
+def test_dense_probe_paths():
+    """_probe_positions must agree with searchsorted on dense keys
+    (direct-offset fast path) and take the binary-search fallback on
+    gapped keys."""
+    import numpy as np
+
+    dense = np.arange(5, 15, dtype=np.int64)
+    assert entrymod._dense_base(dense) == 5
+    p = np.array([5, 9, 14], np.int64)
+    got = entrymod._probe_positions(dense, entrymod._dense_base(dense), p)
+    assert (got == np.searchsorted(dense, p)).all()
+
+    gapped = np.array([2, 5, 9, 40], np.int64)
+    assert entrymod._dense_base(gapped) is None
+    q = np.array([2, 9, 40], np.int64)
+    got2 = entrymod._probe_positions(gapped, None, q)
+    assert (got2 == np.searchsorted(gapped, q)).all()
+
+
 def test_entry_smoke(ray_session):
     df = entrymod.entry()
     assert len(df) > 0
