@@ -3253,11 +3253,15 @@ def q_min_cost_supplier(sf_dir: str):
     deterministic ties), decorated with the supplier's nation.  Plan:
     (cents, suppkey) packs into ONE int64 (stride = max suppkey + 1,
     overflow-asserted per block) so the lexicographic argmin is a
-    plain hash groupby-MIN -- no mergesort, no drop_duplicates
-    (measured 18.9 s -> 13.4 s at 49.5M lines); per-block partials
-    pre-shrink the fact to part cardinality before ONE bucketed fold,
-    and the supplier->nation decoration is a driver-side searchsorted
-    over the fold output."""
+    plain hash groupby-MIN -- no mergesort, no drop_duplicates; ONE
+    bucketed fold does the aggregation, and the supplier->nation
+    decoration is a driver-side searchsorted over the fold output.
+    The per-block pre-agg is deliberately SKIPPED: with part
+    cardinality within ~6x of the block row count, keys barely repeat
+    inside a block, so the pre-agg shrank the exchange by only ~8%
+    while paying a 1.4M-key hash groupby per block (measured 13.5 ->
+    10.6 s without it at 49.5M lines / 8M parts); low-cardinality key
+    regimes are where block pre-aggregation pays."""
     from ci_log_processing_ray.ops.window import bucketed_groups
 
     supp = _read(sf_dir, "supplier",
@@ -3271,10 +3275,8 @@ def q_min_cost_supplier(sf_dir: str):
                      * 100 + 0.5).astype(np.int64)
         assert c.max(initial=0) < (1 << 62) // stride
         v = c * stride + df["l_suppkey"].to_numpy(np.int64)
-        g = pd.DataFrame({
+        return pd.DataFrame({
             "l_partkey": df["l_partkey"].to_numpy(np.int64), "v": v})
-        return g.groupby("l_partkey", as_index=False,
-                         sort=False)["v"].min()
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("l_partkey", as_index=False,
