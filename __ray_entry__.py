@@ -3621,11 +3621,13 @@ def q_dominant_suppliers(sf_dir: str):
     """TPC-H Q20 shape ("potential part promotion", adapted to the
     schema subset): suppliers shipping MORE THAN 20% of some part's
     total quantity (5*sq > tot -- the nested aggregate-threshold
-    semi-join), with how many parts they dominate.  Plan: per
-    (part, supp) quantity partials collapse in one part-keyed bucketed
-    exchange whose kernel also folds the part totals (both sides
-    co-located by construction); the per-supplier count groupby is
-    supplier-sized."""
+    semi-join), with how many parts they dominate.  Plan: one
+    part-keyed bucketed exchange whose kernel folds the pair sums AND
+    the part totals (co-located by construction); the per-supplier
+    count fold is supplier-sized.  The per-block (part,supp) pre-agg
+    is deliberately SKIPPED -- pairs are ~95% unique within a block
+    at this cardinality, so it shrank nothing while paying an Arrow
+    group_by per block (11.8 -> 9.8 s without it at 49.5M lines)."""
     from ci_log_processing_ray.ops.window import (bucketed_groups,
                                                   bucketed_sum)
 
@@ -3633,16 +3635,11 @@ def q_dominant_suppliers(sf_dir: str):
                ["l_partkey", "l_suppkey", "l_quantity"])
 
     def partial(t: pa.Table) -> pa.Table:
-        tt = pa.table({
+        return pa.table({
             "l_partkey": t["l_partkey"].combine_chunks(),
             "l_suppkey": t["l_suppkey"].combine_chunks(),
             "_q": pc.cast(t["l_quantity"].combine_chunks(),
                           pa.int64())})
-        g = tt.group_by(["l_partkey", "l_suppkey"]).aggregate(
-            [("_q", "sum")])
-        return pa.table({"l_partkey": g["l_partkey"],
-                         "l_suppkey": g["l_suppkey"],
-                         "_q": g["_q_sum"]})
 
     def kern(g: pd.DataFrame) -> pd.DataFrame:
         g = g.groupby(["l_partkey", "l_suppkey"], as_index=False,
