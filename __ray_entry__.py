@@ -2953,14 +2953,22 @@ def q_top_supplier(sf_dir: str):
         sd = t["l_shipdate"].combine_chunks().cast(pa.timestamp("us"))
         keep = pc.and_(pc.greater_equal(sd, lo), pc.less(sd, hi))
         sub = t.filter(keep)
-        return pa.table({
+        # block pre-agg pays here: supplier cardinality is far below
+        # the block row count, so partials shrink ~20x pre-exchange
+        tt = pa.table({
             "l_suppkey": sub["l_suppkey"],
             "_rev": _cents(sub["l_extendedprice"])})
+        g = tt.group_by("l_suppkey").aggregate([("_rev", "sum")])
+        return pa.table({"l_suppkey": g["l_suppkey"],
+                         "_rev": g["_rev_sum"]})
 
+    # materialize: the supplier-sized fold is consumed twice (global
+    # max, then the equality filter) and would otherwise re-run the
+    # whole fact scan for each consumer
     rev = bucketed_sum(
         li.map_batches(prep, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["l_suppkey"], ["_rev"])
+        ["l_suppkey"], ["_rev"]).materialize()
 
     def block_max(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"m": [int(df["_rev"].max())
