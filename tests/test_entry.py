@@ -82,6 +82,53 @@ def test_collect_empty_pandas_blocks(ray_session):
     assert tab.schema.field("doc_a").type == "int64"
 
 
+def test_copartition_by_key_matches_merge(ray_session):
+    """_copartition_by_key + a probe kernel must reproduce an inner
+    join-aggregate done by pandas merge, including keys present on
+    only one side and multi-row left keys."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 40, 300).astype(np.int64),
+        "v": rng.integers(1, 100, 300).astype(np.int64)})
+    # right side: unique keys 10..49 -> some left keys unmatched
+    right = pd.DataFrame({
+        "k": np.arange(10, 50, dtype=np.int64),
+        "v": np.arange(10, 50, dtype=np.int64) * 1000})
+
+    def kern(g):
+        side = g["_side"].to_numpy()
+        ln, od = g[side == 0], g[side == 1]
+        if not len(ln) or not len(od):
+            return pd.DataFrame({
+                "g": pd.Series([], dtype=np.int64),
+                "s": pd.Series([], dtype=np.int64)})
+        lk = ln["k"].to_numpy(np.int64)
+        hit, attr = entrymod._probe_orders(od, lk, "v")
+        sub = pd.DataFrame({
+            "g": attr[hit] % 7,
+            "s": ln["v"].to_numpy(np.int64)[hit]})
+        return sub.groupby("g", as_index=False, sort=False)["s"].sum()
+
+    got = entrymod._copartition_by_key(
+        ray.data.from_pandas(left).map_batches(
+            lambda t: t, batch_format="pyarrow"),
+        ray.data.from_pandas(right).map_batches(
+            lambda t: t, batch_format="pyarrow"),
+        kern).to_pandas().groupby("g", as_index=False)["s"].sum()
+
+    j = left.merge(right.rename(columns={"v": "rv"}), on="k")
+    want = (pd.DataFrame({"g": j["rv"] % 7, "s": j["v"]})
+            .groupby("g", as_index=False)["s"].sum())
+    pd.testing.assert_frame_equal(
+        got.sort_values("g").reset_index(drop=True),
+        want.sort_values("g").reset_index(drop=True),
+        check_dtype=False)
+
+
 def test_dense_probe_paths():
     """_probe_positions must agree with searchsorted on dense keys
     (direct-offset fast path) and take the binary-search fallback on
