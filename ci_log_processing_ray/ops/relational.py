@@ -1396,6 +1396,7 @@ def below_group_avg_sum(
     den: int = 5,
     broadcast_cap: int = 8_000_000,
     n_buckets: int | None = None,
+    block_preagg: bool = True,
 ) -> pd.DataFrame:
     """Correlated group-average filter-aggregate (the TPC-H Q17 shape):
     sum ``val_col`` (and count rows) over fact rows whose ``qty_col``
@@ -1438,6 +1439,12 @@ def below_group_avg_sum(
         q = t[qty_col].combine_chunks().cast(pa.int64())
         tt = pa.table({key_col: k, "_sq": q,
                        "_n": pa.array(np.ones(len(t), np.int64))})
+        if not block_preagg:
+            # regime knob: when key cardinality approaches the block
+            # row count, the per-block group_by shrinks almost
+            # nothing -- callers in that regime skip straight to the
+            # bucketed fold
+            return tt
         g = tt.group_by(key_col).aggregate([("_sq", "sum"),
                                             ("_n", "sum")])
         return pa.table({key_col: g[key_col], "_sq": g["_sq_sum"],
