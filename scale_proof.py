@@ -3778,8 +3778,11 @@ def main_tpch() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{root}/{t}.parquet')")
         qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+        only = os.environ.get("GRAFT_TPCH_QUERIES", "")
+        names = ([n for n in only.split(",") if n]
+                 if only else TPCH_PROOF_QUERIES)
         results = {}
-        for name in TPCH_PROOF_QUERIES:
+        for name in names:
             t0 = time.perf_counter()
             got = qs[name](root)
             ray_sec = time.perf_counter() - t0
