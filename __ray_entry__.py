@@ -3038,7 +3038,8 @@ def q_large_orders(sf_dir: str):
         li.map_batches(li_prep, batch_format="pyarrow",
                        zero_copy_batch=True),
         o.map_batches(o_prep, batch_format="pyarrow",
-                      zero_copy_batch=True), kern).to_pandas()
+                      zero_copy_batch=True), kern,
+        input_rows=2 * _table_rows(sf_dir, "orders")).to_pandas()
     if not len(out):  # all-empty pandas blocks drop columns
         return pd.DataFrame({
             c: pd.Series([], dtype=np.int64)
@@ -3094,7 +3095,15 @@ def q_returned_customers(sf_dir: str):
         batch_format="pyarrow"))
 
 
-def _copartition_by_key(left, right, kern, *, n_buckets=None):
+def _table_rows(sf_dir: str, *tables: str) -> int:
+    """Summed row counts from parquet metadata (free to read)."""
+    return sum(
+        pq.read_metadata(os.path.join(sf_dir, f"{t}.parquet")).num_rows
+        for t in tables)
+
+
+def _copartition_by_key(left, right, kern, *, n_buckets=None,
+                        input_rows=None):
     """Tagged-union co-partition replacing a fact-fact hash join whose
     downstream is an aggregate: both inputs (Arrow blocks with an
     int64 ``k`` column and OTHERWISE IDENTICAL schemas) exchange ONCE
@@ -3102,8 +3111,23 @@ def _copartition_by_key(left, right, kern, *, n_buckets=None):
     ``_side`` column (0=left, 1=right) holding every row of its keys
     from BOTH sides, and returns a small partial frame.  One exchange
     total instead of Acero's build+probe shuffle -- measured 17.1 ->
-    6.6 s (Q4) and 14.8 -> 8.8 s (Q5) at 49.5M lines."""
-    from ci_log_processing_ray.ops.window import bucketed_groups
+    6.6 s (Q4) and 14.8 -> 8.8 s (Q5) at 49.5M lines.
+
+    ``input_rows`` (exchange row count, parquet metadata is enough)
+    RAISES the bucket count to ~500k rows per bucket above the
+    cluster default.  Pass it ONLY when the kernel runs a real pandas
+    groupby over near-key-cardinality frames (Q4/Q18: interleaved
+    A/B at 135M lines measured 34 -> 21 s both -- the per-bucket hash
+    groupby is superlinear once its table falls out of cache);
+    vectorized-mask kernels (Q5/Q7/Q12) measured 20 -> 28 s WORSE
+    with more buckets, the extra exchange/scheduling overhead buying
+    nothing."""
+    from ci_log_processing_ray.ops.window import (bucketed_groups,
+                                                  resolve_group_buckets)
+
+    if n_buckets is None and input_rows is not None:
+        n_buckets = max(resolve_group_buckets(None),
+                        int(input_rows) // 500_000)
 
     def tag(side):
         def f(t: pa.Table) -> pa.Table:
@@ -3919,7 +3943,8 @@ def q_late_orders(sf_dir: str):
         li.map_batches(ship_partial, batch_format="pyarrow",
                        zero_copy_batch=True),
         o.map_batches(o_prep, batch_format="pyarrow",
-                      zero_copy_batch=True), kern).to_pandas()
+                      zero_copy_batch=True), kern,
+        input_rows=2 * _table_rows(sf_dir, "orders")).to_pandas()
     if not len(parts):
         return pd.DataFrame({
             "o_orderpriority": pd.Series([], dtype=object),
