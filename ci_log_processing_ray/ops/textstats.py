@@ -63,40 +63,52 @@ def add_text_stats(ds: ray.data.Dataset, text_col: str) -> ray.data.Dataset:
 
 
 class LanguageId:
-    """Actor-pool stage: stopword tables compiled once per actor.
+    """Actor-pool stage: stopword value-sets built once per actor.
 
-    Heuristic: highest stopword-hit-rate language wins; documents with a
-    majority of non-Latin codepoints are tagged 'other'."""
+    Heuristic: highest stopword-hit-rate language wins; ties break to
+    the first language in STOPWORDS order (strict-greater update over a
+    zero floor, so zero hits -> 'other').  Fully vectorized: one
+    split_pattern_regex per batch into a flat word stream, one
+    ``pc.is_in`` membership scan per language, per-doc hit counts via
+    ``np.bincount`` over the doc index -- no Python per row/word."""
 
     def __init__(self, text_col: str):
         self.text_col = text_col
-        self.tables = {lang: sw for lang, sw in STOPWORDS.items() if sw}
+        self.langs = [lang for lang, sw in STOPWORDS.items() if sw]
+        self.value_sets = {
+            lang: pa.array(sorted(STOPWORDS[lang]), type=pa.string())
+            for lang in self.langs}
+        self.lang_arr = np.array(self.langs, dtype=object)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        import re
-
-        word_re = re.compile(WORD_RE)
-
-        def predict(text: str) -> str:
-            words = [w.lower() for w in word_re.findall(text)]
-            if not words:
-                return "other"
-            best_lang, best = "other", 0
-            for lang, sw in self.tables.items():
-                hits = sum(w in sw for w in words)
-                if hits > best:
-                    best_lang, best = lang, hits
-            return best_lang
-
-        batch = batch.copy()
-        batch["lang_pred"] = batch[self.text_col].map(predict)
-        return batch
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t[self.text_col].combine_chunks()
+        n = len(col)
+        wl = pc.split_pattern_regex(pc.fill_null(col, ""),
+                                    pattern=r"[^A-Za-z0-9_]+")
+        raw_counts = np.diff(wl.offsets.to_numpy())
+        flat = pc.utf8_lower(wl.flatten())
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64),
+                            raw_counts)[keep_np]
+        flat_kept = flat.filter(keep)
+        hits = np.zeros((len(self.langs), n), dtype=np.int64)
+        for k, lang in enumerate(self.langs):
+            m = pc.is_in(flat_kept, value_set=self.value_sets[lang])
+            hits[k] = np.bincount(
+                doc_idx[m.to_numpy(zero_copy_only=False)], minlength=n)
+        # argmax returns the FIRST max -> same tie-break as the old
+        # sequential strict-greater loop over STOPWORDS order
+        preds = self.lang_arr[hits.argmax(axis=0)].copy()
+        preds[hits.max(axis=0) == 0] = "other"
+        return t.append_column("lang_pred",
+                               pa.array(preds, type=pa.string()))
 
 
 def language_id(ds: ray.data.Dataset, text_col: str) -> ray.data.Dataset:
     return ds.map_batches(
         LanguageId, fn_constructor_args=(text_col,),
-        batch_format="pandas", batch_size=4096, concurrency=(1, 4))
+        batch_format="pyarrow", batch_size=8192, concurrency=(1, 4))
 
 
 def fingerprint(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.Dataset:
