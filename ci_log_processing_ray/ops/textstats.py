@@ -105,10 +105,23 @@ class LanguageId:
                                pa.array(preds, type=pa.string()))
 
 
+_LANG_ID_CACHE: dict = {}
+
+
 def language_id(ds: ray.data.Dataset, text_col: str) -> ray.data.Dataset:
-    return ds.map_batches(
-        LanguageId, fn_constructor_args=(text_col,),
-        batch_format="pyarrow", batch_size=8192, concurrency=(1, 4))
+    """Stateless task stage (NOT an actor pool): the per-worker state is
+    four 8-word Arrow value-sets, rebuilt once per worker process via a
+    module-level cache -- a plain function lets Ray FUSE this stage into
+    the upstream read (see CLAUDE.md fusion rule)."""
+
+    def _predict(t: pa.Table) -> pa.Table:
+        kern = _LANG_ID_CACHE.get(text_col)
+        if kern is None:
+            kern = _LANG_ID_CACHE[text_col] = LanguageId(text_col)
+        return kern(t)
+
+    return ds.map_batches(_predict, batch_format="pyarrow",
+                          batch_size=8192)
 
 
 def fingerprint(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.Dataset:

@@ -492,3 +492,49 @@ def test_sorted_export_global_order_and_resume(ray_session, tmp_path):
     assert sum(pq.ParquetFile(f).metadata.num_rows
                for f in sorted(_glob.glob(out + "/range-*.parquet"))) \
         == 20_000
+
+
+def test_sorted_export_persisted_cuts_and_input_guard(ray_session,
+                                                      tmp_path):
+    """Resume must reuse the FIRST run's persisted cut points and fail
+    loudly when the input rows changed (ADVICE: recomputed cuts could
+    silently drop rows into already-committed ranges); piece names are
+    deterministic content digests so retries overwrite, not accumulate."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest
+    import ray
+
+    from ci_log_processing_ray.pipelines.export import sorted_export
+
+    rng = np.random.default_rng(11)
+    rows = [{"k": int(v), "p": int(i)}
+            for i, v in enumerate(rng.integers(0, 10_000, size=4_000))]
+    ds = ray.data.from_items(rows)
+    out = str(tmp_path / "sorted")
+
+    r1 = sorted_export(ds, "k", out, n_ranges=4)
+    assert r1["rows_written"] == 4_000
+    cuts_path = os.path.join(out, "_cuts.json")
+    meta = json.load(open(cuts_path))
+    assert meta["n_ranges"] == 4 and meta["rows"] == 4_000
+
+    # damage one range, resume with CHANGED input -> loud failure, no
+    # silent row loss
+    os.unlink(os.path.join(out, "range-00001.parquet"))
+    os.unlink(os.path.join(out, "_manifests", "sorted-range-00001.json"))
+    changed = ray.data.from_items(rows[:-1])
+    with pytest.raises(AssertionError, match="input changed"):
+        sorted_export(changed, "k", out, n_ranges=4)
+
+    # resume with the SAME input heals the range using persisted cuts
+    r2 = sorted_export(ds, "k", out, n_ranges=4)
+    assert r2["written"] == 1 and r2["skipped"] == 3
+
+    # n_ranges mismatch on resume is refused
+    os.unlink(os.path.join(out, "range-00002.parquet"))
+    os.unlink(os.path.join(out, "_manifests", "sorted-range-00002.json"))
+    with pytest.raises(AssertionError, match="n_ranges"):
+        sorted_export(ds, "k", out, n_ranges=8)
