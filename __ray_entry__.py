@@ -3169,10 +3169,16 @@ def _probe_orders(od: pd.DataFrame, lk: np.ndarray,
     and resolve each line's order attributes by searchsorted; returns
     (hit_mask, attr_arrays...) aligned to ``lk``."""
     ok = od["k"].to_numpy(np.int64)
+    if len(ok) == 0:
+        # empty orders side: clip(searchsorted,0,-1) would yield pos=-1
+        # and the attr gathers would IndexError -- early-return instead
+        # of relying on every caller's len() guard (ADVICE fix)
+        z = np.zeros(len(lk), np.int64)
+        return (np.zeros(len(lk), bool),) + tuple(z for _ in cols)
     order = np.argsort(ok)
     ok_s = ok[order]
     pos = np.clip(np.searchsorted(ok_s, lk), 0, len(ok_s) - 1)
-    hit = ok_s[pos] == lk if len(ok_s) else np.zeros(len(lk), bool)
+    hit = ok_s[pos] == lk
     return (hit,) + tuple(
         od[c].to_numpy(np.int64)[order][pos] for c in cols)
 
@@ -3560,6 +3566,11 @@ def q_parts_supplier_cnt(sf_dir: str):
     # bijection; brand x size codes stay far below int64 overflow
     ns = int(pc.max(supp["s_suppkey"]).as_py()) + 1
     assert (len(brands) * 1000 + 1000) < (1 << 62) // ns
+    # the 1000 stride encodes (brand, size) bijectively ONLY if
+    # 0 <= p_size < 1000 -- out-of-range sizes would silently alias
+    # distinct cells into one supplier_cnt bucket (ADVICE fix)
+    assert sizes.min() >= 0 and sizes.max() < 1000, \
+        f"p_size out of packing range [0,1000): {sizes.min()}..{sizes.max()}"
     ref = ray.put((pk, _dense_base(pk), bcodes,
                    sizes.astype(np.int64), bad))
 
@@ -3779,7 +3790,16 @@ def q_dedup_savings(sf_dir: str):
     curation-impact report every dedup run needs.  One 8-byte
     text-hash exchange (payloads never move, the ops/dedup.py exact
     contract); each removed doc is attributed to ITS source, so
-    cross-source duplicates debit the copier, not the original."""
+    cross-source duplicates debit the copier, not the original.
+
+    HASH-ONLY EQUALITY CONTRACT (shared with every ops/dedup.py exact
+    caller): two texts are "duplicates" iff their 64-bit
+    pd.util.hash_array values collide.  The DuckDB oracle binds exact
+    text equality, so a true 64-bit collision between DISTINCT texts
+    would diverge from the oracle -- accepted odds ~n^2/2^64 (~1e-11
+    at sf0.01), the standard content-hash dedup tradeoff at corpus
+    scale where shipping full texts through the exchange is the thing
+    this design exists to avoid."""
     from ci_log_processing_ray.ops.window import bucketed_groups
 
     ds = _read(sf_dir, "documents",
