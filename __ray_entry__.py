@@ -576,13 +576,76 @@ def q_simhash(sf_dir: str):
     return simhash_clusters(ds, "text", "doc_id")
 
 
+_PLANT_OFF = 1_000_000  # planted near-dup ids: base vec_id + this
+
+
+def _plant_near_dups(ds):
+    """Deterministically augment the embeddings dataset with planted
+    near-duplicates: every vec_id % 5 == 0 row gets a copy at
+    vec_id + _PLANT_OFF with embedding scaled by exactly 2.0 (same
+    direction -> cosine 1.0; 2*float32 is mantissa-exact, so the SQL
+    oracle's list_transform(x -> x*2) reproduces IDENTICAL reals).
+    The synthetic table's max pairwise cosine is ~0.51, so at
+    threshold 0.92 the planted pairs are the ONLY near-dups -- this
+    turns the formerly-empty dedup queries into binding signals
+    (round-3 verdict task #1).  Pure map: planting is per-batch."""
+
+    def plant(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].combine_chunks().to_numpy()
+        sel = (vid % 5) == 0
+        emb_type = t.schema.field("embedding").type
+        m = np.vstack(t["embedding"].to_numpy(zero_copy_only=False))
+        planted = pa.table({
+            "vec_id": pa.array(vid[sel] + _PLANT_OFF, pa.int64()),
+            "embedding": pa.array(list(m[sel] * np.float32(2.0)),
+                                  type=emb_type)})
+        base = pa.table({"vec_id": t["vec_id"],
+                         "embedding": t["embedding"]},
+                        schema=planted.schema)
+        return pa.concat_tables([base, planted])
+
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
+# shared by embedding_dedup / semdedup: quantized-cosine pair oracle
+# over the planted-augmented table.  All true clusters are size-2
+# pairs (base, base+OFF), so cluster_rep = the pair's smaller id; the
+# FLOOR(permille) >= 920 cut matches the engine's cosine >= 0.92 with
+# a huge margin (planted ~1000 vs background <= 513 permille).
+_EMBED_DEDUP_ORACLE = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> x * 2) AS embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_inner_product(embedding, embedding)) AS nrm
+  FROM aug
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE FLOOR(1000.0 * list_inner_product(a.embedding, b.embedding)
+              / (a.nrm * b.nrm)) >= 920
+)
+SELECT ia AS vec_id, ia AS cluster_rep FROM pairs
+UNION ALL
+SELECT ib AS vec_id, ia AS cluster_rep FROM pairs
+ORDER BY vec_id
+"""
+
+
 def q_embedding_dedup(sf_dir: str):
-    """Embedding-cosine near-dup clusters.  EXPECTED EMPTY on the
-    synthetic embeddings table (measured max pairwise cosine ~0.51 --
-    there are genuinely no near-duplicates to find); positive-path
-    correctness is covered by tests/test_ops.py with planted dups."""
+    """Embedding-cosine near-dup clusters over the planted-augmented
+    embeddings (LSH hyperplane blocking is direction-invariant, so a
+    scaled copy always lands in its base's bucket -- guaranteed
+    recall, binding oracle)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_dedup(ds, "embedding", "vec_id", cosine_threshold=0.92)
+    return embedding_dedup(_plant_near_dups(ds), "embedding", "vec_id",
+                           cosine_threshold=0.92)
 
 
 def q_pca_embeddings(sf_dir: str):
@@ -642,13 +705,15 @@ def q_spatial_nn(sf_dir: str):
 
 def q_semdedup(sf_dir: str):
     """SemDeDup (arXiv:2303.09540): k-means-blocked embedding near-dup
-    clusters (ops/dedup.py:semdedup).  EXPECTED EMPTY on the synthetic
-    embeddings table (max pairwise cosine ~0.51, same as
-    embedding_dedup); positive-path correctness is covered by
-    tests/test_ops.py with planted dups.  Rows-only: k-means blocking
-    + float cosine is not SQL-expressible."""
+    clusters (ops/dedup.py:semdedup) over the planted-augmented
+    embeddings.  Cosine k-means assignment is direction-invariant, so
+    a planted scaled copy ALWAYS co-assigns with its base (identical
+    unit vectors -> identical argmax) regardless of where the
+    centroids land -- the k-means blocking is exact on this corpus and
+    the pair oracle binds the OUTPUT even though the blocking itself
+    is not SQL-expressible."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return semdedup(ds, "embedding", "vec_id", k=8,
+    return semdedup(_plant_near_dups(ds), "embedding", "vec_id", k=8,
                     cosine_threshold=0.92)
 
 
@@ -10266,6 +10331,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams)) > 0
               AND 100 * len(list_intersect(a.grams, b.grams))
                   >= 80 * least(len(a.grams), len(b.grams))""",
+        "embedding_dedup": _EMBED_DEDUP_ORACLE,
+        "semdedup": _EMBED_DEDUP_ORACLE,
         # quantize exactly like the engine: q = floor(x*128 + 0.5) in
         # float64 from the same float32 inputs; dot <= dim*q_max^2 <<
         # 2^53 so list_inner_product's float64 sum is the exact integer
