@@ -559,11 +559,38 @@ def q_knn_bruteforce(sf_dir: str):
     return df[["query_id", "vec_id"]]
 
 
+def _ann_recall_floor(ds, q, qids, approx, floor_permille: int,
+                      name: str) -> None:
+    """Recall@10 of an ANN result vs the exact bruteforce top-10,
+    enforced as a BINDING floor (round-3 verdict task #5): the query
+    RAISES below it, so a recall regression fails the driver run even
+    though the op itself is rows-only.  Deterministic: fixed seeds,
+    fixed corpus -> fixed recall (measured values in COVERAGE.md)."""
+    ex = knn_bruteforce(ds, "embedding", "vec_id", q, qids, k=10)
+    if hasattr(ex, "to_pandas"):
+        ex = ex.to_pandas()
+    e = ex.groupby("query_id")["vec_id"].apply(set)
+    a = approx.groupby("query_id")["vec_id"].apply(set)
+    hits = sum(len(e[g] & a.get(g, set())) for g in e.index)
+    total = int(e.map(len).sum())
+    permille = 1000 * hits // max(total, 1)
+    if permille < floor_permille:
+        raise AssertionError(
+            f"{name}: recall@10 {permille} permille below the "
+            f"{floor_permille} floor ({hits}/{total} exact edges hit)")
+
+
 def q_knn_lsh(sf_dir: str):
-    """Approximate top-10 via hyperplane LSH multi-probe (rows-only)."""
+    """Approximate top-10 via hyperplane LSH multi-probe (rows-only op,
+    but with a BINDING recall floor: >= 400 permille of the exact
+    bruteforce top-10, asserted in-query; measured 766/466/533 at
+    sf0.001/0.01/0.1 with n_planes=6, probe_hamming=2)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q, qids = _query_vectors(sf_dir)
-    return knn_lsh(ds, "embedding", "vec_id", q, qids, k=10)
+    res = knn_lsh(ds, "embedding", "vec_id", q, qids, k=10,
+                  n_planes=6, probe_hamming=2)
+    _ann_recall_floor(ds, q, qids, res, 400, "knn_lsh")
+    return res
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -1258,11 +1285,16 @@ def q_pivot_counts(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF-bucketed approximate top-10 (rows-only: approximate op)."""
+    """IVF-bucketed approximate top-10 (rows-only op, but with a
+    BINDING recall floor: >= 600 permille of the exact bruteforce
+    top-10, asserted in-query; measured 966/833/666 at
+    sf0.001/0.01/0.1 with n_centroids=8, n_probe=5)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q, qids = _query_vectors(sf_dir)
-    return knn_ivf(ds, "embedding", "vec_id", q, qids, k=10,
-                   n_centroids=8, n_probe=3)
+    res = knn_ivf(ds, "embedding", "vec_id", q, qids, k=10,
+                  n_centroids=8, n_probe=5)
+    _ann_recall_floor(ds, q, qids, res, 600, "knn_ivf")
+    return res
 
 
 def q_multimodal_resize(sf_dir: str):

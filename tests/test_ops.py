@@ -4895,3 +4895,45 @@ def test_local_minima_fingerprints_parity(ray_session):
         row = got.iloc[i]
         assert (row["n_windows"], row["n_selected"],
                 row["fp_checksum"]) == (nw, ns, ck), (i, t)
+
+
+def test_ktruss_max_degree_superset(ray_session):
+    """Planted star hub above the cap: with max_degree set, the capped
+    run must (a) skip the hub's wedge generation, (b) still return a
+    SUPERSET of the exact truss containing the whole planted clique,
+    and (c) never peel an edge inside the hub's at-risk closure."""
+    import warnings as _w
+    from itertools import combinations
+
+    from ci_log_processing_ray.ops.iterative import ktruss
+
+    edges = list(combinations(range(5), 2))             # K5 (true truss)
+    hub = 100
+    edges += [(hub, 200 + i) for i in range(64)]        # star hub deg 64
+    edges += [(200, 201), (200 + 1, 200 + 2)]           # chords at hub
+    edges += [(10, 11), (11, 12)]                       # path (peeled)
+    df = pd.DataFrame(edges, columns=["s", "d"])
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    exact = ktruss(ds, "s", "d", 4).to_pandas()
+    exact_set = {tuple(r) for r in exact[["a", "b"]].to_numpy()}
+    assert exact_set == set(combinations(range(5), 2))
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        capped = ktruss(ds, "s", "d", 4, max_degree=16).to_pandas()
+    assert any("SUPERSET" in str(w.message) for w in rec)
+    capped_set = {tuple(r) for r in capped[["a", "b"]].to_numpy()}
+    # superset of the truth...
+    assert capped_set >= exact_set
+    # ...and the protected hub edges were exempt from peeling
+    assert (hub, 200) in {(min(a, b), max(a, b))
+                          for a, b in capped_set} or \
+        (100, 200) in capped_set
+    # unprotected path edges still peel
+    assert (10, 11) not in capped_set and (11, 12) not in capped_set
+
+    # below-cap graphs are IDENTICAL with the cap set high
+    uncapped_hi = ktruss(ds, "s", "d", 4, max_degree=1000).to_pandas()
+    assert {tuple(r) for r in uncapped_hi[["a", "b"]].to_numpy()} == \
+        exact_set
