@@ -88,6 +88,19 @@ class PipelineConfig:
     # i.e. the layout contract was violated.  Escape hatch: fill_mode="grouped".
     strict_layout: bool = True
 
+    # Dead-letter queue: when set, the row-at-a-time parse branches
+    # (performance/subunit JSON -- the realistic poison vectors) write
+    # rows whose payload raises (e.g. corrupt JSON) to quarantine
+    # Parquet with the exception string attached
+    # (stages/quarantine.py:quarantine_rows, content-addressed =>
+    # retry-stable), and the rest of the partition flows on.  The
+    # flagship metrics manifest records the quarantined row count.
+    # None = fail fast (a poison row kills its task), matching the
+    # reference's behavior.  The vectorized logline branch keeps
+    # fail-fast layout-contract semantics either way (its errors mean
+    # a violated block layout, not a poison row).
+    quarantine_dir: str | None = None
+
     # Skew note: the count aggregate needs no explicit salt -- the
     # per-block combiner (stages/aggregate.py, flagship fan-out writer)
     # collapses every block to O(#sinks x #severities) partial rows

@@ -330,6 +330,17 @@ def run_pipeline(
             s: int(c) for s, c in
             agg.groupby("sink")["doc_count"].sum().items()},
     }
+    if cfg.quarantine_dir is not None:
+        # dead-letter accounting: total poison rows currently in the
+        # quarantine dir (content-addressed files -> retry-stable)
+        qrows = 0
+        if os.path.isdir(cfg.quarantine_dir):
+            for f in os.listdir(cfg.quarantine_dir):
+                if f.endswith(".parquet"):
+                    qrows += pq.ParquetFile(
+                        os.path.join(cfg.quarantine_dir, f)
+                    ).metadata.num_rows
+        metrics["quarantined_rows"] = qrows
     metrics_dir = os.path.join(out_dir, "metrics")
     os.makedirs(metrics_dir, exist_ok=True)
     with open(os.path.join(metrics_dir, f"batch-{digest}.json"), "w") as f:

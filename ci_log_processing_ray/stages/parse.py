@@ -339,17 +339,46 @@ def _parse_performance(tbl: pa.Table, lines: pa.Array, cfg: PipelineConfig) -> p
     Row-at-a-time Python is fine here: performance rows are O(#builds),
     a vanishing fraction of the corpus.
     """
-    build, fname, line_no = _split_doc_id(tbl)
     ts_list, perf_json = [], []
-    for line in lines.to_pylist():
-        data = json.loads(line)
+    bad_idx, bad_err = [], []
+    for i, line in enumerate(lines.to_pylist()):
+        try:
+            data = json.loads(line)
+            flat = json.dumps(_flatten_perf(line), sort_keys=True)
+        except Exception as e:
+            # poison row (corrupt performance.json payload): dead-letter
+            # it when a quarantine dir is configured, else fail fast --
+            # the row-at-a-time JSON branches are the realistic poison
+            # vector, so quarantine lives HERE rather than bisecting the
+            # whole parse UDF (whose logline branch is not
+            # row-independent: the carry-forward layout contract would
+            # misfire on bisected sub-batches)
+            if cfg.quarantine_dir is None:
+                raise
+            bad_idx.append(i)
+            bad_err.append(repr(e))
+            continue
         ts = None
         if "report" in data and "timestamp" in data["report"]:
             ts_arr = extract_timestamps(
                 pa.array([data["report"]["timestamp"]]), cfg.today_year)
             ts = ts_arr[0].as_py()
         ts_list.append(ts if ts is not None else cfg.fallback_now)
-        perf_json.append(json.dumps(_flatten_perf(line), sort_keys=True))
+        perf_json.append(flat)
+    if bad_idx:
+        from .quarantine import quarantine_rows
+
+        quarantine_rows(
+            pa.table({"doc_id": tbl["doc_id"].combine_chunks().take(
+                          pa.array(bad_idx)),
+                      "source": tbl["source"].combine_chunks().take(
+                          pa.array(bad_idx)),
+                      "payload": lines.take(pa.array(bad_idx))}),
+            bad_err, cfg.quarantine_dir)
+        good = np.setdiff1d(np.arange(len(tbl)), np.array(bad_idx))
+        tbl = tbl.take(pa.array(good))
+        lines = lines.take(pa.array(good))
+    build, fname, line_no = _split_doc_id(tbl)
     message = extract_messages(lines)  # doc_iter also runs for perf docs
     out = _finalize(tbl, {
         "build_uuid": build, "filename": fname, "line_no": line_no,
@@ -370,10 +399,20 @@ def _parse_subunit(tbl: pa.Table, lines: pa.Array, cfg: PipelineConfig) -> pa.Ta
     ``float(f"{seconds}.{microseconds}")`` and the second-precision
     @timestamp are preserved exactly.
     """
-    build, fname, line_no = _split_doc_id(tbl)
     names, statuses, durations, ts_list = [], [], [], []
-    for line in lines.to_pylist():
-        rec = json.loads(line)
+    bad_idx, bad_err = [], []
+    for i, line in enumerate(lines.to_pylist()):
+        try:
+            rec = json.loads(line)
+            name, status = rec["test_name"], rec["status"]
+        except Exception as e:
+            # corrupt subunit row: dead-letter when configured (same
+            # contract as the performance branch), else fail fast
+            if cfg.quarantine_dir is None:
+                raise
+            bad_idx.append(i)
+            bad_err.append(repr(e))
+            continue
         if rec.get("start") is None or rec.get("end") is None:
             # FLAG_TIMESTAMP is optional on the wire: no timestamps ->
             # no duration, null @timestamp (the row still routes)
@@ -386,8 +425,21 @@ def _parse_subunit(tbl: pa.Table, lines: pa.Array, cfg: PipelineConfig) -> pa.Ta
             durations.append(
                 float("%d.%d" % (delta.seconds, delta.microseconds)))
             ts_list.append(start.replace(microsecond=0))  # %S precision
-        names.append(rec["test_name"])
-        statuses.append(rec["status"])
+        names.append(name)
+        statuses.append(status)
+    if bad_idx:
+        from .quarantine import quarantine_rows
+
+        quarantine_rows(
+            pa.table({"doc_id": tbl["doc_id"].combine_chunks().take(
+                          pa.array(bad_idx)),
+                      "source": tbl["source"].combine_chunks().take(
+                          pa.array(bad_idx)),
+                      "payload": lines.take(pa.array(bad_idx))}),
+            bad_err, cfg.quarantine_dir)
+        good = np.setdiff1d(np.arange(len(tbl)), np.array(bad_idx))
+        tbl = tbl.take(pa.array(good))
+    build, fname, line_no = _split_doc_id(tbl)
     return _finalize(tbl, {
         "build_uuid": build, "filename": fname, "line_no": line_no,
         "ts": pa.array(ts_list, type=pa.timestamp("us")),

@@ -82,3 +82,19 @@ def safe_map_batches(
             "out_schema was given to build an empty result from")
 
     return ds.map_batches(wrapped, batch_format="pyarrow", **map_kwargs)
+
+
+def quarantine_rows(rows: pa.Table, errors: list[str],
+                    quarantine_dir: str) -> None:
+    """Write poison rows + their exception strings to the dead-letter
+    dir with a content-addressed file name (md5 of the rows): a Ray
+    task retry rewrites the SAME file, so quarantine counts stay exact
+    across retries -- the idempotency contract shared with
+    safe_map_batches and the flagship fan-out writer."""
+    qt = rows.append_column("_error", pa.array(errors, type=pa.string()))
+    os.makedirs(quarantine_dir, exist_ok=True)
+    digest = hashlib.md5(
+        b"".join(batch.serialize() for batch
+                 in qt.to_batches())).hexdigest()[:16]
+    pq.write_table(
+        qt, os.path.join(quarantine_dir, f"poison-{digest}.parquet"))

@@ -2370,6 +2370,82 @@ def main_dedup() -> None:
 
 
 
+def main_dedup10m() -> None:
+    """MinHash+LSH dedup at 10,000,000 docs with 100,000 planted
+    exact-duplicate pairs, run through BOTH closure regimes (round-3
+    verdict task #6): (a) driver union-find (edge count under
+    driver_edge_cap) and (b) driver_edge_cap=0 -> the distributed
+    connected-components closure.  Both runs use the shuffle-verify
+    candidate path (broadcast_cand_cap=0): at this scale ~5.8M
+    candidate docs appear (the 1.6M planted band rows plus ~2.7M
+    random 32-bit band-hash collisions -- realistic LSH noise the
+    exact-Jaccard verify must and does reject), so broadcasting the
+    shingle table would ship ~1.2 GB per worker; the tagged-union
+    bucketed exchange is the only sane route, exactly as in
+    production.  Both regimes must recover EXACTLY the planted
+    clusters {(i, i), (5000000+i, i) : i < 100000} -- closed-form
+    truth, same shingle-disjoint corpus construction as main_dedup."""
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    N = 10_000_000
+    K = 100_000
+    OFF = 5_000_000
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.dedup import minhash_lsh_dedup
+
+        def mk(t: pa.Table) -> pa.Table:
+            rid = t["id"].combine_chunks().to_numpy()
+            src = np.where((rid >= OFF) & (rid < OFF + K),
+                           rid - OFF, rid)
+            h = (src[:, None] * 0x9E3779B1
+                 + np.arange(20)[None, :] * 0x85EBCA6B) % (1 << 32)
+            texts = [" ".join(f"{w:08x}" for w in row) for row in h]
+            return pa.table({"doc_id": pa.array(rid),
+                             "text": pa.array(texts)})
+
+        # materialize the 1.8 GB corpus once so the second regime's run
+        # times the OPERATOR, not a re-generation
+        ds = ray.data.range(
+            N, override_num_blocks=NCPU * 8).map_batches(
+            mk, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+
+        want = {(i, i) for i in range(K)} | {
+            (OFF + i, i) for i in range(K)}
+        out = {}
+        for label, kwargs in [
+            ("driver_unionfind", dict(broadcast_cand_cap=0,
+                                      driver_edge_cap=1 << 30)),
+            ("distributed_cc", dict(broadcast_cand_cap=0,
+                                    driver_edge_cap=0)),
+        ]:
+            t0 = time.perf_counter()
+            res = minhash_lsh_dedup(ds, "text", "doc_id",
+                                    jaccard_threshold=0.8, **kwargs)
+            sec = time.perf_counter() - t0
+            got = set(zip(res["doc_id"].astype(np.int64),
+                          res["cluster_rep"].astype(np.int64)))
+            assert got == want, (label, len(got), len(want),
+                                 sorted(got - want)[:5],
+                                 sorted(want - got)[:5])
+            out[label] = {"sec": round(sec, 2),
+                          "docs_per_sec": round(N / sec)}
+        print(json.dumps({
+            "n_docs": N, "planted_pairs": K, "num_cpus": NCPU,
+            **out,
+            "truth": "both closure paths recover exactly the planted "
+                     "{(i,i),(5000000+i,i)} clusters",
+            "calib_sec": _calib()}))
+    finally:
+        ray.shutdown()
+
+
 def main_pack() -> None:
     """GPT-style sequence packing at 100,000,000 docs: doc i has
     n_tok = 1 + (i % 5), so its exclusive global prefix has the closed
@@ -3866,6 +3942,8 @@ if __name__ == "__main__":
         main_mw()
     elif len(sys.argv) > 1 and sys.argv[1] == "dedup":
         main_dedup()
+    elif len(sys.argv) > 1 and sys.argv[1] == "dedup10m":
+        main_dedup10m()
     elif len(sys.argv) > 1 and sys.argv[1] == "pack":
         main_pack()
     elif len(sys.argv) > 1 and sys.argv[1] == "butterfly":

@@ -538,3 +538,74 @@ def test_sorted_export_persisted_cuts_and_input_guard(ray_session,
     os.unlink(os.path.join(out, "_manifests", "sorted-range-00002.json"))
     with pytest.raises(AssertionError, match="n_ranges"):
         sorted_export(ds, "k", out, n_ranges=8)
+
+
+def test_flagship_quarantine_e2e(ray_session, tmp_path):
+    """A poison row in a real flagship partition (a performance.json
+    row whose payload is NOT valid JSON, so json.loads raises inside
+    the parse UDF) must land in quarantine Parquet with its exception
+    string while every other row of the partition flows through to the
+    routed output; the metrics manifest records the quarantined row
+    count (round-3 verdict task #7)."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    import pyarrow.compute as pc
+
+    from ci_log_processing_ray.sources.synth import (CorpusSpec,
+                                                     generate_corpus)
+
+    corpus = str(tmp_path / "corpus")
+    info = generate_corpus(corpus,
+                           CorpusSpec(n_builds=4, lines_per_file=20,
+                                      seed=11))
+    seq_path = info["paths"]["token_sequences"]
+    t = pq.read_table(seq_path)
+    # poison one performance row: swap its tokens for a console line's
+    # (detokenizes to a log line, not JSON -> json.loads raises)
+    src = t["source"].to_pylist()
+    perf_idx = src.index("performance")
+    log_idx = src.index("console")
+    toks = t["tokens"].to_pylist()
+    ntok = t["n_tok"].to_pylist()
+    toks[perf_idx] = toks[log_idx]
+    ntok[perf_idx] = ntok[log_idx]
+    poisoned = pa.table({
+        "doc_id": t["doc_id"],
+        "tokens": pa.array(toks, type=t.schema.field("tokens").type),
+        "n_tok": pa.array(ntok, type=t.schema.field("n_tok").type),
+        "source": t["source"]})
+    pq.write_table(poisoned, seq_path)
+    poison_doc_id = t["doc_id"][perf_idx].as_py()
+
+    qdir = str(tmp_path / "quarantine")
+    out = str(tmp_path / "out")
+    cfg = PipelineConfig(skip_debug=True, quarantine_dir=qdir)
+    meta = load_build_meta(info["paths"]["build_meta"])
+    res = run_pipeline([seq_path], meta, out, cfg)
+    assert res.n_pending == 1
+
+    # the poison row is in quarantine with its exception attached
+    qfiles = _glob.glob(os.path.join(qdir, "poison-*.parquet"))
+    assert qfiles
+    qt = pa.concat_tables([pq.read_table(f) for f in qfiles])
+    assert qt.num_rows == 1
+    assert qt["doc_id"][0].as_py() == poison_doc_id
+    assert "JSONDecodeError" in qt["_error"][0].as_py()
+
+    # the partition still committed, minus only the poison row, and
+    # the routed tree contains the rest of the partition
+    routed = pq.ParquetDataset(res.routed_dir).read()
+    assert poison_doc_id not in set(routed["doc_id"].to_pylist())
+    assert routed.num_rows > 0
+    # the OTHER performance row still made it through
+    assert routed.filter(
+        pc.match_substring(routed["sink_name"].combine_chunks(),
+                           "performance")).num_rows > 0
+
+    # metrics manifest records the quarantined row count
+    mfiles = _glob.glob(os.path.join(out, "metrics", "batch-*.json"))
+    assert mfiles
+    metrics = _json.load(open(mfiles[0]))
+    assert metrics["quarantined_rows"] == 1
