@@ -311,11 +311,27 @@ def run_bench() -> dict:
             assert res.counts.num_rows > 0
 
         qtimes = {}
+        qcalib = {}
+        scale_tracking = {}
         if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+            import numpy as np
+
             import __ray_entry__ as entrymod
 
             qs = entrymod.queries()
             reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+            # per-query calib window (round-3 verdict #8): one cheap
+            # fixed single-thread workload timed right after each query
+            # so every per-query min carries its own host-speed context
+            _ca = np.random.default_rng(0).random((512, 512))
+            _cx = np.random.default_rng(1).random(1_000_000)
+
+            def _qcal() -> float:
+                t0 = time.perf_counter()
+                (_ca @ _ca).sum()
+                np.sort(_cx, kind="stable")
+                return round(time.perf_counter() - t0, 4)
+
             for name in BENCH_QUERIES:
                 best = float("inf")
                 for _ in range(max(1, reps)):  # min-of-N vs host steal
@@ -325,6 +341,19 @@ def run_bench() -> dict:
                         out = out.to_pandas()
                     best = min(best, time.perf_counter() - t0)
                 qtimes[name] = round(best, 3)
+                qcalib[name] = _qcal()
+
+            # round-over-round scale tracking for the two shapes whose
+            # bucket kernels grow with the order count (Q4/Q18)
+            import pyarrow.parquet as _pq
+
+            n_lines = _pq.ParquetFile(
+                os.path.join(SF_DIR, "lineitem.parquet")
+            ).metadata.num_rows
+            for nm in ("late_orders", "large_orders"):
+                if qtimes.get(nm):
+                    scale_tracking[f"{nm}_lines_per_sec"] = round(
+                        n_lines / qtimes[nm])
 
         return {
             "metric": "flagship parse->enrich->route->aggregate wall time "
@@ -334,6 +363,8 @@ def run_bench() -> dict:
             "sequences_per_sec": round(n_rows / headline, 1),
             "n_sequences": n_rows,
             "queries": qtimes,
+            "query_calib": qcalib,
+            "scale_tracking": scale_tracking,
             "sf": sf,
             "num_cpus": NCPU,
             "calib_sec": _calibrate(),
