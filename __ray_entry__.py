@@ -3800,8 +3800,12 @@ def q_dominant_suppliers(sf_dir: str):
     # Dataset.groupby would pay the per-distinct-group merge cost on
     # pandas blocks -- bucketed_sum keeps it one C-speed kernel per
     # bucket (measured 187 s -> 2 s at 1.8M hit rows / 100k suppliers)
-    agg = bucketed_sum(parts, ["l_suppkey"],
-                       ["n_dominant_parts"]).to_pandas()
+    # _collect, not .to_pandas(): dominance legitimately EMPTIES as
+    # lines-per-part grows (at 135M lines / 8M parts no supplier
+    # clears 20% -- found by the round-4 all-shapes 135M proof), and
+    # an empty pandas-block dataset would drop its columns
+    agg = _collect(bucketed_sum(parts, ["l_suppkey"],
+                                ["n_dominant_parts"])).to_pandas()
     agg["l_suppkey"] = agg["l_suppkey"].astype(np.int64)
     agg["n_dominant_parts"] = agg["n_dominant_parts"].astype(np.int64)
     return agg.reset_index(drop=True)

@@ -3882,10 +3882,16 @@ def main_tpch() -> None:
             # the selective predicates must actually select something
             # (0 == 0 is a vacuous proof -- the v2 corpus passed that
             # way, see build_tpch_corpus docstring)
-            if (info["n_lines"] > info["n_parts"]
+            if (info["n_parts"] < info["n_lines"] <= 60_000_000
                     and name in ("below_group_avg", "group_share",
                                  "dominant_suppliers", "large_orders",
                                  "sales_opportunity")):
+                # bindingness guard for the DESIGNED corpus regime
+                # (~49.5M lines).  Above it some predicates thin out
+                # legitimately: at 135M lines (~17 lines/part) no
+                # supplier clears Q20's 20% dominance bar, so a 0-row
+                # result there is the TRUE answer (the proof still
+                # checks row-identity with the oracle), not vacuity.
                 assert want_n > 0, (name, "non-binding at full scale")
             results[name] = {
                 "ray_sec": round(ray_sec, 2),
