@@ -804,14 +804,25 @@ def q_multimodal_decode(sf_dir: str):
     return decode_images(media)
 
 
-def _collect(ds: ray.data.Dataset) -> pa.Table:
+def _collect(ds: ray.data.Dataset,
+             fallback: "pa.Schema | None" = None) -> pa.Table:
     """Materialize a small result Dataset to an Arrow table, keeping the
     schema even when the result is EMPTY (Dataset.to_pandas() returns a
     column-less frame for zero-row datasets, which would break the
-    driver's column comparison)."""
+    driver's column comparison).  ``fallback`` covers the deepest empty
+    case: a dataset whose every upstream block was empty can lose its
+    schema entirely (Dataset.schema() is None -- seen at 135M lines
+    when dominance legitimately empties), so result-shaped callers pass
+    their known output schema."""
     batches = list(ds.iter_batches(batch_format="pyarrow"))
     if not batches:
-        base = ds.schema().base_schema
+        sch = ds.schema()
+        if sch is None:
+            if fallback is not None:
+                return fallback.empty_table()
+            raise ValueError(
+                "_collect: empty dataset with no schema and no fallback")
+        base = sch.base_schema
         if isinstance(base, pa.Schema):
             return base.empty_table()
         # Empty pandas-block dataset: PandasBlockSchema has no
@@ -903,6 +914,17 @@ def q_gopher_rules(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return gopher_rules(ds, "text", "doc_id")
+
+
+def q_gopher_repetition(sf_dir: str):
+    """Gopher repetition signals (arXiv:2112.11446 A1.2,
+    ops/textstats.py:gopher_repetition): per-doc modal-bigram share
+    and duplicate-5-gram share in exact integer permille (base-V gram
+    codes, a bijection -- no hash contract needed)."""
+    from ci_log_processing_ray.ops.textstats import gopher_repetition
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return gopher_repetition(ds, "text", "doc_id")
 
 
 def q_quality_score(sf_dir: str):
@@ -3805,7 +3827,10 @@ def q_dominant_suppliers(sf_dir: str):
     # clears 20% -- found by the round-4 all-shapes 135M proof), and
     # an empty pandas-block dataset would drop its columns
     agg = _collect(bucketed_sum(parts, ["l_suppkey"],
-                                ["n_dominant_parts"])).to_pandas()
+                                ["n_dominant_parts"]),
+                   fallback=pa.schema([
+                       ("l_suppkey", pa.int64()),
+                       ("n_dominant_parts", pa.int64())])).to_pandas()
     agg["l_suppkey"] = agg["l_suppkey"].astype(np.int64)
     agg["n_dominant_parts"] = agg["n_dominant_parts"].astype(np.int64)
     return agg.reset_index(drop=True)

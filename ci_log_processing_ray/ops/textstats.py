@@ -1373,3 +1373,88 @@ def skipgram_topk(
               .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n")))
     return counts.sort(["n", "w1", "w2"],
                        descending=[True, False, False]).limit(k)
+
+
+def gopher_repetition(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, arXiv:2112.11446 Appendix A1.2, adapted to word streams):
+
+    - ``top2_pm``:  permille share of word-bigram slots taken by the
+      document's single most frequent bigram (floor integer;
+      0 for docs with < 2 words);
+    - ``dup5_pm``:  permille share of word-5-gram slots that REPEAT an
+      earlier 5-gram of the same document (slots - distinct, floor;
+      0 for docs with < 5 words).
+
+    Exact integers end to end: words dictionary-encode per batch and
+    grams become base-V integer codes (a bijection -- no hashing, no
+    collision contract), so the DuckDB string-gram oracle matches
+    bit-for-bit.  One pure vectorized map per batch: a flatten, one
+    dictionary encode, two lexsorts; per-doc folds are bincount /
+    reduceat.  Scale shape: pure map, zero exchange -- per-doc state
+    never leaves the batch (the corpus-wide analogue is duplicate_spans).
+    Requires batch vocabulary V with V^5 < 2^62 (asserted); corpus
+    vocabularies beyond ~84k distinct words per batch would need the
+    hashed variant."""
+
+    def kern(t: pa.Table) -> pa.Table:
+        from ci_log_processing_ray.ops.curation import _word_stream
+
+        flat, n_words = _word_stream(t[text_col])
+        n_docs = len(t)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+        enc = flat.dictionary_encode()
+        c = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = max(1, len(enc.dictionary))
+        assert V ** 5 < (1 << 62), f"batch vocab {V} too large for exact base-V 5-gram codes"
+
+        top2 = np.zeros(n_docs, np.int64)
+        dup5 = np.zeros(n_docs, np.int64)
+        if len(c) >= 2:
+            same = doc_idx[1:] == doc_idx[:-1]
+            bgd = doc_idx[1:][same]
+            bg = c[:-1][same] * V + c[1:][same]
+            if len(bg):
+                order = np.lexsort((bg, bgd))
+                sd, sb = bgd[order], bg[order]
+                new = np.ones(len(sd), bool)
+                new[1:] = (sd[1:] != sd[:-1]) | (sb[1:] != sb[:-1])
+                starts = np.flatnonzero(new)
+                rl = np.diff(np.append(starts, len(sd)))
+                run_doc = sd[starts]
+                dnew = np.ones(len(run_doc), bool)
+                dnew[1:] = run_doc[1:] != run_doc[:-1]
+                dstarts = np.flatnonzero(dnew)
+                maxc = np.maximum.reduceat(rl, dstarts)
+                nbg = np.bincount(bgd, minlength=n_docs)
+                top2[run_doc[dstarts]] = 1000 * maxc
+                top2 = np.where(nbg > 0, top2 // np.maximum(nbg, 1), 0)
+        if len(c) >= 5:
+            same5 = doc_idx[4:] == doc_idx[:-4]
+            g5d = doc_idx[4:][same5]
+            code5 = ((((c[:-4] * V + c[1:-3]) * V + c[2:-2]) * V
+                      + c[3:-1]) * V + c[4:])[same5]
+            if len(code5):
+                order = np.lexsort((code5, g5d))
+                sd, sg = g5d[order], code5[order]
+                new = np.ones(len(sd), bool)
+                new[1:] = (sd[1:] != sd[:-1]) | (sg[1:] != sg[:-1])
+                distinct = np.bincount(sd[np.flatnonzero(new)],
+                                       minlength=n_docs)
+                slots = np.bincount(g5d, minlength=n_docs)
+                dup5 = np.where(
+                    slots > 0,
+                    1000 * (slots - distinct) // np.maximum(slots, 1), 0)
+        return pa.table({
+            id_col: t[id_col],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "top2_pm": pa.array(top2.astype(np.int64)),
+            "dup5_pm": pa.array(dup5.astype(np.int64)),
+        })
+
+    return ds.map_batches(kern, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
