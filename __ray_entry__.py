@@ -919,7 +919,7 @@ def q_gopher_rules(sf_dir: str):
 def q_gopher_repetition(sf_dir: str):
     """Gopher repetition signals (arXiv:2112.11446 A1.2,
     ops/textstats.py:gopher_repetition): per-doc modal-bigram share
-    and duplicate-5-gram share in exact integer permille (base-V gram
+    and duplicate-3-gram share in exact integer permille (base-V gram
     codes, a bijection -- no hash contract needed)."""
     from ci_log_processing_ray.ops.textstats import gopher_repetition
 
@@ -6901,6 +6901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
         "quality_score": q_quality_score,
         "gopher_rules": q_gopher_rules,
+        "gopher_repetition": q_gopher_repetition,
         "ccnet_buckets": q_ccnet_buckets,
         "token_count_bpe": q_token_count_bpe,
         "anti_join": q_anti_join,
@@ -7392,6 +7393,48 @@ def oracle_sql() -> dict[str, str]:
                         AND (mwl_pm BETWEEN 4000 AND 5000)
                         AND n_stop >= 2 AS BIGINT) AS passed
             FROM per""",
+        # parity: same [a-z0-9_]+ lowercase word stream as the engine;
+        # grams compared as STRINGS here vs exact base-V integer codes
+        # there -- both are bijections on the gram, so counts agree
+        "gopher_repetition": """
+            WITH words AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       unnest(range(1, len(ws) + 1)) AS i
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text),
+                                                '[a-z0-9_]+') AS ws
+                      FROM documents)),
+            bcnt AS (
+                SELECT a.doc_id, a.w || ' ' || b.w AS bg,
+                       count(*) AS c
+                FROM words a JOIN words b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                GROUP BY 1, 2),
+            btop AS (
+                SELECT doc_id,
+                       CAST(1000 * max(c) // sum(c) AS BIGINT) AS v
+                FROM bcnt GROUP BY doc_id),
+            g3 AS (
+                SELECT a.doc_id,
+                       a.w || ' ' || b.w || ' ' || c.w AS g
+                FROM words a
+                JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+            g3s AS (
+                SELECT doc_id,
+                       CAST(1000 * (count(*) - count(DISTINCT g))
+                            // count(*) AS BIGINT) AS v
+                FROM g3 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(len(regexp_extract_all(lower(d.text),
+                                               '[a-z0-9_]+'))
+                        AS BIGINT) AS n_words,
+                   CAST(COALESCE(bt.v, 0) AS BIGINT) AS top2_pm,
+                   CAST(COALESCE(g.v, 0) AS BIGINT) AS dup3_pm
+            FROM documents d
+            LEFT JOIN btop bt USING (doc_id)
+            LEFT JOIN g3s g USING (doc_id)
+            ORDER BY d.doc_id""",
         "quality_score": f"""
             SELECT doc_id, n_words, stop_pct, punct_pct,
                    CAST(CASE WHEN n_words >= 10 AND stop_pct <= 60

@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "gini_value",
     "semdedup",
     "gopher_rules",
+    "gopher_repetition",
     "ccnet_buckets",
     "pca_embeddings",
     "temperature_mix",

@@ -1386,9 +1386,12 @@ def gopher_repetition(
     - ``top2_pm``:  permille share of word-bigram slots taken by the
       document's single most frequent bigram (floor integer;
       0 for docs with < 2 words);
-    - ``dup5_pm``:  permille share of word-5-gram slots that REPEAT an
-      earlier 5-gram of the same document (slots - distinct, floor;
-      0 for docs with < 5 words).
+    - ``dup3_pm``:  permille share of word-3-gram slots occupied by
+      REPEATED 3-grams (slots - distinct, floor; 0 for docs with
+      < 3 words).  Window sized to the corpus's repetition scale:
+      Gopher's A1.2 table spans n = 2..10, and on this corpus n = 3
+      is the largest window where the signal is non-trivial
+      (27-33 binding docs at sf0.001/0.01; n >= 5 is identically 0).
 
     Exact integers end to end: words dictionary-encode per batch and
     grams become base-V integer codes (a bijection -- no hashing, no
@@ -1397,8 +1400,8 @@ def gopher_repetition(
     dictionary encode, two lexsorts; per-doc folds are bincount /
     reduceat.  Scale shape: pure map, zero exchange -- per-doc state
     never leaves the batch (the corpus-wide analogue is duplicate_spans).
-    Requires batch vocabulary V with V^5 < 2^62 (asserted); corpus
-    vocabularies beyond ~84k distinct words per batch would need the
+    Requires batch vocabulary V with V^3 < 2^62 (asserted); corpus
+    vocabularies beyond ~1.6M distinct words per batch would need the
     hashed variant."""
 
     def kern(t: pa.Table) -> pa.Table:
@@ -1410,10 +1413,11 @@ def gopher_repetition(
         enc = flat.dictionary_encode()
         c = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         V = max(1, len(enc.dictionary))
-        assert V ** 5 < (1 << 62), f"batch vocab {V} too large for exact base-V 5-gram codes"
+        assert V ** 3 < (1 << 62), \
+            f"batch vocab {V} too large for exact base-V 3-gram codes"
 
         top2 = np.zeros(n_docs, np.int64)
-        dup5 = np.zeros(n_docs, np.int64)
+        dup3 = np.zeros(n_docs, np.int64)
         if len(c) >= 2:
             same = doc_idx[1:] == doc_idx[:-1]
             bgd = doc_idx[1:][same]
@@ -1433,27 +1437,26 @@ def gopher_repetition(
                 nbg = np.bincount(bgd, minlength=n_docs)
                 top2[run_doc[dstarts]] = 1000 * maxc
                 top2 = np.where(nbg > 0, top2 // np.maximum(nbg, 1), 0)
-        if len(c) >= 5:
-            same5 = doc_idx[4:] == doc_idx[:-4]
-            g5d = doc_idx[4:][same5]
-            code5 = ((((c[:-4] * V + c[1:-3]) * V + c[2:-2]) * V
-                      + c[3:-1]) * V + c[4:])[same5]
-            if len(code5):
-                order = np.lexsort((code5, g5d))
-                sd, sg = g5d[order], code5[order]
+        if len(c) >= 3:
+            same3 = doc_idx[2:] == doc_idx[:-2]
+            g3d = doc_idx[2:][same3]
+            code3 = ((c[:-2] * V + c[1:-1]) * V + c[2:])[same3]
+            if len(code3):
+                order = np.lexsort((code3, g3d))
+                sd, sg = g3d[order], code3[order]
                 new = np.ones(len(sd), bool)
                 new[1:] = (sd[1:] != sd[:-1]) | (sg[1:] != sg[:-1])
                 distinct = np.bincount(sd[np.flatnonzero(new)],
                                        minlength=n_docs)
-                slots = np.bincount(g5d, minlength=n_docs)
-                dup5 = np.where(
+                slots = np.bincount(g3d, minlength=n_docs)
+                dup3 = np.where(
                     slots > 0,
                     1000 * (slots - distinct) // np.maximum(slots, 1), 0)
         return pa.table({
             id_col: t[id_col],
             "n_words": pa.array(n_words, type=pa.int64()),
             "top2_pm": pa.array(top2.astype(np.int64)),
-            "dup5_pm": pa.array(dup5.astype(np.int64)),
+            "dup3_pm": pa.array(dup3.astype(np.int64)),
         })
 
     return ds.map_batches(kern, batch_format="pyarrow",
