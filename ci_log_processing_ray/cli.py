@@ -68,6 +68,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="seconds between ticks (reference default 120)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init num_cpus (default: all)")
+    p.add_argument("--quarantine-dir", default=None,
+                   help="dead-letter dir: corrupt performance/subunit "
+                        "JSON rows land here as Parquet (with the "
+                        "exception string) instead of killing their "
+                        "partition; the metrics manifest records the "
+                        "quarantined row count")
     return p
 
 
@@ -108,7 +114,8 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.follow import run_follow
 
         cfg = PipelineConfig(skip_debug=args.skip_debug,
-                             fill_mode=args.fill_mode)
+                             fill_mode=args.fill_mode,
+                             quarantine_dir=args.quarantine_dir)
 
         if args.compact_dir:
             from .pipelines.compact import compact_routed
