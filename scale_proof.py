@@ -2446,6 +2446,72 @@ def main_dedup10m() -> None:
         ray.shutdown()
 
 
+def main_multimodal() -> None:
+    """Multimodal actor-pool plumbing at 1,000,000 images: per-batch
+    generated deterministic fake payloads (32x32 = 1032 B each, ~1 GB
+    corpus that never materializes -- generation fuses into the decode
+    consumer) through the REAL decode_images actor pool (codec loaded
+    once per actor; batch_size 64 keeps payload batches heap-friendly).
+    Truth is closed-form: every width/height/n_bytes must match the
+    id-derived spec exactly (vectorized check over all 1M rows), and
+    mean_intensity is re-derived independently on the driver for a
+    deterministic 1-in-9973 id sample and compared bit-for-bit."""
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    N = 1_000_000
+    W = H = 32
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.multimodal import (decode_images,
+                                                          encode_fake_image)
+
+        def mk(t: pa.Table) -> pa.Table:
+            ids = t["id"].combine_chunks().to_numpy()
+            return pa.table({
+                "media_id": pa.array(ids.astype(np.int64)),
+                "payload": pa.array(
+                    [encode_fake_image(int(i), W, H) for i in ids],
+                    type=pa.binary())})
+
+        ds = ray.data.range(N, override_num_blocks=NCPU * 8).map_batches(
+            mk, batch_format="pyarrow", zero_copy_batch=True)
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+
+        t0 = time.perf_counter()
+        meta = decode_images(ds, concurrency=(4, NCPU // 2),
+                             batch_size=64).to_pandas()
+        sec = time.perf_counter() - t0
+
+        assert len(meta) == N, len(meta)
+        mid = meta["media_id"].to_numpy(np.int64)
+        assert (meta["width"].to_numpy() == W).all()
+        assert (meta["height"].to_numpy() == H).all()
+        assert (meta["n_bytes"].to_numpy() == 8 + W * H).all()
+        assert len(np.unique(mid)) == N
+        # exact driver re-derivation for the deterministic sample
+        sample = meta[mid % 9973 == 0].sort_values("media_id")
+        for i, got in zip(sample["media_id"], sample["mean_intensity"]):
+            want = float(np.frombuffer(
+                encode_fake_image(int(i), W, H), dtype=np.uint8,
+                offset=8).mean())
+            assert got == want, (i, got, want)
+        print(json.dumps({
+            "n_images": N, "num_cpus": NCPU, "sec": round(sec, 2),
+            "images_per_sec": round(N / sec),
+            "sample_checked": int(len(sample)),
+            "truth": "all 1M width/height/n_bytes exact + bit-exact "
+                     "mean_intensity on the 1-in-9973 sample",
+            "calib_sec": _calib()}))
+    finally:
+        ray.shutdown()
+
+
 def main_pack() -> None:
     """GPT-style sequence packing at 100,000,000 docs: doc i has
     n_tok = 1 + (i % 5), so its exclusive global prefix has the closed
@@ -3950,6 +4016,8 @@ if __name__ == "__main__":
         main_dedup()
     elif len(sys.argv) > 1 and sys.argv[1] == "dedup10m":
         main_dedup10m()
+    elif len(sys.argv) > 1 and sys.argv[1] == "multimodal":
+        main_multimodal()
     elif len(sys.argv) > 1 and sys.argv[1] == "pack":
         main_pack()
     elif len(sys.argv) > 1 and sys.argv[1] == "butterfly":
