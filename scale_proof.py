@@ -2446,6 +2446,102 @@ def main_dedup10m() -> None:
         ray.shutdown()
 
 
+def main_incdedup() -> None:
+    """Cross-run incremental dedup (state/dedup_index.py) at scale:
+    run 1 ingests 4,000,000 unique docs; run 2 (a FRESH actor pool
+    reloading the flushed index from disk -- the restart path) ingests
+    4,000,000 docs of which every id % 4 == 0 repeats run-1 content;
+    run 3 replays run 2's stream verbatim.  Closed-form truth:
+    run 1 keeps all 4M; run 2 keeps EXACTLY the 3M new docs (zero
+    repeats survive -- checked by an id-arithmetic fold inside the
+    stream, no driver materialization of payloads); run 3 keeps 0.
+    Only 8-byte hashes ever travel to the 8 shard actors."""
+    import shutil as _sh
+
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    N = 4_000_000
+    index_dir = "/tmp/incdedup_proof_index"
+    _sh.rmtree(index_dir, ignore_errors=True)
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.state.dedup_index import (DedupIndex,
+                                                             incremental_dedup)
+
+        def corpus(run: int):
+            def mk(t: pa.Table) -> pa.Table:
+                rid = t["id"].combine_chunks().to_numpy()
+                if run == 1:
+                    src = rid
+                else:
+                    # id%4==0 repeats run-1 content; others are new
+                    src = np.where(rid % 4 == 0, rid, rid + 10_000_000)
+                h = (src * 0x9E3779B1) % (1 << 32)
+                texts = [f"doc {v:08x} payload {v % 97}" for v in h]
+                return pa.table({"doc_id": pa.array(rid),
+                                 "text": pa.array(texts)})
+
+            return ray.data.range(
+                N, override_num_blocks=NCPU * 4).map_batches(
+                mk, batch_format="pyarrow", zero_copy_batch=True)
+
+        def consume(ds):
+            """Count kept rows + kept-repeat rows via a streaming fold
+            (no payloads to the driver)."""
+            def fold(t: pa.Table) -> pa.Table:
+                rid = t["doc_id"].combine_chunks().to_numpy()
+                return pa.table({
+                    "n": pa.array([len(rid)], pa.int64()),
+                    "n_rep": pa.array([int((rid % 4 == 0).sum())],
+                                      pa.int64())})
+
+            out = ds.map_batches(fold, batch_format="pyarrow").to_pandas()
+            if out.empty:  # all-empty blocks skip the fold fn entirely
+                return 0, 0
+            return int(out["n"].sum()), int(out["n_rep"].sum())
+
+        results = {}
+        t0 = time.perf_counter()
+        idx = DedupIndex(index_dir, n_shards=8)
+        n1, _ = consume(incremental_dedup(corpus(1), idx, "text",
+                                          "doc_id"))
+        idx.flush()
+        assert n1 == N and idx.size() == N, (n1, idx.size())
+        idx.shutdown()
+        results["run1"] = {"kept": n1, "sec": round(
+            time.perf_counter() - t0, 2)}
+
+        t0 = time.perf_counter()
+        idx = DedupIndex(index_dir, n_shards=8)  # restart: reload disk
+        n2, rep2 = consume(incremental_dedup(corpus(2), idx, "text",
+                                             "doc_id"))
+        idx.flush()
+        assert n2 == 3 * N // 4 and rep2 == 0, (n2, rep2)
+        assert idx.size() == N + 3 * N // 4
+        results["run2"] = {"kept": n2, "repeats_leaked": rep2,
+                           "sec": round(time.perf_counter() - t0, 2)}
+
+        t0 = time.perf_counter()
+        n3, _ = consume(incremental_dedup(corpus(2), idx, "text",
+                                          "doc_id"))
+        idx.shutdown()
+        assert n3 == 0, n3
+        results["run3_replay"] = {"kept": n3, "sec": round(
+            time.perf_counter() - t0, 2)}
+        print(json.dumps({
+            "n_docs_per_run": N, "num_cpus": NCPU, **results,
+            "truth": "run1 keeps 4M, restarted run2 keeps exactly the "
+                     "3M new (0 repeats), replay keeps 0",
+            "calib_sec": _calib()}))
+    finally:
+        ray.shutdown()
+
+
 def main_multimodal() -> None:
     """Multimodal actor-pool plumbing at 1,000,000 images: per-batch
     generated deterministic fake payloads (32x32 = 1032 B each, ~1 GB
@@ -4018,6 +4114,8 @@ if __name__ == "__main__":
         main_dedup10m()
     elif len(sys.argv) > 1 and sys.argv[1] == "multimodal":
         main_multimodal()
+    elif len(sys.argv) > 1 and sys.argv[1] == "incdedup":
+        main_incdedup()
     elif len(sys.argv) > 1 and sys.argv[1] == "pack":
         main_pack()
     elif len(sys.argv) > 1 and sys.argv[1] == "butterfly":
