@@ -1301,6 +1301,14 @@ def test_resolve_group_buckets_cluster_aware(ray_session, monkeypatch):
     assert window.resolve_group_buckets(
         input_rows=100, input_bytes=1 << 40) == \
         (1 << 40) // window.TARGET_BUCKET_BYTES + 1
+    # CI_LOG_GROUP_BUCKETS (cluster-width simulation): raises the
+    # default, never lowers, and an explicit n_buckets still wins
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 4})
+    monkeypatch.setenv("CI_LOG_GROUP_BUCKETS", "1024")
+    assert window.resolve_group_buckets() == 1024
+    assert window.resolve_group_buckets(7) == 7
+    monkeypatch.setenv("CI_LOG_GROUP_BUCKETS", "16")
+    assert window.resolve_group_buckets() == 64  # never lowers
 
 
 def test_local_cc_labels_vectorized_kernel():
