@@ -370,3 +370,43 @@ def test_rolling_active_matches_bruteforce(ray_session, data, window,
         active = df.loc[(days <= d) & (days > d - window),
                         "user_id"].nunique()
         assert int(out.loc[d, "wau"]) == active, d
+
+
+docs_st = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+             min_size=0, max_size=24),
+    min_size=1, max_size=20,
+)
+
+
+@given(docs=docs_st, parts=st.integers(min_value=1, max_value=4))
+@SET
+def test_gopher_repetition_matches_bruteforce(ray_session, docs, parts):
+    """gopher_repetition's base-V integer gram codes must agree with a
+    row-at-a-time Counter reference on arbitrary word lists (incl.
+    empty docs, single-word docs, all-same-word docs), regardless of
+    partitioning."""
+    from collections import Counter
+
+    from ci_log_processing_ray.ops.textstats import gopher_repetition
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(docs), dtype=np.int64),
+        "text": [" ".join(ws) for ws in docs]})
+    ds = ray.data.from_pandas(df).repartition(parts)
+    got = gopher_repetition(ds, "text", "doc_id").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    want = []
+    for i, ws in enumerate(docs):
+        bigrams = Counter(zip(ws, ws[1:]))
+        top2 = (1000 * max(bigrams.values()) // sum(bigrams.values())
+                if bigrams else 0)
+        tri = list(zip(ws, ws[1:], ws[2:]))
+        dup3 = (1000 * (len(tri) - len(set(tri))) // len(tri)
+                if tri else 0)
+        want.append((i, len(ws), top2, dup3))
+    want_df = pd.DataFrame(want, columns=["doc_id", "n_words",
+                                          "top2_pm", "dup3_pm"])
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  want_df.astype("int64"))
