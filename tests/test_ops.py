@@ -4945,3 +4945,32 @@ def test_ktruss_max_degree_superset(ray_session):
     uncapped_hi = ktruss(ds, "s", "d", 4, max_degree=1000).to_pandas()
     assert {tuple(r) for r in uncapped_hi[["a", "b"]].to_numpy()} == \
         exact_set
+
+
+def test_ktruss_driver_distributed_parity(ray_session):
+    """The driver peel path (under driver_edge_cap) and the distributed
+    loop must return IDENTICAL (a, b, support) sets -- with and without
+    the max_degree protection."""
+    from itertools import combinations
+
+    import warnings as _w
+
+    from ci_log_processing_ray.ops.iterative import ktruss
+
+    edges = list(combinations(range(5), 2))
+    edges += [(100, 200 + i) for i in range(32)]
+    edges += [(200, 201), (201, 202), (10, 11), (11, 12), (12, 13)]
+    ladder = [(i, i + 1) for i in range(30, 35)] + \
+             [(i, i + 2) for i in range(30, 34)]
+    edges += ladder
+    df = pd.DataFrame(edges, columns=["s", "d"])
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    def run(**kw):
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            out = ktruss(ds, "s", "d", 3, **kw).to_pandas()
+        return sorted(map(tuple, out[["a", "b", "support"]].to_numpy()))
+
+    assert run() == run(driver_edge_cap=0)
+    assert run(max_degree=8) == run(max_degree=8, driver_edge_cap=0)
