@@ -2833,6 +2833,45 @@ def ktruss(
     return nxt
 
 
+def _tree_closure_driver(R: "pd.DataFrame", *,
+                         max_depth: int | None,
+                         max_rounds: int) -> pa.Table:
+    """Driver-side pointer doubling over a (node, anc, depth=1) frame:
+    the SAME frontier-composes-closure recurrence as the distributed
+    loop in :func:`tree_closure`, one pandas merge per doubling round."""
+    import warnings
+
+    cur_max = 1
+    for _ in range(max_rounds):
+        if max_depth is not None and cur_max >= max_depth:
+            break
+        f = R[R["depth"] == cur_max]
+        m = f.merge(R, left_on="anc", right_on="node",
+                    suffixes=("", "_r"))
+        if not len(m):
+            break
+        new = pd.DataFrame({
+            "node": m["node"].to_numpy(np.int64),
+            "anc": m["anc_r"].to_numpy(np.int64),
+            "depth": (m["depth"].to_numpy(np.int64)
+                      + m["depth_r"].to_numpy(np.int64))})
+        md = int(new["depth"].max())
+        R = pd.concat([R, new], ignore_index=True)
+        if md < 2 * cur_max:
+            break
+        cur_max *= 2
+    else:
+        warnings.warn(
+            f"tree_closure: max_rounds={max_rounds} reached before "
+            "fixpoint (cycle, or deeper than 2^max_rounds); returning "
+            "the partial closure")
+    if max_depth is not None:
+        R = R[R["depth"] <= max_depth]
+    return pa.table({"node": pa.array(R["node"].to_numpy(np.int64)),
+                     "anc": pa.array(R["anc"].to_numpy(np.int64)),
+                     "depth": pa.array(R["depth"].to_numpy(np.int64))})
+
+
 def tree_closure(
     edges: ray.data.Dataset,
     node_col: str,
@@ -2841,6 +2880,7 @@ def tree_closure(
     max_depth: int | None = None,
     max_rounds: int = 20,
     n_buckets: int | None = None,
+    driver_edge_cap: int = 200_000,
 ) -> ray.data.Dataset:
     """Transitive ancestor closure of a FOREST (each node has at most
     one parent): every (node, ancestor, depth >= 1) pair -- the
@@ -2862,7 +2902,14 @@ def tree_closure(
     exchange up front.  Cycles (non-forest input) would never fixpoint
     -- they hit max_rounds; multi-parent nodes (a DAG) violate the
     unique-decomposition contract and must be routed to a dedup'ing
-    variant instead."""
+    variant instead.
+
+    ``driver_edge_cap``: forests whose deduped edge set fits the cap
+    run the SAME doubling recurrence in one pandas process (per-round
+    co-partitions are pure fixed cost at toy scale); larger forests
+    take the distributed loop.  Parity pinned by tests/test_ops.py.
+    NOTE the closure OUTPUT can exceed the edge count (sum of depths);
+    a pathological 200k-deep chain is quadratic in EITHER path."""
     import warnings
 
     from ci_log_processing_ray.ops.window import (bucketed_distinct,
@@ -2901,6 +2948,9 @@ def tree_closure(
     n_rows = R.count()
     if n_rows == 0:
         return ray.data.from_arrow(empty)
+    if n_rows <= driver_edge_cap:
+        return ray.data.from_arrow(_tree_closure_driver(
+            R.to_pandas(), max_depth=max_depth, max_rounds=max_rounds))
 
     cur_max = 1
     for rnd in range(max_rounds):
@@ -2979,6 +3029,7 @@ def tree_stats(
     *,
     max_rounds: int = 20,
     n_buckets: int | None = None,
+    driver_edge_cap: int = 200_000,
 ) -> ray.data.Dataset:
     """Per-node hierarchy analytics over a FOREST edge table: for every
     node appearing in the edges, its depth below its root (root = 0),
@@ -2998,12 +3049,48 @@ def tree_stats(
                                                   resolve_group_buckets)
 
     clo = tree_closure(edges, node_col, parent_col,
-                       max_rounds=max_rounds,
-                       n_buckets=n_buckets).materialize()
+                       max_rounds=max_rounds, n_buckets=n_buckets,
+                       driver_edge_cap=driver_edge_cap).materialize()
+    n_clo = clo.count()
+    if n_clo <= driver_edge_cap:
+        # closure fits the cap: the three node-shaped exchanges are
+        # pure fixed cost -- same stitch math, one pandas process
+        # (parity pinned by tests/test_ops.py)
+        R = clo.to_pandas()
+        ew = edges.map_batches(
+            lambda t: pa.table({
+                "n": t[node_col].combine_chunks().cast(pa.int64()),
+                "p": t[parent_col].combine_chunks().cast(pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        ew = ew[ew["n"] != ew["p"]]
+        universe = np.unique(np.concatenate(
+            [ew["n"].to_numpy(np.int64), ew["p"].to_numpy(np.int64)]))
+        if len(R):
+            top = R.sort_values(["node", "depth"],
+                                kind="mergesort").drop_duplicates(
+                "node", keep="last")
+            dmap = top.set_index("node")
+            cnt = R.groupby("anc").size()
+        else:
+            dmap = pd.DataFrame({"depth": [], "anc": []})
+            cnt = pd.Series(dtype=np.int64)
+        d = dmap["depth"].reindex(universe, fill_value=0) \
+            .to_numpy(np.int64) if len(R) else np.zeros(
+            len(universe), np.int64)
+        r_raw = dmap["anc"].reindex(universe).to_numpy() if len(R) \
+            else np.full(len(universe), np.nan)
+        r = np.where(pd.isna(r_raw), universe,
+                     pd.Series(r_raw).fillna(0).to_numpy(np.int64))
+        c = cnt.reindex(universe, fill_value=0).to_numpy(np.int64) \
+            if len(R) else np.zeros(len(universe), np.int64)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(universe),
+            "depth": pa.array(d),
+            "root": pa.array(r.astype(np.int64)),
+            "subtree_size": pa.array(1 + c)}))
     # size the downstream node-shaped exchanges from the KNOWN closure
     # row count (free: clo is materialized) -- see resolve_group_buckets
-    n_buckets = resolve_group_buckets(n_buckets,
-                                      input_rows=clo.count())
+    n_buckets = resolve_group_buckets(n_buckets, input_rows=n_clo)
 
     def dkern(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["node", "depth"], kind="mergesort")

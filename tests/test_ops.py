@@ -4974,3 +4974,32 @@ def test_ktruss_driver_distributed_parity(ray_session):
 
     assert run() == run(driver_edge_cap=0)
     assert run(max_degree=8) == run(max_degree=8, driver_edge_cap=0)
+
+
+def test_tree_driver_distributed_parity(ray_session):
+    """tree_closure and tree_stats driver paths (under driver_edge_cap)
+    must equal the distributed loops exactly on a random multi-root
+    forest with duplicate edges and self loops, incl. max_depth."""
+    rng = np.random.default_rng(3)
+    # forest: parent of node i is a random smaller id (roots: i%17==0)
+    nodes = np.arange(1, 400)
+    parents = np.array([int(rng.integers(0, i)) for i in nodes])
+    df = pd.DataFrame({"n": nodes, "p": parents})
+    df = pd.concat([df, df.iloc[:40],
+                    pd.DataFrame({"n": [7, 9], "p": [7, 9]})])
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    from ci_log_processing_ray.ops.iterative import (tree_closure,
+                                                     tree_stats)
+
+    def norm(d):
+        out = d.to_pandas()
+        return sorted(map(tuple, out.to_numpy()))
+
+    for kw in ({}, {"max_depth": 3}):
+        a = norm(tree_closure(ds, "n", "p", **kw))
+        b = norm(tree_closure(ds, "n", "p", driver_edge_cap=0, **kw))
+        assert a == b, kw
+    a = norm(tree_stats(ds, "n", "p"))
+    b = norm(tree_stats(ds, "n", "p", driver_edge_cap=0))
+    assert a == b
