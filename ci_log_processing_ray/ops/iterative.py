@@ -675,6 +675,36 @@ def connected_components(
         "node", min_kern, n_buckets=nb_map)
 
 
+def _frontier_csr(u: np.ndarray, v: np.ndarray,
+                  extra_nodes: np.ndarray):
+    """Sorted-adjacency (CSR-ish) layout for the driver fast paths of
+    the frontier-semiring siblings (bfs_hops / widest_paths /
+    shortest_path_counts): returns (nodes, vs_sorted, perm, starts,
+    ends) where nodes is the sorted universe and [starts[i], ends[i])
+    indexes node i's neighbors in vs_sorted."""
+    nodes = np.unique(np.concatenate([u, extra_nodes]))
+    order = np.argsort(u, kind="stable")
+    us, vs = u[order], v[order]
+    starts = np.searchsorted(us, nodes)
+    ends = np.searchsorted(us, nodes, side="right")
+    return nodes, vs, order, starts, ends
+
+
+def _adj_slots(starts: np.ndarray, ends: np.ndarray,
+               sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Flattened adjacency-slot indices for the selected node
+    positions + per-node lengths (pure numpy, no Python loop)."""
+    s_, e_ = starts[sel], ends[sel]
+    lens = e_ - s_
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), lens
+    idx = (np.repeat(s_, lens)
+           + (np.arange(total, dtype=np.int64)
+              - np.repeat(np.cumsum(lens) - lens, lens)))
+    return idx, lens
+
+
 def bfs_hops(
     edges: ray.data.Dataset,
     src_col: str,
@@ -684,6 +714,7 @@ def bfs_hops(
     n_rounds: int,
     n_buckets: int | None = None,
     broadcast_cap: int = 5_000_000,
+    driver_edge_cap: int = 400_000,
 ) -> ray.data.Dataset:
     """Multi-source BFS, ``n_rounds`` frontier expansions: shortest hop
     distance (0 = seed) from any seed node over the UNDIRECTED graph;
@@ -700,7 +731,10 @@ def bfs_hops(
     exchange is node- or edge-shaped.  :func:`bfs_hops_resident`
     implements the pre-partition-edges-once variant (measured 2.7x at
     20M edges); this dataset-native form remains the zero-actor-state
-    baseline it is parity-tested against."""
+    baseline it is parity-tested against.  Bidirectional edge tables
+    under ``driver_edge_cap`` rows run the same BFS in one numpy
+    process (per-round folds are pure fixed cost at toy scale);
+    parity pinned by tests/test_ops.py."""
     from ci_log_processing_ray.ops.window import bucketed_groups
 
     ebi = (edges.map_batches(
@@ -712,6 +746,29 @@ def bfs_hops(
                 t[src_col].combine_chunks().cast(pa.int64())])}),
         batch_format="pyarrow", zero_copy_batch=True)
         .materialize())
+
+    if ebi.count() <= driver_edge_cap:
+        eb = ebi.to_pandas()
+        sd = np.unique(seeds.to_pandas()["node"].to_numpy(np.int64))
+        nodes, vs, _, starts, ends = _frontier_csr(
+            eb["u"].to_numpy(np.int64), eb["v"].to_numpy(np.int64), sd)
+        dist = np.full(len(nodes), -1, np.int64)
+        fpos = np.searchsorted(nodes, sd)
+        dist[fpos] = 0
+        for r in range(1, n_rounds + 1):
+            idx, _ = _adj_slots(starts, ends, fpos)
+            if not len(idx):
+                break
+            nbpos = np.unique(np.searchsorted(nodes, vs[idx]))
+            new = nbpos[dist[nbpos] < 0]
+            if not len(new):
+                break
+            dist[new] = r
+            fpos = new
+        hit = dist >= 0
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes[hit]),
+            "hops": pa.array(dist[hit])}))
 
     def min_kern(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("node", as_index=False, sort=False)["hops"].min()
@@ -3640,6 +3697,7 @@ def widest_paths(
     n_rounds: int,
     n_buckets: int | None = None,
     broadcast_cap: int = 5_000_000,
+    driver_edge_cap: int = 400_000,
 ) -> ray.data.Dataset:
     """Multi-source WIDEST (bottleneck / max-capacity) paths over the
     undirected weighted graph: for each node, the maximum over paths
@@ -3676,6 +3734,41 @@ def widest_paths(
                 t[w_col].combine_chunks().cast(pa.int64())] * 2)}),
         batch_format="pyarrow", zero_copy_batch=True)
         .materialize())
+
+    if ebi.count() <= driver_edge_cap:
+        # driver fast path: same max-min relaxation, one numpy process
+        # (parity pinned by tests/test_ops.py)
+        eb = ebi.to_pandas()
+        sd = np.unique(seeds.to_pandas()["node"].to_numpy(np.int64))
+        u = eb["u"].to_numpy(np.int64)
+        nodes, vs, perm, starts, ends = _frontier_csr(
+            u, eb["v"].to_numpy(np.int64), sd)
+        ws = eb["w"].to_numpy(np.int64)[perm]
+        best = np.full(len(nodes), -1, np.int64)  # -1 = unreached
+        fpos = np.searchsorted(nodes, sd)
+        best[fpos] = WIDEST_SEED_W
+        for _ in range(n_rounds):
+            idx, lens = _adj_slots(starts, ends, fpos)
+            if not len(idx):
+                break
+            fw = np.repeat(best[fpos], lens)
+            cand = np.minimum(fw, ws[idx])
+            nbpos = np.searchsorted(nodes, vs[idx])
+            order = np.argsort(nbpos, kind="stable")
+            sp, sc = nbpos[order], cand[order]
+            bnd = np.flatnonzero(np.concatenate(
+                [[True], sp[1:] != sp[:-1]]))
+            mx = np.maximum.reduceat(sc, bnd)
+            tgt = sp[bnd]
+            improved = mx > best[tgt]
+            best[tgt[improved]] = mx[improved]
+            fpos = tgt[improved]
+            if not len(fpos):
+                break
+        hit = best >= 0
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes[hit]),
+            "width": pa.array(best[hit])}))
 
     best = (seeds.map_batches(
         lambda t: pa.table({
@@ -3791,6 +3884,7 @@ def shortest_path_counts(
     n_rounds: int,
     n_buckets: int | None = None,
     broadcast_cap: int = 5_000_000,
+    driver_edge_cap: int = 400_000,
 ) -> ray.data.Dataset:
     """Multi-source shortest-path COUNTING over the undirected simple
     graph: (node, hops, paths) where ``paths`` is the exact number of
@@ -3822,6 +3916,45 @@ def shortest_path_counts(
                 t[src_col].combine_chunks().cast(pa.int64())])}),
         batch_format="pyarrow", zero_copy_batch=True)
         .materialize())
+
+    if ebi.count() <= driver_edge_cap:
+        # driver fast path: the sigma recursion in one numpy process
+        # (parity pinned by tests/test_ops.py)
+        eb = ebi.to_pandas()
+        # seeds must be DISTINCT (same contract as the edge rows; the
+        # shipped queries all seed from bucketed_distinct)
+        sd = np.unique(seeds.to_pandas()["node"].to_numpy(np.int64))
+        nodes, vs, _, starts, ends = _frontier_csr(
+            eb["u"].to_numpy(np.int64), eb["v"].to_numpy(np.int64), sd)
+        dist = np.full(len(nodes), -1, np.int64)
+        paths = np.zeros(len(nodes), np.int64)
+        fpos = np.searchsorted(nodes, sd)
+        dist[fpos] = 0
+        paths[fpos] = 1
+        for r in range(1, n_rounds + 1):
+            idx, lens = _adj_slots(starts, ends, fpos)
+            if not len(idx):
+                break
+            contrib = np.repeat(paths[fpos], lens)
+            nbpos = np.searchsorted(nodes, vs[idx])
+            unseen = dist[nbpos] < 0
+            if not unseen.any():
+                break
+            np_, nc = nbpos[unseen], contrib[unseen]
+            order = np.argsort(np_, kind="stable")
+            sp, sc = np_[order], nc[order]
+            bnd = np.flatnonzero(np.concatenate(
+                [[True], sp[1:] != sp[:-1]]))
+            sums = np.add.reduceat(sc, bnd)
+            tgt = sp[bnd]
+            dist[tgt] = r
+            paths[tgt] = sums
+            fpos = tgt
+        hit = dist >= 0
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes[hit]),
+            "hops": pa.array(dist[hit]),
+            "paths": pa.array(paths[hit])}))
 
     best = (seeds.map_batches(
         lambda t: pa.table({

@@ -5003,3 +5003,41 @@ def test_tree_driver_distributed_parity(ray_session):
     a = norm(tree_stats(ds, "n", "p"))
     b = norm(tree_stats(ds, "n", "p", driver_edge_cap=0))
     assert a == b
+
+
+def test_frontier_driver_distributed_parity(ray_session):
+    """bfs_hops / widest_paths / shortest_path_counts driver fast paths
+    (under driver_edge_cap) must equal the distributed loops exactly on
+    a random graph with multi-component structure, isolated seeds and a
+    round budget that truncates."""
+    from ci_log_processing_ray.ops.iterative import (bfs_hops,
+                                                     shortest_path_counts,
+                                                     widest_paths)
+
+    rng = np.random.default_rng(9)
+    e = pd.DataFrame({
+        "s": rng.integers(0, 120, 500).astype(np.int64),
+        "d": rng.integers(0, 120, 500).astype(np.int64),
+        "w": rng.integers(1, 50, 500).astype(np.int64)})
+    e = e[e["s"] != e["d"]].drop_duplicates(["s", "d"])
+    ds = ray.data.from_pandas(e).repartition(4)
+    seeds = ray.data.from_pandas(
+        pd.DataFrame({"node": np.array([0, 7, 300], np.int64)}))
+
+    def norm(d):
+        return sorted(map(tuple, d.to_pandas().to_numpy()))
+
+    for nr in (1, 3):
+        a = norm(bfs_hops(ds, "s", "d", seeds, n_rounds=nr))
+        b = norm(bfs_hops(ds, "s", "d", seeds, n_rounds=nr,
+                          driver_edge_cap=0))
+        assert a == b, ("bfs", nr)
+        a = norm(widest_paths(ds, "s", "d", "w", seeds, n_rounds=nr))
+        b = norm(widest_paths(ds, "s", "d", "w", seeds, n_rounds=nr,
+                              driver_edge_cap=0))
+        assert a == b, ("widest", nr)
+        a = norm(shortest_path_counts(ds, "s", "d", seeds,
+                                      n_rounds=nr))
+        b = norm(shortest_path_counts(ds, "s", "d", seeds,
+                                      n_rounds=nr, driver_edge_cap=0))
+        assert a == b, ("counts", nr)
