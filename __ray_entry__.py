@@ -1254,11 +1254,33 @@ def q_rolling_window(sf_dir: str):
 def q_hll_distinct_users(sf_dir: str):
     """Approximate per-type distinct users via mergeable HyperLogLog
     register sketches (rows-only: approximate by design; the exact
-    counterpart is q:distinct_users, hash-exact against DuckDB)."""
+    counterpart is q:distinct_users, hash-exact against DuckDB).
+
+    BINDING error floor (the ANN-recall-floor pattern): every
+    per-group estimate is re-checked in-query against the exact
+    distinct count and the query RAISES beyond +/-5% relative error --
+    p=12 gives ~1.6% standard error, so 5% is a deterministic-pass /
+    regression-fail bound on this fixed corpus."""
     from ci_log_processing_ray.ops.sketch import hll_distinct_by_group
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    return hll_distinct_by_group(ds, "event_type", "user_id", p=12)
+    est = hll_distinct_by_group(ds, "event_type", "user_id", p=12)
+    est_df = est.to_pandas() if hasattr(est, "to_pandas") else est
+    # exact side: one tiny local distinct fold (the floor's yardstick)
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_type", "user_id"])
+    g = (tbl.group_by(["event_type", "user_id"]).aggregate([])
+         .group_by("event_type").aggregate([([], "count_all")]))
+    exact = dict(zip(g["event_type"].to_pylist(),
+                     g["count_all"].to_pylist()))
+    for _, row in est_df.iterrows():
+        want = exact[row["event_type"]]
+        got = int(row["n_distinct"])
+        if abs(got - want) > max(1, want // 20):
+            raise AssertionError(
+                f"hll_distinct_users: estimate {got} for "
+                f"{row['event_type']!r} outside +/-5% of exact {want}")
+    return est_df
 
 
 def q_stratified_sample(sf_dir: str):
