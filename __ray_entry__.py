@@ -1356,9 +1356,19 @@ def q_multimodal_resize(sf_dir: str):
 
     media = ds.map_batches(make_payload, batch_format="pyarrow", batch_size=256)
     resized = resize_images(media, 8, 8)
-    return resized.map_batches(
-        lambda t: t.select(["media_id", "width", "height", "mean_intensity"]),
-        batch_format="pyarrow")
+    out = _collect(resized.map_batches(
+        lambda t: t.select(["media_id", "width", "height",
+                            "mean_intensity"]),
+        batch_format="pyarrow")).to_pandas()
+    # BINDING invariants: one row per input image, all resized to 8x8
+    n_in = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    if not (len(out) == n_in and (out["width"] == 8).all()
+            and (out["height"] == 8).all()):
+        raise AssertionError(
+            f"multimodal_resize: {len(out)} rows (want {n_in}) or "
+            "wrong output dims")
+    return out
 
 
 def q_video_frame_sample(sf_dir: str):
@@ -1375,7 +1385,20 @@ def q_video_frame_sample(sf_dir: str):
         })
 
     media = ds.map_batches(make_payload, batch_format="pyarrow", batch_size=128)
-    return sample_video_frames(media, stride=4)
+    out = _collect(sample_video_frames(media, stride=4)).to_pandas()
+    # BINDING closed-form invariants (fake container is id-derived):
+    # media i has 8 + i % 8 frames, stride 4 => ceil(n/4) sampled rows
+    # at frame numbers 0, 4, 8, ...
+    per = out.groupby("media_id")["frame_no"].agg(["count", "max"])
+    ids = per.index.to_numpy(np.int64)
+    nf = 8 + ids % 8
+    want_cnt = -(-nf // 4)
+    if not ((per["count"].to_numpy(np.int64) == want_cnt).all()
+            and (per["max"].to_numpy(np.int64) == 4 * (want_cnt - 1)).all()):
+        raise AssertionError(
+            "video_frame_sample: sampled frame counts/positions "
+            "diverge from the id-derived container layout")
+    return out
 
 
 def q_multiline_join(sf_dir: str):
