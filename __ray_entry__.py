@@ -580,6 +580,124 @@ def _ann_recall_floor(ds, q, qids, approx, floor_permille: int,
             f"{floor_permille} floor ({hits}/{total} exact edges hit)")
 
 
+# ---------------------------------------------------------------------------
+# Binding in-query certificates for rows-only ops (round-4 session-2).
+# Each helper is a pure function over plain pandas/numpy inputs so the
+# negative tests in tests/test_binding_gates.py can prove the gate FIRES
+# on corrupted output, not just passes on good output.
+# ---------------------------------------------------------------------------
+
+
+def _cert_isotonic(fit: "pd.DataFrame", per_score: "pd.DataFrame") -> None:
+    """Full optimality certificate for a PAV isotonic fit, in exact
+    integer arithmetic.  ``fit`` is isotonic_calibrate's output
+    (score_lo, score_hi, pos, n per level set, ordered by score);
+    ``per_score`` is the exact (score, pos, n) sufficient statistics.
+
+    The canonical L2-optimal monotone fit is CHARACTERIZED by:
+      (a) the level sets partition the observed scores in order,
+      (b) each set's (pos, n) equals the sum of its members',
+      (c) adjacent set rates strictly increase (maximal merge), and
+      (d) within every set, each proper prefix's mean >= the set mean
+          (otherwise splitting there strictly reduces L2 error).
+    All compares are cross-multiplied int64 rationals -- no floats."""
+    fit = fit.sort_values("score_lo").reset_index(drop=True)
+    ps = per_score.sort_values("score").reset_index(drop=True)
+    if int(fit["n"].sum()) != int(ps["n"].sum()) or \
+            int(fit["pos"].sum()) != int(ps["pos"].sum()):
+        raise AssertionError("isotonic: (pos, n) mass not conserved")
+    # (c) strictly increasing rates
+    p, n = fit["pos"].to_numpy(), fit["n"].to_numpy()
+    if not np.all(p[:-1] * n[1:] < p[1:] * n[:-1]):
+        raise AssertionError("isotonic: level-set rates not strictly "
+                             "increasing (fit not maximally merged)")
+    # (a)+(b)+(d) per block against the exact per-score stats
+    edges = np.searchsorted(ps["score"].to_numpy(),
+                            fit["score_lo"].to_numpy())
+    if edges[0] != 0:
+        raise AssertionError("isotonic: first block misses low scores")
+    cpos = np.concatenate([[0], np.cumsum(ps["pos"].to_numpy())])
+    cn = np.concatenate([[0], np.cumsum(ps["n"].to_numpy())])
+    bounds = np.append(edges, len(ps))
+    for i in range(len(fit)):
+        lo_i, hi_i = bounds[i], bounds[i + 1]
+        if ps["score"].iloc[hi_i - 1] != fit["score_hi"].iloc[i]:
+            raise AssertionError("isotonic: block %d hi-score mismatch" % i)
+        bp = int(cpos[hi_i] - cpos[lo_i])
+        bn = int(cn[hi_i] - cn[lo_i])
+        if bp != int(fit["pos"].iloc[i]) or bn != int(fit["n"].iloc[i]):
+            raise AssertionError("isotonic: block %d stats mismatch" % i)
+        # (d) every proper prefix mean >= block mean
+        pre_p = cpos[lo_i + 1:hi_i] - cpos[lo_i]
+        pre_n = cn[lo_i + 1:hi_i] - cn[lo_i]
+        if not np.all(pre_p * bn >= bp * pre_n):
+            raise AssertionError(
+                "isotonic: block %d has a prefix below the block mean "
+                "(pooling not optimal)" % i)
+
+
+def _cert_heavy_hitters(out: "pd.DataFrame", true_counts: dict,
+                        n_total: int, k: int) -> None:
+    """Misra-Gries guarantee gate: every estimate underestimates its
+    true count by at most 2n/(k+1) (one n/(k+1) from the per-block
+    summaries, one from the final merge prune) and never overestimates."""
+    bound = 2 * n_total // (k + 1)
+    for item, est in zip(out["item"], out["est_count"]):
+        true = int(true_counts.get(item, 0))
+        if est > true:
+            raise AssertionError(
+                f"heavy_hitters: {item!r} overestimated ({est} > {true})")
+        if true - est > bound:
+            raise AssertionError(
+                f"heavy_hitters: {item!r} misses the MG bound "
+                f"({true} - {est} > {bound})")
+
+
+def _cert_quantile(est: float, values: "np.ndarray", q: float,
+                   alpha: float, name: str) -> None:
+    """DDSketch accuracy gate: the estimate must be within relative
+    error ~alpha of the exact q-quantile.  Rank conventions differ by
+    at most one order statistic, so the gate accepts the best of the
+    floor/ceil rank values with a 2.5x alpha margin."""
+    v = np.sort(np.asarray(values, dtype=np.float64))
+    r = q * (len(v) - 1)
+    cands = v[[int(np.floor(r)), int(np.ceil(r))]]
+    ok = any(abs(est - c) <= 2.5 * alpha * abs(c) + 1e-9 for c in cands)
+    if not ok:
+        raise AssertionError(
+            f"{name}: q={q} estimate {est} outside +/-{2.5 * alpha:.3f} "
+            f"relative of exact {cands.tolist()}")
+
+
+def _cert_pack_bins(out: "pd.DataFrame", lens: dict, capacity: int) -> None:
+    """Bin-packing feasibility certificate: every doc placed exactly
+    once, truncated flag iff len > capacity, per-bin [offset,
+    offset+eff_len) spans disjoint and inside [0, capacity), capacity
+    respected with truncated docs clipped to capacity."""
+    if out["doc_id"].duplicated().any():
+        raise AssertionError("pack_bins: a doc was placed twice")
+    if set(out["doc_id"]) != set(lens):
+        raise AssertionError("pack_bins: docs lost or invented")
+    ln = out["doc_id"].map(lens).to_numpy()
+    tr = out["truncated"].to_numpy()
+    if not np.array_equal(tr == 1, ln > capacity):
+        raise AssertionError("pack_bins: truncated flag wrong")
+    eff = np.maximum(np.minimum(ln, capacity), 1)
+    off = out["offset_in_bin"].to_numpy()
+    if (off < 0).any() or (off >= capacity).any():
+        raise AssertionError("pack_bins: offset outside [0, capacity)")
+    df = pd.DataFrame({"bin": out["bin_id"].to_numpy(),
+                       "off": off, "end": off + eff})
+    for b, grp in df.groupby("bin"):
+        g = grp.sort_values("off")
+        if int(g["end"].iloc[-1]) > capacity and len(g) > 1:
+            raise AssertionError(f"pack_bins: bin {b} overflows")
+        e = g["end"].to_numpy()[:-1]
+        s = g["off"].to_numpy()[1:]
+        if not np.all(e <= s):
+            raise AssertionError(f"pack_bins: bin {b} spans overlap")
+
+
 def q_knn_lsh(sf_dir: str):
     """Approximate top-10 via hyperplane LSH multi-probe (rows-only op,
     but with a BINDING recall floor: >= 400 permille of the exact
@@ -2080,12 +2198,21 @@ def q_duplicate_spans(sf_dir: str):
 def q_heavy_hitters(sf_dir: str):
     """Misra-Gries frequent users over the event stream: fixed-size
     mergeable counter partials.  Approximate by design (underestimates
-    by <= n/(k+1)) -- rows-only check; the error and guaranteed-
-    presence contracts are unit-tested."""
+    by <= n/(k+1) per summarize pass) -- rows-only, but with a BINDING
+    in-query guarantee gate (_cert_heavy_hitters): every estimate is
+    re-checked against the exact count (never overestimates, misses by
+    at most 2n/(k+1)); violations raise."""
     from ci_log_processing_ray.ops.sketch import heavy_hitters
 
     ds = _read(sf_dir, "events", ["user_id"])
-    return heavy_hitters(ds, "user_id", k=32).head(10)
+    out = heavy_hitters(ds, "user_id", k=32).head(10)
+    uid = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id"])["user_id"]
+    vc = uid.combine_chunks().value_counts()
+    true = dict(zip(vc.field("values").to_pylist(),
+                    vc.field("counts").to_pylist()))
+    _cert_heavy_hitters(out, true, len(uid), k=32)
+    return out
 
 
 def q_heavy_hitters_exact(sf_dir: str):
@@ -2415,7 +2542,10 @@ def q_pack_bins(sf_dir: str):
     """Bin packing without document splitting (best-fit-style FFD per
     hash bucket, globally unique bin ids): docs -> bins of <= 512
     'tokens' (n_chars/4), oversize docs flagged truncated (rows-only:
-    the packing is a heuristic assignment; invariants unit-tested)."""
+    the packing is a heuristic ASSIGNMENT, but it carries a BINDING
+    in-query feasibility certificate (_cert_pack_bins): exactly-once
+    placement, correct truncation flags, disjoint in-bin spans, and
+    capacity respected -- any violation raises)."""
     from ci_log_processing_ray.ops.pack import pack_bins_ffd
 
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
@@ -2430,7 +2560,14 @@ def q_pack_bins(sf_dir: str):
 
     est = ds.map_batches(tok_est, batch_format="pyarrow",
                          zero_copy_batch=True)
-    return pack_bins_ffd(est, "doc_id", "n_tok", 512)
+    out = pack_bins_ffd(est, "doc_id", "n_tok", 512)
+    out_df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    nc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "n_chars"])
+    lens = dict(zip(nc["doc_id"].to_pylist(),
+                    (nc["n_chars"].to_numpy() // 4).tolist()))
+    _cert_pack_bins(out_df, lens, 512)
+    return out_df
 
 
 def q_late_events(sf_dir: str):
@@ -4585,8 +4722,13 @@ def q_isotonic(sf_dir: str):
     monotone function of total price in whole dollars (quantized to
     bound the level-set count -- the calibration contract).  ROWS-ONLY
     by design: PAV's sequential pooling recurrence is not
-    SQL-expressible; exactness is proven by the sequential-reference
-    parity test and closed-form unit tests (tests/test_ops.py)."""
+    SQL-expressible -- but the fit carries a BINDING in-query
+    optimality certificate (_cert_isotonic): exact-integer level-set
+    conservation, strict rate increase, and the prefix-mean pooling
+    condition against independently recomputed per-score stats --
+    together these CHARACTERIZE the unique optimal monotone fit, so
+    any divergence raises.  Plus the sequential-reference parity test
+    and closed-form unit tests (tests/test_ops.py)."""
     from ci_log_processing_ray.ops.inference import isotonic_calibrate
 
     ds = _read(sf_dir, "orders", ["o_totalprice", "o_orderstatus"])
@@ -4599,10 +4741,22 @@ def q_isotonic(sf_dir: str):
             "label": pc.cast(pc.equal(t["o_orderstatus"], "F"),
                              pa.int64())})
 
-    return isotonic_calibrate(
+    fit = isotonic_calibrate(
         ds.map_batches(prep, batch_format="pyarrow",
                        zero_copy_batch=True),
         "score", "label")
+    fit_df = fit.to_pandas() if hasattr(fit, "to_pandas") else fit
+    # exact yardstick: per-score sufficient stats, one tiny local fold
+    tbl = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_totalprice", "o_orderstatus"])
+    ps = pd.DataFrame({
+        "score": _cents(tbl["o_totalprice"]).to_numpy() // 100,
+        "pos": pc.equal(tbl["o_orderstatus"], "F").to_numpy(
+            zero_copy_only=False).astype(np.int64)})
+    ps["n"] = 1
+    ps = ps.groupby("score", as_index=False)[["pos", "n"]].sum()
+    _cert_isotonic(fit_df, ps)
+    return fit_df
 
 
 def q_rrf(sf_dir: str):
@@ -4659,12 +4813,17 @@ def q_salted_join(sf_dir: str):
 def q_approx_quantile(sf_dir: str):
     """DDSketch mergeable quantile sketch over event values: fixed-size
     (bin, count) partials, driver answers from the merged histogram.
-    Approximate by design (relative error <= alpha=0.01) -- rows-only
-    check; the accuracy contract is unit-tested against exact numpy
-    quantiles."""
+    Approximate by design (relative error <= alpha=0.01) -- rows-only,
+    but each estimate carries a BINDING in-query accuracy gate
+    (_cert_quantile) against the exact order statistics: outside
+    2.5x alpha relative error, the query raises."""
     ds = _read(sf_dir, "events", ["value"])
     qs = [0.5, 0.9, 0.99]
     est = approx_quantiles(ds, "value", qs, alpha=0.01)
+    vals = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])["value"].to_numpy()
+    for q, e in zip(qs, est):
+        _cert_quantile(e, vals, q, 0.01, "approx_quantile")
     return pd.DataFrame({"q": qs, "estimate": est})
 
 
@@ -5353,13 +5512,25 @@ def q_approx_quantile_group(sf_dir: str):
     """Per-group approximate quantiles (grouped DDSketch,
     ops/quantile.py:approx_quantiles_by_group): (group, bin, n)
     mergeable partials, groups x O(log range / alpha) exchange --
-    rows-only (approximate by design; accuracy + merge-invariance
-    unit-tested)."""
+    rows-only (approximate by design), with a BINDING per-group
+    accuracy gate (_cert_quantile) against the exact per-group order
+    statistics: any estimate outside 2.5x alpha relative error
+    raises."""
     from ci_log_processing_ray.ops.quantile import approx_quantiles_by_group
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    return approx_quantiles_by_group(
+    out = approx_quantiles_by_group(
         ds, "event_type", "value", {"p50": 0.5, "p95": 0.95})
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_type", "value"]).to_pandas()
+    for _, row in out.iterrows():
+        vals = tbl.loc[tbl["event_type"] == row["event_type"],
+                       "value"].to_numpy()
+        _cert_quantile(row["p50"], vals, 0.5, 0.01,
+                       "approx_quantile_group")
+        _cert_quantile(row["p95"], vals, 0.95, 0.01,
+                       "approx_quantile_group")
+    return out
 
 
 def q_budget_sample(sf_dir: str):
