@@ -698,6 +698,49 @@ def _cert_pack_bins(out: "pd.DataFrame", lens: dict, capacity: int) -> None:
             raise AssertionError(f"pack_bins: bin {b} spans overlap")
 
 
+def _plant_dup_texts(ds, mod: int = 50):
+    """Deterministically augment the documents dataset with planted
+    EXACT duplicates: every doc_id % mod == 0 row gets a verbatim copy
+    at doc_id + _PLANT_OFF.  Identical text guarantees identical
+    minhash signatures / simhash values, so recovery of every planted
+    pair is a deterministic property of a correct kernel -- the
+    binding yardstick for the text-dedup family (sf0.01+ has no
+    natural exact duplicates, so without planting the signal floats).
+    Pure map: planting is per-batch."""
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        sel = (ids % mod) == 0
+        planted = pa.table({
+            "doc_id": pa.array(ids[sel] + _PLANT_OFF, pa.int64()),
+            "text": t["text"].combine_chunks().filter(pa.array(sel))})
+        base = pa.table({"doc_id": t["doc_id"], "text": t["text"]},
+                        schema=planted.schema)
+        return pa.concat_tables([base, planted])
+
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
+def _cert_planted_clusters(df: "pd.DataFrame", id_col: str,
+                           rep_col: str, planted_base,
+                           name: str) -> None:
+    """Planted-pair recovery gate: every (base, base + _PLANT_OFF)
+    planted exact-duplicate pair must appear in the clustering result
+    in the SAME cluster (same representative -- not necessarily the
+    base itself, since the base may share a cluster with natural
+    duplicates).  Any miss raises."""
+    rep = dict(zip(df[id_col], df[rep_col]))
+    for b in planted_base:
+        p = b + _PLANT_OFF
+        if p not in rep or b not in rep:
+            raise AssertionError(
+                f"{name}: planted pair ({b}, {p}) missing from result")
+        if rep[p] != rep[b]:
+            raise AssertionError(
+                f"{name}: planted pair ({b}, {p}) split across "
+                f"clusters ({rep[b]} vs {rep[p]})")
+
+
 def q_knn_lsh(sf_dir: str):
     """Approximate top-10 via hyperplane LSH multi-probe (rows-only op,
     but with a BINDING recall floor: >= 400 permille of the exact
@@ -712,13 +755,45 @@ def q_knn_lsh(sf_dir: str):
 
 
 def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup clusters over the planted-augmented corpus
+    (every doc_id % 50 == 0 doc gets an exact copy at +1e6): identical
+    text -> identical signature -> same band buckets -> Jaccard-1
+    verified edge, so recovery of EVERY planted pair is guaranteed for
+    a correct kernel and enforced by a BINDING in-query gate
+    (_cert_planted_clusters) -- rows-only, but a silent-empty
+    regression now raises instead of passing."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_dedup(ds, "text", "doc_id", jaccard_threshold=0.7)
+    out = minhash_lsh_dedup(_plant_dup_texts(ds), "text", "doc_id",
+                            jaccard_threshold=0.7)
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    _cert_planted_clusters(out, "doc_id", "cluster_rep",
+                           ids[ids % 50 == 0], "minhash_dedup")
+    return out
 
 
 def q_simhash(sf_dir: str):
+    """SimHash exact-bucket clusters over the planted-augmented corpus
+    (exact copies at +1e6 for doc_id % 50 == 0), with a BINDING
+    in-query gate: every planted copy must carry the SAME 64-bit
+    simhash as its base and sit in a bucket of size >= 2."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_clusters(ds, "text", "doc_id")
+    out = _collect(simhash_clusters(_plant_dup_texts(ds), "text",
+                                    "doc_id")).to_pandas()
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    sim = dict(zip(out["doc_id"], out["simhash"]))
+    size = dict(zip(out["doc_id"], out["bucket_size"]))
+    for b in ids[ids % 50 == 0]:
+        p = b + _PLANT_OFF
+        if p not in sim or b not in sim:
+            raise AssertionError(f"simhash: planted id {p} missing")
+        if sim[p] != sim[b] or size[p] < 2:
+            raise AssertionError(
+                f"simhash: planted copy {p} not bucketed with base "
+                f"{b} (hash {sim.get(p)} vs {sim.get(b)}, "
+                f"size {size.get(p)})")
+    return out
 
 
 _PLANT_OFF = 1_000_000  # planted near-dup ids: base vec_id + this
@@ -2406,7 +2481,19 @@ def q_phash_dedup(sf_dir: str):
     media = ds.map_batches(make_payload, batch_format="pyarrow",
                            batch_size=256)
     out = phash_clusters(media)
-    return out.filter(expr="bucket_size >= 2")
+    res = _collect(out.filter(expr="bucket_size >= 2")).to_pandas()
+    # BINDING planted-recovery gate: identical payload -> identical
+    # phash, so every planted (i, 1e6+i) pair must surface in a shared
+    # bucket; a silently-empty or mis-bucketed result raises.
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    ph = dict(zip(res["media_id"], res["phash"]))
+    for b in ids[ids % 10 == 0]:
+        p = 1_000_000 + b
+        if p not in ph or b not in ph or ph[p] != ph[b]:
+            raise AssertionError(
+                f"phash_dedup: planted pair ({b}, {p}) not recovered")
+    return res
 
 
 def q_quantize_embeddings(sf_dir: str):
@@ -2859,11 +2946,33 @@ def q_sample_bottomk(sf_dir: str):
 
 def q_compression_ratio(sf_dir: str):
     """zlib compressibility per doc (repetitive-junk signal): count
-    docs per source whose compressed size is under 45% of raw."""
+    docs per source whose compressed size is under 45% of raw.
+
+    BINDING in-query separation gate: two planted control docs ride
+    the corpus -- one pathologically repetitive ('spam ham ' * 200, id
+    -1) and one incompressible (md5-chained hex, id -2).  The
+    repetitive plant must score ratio_milli < 150 and be flagged, the
+    random plant > 600 and unflagged; any inversion (the failure mode
+    of a broken ratio or flag) raises."""
+    import hashlib
+
     from ci_log_processing_ray.ops.textstats import compression_ratio
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
-    scored = compression_ratio(ds, "text", "doc_id")
+
+    # plant once (single extra 2-row batch via union with a tiny table);
+    # the incompressible control is base85 of an md5 chain (dense
+    # printable alphabet -- hex would hand zlib a free 2x)
+    import base64
+    h, rnd = b"seed", []
+    while len(rnd) < 100:
+        h = hashlib.md5(h).digest()
+        rnd.append(base64.b85encode(h).decode())
+    controls = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([-1, -2], pa.int64()),
+        "text": pa.array(["spam ham " * 200, "".join(rnd)]),
+        "source": pa.array(["control", "control"])}))
+    scored = compression_ratio(ds.union(controls), "text", "doc_id")
 
     def flag(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -2873,7 +2982,19 @@ def q_compression_ratio(sf_dir: str):
                 pc.less(t["ratio_milli"].combine_chunks(), 450),
                 pa.int64())})
 
-    return scored.map_batches(flag, batch_format="pyarrow")
+    out = _collect(scored.map_batches(flag,
+                                      batch_format="pyarrow")).to_pandas()
+    r = dict(zip(out["doc_id"], out["ratio_milli"]))
+    f = dict(zip(out["doc_id"], out["is_repetitive"]))
+    if not (r.get(-1, 10**9) < 150 and f.get(-1) == 1):
+        raise AssertionError(
+            f"compression_ratio: repetitive control scored "
+            f"{r.get(-1)} (want < 150, flagged)")
+    if not (r.get(-2, -1) > 600 and f.get(-2) == 0):
+        raise AssertionError(
+            f"compression_ratio: incompressible control scored "
+            f"{r.get(-2)} (want > 600, unflagged)")
+    return out
 
 
 def q_safe_udf(sf_dir: str):
@@ -4060,11 +4181,42 @@ def q_winnow_fingerprints(sf_dir: str):
     selected / checksum from ONE whole-batch rolling hash + two
     doubling rolling-min passes.  Rows-only (rolling hashes are not
     SQL-expressible); a brute-force parity test pins the selection
-    rule exactly (tests/test_ops.py)."""
+    rule exactly (tests/test_ops.py).
+
+    BINDING in-query gates over the planted-augmented corpus (exact
+    copies at +1e6 for doc_id % 50 == 0): (a) every planted copy's
+    (n_windows, n_selected, fp_checksum) must EQUAL its base's --
+    fingerprinting is content-defined, so identical text must
+    fingerprint identically across different batch placements; (b) the
+    global selection density must sit in the [1/3x, 3x] band around
+    the 1/(2w-1) local-minima expectation -- a broken rolling-min
+    kernel lands far outside it."""
     from ci_log_processing_ray.ops.dedup import local_minima_fingerprints
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return local_minima_fingerprints(ds, "text", "doc_id", k=8, w=5)
+    out = _collect(local_minima_fingerprints(
+        _plant_dup_texts(ds), "text", "doc_id", k=8, w=5)).to_pandas()
+    idx = out.set_index("doc_id")
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    for b in ids[ids % 50 == 0]:
+        p = b + _PLANT_OFF
+        if p not in idx.index or b not in idx.index:
+            raise AssertionError(
+                f"winnow_fingerprints: planted id {p} missing")
+        if not idx.loc[p].equals(idx.loc[b]):
+            raise AssertionError(
+                f"winnow_fingerprints: planted copy {p} fingerprints "
+                f"differently from base {b}")
+    n_win = int(out["n_windows"].sum())
+    n_sel = int(out["n_selected"].sum())
+    w = 5
+    if not (n_win // (3 * (2 * w - 1)) <= n_sel
+            <= 3 * n_win // (2 * w - 1)):
+        raise AssertionError(
+            f"winnow_fingerprints: selection density {n_sel}/{n_win} "
+            f"outside the 1/(2w-1) band")
+    return out
 
 
 def q_weighted_median_group(sf_dir: str):
@@ -5113,11 +5265,54 @@ def q_cdc_chunks(sf_dir: str):
     span hashes, chunk bytes never materialized.  rows_only: the
     rolling-hash boundary scheme is not SQL-expressible; exactness is
     covered by the pure-Python parity + shift-resilience unit test
-    (tests/test_ops.py::test_cdc_chunk_stats_parity_and_shift)."""
+    (tests/test_ops.py::test_cdc_chunk_stats_parity_and_shift).
+
+    BINDING in-query shift-resilience gate: the op runs a second time
+    over the corpus augmented with PREFIXED copies ('zz ' + text for
+    doc_id % 50 == 0).  CDC's defining property is that an insertion
+    only disturbs boundaries locally, so the added DISTINCT bytes must
+    stay under 30% of the added raw bytes (fixed-size blocking would
+    add ~100%); bytes_total must also grow by exactly the added raw
+    bytes.  Violations raise."""
     from ci_log_processing_ray.ops.dedup import cdc_chunk_stats
 
     ds = _read(sf_dir, "documents", ["text"])
-    return cdc_chunk_stats(ds, "text", window=16, mask_bits=5)
+    base = cdc_chunk_stats(ds, "text", window=16, mask_bits=5)
+    base_df = base.to_pandas() if hasattr(base, "to_pandas") else base
+
+    def plant_shift(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        sel = (ids % 50) == 0
+        txt = t["text"].combine_chunks()
+        shifted = pc.binary_join_element_wise(
+            pa.array(["zz "] * int(sel.sum())),
+            txt.filter(pa.array(sel)), "")
+        return pa.table({"text": pa.concat_arrays([txt, shifted])})
+
+    ds2 = _read(sf_dir, "documents", ["doc_id", "text"])
+    aug = cdc_chunk_stats(
+        ds2.map_batches(plant_shift, batch_format="pyarrow"),
+        "text", window=16, mask_bits=5)
+    aug_df = aug.to_pandas() if hasattr(aug, "to_pandas") else aug
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    selnp = (tbl["doc_id"].to_numpy() % 50) == 0
+    added_raw = int(pc.sum(pc.binary_length(
+        tbl["text"].combine_chunks().filter(pa.array(selnp))))
+        .as_py()) + 3 * int(selnp.sum())
+    d_total = int(aug_df["bytes_total"][0] - base_df["bytes_total"][0])
+    d_dist = int(aug_df["bytes_distinct"][0]
+                 - base_df["bytes_distinct"][0])
+    if d_total != added_raw:
+        raise AssertionError(
+            f"cdc_chunks: bytes_total grew {d_total}, expected "
+            f"{added_raw}")
+    if d_dist * 10 > added_raw * 3:
+        raise AssertionError(
+            f"cdc_chunks: prefixed copies added {d_dist} distinct "
+            f"bytes of {added_raw} raw -- boundaries did not "
+            f"resynchronize (shift resilience broken)")
+    return base_df
 
 
 def q_skipgrams(sf_dir: str):

@@ -151,3 +151,99 @@ def test_pack_cert_rejects_lost_doc():
     out, lens = _pack_fixture()
     with pytest.raises(AssertionError, match="lost"):
         entrymod._cert_pack_bins(out.iloc[:-1], lens, 512)
+
+
+# ------------------------------------------------- planted-pair recovery
+def test_planted_clusters_cert_accepts():
+    df = pd.DataFrame({"doc_id": [0, entrymod._PLANT_OFF],
+                       "cluster_rep": [0, 0]})
+    entrymod._cert_planted_clusters(df, "doc_id", "cluster_rep", [0], "t")
+
+
+def test_planted_clusters_cert_rejects_missing():
+    df = pd.DataFrame({"doc_id": [0], "cluster_rep": [0]})
+    with pytest.raises(AssertionError, match="missing"):
+        entrymod._cert_planted_clusters(df, "doc_id", "cluster_rep",
+                                        [0], "t")
+
+
+def test_planted_clusters_cert_rejects_split():
+    df = pd.DataFrame({"doc_id": [0, entrymod._PLANT_OFF],
+                       "cluster_rep": [0, entrymod._PLANT_OFF]})
+    with pytest.raises(AssertionError, match="split"):
+        entrymod._cert_planted_clusters(df, "doc_id", "cluster_rep",
+                                        [0], "t")
+
+
+SF0 = "/root/testdata/sf0.001"
+
+
+def test_simhash_gate_fires_without_planting(ray_session, monkeypatch):
+    # A regression that silently drops the planted copies must raise.
+    monkeypatch.setattr(entrymod, "_plant_dup_texts", lambda ds: ds)
+    with pytest.raises(AssertionError, match="simhash"):
+        entrymod.q_simhash(SF0)
+
+
+def test_winnow_gate_fires_without_planting(ray_session, monkeypatch):
+    monkeypatch.setattr(entrymod, "_plant_dup_texts", lambda ds: ds)
+    with pytest.raises(AssertionError, match="winnow"):
+        entrymod.q_winnow_fingerprints(SF0)
+
+
+def test_minhash_gate_fires_without_planting(ray_session, monkeypatch):
+    monkeypatch.setattr(entrymod, "_plant_dup_texts", lambda ds: ds)
+    with pytest.raises(AssertionError, match="minhash"):
+        entrymod.q_minhash_dedup(SF0)
+
+
+def test_phash_gate_fires_when_pairs_dropped(ray_session, monkeypatch):
+    from ci_log_processing_ray.ops import multimodal as mm
+    real = mm.phash_clusters
+
+    def dropped(ds, **kw):
+        return real(ds, **kw).filter(expr="media_id < 1000000")
+
+    monkeypatch.setattr(mm, "phash_clusters", dropped)
+    with pytest.raises(AssertionError, match="phash"):
+        entrymod.q_phash_dedup(SF0)
+
+
+def test_compression_gate_fires_on_flat_scores(ray_session, monkeypatch):
+    from ci_log_processing_ray.ops import textstats as ts
+    real = ts.compression_ratio
+
+    def flat(ds, text_col, id_col):
+        out = real(ds, text_col, id_col)
+
+        def clamp(t):
+            import pyarrow as pa
+            r = t["ratio_milli"].combine_chunks().to_numpy().copy()
+            ids = t[id_col].combine_chunks().to_numpy()
+            r[ids < 0] = 500          # controls lose their separation
+            return pa.table({id_col: t[id_col],
+                             "ratio_milli": pa.array(r)})
+
+        return out.map_batches(clamp, batch_format="pyarrow")
+
+    monkeypatch.setattr(ts, "compression_ratio", flat)
+    with pytest.raises(AssertionError, match="compression_ratio"):
+        entrymod.q_compression_ratio(SF0)
+
+
+def test_cdc_gate_fires_when_growth_wrong(ray_session, monkeypatch):
+    from ci_log_processing_ray.ops import dedup as dd
+    real = dd.cdc_chunk_stats
+    calls = {"n": 0}
+
+    def stuck(ds, text_col, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            first = real(ds, text_col, **kw)
+            stuck.first = first
+            return first
+        return stuck.first            # augmented run reports no growth
+
+    monkeypatch.setattr(dd, "cdc_chunk_stats", stuck)
+    with pytest.raises(AssertionError, match="cdc_chunks"):
+        entrymod.q_cdc_chunks(SF0)
