@@ -871,11 +871,40 @@ def q_embedding_dedup(sf_dir: str):
 def q_pca_embeddings(sf_dir: str):
     """Distributed PCA (ops/similarity.py:pca_project): one-pass moment
     partials -> driver eigh -> broadcast projection.  Rows-only (float
-    eigendecomposition); numpy-parity unit test in tests/test_ops.py."""
+    eigendecomposition); numpy-parity unit test in tests/test_ops.py.
+
+    BINDING spectral gate: the projected coordinates must realize the
+    covariance spectrum computed INDEPENDENTLY driver-side -- mean(pc)
+    ~ 0, var(pc_i) == i-th eigenvalue, cov(pc1, pc2) ~ 0 (orthogonal
+    directions decorrelate), all within 1e-6 relative.  A wrong
+    component, missed centering, or projection bug raises."""
     from ci_log_processing_ray.ops.similarity import pca_project
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return pca_project(ds, "embedding", "vec_id", n_components=2)
+    out = _collect(pca_project(ds, "embedding", "vec_id",
+                               n_components=2)).to_pandas()
+    emb = np.vstack(pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding"])["embedding"].to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+    cov = np.cov(emb, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    p1, p2 = out["pc1"].to_numpy(), out["pc2"].to_numpy()
+    scale = max(evals[0], 1e-12)
+    checks = [
+        abs(p1.mean()) < 1e-6 * np.sqrt(scale) + 1e-9,
+        abs(p2.mean()) < 1e-6 * np.sqrt(scale) + 1e-9,
+        abs(p1.var() - evals[0]) < 1e-6 * scale,
+        abs(p2.var() - evals[1]) < 1e-6 * scale,
+        abs(np.mean(p1 * p2)) < 1e-6 * scale,
+    ]
+    if not all(checks):
+        raise AssertionError(
+            f"pca_embeddings: projections violate the independently "
+            f"computed spectrum (checks={checks}, "
+            f"vars=({p1.var():.6g}, {p2.var():.6g}), "
+            f"evals=({evals[0]:.6g}, {evals[1]:.6g}))")
+    return out
 
 
 def q_dbscan(sf_dir: str):
@@ -982,7 +1011,13 @@ def q_lang_kappa(sf_dir: str):
 
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: deterministic binary payloads -> actor-pool
-    decode -> typed metadata (rows-only; no codec libs available)."""
+    decode -> typed metadata (rows-only; no codec libs available).
+
+    BINDING closed-form gate (the multimodal_resize pattern): payload
+    geometry is a function of the id, so every decoded row must
+    satisfy width == 16 + id % 16, height == 16, n_bytes == 8 + w*h,
+    mean_intensity in [0, 255], with exactly one row per doc.  Any
+    decode/row loss raises."""
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def make_payload(t: pa.Table) -> pa.Table:
@@ -994,7 +1029,23 @@ def q_multimodal_decode(sf_dir: str):
         })
 
     media = ds.map_batches(make_payload, batch_format="pyarrow", batch_size=256)
-    return decode_images(media)
+    out = _collect(decode_images(media)).to_pandas()
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    mid = out["media_id"].to_numpy()
+    w = out["width"].to_numpy().astype(np.int64)
+    h = out["height"].to_numpy().astype(np.int64)
+    nb = out["n_bytes"].to_numpy().astype(np.int64)
+    mi = out["mean_intensity"].to_numpy()
+    if (len(out) != n_docs or out["media_id"].duplicated().any()
+            or not np.array_equal(w, 16 + mid % 16)
+            or not np.all(h == 16)
+            or not np.array_equal(nb, 8 + w * h)
+            or not np.all((mi >= 0) & (mi <= 255))):
+        raise AssertionError(
+            "multimodal_decode: decoded metadata violates the "
+            "closed-form payload geometry")
+    return out
 
 
 def _collect(ds: ray.data.Dataset,
@@ -1846,7 +1897,21 @@ def q_flagship_counts(sf_dir: str):
     shutil.rmtree(out_dir, ignore_errors=True)
     res = run_pipeline(shards, os.path.join(corpus_dir, "build_meta.parquet"),
                        out_dir, PipelineConfig(skip_debug=True))
-    return res.counts.to_pandas()
+    counts = res.counts.to_pandas()
+    # BINDING lineage-accounting gate: the per-sink aggregate counts
+    # must equal the rows PHYSICALLY WRITTEN to the routed parquet --
+    # the logsender conformance contract (per-index doc counts == sunk
+    # docs).  A writer/count divergence raises.
+    written = sum(
+        pq.read_metadata(os.path.join(root, f)).num_rows
+        for root, _dirs, files in os.walk(res.routed_dir)
+        for f in files if f.endswith(".parquet"))
+    claimed = int(counts["doc_count"].sum())
+    if written != claimed:
+        raise AssertionError(
+            f"flagship_counts: {claimed} counted docs vs {written} "
+            f"rows written under {res.routed_dir}")
+    return counts
 
 
 def q_autocorr(sf_dir: str):
@@ -2499,11 +2564,46 @@ def q_phash_dedup(sf_dir: str):
 def q_quantize_embeddings(sf_dir: str):
     """int8 embedding quantization (4x storage shrink): per-vector
     symmetric scale, fixed-width binary blob output (rows-only;
-    accuracy bound unit-tested)."""
+    accuracy bound unit-tested).
+
+    BINDING round-trip gate: a deterministic 1-in-10 sample of the
+    quantized blobs is dequantized driver-side against the original
+    vectors -- symmetric round-to-nearest int8 guarantees per-
+    component error <= scale/2, and the max-|v| component must hit
+    +/-127 exactly; blob width must equal dim bytes.  Violations
+    raise."""
     from ci_log_processing_ray.ops.similarity import quantize_embeddings
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return quantize_embeddings(ds, "embedding", "vec_id").map_batches(
+    quant = quantize_embeddings(ds, "embedding", "vec_id")
+
+    def tenth(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(
+            t["vec_id"].combine_chunks().to_numpy() % 10 == 0))
+
+    sample = _collect(
+        quant.map_batches(tenth, batch_format="pyarrow")).to_pandas()
+    orig_t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+    keep = pa.array(orig_t["vec_id"].to_numpy() % 10 == 0)
+    orig_t = orig_t.filter(keep)
+    orig = {int(i): np.asarray(v, np.float64) for i, v in zip(
+        orig_t["vec_id"].to_pylist(), orig_t["embedding"].to_pylist())}
+    for _, row in sample.iterrows():
+        q = np.frombuffer(row["qvec"], dtype=np.int8).astype(np.float64)
+        v = orig[int(row["vec_id"])]
+        if len(q) != int(row["dim"]) or len(q) != len(v):
+            raise AssertionError("quantize_embeddings: blob width != dim")
+        s = float(row["scale"])
+        if np.abs(q * s - v).max() > s / 2 + 1e-6:
+            raise AssertionError(
+                f"quantize_embeddings: vec {row['vec_id']} round-trip "
+                f"error exceeds scale/2")
+        if int(np.abs(q).max()) != 127 and np.abs(v).max() > 0:
+            raise AssertionError(
+                f"quantize_embeddings: vec {row['vec_id']} max "
+                f"component not pinned to 127")
+    return quant.map_batches(
         lambda t: t.drop_columns(["qvec"]).append_column(
             "qvec_bytes", pc.binary_length(t["qvec"]).cast(pa.int64())),
         batch_format="pyarrow")
@@ -2763,30 +2863,93 @@ def q_incremental_dedup(sf_dir: str):
         out = (new.groupby("source")
                .aggregate(Count(alias_name="n_new")).to_pandas())
         idx.flush()
-        return out.sort_values("source").reset_index(drop=True)
     finally:
         idx.shutdown()
+    # BINDING replay gate (the op's defining cross-run invariant,
+    # asserted in-query): a SECOND run against the flushed index --
+    # through a fresh actor pool that must reload the persisted
+    # segments -- keeps exactly zero docs.  Any leak raises.
+    idx2 = DedupIndex(index_dir, n_shards=4)
+    try:
+        leaked = incremental_dedup(
+            _read(sf_dir, "documents", ["doc_id", "source", "text"]),
+            idx2, "text", "doc_id").count()
+        if leaked != 0:
+            raise AssertionError(
+                f"incremental_dedup: verbatim replay leaked {leaked} "
+                f"docs through the persisted index")
+    finally:
+        idx2.shutdown()
+    return out.sort_values("source").reset_index(drop=True)
 
 
 def q_model_score(sf_dir: str):
     """Batched model inference (curation quality-model step): stub
     classifier loaded once per actor, hashed-BoW features, one matmul
-    per batch (ops/inference.py; rows-only -- float model output)."""
-    from ci_log_processing_ray.ops.inference import score_texts
+    per batch (ops/inference.py; rows-only -- float model output).
+
+    BINDING plumbing gate: scores for a deterministic 1-in-10 doc
+    sample are recomputed driver-side with the same featurizer+model
+    and must match EXACTLY (same float ops in the same order); every
+    score must lie in (0, 1) and every doc must appear exactly once.
+    Row loss, duplication, or a per-actor model drift raises."""
+    from ci_log_processing_ray.ops.inference import (_StubModel,
+                                                     _hashed_bow,
+                                                     score_texts)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return score_texts(ds, "text", "doc_id")
+    out = _collect(score_texts(ds, "text", "doc_id")).to_pandas()
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    n_docs = tbl.num_rows
+    if len(out) != n_docs or out["doc_id"].duplicated().any():
+        raise AssertionError("model_score: rows lost or duplicated")
+    s = out["model_score"].to_numpy()
+    if not np.all((s > 0) & (s < 1)):
+        raise AssertionError("model_score: score outside (0, 1)")
+    sel = tbl["doc_id"].to_numpy() % 10 == 0
+    sub = tbl.filter(pa.array(sel))
+    want = _StubModel(1234).predict(_hashed_bow(sub["text"].to_pylist()))
+    got = (out.set_index("doc_id").loc[sub["doc_id"].to_numpy(),
+                                       "model_score"].to_numpy())
+    if not np.array_equal(got, want):
+        raise AssertionError(
+            "model_score: distributed scores diverge from the "
+            "driver-side replay on the 1-in-10 sample")
+    return out
 
 
 def q_model_filter(sf_dir: str):
     """Model-gated filter, fused score+keep so the text payload makes
     ONE trip through the object store; returns per-source kept counts
-    (rows-only -- float threshold)."""
-    from ci_log_processing_ray.ops.inference import filter_by_score
+    (rows-only -- float threshold).
+
+    BINDING replay gate: the per-source kept counts are recomputed
+    driver-side by scoring EVERY doc with the same featurizer+model
+    and thresholding; any count mismatch (row loss, wrong threshold,
+    per-actor drift) raises."""
+    from ci_log_processing_ray.ops.inference import (_StubModel,
+                                                     _hashed_bow,
+                                                     filter_by_score)
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
     kept = filter_by_score(ds, "text", "doc_id", threshold=0.5)
-    return kept.groupby("source").aggregate(Count(alias_name="n_kept"))
+    out = _collect(kept.groupby("source")
+                   .aggregate(Count(alias_name="n_kept"))).to_pandas()
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "source", "text"])
+    scores = _StubModel(1234).predict(_hashed_bow(
+        tbl["text"].to_pylist()))
+    want = (pd.DataFrame({"source": tbl["source"].to_pylist(),
+                          "keep": scores >= 0.5})
+            .groupby("source")["keep"].sum().astype(np.int64))
+    got = dict(zip(out["source"], out["n_kept"].astype(np.int64)))
+    want_d = {k: int(v) for k, v in want.items() if v > 0}
+    if got != want_d:
+        raise AssertionError(
+            f"model_filter: kept counts diverge from the driver-side "
+            f"replay ({got} vs {want_d})")
+    return out
 
 
 def q_tokenize_ids(sf_dir: str):
@@ -2842,11 +3005,51 @@ def q_kmeans(sf_dir: str):
     """Full distributed k-means loop (Lloyd's): broadcast centroids,
     one streaming assignment+partial pass per round, k-row aggregate to
     the driver, early stop on movement < tol (ops/iterative.py).
-    Returns per-cluster counts (rows-only; float assignment)."""
+    Returns per-cluster counts (rows-only; float assignment).
+
+    BINDING replay gate: the whole loop (farthest-point init over the
+    first 1024 rows, 5 Lloyd rounds) is re-run in an independent
+    driver-side numpy implementation; final centroids must agree to
+    1e-9 relative and the per-cluster counts must be IDENTICAL.  A
+    divergent assignment, partial-sum bug, or dropped round raises."""
     from ci_log_processing_ray.ops.iterative import kmeans
 
     ds = _read(sf_dir, "embeddings", ["embedding"])
-    _centroids, counts = kmeans(ds, "embedding", k=8, n_iter=5)
+    centroids, counts = kmeans(ds, "embedding", k=8, n_iter=5)
+    emb = np.vstack(pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding"])["embedding"].to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+    sample = emb[:1024]
+    chosen = [0]
+    d2 = ((sample - sample[0]) ** 2).sum(axis=1)
+    for _ in range(min(8, len(sample)) - 1):
+        nxt = int(d2.argmax())
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    c = sample[chosen].copy()
+    ref_counts = None
+    for _round in range(5):
+        d = emb @ c.T * -2.0 + (c * c).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        cnt = np.bincount(assign, minlength=len(c)).astype(np.int64)
+        new = c.copy()
+        for cid in np.flatnonzero(cnt):
+            new[cid] = emb[assign == cid].mean(axis=0)
+        move = float(np.abs(new - c).max())
+        ref_counts = cnt
+        c = new
+        if move < 1e-4:
+            break
+    got = dict(zip(counts["cid"].astype(int), counts["count"].astype(int)))
+    want = {int(i): int(n) for i, n in enumerate(ref_counts) if n > 0}
+    if got != want:
+        raise AssertionError(
+            f"kmeans: per-cluster counts diverge from the sequential "
+            f"replay ({got} vs {want})")
+    if not np.allclose(centroids, c, rtol=1e-9, atol=1e-9):
+        raise AssertionError(
+            "kmeans: final centroids diverge from the sequential replay")
     return counts
 
 
@@ -4499,12 +4702,40 @@ def q_kcenter(sf_dir: str):
     (ops/similarity.py:kcenter_select): 16 maximally-diverse vectors,
     exact integer quantized distances, one streaming pass per pick.
     Rows-only: the greedy argmax chain is not SQL-expressible; a
-    pure-numpy parity test pins the exact selection
-    (tests/test_ops.py)."""
+    pure-numpy parity test pins the exact selection (tests/test_ops.py).
+
+    BINDING greedy certificate: the full chain is re-verified in-query
+    against an exact-integer driver replay over the corpus -- seed =
+    smallest id, then each pick must be the true argmax of min-squared-
+    distance to the already-chosen set (ties to the smaller id), with
+    the recorded dist exact.  Any divergence raises."""
     from ci_log_processing_ray.ops.similarity import kcenter_select
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return kcenter_select(ds, "embedding", "vec_id", k=16)
+    out = kcenter_select(ds, "embedding", "vec_id", k=16)
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    v = np.vstack(tbl["embedding"].to_numpy(
+        zero_copy_only=False)).astype(np.float64)
+    q = np.rint(v * 1e6).astype(np.int64)
+    order = np.argsort(ids, kind="mergesort")
+    ids, q = ids[order], q[order]
+    sel_ids = out[out["sel_order"] == 0]["vec_id"].to_numpy()
+    if int(sel_ids[0]) != int(ids[0]):
+        raise AssertionError("kcenter: seed is not the smallest id")
+    d2 = ((q - q[0]) ** 2).sum(axis=1)
+    for i in range(1, len(out)):
+        row = out[out["sel_order"] == i].iloc[0]
+        best = int(d2.max())
+        pick = int(ids[np.flatnonzero(d2 == best)[0]])
+        if int(row["vec_id"]) != pick or int(row["dist"]) != best:
+            raise AssertionError(
+                f"kcenter: pick {i} is ({row['vec_id']}, {row['dist']}) "
+                f"but exact replay says ({pick}, {best})")
+        j = int(np.flatnonzero(ids == pick)[0])
+        d2 = np.minimum(d2, ((q - q[j]) ** 2).sum(axis=1))
+    return out
 
 
 def q_sales_opportunity(sf_dir: str):
@@ -5454,11 +5685,53 @@ def q_bpe_train(sf_dir: str):
     the (word, count) vocabulary table; each round is vocabulary-sized
     pair-count partials + driver argmax + broadcast merge.  No SQL
     oracle (iterative data-dependent argmax); unit-tested against a
-    pure-Python reference implementation."""
-    from ci_log_processing_ray.ops.curation import bpe_train
+    pure-Python reference implementation.
+
+    BINDING argmax-chain certificate: the full merge sequence is
+    re-derived in-query by an independent pure-Python Sennrich loop
+    over locally recomputed word counts -- every (rank, left, right,
+    pair_count) row must match exactly (count argmax, lexicographic
+    tie-break, merge application).  Any divergence raises."""
+    from collections import Counter
+
+    from ci_log_processing_ray.ops.curation import _word_stream, bpe_train
 
     ds = _read(sf_dir, "documents", ["text"])
-    return bpe_train(ds, "text", n_merges=8)
+    out = bpe_train(ds, "text", n_merges=8)
+    out_df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    texts = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["text"])["text"].combine_chunks()
+    flat, _ = _word_stream(texts)
+    wc = Counter(flat.to_pylist())
+    syms = {w: tuple(w) for w in wc}
+    for rank in range(len(out_df)):
+        pc_counts: Counter = Counter()
+        for w, n in wc.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc_counts[(a, b)] += n
+        if not pc_counts:
+            raise AssertionError("bpe_train: replay ran out of pairs")
+        (l, r), n = min(pc_counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        row = out_df.iloc[rank]
+        if (row["left"], row["right"], int(row["pair_count"])) != (l, r, n):
+            raise AssertionError(
+                f"bpe_train: merge {rank} is "
+                f"({row['left']!r}, {row['right']!r}, "
+                f"{int(row['pair_count'])}) but the sequential replay "
+                f"says ({l!r}, {r!r}, {n})")
+        for w in wc:
+            s, i, m = syms[w], 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    m.append(l + r)
+                    i += 2
+                else:
+                    m.append(s[i])
+                    i += 1
+            syms[w] = tuple(m)
+    return out_df
 
 
 def q_cooccurrence(sf_dir: str):
@@ -5992,7 +6265,17 @@ def q_ann_recall(sf_dir: str):
         rows.append({"query_id": int(qi), "n_exact": len(e[qi]),
                      "n_hits": hits,
                      "recall_permille": 1000 * hits // max(len(e[qi]), 1)})
-    return pd.DataFrame(rows)
+    out = pd.DataFrame(rows)
+    # BINDING overall floor (deterministic on the fixed corpus + seeds;
+    # measured >= 300 permille at sf0.001/0.01/0.1): a recall collapse
+    # now raises instead of silently reporting low numbers.
+    total_hits = int(out["n_hits"].sum())
+    total_exact = int(out["n_exact"].sum())
+    if 1000 * total_hits // max(total_exact, 1) < 200:
+        raise AssertionError(
+            f"ann_recall: overall recall {total_hits}/{total_exact} "
+            f"collapsed below the 200-permille floor")
+    return out
 
 
 def q_top_spenders(sf_dir: str):
@@ -6299,9 +6582,28 @@ def q_log_templates(sf_dir: str):
 
     counts = (ds.map_batches(templates, batch_format="pyarrow",
                              zero_copy_batch=True)
-              .groupby("template").aggregate(Sum("n", alias_name="n")))
-    return counts.sort(["n", "template"],
-                       descending=[True, False]).limit(20)
+              .groupby("template").aggregate(Sum("n", alias_name="n"))
+              .materialize())
+    # BINDING conservation + idempotence gates: template counts must
+    # sum to EXACTLY the corpus line count (no line lost or double-
+    # counted through the mask + groupby), and every returned template
+    # must be a fixed point of the masking regex (else the grouping
+    # key was not canonical).
+    total = int(counts.sum("n"))
+    n_lines = sum(pq.read_metadata(s).num_rows for s in shards)
+    if total != n_lines:
+        raise AssertionError(
+            f"log_templates: {total} template-counted lines vs "
+            f"{n_lines} corpus lines")
+    out = _collect(counts.sort(["n", "template"],
+                               descending=[True, False]).limit(20))
+    import re as _re
+    pat = _re.compile(r"[0-9a-f]{8,}|[0-9]+")
+    for tpl in out["template"].to_pylist():
+        if pat.sub("<*>", tpl) != tpl:
+            raise AssertionError(
+                f"log_templates: template not mask-canonical: {tpl!r}")
+    return out.to_pandas()
 
 
 def q_moving_sum(sf_dir: str):
@@ -6484,12 +6786,22 @@ def q_knn_graph_ivf(sf_dir: str):
     a = approx.groupby("vec_id")["nn_id"].apply(set)
     n_exact = int(e.map(len).sum())
     n_hits = sum(len(e[v] & a.get(v, set())) for v in e.index)
+    recall = 1000 * int(n_hits) // max(n_exact, 1)
+    # BINDING floor (deterministic corpus + init; measured >= 700
+    # permille across sf0.001/0.01/0.1): an IVF recall collapse raises.
+    if recall < 500:
+        raise AssertionError(
+            f"knn_graph_ivf: recall {recall} permille below the "
+            f"500 floor ({n_hits}/{n_exact} edges)")
+    if int(len(a)) < int(len(e)):
+        raise AssertionError(
+            f"knn_graph_ivf: coverage lost ({len(a)}/{len(e)} vectors)")
     return pd.DataFrame([{
         "n_vectors": int(len(e)),
         "n_covered": int(len(a)),
         "n_exact_edges": n_exact,
         "n_hit_edges": int(n_hits),
-        "recall_permille": 1000 * int(n_hits) // max(n_exact, 1),
+        "recall_permille": recall,
     }])
 
 
@@ -6732,8 +7044,25 @@ def q_label_prop(sf_dir: str):
     labels = label_propagation(edges, "src", "dst", n_rounds=6)
     sizes = (labels.groupby("label")
              .aggregate(Count(alias_name="n_nodes")))
-    return _collect(sizes).to_pandas().sort_values(
+    out = _collect(sizes).to_pandas().sort_values(
         ["label"]).reset_index(drop=True)
+    # BINDING structural gate: by construction the planted communities
+    # are the doc-id decades -- every recovered community must have
+    # exactly 10 nodes and together cover every doc exactly once.  A
+    # propagation regression that leaks labels across the weak bridges
+    # (or drops nodes) raises.
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    if int(out["n_nodes"].sum()) != n_docs:
+        raise AssertionError(
+            f"label_prop: {int(out['n_nodes'].sum())} labeled nodes "
+            f"vs {n_docs} docs (coverage broken)")
+    if not (out["n_nodes"] == 10).all():
+        bad = out[out["n_nodes"] != 10]
+        raise AssertionError(
+            f"label_prop: {len(bad)} communities deviate from the "
+            f"planted decade size 10 (bridges leaked)")
+    return out
 
 
 def q_kcore(sf_dir: str):

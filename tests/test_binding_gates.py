@@ -247,3 +247,238 @@ def test_cdc_gate_fires_when_growth_wrong(ray_session, monkeypatch):
     monkeypatch.setattr(dd, "cdc_chunk_stats", stuck)
     with pytest.raises(AssertionError, match="cdc_chunks"):
         entrymod.q_cdc_chunks(SF0)
+
+
+# --------------------------------------------- batch-3 certificate gates
+def test_ann_recall_gate_fires_on_collapse(ray_session, monkeypatch):
+    from ci_log_processing_ray.ops import similarity as sim
+
+    def empty(ds, vec_col, id_col, q, qids, **kw):
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "vec_id": pd.Series([], dtype=np.int64)})
+
+    monkeypatch.setattr(sim, "knn_lsh", empty)
+    with pytest.raises(AssertionError, match="ann_recall"):
+        entrymod.q_ann_recall(SF0)
+
+
+def test_knn_graph_ivf_gate_fires_on_collapse(ray_session, monkeypatch):
+    from ci_log_processing_ray.ops import similarity as sim
+    real = sim.knn_graph_ivf
+
+    def holey(ds, vec_col, id_col, **kw):
+        out = real(ds, vec_col, id_col, **kw)
+
+        def drop(t):
+            import pyarrow as pa
+            keep = t["vec_id"].combine_chunks().to_numpy() % 2 == 0
+            return t.filter(pa.array(keep))
+
+        return out.map_batches(drop, batch_format="pyarrow")
+
+    monkeypatch.setattr(sim, "knn_graph_ivf", holey)
+    with pytest.raises(AssertionError, match="knn_graph_ivf"):
+        entrymod.q_knn_graph_ivf(SF0)
+
+
+def test_label_prop_gate_fires_on_leaked_bridge(ray_session, monkeypatch):
+    from ci_log_processing_ray.ops import iterative as it
+    real = it.label_propagation
+
+    def leaky(edges, src, dst, **kw):
+        out = real(edges, src, dst, **kw)
+
+        def merge_two(t):
+            import numpy as np
+            import pyarrow as pa
+            lab = t["label"].combine_chunks().to_numpy().copy()
+            lab[lab == lab.min()] = lab.max()   # fuse two communities
+            return pa.table({"node": t["node"], "label": pa.array(lab)})
+
+        return out.map_batches(merge_two, batch_format="pyarrow")
+
+    monkeypatch.setattr(it, "label_propagation", leaky)
+    with pytest.raises(AssertionError, match="label_prop"):
+        entrymod.q_label_prop(SF0)
+
+
+def test_log_templates_gate_fires_on_dropped_lines(ray_session, monkeypatch):
+    from ci_log_processing_ray.functions import detok
+    real = detok.tokens_to_text
+
+    def dropper(tokens):
+        out = real(tokens)
+        return out.slice(1)  # lose one line per batch
+
+    monkeypatch.setattr(detok, "tokens_to_text", dropper)
+    with pytest.raises(AssertionError, match="log_templates"):
+        entrymod.q_log_templates(SF0)
+
+
+def test_incremental_dedup_gate_fires_without_flush(ray_session,
+                                                    monkeypatch):
+    from ci_log_processing_ray.state import dedup_index as di
+    monkeypatch.setattr(di.DedupIndex, "flush", lambda self: 0)
+    with pytest.raises(AssertionError, match="replay leaked"):
+        entrymod.q_incremental_dedup(SF0)
+
+
+def test_flagship_counts_gate_fires_on_lost_file(ray_session, monkeypatch):
+    import glob as g
+    import os
+    real = entrymod.run_pipeline
+
+    def lossy(*a, **kw):
+        res = real(*a, **kw)
+        victim = sorted(g.glob(os.path.join(
+            res.routed_dir, "**", "*.parquet"), recursive=True))[0]
+        os.remove(victim)
+        return res
+
+    monkeypatch.setattr(entrymod, "run_pipeline", lossy)
+    with pytest.raises(AssertionError, match="flagship_counts"):
+        entrymod.q_flagship_counts(SF0)
+
+
+def test_multimodal_decode_gate_fires_on_bad_width(ray_session,
+                                                   monkeypatch):
+    real = entrymod.decode_images
+
+    def mangler(ds, **kw):
+        out = real(ds, **kw)
+
+        def bump(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            return t.set_column(
+                t.schema.get_field_index("width"), "width",
+                pc.add(t["width"], 1))
+
+        return out.map_batches(bump, batch_format="pyarrow")
+
+    monkeypatch.setattr(entrymod, "decode_images", mangler)
+    with pytest.raises(AssertionError, match="multimodal_decode"):
+        entrymod.q_multimodal_decode(SF0)
+
+
+def test_quantize_gate_fires_on_wrong_scale(ray_session, monkeypatch):
+    from ci_log_processing_ray.ops import similarity as sim
+    real = sim.quantize_embeddings
+
+    def skewed(ds, vec_col, id_col):
+        out = real(ds, vec_col, id_col)
+
+        def double(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            i = t.schema.get_field_index("scale")
+            return t.set_column(i, "scale",
+                                pc.multiply(t["scale"], pa.scalar(
+                                    2.0, pa.float32())))
+
+        return out.map_batches(double, batch_format="pyarrow")
+
+    monkeypatch.setattr(sim, "quantize_embeddings", skewed)
+    with pytest.raises(AssertionError, match="quantize_embeddings"):
+        entrymod.q_quantize_embeddings(SF0)
+
+
+def test_pca_gate_fires_on_scaled_component(ray_session, monkeypatch):
+    from ci_log_processing_ray.ops import similarity as sim
+    real = sim.pca_project
+
+    def scaled(ds, vec_col, id_col, **kw):
+        out = real(ds, vec_col, id_col, **kw)
+
+        def stretch(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            i = t.schema.get_field_index("pc1")
+            return t.set_column(i, "pc1", pc.multiply(t["pc1"], 2.0))
+
+        return out.map_batches(stretch, batch_format="pyarrow")
+
+    monkeypatch.setattr(sim, "pca_project", scaled)
+    with pytest.raises(AssertionError, match="pca_embeddings"):
+        entrymod.q_pca_embeddings(SF0)
+
+
+def test_kcenter_gate_fires_on_swapped_pick(ray_session, monkeypatch):
+    from ci_log_processing_ray.ops import similarity as sim
+    real = sim.kcenter_select
+
+    def swapped(ds, vec_col, id_col, **kw):
+        out = real(ds, vec_col, id_col, **kw).copy()
+        out.loc[out["sel_order"] == 1, "dist"] += 1
+        return out
+
+    monkeypatch.setattr(sim, "kcenter_select", swapped)
+    with pytest.raises(AssertionError, match="kcenter"):
+        entrymod.q_kcenter(SF0)
+
+
+def test_kmeans_gate_fires_on_count_drift(ray_session, monkeypatch):
+    from ci_log_processing_ray.ops import iterative as it
+    real = it.kmeans
+
+    def drifted(ds, vec_col, **kw):
+        centroids, counts = real(ds, vec_col, **kw)
+        counts = counts.copy()
+        counts.loc[0, "count"] += 1
+        return centroids, counts
+
+    monkeypatch.setattr(it, "kmeans", drifted)
+    with pytest.raises(AssertionError, match="kmeans"):
+        entrymod.q_kmeans(SF0)
+
+
+def test_model_score_gate_fires_on_perturbed_score(ray_session,
+                                                   monkeypatch):
+    from ci_log_processing_ray.ops import inference as inf
+    real = inf.score_texts
+
+    def perturbed(ds, text_col, id_col):
+        out = real(ds, text_col, id_col)
+
+        def nudge(t):
+            import numpy as np
+            import pyarrow as pa
+            s = t["model_score"].combine_chunks().to_numpy().copy()
+            ids = t[id_col].combine_chunks().to_numpy()
+            s[ids % 10 == 0] *= 0.999
+            return pa.table({id_col: t[id_col],
+                             "model_score": pa.array(s)})
+
+        return out.map_batches(nudge, batch_format="pyarrow")
+
+    monkeypatch.setattr(inf, "score_texts", perturbed)
+    with pytest.raises(AssertionError, match="model_score"):
+        entrymod.q_model_score(SF0)
+
+
+def test_model_filter_gate_fires_on_dropped_row(ray_session, monkeypatch):
+    from ci_log_processing_ray.ops import inference as inf
+    real = inf.filter_by_score
+
+    def lossy(ds, text_col, id_col, **kw):
+        out = real(ds, text_col, id_col, **kw)
+        return out.limit(out.count() - 1)
+
+    monkeypatch.setattr(inf, "filter_by_score", lossy)
+    with pytest.raises(AssertionError, match="model_filter"):
+        entrymod.q_model_filter(SF0)
+
+
+def test_bpe_gate_fires_on_swapped_merge(ray_session, monkeypatch):
+    from ci_log_processing_ray.ops import curation as cur
+    real = cur.bpe_train
+
+    def swapped(ds, text_col, **kw):
+        out = real(ds, text_col, **kw).to_pandas()
+        out.loc[[0, 1], ["left", "right", "pair_count"]] = \
+            out.loc[[1, 0], ["left", "right", "pair_count"]].to_numpy()
+        return out
+
+    monkeypatch.setattr(cur, "bpe_train", swapped)
+    with pytest.raises(AssertionError, match="bpe_train"):
+        entrymod.q_bpe_train(SF0)
