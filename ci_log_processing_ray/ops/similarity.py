@@ -456,10 +456,19 @@ def knn_graph(
     scale: float = 128.0,
     block_rows: int = 16384,
     n_buckets: int | None = None,
+    driver_cap: int = 4096,
 ) -> ray.data.Dataset:
     """EXACT k-NN graph (self-similarity join) over int-quantized
     embeddings -- the primitive behind semantic dedup, diversity
     pruning and duplicate-cluster discovery at corpus scale.
+
+    ``driver_cap``: corpora at or under this row count run the SAME
+    block-pair kernel + fold in-process (the repo's standard cap-with-
+    distributed-fallback shape -- at toy scale the per-task dispatch
+    and bucketed fold dwarf the actual matmuls; 4096 rows is ~134 MB
+    of dot matrix).  Larger corpora take the distributed path
+    unchanged.  Parity is pinned by
+    tests/test_ops.py::test_knn_graph_driver_distributed_parity.
 
     Semantics: each vector is quantized ``q = floor(x*scale + 0.5)``
     (int64; bit-identical to the DuckDB oracle's FLOOR arithmetic),
@@ -501,7 +510,7 @@ def knn_graph(
                 .astype(np.int64)),
             "_q": qv})
 
-    refs = []
+    blocks = []
     q_ds = ds.map_batches(quantize_pack, batch_format="pyarrow")
     for b in q_ds.iter_batches(batch_size=block_rows,
                                batch_format="pyarrow"):
@@ -518,17 +527,13 @@ def knn_graph(
         mat = (np.frombuffer(qcol.buffers()[2], np.uint8)
                [offs[0]:offs[-1]].view(np.int16)
                .reshape(len(ids), -1).astype(np.float64))
-        refs.append(ray.put((ids, mat)))
-    if not refs:
+        blocks.append((ids, mat))
+    if not blocks:
         return ray.data.from_arrow(pa.table({
             id_col: pa.array([], pa.int64()),
             "rank": pa.array([], pa.int64()),
             "nn_id": pa.array([], pa.int64()),
             "dot": pa.array([], pa.int64())}))
-
-    parts = [_pair_topk_remote.remote(refs[i], refs[j], i == j, k, id_col)
-             for i in range(len(refs)) for j in range(i, len(refs))]
-    partials = ray.data.from_arrow_refs(parts)
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([id_col, "dot", "nn_id"],
@@ -537,6 +542,21 @@ def knn_graph(
         g["rank"] = g.groupby(id_col, sort=False).cumcount() + 1
         return g[[id_col, "rank", "nn_id", "dot"]]
 
+    total = sum(len(ids) for ids, _ in blocks)
+    if total <= driver_cap:
+        # driver path: SAME pair kernel + fold, zero task dispatch
+        parts = [_pair_topk_table(blocks[i], blocks[j], i == j, k,
+                                  id_col)
+                 for i in range(len(blocks))
+                 for j in range(i, len(blocks))]
+        out = fold(pa.concat_tables(parts).to_pandas())
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(out, preserve_index=False))
+
+    refs = [ray.put(blk) for blk in blocks]
+    parts = [_pair_topk_remote.remote(refs[i], refs[j], i == j, k, id_col)
+             for i in range(len(refs)) for j in range(i, len(refs))]
+    partials = ray.data.from_arrow_refs(parts)
     return bucketed_groups(partials, id_col, fold, n_buckets=n_buckets)
 
 
@@ -552,8 +572,15 @@ def knn_graph_ivf(
     sample_rows: int = 20000,
     seed: int = 7,
     n_buckets: int | None = None,
+    driver_cap: int = 4096,
 ) -> ray.data.Dataset:
     """IVF-blocked APPROXIMATE k-NN graph -- the at-scale route.
+
+    ``driver_cap``: when the corpus fits inside the training sample
+    (so it is already on the driver) and is at or under this row
+    count, the SAME explode / per-cell / fold kernels run in-process
+    -- the cap-with-distributed-fallback shape; parity pinned by
+    tests/test_ops.py::test_knn_graph_ivf_driver_distributed_parity.
 
     Same quantized-integer output contract as :func:`knn_graph`
     (id, rank, nn_id, dot), but each vector is compared only against
@@ -617,10 +644,6 @@ def knn_graph_ivf(
                 "_qv": qv,
             })
 
-    exploded = ds.map_batches(Explode, fn_constructor_args=(state,),
-                              batch_format="pyarrow",
-                              concurrency=(1, 8))
-
     def per_cell(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for _, cg in g.groupby("cell", sort=False):
@@ -650,9 +673,6 @@ def knn_graph_ivf(
                                  "dot": np.array([], np.int64)})
         return pd.concat(outs, ignore_index=True)
 
-    partials = bucketed_groups(exploded, "cell", per_cell,
-                               n_buckets=n_buckets)
-
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates([id_col, "nn_id"])
         g = g.sort_values([id_col, "dot", "nn_id"],
@@ -661,6 +681,23 @@ def knn_graph_ivf(
         g["rank"] = g.groupby(id_col, sort=False).cumcount() + 1
         return g[[id_col, "rank", "nn_id", "dot"]]
 
+    if len(sample) < sample_rows and len(sample) <= driver_cap:
+        # the whole corpus already sits in the training sample: run the
+        # SAME explode / per-cell / fold kernels in-process
+        tbl = pa.table({
+            id_col: pa.array(sample[id_col].to_numpy()
+                             .astype(np.int64)),
+            vec_col: pa.array(list(sample[vec_col].to_numpy()))})
+        ex = Explode(state)(tbl).to_pandas()
+        out = fold(per_cell(ex))
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(out, preserve_index=False))
+
+    exploded = ds.map_batches(Explode, fn_constructor_args=(state,),
+                              batch_format="pyarrow",
+                              concurrency=(1, 8))
+    partials = bucketed_groups(exploded, "cell", per_cell,
+                               n_buckets=n_buckets)
     return bucketed_groups(partials, id_col, fold, n_buckets=n_buckets)
 
 

@@ -5041,3 +5041,50 @@ def test_frontier_driver_distributed_parity(ray_session):
         b = norm(shortest_path_counts(ds, "s", "d", seeds,
                                       n_rounds=nr, driver_edge_cap=0))
         assert a == b, ("counts", nr)
+
+
+def test_knn_graph_driver_distributed_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ci_log_processing_ray.ops.similarity import knn_graph
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((300, 12)).astype(np.float32)
+    rows = [{"vid": int(i), "emb": vecs[i].tolist()}
+            for i in range(len(vecs))]
+    ds = ray.data.from_items(rows).repartition(4)
+
+    def norm(df):
+        return df.sort_values(["vid", "rank"]).reset_index(drop=True)
+
+    drv = knn_graph(ds, "emb", "vid", k=3, block_rows=128).to_pandas()
+    dist = knn_graph(ds, "emb", "vid", k=3, block_rows=128,
+                     driver_cap=0).to_pandas()
+    assert len(drv) == 3 * len(vecs)
+    pd.testing.assert_frame_equal(norm(drv), norm(dist))
+
+
+def test_knn_graph_ivf_driver_distributed_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ci_log_processing_ray.ops.similarity import knn_graph_ivf
+
+    rng = np.random.default_rng(6)
+    vecs = rng.standard_normal((300, 12)).astype(np.float32)
+    rows = [{"vid": int(i), "emb": vecs[i].tolist()}
+            for i in range(len(vecs))]
+    ds = ray.data.from_items(rows).repartition(4)
+
+    def norm(df):
+        return df.sort_values(["vid", "rank"]).reset_index(drop=True)
+
+    drv = knn_graph_ivf(ds, "emb", "vid", k=3, n_centroids=8,
+                        nprobe=3).to_pandas()
+    dist = knn_graph_ivf(ds, "emb", "vid", k=3, n_centroids=8,
+                         nprobe=3, driver_cap=0).to_pandas()
+    assert len(drv) > 0
+    pd.testing.assert_frame_equal(norm(drv), norm(dist))
