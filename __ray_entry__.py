@@ -7065,6 +7065,66 @@ def q_label_prop(sf_dir: str):
     return out
 
 
+def _seq_edges(t: pa.Table) -> pa.Table:
+    """Sequence-adjacency path graph over the contiguous doc ids:
+    edge i -- i-1 for every i > 0, so hop distance is exactly
+    |i - j| -- the closed-form contract the landmark oracles bind."""
+    ids = t["doc_id"].combine_chunks().to_numpy()
+    keep = ids > 0
+    return pa.table({"src": pa.array(ids[keep]),
+                     "dst": pa.array(ids[keep] - 1)})
+
+
+def q_landmark_distances(sf_dir: str):
+    """Landmark distance table (ops/iterative.py:landmark_distances):
+    one simultaneous multi-source BFS tracking (node, landmark, dist)
+    pairs -- the landmark-embedding / hub-distance feature primitive.
+    Landmarks are doc_id % 97 == 0 over the sequence-adjacency path
+    graph, 12 rounds, so dist == |node - landmark| <= 12 in closed
+    form -- binding DuckDB oracle."""
+    from ci_log_processing_ray.ops.iterative import landmark_distances
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    lms = ids[ids % 97 == 0]
+    edges = ds.map_batches(_seq_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return landmark_distances(edges, "src", "dst", lms, n_rounds=12)
+
+
+def q_harmonic_centrality(sf_dir: str):
+    """Truncated harmonic centrality of the landmark set (sum of
+    floor(1e6 / dist) over nodes reached within the round budget,
+    plus the reached count) -- derived from the landmark distance
+    table by one landmark-shaped aggregate; exact integers, binding
+    DuckDB oracle (boundary landmark 0 has half the window, so the
+    result is non-constant)."""
+    from ci_log_processing_ray.ops.iterative import landmark_distances
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    lms = ids[ids % 97 == 0]
+    edges = ds.map_batches(_seq_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    ld = landmark_distances(edges, "src", "dst", lms, n_rounds=12)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["dist"].combine_chunks().to_numpy()
+        pos = d > 0
+        return pa.table({
+            "landmark": t["landmark"].combine_chunks().filter(
+                pa.array(pos)),
+            "n_reached": pa.array(np.ones(int(pos.sum()), np.int64)),
+            "harmonic_micro": pa.array(1_000_000 // d[pos])})
+
+    return (ld.map_batches(partial, batch_format="pyarrow")
+            .groupby("landmark").aggregate(
+                Sum("n_reached", alias_name="n_reached"),
+                Sum("harmonic_micro", alias_name="harmonic_micro")))
+
+
 def q_kcore(sf_dir: str):
     """Full k-core decomposition (coreness per node) via the
     partition-resident h-index fixpoint
@@ -7880,6 +7940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_sink": q_compact_sink,
         "partition_prune": q_partition_prune,
         "label_prop": q_label_prop,
+        "landmark_distances": q_landmark_distances,
+        "harmonic_centrality": q_harmonic_centrality,
         "sorted_neighborhood": q_sorted_neighborhood,
         "sssp": q_sssp,
         "kcore": q_kcore,
@@ -9702,6 +9764,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM s WHERE next_type IS NOT NULL
             GROUP BY 1, 2""",
+        "landmark_distances": """
+            SELECT d1.doc_id AS node, d2.doc_id AS landmark,
+                   CAST(ABS(d1.doc_id - d2.doc_id) AS BIGINT) AS dist
+            FROM documents d1, documents d2
+            WHERE d2.doc_id % 97 = 0
+              AND ABS(d1.doc_id - d2.doc_id) <= 12""",
+        "harmonic_centrality": """
+            SELECT d2.doc_id AS landmark,
+                   CAST(count(*) AS BIGINT) AS n_reached,
+                   CAST(SUM(1000000 // ABS(d1.doc_id - d2.doc_id))
+                        AS BIGINT) AS harmonic_micro
+            FROM documents d1, documents d2
+            WHERE d2.doc_id % 97 = 0
+              AND d1.doc_id <> d2.doc_id
+              AND ABS(d1.doc_id - d2.doc_id) <= 12
+            GROUP BY 1""",
         "bfs_hops": """
             WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                        FROM lineitem),

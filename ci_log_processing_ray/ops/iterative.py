@@ -4051,3 +4051,175 @@ def shortest_path_counts(
                                n_buckets=nb_round).materialize()
 
     return best
+
+
+def landmark_distances(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    landmarks: "np.ndarray | list[int]",
+    *,
+    n_rounds: int = 8,
+    broadcast_cap: int = 2_000_000,
+    driver_edge_cap: int = 400_000,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-landmark shortest-hop table over the UNDIRECTED graph --
+    the landmark-embedding primitive behind graph feature engineering,
+    triangle-inequality distance estimation and harmonic/closeness
+    centrality of chosen hubs.  Unlike :func:`bfs_hops` (min hops to
+    ANY seed) this tracks (node, landmark, dist) PAIRS: one
+    simultaneous multi-source BFS whose state rows are pairs, so a
+    node settles once per landmark that reaches it within
+    ``n_rounds``.  Returns (node, landmark, dist); landmark self-rows
+    carry dist 0; unreached pairs are absent.
+
+    Scale shape: the landmark set is driver-held and SMALL by contract
+    (10s-100s -- the standard landmark-embedding regime), so pair
+    state is at most nodes x L.  Per round: the frontier (newly
+    settled pairs) broadcasts via ``ray.put`` under ``broadcast_cap``
+    and expansion is one vectorized searchsorted gather over the
+    materialized bidirectional edge table (no per-round edge
+    re-shuffle); settling is ONE tagged-union bucketed co-partition
+    of candidates against the settled table on the packed
+    (node * L + landmark_index) key -- node-pair-shaped, never
+    edge-shaped.  Frontiers past ``broadcast_cap`` would route the
+    expansion through the same tagged co-partition as bfs_hops; with
+    driver-held landmark sets the broadcast path is the designed
+    regime, so the cap simply raises.  Bidirectional edge tables
+    under ``driver_edge_cap`` run the identical BFS recursion in one
+    numpy process (parity pinned by
+    tests/test_ops.py::test_landmark_distances_parity)."""
+    from ci_log_processing_ray.ops.window import (bucketed_groups,
+                                                  resolve_group_buckets)
+
+    lms = np.unique(np.asarray(list(landmarks), dtype=np.int64))
+    L = len(lms)
+    if L == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "landmark": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64())}))
+    n_buckets = resolve_group_buckets(n_buckets)
+
+    ebi = (edges.map_batches(
+        lambda t: pa.table({"u": pa.concat_arrays([
+            t[src_col].combine_chunks().cast(pa.int64()),
+            t[dst_col].combine_chunks().cast(pa.int64())]),
+            "v": pa.concat_arrays([
+                t[dst_col].combine_chunks().cast(pa.int64()),
+                t[src_col].combine_chunks().cast(pa.int64())])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .materialize())
+
+    if ebi.count() <= driver_edge_cap:
+        eb = ebi.to_pandas()
+        u = eb["u"].to_numpy(np.int64)
+        v = eb["v"].to_numpy(np.int64)
+        nodes, vs, _, starts, ends = _frontier_csr(u, v, lms)
+        out_n, out_l, out_d = [], [], []
+        for lm in lms:
+            dist = np.full(len(nodes), -1, np.int64)
+            fpos = np.searchsorted(nodes, np.array([lm], np.int64))
+            dist[fpos] = 0
+            for r in range(1, n_rounds + 1):
+                idx, _ = _adj_slots(starts, ends, fpos)
+                if not len(idx):
+                    break
+                nbpos = np.unique(np.searchsorted(nodes, vs[idx]))
+                new = nbpos[dist[nbpos] < 0]
+                if not len(new):
+                    break
+                dist[new] = r
+                fpos = new
+            hit = dist >= 0
+            out_n.append(nodes[hit])
+            out_l.append(np.full(int(hit.sum()), lm, np.int64))
+            out_d.append(dist[hit])
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(np.concatenate(out_n)),
+            "landmark": pa.array(np.concatenate(out_l)),
+            "dist": pa.array(np.concatenate(out_d))}))
+
+    seed = pa.table({
+        "node": pa.array(lms), "landmark": pa.array(lms),
+        "dist": pa.array(np.zeros(L, np.int64))})
+    settled = ray.data.from_arrow(seed).materialize()
+    frontier = settled
+
+    for _r in range(n_rounds):
+        n_front = frontier.count()
+        if n_front == 0:
+            break
+        fdf = frontier.to_pandas()
+        assert n_front <= broadcast_cap, (
+            "landmark_distances: frontier exceeded broadcast_cap -- "
+            "raise the cap (landmark pair frontiers are nodes x L "
+            "shaped by contract)")
+        order = np.argsort(fdf["node"].to_numpy(np.int64),
+                           kind="mergesort")
+        fn = fdf["node"].to_numpy(np.int64)[order]
+        fl = fdf["landmark"].to_numpy(np.int64)[order]
+        fu = np.unique(fn)
+        fstarts = np.searchsorted(fn, fu)
+        fends = np.searchsorted(fn, fu, side="right")
+        ref = ray.put((fu, fstarts, fends, fl))
+
+        def expand(t: pa.Table, _r=_r, _ref=ref) -> pa.Table:
+            fu_, fs_, fe_, fl_ = ray.get(_ref)
+            u_ = t["u"].combine_chunks().to_numpy()
+            v_ = t["v"].combine_chunks().to_numpy()
+            pos = np.searchsorted(fu_, u_)
+            pos[pos >= len(fu_)] = 0
+            hit = fu_[pos] == u_
+            if not hit.any():
+                return pa.table({
+                    "node": pa.array([], pa.int64()),
+                    "landmark": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64())})
+            hp, hv = pos[hit], v_[hit]
+            idx, lens = _adj_slots(fs_, fe_, hp)
+            cand = pa.table({
+                "node": pa.array(np.repeat(hv, lens)),
+                "landmark": pa.array(fl_[idx]),
+                "dist": pa.array(np.full(int(lens.sum()), _r + 1,
+                                         np.int64))})
+            # in-block dedup shrinks the exchange
+            g = (cand.group_by(["node", "landmark"])
+                 .aggregate([("dist", "min")]))
+            return pa.table({"node": g["node"],
+                             "landmark": g["landmark"],
+                             "dist": g["dist_min"]})
+
+        cand_ds = ebi.map_batches(expand, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+        def keyed(side: int):
+            def f(t: pa.Table) -> pa.Table:
+                n_ = t["node"].combine_chunks().to_numpy()
+                l_ = t["landmark"].combine_chunks().to_numpy()
+                li = np.searchsorted(lms, l_)  # lms sorted unique
+                return pa.table({
+                    "key": pa.array(n_ * L + li),
+                    "node": pa.array(n_),
+                    "landmark": pa.array(l_),
+                    "dist": t["dist"],
+                    "_side": pa.array(np.full(len(n_), side, np.int8))})
+            return f
+
+        tagged = (settled.map_batches(keyed(0), batch_format="pyarrow")
+                  .union(cand_ds.map_batches(keyed(1),
+                                             batch_format="pyarrow")))
+
+        def settle(g: pd.DataFrame) -> pd.DataFrame:
+            have = set(g.loc[g["_side"] == 0, "key"])
+            new = g[(g["_side"] == 1) & ~g["key"].isin(have)]
+            new = new.drop_duplicates("key")
+            return new[["node", "landmark", "dist"]]
+
+        frontier = bucketed_groups(tagged, "key", settle,
+                                   n_buckets=n_buckets).materialize()
+        if frontier.count():
+            settled = settled.union(frontier).materialize()
+
+    return settled

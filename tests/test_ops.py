@@ -5088,3 +5088,52 @@ def test_knn_graph_ivf_driver_distributed_parity(ray_session):
                          nprobe=3, driver_cap=0).to_pandas()
     assert len(drv) > 0
     pd.testing.assert_frame_equal(norm(drv), norm(dist))
+
+
+def test_landmark_distances_parity(ray_session):
+    import collections
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ci_log_processing_ray.ops.iterative import landmark_distances
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 60, 300)
+    dst = rng.integers(0, 60, 300)
+    edges = ray.data.from_items(
+        [{"s": int(a), "d": int(b)} for a, b in zip(src, dst)]
+    ).repartition(4)
+    lms = [0, 7, 33]
+
+    def norm(df):
+        return (df.sort_values(["landmark", "node"])
+                .reset_index(drop=True).astype("int64"))
+
+    drv = landmark_distances(edges, "s", "d", lms,
+                             n_rounds=6).to_pandas()
+    dist = landmark_distances(edges, "s", "d", lms, n_rounds=6,
+                              driver_edge_cap=0).to_pandas()
+    pd.testing.assert_frame_equal(norm(drv), norm(dist))
+
+    # brute-force BFS reference
+    adj = collections.defaultdict(set)
+    for a, b in zip(src, dst):
+        adj[int(a)].add(int(b))
+        adj[int(b)].add(int(a))
+    rows = []
+    for lm in lms:
+        d = {lm: 0}
+        fr = [lm]
+        for r in range(1, 7):
+            nxt = []
+            for u in fr:
+                for v in adj[u]:
+                    if v not in d:
+                        d[v] = r
+                        nxt.append(v)
+            fr = nxt
+        rows += [{"node": n, "landmark": lm, "dist": dd}
+                 for n, dd in d.items()]
+    pd.testing.assert_frame_equal(norm(drv), norm(pd.DataFrame(rows)))
