@@ -2368,6 +2368,38 @@ def q_heavy_hitters_exact(sf_dir: str):
     return out.rename(columns={"item": "user_id"})
 
 
+def q_count_min(sf_dir: str):
+    """Count-min sketch point-frequency estimates for every distinct
+    user (ops/sketch.py:count_min_estimates): depth x width mergeable
+    counter partials, depth*width-row exchange regardless of corpus
+    size.  Rows-only (approximate by design) with the BINDING
+    count-min contract gate: every estimate >= the exact count (the
+    one-sided guarantee is deterministic), and overshoot stays under
+    3n/width; violations raise."""
+    from ci_log_processing_ray.ops.sketch import count_min_estimates
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    uid = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id"])["user_id"]
+    vc = uid.combine_chunks().value_counts()
+    true = dict(zip(vc.field("values").to_pylist(),
+                    vc.field("counts").to_pylist()))
+    items = sorted(true)
+    out = count_min_estimates(ds, "user_id", items, depth=4, width=1024)
+    bound = max(1, 3 * len(uid) // 1024)
+    for item, est in zip(out["item"], out["est_count"]):
+        t = int(true[item])
+        if est < t:
+            raise AssertionError(
+                f"count_min: {item!r} underestimated ({est} < {t}) -- "
+                f"the one-sided guarantee is broken")
+        if est - t > bound:
+            raise AssertionError(
+                f"count_min: {item!r} overshoots by {est - t} "
+                f"(> {bound})")
+    return out
+
+
 def q_chunk_text(sf_dir: str):
     """Overlapping fixed-window chunking (RAG / context-window prep):
     50-word chunks, stride 40.  Pure map; reassembly is one take +
@@ -7763,6 +7795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": q_corpus_curation,
         "duplicate_spans": q_duplicate_spans,
         "heavy_hitters": q_heavy_hitters,
+        "count_min": q_count_min,
         "heavy_hitters_exact": q_heavy_hitters_exact,
         "chunk_text": q_chunk_text,
         "decontaminate": q_decontaminate,

@@ -215,3 +215,62 @@ def heavy_hitters_exact(
     out = exact[exact["cnt"] * share_den >= n]
     return (out.sort_values(["cnt", "item"], ascending=[False, True])
             .reset_index(drop=True))
+
+
+def count_min_estimates(
+    ds: "ray.data.Dataset",
+    col: str,
+    query_items: "np.ndarray | list",
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> "pd.DataFrame":
+    """Count-min sketch point-frequency estimates (Cormode &
+    Muthukrishnan 2005) -- the fourth member of the mergeable-sketch
+    family next to HLL (distinct), Misra-Gries (heavy hitters) and
+    DDSketch (quantiles).  Each batch collapses to ONE depth x width
+    int64 counter matrix (vectorized value_counts + d hashed
+    scatter-adds); matrices merge by ADDITION through a
+    (cell, n) groupby whose exchange is depth*width rows per block
+    regardless of input size; the driver answers point queries as the
+    min over the d hashed cells.
+
+    Guarantees (deterministic on fixed data + fixed hash keys, the
+    binding-gate contract): estimates NEVER underestimate, and
+    overestimate only by colliding mass -- expected <= n/width per
+    row, min over ``depth`` independent rows.
+    """
+    keys = [f"cmsketchrow{j:05d}" for j in range(depth)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[col].combine_chunks()
+        vc = arr.value_counts()
+        items = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cells, ns = [], []
+        for j, key in enumerate(keys):
+            h = pd.util.hash_array(items, hash_key=key).astype(np.uint64)
+            pos = (h % np.uint64(width)).astype(np.int64) + j * width
+            m = np.zeros(width, np.int64)
+            np.add.at(m, pos - j * width, counts)
+            nz = np.flatnonzero(m)
+            cells.append(nz + j * width)
+            ns.append(m[nz])
+        return pa.table({"cell": pa.array(np.concatenate(cells)),
+                         "n": pa.array(np.concatenate(ns))})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("cell").sum("n").to_pandas()
+              .rename(columns={"sum(n)": "n"}))
+    table = np.zeros(depth * width, np.int64)
+    table[merged["cell"].to_numpy()] = merged["n"].to_numpy()
+    q = np.asarray(list(query_items), dtype=object)
+    est = np.full(len(q), np.iinfo(np.int64).max)
+    for j, key in enumerate(keys):
+        h = pd.util.hash_array(q, hash_key=key).astype(np.uint64)
+        pos = (h % np.uint64(width)).astype(np.int64) + j * width
+        est = np.minimum(est, table[pos])
+    return pd.DataFrame({"item": list(query_items),
+                         "est_count": est.astype(np.int64)})

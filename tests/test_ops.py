@@ -5137,3 +5137,33 @@ def test_landmark_distances_parity(ray_session):
         rows += [{"node": n, "landmark": lm, "dist": dd}
                  for n, dd in d.items()]
     pd.testing.assert_frame_equal(norm(drv), norm(pd.DataFrame(rows)))
+
+
+def test_count_min_contract_and_merge_invariance(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ci_log_processing_ray.ops.sketch import count_min_estimates
+
+    rng = np.random.default_rng(11)
+    vals = [f"u{int(x)}" for x in rng.zipf(1.5, 4000) % 300]
+    items = sorted(set(vals))
+    true = pd.Series(vals).value_counts()
+    est4 = count_min_estimates(
+        ray.data.from_items([{"u": v} for v in vals]).repartition(4),
+        "u", items, depth=4, width=256)
+    # one-sided guarantee: never underestimates
+    for item, est in zip(est4["item"], est4["est_count"]):
+        assert est >= true[item]
+    # merge invariance: identical estimates on a different partitioning
+    est2 = count_min_estimates(
+        ray.data.from_items([{"u": v} for v in vals]).repartition(2),
+        "u", items, depth=4, width=256)
+    pd.testing.assert_frame_equal(est4, est2)
+    # a wide sketch on a small vocab is near-exact
+    wide = count_min_estimates(
+        ray.data.from_items([{"u": v} for v in vals]).repartition(4),
+        "u", items, depth=4, width=8192)
+    assert (wide["est_count"].to_numpy()
+            == true[wide["item"]].to_numpy()).all()
