@@ -1423,6 +1423,7 @@ def kcore_resident(
     *,
     max_rounds: int = 64,
     n_shards: int | None = None,
+    driver_edge_cap: int = 400_000,
 ) -> "pd.DataFrame":
     """Full k-core decomposition (coreness per node) of the UNDIRECTED
     simple graph induced by the edge table, in the partition-resident
@@ -1457,7 +1458,67 @@ def kcore_resident(
     and change counts only.  Cross-shard traffic is n_shards^2 refs per
     round -- fine to a few hundred shards; interpose a tree exchange
     beyond that.  Returns the (node, core) frame (node-table sized).
+
+    Bidirectional canonical edge tables under ``driver_edge_cap`` run
+    the SAME synchronous h-index fixpoint in one numpy process
+    (coreness is a unique graph invariant, so parity is structural;
+    pinned by tests/test_ops.py::test_kcore_driver_parity).
     """
+    em = edges.map_batches(
+        lambda t: pa.table({
+            "u": t[src_col].combine_chunks().cast(pa.int64()),
+            "v": t[dst_col].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    if em.count() <= driver_edge_cap:
+        eb = em.to_pandas()
+        u = eb["u"].to_numpy(np.int64)
+        v = eb["v"].to_numpy(np.int64)
+        keep = u != v
+        a = np.minimum(u[keep], v[keep])
+        b = np.maximum(u[keep], v[keep])
+        if not len(a):
+            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                 "core": pd.Series([], dtype=np.int64)})
+        de = np.unique(np.stack([a, b], axis=1), axis=0)
+        bu = np.concatenate([de[:, 0], de[:, 1]])
+        bv = np.concatenate([de[:, 1], de[:, 0]])
+        nodes = np.unique(bu)
+        order = np.argsort(bu, kind="stable")
+        bus, bvs = bu[order], bv[order]
+        starts = np.searchsorted(bus, nodes)
+        ends = np.searchsorted(bus, nodes, side="right")
+        nb_pos = np.searchsorted(nodes, bvs)
+        seg = np.repeat(np.arange(len(nodes)), ends - starts)
+        est = (ends - starts).astype(np.int64)  # degree
+        converged = False
+        for _ in range(max_rounds):
+            ev = est[nb_pos]
+            # per-node h-index: sort neighbor ests desc within segment,
+            # h = max_i min(i+1, a_i)
+            o = np.lexsort((-ev, seg))
+            evs = ev[o]
+            pos_in = (np.arange(len(evs))
+                      - np.repeat(starts, ends - starts))
+            val = np.minimum(pos_in + 1, evs)
+            new = np.maximum.reduceat(val, starts)
+            if np.array_equal(new, est):
+                converged = True
+                break
+            est = new
+        if not converged:
+            import warnings
+
+            warnings.warn(
+                f"kcore_resident hit max_rounds={max_rounds} before "
+                "the h-index fixpoint; returned cores are upper "
+                "bounds -- raise max_rounds for deep peeling "
+                "structures", RuntimeWarning, stacklevel=2)
+        return pd.DataFrame({"node": nodes, "core": est})
+
+    edges = em.map_batches(
+        lambda t: pa.table({src_col: t["u"], dst_col: t["v"]}),
+        batch_format="pyarrow")
 
     @ray.remote
     class _CoreShard:
@@ -1615,6 +1676,7 @@ def sssp_weighted_resident(
     *,
     n_rounds: int,
     n_shards: int | None = None,
+    driver_edge_cap: int = 400_000,
 ) -> "pd.DataFrame":
     """Bounded-hop weighted single-source(s) shortest paths over a
     DIRECTED graph with non-negative int64 weights, in the
@@ -1637,7 +1699,46 @@ def sssp_weighted_resident(
     candidate partials as object refs, frontier-edge sized, never the
     edge table.  Early exit when no distance improves.  Returns the
     reached (node, dist) frame; unreached nodes are absent, seeds
-    always present at dist 0."""
+    always present at dist 0.
+
+    Edge tables under ``driver_edge_cap`` run the SAME k-round
+    Bellman-Ford recurrence in one numpy process (the k-round distance
+    table is a unique function of the input, so parity is structural;
+    pinned by tests/test_ops.py::test_sssp_driver_parity)."""
+    em = edges.map_batches(
+        lambda t: pa.table({
+            "u": t[src_col].combine_chunks().cast(pa.int64()),
+            "v": t[dst_col].combine_chunks().cast(pa.int64()),
+            "w": t[weight_col].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    if em.count() <= driver_edge_cap:
+        eb = em.to_pandas()
+        u = eb["u"].to_numpy(np.int64)
+        v = eb["v"].to_numpy(np.int64)
+        w = eb["w"].to_numpy(np.int64)
+        sd = np.unique(seeds.to_pandas()["node"].to_numpy(np.int64))
+        nodes = np.unique(np.concatenate([u, v, sd]))
+        INF = np.int64(1) << 62
+        dist = np.full(len(nodes), INF, np.int64)
+        dist[np.searchsorted(nodes, sd)] = 0
+        up = np.searchsorted(nodes, u)
+        vp = np.searchsorted(nodes, v)
+        for _ in range(n_rounds):
+            cand = dist[up] + w
+            cand[dist[up] >= INF] = INF
+            new = dist.copy()
+            np.minimum.at(new, vp, cand)
+            if np.array_equal(new, dist):
+                break
+            dist = new
+        hit = dist < INF
+        return pd.DataFrame({"node": nodes[hit], "dist": dist[hit]})
+
+    edges = em.map_batches(
+        lambda t: pa.table({src_col: t["u"], dst_col: t["v"],
+                            weight_col: t["w"]}),
+        batch_format="pyarrow")
 
     @ray.remote
     class _SpShard:
@@ -1794,6 +1895,7 @@ def deterministic_random_walks(
     *,
     walk_len: int,
     n_buckets: int | None = None,
+    driver_edge_cap: int = 200_000,
 ) -> "pd.DataFrame":
     """Random-walk corpus generation (the node2vec/DeepWalk input
     stage) made DETERMINISTIC so it is oracle-checkable: one walk
@@ -1828,6 +1930,50 @@ def deterministic_random_walks(
 
     bi = edges.map_batches(canon, batch_format="pyarrow",
                            zero_copy_batch=True).materialize()
+
+    if bi.count() <= driver_edge_cap:
+        # driver path: the IDENTICAL md5-argmin recurrence in one
+        # process (each step's choice is a pure function of (cur, nbr,
+        # step), so parity is structural; pinned by
+        # tests/test_ops.py::test_random_walks_driver_parity)
+        eb = bi.to_pandas()
+        a = eb["a"].to_numpy(np.int64)
+        b = eb["b"].to_numpy(np.int64)
+        order = np.argsort(a, kind="stable")
+        a_s, b_s = a[order], b[order]
+        nodes = np.unique(a_s)
+        starts_i = np.searchsorted(a_s, nodes)
+        ends_i = np.searchsorted(a_s, nodes, side="right")
+        adj = {int(n): b_s[s:e] for n, s, e in
+               zip(nodes, starts_i, ends_i)}
+        cur = {int(n): int(n) for n in nodes}
+        rows_s = [np.array(sorted(cur), np.int64)]
+        rows_step = [np.zeros(len(cur), np.int64)]
+        rows_n = [rows_s[0].copy()]
+        for step in range(1, walk_len + 1):
+            pick: dict = {}
+            for c in set(cur.values()):
+                best = None
+                for nbr in adj.get(c, ()):
+                    h = hashlib.md5(
+                        f"{c}:{int(nbr)}:{step}".encode()).hexdigest()
+                    k = (h, int(nbr))
+                    if best is None or k < best[0]:
+                        best = (k, int(nbr))
+                if best is not None:
+                    pick[c] = best[1]
+            nxt = {s: pick[c] for s, c in cur.items() if c in pick}
+            if not nxt:
+                break
+            ss = np.array(sorted(nxt), np.int64)
+            rows_s.append(ss)
+            rows_step.append(np.full(len(ss), step, np.int64))
+            rows_n.append(np.array([nxt[int(s)] for s in ss], np.int64))
+            cur = nxt
+        return ray.data.from_arrow(pa.table({
+            "start": pa.array(np.concatenate(rows_s)),
+            "step": pa.array(np.concatenate(rows_step)),
+            "node": pa.array(np.concatenate(rows_n))}))
 
     # walks start at every node; state rows are (start, cur)
     def init_states(g: pd.DataFrame) -> pd.DataFrame:
@@ -2014,6 +2160,7 @@ def neighbor_feature_agg(
     feat_col: str,
     *,
     n_buckets: int | None = None,
+    driver_edge_cap: int = 400_000,
 ) -> "ray.data.Dataset":
     """GNN-style neighbor feature aggregation (the GraphSAGE /
     feature-propagation preprocessing primitive) over the DIRECTED
@@ -2040,6 +2187,29 @@ def neighbor_feature_agg(
 
     e = edges.map_batches(canon_edges, batch_format="pyarrow",
                           zero_copy_batch=True).materialize()
+
+    if e.count() <= driver_edge_cap:
+        # driver path (cap-with-distributed-fallback): edge tables at
+        # toy scale pay three fixed-cost exchanges; the same two-hop
+        # path-multiset recurrence runs in one pandas process.
+        # Feature tables are node-shaped, so they fit whenever the
+        # edges do.  Parity pinned by
+        # tests/test_ops.py::test_neighbor_agg_driver_parity.
+        ef = e.to_pandas()
+        fd = feats.to_pandas().rename(
+            columns={node_col: "u", feat_col: "_f"})[["u", "_f"]]
+        fd["_f"] = fd["_f"].astype(np.int64)
+        m1 = ef.merge(fd, on="u")
+        h1 = (m1.groupby("v", as_index=False)
+              .agg(h1_sum=("_f", "sum"), h1_n=("_f", "size")))
+        m2 = ef.merge(h1.rename(columns={"v": "u"}), on="u")
+        h2 = (m2.groupby("v", as_index=False)
+              .agg(h2_sum=("h1_sum", "sum"), h2_n=("h1_n", "sum")))
+        out = h1.merge(h2, on="v", how="outer").fillna(0)
+        out = out.rename(columns={"v": "node"}).astype(np.int64)
+        return ray.data.from_arrow(pa.Table.from_pandas(
+            out[["node", "h1_sum", "h1_n", "h2_sum", "h2_n"]],
+            preserve_index=False))
 
     def one_hop(feat_ds: ray.data.Dataset, fcol: str, ncol: str,
                 cnt_col: str | None, *, final_sum: bool
@@ -2136,6 +2306,7 @@ def degree_assortativity(
     dst_col: str,
     *,
     n_buckets: int | None = None,
+    driver_edge_cap: int = 400_000,
 ) -> "ray.data.Dataset":
     """Directed (out-in) degree assortativity SUFFICIENT STATISTICS,
     exact in int64: per edge, x = out-degree(src) and y =
@@ -2165,6 +2336,31 @@ def degree_assortativity(
 
     e = edges.map_batches(canon, batch_format="pyarrow",
                           zero_copy_batch=True).materialize()
+
+    if e.count() <= driver_edge_cap:
+        # driver path: same suffstat math, zero exchanges (parity
+        # pinned by tests/test_ops.py::test_assortativity_driver_parity)
+        eb = e.to_pandas()
+        u = eb["u"].to_numpy(np.int64)
+        v = eb["v"].to_numpy(np.int64)
+        un, uc = np.unique(u, return_counts=True)
+        vn, vc = np.unique(v, return_counts=True)
+        x = uc[np.searchsorted(un, u)].astype(np.int64)
+        y = vc[np.searchsorted(vn, v)].astype(np.int64)
+        m = len(eb)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, syy = int((x * x).sum()), int((y * y).sum())
+        sxy = int((x * y).sum())
+        return ray.data.from_arrow(pa.table({
+            "m": pa.array([m], pa.int64()),
+            "sx": pa.array([sx], pa.int64()),
+            "sy": pa.array([sy], pa.int64()),
+            "sxx": pa.array([sxx], pa.int64()),
+            "syy": pa.array([syy], pa.int64()),
+            "sxy": pa.array([sxy], pa.int64()),
+            "r_num": pa.array([m * sxy - sx * sy], pa.int64()),
+            "r_den1": pa.array([m * sxx - sx * sx], pa.int64()),
+            "r_den2": pa.array([m * syy - sy * sy], pa.int64())}))
 
     def deg_of(col: str, out_name: str) -> ray.data.Dataset:
         def ones(t: pa.Table) -> pa.Table:
@@ -2333,6 +2529,7 @@ def minimum_spanning_forest(
     *,
     max_rounds: int = 16,
     n_buckets: int | None = None,
+    driver_edge_cap: int = 200_000,
 ) -> "ray.data.Dataset":
     """Distributed minimum spanning forest via Boruvka's algorithm --
     the clustering / network-design primitive (single-linkage
@@ -2376,6 +2573,38 @@ def minimum_spanning_forest(
 
     e = edges.map_batches(canon, batch_format="pyarrow",
                           zero_copy_batch=True).materialize()
+
+    if e.count() <= driver_edge_cap:
+        # driver path: Kruskal under the SAME (w, min, max) total
+        # order.  The minimum forest w.r.t. a strict total order is
+        # UNIQUE, so this provably equals the Boruvka result (parity
+        # pinned by tests/test_ops.py::test_msf_driver_parity).
+        eb = e.to_pandas().sort_values(["w", "eu", "ev"],
+                                       kind="mergesort")
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        fu, fv, fw = [], [], []
+        for uu, vv, ww in zip(eb["eu"].to_numpy(np.int64),
+                              eb["ev"].to_numpy(np.int64),
+                              eb["w"].to_numpy(np.int64)):
+            ru, rv = find(int(uu)), find(int(vv))
+            if ru != rv:
+                parent[ru] = rv
+                fu.append(uu)
+                fv.append(vv)
+                fw.append(ww)
+        return ray.data.from_arrow(pa.table({
+            "u": pa.array(np.array(fu, np.int64)),
+            "v": pa.array(np.array(fv, np.int64)),
+            "w": pa.array(np.array(fw, np.int64))}))
 
     def attach_label(ds_in, key: str, labels, out: str):
         """Tagged co-partition on ``key``: attach that node's current
@@ -3223,6 +3452,7 @@ def component_stats(
     dst_col: str,
     *,
     n_buckets: int | None = None,
+    driver_edge_cap: int = 400_000,
 ) -> ray.data.Dataset:
     """Per-connected-component profile: (component = min node id,
     n_nodes, n_edges, cyclomatic = n_edges - n_nodes + 1) -- the
@@ -3240,7 +3470,37 @@ def component_stats(
                                                   bucketed_groups,
                                                   bucketed_sum)
 
-    labels = connected_components(edges, src_col, dst_col,
+    em = edges.map_batches(
+        lambda t: pa.table({
+            "u": t[src_col].combine_chunks().cast(pa.int64()),
+            "v": t[dst_col].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    if em.count() <= driver_edge_cap:
+        # driver path: same min-label CC kernel + exact counts in one
+        # process (parity pinned by
+        # tests/test_ops.py::test_component_stats_driver_parity)
+        eb = em.to_pandas()
+        u = eb["u"].to_numpy(np.int64)
+        v = eb["v"].to_numpy(np.int64)
+        nodes, roots = _local_cc_labels(u, v)
+        n_per = pd.Series(roots).value_counts().sort_index()
+        keep = u != v
+        a = np.minimum(u[keep], v[keep])
+        b = np.maximum(u[keep], v[keep])
+        de = np.unique(np.stack([a, b], axis=1), axis=0)
+        ecomp = roots[np.searchsorted(nodes, de[:, 0])]
+        e_per = pd.Series(ecomp).value_counts().sort_index()
+        comp = n_per.index.to_numpy(np.int64)
+        n = n_per.to_numpy(np.int64)
+        e = e_per.reindex(n_per.index, fill_value=0).to_numpy(np.int64)
+        return ray.data.from_arrow(pa.table({
+            "component": pa.array(comp),
+            "n_nodes": pa.array(n),
+            "n_edges": pa.array(e),
+            "cyclomatic": pa.array(e - n + 1)}))
+
+    labels = connected_components(em, "u", "v",
                                   n_buckets=n_buckets).materialize()
     # node-shaped downstream exchanges: size from the KNOWN label count
     from ci_log_processing_ray.ops.window import \
@@ -3338,6 +3598,7 @@ def dbscan_grid(
     eps: int,
     min_pts: int,
     n_buckets: int | None = None,
+    driver_point_cap: int = 6000,
 ) -> ray.data.Dataset:
     """Distributed DBSCAN over INTEGER 2-D coordinates via the classic
     eps-grid partitioning (Ester et al., KDD 1996; the grid/halo
@@ -3368,6 +3629,57 @@ def dbscan_grid(
     from .window import bucketed_groups
 
     _SENT = np.int64(1) << 62
+
+    if ds.count() <= driver_point_cap:
+        # driver path: exact blockwise O(n^2) with the IDENTICAL
+        # determinism contract (min-core-id labels, min-label borders);
+        # the output is a unique function of the input, so parity is
+        # structural (pinned by
+        # tests/test_ops.py::test_dbscan_driver_parity).
+        pts = ds.to_pandas()
+        ids = pts[id_col].to_numpy(np.int64)
+        x = pts[x_col].to_numpy(np.int64)
+        y = pts[y_col].to_numpy(np.int64)
+        n, eps2, B = len(ids), eps * eps, 2048
+        cnt = np.zeros(n, np.int64)
+        for s in range(0, n, B):
+            d2 = ((x[s:s + B, None] - x[None, :]) ** 2
+                  + (y[s:s + B, None] - y[None, :]) ** 2)
+            cnt[s:s + B] = (d2 <= eps2).sum(axis=1)
+        core = cnt >= min_pts
+        ci = np.flatnonzero(core)
+        cid = ids[ci]
+        es, ed = [cid], [cid]  # self-loops keep isolated cores
+        for s in range(0, len(ci), B):
+            blk = ci[s:s + B]
+            d2 = ((x[blk, None] - x[None, ci]) ** 2
+                  + (y[blk, None] - y[None, ci]) ** 2)
+            ii, jj = np.nonzero(d2 <= eps2)
+            a, b = ids[blk[ii]], cid[jj]
+            keep = a < b
+            es.append(a[keep])
+            ed.append(b[keep])
+        nodes, roots = _local_cc_labels(np.concatenate(es),
+                                        np.concatenate(ed))
+        bi = np.flatnonzero(~core)
+        blab = np.full(len(bi), _SENT, np.int64)
+        for s in range(0, len(bi), B):
+            blk = bi[s:s + B]
+            d2 = ((x[blk, None] - x[None, ci]) ** 2
+                  + (y[blk, None] - y[None, ci]) ** 2)
+            near = d2 <= eps2
+            lab = roots[np.searchsorted(nodes, cid)]
+            lm = np.where(near, lab[None, :], _SENT)
+            blab[s:s + B] = (lm.min(axis=1) if len(ci)
+                             else np.full(len(blk), _SENT, np.int64))
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array(np.concatenate([ids[ci], ids[bi]])),
+            "cluster": pa.array(np.concatenate(
+                [roots[np.searchsorted(nodes, cid)],
+                 np.where(blab == _SENT, -1, blab)])),
+            "is_core": pa.array(np.concatenate(
+                [np.ones(len(ci), np.int64),
+                 np.zeros(len(bi), np.int64)]))}))
 
     def _cells(t: pa.Table) -> pa.Table:
         """Home row + 9 halo rows per point (role 0 = home)."""
@@ -3597,6 +3909,7 @@ def partition_modularity(
     comm_col: str,
     *,
     n_buckets: int | None = None,
+    driver_edge_cap: int = 400_000,
 ) -> ray.data.Dataset:
     """Exact per-community modularity sufficient statistics for an
     ARBITRARY partition (the community-quality evaluator: score the
@@ -3616,6 +3929,48 @@ def partition_modularity(
     from ray.data.aggregate import Sum
 
     from .window import bucketed_groups
+
+    em = edges.map_batches(
+        lambda t: pa.table({
+            "u": t[src_col].combine_chunks().cast(pa.int64()),
+            "v": t[dst_col].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    if em.count() <= driver_edge_cap:
+        # driver path: same label-attach + suffstat math, zero
+        # exchanges (parity pinned by
+        # tests/test_ops.py::test_modularity_driver_parity)
+        eb = em.to_pandas()
+        cm = comm.to_pandas().rename(
+            columns={node_col: "u", comm_col: "_c"})[["u", "_c"]]
+        # LEFT attaches: a labeled endpoint counts toward degree_sum
+        # even when the edge's other endpoint is unlabeled (the
+        # distributed kern emits those rows with a missing label)
+        m = (eb.merge(cm, on="u", how="left")
+             .rename(columns={"_c": "c_src", "v": "u2"}))
+        m = m.merge(cm.rename(columns={"u": "u2"}), on="u2",
+                    how="left").rename(columns={"_c": "c_dst"})
+        both = pd.concat([m["c_src"], m["c_dst"]],
+                         ignore_index=True).dropna()
+        d = both.value_counts().sort_index()
+        ints = m.loc[m["c_src"].notna() & (m["c_src"] == m["c_dst"]),
+                     "c_src"]
+        di = ints.value_counts()
+        out = pd.DataFrame({
+            "community": d.index.to_numpy(),
+            "internal_edges": di.reindex(d.index, fill_value=0)
+            .to_numpy(np.int64),
+            "degree_sum": d.to_numpy(np.int64)})
+        out["community"] = out["community"].astype(eb["u"].dtype
+                                                  if cm["_c"].dtype.kind
+                                                  in "iu" else
+                                                  cm["_c"].dtype)
+        return ray.data.from_arrow(pa.Table.from_pandas(
+            out, preserve_index=False))
+
+    edges = em.map_batches(
+        lambda t: pa.table({src_col: t["u"], dst_col: t["v"]}),
+        batch_format="pyarrow")
 
     def resolve_pass(tagged, carry_cols):
         def kern(g: pd.DataFrame) -> pd.DataFrame:

