@@ -4455,7 +4455,7 @@ def landmark_distances(
             "node": pa.array([], pa.int64()),
             "landmark": pa.array([], pa.int64()),
             "dist": pa.array([], pa.int64())}))
-    n_buckets = resolve_group_buckets(n_buckets)
+    user_buckets = n_buckets
 
     ebi = (edges.map_batches(
         lambda t: pa.table({"u": pa.concat_arrays([
@@ -4499,13 +4499,25 @@ def landmark_distances(
     seed = pa.table({
         "node": pa.array(lms), "landmark": pa.array(lms),
         "dist": pa.array(np.zeros(L, np.int64))})
-    settled = ray.data.from_arrow(seed).materialize()
+    # settled accumulates as RAW Arrow block refs: a per-round
+    # union(...).materialize() chain RE-EXECUTES its whole history
+    # (measured: union cost doubled every round at 4M edges), while
+    # from_arrow_refs carries zero lineage -- blocks stay in the
+    # object store and the dataset rebuilds from refs each round.
+    settled_refs = [ray.put(seed)]
+    settled = ray.data.from_arrow_refs(list(settled_refs))
     frontier = settled
+    n_front = L
 
     for _r in range(n_rounds):
-        n_front = frontier.count()
         if n_front == 0:
             break
+        # pair-state exchanges are frontier-sized: size the bucket
+        # count from the KNOWN frontier (the resolve_group_buckets
+        # small-input branch) so toy frontiers don't pay cluster-width
+        # per-task fixed costs
+        nb_round = resolve_group_buckets(user_buckets,
+                                         input_rows=4 * n_front)
         fdf = frontier.to_pandas()
         assert n_front <= broadcast_cap, (
             "landmark_distances: frontier exceeded broadcast_cap -- "
@@ -4572,9 +4584,18 @@ def landmark_distances(
             new = new.drop_duplicates("key")
             return new[["node", "landmark", "dist"]]
 
-        frontier = bucketed_groups(tagged, "key", settle,
-                                   n_buckets=n_buckets).materialize()
-        if frontier.count():
-            settled = settled.union(frontier).materialize()
+        new_tbls = [
+            b for b in bucketed_groups(tagged, "key", settle,
+                                       n_buckets=nb_round)
+            .iter_batches(batch_format="pyarrow") if len(b)]
+        n_front = sum(len(b) for b in new_tbls)
+        if n_front:
+            # one compacted Arrow block per round (frontier-sized by
+            # construction: <= nodes-reached-this-round x L_local)
+            blk = pa.concat_tables(new_tbls)
+            ref = ray.put(blk)
+            settled_refs.append(ref)
+            frontier = ray.data.from_arrow_refs([ref])
+            settled = ray.data.from_arrow_refs(list(settled_refs))
 
     return settled

@@ -1382,6 +1382,93 @@ def main_lpa() -> None:
         ray.shutdown()
 
 
+CORPUS_LANDMARK = "/tmp/llm_scale_landmark_v1"
+LM_N_NODES = 4_000_000
+LM_STEP = 200_000
+LM_ROUNDS = 16
+
+
+def build_landmark_corpus() -> int:
+    """4M-node PATH graph (edge i -- i-1): per-row closed-form truth
+    dist(v, lm) == |v - lm| for every landmark within the round
+    budget, with window truncation only at node 0 / node N-1."""
+    import numpy as np
+
+    marker = os.path.join(CORPUS_LANDMARK, ".done")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)["n_edges"]
+    os.makedirs(CORPUS_LANDMARK, exist_ok=True)
+    per = LM_N_NODES // N_SHARDS
+    n_edges = 0
+    for shard in range(N_SHARDS):
+        lo = shard * per
+        ids = np.arange(max(lo, 1), lo + per, dtype=np.int64)
+        out = pa.table({"src": pa.array(ids),
+                        "dst": pa.array(ids - 1)})
+        tmp = os.path.join(CORPUS_LANDMARK, f".tmp-{shard:04d}.parquet")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(CORPUS_LANDMARK,
+                                     f"part-{shard:04d}.parquet"))
+        n_edges += len(out)
+    with open(marker, "w") as f:
+        json.dump({"n_edges": n_edges}, f)
+    return n_edges
+
+
+def main_landmark() -> None:
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    n_edges = build_landmark_corpus()
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.iterative import landmark_distances
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+        lms = np.arange(0, LM_N_NODES, LM_STEP, dtype=np.int64)
+        t0 = time.perf_counter()
+        # 8M bidirectional edge rows >> driver_edge_cap -> distributed
+        # path: per-round broadcast frontier + full-edge-table expand,
+        # pair-keyed tagged-union settling
+        out = landmark_distances(
+            ray.data.read_parquet(CORPUS_LANDMARK), "src", "dst",
+            lms, n_rounds=LM_ROUNDS).to_pandas()
+        sec = time.perf_counter() - t0
+
+        # closed form: every (node, lm) with |node - lm| <= LM_ROUNDS,
+        # dist exactly |node - lm|; windows truncate at corpus ends
+        node = out["node"].to_numpy(np.int64)
+        lm = out["landmark"].to_numpy(np.int64)
+        dist = out["dist"].to_numpy(np.int64)
+        assert (dist == np.abs(node - lm)).all()
+        assert dist.max() == LM_ROUNDS
+        want_rows = 0
+        for m in lms:
+            lo = max(0, m - LM_ROUNDS)
+            hi = min(LM_N_NODES - 1, m + LM_ROUNDS)
+            want_rows += hi - lo + 1
+        assert len(out) == want_rows, (len(out), want_rows)
+        # per-landmark coverage is contiguous and centered
+        df = out.groupby("landmark")["node"].agg(["min", "max", "size"])
+        assert (df["size"] == df["max"] - df["min"] + 1).all()
+
+        print(json.dumps({
+            "n_edges": n_edges, "n_landmarks": int(len(lms)),
+            "rounds": LM_ROUNDS, "pair_rows": int(len(out)),
+            "sec": round(sec, 2),
+            "edge_rows_scanned_per_sec": round(
+                2 * n_edges * LM_ROUNDS / sec),
+            "num_cpus": NCPU, "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 CORPUS_KC = "/tmp/llm_scale_kcore_v1"
 KC_BLOCK = 100
 KC_N_NODES = 4_000_000
@@ -4144,5 +4231,7 @@ if __name__ == "__main__":
         main_shapes()
     elif len(sys.argv) > 1 and sys.argv[1] == "tpch":
         main_tpch()
+    elif len(sys.argv) > 1 and sys.argv[1] == "landmark":
+        main_landmark()
     else:
         main()
