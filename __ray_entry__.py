@@ -7157,6 +7157,31 @@ def q_harmonic_centrality(sf_dir: str):
                 Sum("harmonic_micro", alias_name="harmonic_micro")))
 
 
+def q_stress_centrality(sf_dir: str):
+    """Sampled-source stress centrality (Brandes two-sweep, exact
+    integer: ops/iterative.py:stress_centrality) over the decade chain
+    graph with two sources per decade (doc_id % 10 in {0, 4}).  Path
+    components have unique shortest paths (sigma = 1), so
+    stress(v) = #(source, target) pairs with v strictly between --
+    which the DuckDB oracle states as literal triple counting."""
+    from ci_log_processing_ray.ops.iterative import stress_centrality
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    sources = ids[np.isin(ids % 10, (0, 4))]
+
+    def chain_edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().to_numpy()
+        keep = d % 10 != 0
+        return pa.table({"src": pa.array(d[keep]),
+                         "dst": pa.array(d[keep] - 1)})
+
+    edges = ds.map_batches(chain_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return stress_centrality(edges, "src", "dst", sources, n_rounds=9)
+
+
 def q_kcore(sf_dir: str):
     """Full k-core decomposition (coreness per node) via the
     partition-resident h-index fixpoint
@@ -7974,6 +7999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_prune": q_partition_prune,
         "label_prop": q_label_prop,
         "landmark_distances": q_landmark_distances,
+        "stress_centrality": q_stress_centrality,
         "harmonic_centrality": q_harmonic_centrality,
         "sorted_neighborhood": q_sorted_neighborhood,
         "sssp": q_sssp,
@@ -9797,6 +9823,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM s WHERE next_type IS NOT NULL
             GROUP BY 1, 2""",
+        "stress_centrality": """
+            SELECT v.doc_id AS node, CAST(count(*) AS BIGINT) AS stress
+            FROM documents v, documents s, documents t
+            WHERE s.doc_id % 10 IN (0, 4)
+              AND v.doc_id // 10 = s.doc_id // 10
+              AND t.doc_id // 10 = s.doc_id // 10
+              AND ((s.doc_id < v.doc_id AND v.doc_id < t.doc_id)
+                OR (t.doc_id < v.doc_id AND v.doc_id < s.doc_id))
+            GROUP BY 1""",
         "landmark_distances": """
             SELECT d1.doc_id AS node, d2.doc_id AS landmark,
                    CAST(ABS(d1.doc_id - d2.doc_id) AS BIGINT) AS dist

@@ -4599,3 +4599,338 @@ def landmark_distances(
             settled = ray.data.from_arrow_refs(list(settled_refs))
 
     return settled
+
+
+def stress_centrality(
+    edges: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    sources: "np.ndarray | list[int]",
+    *,
+    n_rounds: int = 8,
+    driver_edge_cap: int = 400_000,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Sampled-source STRESS centrality over the UNDIRECTED graph --
+    Brandes' two-sweep shape with exact-INTEGER accumulation (stress
+    = number of shortest s-t paths through v, the integer sibling of
+    betweenness; betweenness divides by sigma_st and leaves the exact
+    contract).  For the driver-held source sample S and hop radius
+    ``n_rounds``:
+
+        stress(v) = sum_{s in S} sigma_sv * P_s(v),  v != s,
+
+    where sigma_sv counts shortest s-v paths and P_s(v) counts
+    directed paths of length >= 1 from v in the s-shortest-path DAG
+    (every such path reaches a t with v on an s-t shortest path, so
+    sigma_sv * P_s(v) = sum_t sigma_st(v) restricted to d(s,t) <=
+    n_rounds -- the truncated-stress contract the oracle states as
+    triple counting).
+
+    Scale shape (both sweeps reuse :func:`landmark_distances`'s
+    pair-state loop, including its lessons: settled state accumulates
+    as raw Arrow block refs -- per-round union().materialize() chains
+    re-execute their history -- and every pair-shaped exchange sizes
+    its buckets from the KNOWN frontier count):
+
+    * forward: per round, the (node, src, sigma) frontier broadcasts
+      via ``ray.put`` and ONE vectorized gather over the materialized
+      bidirectional edge table emits sigma partials to neighbors; a
+      pair-keyed tagged-union co-partition sums partials and settles
+      unseen pairs at dist r+1;
+    * backward: levels descend from the deepest settled distance; the
+      level-(d+1) pair table (node -> src, 1 + P) broadcasts and the
+      same edge gather emits contributions, which a pair-keyed
+      co-partition adds to pairs AT level d exactly (the DAG-edge
+      condition dist(u) == dist(v) - 1 resolves against the settled
+      dist riding the exchange);
+    * finalize: one node-shaped bucketed sum of sigma * P.
+
+    Edge tables under ``driver_edge_cap`` run the identical recurrence
+    in one numpy process (parity pinned by
+    tests/test_ops.py::test_stress_centrality_parity; a brute-force
+    all-paths reference pins the semantics).  Output: (node, stress),
+    stress > 0 rows only, int64.
+    """
+    from ci_log_processing_ray.ops.window import (bucketed_groups,
+                                                  bucketed_sum,
+                                                  resolve_group_buckets)
+
+    srcs = np.unique(np.asarray(list(sources), dtype=np.int64))
+    S = len(srcs)
+    empty = ray.data.from_arrow(pa.table({
+        "node": pa.array([], pa.int64()),
+        "stress": pa.array([], pa.int64())}))
+    if S == 0:
+        return empty
+
+    from ci_log_processing_ray.ops.window import bucketed_distinct
+
+    # sigma multiplies along parallel edges, so stress is defined on
+    # the SIMPLE graph: canonical dedup (self-loops dropped) before
+    # the bidirectional expansion -- one edge-shaped distinct exchange
+    def canon(t: pa.Table) -> pa.Table:
+        s = t[src_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = t[dst_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"a": pa.array(np.minimum(s, d)),
+                         "b": pa.array(np.maximum(s, d))})
+
+    ebi = (bucketed_distinct(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["a", "b"], n_buckets=n_buckets)
+        .map_batches(
+            lambda t: pa.table({"u": pa.concat_arrays([
+                t["a"].combine_chunks().cast(pa.int64()),
+                t["b"].combine_chunks().cast(pa.int64())]),
+                "v": pa.concat_arrays([
+                    t["b"].combine_chunks().cast(pa.int64()),
+                    t["a"].combine_chunks().cast(pa.int64())])}),
+            batch_format="pyarrow")
+        .materialize())
+
+    if ebi.count() <= driver_edge_cap:
+        eb = ebi.to_pandas()
+        u = eb["u"].to_numpy(np.int64)
+        v = eb["v"].to_numpy(np.int64)
+        nodes, vs, _, starts, ends = _frontier_csr(u, v, srcs)
+        total = np.zeros(len(nodes), np.int64)
+        for s in srcs:
+            dist = np.full(len(nodes), -1, np.int64)
+            sig = np.zeros(len(nodes), np.int64)
+            sp = np.searchsorted(nodes, np.array([s], np.int64))
+            dist[sp] = 0
+            sig[sp] = 1
+            fpos = sp
+            levels = [fpos]
+            for r in range(1, n_rounds + 1):
+                idx, lens = _adj_slots(starts, ends, fpos)
+                if not len(idx):
+                    break
+                tgt = np.searchsorted(nodes, vs[idx])
+                contrib = np.repeat(sig[fpos], lens)
+                fresh = dist[tgt] < 0
+                newp = np.unique(tgt[fresh])
+                add = np.zeros(len(nodes), np.int64)
+                np.add.at(add, tgt[fresh], contrib[fresh])
+                # also paths arriving at nodes settled THIS round from
+                # other frontier parents are all in tgt[fresh] already
+                if not len(newp):
+                    break
+                dist[newp] = r
+                sig[newp] = add[newp]
+                fpos = newp
+                levels.append(fpos)
+            # backward: P(v) = sum over DAG successors w of (1 + P(w))
+            P = np.zeros(len(nodes), np.int64)
+            for d in range(len(levels) - 2, -1, -1):
+                lp = levels[d]
+                idx, lens = _adj_slots(starts, ends, lp)
+                if not len(idx):
+                    continue
+                tgt = np.searchsorted(nodes, vs[idx])
+                owner = np.repeat(lp, lens)
+                ok = dist[tgt] == dist[owner] + 1
+                add = np.zeros(len(nodes), np.int64)
+                np.add.at(add, owner[ok], 1 + P[tgt[ok]])
+                P += add
+            contrib = sig * P
+            contrib[sp] = 0  # v == s excluded
+            total += contrib
+        hit = total > 0
+        if not hit.any():
+            return empty
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes[hit]),
+            "stress": pa.array(total[hit])}))
+
+    user_buckets = n_buckets
+    src_index = srcs  # sorted unique; index via searchsorted
+
+    def pack_key(n_, l_):
+        return n_ * S + np.searchsorted(src_index, l_)
+
+    # ---- forward sweep: settle (node, src, dist, sigma) pairs ------
+    seed = pa.table({
+        "node": pa.array(srcs), "src": pa.array(srcs),
+        "dist": pa.array(np.zeros(S, np.int64)),
+        "sigma": pa.array(np.ones(S, np.int64))})
+    settled_refs = [ray.put(seed)]
+    level_tbls = [seed]
+    n_front = S
+
+    for _r in range(n_rounds):
+        if n_front == 0:
+            break
+        front = level_tbls[-1]
+        order = np.argsort(front["node"].to_numpy(), kind="mergesort")
+        fn = front["node"].to_numpy()[order]
+        fl = front["src"].to_numpy()[order]
+        fs = front["sigma"].to_numpy()[order]
+        fu = np.unique(fn)
+        fstarts = np.searchsorted(fn, fu)
+        fends = np.searchsorted(fn, fu, side="right")
+        ref = ray.put((fu, fstarts, fends, fl, fs))
+
+        def expand(t: pa.Table, _r=_r, _ref=ref) -> pa.Table:
+            fu_, fs_, fe_, fl_, fg_ = ray.get(_ref)
+            u_ = t["u"].combine_chunks().to_numpy()
+            v_ = t["v"].combine_chunks().to_numpy()
+            pos = np.searchsorted(fu_, u_)
+            pos[pos >= len(fu_)] = 0
+            hit = fu_[pos] == u_
+            if not hit.any():
+                return pa.table({
+                    "node": pa.array([], pa.int64()),
+                    "src": pa.array([], pa.int64()),
+                    "sigma": pa.array([], pa.int64())})
+            hp, hv = pos[hit], v_[hit]
+            idx, lens = _adj_slots(fs_, fe_, hp)
+            cand = pa.table({
+                "node": pa.array(np.repeat(hv, lens)),
+                "src": pa.array(fl_[idx]),
+                "sigma": pa.array(fg_[idx])})
+            g = (cand.group_by(["node", "src"])
+                 .aggregate([("sigma", "sum")]))
+            return pa.table({"node": g["node"], "src": g["src"],
+                             "sigma": g["sigma_sum"]})
+
+        cand_ds = ebi.map_batches(expand, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        settled = ray.data.from_arrow_refs(list(settled_refs))
+
+        def keyed(side: int, sig_col: bool):
+            def f(t: pa.Table) -> pa.Table:
+                n_ = t["node"].combine_chunks().to_numpy()
+                l_ = t["src"].combine_chunks().to_numpy()
+                sg = (t["sigma"].combine_chunks().to_numpy()
+                      if sig_col else np.zeros(len(n_), np.int64))
+                return pa.table({
+                    "key": pa.array(pack_key(n_, l_)),
+                    "node": pa.array(n_),
+                    "src": pa.array(l_),
+                    "sigma": pa.array(sg),
+                    "_side": pa.array(np.full(len(n_), side, np.int8))})
+            return f
+
+        tagged = (settled.map_batches(keyed(0, True),
+                                      batch_format="pyarrow")
+                  .union(cand_ds.map_batches(keyed(1, True),
+                                             batch_format="pyarrow")))
+
+        def settle(g: pd.DataFrame, _r=_r) -> pd.DataFrame:
+            have = set(g.loc[g["_side"] == 0, "key"])
+            new = g[(g["_side"] == 1) & ~g["key"].isin(have)]
+            if not len(new):
+                return pd.DataFrame({
+                    "node": pd.Series([], dtype=np.int64),
+                    "src": pd.Series([], dtype=np.int64),
+                    "dist": pd.Series([], dtype=np.int64),
+                    "sigma": pd.Series([], dtype=np.int64)})
+            agg = (new.groupby(["node", "src"], as_index=False)
+                   ["sigma"].sum())
+            agg["dist"] = _r + 1
+            return agg[["node", "src", "dist", "sigma"]]
+
+        nb_round = resolve_group_buckets(user_buckets,
+                                         input_rows=4 * n_front)
+        new_tbls = [
+            b for b in bucketed_groups(tagged, "key", settle,
+                                       n_buckets=nb_round)
+            .iter_batches(batch_format="pyarrow") if len(b)]
+        n_front = sum(len(b) for b in new_tbls)
+        if n_front:
+            blk = pa.concat_tables(new_tbls)
+            blk = pa.table({
+                "node": blk["node"].combine_chunks().cast(pa.int64()),
+                "src": blk["src"].combine_chunks().cast(pa.int64()),
+                "dist": blk["dist"].combine_chunks().cast(pa.int64()),
+                "sigma": blk["sigma"].combine_chunks().cast(
+                    pa.int64())})
+            settled_refs.append(ray.put(blk))
+            level_tbls.append(blk)
+
+    # ---- backward sweep: P per (node, src), by descending level ----
+    P_by_level = [np.zeros(len(t), np.int64) for t in level_tbls]
+    for d in range(len(level_tbls) - 2, -1, -1):
+        nxt = level_tbls[d + 1]
+        if len(nxt) == 0:
+            continue
+        order = np.argsort(nxt["node"].to_numpy(), kind="mergesort")
+        fn = nxt["node"].to_numpy()[order]
+        fl = nxt["src"].to_numpy()[order]
+        fp = (1 + P_by_level[d + 1])[order]
+        fu = np.unique(fn)
+        fstarts = np.searchsorted(fn, fu)
+        fends = np.searchsorted(fn, fu, side="right")
+        ref = ray.put((fu, fstarts, fends, fl, fp))
+
+        def back(t: pa.Table, _ref=ref) -> pa.Table:
+            fu_, fs_, fe_, fl_, fp_ = ray.get(_ref)
+            u_ = t["u"].combine_chunks().to_numpy()
+            v_ = t["v"].combine_chunks().to_numpy()
+            pos = np.searchsorted(fu_, u_)
+            pos[pos >= len(fu_)] = 0
+            hit = fu_[pos] == u_
+            if not hit.any():
+                return pa.table({
+                    "node": pa.array([], pa.int64()),
+                    "src": pa.array([], pa.int64()),
+                    "p": pa.array([], pa.int64())})
+            hp, hv = pos[hit], v_[hit]
+            idx, lens = _adj_slots(fs_, fe_, hp)
+            cand = pa.table({
+                "node": pa.array(np.repeat(hv, lens)),
+                "src": pa.array(fl_[idx]),
+                "p": pa.array(fp_[idx])})
+            g = cand.group_by(["node", "src"]).aggregate([("p", "sum")])
+            return pa.table({"node": g["node"], "src": g["src"],
+                             "p": g["p_sum"]})
+
+        # contributions land ONLY on pairs at level d: resolve against
+        # this level's pair table driver-side (level tables are
+        # frontier-sized by construction -- same contract as the
+        # forward broadcast)
+        parts = [b for b in ebi.map_batches(
+            back, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(
+                batch_format="pyarrow") if len(b)]
+        if not parts:
+            continue
+        allp = pa.concat_tables(parts)
+        agg = (allp.group_by(["node", "src"])
+               .aggregate([("p", "sum")]).to_pandas())
+        cur = level_tbls[d]
+        key_cur = (cur["node"].to_numpy() * S
+                   + np.searchsorted(src_index, cur["src"].to_numpy()))
+        key_agg = (agg["node"].to_numpy(np.int64) * S
+                   + np.searchsorted(src_index,
+                                     agg["src"].to_numpy(np.int64)))
+        o = np.argsort(key_agg, kind="mergesort")
+        key_agg, pv = key_agg[o], agg["p_sum"].to_numpy(np.int64)[o]
+        pos = np.searchsorted(key_agg, key_cur)
+        pos_c = np.minimum(pos, max(len(key_agg) - 1, 0))
+        found = (len(key_agg) > 0) & (key_agg[pos_c] == key_cur)
+        P_by_level[d] = np.where(found, pv[pos_c], 0).astype(np.int64)
+
+    out_n, out_s = [], []
+    for d, t in enumerate(level_tbls):
+        if d == 0:
+            continue  # v == s pairs excluded
+        sg = t["sigma"].to_numpy()
+        contrib = sg * P_by_level[d]
+        keep = contrib > 0
+        out_n.append(t["node"].to_numpy()[keep])
+        out_s.append(contrib[keep])
+    if not out_n or not sum(len(a) for a in out_n):
+        return empty
+    pairs = pa.table({"node": pa.array(np.concatenate(out_n)),
+                      "stress": pa.array(np.concatenate(out_s))})
+    return bucketed_sum(ray.data.from_arrow(pairs), ["node"],
+                        ["stress"],
+                        n_buckets=resolve_group_buckets(
+                            user_buckets, input_rows=len(pairs)))

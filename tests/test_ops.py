@@ -5403,3 +5403,74 @@ def test_random_walks_driver_parity(ray_session):
     dist = deterministic_random_walks(edges, "s", "d", walk_len=5,
                                       driver_edge_cap=0).to_pandas()
     pd.testing.assert_frame_equal(norm(drv), norm(dist))
+
+
+def _stress_bruteforce(src, dst, sources, n_rounds):
+    """Reference: enumerate shortest paths by BFS DAG DP per source;
+    stress(v) = sum over s in sources, t reachable within n_rounds of
+    sigma_st(v) = sigma_sv * sigma_vt for v strictly inside."""
+    import collections
+
+    import numpy as np
+
+    adj = collections.defaultdict(set)
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[int(a)].add(int(b))
+            adj[int(b)].add(int(a))
+    total = collections.Counter()
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        frontier = [s]
+        for r in range(1, n_rounds + 1):
+            nxt = {}
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        nxt[w] = nxt.get(w, 0) + sigma[u]
+            for w, sg in nxt.items():
+                dist[w] = r
+                sigma[w] = sg
+            frontier = list(nxt)
+        # P(v): DAG descendant-path count, by descending level
+        P = {v: 0 for v in dist}
+        for v in sorted(dist, key=lambda q: -dist[q]):
+            for w in adj[v]:
+                if w in dist and dist[w] == dist[v] + 1:
+                    P[v] += 1 + P[w]
+        for v in dist:
+            if v != s and sigma[v] * P[v] > 0:
+                total[v] += sigma[v] * P[v]
+    return dict(total)
+
+
+def test_stress_centrality_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ci_log_processing_ray.ops.iterative import stress_centrality
+
+    rng = np.random.default_rng(18)
+    src = rng.integers(0, 45, 180)
+    dst = rng.integers(0, 45, 180)
+    edges = ray.data.from_items(
+        [{"s": int(a), "d": int(b)} for a, b in zip(src, dst)]
+    ).repartition(4)
+    sources = [0, 7, 21]
+
+    def norm(df):
+        return (df.sort_values("node").reset_index(drop=True)
+                .astype("int64"))
+
+    drv = stress_centrality(edges, "s", "d", sources,
+                            n_rounds=5).to_pandas()
+    dist = stress_centrality(edges, "s", "d", sources, n_rounds=5,
+                             driver_edge_cap=0).to_pandas()
+    pd.testing.assert_frame_equal(norm(drv), norm(dist))
+
+    ref = _stress_bruteforce(src, dst, sources, 5)
+    want = (pd.DataFrame({"node": list(ref), "stress": list(ref.values())})
+            if ref else pd.DataFrame({"node": [], "stress": []}))
+    pd.testing.assert_frame_equal(norm(drv), norm(want))
