@@ -1469,6 +1469,82 @@ def main_landmark() -> None:
         ray.shutdown()
 
 
+CORPUS_STRESS = "/tmp/llm_scale_stress_v1"
+ST_N_NODES = 2_000_000
+
+
+def build_stress_corpus() -> int:
+    """2M nodes in decade chains (edge i -- i-1 iff i % 10 != 0):
+    200k path components of 10 nodes.  With sources at r in {0, 4}
+    per decade, stress has the per-row closed form
+    f(r) = [9-r if r>=1] + [r if 1<=r<=3 else 9-r if r>=5 else 0]:
+    9,9,9,5,8,6,4,2 for r=1..8, 0 (absent) for r in {0, 9}."""
+    import numpy as np
+
+    marker = os.path.join(CORPUS_STRESS, ".done")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)["n_edges"]
+    os.makedirs(CORPUS_STRESS, exist_ok=True)
+    per = ST_N_NODES // N_SHARDS
+    n_edges = 0
+    for shard in range(N_SHARDS):
+        lo = shard * per
+        ids = np.arange(lo, lo + per, dtype=np.int64)
+        ids = ids[ids % 10 != 0]
+        out = pa.table({"src": pa.array(ids),
+                        "dst": pa.array(ids - 1)})
+        tmp = os.path.join(CORPUS_STRESS, f".tmp-{shard:04d}.parquet")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(CORPUS_STRESS,
+                                     f"part-{shard:04d}.parquet"))
+        n_edges += len(out)
+    with open(marker, "w") as f:
+        json.dump({"n_edges": n_edges}, f)
+    return n_edges
+
+
+def main_stress() -> None:
+    import numpy as np
+    import ray
+    from ray.data import DataContext
+
+    n_edges = build_stress_corpus()
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from ci_log_processing_ray.ops.iterative import stress_centrality
+
+        ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
+        base = np.arange(0, ST_N_NODES, 10, dtype=np.int64)
+        sources = np.sort(np.concatenate([base, base + 4]))
+        t0 = time.perf_counter()
+        out = stress_centrality(
+            ray.data.read_parquet(CORPUS_STRESS), "src", "dst",
+            sources, n_rounds=9).to_pandas()
+        sec = time.perf_counter() - t0
+
+        want = np.array([0, 9, 9, 9, 5, 8, 6, 4, 2, 0], np.int64)
+        node = out["node"].to_numpy(np.int64)
+        stress = out["stress"].to_numpy(np.int64)
+        assert (stress == want[node % 10]).all()
+        # rows for exactly the r in 1..8 positions of every decade
+        assert len(out) == ST_N_NODES // 10 * 8, len(out)
+        assert int(stress.sum()) == ST_N_NODES // 10 * int(want.sum())
+
+        print(json.dumps({
+            "n_edges": n_edges, "n_nodes": ST_N_NODES,
+            "n_sources": int(len(sources)),
+            "pair_rows": int(len(out)), "sec": round(sec, 2),
+            "nodes_per_sec": round(ST_N_NODES / sec),
+            "num_cpus": NCPU, "calib_sec": _calib(),
+        }))
+    finally:
+        ray.shutdown()
+
+
 CORPUS_KC = "/tmp/llm_scale_kcore_v1"
 KC_BLOCK = 100
 KC_N_NODES = 4_000_000
@@ -4233,5 +4309,7 @@ if __name__ == "__main__":
         main_tpch()
     elif len(sys.argv) > 1 and sys.argv[1] == "landmark":
         main_landmark()
+    elif len(sys.argv) > 1 and sys.argv[1] == "stress":
+        main_stress()
     else:
         main()
