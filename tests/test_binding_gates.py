@@ -482,3 +482,117 @@ def test_bpe_gate_fires_on_swapped_merge(ray_session, monkeypatch):
     monkeypatch.setattr(cur, "bpe_train", swapped)
     with pytest.raises(AssertionError, match="bpe_train"):
         entrymod.q_bpe_train(SF0)
+
+
+# --------------------------------------------- property tests (hypothesis)
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ref_pav(pos, n):
+    """Reference sequential PAV over per-score (pos, n) stats, already
+    sorted by score: returns maximally-merged level sets as (start
+    index, pos, n) triples."""
+    blocks = []  # [start_idx, pos, n]
+    for i, (p, c) in enumerate(zip(pos, n)):
+        blocks.append([i, int(p), int(c)])
+        while len(blocks) > 1:
+            s2, p2, n2 = blocks[-1]
+            s1, p1, n1 = blocks[-2]
+            if p1 * n2 >= p2 * n1:     # violator (or tie): pool
+                blocks.pop()
+                blocks[-1] = [s1, p1 + p2, n1 + n2]
+            else:
+                break
+    return blocks
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(1, 6)),
+                min_size=1, max_size=12))
+def test_isotonic_cert_accepts_every_reference_pav_fit(stats):
+    scores = list(range(len(stats)))
+    pos = [p for p, _ in stats]
+    n = [c for _, c in stats]
+    ps = pd.DataFrame({"score": scores, "pos": pos, "n": n})
+    blocks = _ref_pav(pos, n)
+    rows = []
+    for bi, (s, p, c) in enumerate(blocks):
+        e = blocks[bi + 1][0] - 1 if bi + 1 < len(blocks) \
+            else len(stats) - 1
+        rows.append({"block_id": bi, "score_lo": s, "score_hi": e,
+                     "pos": p, "n": c,
+                     "rate_permille": 1000 * p // c})
+    entrymod._cert_isotonic(pd.DataFrame(rows), ps)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(1, 6)),
+                min_size=2, max_size=12),
+       st.integers(0, 10**6))
+def test_isotonic_cert_rejects_any_single_block_perturbation(stats, seed):
+    import numpy as np
+
+    scores = list(range(len(stats)))
+    pos = [p for p, _ in stats]
+    n = [c for _, c in stats]
+    ps = pd.DataFrame({"score": scores, "pos": pos, "n": n})
+    blocks = _ref_pav(pos, n)
+    rows = []
+    for bi, (s, p, c) in enumerate(blocks):
+        e = blocks[bi + 1][0] - 1 if bi + 1 < len(blocks) \
+            else len(stats) - 1
+        rows.append({"block_id": bi, "score_lo": s, "score_hi": e,
+                     "pos": p, "n": c,
+                     "rate_permille": 1000 * p // c})
+    fit = pd.DataFrame(rows)
+    rng = np.random.default_rng(seed)
+    bad = fit.copy()
+    bad.loc[rng.integers(0, len(bad)), "pos"] += 1   # corrupt one block
+    with pytest.raises(AssertionError):
+        entrymod._cert_isotonic(bad, ps)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 700), min_size=1, max_size=40),
+       st.integers(0, 10**6))
+def test_pack_cert_rejects_random_capacity_violation(lens_list, seed):
+    """Any first-fit packing passes; bumping one offset into overlap or
+    dropping one doc must always fire."""
+    import numpy as np
+
+    capacity = 512
+    lens = {i: ln for i, ln in enumerate(lens_list)}
+    rows, off, bin_id = [], 0, 0
+    for i, ln in lens.items():
+        eff = max(1, min(ln, capacity))
+        if ln > capacity:
+            rows.append({"doc_id": i, "bin_id": 10_000 + i,
+                         "offset_in_bin": 0, "truncated": 1})
+            continue
+        if off + eff > capacity:
+            bin_id, off = bin_id + 1, 0
+        rows.append({"doc_id": i, "bin_id": bin_id,
+                     "offset_in_bin": off, "truncated": 0})
+        off += eff
+    out = pd.DataFrame(rows)
+    entrymod._cert_pack_bins(out, lens, capacity)   # feasible passes
+    rng = np.random.default_rng(seed)
+    if len(out) > 1:
+        bad = out.iloc[:-1]
+        with pytest.raises(AssertionError):
+            entrymod._cert_pack_bins(bad, lens, capacity)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=200))
+def test_heavy_hitters_cert_matches_exact_counts_property(vals):
+    vc = pd.Series(vals).value_counts()
+    out = pd.DataFrame({"item": vc.index.to_numpy(),
+                        "est_count": vc.to_numpy()})
+    true = dict(vc)
+    entrymod._cert_heavy_hitters(out, true, len(vals), k=32)
+    bad = out.copy()
+    bad.loc[0, "est_count"] += 1
+    with pytest.raises(AssertionError):
+        entrymod._cert_heavy_hitters(bad, true, len(vals), k=32)
