@@ -7157,6 +7157,45 @@ def q_harmonic_centrality(sf_dir: str):
                 Sum("harmonic_micro", alias_name="harmonic_micro")))
 
 
+def q_eccentricity(sf_dir: str):
+    """Per-landmark eccentricity (max hop distance within the round
+    budget) + reached count over the decade chain graph, one landmark
+    per decade at a DECADE-DEPENDENT offset (position k % 10 in decade
+    k), so eccentricity = max(r, 9 - r) varies 5..9 across decades --
+    derived from the landmark_distances pair table by one
+    landmark-shaped aggregate; binding DuckDB oracle."""
+    from ci_log_processing_ray.ops.iterative import landmark_distances
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    lms = ids[ids % 10 == (ids // 10) % 10]
+
+    def chain_edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().to_numpy()
+        keep = d % 10 != 0
+        return pa.table({"src": pa.array(d[keep]),
+                         "dst": pa.array(d[keep] - 1)})
+
+    edges = ds.map_batches(chain_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    ld = landmark_distances(edges, "src", "dst", lms, n_rounds=9)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["dist"].combine_chunks().to_numpy()
+        pos = d > 0
+        return pa.table({
+            "landmark": t["landmark"].combine_chunks().filter(
+                pa.array(pos)),
+            "ecc": pa.array(d[pos]),
+            "n_reached": pa.array(np.ones(int(pos.sum()), np.int64))})
+
+    return (ld.map_batches(partial, batch_format="pyarrow")
+            .groupby("landmark").aggregate(
+                Max("ecc", alias_name="ecc"),
+                Sum("n_reached", alias_name="n_reached")))
+
+
 def q_stress_centrality(sf_dir: str):
     """Sampled-source stress centrality (Brandes two-sweep, exact
     integer: ops/iterative.py:stress_centrality) over the decade chain
@@ -8000,6 +8039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_prop": q_label_prop,
         "landmark_distances": q_landmark_distances,
         "stress_centrality": q_stress_centrality,
+        "eccentricity": q_eccentricity,
         "harmonic_centrality": q_harmonic_centrality,
         "sorted_neighborhood": q_sorted_neighborhood,
         "sssp": q_sssp,
@@ -9823,6 +9863,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM s WHERE next_type IS NOT NULL
             GROUP BY 1, 2""",
+        "eccentricity": """
+            SELECT l.doc_id AS landmark,
+                   CAST(MAX(ABS(d.doc_id - l.doc_id)) AS BIGINT) AS ecc,
+                   CAST(count(*) AS BIGINT) AS n_reached
+            FROM documents l, documents d
+            WHERE l.doc_id % 10 = (l.doc_id // 10) % 10
+              AND d.doc_id // 10 = l.doc_id // 10
+              AND d.doc_id <> l.doc_id
+            GROUP BY 1""",
         "stress_centrality": """
             SELECT v.doc_id AS node, CAST(count(*) AS BIGINT) AS stress
             FROM documents v, documents s, documents t
