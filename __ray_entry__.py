@@ -7157,6 +7157,24 @@ def q_harmonic_centrality(sf_dir: str):
                 Sum("harmonic_micro", alias_name="harmonic_micro")))
 
 
+_KEYWORD_PATTERNS = ["filter", "hash join", "slow query", "scan",
+                     "merge batch"]
+
+
+def q_keyword_tags(sf_dir: str):
+    """Multi-pattern keyword/phrase tagging
+    (ops/textstats.py:keyword_occurrences): per pattern, containing-doc
+    count + total non-overlapping occurrences -- one vectorized
+    count_substring pass per pattern, patterns-sized exchange.  The
+    DuckDB oracle uses the REPLACE-length idiom (identical
+    non-overlapping left-to-right counting; patterns chosen with no
+    proper self-overlap, so the rules provably agree)."""
+    from ci_log_processing_ray.ops.textstats import keyword_occurrences
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return keyword_occurrences(ds, "text", _KEYWORD_PATTERNS)
+
+
 def q_eccentricity(sf_dir: str):
     """Per-landmark eccentricity (max hop distance within the round
     budget) + reached count over the decade chain graph, one landmark
@@ -8040,6 +8058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "landmark_distances": q_landmark_distances,
         "stress_centrality": q_stress_centrality,
         "eccentricity": q_eccentricity,
+        "keyword_tags": q_keyword_tags,
         "harmonic_centrality": q_harmonic_centrality,
         "sorted_neighborhood": q_sorted_neighborhood,
         "sssp": q_sssp,
@@ -9863,6 +9882,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM s WHERE next_type IS NOT NULL
             GROUP BY 1, 2""",
+        "keyword_tags": """
+            WITH pats(pattern) AS (
+                VALUES ('filter'), ('hash join'), ('slow query'),
+                       ('scan'), ('merge batch')),
+            occ AS (
+                SELECT p.pattern,
+                       (LENGTH(d.text) - LENGTH(REPLACE(d.text,
+                            p.pattern, ''))) // LENGTH(p.pattern)
+                       AS n
+                FROM documents d CROSS JOIN pats p)
+            SELECT pattern,
+                   CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS n_occurrences
+            FROM occ GROUP BY 1""",
         "eccentricity": """
             SELECT l.doc_id AS landmark,
                    CAST(MAX(ABS(d.doc_id - l.doc_id)) AS BIGINT) AS ecc,

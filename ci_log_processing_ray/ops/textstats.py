@@ -1461,3 +1461,45 @@ def gopher_repetition(
 
     return ds.map_batches(kern, batch_format="pyarrow",
                           batch_size=None, zero_copy_batch=True)
+
+
+def keyword_occurrences(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    patterns: list[str],
+) -> "ray.data.Dataset":
+    """Multi-pattern keyword/phrase tagging (the broadcast-dictionary
+    curation primitive behind PII flags, topic tags and blocklist
+    hits): for each pattern, the number of documents containing it and
+    the total number of (non-overlapping, left-to-right) occurrences
+    -- the same counting rule SQL's REPLACE-length idiom implements,
+    so the oracle is exact.
+
+    Scale shape: pure map -- each batch runs one vectorized
+    ``pc.count_substring`` pass per pattern (patterns are a small
+    driver-held list by contract; rows never leave Arrow), collapsing
+    to a patterns-sized (pattern, n_docs, n_occurrences) partial; the
+    only exchange is the patterns-sized final sum."""
+    from ray.data.aggregate import Sum
+
+    pats = list(patterns)
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t[text_col].combine_chunks()
+        names, docs, occs = [], [], []
+        for p in pats:
+            c = pc.count_substring(txt, pattern=p)
+            cn = c.to_numpy(zero_copy_only=False)
+            names.append(p)
+            docs.append(int((cn > 0).sum()))
+            occs.append(int(cn.sum()))
+        return pa.table({
+            "pattern": pa.array(names),
+            "n_docs": pa.array(np.asarray(docs, np.int64)),
+            "n_occurrences": pa.array(np.asarray(occs, np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("pattern").aggregate(
+                Sum("n_docs", alias_name="n_docs"),
+                Sum("n_occurrences", alias_name="n_occurrences")))
