@@ -858,6 +858,7 @@ def bpe_train(
     text_col: str,
     *,
     n_merges: int,
+    driver_vocab_cap: int = 200_000,
 ) -> pa.Table:
     """Byte-pair-encoding merge training (Sennrich et al. 2016): learn
     ``n_merges`` merge rules from corpus word frequencies.  Returns the
@@ -871,7 +872,15 @@ def bpe_train(
     partials, a pair-vocabulary groupby, a driver argmax (ties:
     lexicographic), and a broadcast merge applied in a map.  Rounds
     cost O(vocab), never O(corpus); the driver sees only per-round
-    pair tables."""
+    pair tables.
+
+    Vocabularies at or under ``driver_vocab_cap`` run the SAME merge
+    loop in-process after the (corpus-sized) distributed wordcount --
+    at toy vocabularies the per-round exchange fixed costs dwarf the
+    pair counting (parity pinned by
+    tests/test_ops.py::test_bpe_driver_distributed_parity; real BPE
+    vocabularies are 10k-1M words, comfortably driver-sized -- the
+    distributed rounds are the headroom path)."""
     from ray.data.aggregate import Sum
 
     def wc_partial(t: pa.Table) -> pa.Table:
@@ -882,7 +891,43 @@ def bpe_train(
 
     vocab = (ds.map_batches(wc_partial, batch_format="pyarrow",
                             zero_copy_batch=True)
-             .groupby("word").aggregate(Sum("n", alias_name="n")))
+             .groupby("word").aggregate(Sum("n", alias_name="n"))
+             .materialize())
+
+    if vocab.count() <= driver_vocab_cap:
+        vdf = vocab.to_pandas()
+        wc = dict(zip(vdf["word"], vdf["n"].astype(int)))
+        syms = {w: tuple(w) for w in wc}
+        merges = []
+        for rank in range(n_merges):
+            counts: dict = {}
+            for w, n in wc.items():
+                s = syms[w]
+                for a, b in zip(s, s[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + n
+            if not counts:
+                break
+            (left, right), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0],
+                                                kv[0][1]))
+            merges.append((rank, left, right, int(cnt)))
+            for w in wc:
+                s, i, m = syms[w], 0, []
+                while i < len(s):
+                    if (i + 1 < len(s) and s[i] == left
+                            and s[i + 1] == right):
+                        m.append(left + right)
+                        i += 2
+                    else:
+                        m.append(s[i])
+                        i += 1
+                syms[w] = tuple(m)
+        return pa.table({
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "pair_count": pa.array([m[3] for m in merges],
+                                   pa.int64())})
 
     def to_syms(t: pa.Table) -> pa.Table:
         words = t["word"].to_pylist()

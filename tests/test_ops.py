@@ -5474,3 +5474,20 @@ def test_stress_centrality_parity(ray_session):
     want = (pd.DataFrame({"node": list(ref), "stress": list(ref.values())})
             if ref else pd.DataFrame({"node": [], "stress": []}))
     pd.testing.assert_frame_equal(norm(drv), norm(want))
+
+
+def test_bpe_driver_distributed_parity(ray_session):
+    import pandas as pd
+    import ray
+
+    from ci_log_processing_ray.ops.curation import bpe_train
+
+    texts = ["low lower lowest news newer widow window",
+             "low low lowest wide widen window news",
+             "newer news lower widow wide low"]
+    ds = ray.data.from_items([{"t": s} for s in texts]).repartition(3)
+    drv = bpe_train(ds, "t", n_merges=6).to_pandas()
+    dist = bpe_train(ds, "t", n_merges=6,
+                     driver_vocab_cap=0).to_pandas()
+    pd.testing.assert_frame_equal(drv, dist)
+    assert len(drv) == 6
