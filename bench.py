@@ -219,6 +219,12 @@ BENCH_QUERIES = [
     "tree_stats",
     "mannwhitney",
     "component_stats",
+    "landmark_distances",
+    "harmonic_centrality",
+    "eccentricity",
+    "stress_centrality",
+    "count_min",
+    "keyword_tags",
 ]
 
 
