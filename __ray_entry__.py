@@ -690,7 +690,10 @@ def _cert_pack_bins(out: "pd.DataFrame", lens: dict, capacity: int) -> None:
                        "off": off, "end": off + eff})
     for b, grp in df.groupby("bin"):
         g = grp.sort_values("off")
-        if int(g["end"].iloc[-1]) > capacity and len(g) > 1:
+        # eff is already clipped to capacity, so a truncated doc at
+        # offset 0 ends exactly AT capacity -- any end beyond it is a
+        # genuine overflow, single-doc bins included
+        if int(g["end"].iloc[-1]) > capacity:
             raise AssertionError(f"pack_bins: bin {b} overflows")
         e = g["end"].to_numpy()[:-1]
         s = g["off"].to_numpy()[1:]
@@ -2922,9 +2925,11 @@ def q_model_score(sf_dir: str):
 
     BINDING plumbing gate: scores for a deterministic 1-in-10 doc
     sample are recomputed driver-side with the same featurizer+model
-    and must match EXACTLY (same float ops in the same order); every
-    score must lie in (0, 1) and every doc must appear exactly once.
-    Row loss, duplication, or a per-actor model drift raises."""
+    and must agree to rtol=1e-12 (BLAS gemm accumulation order can
+    legally vary with matrix shape/threading, so bit-exact equality
+    would be environment-fragile); every score must lie in (0, 1) and
+    every doc must appear exactly once.  Row loss, duplication, or a
+    per-actor model drift raises."""
     from ci_log_processing_ray.ops.inference import (_StubModel,
                                                      _hashed_bow,
                                                      score_texts)
@@ -2944,7 +2949,7 @@ def q_model_score(sf_dir: str):
     want = _StubModel(1234).predict(_hashed_bow(sub["text"].to_pylist()))
     got = (out.set_index("doc_id").loc[sub["doc_id"].to_numpy(),
                                        "model_score"].to_numpy())
-    if not np.array_equal(got, want):
+    if not np.allclose(got, want, rtol=1e-12, atol=0.0):
         raise AssertionError(
             "model_score: distributed scores diverge from the "
             "driver-side replay on the 1-in-10 sample")
@@ -7097,8 +7102,23 @@ def q_label_prop(sf_dir: str):
     return out
 
 
+def _require_contiguous_ids(ids: "np.ndarray", name: str) -> None:
+    """The sequence-adjacency (edge i -- i-1) and decade-chain graph
+    builders assume doc_id is a CONTIGUOUS 0..n-1 range; a gapped
+    corpus would silently diverge from the closed-form oracles.
+    Checked once per query, driver-side, on the already-loaded id
+    column (O(1): min/max over a numpy array)."""
+    if len(ids) and not (ids.min() == 0 and ids.max() == len(ids) - 1):
+        raise RuntimeError(
+            f"{name}: doc_id is not a contiguous 0..n-1 range "
+            f"(min={int(ids.min())}, max={int(ids.max())}, "
+            f"n={len(ids)}) -- the chain-graph oracles require "
+            "contiguity")
+
+
 def _seq_edges(t: pa.Table) -> pa.Table:
-    """Sequence-adjacency path graph over the contiguous doc ids:
+    """Sequence-adjacency path graph over the contiguous doc ids
+    (contiguity asserted by the caller via _require_contiguous_ids):
     edge i -- i-1 for every i > 0, so hop distance is exactly
     |i - j| -- the closed-form contract the landmark oracles bind."""
     ids = t["doc_id"].combine_chunks().to_numpy()
@@ -7119,6 +7139,7 @@ def q_landmark_distances(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"])
     ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                         columns=["doc_id"])["doc_id"].to_numpy()
+    _require_contiguous_ids(ids, "landmark_distances")
     lms = ids[ids % 97 == 0]
     edges = ds.map_batches(_seq_edges, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -7137,6 +7158,7 @@ def q_harmonic_centrality(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"])
     ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                         columns=["doc_id"])["doc_id"].to_numpy()
+    _require_contiguous_ids(ids, "harmonic_centrality")
     lms = ids[ids % 97 == 0]
     edges = ds.map_batches(_seq_edges, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -7187,6 +7209,7 @@ def q_eccentricity(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"])
     ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                         columns=["doc_id"])["doc_id"].to_numpy()
+    _require_contiguous_ids(ids, "eccentricity")
     lms = ids[ids % 10 == (ids // 10) % 10]
 
     def chain_edges(t: pa.Table) -> pa.Table:
@@ -7226,6 +7249,7 @@ def q_stress_centrality(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"])
     ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                         columns=["doc_id"])["doc_id"].to_numpy()
+    _require_contiguous_ids(ids, "stress_centrality")
     sources = ids[np.isin(ids % 10, (0, 4))]
 
     def chain_edges(t: pa.Table) -> pa.Table:

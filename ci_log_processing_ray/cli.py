@@ -68,6 +68,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="seconds between ticks (reference default 120)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init num_cpus (default: all)")
+    p.add_argument("--monitoring-port", type=int, default=None,
+                   help="expose Prometheus metrics on this port "
+                        "(reference --monitoring-port; 0 picks a free "
+                        "port).  Serves GET /metrics from the run's "
+                        "metrics manifests; most useful with --follow")
     p.add_argument("--quarantine-dir", default=None,
                    help="dead-letter dir: corrupt performance/subunit "
                         "JSON rows land here as Parquet (with the "
@@ -108,6 +113,7 @@ def main(argv: list[str] | None = None) -> int:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False)
+    metrics_server = None
     try:
         from .config import PipelineConfig
         from .pipelines.flagship import run_pipeline
@@ -116,6 +122,17 @@ def main(argv: list[str] | None = None) -> int:
         cfg = PipelineConfig(skip_debug=args.skip_debug,
                              fill_mode=args.fill_mode,
                              quarantine_dir=args.quarantine_dir)
+
+        if args.monitoring_port is not None:
+            import os
+
+            from .state.monitoring import MetricsServer, Monitoring
+
+            metrics_server = MetricsServer(
+                Monitoring(os.path.join(args.out, "metrics")),
+                port=args.monitoring_port)
+            bound = metrics_server.start()
+            print(json.dumps({"monitoring_port": bound}), flush=True)
 
         if args.compact_dir:
             from .pipelines.compact import compact_routed
@@ -177,6 +194,8 @@ def main(argv: list[str] | None = None) -> int:
         }, default=str))
         return 0
     finally:
+        if metrics_server is not None:
+            metrics_server.stop()
         ray.shutdown()
 
 

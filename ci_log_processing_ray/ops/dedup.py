@@ -1281,7 +1281,12 @@ def embedding_dedup(
 
     clustered = bucketed_groups(bucketed, "bucket", verify_many).to_pandas()
     if len(clustered) == 0:
-        return pd.DataFrame({id_col: [], "cluster_rep": []})
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "cluster_rep": pd.Series([], dtype="int64")})
+    # Empty per-group frames upcast id columns to float64 during the pandas
+    # concat inside bucketed_groups; restore the repo-wide int64 contract so
+    # the driver's dtype-sensitive value hash matches the DuckDB oracle.
+    clustered = clustered.astype({id_col: "int64", "cluster_rep": "int64"})
     return clustered.sort_values(id_col).reset_index(drop=True)
 
 

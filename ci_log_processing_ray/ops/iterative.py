@@ -4518,11 +4518,13 @@ def landmark_distances(
         # per-task fixed costs
         nb_round = resolve_group_buckets(user_buckets,
                                          input_rows=4 * n_front)
+        if n_front > broadcast_cap:
+            raise RuntimeError(
+                "landmark_distances: frontier exceeded broadcast_cap "
+                f"({n_front} > {broadcast_cap}) -- raise the cap "
+                "(landmark pair frontiers are nodes x L shaped by "
+                "contract)")
         fdf = frontier.to_pandas()
-        assert n_front <= broadcast_cap, (
-            "landmark_distances: frontier exceeded broadcast_cap -- "
-            "raise the cap (landmark pair frontiers are nodes x L "
-            "shaped by contract)")
         order = np.argsort(fdf["node"].to_numpy(np.int64),
                            kind="mergesort")
         fn = fdf["node"].to_numpy(np.int64)[order]
@@ -4639,11 +4641,15 @@ def stress_centrality(
       pair-keyed tagged-union co-partition sums partials and settles
       unseen pairs at dist r+1;
     * backward: levels descend from the deepest settled distance; the
-      level-(d+1) pair table (node -> src, 1 + P) broadcasts and the
-      same edge gather emits contributions, which a pair-keyed
-      co-partition adds to pairs AT level d exactly (the DAG-edge
-      condition dist(u) == dist(v) - 1 resolves against the settled
-      dist riding the exchange);
+      level-(d+1) pair table (node -> src, 1 + P) broadcasts together
+      with the SORTED level-d pair-key set, and the same edge gather
+      emits contributions FILTERED in-kernel to pairs at level d (the
+      DAG-edge condition dist(u) == dist(v) - 1 is exactly membership
+      in level d); the filtered, per-batch pre-aggregated partials
+      are then summed DRIVER-side against the level-d table.  Driver
+      memory is therefore bounded by the level-d pair count (the same
+      frontier-size contract the forward broadcast already relies
+      on), never frontier x degree;
     * finalize: one node-shaped bucketed sum of sigma * P.
 
     Edge tables under ``driver_edge_cap`` run the identical recurrence
@@ -4867,34 +4873,54 @@ def stress_centrality(
         fu = np.unique(fn)
         fstarts = np.searchsorted(fn, fu)
         fends = np.searchsorted(fn, fu, side="right")
-        ref = ray.put((fu, fstarts, fends, fl, fp))
+        cur = level_tbls[d]
+        key_cur = (cur["node"].to_numpy() * S
+                   + np.searchsorted(src_index, cur["src"].to_numpy()))
+        cur_sorted = np.sort(key_cur)
+        ref = ray.put((fu, fstarts, fends, fl, fp, cur_sorted,
+                       src_index))
 
         def back(t: pa.Table, _ref=ref) -> pa.Table:
-            fu_, fs_, fe_, fl_, fp_ = ray.get(_ref)
+            fu_, fs_, fe_, fl_, fp_, cur_, si_ = ray.get(_ref)
+            empty_t = pa.table({
+                "node": pa.array([], pa.int64()),
+                "src": pa.array([], pa.int64()),
+                "p": pa.array([], pa.int64())})
             u_ = t["u"].combine_chunks().to_numpy()
             v_ = t["v"].combine_chunks().to_numpy()
             pos = np.searchsorted(fu_, u_)
             pos[pos >= len(fu_)] = 0
             hit = fu_[pos] == u_
             if not hit.any():
-                return pa.table({
-                    "node": pa.array([], pa.int64()),
-                    "src": pa.array([], pa.int64()),
-                    "p": pa.array([], pa.int64())})
+                return empty_t
             hp, hv = pos[hit], v_[hit]
             idx, lens = _adj_slots(fs_, fe_, hp)
+            cn = np.repeat(hv, lens)
+            cs = fl_[idx]
+            cp = fp_[idx]
+            # DAG-edge condition dist(u) == dist(v) - 1 is exactly
+            # membership in the broadcast level-d key set: filter
+            # in-kernel so the driver-side resolution is bounded by
+            # the level-d pair count, not frontier x degree
+            if not len(cur_):
+                return empty_t
+            ck = cn * len(si_) + np.searchsorted(si_, cs)
+            p2 = np.minimum(np.searchsorted(cur_, ck), len(cur_) - 1)
+            keep = cur_[p2] == ck
+            if not keep.any():
+                return empty_t
             cand = pa.table({
-                "node": pa.array(np.repeat(hv, lens)),
-                "src": pa.array(fl_[idx]),
-                "p": pa.array(fp_[idx])})
+                "node": pa.array(cn[keep]),
+                "src": pa.array(cs[keep]),
+                "p": pa.array(cp[keep])})
             g = cand.group_by(["node", "src"]).aggregate([("p", "sum")])
             return pa.table({"node": g["node"], "src": g["src"],
                              "p": g["p_sum"]})
 
-        # contributions land ONLY on pairs at level d: resolve against
-        # this level's pair table driver-side (level tables are
-        # frontier-sized by construction -- same contract as the
-        # forward broadcast)
+        # contributions land ONLY on pairs at level d (the kernel
+        # filters to that key set): resolve against this level's pair
+        # table driver-side -- level tables are frontier-sized by
+        # construction, the same contract as the forward broadcast
         parts = [b for b in ebi.map_batches(
             back, batch_format="pyarrow",
             zero_copy_batch=True).iter_batches(
@@ -4904,9 +4930,6 @@ def stress_centrality(
         allp = pa.concat_tables(parts)
         agg = (allp.group_by(["node", "src"])
                .aggregate([("p", "sum")]).to_pandas())
-        cur = level_tbls[d]
-        key_cur = (cur["node"].to_numpy() * S
-                   + np.searchsorted(src_index, cur["src"].to_numpy()))
         key_agg = (agg["node"].to_numpy(np.int64) * S
                    + np.searchsorted(src_index,
                                      agg["src"].to_numpy(np.int64)))

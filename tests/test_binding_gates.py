@@ -153,6 +153,18 @@ def test_pack_cert_rejects_lost_doc():
         entrymod._cert_pack_bins(out.iloc[:-1], lens, 512)
 
 
+def test_pack_cert_rejects_single_doc_bin_overflow():
+    # a lone doc at a nonzero offset whose end exceeds capacity is an
+    # overflow even though the bin holds only one doc (the old
+    # len(g) > 1 guard let this through)
+    out, lens = _pack_fixture()
+    bad = out.copy()
+    bad.loc[0, "offset_in_bin"] = 400   # doc 1: [400, 700) > 512
+    bad.loc[1, "bin_id"] = 3            # move doc 2 out of bin 0
+    with pytest.raises(AssertionError, match="overflows"):
+        entrymod._cert_pack_bins(bad, lens, 512)
+
+
 # ------------------------------------------------- planted-pair recovery
 def test_planted_clusters_cert_accepts():
     df = pd.DataFrame({"doc_id": [0, entrymod._PLANT_OFF],
@@ -596,3 +608,18 @@ def test_heavy_hitters_cert_matches_exact_counts_property(vals):
     bad.loc[0, "est_count"] += 1
     with pytest.raises(AssertionError):
         entrymod._cert_heavy_hitters(bad, true, len(vals), k=32)
+
+
+# ------------------------------------------------- chain-graph contiguity
+def test_contiguous_ids_accepts_range():
+    entrymod._require_contiguous_ids(np.arange(100, dtype=np.int64), "t")
+    entrymod._require_contiguous_ids(np.array([], dtype=np.int64), "t")
+
+
+def test_contiguous_ids_rejects_gapped():
+    with pytest.raises(RuntimeError, match="contiguous"):
+        entrymod._require_contiguous_ids(
+            np.array([0, 1, 3], dtype=np.int64), "t")
+    with pytest.raises(RuntimeError, match="contiguous"):
+        entrymod._require_contiguous_ids(
+            np.array([1, 2, 3], dtype=np.int64), "t")
