@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "heavy_hitters_exact",
     "sessionize",
     "knn_bruteforce",
+    "knn_pq",
     "hot_key_salted",
     "sample_hash",
     "multiline_join",

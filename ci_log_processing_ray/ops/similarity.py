@@ -284,6 +284,144 @@ def knn_ivf(
         .sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
+def _kmeans_l2(sample: np.ndarray, n_centroids: int, seed: int,
+               iters: int) -> np.ndarray:
+    """Plain Euclidean Lloyd's on a driver-side sample -- the PQ
+    sub-codebook trainer (subvectors are NOT unit-norm, so the cosine
+    k-means used for the IVF coarse quantizer would be wrong here)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                     replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def knn_pq(
+    ds: ray.data.Dataset,
+    vec_col: str,
+    id_col: str,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    *,
+    m_subspaces: int = 8,
+    n_codes: int = 256,
+    sample_size: int = 4096,
+    seed: int = 67,
+    iters: int = 8,
+) -> pd.DataFrame:
+    """Product-quantization ANN (Jegou, Douze, Schmid, TPAMI 2011):
+    approximate top-k via asymmetric distance computation over PQ codes.
+
+    Train: split the (unit-normalized) vector into ``m_subspaces``
+    contiguous subvectors; per subspace, a tiny Euclidean k-means on a
+    driver-side sample learns ``n_codes`` centroids (same driver-sample
+    training contract as :func:`knn_ivf`'s coarse quantizer).  The
+    m x n_codes x sub_dim codebook tensor broadcasts once via
+    ``ray.put`` together with per-query ADC lookup tables
+    (tables[q, j, c] = <q_j, codebook_j[c]> -- nq x m x n_codes floats,
+    driver-computed).
+
+    Score: each batch encodes its vectors to m uint8 codes (m small
+    matmuls -- the SAME flops as assigning against n_codes full-dim
+    centroids) and a vector's approximate cosine is m table GATHERS,
+    never a full-precision matmul against the query matrix.  This is
+    the billion-scale memory-traffic shape: at 100 TB the corpus rides
+    as m bytes/vector (8 bytes here vs 512 for float64 x 64), so a
+    re-query against a stored PQ index touches 64x less data; only
+    tiny per-batch top-k partials leave the workers (the bruteforce
+    combiner contract).
+
+    Exactness: approximate by construction -- callers gate on recall
+    vs :func:`knn_bruteforce` (the q_knn_pq entry binds a recall
+    floor).  Ties break by ascending id, deterministically.  Returns
+    (query_id, id_col, rank) sorted by (query_id, rank)."""
+    sample = _to_matrix(
+        pa.concat_tables(
+            [b.select([vec_col]) for b in
+             ds.limit(sample_size).iter_batches(batch_format="pyarrow")]
+        )[vec_col])
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12
+    dim = sample.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(
+            f"knn_pq: dim {dim} not divisible by m={m_subspaces}")
+    sub = dim // m_subspaces
+    books = np.stack([
+        _kmeans_l2(sample[:, j * sub:(j + 1) * sub], n_codes,
+                   seed + j, iters)
+        for j in range(m_subspaces)])          # (m, n_codes, sub)
+
+    qn = queries.astype(np.float64)
+    qn = qn / (np.linalg.norm(qn, axis=1, keepdims=True) + 1e-12)
+    # ADC tables: tables[q, j, c] = <q's j-th subvector, books[j, c]>
+    tables = np.einsum(
+        "qjs,jcs->qjc",
+        qn.reshape(len(qn), m_subspaces, sub), books)
+    # encoding auxiliaries: argmin ||v_j - c||^2 == argmax(v_j @ c - |c|^2/2)
+    half_norms = 0.5 * (books ** 2).sum(axis=2)   # (m, n_codes)
+    state = ray.put((books, tables, half_norms))
+
+    class Scorer:
+        def __init__(self, state_ref, k):
+            self.books, self.tables, self.half = ray.get(state_ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = _to_matrix(t[vec_col])
+            v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-12
+            m, n_codes, sub_ = self.books.shape
+            vs = v.reshape(len(v), m, sub_)
+            # encode: per subspace, one (batch, sub) @ (sub, n_codes)
+            codes = np.empty((len(v), m), dtype=np.uint8)
+            for j in range(m):
+                codes[:, j] = np.argmax(
+                    vs[:, j, :] @ self.books[j].T - self.half[j],
+                    axis=1)
+            # ADC: score[q, i] = sum_j tables[q, j, codes[i, j]]
+            nq = self.tables.shape[0]
+            scores = np.zeros((nq, len(v)))
+            for j in range(m):
+                scores += self.tables[:, j, :][:, codes[:, j]]
+            ids = np.asarray(t[id_col].to_pylist())
+            out_q, out_id, out_s = [], [], []
+            for qi in range(nq):
+                col = scores[qi]
+                take = min(self.k, len(col))
+                order = np.lexsort((ids, -col))[:take]
+                out_q.extend([qi] * take)
+                out_id.extend(ids[order])
+                out_s.extend(col[order])
+            return pa.table({
+                "qi": pa.array(out_q, type=pa.int32()),
+                id_col: pa.array(out_id, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            })
+
+    partials = ds.map_batches(
+        Scorer, fn_constructor_args=(state, k),
+        batch_format="pyarrow", batch_size=8192, concurrency=(1, 8)
+    ).to_pandas()
+
+    rows = []
+    for qi, sub_f in partials.groupby("qi"):
+        best = heapq.nsmallest(
+            k, sub_f.itertuples(index=False),
+            key=lambda r: (-r.score, getattr(r, id_col)))
+        for rank, r in enumerate(best):
+            rows.append((query_ids[qi], getattr(r, id_col), rank + 1))
+    return (
+        pd.DataFrame(rows, columns=["query_id", id_col, "rank"])
+        .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
 def quantize_embeddings(
     ds: "ray.data.Dataset",
     vec_col: str,

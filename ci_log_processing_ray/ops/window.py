@@ -95,18 +95,33 @@ def bucketed_groups(
     per_bucket,
     *,
     n_buckets: int | None = None,
+    kernel_format: str = "pandas",
 ) -> ray.data.Dataset:
-    """hash(group) % n_buckets coarse shuffle + one pandas kernel per
-    bucket.  ``per_bucket`` receives the bucket frame (NOT yet sorted,
-    ``_kb`` column already removed) holding every row of each of its
-    keys, and must be vectorized over the whole bucket.  ``n_buckets``
-    defaults to the cluster-aware :func:`resolve_group_buckets`."""
+    """hash(group) % n_buckets coarse shuffle + one kernel per bucket.
+    ``per_bucket`` receives the bucket (NOT yet sorted, ``_kb`` column
+    already removed) holding every row of each of its keys, and must be
+    vectorized over the whole bucket.  ``n_buckets`` defaults to the
+    cluster-aware :func:`resolve_group_buckets`.
+
+    ``kernel_format="pyarrow"`` hands the kernel a ``pa.Table`` and
+    keeps the output on ARROW blocks -- skipping the pandas round-trip
+    (object-dtype strings, ~10x costlier merges) and the documented
+    empty-pandas-block Acero-join hazard.  Prefer it for new kernels;
+    the pandas default remains for the existing frame-based kernels."""
     n_buckets = resolve_group_buckets(n_buckets)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         k = t[group_col].combine_chunks().to_numpy(zero_copy_only=False)
         return t.append_column(
             "_kb", pa.array(_key_buckets(k, n_buckets)))
+
+    if kernel_format == "pyarrow":
+        def run_arrow(t: pa.Table) -> pa.Table:
+            return per_bucket(t.drop_columns("_kb"))
+
+        return ds.map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True
+        ).groupby("_kb").map_groups(run_arrow, batch_format="pyarrow")
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return per_bucket(g.drop(columns="_kb"))
@@ -128,13 +143,20 @@ def bucketed_sum(
     Dataset.groupby(...).aggregate() pays a per-distinct-group cost in
     its merge (measured 145 s for 120k groups on pandas blocks, ~10 s
     on Arrow blocks, vs ~1 s here) -- use this whenever group count is
-    corpus-shaped rather than vocabulary-shaped."""
+    corpus-shaped rather than vocabulary-shaped.  The per-bucket kernel
+    is an Arrow ``Table.group_by`` (no pandas round-trip: strings stay
+    Arrow-encoded and the output rides Arrow blocks)."""
 
-    def kern(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(key_cols, as_index=False, sort=False)[
-            sum_cols].sum()
+    def kern(t: pa.Table) -> pa.Table:
+        g = t.select(key_cols + sum_cols).group_by(key_cols).aggregate(
+            [(c, "sum") for c in sum_cols])
+        cols = {k: g[k] for k in key_cols}
+        for c in sum_cols:
+            cols[c] = g[f"{c}_sum"]
+        return pa.table(cols)
 
-    return bucketed_groups(ds, key_cols[0], kern, n_buckets=n_buckets)
+    return bucketed_groups(ds, key_cols[0], kern, n_buckets=n_buckets,
+                           kernel_format="pyarrow")
 
 
 def bucketed_distinct(
@@ -144,14 +166,16 @@ def bucketed_distinct(
     n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Exact DISTINCT over ``key_cols`` at high cardinality: same
-    coarse-bucket shape as :func:`bucketed_sum`, kernel is a pandas
-    ``drop_duplicates``.  Callers should pre-shrink with a per-block
-    distinct partial so the exchange carries block-distinct rows."""
+    coarse-bucket shape as :func:`bucketed_sum`, kernel is an Arrow
+    keys-only ``group_by`` (no pandas round-trip).  Callers should
+    pre-shrink with a per-block distinct partial so the exchange
+    carries block-distinct rows."""
 
-    def kern(g: pd.DataFrame) -> pd.DataFrame:
-        return g[key_cols].drop_duplicates()
+    def kern(t: pa.Table) -> pa.Table:
+        return t.select(key_cols).group_by(key_cols).aggregate([])
 
-    return bucketed_groups(ds, key_cols[0], kern, n_buckets=n_buckets)
+    return bucketed_groups(ds, key_cols[0], kern, n_buckets=n_buckets,
+                           kernel_format="pyarrow")
 
 
 def forward_fill_by_group(

@@ -274,6 +274,16 @@ def test_ann_recall_gate_fires_on_collapse(ray_session, monkeypatch):
         entrymod.q_ann_recall(SF0)
 
 
+def test_knn_pq_recall_gate_fires_on_collapse(ray_session, monkeypatch):
+    def empty(ds, vec_col, id_col, q, qids, **kw):
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "vec_id": pd.Series([], dtype=np.int64)})
+
+    monkeypatch.setattr(entrymod, "knn_pq", empty)
+    with pytest.raises(AssertionError, match="knn_pq"):
+        entrymod.q_knn_pq(SF0)
+
+
 def test_knn_graph_ivf_gate_fires_on_collapse(ray_session, monkeypatch):
     from ci_log_processing_ray.ops import similarity as sim
     real = sim.knn_graph_ivf

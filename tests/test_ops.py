@@ -492,6 +492,40 @@ def test_knn_ivf_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(exact, approx)
 
 
+def test_knn_pq_exact_when_codebook_spans_sample(ray_session):
+    from ci_log_processing_ray.ops.similarity import knn_pq
+
+    rng = np.random.default_rng(6)
+    vecs = rng.standard_normal((100, 64))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(100)]
+    ds = ray.data.from_items(rows)
+    q = vecs[:2]
+    exact = knn_bruteforce(ds, "embedding", "vec_id", q, [0, 1], k=5)
+    # n_codes >= sample size -> every sample subvector is its own
+    # centroid (Lloyd's is a fixpoint at zero distortion), so PQ codes
+    # reconstruct exactly and ADC == the exact dot product
+    approx = knn_pq(ds, "embedding", "vec_id", q, [0, 1], k=5,
+                    m_subspaces=8, n_codes=128, sample_size=100)
+    pd.testing.assert_frame_equal(exact, approx)
+
+
+def test_knn_pq_lossy_codebook_still_finds_planted(ray_session):
+    from ci_log_processing_ray.ops.similarity import knn_pq
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((4, 64)) * 4.0       # well-separated hubs
+    vecs = np.vstack([base[i % 4] + 0.01 * rng.standard_normal(64)
+                      for i in range(200)])
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)]
+    ds = ray.data.from_items(rows)
+    out = knn_pq(ds, "embedding", "vec_id", base[:2], [0, 1], k=10,
+                 m_subspaces=8, n_codes=16, sample_size=200)
+    # every returned neighbor of hub q must belong to hub q's cluster
+    for qid in (0, 1):
+        got = out[out["query_id"] == qid]["vec_id"].to_numpy()
+        assert len(got) == 10 and np.all(got % 4 == qid)
+
+
 def test_video_frame_sampler():
     from ci_log_processing_ray.ops.multimodal import (
         VideoFrameSampler, encode_fake_video)
