@@ -53,45 +53,45 @@ def exact_dedup(
 
     def add_hash(t: pa.Table) -> pa.Table:
         # combiner: collapse to block-distinct texts BEFORE the exchange
-        # (min id + partial count per text), so the shuffle carries one
-        # row per distinct text per block, not one per input row -- on a
-        # duplicate-heavy corpus the exchange shrinks by the in-block
-        # duplication factor, and the text payload never ships twice.
+        # ("first" = MIN id + partial count per text), so the shuffle
+        # carries one row per distinct text per block, not one per input
+        # row -- on a duplicate-heavy corpus the exchange shrinks by the
+        # in-block duplication factor, and the text payload never ships
+        # twice.  Arrow group_by end to end: strings stay Arrow-encoded,
+        # no pandas object-dtype round-trip.
         h = _hash64(t[text_col].combine_chunks())
-        df = pd.DataFrame({
-            id_col: t[id_col].combine_chunks().to_numpy(
-                zero_copy_only=False),
-            text_col: t[text_col].to_pandas(),
-            "_h": h.astype(np.int64),
+        tt = pa.table({
+            id_col: t[id_col],
+            text_col: t[text_col],
+            "_h": pa.array(h.astype(np.int64)),
         })
-        part = (
-            df.sort_values(id_col)
-            .groupby(text_col, sort=False, as_index=False)
-            .agg(**{id_col: (id_col, "first"),
-                    "dup_count": (id_col, "size"),
-                    "_h": ("_h", "first")})
-        )
-        return pa.Table.from_pandas(
-            part[[id_col, text_col, "dup_count", "_h"]],
-            preserve_index=False)
+        g = tt.group_by(text_col).aggregate(
+            [(id_col, "min"), (id_col, "count"), ("_h", "min")])
+        return pa.table({
+            id_col: g[f"{id_col}_min"],
+            text_col: g[text_col],
+            "dup_count": g[f"{id_col}_count"].cast(pa.int64()),
+            "_h": g["_h_min"],
+        })
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None)
 
-    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            g.sort_values(id_col)
-            .groupby(text_col, sort=False, as_index=False)
-            .agg(**{id_col: (id_col, "first"),
-                    "dup_count": ("dup_count", "sum")})
-        )
-        return out[[id_col, text_col, "dup_count"]]
+    def first_per_text(t: pa.Table) -> pa.Table:
+        g = t.group_by(text_col).aggregate(
+            [(id_col, "min"), ("dup_count", "sum")])
+        return pa.table({
+            id_col: g[f"{id_col}_min"],
+            text_col: g[text_col],
+            "dup_count": g["dup_count_sum"],
+        })
 
-    # coarse-bucket the hash key: one vectorized pandas groupby per
+    # coarse-bucket the hash key: one vectorized Arrow group_by per
     # bucket, NOT one kernel dispatch per distinct text (equal texts
     # share a hash, so they land in the same bucket)
     from ci_log_processing_ray.ops.window import bucketed_groups
 
-    return bucketed_groups(hashed, "_h", first_per_text)
+    return bucketed_groups(hashed, "_h", first_per_text,
+                           kernel_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -547,16 +547,22 @@ def minhash_lsh_dedup(
         _MinHashBatch(text_col, id_col, k, num_perm, bands, seed),
         batch_format="pyarrow", batch_size=4096)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(t: pa.Table) -> pa.Table:
         # vectorized star expansion over the whole coarse bucket: the
         # smallest id per (band, band_hash) group pairs with every other
-        # id in that group -- pair count stays linear in bucket size
-        g = g.sort_values(["band", "band_hash", id_col], kind="mergesort")
-        rep = g.groupby(["band", "band_hash"], sort=False)[id_col].transform(
-            "first")
-        mask = (g[id_col] != rep).to_numpy()
-        return pd.DataFrame({"left": rep.to_numpy()[mask],
-                             "right": g[id_col].to_numpy()[mask]})
+        # id in that group -- pair count stays linear in bucket size.
+        # Pure numpy over Arrow arrays: one lexsort + segment repeat.
+        band = t["band"].combine_chunks().to_numpy()
+        bh = t["band_hash"].combine_chunks().to_numpy()
+        ids = t[id_col].combine_chunks().to_numpy()
+        order = np.lexsort((ids, bh, band))
+        b, h, i = band[order], bh[order], ids[order]
+        newgrp = np.r_[True, (b[1:] != b[:-1]) | (h[1:] != h[:-1])]
+        starts = np.flatnonzero(newgrp)
+        rep = np.repeat(i[starts], np.diff(np.r_[starts, len(i)]))
+        mask = i != rep
+        return pa.table({"left": pa.array(rep[mask]),
+                         "right": pa.array(i[mask])})
 
     from ci_log_processing_ray.ops.window import bucketed_groups
 
@@ -564,7 +570,8 @@ def minhash_lsh_dedup(
         # coarse-bucket on band_hash (same (band, band_hash) group never
         # splits); the kernel resolves exact groups vectorized -- no
         # per-distinct-bucket map_groups dispatch
-        bucketed_groups(banded, "band_hash", bucket_pairs)
+        bucketed_groups(banded, "band_hash", bucket_pairs,
+                        kernel_format="pyarrow")
         .to_pandas()  # candidate EDGE list only -- tiny by construction
     )
     if len(pairs) == 0:
