@@ -288,18 +288,24 @@ def _kmeans_l2(sample: np.ndarray, n_centroids: int, seed: int,
                iters: int) -> np.ndarray:
     """Plain Euclidean Lloyd's on a driver-side sample -- the PQ
     sub-codebook trainer (subvectors are NOT unit-norm, so the cosine
-    k-means used for the IVF coarse quantizer would be wrong here)."""
+    k-means used for the IVF coarse quantizer would be wrong here).
+    Fully vectorized: assignment is argmin(|c|^2 - 2 x.c) (one BLAS
+    matmul, |x|^2 constant per row), the update is ONE np.add.at row
+    scatter + bincount (faster than sort+reduceat for 2-D scatters --
+    measured 7 vs 39 ms on the kmeans partials)."""
     rng = np.random.default_rng(seed)
-    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
-                     replace=False)
+    k = min(n_centroids, len(sample))
+    idx = rng.choice(len(sample), size=k, replace=False)
     cent = sample[idx].copy()
     for _ in range(iters):
-        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = np.argmin(d2, axis=1)
-        for c in range(len(cent)):
-            members = sample[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
+        assign = np.argmin(
+            (cent ** 2).sum(axis=1)[None, :] - 2.0 * (sample @ cent.T),
+            axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, sample)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
     return cent
 
 
