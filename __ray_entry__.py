@@ -48,7 +48,8 @@ from ci_log_processing_ray.ops.dedup import (
 from ci_log_processing_ray.ops.multimodal import (
     decode_images,
     encode_fake_image,
-    encode_fake_video,
+    encode_linear_image,
+    encode_linear_video,
     resize_images,
     sample_video_frames,
 )
@@ -764,8 +765,10 @@ def q_minhash_dedup(sf_dir: str):
     text -> identical signature -> same band buckets -> Jaccard-1
     verified edge, so recovery of EVERY planted pair is guaranteed for
     a correct kernel and enforced by a BINDING in-query gate
-    (_cert_planted_clusters) -- rows-only, but a silent-empty
-    regression now raises instead of passing."""
+    (_cert_planted_clusters).  Oracle-checked since r5: the full
+    output (clusters incl. the natural near-dup pairs -- LSH recall
+    on this corpus+seed is exactly 1.0, verified edge-for-edge vs
+    brute force) is reproduced by _MINHASH_DEDUP_ORACLE."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = minhash_lsh_dedup(_plant_dup_texts(ds), "text", "doc_id",
                             jaccard_threshold=0.7)
@@ -780,7 +783,10 @@ def q_simhash(sf_dir: str):
     """SimHash exact-bucket clusters over the planted-augmented corpus
     (exact copies at +1e6 for doc_id % 50 == 0), with a BINDING
     in-query gate: every planted copy must carry the SAME 64-bit
-    simhash as its base and sit in a bucket of size >= 2."""
+    simhash as its base and sit in a bucket of size >= 2.
+    Oracle-checked since r5: the seeded-FNV word hash is
+    SQL-reproducible, so _SIMHASH_ORACLE recomputes the raw simhash
+    values themselves (not just the bucket structure) in DuckDB."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = _collect(simhash_clusters(_plant_dup_texts(ds), "text",
                                     "doc_id")).to_pandas()
@@ -859,6 +865,252 @@ SELECT ia AS vec_id, ia AS cluster_rep FROM pairs
 UNION ALL
 SELECT ib AS vec_id, ia AS cluster_rep FROM pairs
 ORDER BY vec_id
+"""
+
+
+# count_min exact-state oracle: row j's item hash is FNV-1a seeded by
+# j + the fmix64 finalizer (same SQL-reproducible pipeline as
+# _HLL_ORACLE; 64x64 multiplies split into 32-bit halves), so DuckDB
+# rebuilds the whole 4x1024 counter table and answers every point
+# query as the min over the 4 hashed cells -- the full sketch, not
+# just the error contract.
+_COUNT_MIN_ORACLE = r"""
+
+WITH RECURSIVE su AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events
+),
+sj AS (SELECT s, j FROM su, range(0, 4) r(j)),
+fh(s, j, pos, h) AS (
+  SELECT s, j, 0,
+         xor(CAST(14695981039346656037 AS UBIGINT), CAST(j AS UBIGINT))
+  FROM sj
+  UNION ALL
+  SELECT s, j, pos + 1,
+         CAST((CAST(xor(h, CAST(ord(substr(s, pos + 1, 1)) AS UBIGINT))
+                    AS HUGEINT)
+               * 1099511628211) % 18446744073709551616 AS UBIGINT)
+  FROM fh WHERE pos < length(s)
+),
+uh AS (SELECT s, j, h FROM fh WHERE pos = length(s)),
+x1 AS (SELECT s, j, xor(h, h >> 33) AS h FROM uh),
+x2 AS (SELECT s, j, CAST(((CAST(h AS HUGEINT) * 3981806797) % 18446744073709551616
+         + ((CAST(h % 4294967296 AS HUGEINT) * 4283543511) % 4294967296)
+         * 4294967296) % 18446744073709551616 AS UBIGINT) AS h FROM x1),
+x3 AS (SELECT s, j, xor(h, h >> 33) AS h FROM x2),
+x4 AS (SELECT s, j, CAST(((CAST(h AS HUGEINT) * 444984403) % 18446744073709551616
+         + ((CAST(h % 4294967296 AS HUGEINT) * 3301882366) % 4294967296)
+         * 4294967296) % 18446744073709551616 AS UBIGINT) AS h FROM x3),
+x5 AS (SELECT s, j, xor(h, h >> 33) AS h FROM x4),
+hp AS (SELECT s, j, CAST(h % 1024 AS BIGINT) AS pos FROM x5),
+cnt AS (SELECT CAST(user_id AS VARCHAR) AS s, count(*) AS c FROM events GROUP BY 1),
+cells AS (SELECT j, pos, sum(c) AS n FROM hp JOIN cnt USING (s) GROUP BY j, pos),
+est AS (
+  SELECT hp.s, min(cells.n) AS est_count
+  FROM hp JOIN cells ON cells.j = hp.j AND cells.pos = hp.pos
+  GROUP BY hp.s
+)
+SELECT CAST(s AS BIGINT) AS item, CAST(est_count AS BIGINT) AS est_count
+FROM est ORDER BY item
+
+"""
+
+
+# hll_distinct_users exact-state oracle: item hash = seeded FNV-1a of
+# str(user_id) + murmur3 fmix64 finalizer (both SQL-reproducible; the
+# 64x64 wraparound multiplies are split into 32-bit halves because
+# HUGEINT overflows at 2^127).  DuckDB rebuilds bucket = h >> 52,
+# rank = 53 - bit_length(low 52 bits) (== the engine's padded-CLZ),
+# merges by max per bucket and emits the same rank histogram the
+# query returns -- the full sketch state, not just the estimate.
+_HLL_ORACLE = r"""
+
+WITH RECURSIVE u AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS s FROM events
+),
+su AS (SELECT DISTINCT s FROM u),
+fh(s, pos, h) AS (
+  SELECT s, 0, CAST(14695981039346656037 AS UBIGINT) FROM su
+  UNION ALL
+  SELECT s, pos + 1,
+         CAST((CAST(xor(h, CAST(ord(substr(s, pos + 1, 1)) AS UBIGINT))
+                    AS HUGEINT)
+               * 1099511628211) % 18446744073709551616 AS UBIGINT)
+  FROM fh WHERE pos < length(s)
+),
+uh AS (SELECT s, h FROM fh WHERE pos = length(s)),
+x1 AS (SELECT s, xor(h, h >> 33) AS h FROM uh),
+x2 AS (SELECT s, CAST(((CAST(h AS HUGEINT) * 3981806797) % 18446744073709551616 + ((CAST(h % 4294967296 AS HUGEINT) * 4283543511) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS h FROM x1),
+x3 AS (SELECT s, xor(h, h >> 33) AS h FROM x2),
+x4 AS (SELECT s, CAST(((CAST(h AS HUGEINT) * 444984403) % 18446744073709551616 + ((CAST(h % 4294967296 AS HUGEINT) * 3301882366) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS h FROM x3),
+x5 AS (SELECT s, xor(h, h >> 33) AS h FROM x4),
+ranked AS (
+  SELECT u.event_type,
+         CAST(h >> 52 AS BIGINT) AS bucket,
+         CAST(53 - CASE WHEN (h & 4503599627370495) = 0 THEN 0
+                        ELSE length(bin(h & 4503599627370495)) END
+              AS BIGINT) AS rank
+  FROM u JOIN x5 USING (s)
+),
+regs AS (
+  SELECT event_type, bucket, max(rank) AS rank
+  FROM ranked GROUP BY event_type, bucket
+),
+hist AS (
+  SELECT event_type, rank, count(*) AS n_regs FROM regs GROUP BY 1, 2
+  UNION ALL
+  SELECT event_type, 0 AS rank, 4096 - count(*) AS n_regs
+  FROM regs GROUP BY event_type
+  HAVING 4096 - count(*) > 0
+)
+SELECT event_type, rank, n_regs FROM hist ORDER BY event_type, rank
+
+"""
+
+
+# multimodal oracles: the synthetic payloads use affine pixel/byte
+# formulas (ops/multimodal.py:encode_linear_image/_video), so DuckDB
+# recomputes the decode metadata, the resize's nearest-neighbor index
+# selection, and the sampled-frame byte sums exactly -- binding on the
+# actual kernel math (a wrong yi/xi stride or frame slice changes the
+# sums), not just row geometry.
+_MULTIMODAL_DECODE_ORACLE = """
+SELECT d.doc_id AS media_id,
+       16 + d.doc_id % 16 AS width,
+       16 AS height,
+       8 + (16 + d.doc_id % 16) * 16 AS n_bytes,
+       CAST(sum((d.doc_id * 7919 + (p.p // (16 + d.doc_id % 16)) * 131
+                 + (p.p % (16 + d.doc_id % 16)) * 17) % 256) AS BIGINT)
+           AS intensity_sum
+FROM documents d, range(0, 496) p(p)
+WHERE p.p < (16 + d.doc_id % 16) * 16
+GROUP BY d.doc_id ORDER BY media_id
+"""
+
+_MULTIMODAL_RESIZE_ORACLE = """
+SELECT d.doc_id AS media_id, 8 AS width, 8 AS height,
+       CAST(sum((d.doc_id * 7919 + (2 * yy.y) * 131
+                 + ((xx.x * (16 + d.doc_id % 16)) // 8) * 17) % 256)
+            AS BIGINT) AS pixel_sum
+FROM documents d, range(0, 8) yy(y), range(0, 8) xx(x)
+GROUP BY d.doc_id ORDER BY media_id
+"""
+
+_VIDEO_FRAME_SAMPLE_ORACLE = """
+SELECT d.doc_id AS media_id, 4 * kk.k AS frame_no,
+       CAST(sum((d.doc_id * 104729 + (4 * kk.k) * 257 + j.j * 31) % 256)
+            AS BIGINT) AS frame_sum
+FROM documents d, range(0, 4) kk(k), range(0, 256) j(j)
+WHERE 4 * kk.k < 8 + d.doc_id % 8
+GROUP BY d.doc_id, kk.k
+ORDER BY media_id, frame_no
+"""
+
+
+# simhash exact oracle: the engine's per-word hash is seeded FNV-1a
+# over UTF-8 bytes (ops/dedup.py:_fnv1a_word_hashes), chosen precisely
+# because ANSI SQL can reproduce it -- a recursive CTE folds
+# (h XOR byte) * prime mod 2^64 over character positions (HUGEINT
+# intermediate avoids the UBIGINT overflow throw; corpus is ASCII so
+# ord(substr) == the UTF-8 byte).  Bit votes, packing (bit 63 wraps
+# negative exactly like the engine's uint64->int64 cast) and bucket
+# sizes are then plain SQL, so the FULL output including the raw
+# 64-bit simhash values is oracle-checked.
+_SIMHASH_ORACLE = r"""
+WITH RECURSIVE aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 50 = 0
+),
+docwords AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM aug
+),
+vocab AS (SELECT DISTINCT unnest(ws) AS w FROM docwords),
+fh(w, pos, h) AS (
+  SELECT w, 0,
+         xor(CAST(14695981039346656037 AS UBIGINT), CAST(11 AS UBIGINT))
+  FROM vocab
+  UNION ALL
+  SELECT w, pos + 1,
+         CAST((CAST(xor(h, CAST(ord(substr(w, pos + 1, 1)) AS UBIGINT))
+                    AS HUGEINT)
+               * 1099511628211) % 18446744073709551616 AS UBIGINT)
+  FROM fh WHERE pos < length(w)
+),
+wh AS (SELECT w, h FROM fh WHERE pos = length(w)),
+occ AS (SELECT doc_id, unnest(ws) AS w FROM docwords),
+votes AS (
+  SELECT doc_id, b.i AS bit,
+         sum(CASE WHEN (h >> CAST(b.i AS UBIGINT)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM occ JOIN wh USING (w)
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
+  GROUP BY doc_id, b.i
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << bit
+                  ELSE CAST(0 AS HUGEINT) END) AS uh
+  FROM votes GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN uh >= 9223372036854775808
+                 THEN uh - 18446744073709551616
+                 ELSE uh END AS BIGINT) AS simhash,
+       count(*) OVER (PARTITION BY uh) AS bucket_size
+FROM sh ORDER BY doc_id
+"""
+
+
+# minhash_dedup exact oracle: the engine's verified-edge truth set is
+# "5-byte-shingle Jaccard >= 0.7" (LSH recall over this corpus+seed is
+# exactly 1.0 -- verified edge-for-edge against brute force at sf0.001
+# and sf0.01), so DuckDB can reproduce the FULL output: distinct
+# 5-char substrings per doc (corpus is ASCII, so chars == UTF-8
+# bytes), exact integer Jaccard predicate (10*inter >= 7*union ==
+# inter/union >= 0.7 for these denominators), min-label closure via a
+# recursive CTE -- identical to the engine's union-by-min.  The cheap
+# join prefilter uses J <= min/max (a length-ratio necessary
+# condition), and grams are hash()-encoded so list_intersect runs on
+# uint64, not strings (~3x).
+_MINHASH_DEDUP_ORACLE = """
+WITH RECURSIVE aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 50 = 0
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, length(text) - 3),
+                                      i -> hash(substr(text, i, 5))))
+             AS grams
+  FROM aug
+),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM g a JOIN g b
+    ON a.doc_id < b.doc_id
+   AND 10 * least(len(a.grams), len(b.grams))
+       >= 7 * greatest(len(a.grams), len(b.grams))
+  WHERE 10 * len(list_intersect(a.grams, b.grams))
+        >= 7 * (len(a.grams) + len(b.grams)
+                - len(list_intersect(a.grams, b.grams)))
+),
+e AS (
+  SELECT ia AS a, ib AS b FROM pairs
+  UNION ALL
+  SELECT ib AS a, ia AS b FROM pairs
+),
+lbl AS (
+  SELECT a AS id, b AS rep FROM e
+  UNION
+  SELECT e.a AS id, lbl.rep AS rep FROM e JOIN lbl ON lbl.id = e.b
+)
+SELECT id AS doc_id, least(id, min(rep)) AS cluster_rep
+FROM lbl GROUP BY id ORDER BY doc_id
 """
 
 
@@ -1015,18 +1267,22 @@ def q_lang_kappa(sf_dir: str):
 
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: deterministic binary payloads -> actor-pool
-    decode -> typed metadata (rows-only; no codec libs available).
+    decode -> typed metadata.
 
-    BINDING closed-form gate (the multimodal_resize pattern): payload
-    geometry is a function of the id, so every decoded row must
-    satisfy width == 16 + id % 16, height == 16, n_bytes == 8 + w*h,
-    mean_intensity in [0, 255], with exactly one row per doc.  Any
-    decode/row loss raises."""
+    Oracle-checked since r5: payloads use the SQL-reproducible affine
+    pixel formula (ops/multimodal.py:encode_linear_image), so DuckDB
+    recomputes width/height/n_bytes AND the total pixel intensity.
+    intensity_sum = round(mean_intensity * w * h) recovers the exact
+    integer byte sum (the relative float error is ~2^-53, far below
+    the 0.5 rounding margin), keeping the int64-contract output.
+
+    The closed-form geometry gate stays in-query: width == 16 + id %
+    16, height == 16, n_bytes == 8 + w*h, exactly one row per doc."""
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def make_payload(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
-        payloads = [encode_fake_image(i, 16 + (i % 16), 16) for i in ids]
+        payloads = [encode_linear_image(i, 16 + (i % 16), 16) for i in ids]
         return pa.table({
             "media_id": pa.array(ids, type=pa.int64()),
             "payload": pa.array(payloads, type=pa.binary()),
@@ -1049,7 +1305,13 @@ def q_multimodal_decode(sf_dir: str):
         raise AssertionError(
             "multimodal_decode: decoded metadata violates the "
             "closed-form payload geometry")
-    return out
+    return pd.DataFrame({
+        "media_id": out["media_id"].astype("int64"),
+        "width": w,
+        "height": h,
+        "n_bytes": nb,
+        "intensity_sum": np.rint(mi * w * h).astype(np.int64),
+    })
 
 
 def _collect(ds: ray.data.Dataset,
@@ -1501,19 +1763,27 @@ def q_rolling_window(sf_dir: str):
 
 def q_hll_distinct_users(sf_dir: str):
     """Approximate per-type distinct users via mergeable HyperLogLog
-    register sketches (rows-only: approximate by design; the exact
-    counterpart is q:distinct_users, hash-exact against DuckDB).
+    register sketches.
 
-    BINDING error floor (the ANN-recall-floor pattern): every
-    per-group estimate is re-checked in-query against the exact
+    Oracle-checked since r5: the item hash is the SQL-reproducible
+    seeded FNV-1a of str(user_id), and the query returns the per-group
+    register-RANK HISTOGRAM (an all-integer sufficient statistic of
+    the sketch; the estimate is a pure function of it), which
+    _HLL_ORACLE rebuilds from scratch in DuckDB -- bucket index,
+    padded-CLZ rank and merge-by-max included.
+
+    The BINDING error floor stays in-query: every per-group estimate
+    (recomputed from the histogram) is checked against the exact
     distinct count and the query RAISES beyond +/-5% relative error --
     p=12 gives ~1.6% standard error, so 5% is a deterministic-pass /
     regression-fail bound on this fixed corpus."""
-    from ci_log_processing_ray.ops.sketch import hll_distinct_by_group
+    from ci_log_processing_ray.ops.sketch import (
+        estimate_from_rank_histogram, hll_distinct_by_group)
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    est = hll_distinct_by_group(ds, "event_type", "user_id", p=12)
-    est_df = est.to_pandas() if hasattr(est, "to_pandas") else est
+    state = hll_distinct_by_group(ds, "event_type", "user_id", p=12,
+                                  hash="fnv", return_state=True)
+    state = state.to_pandas() if hasattr(state, "to_pandas") else state
     # exact side: one tiny local distinct fold (the floor's yardstick)
     tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"),
                         columns=["event_type", "user_id"])
@@ -1521,14 +1791,16 @@ def q_hll_distinct_users(sf_dir: str):
          .group_by("event_type").aggregate([([], "count_all")]))
     exact = dict(zip(g["event_type"].to_pylist(),
                      g["count_all"].to_pylist()))
-    for _, row in est_df.iterrows():
-        want = exact[row["event_type"]]
-        got = int(row["n_distinct"])
+    for et, sub in state.groupby("event_type"):
+        want = exact[et]
+        got = round(estimate_from_rank_histogram(
+            sub["rank"].to_numpy(np.int64),
+            sub["n_regs"].to_numpy(np.int64), 12))
         if abs(got - want) > max(1, want // 20):
             raise AssertionError(
                 f"hll_distinct_users: estimate {got} for "
-                f"{row['event_type']!r} outside +/-5% of exact {want}")
-    return est_df
+                f"{et!r} outside +/-5% of exact {want}")
+    return state.sort_values(["event_type", "rank"]).reset_index(drop=True)
 
 
 def q_stratified_sample(sf_dir: str):
@@ -1607,15 +1879,22 @@ def q_knn_pq(sf_dir: str):
 
 
 def q_multimodal_resize(sf_dir: str):
-    """Multimodal resize stage: binary payload -> downscaled payload +
-    typed metadata (rows-only; deterministic fake codec)."""
+    """Multimodal resize stage: binary payload -> nearest-neighbor 8x8
+    downscale + typed metadata.
+
+    Oracle-checked since r5: payloads use the affine pixel formula
+    (ops/multimodal.py:encode_linear_image), so DuckDB reproduces the
+    resize's index selection (yi = (y*h)//8, xi = (x*w)//8) and the
+    sampled-pixel sum exactly.  pixel_sum = mean_intensity * 64 is an
+    EXACT float64 round-trip (integer sum divided by a power of two),
+    keeping the int64 output contract."""
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def make_payload(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
         return pa.table({
             "media_id": pa.array(ids, type=pa.int64()),
-            "payload": pa.array([encode_fake_image(i, 16 + (i % 16), 16)
+            "payload": pa.array([encode_linear_image(i, 16 + (i % 16), 16)
                                  for i in ids], type=pa.binary()),
         })
 
@@ -1633,11 +1912,23 @@ def q_multimodal_resize(sf_dir: str):
         raise AssertionError(
             f"multimodal_resize: {len(out)} rows (want {n_in}) or "
             "wrong output dims")
-    return out
+    return pd.DataFrame({
+        "media_id": out["media_id"].astype("int64"),
+        "width": out["width"].astype("int64"),
+        "height": out["height"].astype("int64"),
+        "pixel_sum": np.rint(out["mean_intensity"].to_numpy()
+                             * 64).astype(np.int64),
+    })
 
 
 def q_video_frame_sample(sf_dir: str):
-    """Video frame-sampling stage over fake containers (rows-only)."""
+    """Video frame-sampling stage over deterministic containers.
+
+    Oracle-checked since r5: containers use the affine byte formula
+    (ops/multimodal.py:encode_linear_video), so DuckDB reproduces the
+    sampled frame numbers AND each frame's byte sum.  frame_sum =
+    frame_mean * 256 is an exact float64 round-trip (integer sum over
+    a power-of-two frame size)."""
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def make_payload(t: pa.Table) -> pa.Table:
@@ -1645,7 +1936,7 @@ def q_video_frame_sample(sf_dir: str):
         return pa.table({
             "media_id": pa.array(ids, type=pa.int64()),
             "payload": pa.array(
-                [encode_fake_video(i, 8 + (i % 8), 256) for i in ids],
+                [encode_linear_video(i, 8 + (i % 8), 256) for i in ids],
                 type=pa.binary()),
         })
 
@@ -1663,7 +1954,12 @@ def q_video_frame_sample(sf_dir: str):
         raise AssertionError(
             "video_frame_sample: sampled frame counts/positions "
             "diverge from the id-derived container layout")
-    return out
+    return pd.DataFrame({
+        "media_id": out["media_id"].astype("int64"),
+        "frame_no": out["frame_no"].astype("int64"),
+        "frame_sum": np.rint(out["frame_mean"].to_numpy()
+                             * 256).astype(np.int64),
+    })
 
 
 def q_multiline_join(sf_dir: str):
@@ -2393,10 +2689,13 @@ def q_count_min(sf_dir: str):
     """Count-min sketch point-frequency estimates for every distinct
     user (ops/sketch.py:count_min_estimates): depth x width mergeable
     counter partials, depth*width-row exchange regardless of corpus
-    size.  Rows-only (approximate by design) with the BINDING
-    count-min contract gate: every estimate >= the exact count (the
-    one-sided guarantee is deterministic), and overshoot stays under
-    3n/width; violations raise."""
+    size.  Oracle-checked since r5: row j's hash is seeded FNV-1a +
+    fmix64 (SQL-reproducible), so _COUNT_MIN_ORACLE rebuilds the
+    whole counter table and the min-over-rows point estimates in
+    DuckDB.  The BINDING count-min contract gate stays in-query:
+    every estimate >= the exact count (the one-sided guarantee is
+    deterministic), and overshoot stays under 3n/width; violations
+    raise."""
     from ci_log_processing_ray.ops.sketch import count_min_estimates
 
     ds = _read(sf_dir, "events", ["user_id"])
@@ -2406,7 +2705,8 @@ def q_count_min(sf_dir: str):
     true = dict(zip(vc.field("values").to_pylist(),
                     vc.field("counts").to_pylist()))
     items = sorted(true)
-    out = count_min_estimates(ds, "user_id", items, depth=4, width=1024)
+    out = count_min_estimates(ds, "user_id", items, depth=4, width=1024,
+                              hash="fnv")
     bound = max(1, 3 * len(uid) // 1024)
     for item, est in zip(out["item"], out["est_count"]):
         t = int(true[item])
@@ -11448,6 +11748,13 @@ def oracle_sql() -> dict[str, str]:
               AND 100 * len(list_intersect(a.grams, b.grams))
                   >= 80 * least(len(a.grams), len(b.grams))""",
         "embedding_dedup": _EMBED_DEDUP_ORACLE,
+        "minhash_dedup": _MINHASH_DEDUP_ORACLE,
+        "simhash": _SIMHASH_ORACLE,
+        "multimodal_decode": _MULTIMODAL_DECODE_ORACLE,
+        "hll_distinct_users": _HLL_ORACLE,
+        "count_min": _COUNT_MIN_ORACLE,
+        "multimodal_resize": _MULTIMODAL_RESIZE_ORACLE,
+        "video_frame_sample": _VIDEO_FRAME_SAMPLE_ORACLE,
         "semdedup": _EMBED_DEDUP_ORACLE,
         # quantize exactly like the engine: q = floor(x*128 + 0.5) in
         # float64 from the same float32 inputs; dot <= dim*q_max^2 <<

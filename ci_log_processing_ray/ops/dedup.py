@@ -441,10 +441,12 @@ def _shuffle_verify_pairs(
     ~300 s; this single exchange moves ~|cand| + |distinct (left,
     bucket)| blobs (~1.1 GB there) regardless of edge multiplicity.
 
-    ``verify_rows(left, right, blobs_a, blobs_b) -> pd.DataFrame`` is
-    the caller's vectorized pair kernel; ``empty`` fixes the output
-    schema for blob-only buckets.  Used by minhash_lsh_dedup and
-    prefix_jaccard_pairs."""
+    ``verify_rows(left, right, blobs_a, blobs_b) -> pa.Table`` is the
+    caller's vectorized pair kernel; ``empty`` (a ``pa.Table``) fixes
+    the output schema for blob-only buckets.  The whole exchange rides
+    ARROW blocks (r5: the pandas kernel round-trip materialized every
+    blob into an object-dtype column per bucket -- pure overhead).
+    Used by minhash_lsh_dedup and prefix_jaccard_pairs."""
     from ci_log_processing_ray.ops.window import (_key_buckets,
                                                   bucketed_groups,
                                                   resolve_group_buckets)
@@ -493,26 +495,32 @@ def _shuffle_verify_pairs(
         "kind": pa.array(np.ones(len(pairs), np.int32)),
     }))
 
-    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        isb = g["kind"].to_numpy() == 0
-        lut = dict(zip(g.loc[isb, "left"], g.loc[isb, "blob"]))
-        e = g[~isb]
-        if not len(e):
+    def verify_bucket(t: pa.Table) -> pa.Table:
+        kind = t["kind"].combine_chunks().to_numpy()
+        isb = kind == 0
+        bl = t.filter(pa.array(isb))
+        lut = dict(zip(bl["left"].to_pylist(), bl["blob"].to_pylist()))
+        el = t["left"].combine_chunks().to_numpy()[~isb]
+        er = t["right"].combine_chunks().to_numpy()[~isb]
+        if not len(el):
             return empty
         outs = []
         # chunk the verify so the lexsort working set stays
         # cache-friendly (8192 pairs x ~600 elements x 16 B)
-        for i in range(0, len(e), 8192):
-            ch = e.iloc[i:i + 8192]
+        for i in range(0, len(el), 8192):
+            cl = el[i:i + 8192].astype(np.int64)
+            cr = er[i:i + 8192].astype(np.int64)
             outs.append(verify_rows(
-                ch["left"].to_numpy(np.int64),
-                ch["right"].to_numpy(np.int64),
-                ch["left"].map(lut).to_list(),
-                ch["right"].map(lut).to_list()))
-        return pd.concat(outs, ignore_index=True)
+                cl, cr,
+                [lut[x] for x in cl], [lut[x] for x in cr]))
+        return pa.concat_tables(outs)
 
-    return bucketed_groups(blob_rows.union(edge_rows), "key",
-                           verify_bucket).to_pandas()
+    out = bucketed_groups(blob_rows.union(edge_rows), "key",
+                          verify_bucket,
+                          kernel_format="pyarrow").to_pandas()
+    # schema-preserving empty (Dataset.to_pandas drops columns on
+    # zero-row datasets -- CLAUDE.md rule)
+    return empty.to_pandas() if len(out) == 0 else out
 
 
 def minhash_lsh_dedup(
@@ -575,7 +583,8 @@ def minhash_lsh_dedup(
         .to_pandas()  # candidate EDGE list only -- tiny by construction
     )
     if len(pairs) == 0:
-        return pd.DataFrame({id_col: [], "cluster_rep": []})
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "cluster_rep": pd.Series([], dtype="int64")})
     pairs = pairs.drop_duplicates()
 
     # ---- distributed exact-Jaccard verification ----------------------
@@ -653,9 +662,9 @@ def minhash_lsh_dedup(
         edges = _shuffle_verify_pairs(
             cand_a, "a_id", "sh_a", pairs,
             lambda l, r, ba, bb: _verify_jaccard_batch(
-                l, r, ba, bb, jaccard_threshold).to_pandas(),
-            pd.DataFrame({"left": pd.Series(dtype=np.int64),
-                          "right": pd.Series(dtype=np.int64)}))
+                l, r, ba, bb, jaccard_threshold),
+            pa.table({"left": pa.array([], pa.int64()),
+                      "right": pa.array([], pa.int64())}))
 
     if len(edges) > driver_edge_cap:
         # distributed closure: component = min reachable id, exactly the
@@ -1087,11 +1096,11 @@ def prefix_jaccard_pairs(
         out = _shuffle_verify_pairs(
             blob_ds, "a_id", "blob", pairs2,
             lambda l, r, ba, bb: _jaccard_pair_stats(
-                l, r, ba, bb, threshold_pct).to_pandas(),
-            pd.DataFrame({"left_id": pd.Series(dtype=np.int64),
-                          "right_id": pd.Series(dtype=np.int64),
-                          "inter": pd.Series(dtype=np.int64),
-                          "union_sz": pd.Series(dtype=np.int64)}))
+                l, r, ba, bb, threshold_pct),
+            pa.table({"left_id": pa.array([], pa.int64()),
+                      "right_id": pa.array([], pa.int64()),
+                      "inter": pa.array([], pa.int64()),
+                      "union_sz": pa.array([], pa.int64())}))
         return out.sort_values(["left_id", "right_id"]).reset_index(
             drop=True)
 
@@ -1121,15 +1130,50 @@ def prefix_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+_FNV_BASIS = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def _fnv1a_word_hashes(words, seed: int) -> np.ndarray:
+    """Vectorized 64-bit FNV-1a over each word's UTF-8 bytes, seeded by
+    XOR-folding ``seed`` into the offset basis.  FNV-1a (not
+    pd.util.hash_array's siphash) because the fold is exactly
+    reproducible in ANSI SQL (a recursive CTE over character
+    positions) -- the property the simhash driver oracle relies on
+    (``__ray_entry__._SIMHASH_ORACLE``).  Hashes are computed once per
+    DISTINCT word (dictionary-encode + gather), so the byte loop runs
+    over the vocabulary, not the word stream."""
+    if not isinstance(words, (pa.Array, pa.ChunkedArray)):
+        words = pa.array(list(words), pa.string())
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    d = words.dictionary_encode()
+    uniq = d.dictionary.to_numpy(zero_copy_only=False)
+    if len(uniq) == 0:
+        return np.empty(0, dtype=np.uint64)
+    enc = np.char.encode(uniq.astype(str), "utf-8")
+    width = enc.dtype.itemsize
+    mat = enc.view(np.uint8).reshape(len(uniq), width)
+    lens = np.char.str_len(enc).astype(np.int64)
+    h = np.full(len(uniq), np.uint64(_FNV_BASIS) ^ np.uint64(seed),
+                dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    with np.errstate(over="ignore"):  # wraparound mult is the spec
+        for j in range(int(lens.max())):
+            m = lens > j
+            h[m] = (h[m] ^ mat[m, j].astype(np.uint64)) * prime
+    return h[d.indices.to_numpy()]
+
+
 def _simhash_batch(
     texts: "list[str] | pa.Array | pa.ChunkedArray", seed: int
 ) -> np.ndarray:
-    """Whole-batch vectorized simhash: ONE hash_array call over the
-    flattened word stream, per-doc bit-vote sums via np.add.reduceat,
-    bits packed with a shift-dot -- now with NO per-document Python at
-    all (Arrow ``utf8_split_whitespace`` replaces the per-doc
-    ``str.split``; identical tokenization incl. unicode whitespace,
-    empties filtered, hash values unchanged)."""
+    """Whole-batch vectorized simhash: ONE vocabulary-level FNV-1a hash
+    pass over the flattened word stream, per-doc bit-vote sums via
+    np.add.reduceat, bits packed with a shift-dot -- NO per-document
+    Python at all (Arrow ``utf8_split_whitespace`` replaces the
+    per-doc ``str.split``; identical tokenization incl. unicode
+    whitespace, empties filtered)."""
     import pyarrow.compute as pc
 
     if isinstance(texts, list):
@@ -1150,9 +1194,7 @@ def _simhash_batch(
     total = int(lens.sum())
     if total == 0:
         return out
-    flat = flat0.filter(keep).to_numpy(zero_copy_only=False)
-    h = pd.util.hash_array(flat,
-                           hash_key=f"simhash{seed:09d}").astype(np.uint64)
+    h = _fnv1a_word_hashes(flat0.filter(keep), seed)
     shifts = np.arange(64, dtype=np.uint64)
     bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)  # (W, 64)
     nz = lens > 0
@@ -1181,34 +1223,36 @@ def simhash_clusters(
 
     simmed = ds.map_batches(add_sim, batch_format="pyarrow", batch_size=None)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # whole-bucket vectorized: size per distinct simhash via one
-        # C-level transform, not one kernel dispatch per distinct hash
-        g = g.sort_values(["simhash", id_col], kind="mergesort").copy()
-        g["bucket_size"] = g.groupby("simhash", sort=False)[id_col].transform(
-            "size")
-        return g
+    def per_bucket(t: pa.Table) -> pa.Table:
+        # whole-bucket vectorized Arrow kernel: one lexsort + run-length
+        # sizes per distinct simhash (no pandas round-trip)
+        sh = t["simhash"].combine_chunks().to_numpy()
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sh))
+        t = t.take(pa.array(order))
+        s = sh[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        sizes = np.diff(np.r_[starts, len(s)])
+        return t.append_column(
+            "bucket_size", pa.array(np.repeat(sizes, sizes).astype(np.int64)))
 
     from ci_log_processing_ray.ops.window import bucketed_groups
 
-    return bucketed_groups(simmed, "simhash", per_bucket)
+    return bucketed_groups(simmed, "simhash", per_bucket,
+                           kernel_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
 # Embedding near-duplicate detection
 # ---------------------------------------------------------------------------
-def _cosine_verify_group(g: pd.DataFrame, id_col: str,
-                         threshold: float) -> pd.DataFrame:
+def _cosine_verify_arrays(ids: np.ndarray, v: np.ndarray,
+                          threshold: float):
     """Exact pairwise cosine over one blocking group's normalized
-    vectors (column ``_v``) + union-find; (id, cluster_rep) rows for
-    near-dup sets of size >= 2.  O(|g|^2) by design -- callers bound
-    group size via their blocking scheme."""
-    if len(g) < 2:
-        return pd.DataFrame({id_col: [], "cluster_rep": []})
-    g = g.sort_values(id_col).reset_index(drop=True)
-    v = np.vstack(g["_v"].to_numpy())
+    vectors + union-by-min; keeps only near-dup sets of size >= 2.
+    ``ids`` must be ascending (so union-by-min roots at the set's
+    smallest id).  O(|g|^2) by design -- callers bound group size via
+    their blocking scheme."""
     sims = v @ v.T
-    ids = g[id_col].to_numpy()
     parent = {int(i): int(i) for i in ids}
 
     def find(x):
@@ -1222,22 +1266,43 @@ def _cosine_verify_group(g: pd.DataFrame, id_col: str,
         ri, rj = find(int(ids[i])), find(int(ids[j]))
         if ri != rj:
             parent[max(ri, rj)] = min(ri, rj)
-    rows = [(int(i), find(int(i))) for i in ids]
-    out = pd.DataFrame(rows, columns=[id_col, "cluster_rep"])
-    sizes = out.groupby("cluster_rep")[id_col].transform("size")
-    return out[sizes >= 2]
+    reps = np.fromiter((find(int(i)) for i in ids), np.int64, len(ids))
+    vals, cnt = np.unique(reps, return_counts=True)
+    keep = np.isin(reps, vals[cnt >= 2])
+    return ids[keep], reps[keep]
 
 
-def _cosine_cluster_groups(frame: pd.DataFrame, block_col: str,
-                           id_col: str, threshold: float) -> pd.DataFrame:
-    """One task per coarse bucket; the per-blocking-group O(n^2) cosine
-    verify stays per exact group, but dispatch is per coarse bucket
-    (the in-task Python loop is over a handful of groups)."""
-    outs = [_cosine_verify_group(g, id_col, threshold)
-            for _, g in frame.groupby(block_col, sort=False)]
-    if not outs:
-        return pd.DataFrame({id_col: [], "cluster_rep": []})
-    return pd.concat(outs, ignore_index=True)
+def _cosine_cluster_groups(t: pa.Table, block_col: str,
+                           id_col: str, threshold: float) -> pa.Table:
+    """One task per coarse bucket (Arrow kernel since r5 -- the list
+    column never round-trips through pandas object blocks); the
+    per-blocking-group O(n^2) cosine verify stays per exact group,
+    resolved by run boundaries of ONE lexsort over the bucket."""
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "cluster_rep": pa.array([], pa.int64())})
+    if len(t) == 0:
+        return empty
+    b = t[block_col].combine_chunks().to_numpy()
+    ids = t[id_col].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    vecs = t["_v"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, b))
+    b, ids, vecs = b[order], ids[order], vecs[order]
+    starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+    ends = np.r_[starts[1:], len(b)]
+    out_i, out_r = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        gi, gr = _cosine_verify_arrays(ids[s:e], np.vstack(vecs[s:e]),
+                                       threshold)
+        if len(gi):
+            out_i.append(gi)
+            out_r.append(gr)
+    if not out_i:
+        return empty
+    return pa.table({id_col: pa.array(np.concatenate(out_i)),
+                     "cluster_rep": pa.array(np.concatenate(out_r))})
 
 
 def embedding_dedup(
@@ -1280,19 +1345,19 @@ def embedding_dedup(
         Bucketer, fn_constructor_args=(planes_ref,),
         batch_format="pyarrow", batch_size=8192, concurrency=(1, 4))
 
-    def verify_many(frame: pd.DataFrame) -> pd.DataFrame:
-        return _cosine_cluster_groups(frame, "bucket", id_col,
+    def verify_many(t: pa.Table) -> pa.Table:
+        return _cosine_cluster_groups(t, "bucket", id_col,
                                       cosine_threshold)
 
     from ci_log_processing_ray.ops.window import bucketed_groups
 
-    clustered = bucketed_groups(bucketed, "bucket", verify_many).to_pandas()
+    clustered = bucketed_groups(bucketed, "bucket", verify_many,
+                                kernel_format="pyarrow").to_pandas()
     if len(clustered) == 0:
         return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
                              "cluster_rep": pd.Series([], dtype="int64")})
-    # Empty per-group frames upcast id columns to float64 during the pandas
-    # concat inside bucketed_groups; restore the repo-wide int64 contract so
-    # the driver's dtype-sensitive value hash matches the DuckDB oracle.
+    # int64 contract (the Arrow kernel already emits int64; the astype
+    # is a cheap no-op guard for the driver's dtype-sensitive hash)
     clustered = clustered.astype({id_col: "int64", "cluster_rep": "int64"})
     return clustered.sort_values(id_col).reset_index(drop=True)
 
@@ -1351,13 +1416,15 @@ def semdedup(
         Assign, fn_constructor_args=(c_ref,),
         batch_format="pyarrow", batch_size=8192, concurrency=(1, 4))
 
-    def verify_many(frame: pd.DataFrame) -> pd.DataFrame:
-        return _cosine_cluster_groups(frame, "cluster", id_col,
+    def verify_many(t: pa.Table) -> pa.Table:
+        return _cosine_cluster_groups(t, "cluster", id_col,
                                       cosine_threshold)
 
-    clustered = bucketed_groups(assigned, "cluster", verify_many).to_pandas()
+    clustered = bucketed_groups(assigned, "cluster", verify_many,
+                                kernel_format="pyarrow").to_pandas()
     if len(clustered) == 0:
-        return pd.DataFrame({id_col: [], "cluster_rep": []})
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "cluster_rep": pd.Series([], dtype="int64")})
     return clustered.sort_values(id_col).reset_index(drop=True)
 
 

@@ -38,6 +38,29 @@ def encode_fake_image(media_id: int, width: int, height: int, seed: int = 0) -> 
     return struct.pack("<ii", width, height) + pixels.tobytes()
 
 
+def encode_linear_image(media_id: int, width: int, height: int) -> bytes:
+    """SQL-reproducible stand-in payload: same 8-byte header layout as
+    :func:`encode_fake_image`, but pixel (y, x) = (id*7919 + y*131 +
+    x*17) % 256 -- an affine formula DuckDB can recompute, so the
+    decode / resize / phash *outputs* (not just their row geometry)
+    become oracle-checkable (driver oracles in __ray_entry__)."""
+    y = np.arange(height, dtype=np.int64)[:, None]
+    x = np.arange(width, dtype=np.int64)[None, :]
+    px = ((media_id * 7919 + y * 131 + x * 17) % 256).astype(np.uint8)
+    return struct.pack("<ii", width, height) + px.tobytes()
+
+
+def encode_linear_video(media_id: int, n_frames: int,
+                        frame_bytes: int = 256) -> bytes:
+    """SQL-reproducible stand-in container: same header layout as
+    :func:`encode_fake_video`, byte j of frame f = (id*104729 + f*257
+    + j*31) % 256."""
+    f = np.arange(n_frames, dtype=np.int64)[:, None]
+    j = np.arange(frame_bytes, dtype=np.int64)[None, :]
+    body = ((media_id * 104729 + f * 257 + j * 31) % 256).astype(np.uint8)
+    return struct.pack("<ii", n_frames, frame_bytes) + body.tobytes()
+
+
 class ImageDecoder:
     """Actor-pool decode stage: binary column -> metadata + features.
 
@@ -281,8 +304,6 @@ def phash_clusters(
     hash in an actor pool (small batches, large rows), then ONE
     8-byte-key shuffle groups identical perceptual hashes; the payload
     never moves after the hash stage."""
-    import pandas as pd
-
     from ci_log_processing_ray.ops.window import bucketed_groups
 
     hashed = ds.map_batches(
@@ -290,10 +311,17 @@ def phash_clusters(
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
 
-    def size_per_hash(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["phash", id_col], kind="mergesort").copy()
-        g["bucket_size"] = g.groupby("phash", sort=False)[id_col].transform(
-            "size")
-        return g
+    def size_per_hash(t: pa.Table) -> pa.Table:
+        # Arrow kernel: one lexsort + run-length sizes per distinct hash
+        ph = t["phash"].combine_chunks().to_numpy()
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ph))
+        t = t.take(pa.array(order))
+        s = ph[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        sizes = np.diff(np.r_[starts, len(s)])
+        return t.append_column(
+            "bucket_size", pa.array(np.repeat(sizes, sizes).astype(np.int64)))
 
-    return bucketed_groups(hashed, "phash", size_per_hash)
+    return bucketed_groups(hashed, "phash", size_per_hash,
+                           kernel_format="pyarrow")

@@ -20,12 +20,41 @@ import ray.data
 _HASH_KEY = "cilogprocraysktc"  # 16 bytes (pandas hash_key contract)
 
 
-def _registers(values, p: int) -> np.ndarray:
-    """One batch's HLL register array (uint8[2^p])."""
-    arr = np.asarray(
-        values.to_pylist() if isinstance(values, (pa.Array, pa.ChunkedArray))
-        else values, dtype=object)
-    h = pd.util.hash_array(arr, hash_key=_HASH_KEY).astype(np.uint64)
+def _fmix64(h: np.ndarray) -> np.ndarray:
+    """murmur3 64-bit finalizer: FNV-1a of short digit strings leaves
+    most entropy in the LOW bits, but HLL takes the bucket from the
+    TOP p bits -- this avalanche pass (xor-shift / wraparound-multiply
+    only, so still exactly reproducible in SQL) fixes that."""
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(18397679294719823053)   # 0xff51afd7ed558ccd
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(14181476777654086739)   # 0xc4ceb9fe1a85ec53
+        h ^= h >> np.uint64(33)
+    return h
+
+
+def _registers(values, p: int, *, hash: str = "pandas") -> np.ndarray:
+    """One batch's HLL register array (uint8[2^p]).
+
+    ``hash="fnv"`` hashes str(value) with the seeded FNV-1a from
+    ops/dedup.py -- exactly reproducible in SQL (recursive CTE over
+    character positions), which lets a DuckDB oracle rebuild the
+    register state itself (see __ray_entry__._HLL_ORACLE)."""
+    if hash == "fnv":
+        from ci_log_processing_ray.ops.dedup import _fnv1a_word_hashes
+
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            values = values.to_numpy(zero_copy_only=False)
+        h = _fmix64(_fnv1a_word_hashes(
+            pa.array(np.asarray(values).astype(str)), 0))
+    else:
+        arr = np.asarray(
+            values.to_pylist()
+            if isinstance(values, (pa.Array, pa.ChunkedArray))
+            else values, dtype=object)
+        h = pd.util.hash_array(arr, hash_key=_HASH_KEY).astype(np.uint64)
     m = 1 << p
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits
@@ -78,11 +107,19 @@ def hll_distinct(
 
 
 def hll_distinct_by_group(
-    ds: ray.data.Dataset, group_col: str, col: str, *, p: int = 10
+    ds: ray.data.Dataset, group_col: str, col: str, *, p: int = 10,
+    hash: str = "pandas", return_state: bool = False,
 ) -> "pd.DataFrame":
     """Approximate per-group distinct counts: one register array per
     (batch, group) -- the shuffle ships #groups x 2^p bytes of state,
-    never rows."""
+    never rows.
+
+    ``return_state=True`` emits the register-RANK HISTOGRAM instead of
+    the float-corrected estimate: rows (group, rank, n_regs) with
+    rank 0 = untouched registers.  All-integer (the repo's int64
+    contract) and a sufficient statistic -- the estimate is a pure
+    function of it -- so with ``hash="fnv"`` a SQL oracle can check
+    the entire sketch state, not just the estimate."""
 
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({group_col: t[group_col].to_pylist(),
@@ -90,7 +127,9 @@ def hll_distinct_by_group(
         groups, payloads = [], []
         for g, sub in df.groupby(group_col, sort=False):
             groups.append(g)
-            payloads.append(_registers(sub[col].to_numpy(object), p).tobytes())
+            payloads.append(
+                _registers(sub[col].to_numpy(object), p,
+                           hash=hash).tobytes())
         return pa.table({group_col: pa.array(groups),
                          "regs": pa.array(payloads, pa.binary())})
 
@@ -98,12 +137,33 @@ def hll_distinct_by_group(
         merged = np.zeros(1 << p, dtype=np.uint8)
         for payload in g["regs"]:
             merged = np.maximum(merged, np.frombuffer(payload, np.uint8))
+        if return_state:
+            counts = np.bincount(merged.astype(np.int64))
+            ranks = np.flatnonzero(counts)
+            return pd.DataFrame({
+                group_col: [g[group_col].iloc[0]] * len(ranks),
+                "rank": ranks.astype(np.int64),
+                "n_regs": counts[ranks].astype(np.int64)})
         return pd.DataFrame({group_col: [g[group_col].iloc[0]],
                              "n_distinct": [round(_estimate(merged, p))]})
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(group_col).map_groups(merge, batch_format="pandas")
             .to_pandas().sort_values(group_col).reset_index(drop=True))
+
+
+def estimate_from_rank_histogram(ranks: np.ndarray, n_regs: np.ndarray,
+                                 p: int) -> float:
+    """HLL estimate from a (rank, count) histogram -- identical math to
+    :func:`_estimate` (the histogram is a sufficient statistic)."""
+    m = 1 << p
+    am = 0.7213 / (1 + 1.079 / m)
+    denom = float(np.sum(n_regs * np.exp2(-ranks.astype(np.float64))))
+    est = am * m * m / denom
+    zeros = int(n_regs[ranks == 0].sum()) if (ranks == 0).any() else 0
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
 
 
 # ---------------------------------------------------------------------------
@@ -224,6 +284,7 @@ def count_min_estimates(
     *,
     depth: int = 4,
     width: int = 1024,
+    hash: str = "pandas",
 ) -> "pd.DataFrame":
     """Count-min sketch point-frequency estimates (Cormode &
     Muthukrishnan 2005) -- the fourth member of the mergeable-sketch
@@ -239,8 +300,21 @@ def count_min_estimates(
     binding-gate contract): estimates NEVER underestimate, and
     overestimate only by colliding mass -- expected <= n/width per
     row, min over ``depth`` independent rows.
+
+    ``hash="fnv"`` switches row j's hash to seeded FNV-1a of
+    str(value) + fmix64 (seed = j) -- SQL-reproducible, so a DuckDB
+    oracle can rebuild the whole depth x width counter table and the
+    point estimates (__ray_entry__._COUNT_MIN_ORACLE).
     """
     keys = [f"cmsketchrow{j:05d}" for j in range(depth)]
+
+    def row_hash(items: np.ndarray, j: int) -> np.ndarray:
+        if hash == "fnv":
+            from ci_log_processing_ray.ops.dedup import _fnv1a_word_hashes
+
+            return _fmix64(_fnv1a_word_hashes(
+                pa.array(items.astype(str)), j))
+        return pd.util.hash_array(items, hash_key=keys[j]).astype(np.uint64)
 
     def partial(t: pa.Table) -> pa.Table:
         arr = t[col].combine_chunks()
@@ -249,8 +323,8 @@ def count_min_estimates(
         counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(
             np.int64)
         cells, ns = [], []
-        for j, key in enumerate(keys):
-            h = pd.util.hash_array(items, hash_key=key).astype(np.uint64)
+        for j in range(depth):
+            h = row_hash(items, j)
             pos = (h % np.uint64(width)).astype(np.int64) + j * width
             m = np.zeros(width, np.int64)
             np.add.at(m, pos - j * width, counts)
@@ -268,8 +342,8 @@ def count_min_estimates(
     table[merged["cell"].to_numpy()] = merged["n"].to_numpy()
     q = np.asarray(list(query_items), dtype=object)
     est = np.full(len(q), np.iinfo(np.int64).max)
-    for j, key in enumerate(keys):
-        h = pd.util.hash_array(q, hash_key=key).astype(np.uint64)
+    for j in range(depth):
+        h = row_hash(q, j)
         pos = (h % np.uint64(width)).astype(np.int64) + j * width
         est = np.minimum(est, table[pos])
     return pd.DataFrame({"item": list(query_items),

@@ -213,12 +213,17 @@ def test_simhash_vectorized_matches_rowwise_definition():
 
     from ci_log_processing_ray.ops.dedup import _simhash_batch
 
+    def fnv1a(word, seed):
+        h = 0xCBF29CE484222325 ^ seed
+        for b in word.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) % (1 << 64)
+        return h
+
     def rowwise(text, seed):
         words = text.split()
         if not words:
             return np.uint64(0)
-        h = pd.util.hash_array(np.asarray(words, dtype=object),
-                               hash_key=f"simhash{seed:09d}").astype(np.uint64)
+        h = np.array([fnv1a(w, seed) for w in words], dtype=np.uint64)
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
         votes = bits.astype(np.int64).sum(axis=0) * 2 - len(h)
         return np.uint64(

@@ -23,6 +23,36 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _dtype_kind(s):
+    """Coarse dtype class matching the driver hash's sensitivity: an
+    int64-vs-float64 mismatch (the r4 embedding_dedup bug) must FAIL
+    here even though _norm would coerce it away."""
+    import pandas as pd
+
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
+def _assert_dtypes_match(got, want, name):
+    """Pre-normalization dtype-class check on raw frames (columns
+    matched by name): the driver's value hash is dtype-sensitive, so
+    the sweep must be too (VERDICT r4 item 8)."""
+    for c in sorted(set(got.columns) & set(want.columns)):
+        gk, wk = _dtype_kind(got[c]), _dtype_kind(want[c])
+        if gk != wk:
+            raise AssertionError(
+                f"{name}: column {c!r} dtype class mismatch "
+                f"(engine={got[c].dtype} [{gk}] vs "
+                f"oracle={want[c].dtype} [{wk}])")
+
+
 def _norm(df):
     import pandas as pd
 
@@ -75,7 +105,9 @@ def main() -> int:
             got = queries[name](args.sf_dir)
             got = got.to_pandas() if hasattr(got, "to_pandas") else got
             if name in oracles:
-                want = _norm(con.sql(oracles[name]).df())
+                want_raw = con.sql(oracles[name]).df()
+                _assert_dtypes_match(got, want_raw, name)
+                want = _norm(want_raw)
                 gotn = _norm(got)
                 assert list(gotn.columns) == list(want.columns), \
                     (list(gotn.columns), list(want.columns))
