@@ -868,6 +868,128 @@ ORDER BY vec_id
 """
 
 
+def _cdc_oracle_sql() -> str:
+    """cdc_chunks exact oracle, generated: the gear table (seeded PRNG,
+    deterministic) and the r^j power table (mod 2^64, split into 32-bit
+    halves so the gear x power multiply never overflows HUGEINT) are
+    embedded as VALUES literals; DuckDB then reproduces the windowed
+    gear hash (16-term dot per position), the mask_bits=5 boundary
+    rule with the window-validity filter, the polynomial span hashes
+    and the (hash, len)-distinct accounting -- the engine's whole CDC
+    pipeline, bit-for-bit (ops/dedup.py:cdc_chunk_stats)."""
+    from ci_log_processing_ray.ops.dedup import _CDC_R, _cdc_gear_table
+
+    mod = 1 << 64
+    r = int(_CDC_R)
+    rp, acc = [], 1
+    for _ in range(1024):
+        rp.append(acc)
+        acc = (acc * r) % mod
+    gear_rows = ",".join(
+        f"({b},{int(g)})" for b, g in enumerate(_cdc_gear_table()))
+    rpow_rows = ",".join(
+        f"({u},{v},{v >> 32},{v & 0xFFFFFFFF})" for u, v in enumerate(rp))
+    return f"""
+WITH gear(gb, g) AS (VALUES {gear_rows}),
+rpow(j, rj, rjh, rjl) AS (VALUES {rpow_rows}),
+bytes AS (
+  SELECT doc_id, i.i AS pos, ord(substr(text, i.i, 1)) AS b
+  FROM documents, range(1, 1024) i(i)
+  WHERE i.i <= length(text)
+),
+gb AS (SELECT doc_id, pos, g FROM bytes JOIN gear ON gear.gb = bytes.b),
+winh AS (
+  SELECT a.doc_id, a.pos,
+         CAST(sum(((CAST(w.g AS HUGEINT) * rj.rjl) % 18446744073709551616
+                   + ((CAST(w.g % 4294967296 AS HUGEINT) * rj.rjh)
+                      % 4294967296) * 4294967296)
+                  % 18446744073709551616)
+              % 18446744073709551616 AS UBIGINT) AS h
+  FROM gb a
+  JOIN gb w ON w.doc_id = a.doc_id AND w.pos BETWEEN a.pos - 15 AND a.pos
+  JOIN rpow rj ON rj.j = a.pos - w.pos
+  WHERE a.pos >= 16
+  GROUP BY a.doc_id, a.pos
+),
+cutset AS (
+  SELECT doc_id, 0 AS c FROM documents
+  UNION
+  SELECT doc_id, length(text) AS c FROM documents
+  UNION
+  SELECT doc_id, pos AS c FROM winh WHERE (h & 31) = 0
+),
+chunks AS (
+  SELECT doc_id, c AS s,
+         lead(c) OVER (PARTITION BY doc_id ORDER BY c) AS e
+  FROM cutset
+),
+ch AS (SELECT doc_id, s, e, e - s AS len FROM chunks
+       WHERE e IS NOT NULL AND e > s),
+spanh AS (
+  SELECT ch.doc_id, ch.s, ch.len,
+         CAST(sum((CAST(b.b AS HUGEINT) * rj.rj) % 18446744073709551616)
+              % 18446744073709551616 AS UBIGINT) AS hh
+  FROM ch
+  JOIN bytes b ON b.doc_id = ch.doc_id AND b.pos > ch.s AND b.pos <= ch.e
+  JOIN rpow rj ON rj.j = b.pos - ch.s - 1
+  GROUP BY ch.doc_id, ch.s, ch.len
+),
+agg AS (
+  SELECT hh, len, count(*) AS cnt FROM spanh GROUP BY hh, len
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(len * cnt) AS BIGINT) AS bytes_total,
+       CAST(sum(len) AS BIGINT) AS bytes_distinct
+FROM agg
+"""
+
+
+# winnow_fingerprints exact oracle: the k=8 window hash is a plain
+
+# polynomial sum (byte * 257^(7-j), per-term wraparound mod 2^64,
+# then mod 2^61-1 -- the engine's exact uint64 arithmetic, so the
+# SQL reproduces it term-for-term with HUGEINT), and the local-minima
+# selection [i-w+1, i+w-1] is ONE SQL window min (w=5 -> 4 PRECEDING
+# / 4 FOLLOWING).  Checksums and counts then match bit-for-bit.
+_WINNOW_ORACLE = r"""
+
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 50 = 0
+),
+win AS (
+  SELECT doc_id, i.i AS pos,
+         (((CAST(ord(substr(text, i.i + 0, 1)) AS HUGEINT) * 74051159531521793) % 18446744073709551616
+          + (CAST(ord(substr(text, i.i + 1, 1)) AS HUGEINT) * 288136807515649) % 18446744073709551616
+          + (CAST(ord(substr(text, i.i + 2, 1)) AS HUGEINT) * 1121154893057) % 18446744073709551616
+          + (CAST(ord(substr(text, i.i + 3, 1)) AS HUGEINT) * 4362470401) % 18446744073709551616
+          + (CAST(ord(substr(text, i.i + 4, 1)) AS HUGEINT) * 16974593) % 18446744073709551616
+          + (CAST(ord(substr(text, i.i + 5, 1)) AS HUGEINT) * 66049) % 18446744073709551616
+          + (CAST(ord(substr(text, i.i + 6, 1)) AS HUGEINT) * 257) % 18446744073709551616
+          + (CAST(ord(substr(text, i.i + 7, 1)) AS HUGEINT) * 1) % 18446744073709551616
+          ) % 18446744073709551616) % 2305843009213693951 AS h
+  FROM aug, range(1, 2048) i(i)
+  WHERE i.i + 7 <= length(text)
+),
+sel AS (
+  SELECT doc_id, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING) AS mn
+  FROM win
+)
+SELECT doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN h = mn THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(sum(CASE WHEN h = mn THEN h % 1000000007 ELSE 0 END) AS BIGINT)
+           AS fp_checksum
+FROM sel GROUP BY doc_id ORDER BY doc_id
+
+"""
+
+
 # count_min exact-state oracle: row j's item hash is FNV-1a seeded by
 # j + the fmix64 finalizer (same SQL-reproducible pipeline as
 # _HLL_ORACLE; 64x64 multiplies split into 32-bit halves), so DuckDB
@@ -4737,9 +4859,11 @@ def q_winnow_fingerprints(sf_dir: str):
     """Winnowing-family local-minima document fingerprints
     (ops/dedup.py:local_minima_fingerprints): per doc, windows /
     selected / checksum from ONE whole-batch rolling hash + two
-    doubling rolling-min passes.  Rows-only (rolling hashes are not
-    SQL-expressible); a brute-force parity test pins the selection
-    rule exactly (tests/test_ops.py).
+    doubling rolling-min passes.  Oracle-checked since r5: the fixed-k
+    window hash is a plain polynomial sum DuckDB reproduces
+    term-for-term, and the local-minima selection is one SQL window
+    min (_WINNOW_ORACLE); the brute-force parity test additionally
+    pins the selection rule (tests/test_ops.py).
 
     BINDING in-query gates over the planted-augmented corpus (exact
     copies at +1e6 for doc_id % 50 == 0): (a) every planted copy's
@@ -5848,9 +5972,11 @@ def q_count_of_counts(sf_dir: str):
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking dedup ratio
     (ops/dedup.py:cdc_chunk_stats): gear-hash boundaries, polynomial
-    span hashes, chunk bytes never materialized.  rows_only: the
-    rolling-hash boundary scheme is not SQL-expressible; exactness is
-    covered by the pure-Python parity + shift-resilience unit test
+    span hashes, chunk bytes never materialized.  Oracle-checked since
+    r5: _cdc_oracle_sql() embeds the deterministic gear/power tables
+    as VALUES literals and DuckDB reproduces the boundary rule, span
+    hashes and distinct accounting bit-for-bit; the pure-Python parity
+    + shift-resilience unit test stays
     (tests/test_ops.py::test_cdc_chunk_stats_parity_and_shift).
 
     BINDING in-query shift-resilience gate: the op runs a second time
@@ -11753,6 +11879,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _MULTIMODAL_DECODE_ORACLE,
         "hll_distinct_users": _HLL_ORACLE,
         "count_min": _COUNT_MIN_ORACLE,
+        "winnow_fingerprints": _WINNOW_ORACLE,
+        "cdc_chunks": _cdc_oracle_sql(),
         "multimodal_resize": _MULTIMODAL_RESIZE_ORACLE,
         "video_frame_sample": _VIDEO_FRAME_SAMPLE_ORACLE,
         "semdedup": _EMBED_DEDUP_ORACLE,

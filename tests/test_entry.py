@@ -52,9 +52,21 @@ def test_every_oracle_has_a_query():
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(ray_session, name):
-    got = _norm(_to_df(entrymod.queries()[name](SF)))
+    raw = _to_df(entrymod.queries()[name](SF))
     con = _con()
-    want = _norm(con.sql(entrymod.oracle_sql()[name]).df())
+    want_raw = con.sql(entrymod.oracle_sql()[name]).df()
+    # dtype-class parity (r4 verdict): the driver's value hash is
+    # dtype-sensitive, so an engine float column where the oracle
+    # emits integers (the embedding_dedup float64-upcast bug class)
+    # must fail HERE, not only in the driver run.  Columns that are
+    # float on BOTH sides (quantile_cont interpolation etc.) are fine.
+    mismatched = [
+        c for c in set(raw.columns) & set(want_raw.columns)
+        if pd.api.types.is_float_dtype(raw[c])
+        != pd.api.types.is_float_dtype(want_raw[c])]
+    assert not mismatched, (name, mismatched)
+    got = _norm(raw)
+    want = _norm(want_raw)
     assert len(got) == len(want), (name, len(got), len(want))
     assert list(got.columns) == list(want.columns), name
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
