@@ -205,6 +205,73 @@ def test_simhash_buckets_identical_bags(ray_session):
     assert by_id.loc[3, "bucket_size"] == 1
 
 
+def test_fnv1a_word_hashes_matches_pure_python():
+    """The vectorized byte-matrix FNV-1a fold must equal the textbook
+    sequential definition (incl. seed folding, unicode words, and the
+    dictionary-encode gather for repeated words)."""
+    import pyarrow as pa
+
+    from ci_log_processing_ray.ops.dedup import _fnv1a_word_hashes
+
+    def fnv(word, seed):
+        h = 0xCBF29CE484222325 ^ seed
+        for b in word.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) % (1 << 64)
+        return h
+
+    words = ["alpha", "beta", "alpha", "x", "12345", "café",
+             "longerwordhere", "alpha"]
+    for seed in (0, 3, 11):
+        got = _fnv1a_word_hashes(pa.array(words), seed)
+        want = np.array([fnv(w, seed) for w in words], dtype=np.uint64)
+        assert (got == want).all(), (seed, got, want)
+
+
+def test_fmix64_matches_reference():
+    """The murmur3 finalizer used by the SQL-reproducible sketch hashes
+    must match the scalar spec (xor-shift / wraparound multiply)."""
+    from ci_log_processing_ray.ops.sketch import _fmix64
+
+    def ref(x):
+        m = (1 << 64) - 1
+        x ^= x >> 33
+        x = (x * 0xFF51AFD7ED558CCD) & m
+        x ^= x >> 33
+        x = (x * 0xC4CEB9FE1A85EC53) & m
+        x ^= x >> 33
+        return x
+
+    xs = np.array([0, 1, 2, 255, 2**31, 2**63, 2**64 - 1,
+                   1234567890123456789], dtype=np.uint64)
+    got = _fmix64(xs)
+    want = np.array([ref(int(x)) for x in xs], dtype=np.uint64)
+    assert (got == want).all(), (got, want)
+
+
+def test_hll_rank_histogram_is_sufficient(ray_session):
+    """return_state=True's histogram must reproduce the exact same
+    estimate as the direct register path (sufficient statistic)."""
+    import ray
+
+    from ci_log_processing_ray.ops.sketch import (
+        estimate_from_rank_histogram, hll_distinct_by_group)
+
+    rows = [{"g": f"g{i % 3}", "v": i % 500} for i in range(4000)]
+    est = hll_distinct_by_group(
+        ray.data.from_items(rows).repartition(7), "g", "v", p=10,
+        hash="fnv")
+    state = hll_distinct_by_group(
+        ray.data.from_items(rows).repartition(3), "g", "v", p=10,
+        hash="fnv", return_state=True)
+    for g, sub in state.groupby("g"):
+        from_hist = round(estimate_from_rank_histogram(
+            sub["rank"].to_numpy(np.int64),
+            sub["n_regs"].to_numpy(np.int64), 10))
+        direct = int(est.loc[est["g"] == g, "n_distinct"].iloc[0])
+        assert from_hist == direct, (g, from_hist, direct)
+        assert int(sub["n_regs"].sum()) == 1 << 10
+
+
 def test_simhash_vectorized_matches_rowwise_definition():
     """The batch-vectorized kernel must produce bit-identical simhash
     values to the row-at-a-time definition (per-word hash, bit votes,
