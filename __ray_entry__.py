@@ -1210,8 +1210,11 @@ FROM sh ORDER BY doc_id
 # inter/union >= 0.7 for these denominators), min-label closure via a
 # recursive CTE -- identical to the engine's union-by-min.  The cheap
 # join prefilter uses J <= min/max (a length-ratio necessary
-# condition), and grams are hash()-encoded so list_intersect runs on
-# uint64, not strings (~3x).
+# condition); intersections resolve RELATIONALLY (candidate pairs x
+# exploded hash()-encoded grams, one grouped count) instead of 130k
+# list_intersect calls -- 19 s -> ~5 s at sf0.01 (pairs with zero
+# shared grams drop out of the inner join; they fail the threshold
+# anyway).
 _MINHASH_DEDUP_ORACLE = """
 WITH RECURSIVE aug AS (
   SELECT doc_id, text FROM documents
@@ -1226,15 +1229,23 @@ g AS (
              AS grams
   FROM aug
 ),
-pairs AS (
-  SELECT a.doc_id AS ia, b.doc_id AS ib
-  FROM g a JOIN g b
+sizes AS (SELECT doc_id, len(grams) AS n FROM g),
+cand AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb
+  FROM sizes a JOIN sizes b
     ON a.doc_id < b.doc_id
-   AND 10 * least(len(a.grams), len(b.grams))
-       >= 7 * greatest(len(a.grams), len(b.grams))
-  WHERE 10 * len(list_intersect(a.grams, b.grams))
-        >= 7 * (len(a.grams) + len(b.grams)
-                - len(list_intersect(a.grams, b.grams)))
+   AND 10 * least(a.n, b.n) >= 7 * greatest(a.n, b.n)
+),
+gg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+inter AS (
+  SELECT c.ia, c.ib, c.na, c.nb, count(*) AS i
+  FROM cand c
+  JOIN gg ga ON ga.doc_id = c.ia
+  JOIN gg gb ON gb.doc_id = c.ib AND gb.gram = ga.gram
+  GROUP BY c.ia, c.ib, c.na, c.nb
+),
+pairs AS (
+  SELECT ia, ib FROM inter WHERE 10 * i >= 7 * (na + nb - i)
 ),
 e AS (
   SELECT ia AS a, ib AS b FROM pairs
