@@ -888,10 +888,11 @@ def _cdc_oracle_sql() -> str:
     deterministic) and the r^j power table (mod 2^64, split into 32-bit
     halves so the gear x power multiply never overflows HUGEINT) are
     embedded as VALUES literals; DuckDB then reproduces the windowed
-    gear hash (16-term dot per position), the mask_bits=5 boundary
-    rule with the window-validity filter, the polynomial span hashes
-    and the (hash, len)-distinct accounting -- the engine's whole CDC
-    pipeline, bit-for-bit (ops/dedup.py:cdc_chunk_stats)."""
+    gear hash (16 lag() terms per position -- the self-join variant
+    measured 20x slower), the mask_bits=5 boundary rule with the
+    window-validity filter, the polynomial span hashes and the
+    (hash, len)-distinct accounting -- the engine's whole CDC pipeline,
+    bit-for-bit (ops/dedup.py:cdc_chunk_stats)."""
     from ci_log_processing_ray.ops.dedup import _CDC_R, _cdc_gear_table
 
     mod = 1 << 64
@@ -903,10 +904,17 @@ def _cdc_oracle_sql() -> str:
     gear_rows = ",".join(
         f"({b},{int(g)})" for b, g in enumerate(_cdc_gear_table()))
     rpow_rows = ",".join(
-        f"({u},{v},{v >> 32},{v & 0xFFFFFFFF})" for u, v in enumerate(rp))
+        f"({u},{v})" for u, v in enumerate(rp))
+    lag_terms = " + ".join(
+        f"((CAST(coalesce(lag(g, {j}) OVER w, 0) AS HUGEINT)"
+        f" * {rp[j] & 0xFFFFFFFF}) % 18446744073709551616"
+        f" + ((CAST(coalesce(lag(g, {j}) OVER w, 0) % 4294967296"
+        f" AS HUGEINT) * {rp[j] >> 32}) % 4294967296) * 4294967296)"
+        f" % 18446744073709551616"
+        for j in range(16))
     return f"""
 WITH gear(gb, g) AS (VALUES {gear_rows}),
-rpow(j, rj, rjh, rjl) AS (VALUES {rpow_rows}),
+rpow(j, rj) AS (VALUES {rpow_rows}),
 bytes AS (
   SELECT doc_id, i.i AS pos, ord(substr(text, i.i, 1)) AS b
   FROM documents, range(1, 1024) i(i)
@@ -914,17 +922,11 @@ bytes AS (
 ),
 gb AS (SELECT doc_id, pos, g FROM bytes JOIN gear ON gear.gb = bytes.b),
 winh AS (
-  SELECT a.doc_id, a.pos,
-         CAST(sum(((CAST(w.g AS HUGEINT) * rj.rjl) % 18446744073709551616
-                   + ((CAST(w.g % 4294967296 AS HUGEINT) * rj.rjh)
-                      % 4294967296) * 4294967296)
-                  % 18446744073709551616)
-              % 18446744073709551616 AS UBIGINT) AS h
-  FROM gb a
-  JOIN gb w ON w.doc_id = a.doc_id AND w.pos BETWEEN a.pos - 15 AND a.pos
-  JOIN rpow rj ON rj.j = a.pos - w.pos
-  WHERE a.pos >= 16
-  GROUP BY a.doc_id, a.pos
+  SELECT doc_id, pos,
+         CAST(({lag_terms}) % 18446744073709551616 AS UBIGINT) AS h
+  FROM gb
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY pos >= 16
 ),
 cutset AS (
   SELECT doc_id, 0 AS c FROM documents
@@ -949,9 +951,7 @@ spanh AS (
   JOIN rpow rj ON rj.j = b.pos - ch.s - 1
   GROUP BY ch.doc_id, ch.s, ch.len
 ),
-agg AS (
-  SELECT hh, len, count(*) AS cnt FROM spanh GROUP BY hh, len
-)
+agg AS (SELECT hh, len, count(*) AS cnt FROM spanh GROUP BY hh, len)
 SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
        CAST(count(*) AS BIGINT) AS n_distinct,
        CAST(sum(len * cnt) AS BIGINT) AS bytes_total,
