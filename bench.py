@@ -225,6 +225,11 @@ BENCH_QUERIES = [
     "eccentricity",
     "stress_centrality",
     "count_min",
+    "simhash",
+    "embedding_dedup",
+    "hll_distinct_users",
+    "multimodal_decode",
+    "video_frame_sample",
     "keyword_tags",
 ]
 
