@@ -561,6 +561,24 @@ def q_knn_bruteforce(sf_dir: str):
     return df[["query_id", "vec_id"]]
 
 
+def _assert_text_len_domain(sf_dir: str, *, lo: int, hi: int,
+                            name: str) -> None:
+    """Guard the oracle's position-table domain: the SQL oracles for
+    the byte-stream ops enumerate positions from a FIXED range table
+    (cdc: range(1, 1024); winnow: range(1, 2048), k=8 padding floor),
+    so a corpus whose documents drift outside [lo, hi] chars would
+    silently truncate on the SQL side (or row-diverge on padded short
+    docs) instead of failing loudly.  Raises BEFORE running the op."""
+    nc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["n_chars"])["n_chars"].to_numpy()
+    if len(nc) and (nc.min() < lo or nc.max() > hi):
+        raise AssertionError(
+            f"{name}: corpus doc lengths [{int(nc.min())}, "
+            f"{int(nc.max())}] outside the oracle's [{lo}, {hi}] "
+            f"position-table domain -- widen the range tables before "
+            f"trusting the comparison")
+
+
 _EXACT_TOP10_CACHE: dict = {}
 
 
@@ -576,8 +594,10 @@ def _ann_recall_floor(ds, q, qids, approx, floor_permille: int,
     -- the embeddings tables are immutable test fixtures, and the four
     ANN gates (lsh / ivf / pq / ann_recall) each paid a full
     bruteforce pass per run (the dominant cost of q_knn_pq at every
-    scale)."""
-    key = (cache_key, len(qids)) if cache_key else None
+    scale).  The key also binds the concrete query ids, so a future
+    gate with a different same-length query set can never reuse the
+    wrong truth."""
+    key = (cache_key, tuple(int(i) for i in qids)) if cache_key else None
     ex = _EXACT_TOP10_CACHE.get(key) if key else None
     if ex is None:
         ex = knn_bruteforce(ds, "embedding", "vec_id", q, qids, k=10)
@@ -4903,6 +4923,8 @@ def q_winnow_fingerprints(sf_dir: str):
     kernel lands far outside it."""
     from ci_log_processing_ray.ops.dedup import local_minima_fingerprints
 
+    _assert_text_len_domain(sf_dir, lo=8, hi=2047,
+                            name="winnow_fingerprints")
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = _collect(local_minima_fingerprints(
         _plant_dup_texts(ds), "text", "doc_id", k=8, w=5)).to_pandas()
@@ -6016,6 +6038,7 @@ def q_cdc_chunks(sf_dir: str):
     bytes.  Violations raise."""
     from ci_log_processing_ray.ops.dedup import cdc_chunk_stats
 
+    _assert_text_len_domain(sf_dir, lo=1, hi=1023, name="cdc_chunks")
     ds = _read(sf_dir, "documents", ["text"])
     base = cdc_chunk_stats(ds, "text", window=16, mask_bits=5)
     base_df = base.to_pandas() if hasattr(base, "to_pandas") else base

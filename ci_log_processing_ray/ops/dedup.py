@@ -1223,20 +1223,11 @@ def simhash_clusters(
 
     simmed = ds.map_batches(add_sim, batch_format="pyarrow", batch_size=None)
 
-    def per_bucket(t: pa.Table) -> pa.Table:
-        # whole-bucket vectorized Arrow kernel: one lexsort + run-length
-        # sizes per distinct simhash (no pandas round-trip)
-        sh = t["simhash"].combine_chunks().to_numpy()
-        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, sh))
-        t = t.take(pa.array(order))
-        s = sh[order]
-        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
-        sizes = np.diff(np.r_[starts, len(s)])
-        return t.append_column(
-            "bucket_size", pa.array(np.repeat(sizes, sizes).astype(np.int64)))
+    from ci_log_processing_ray.ops.window import (attach_group_sizes,
+                                                  bucketed_groups)
 
-    from ci_log_processing_ray.ops.window import bucketed_groups
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return attach_group_sizes(t, "simhash", id_col)
 
     return bucketed_groups(simmed, "simhash", per_bucket,
                            kernel_format="pyarrow")

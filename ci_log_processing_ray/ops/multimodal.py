@@ -304,7 +304,8 @@ def phash_clusters(
     hash in an actor pool (small batches, large rows), then ONE
     8-byte-key shuffle groups identical perceptual hashes; the payload
     never moves after the hash stage."""
-    from ci_log_processing_ray.ops.window import bucketed_groups
+    from ci_log_processing_ray.ops.window import (attach_group_sizes,
+                                                  bucketed_groups)
 
     hashed = ds.map_batches(
         PerceptualHasher, fn_constructor_args=(payload_col, id_col),
@@ -312,16 +313,7 @@ def phash_clusters(
         concurrency=concurrency, num_cpus=1)
 
     def size_per_hash(t: pa.Table) -> pa.Table:
-        # Arrow kernel: one lexsort + run-length sizes per distinct hash
-        ph = t["phash"].combine_chunks().to_numpy()
-        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, ph))
-        t = t.take(pa.array(order))
-        s = ph[order]
-        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
-        sizes = np.diff(np.r_[starts, len(s)])
-        return t.append_column(
-            "bucket_size", pa.array(np.repeat(sizes, sizes).astype(np.int64)))
+        return attach_group_sizes(t, "phash", id_col)
 
     return bucketed_groups(hashed, "phash", size_per_hash,
                            kernel_format="pyarrow")

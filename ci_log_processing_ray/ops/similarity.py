@@ -349,6 +349,13 @@ def knn_pq(
     vs :func:`knn_bruteforce` (the q_knn_pq entry binds a recall
     floor).  Ties break by ascending id, deterministically.  Returns
     (query_id, id_col, rank) sorted by (query_id, rank)."""
+    if n_codes > 256:
+        # codes are stored as uint8 by design (the 1-byte-per-subspace
+        # memory shape IS the point of PQ); a larger codebook would
+        # silently wrap indices and score against the wrong centroids
+        raise ValueError(
+            f"knn_pq: n_codes={n_codes} exceeds the uint8 code range "
+            f"(max 256)")
     sample = _to_matrix(
         pa.concat_tables(
             [b.select([vec_col]) for b in

@@ -131,6 +131,25 @@ def bucketed_groups(
     ).groupby("_kb").map_groups(run, batch_format="pandas")
 
 
+def attach_group_sizes(t: "pa.Table", key_col: str,
+                       id_col: str) -> "pa.Table":
+    """Arrow bucket kernel: sort the bucket by (key, id) and append a
+    ``bucket_size`` column = run length per distinct key (one lexsort
+    + run-length pass, no pandas round-trip).  Shared by the
+    simhash / phash exact-bucket clusterers."""
+    import numpy as np
+
+    keys = t[key_col].combine_chunks().to_numpy()
+    ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, keys))
+    t = t.take(pa.array(order))
+    s = keys[order]
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    sizes = np.diff(np.r_[starts, len(s)])
+    return t.append_column(
+        "bucket_size", pa.array(np.repeat(sizes, sizes).astype(np.int64)))
+
+
 def bucketed_sum(
     ds: ray.data.Dataset,
     key_cols: list[str],

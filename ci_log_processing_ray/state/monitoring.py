@@ -57,6 +57,9 @@ class Monitoring:
         self._counters: dict[tuple[str, tuple[tuple[str, str], ...]],
                              int] = {}
         self._gauges: dict[str, int] = {}
+        # chronological key for snapshot gauges: digests sort by
+        # content hash, not time, so the gauge follows file mtime
+        self._gauge_mtime: float = float("-inf")
 
     # -- registry -----------------------------------------------------
     def inc(self, name: str, labels: dict[str, str] | None = None,
@@ -85,7 +88,19 @@ class Monitoring:
             try:
                 with open(path) as f:
                     m = json.load(f)
-            except (OSError, ValueError):
+                # validate EVERY numeric field before touching any
+                # state: a manifest that parses as JSON but carries a
+                # malformed value must be skipped whole, not folded
+                # half-way (which would 500 the scrape and, with the
+                # digest already marked seen, lose the batch forever)
+                total_docs = int(m.get("total_docs", 0))
+                n_partitions = int(m.get("n_partitions", 0))
+                per_sink = {str(s): int(c)
+                            for s, c in (m.get("per_sink") or {}).items()}
+                quarantined = (int(m["quarantined_rows"])
+                               if "quarantined_rows" in m else None)
+                mtime = os.path.getmtime(path)
+            except (OSError, ValueError, TypeError):
                 continue  # partially-written manifest: pick up next scrape
             digest = str(m.get("batch", fname))
             with self._lock:
@@ -94,15 +109,14 @@ class Monitoring:
                 self._seen.add(digest)
             new += 1
             self.inc("cilog_batches_total")
-            self.inc("cilog_docs_total", amount=int(m.get("total_docs", 0)))
-            self.inc("cilog_partitions_total",
-                     amount=int(m.get("n_partitions", 0)))
-            for sink, c in (m.get("per_sink") or {}).items():
-                self.inc("cilog_docs_per_sink_total",
-                         {"sink": str(sink)}, int(c))
-            if "quarantined_rows" in m:
-                self.set_gauge("cilog_quarantined_rows",
-                               int(m["quarantined_rows"]))
+            self.inc("cilog_docs_total", amount=total_docs)
+            self.inc("cilog_partitions_total", amount=n_partitions)
+            for sink, c in per_sink.items():
+                self.inc("cilog_docs_per_sink_total", {"sink": sink}, c)
+            if quarantined is not None and mtime >= self._gauge_mtime:
+                # newest-by-mtime wins: listdir order is digest order
+                self._gauge_mtime = mtime
+                self.set_gauge("cilog_quarantined_rows", quarantined)
         return new
 
     # -- exposition ---------------------------------------------------
