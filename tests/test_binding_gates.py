@@ -633,3 +633,27 @@ def test_contiguous_ids_rejects_gapped():
     with pytest.raises(RuntimeError, match="contiguous"):
         entrymod._require_contiguous_ids(
             np.array([1, 2, 3], dtype=np.int64), "t")
+
+
+# ---------------------------------------------- oracle position-table domain
+def test_text_len_domain_guard_accepts_corpus():
+    entrymod._assert_text_len_domain(SF0, lo=1, hi=1023, name="t")
+
+
+def test_text_len_domain_guard_fires_outside(tmp_path):
+    """A corpus with a doc longer than the oracle's fixed position
+    table must make cdc/winnow raise BEFORE the silent-truncation
+    comparison, not pass on a truncated SQL side."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"doc_id": [0, 1],
+                             "text": ["short", "x" * 1500],
+                             "n_chars": [5, 1500]}),
+                   str(tmp_path / "documents.parquet"))
+    with pytest.raises(AssertionError, match="position-table domain"):
+        entrymod._assert_text_len_domain(str(tmp_path), lo=1, hi=1023,
+                                         name="cdc_chunks")
+    with pytest.raises(AssertionError, match="position-table domain"):
+        entrymod._assert_text_len_domain(str(tmp_path), lo=8, hi=2047,
+                                         name="winnow_fingerprints")
