@@ -310,10 +310,12 @@ def run_bench() -> dict:
         ray.data.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
             _warm_worker).count()
 
-        # best of 2: the host shows noisy-neighbor CPU steal spiking
-        # >10%, which can double a single run's wall time
+        # best of 3: the host shows noisy-neighbor waves that swing a
+        # single run's wall time 1.3-2x within the same calib window
+        # (r5 measured 1.93 / 2.48 s back-to-back at calib 0.63);
+        # three reps cost ~6 s and tighten the min materially
         headline = float("inf")
-        for _ in range(2):
+        for _ in range(int(os.environ.get("GRAFT_HEADLINE_REPS", "3"))):
             out_dir = "/tmp/ci_log_bench_out"
             shutil.rmtree(out_dir, ignore_errors=True)
             t0 = time.perf_counter()
